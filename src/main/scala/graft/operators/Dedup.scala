@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group-wise dedup operators (SURVEY.md §2.4 A1 and the training-data
+  * dedup family of §7.5).
+  *
+  * A1 is the reference's single real query: "latest price per
+  * premise×item", written there as SQLite's non-standard bare-column
+  * GROUP BY over an ORDER BY subquery (reference: src/main.rs:254-257),
+  * whose surviving row is formally arbitrary. We define *deterministic*
+  * semantics instead: a total order (orderBy + caller-supplied
+  * tie-breakers) and row_number()==1.
+  *
+  * Scale notes:
+  *  - `latestPerGroup` is a single hash-partition shuffle on the group
+  *    keys followed by a per-partition sort — the canonical Spark plan
+  *    for top-1-per-group. No global sort (the reference's ORDER BY over
+  *    the whole table, src/main.rs:255, would be a full-data sort at
+  *    100 TB).
+  *  - `latestPerGroupAgg` is the max_by formulation: it enables partial
+  *    (map-side) aggregation, so the shuffle carries one row per
+  *    group-per-input-partition instead of every row. Prefer it when
+  *    groups are large or skewed; prefer the window form when the full
+  *    row (many columns) must survive and groups are small.
+  */
+object Dedup {
+
+  /** A1, window formulation: keep exactly one row per key group — the
+    * first under `order` (append unique tie-breakers for determinism). */
+  def latestPerGroup(df: DataFrame, keys: Seq[String],
+                     order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** A1, aggregate formulation: max_by(struct(*), orderKey) with partial
+    * aggregation. `orderKey` must be a totally-ordering struct/column so
+    * ties cannot occur (e.g. struct(date, orderkey)). */
+  def latestPerGroupAgg(df: DataFrame, keys: Seq[String],
+                        orderKey: Column): DataFrame = {
+    val payload = df.columns.filterNot(keys.contains)
+    val grouped = df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), orderKey).as("__row"))
+    payload.foldLeft(grouped)((d, c) => d.withColumn(c, col(s"__row.$c")))
+      .drop("__row")
+  }
+
+  /** Exact duplicate removal on a set of columns — hash-groupBy keeping
+    * the minimum of `keep` as the canonical representative. One shuffle
+    * on the dedup key; map-side combine makes it linear in distinct
+    * keys. For very wide text at 100 TB, dedup on a hash of the text
+    * (sha2) so shuffle rows stay small — collision risk 2^-128. */
+  def exact(df: DataFrame, on: Seq[String], keep: String): DataFrame =
+    df.groupBy(on.map(c => sha2(col(c).cast("string"), 256).as(s"__h_$c")): _*)
+      .agg(min(col(keep)).as(keep))
+      .select(keep)
+}
