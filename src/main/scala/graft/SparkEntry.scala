@@ -84,12 +84,171 @@ object SparkEntry {
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
+  /** q06 — filtered projection; both predicate and column set reach the
+    * parquet scan (PushedFilters + 3-column ReadSchema at explain time). */
+  private def q06(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))
+        && col("l_quantity") < 10)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+
+  /** q07 — top-k: global top 100 orders by value. Spark plans this as
+    * TakeOrderedAndProject — per-partition heaps + a k-row driver merge,
+    * no global sort; the only plan that survives 100 TB. Unique
+    * tie-break keeps the result set deterministic. */
+  private def q07(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** q08 — set operations: symmetric difference of two customer cohorts
+    * via UNION / INTERSECT / EXCEPT (all distinct semantics). */
+  private def q08(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val a = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val b = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+    a.union(b).except(a.intersect(b))
+  }
+
+  /** q09 — window analytics per customer: rank, lag, running sum. One
+    * shuffle on o_custkey serves all three window functions (same
+    * partition spec → single Window exec). */
+  private def q09(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rnk", rank().over(Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+      .withColumn("prev_date",
+        Cleaning.dateToString(lag(col("o_orderdate"), 1).over(w)))
+      .withColumn("run_total",
+        round(sum(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+      .select(col("o_custkey"), col("o_orderkey"), col("rnk"),
+              col("prev_date"), col("run_total"))
+  }
+
+  /** q10 — scalar-function battery (SURVEY.md §2.8): trim/substr/case
+    * conversions/round/concat/regexp/split/length/mod, all codegen'd
+    * built-ins, zero UDFs. */
+  private def q10(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      lower(col("p_type")).as("type_l"),
+      substring(col("p_name"), 1, 5).as("name5"),
+      length(col("p_name")).cast("long").as("name_len"),
+      round(col("p_retailprice"), 1).as("price_r"),
+      concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+      regexp_replace(col("p_name"), " ", "_").as("name_us"),
+      size(split(col("p_name"), " ")).cast("long").as("n_words"),
+      (col("p_partkey") % 7).as("key_mod"),
+      when(col("p_size") > 25, lit("big")).otherwise(lit("small")).as("size_class"))
+
+  /** q11 — semi/anti joins: customers with vs without orders. Both sides
+    * aggregate to key-sets before the join at scale (semi/anti join
+    * shuffles only distinct keys under AQE). */
+  private def q11(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+    val withO = c.join(o, Seq("c_custkey"), "left_semi")
+      .agg(count(lit(1)).as("cnt")).withColumn("cohort", lit("with_orders"))
+    val noO = c.join(o, Seq("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("cnt")).withColumn("cohort", lit("without_orders"))
+    withO.unionByName(noO).select("cohort", "cnt")
+  }
+
+  /** q12 — hierarchical rollup aggregate (nation × market segment).
+    * Rollup nulls are disambiguated to 'ALL' (dims contain no real
+    * nulls) so the oracle compare is unambiguous. */
+  private def q12(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 4).as("sum_bal"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+              coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+              col("n_cust"), col("sum_bal"))
+  }
+
+  /** q13 — exact distinct counts (single + composite key). */
+  private def q13(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      countDistinct(col("l_partkey")).as("d_parts"),
+      countDistinct(col("l_suppkey")).as("d_supps"),
+      countDistinct(col("l_partkey"), col("l_suppkey")).as("d_pairs"))
+
+  /** q14 — join + aggregate: revenue per nation. orders⋈customer is the
+    * real shuffle (both large at scale, equi-join on custkey); nation is
+    * broadcast. AQE coalesces the post-shuffle partitions. */
+  private def q14(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 4).as("revenue"),
+           count(lit(1)).as("n_orders"))
+  }
+
+  /** q15 — tumbling-window aggregation over the events table (batch form
+    * of the Structured Streaming windowed agg; epoch-aligned 5-minute
+    * buckets identical to DuckDB's time_bucket). */
+  private def q15(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+              col("n"), col("sum_value"))
+
+  /** q16 — sessionization in batch: a new session starts after a >30 min
+    * gap per user. lag + running-sum over one user-partitioned window —
+    * a single shuffle on user_id; the streaming twin lives in
+    * graft.streaming (flatMapGroupsWithState). */
+  private def q16(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("new_sess",
+        when(col("ts").cast("double") - lag(col("ts").cast("double"), 1).over(w) > 1800.0, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"))
+  }
+
+  /** q17 — approximate distinct (HLL sketch): the 100 TB path for q13.
+    * No DuckDB oracle (different sketch impls); driver records a
+    * rows-only check. */
+  private def q17(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_clean_project" -> (q01 _),
     "q02_dedup_latest" -> (q02 _),
     "q03_enrich_join" -> (q03 _),
     "q04_unique_assert" -> (q04 _),
     "q05_agg_pricing" -> (q05 _),
+    "q06_filter_pushdown" -> (q06 _),
+    "q07_topk_orders" -> (q07 _),
+    "q08_set_ops" -> (q08 _),
+    "q09_window_analytics" -> (q09 _),
+    "q10_scalar_battery" -> (q10 _),
+    "q11_semi_anti_join" -> (q11 _),
+    "q12_rollup" -> (q12 _),
+    "q13_distinct_exact" -> (q13 _),
+    "q14_join_agg" -> (q14 _),
+    "q15_events_tumbling" -> (q15 _),
+    "q16_events_sessions" -> (q16 _),
+    "q17_approx_distinct" -> (q17 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -135,5 +294,82 @@ object SparkEntry {
         |round(avg(l_discount), 4) AS avg_disc,
         |CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q06_filter_pushdown" ->
+      """SELECT l_orderkey, l_extendedprice FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' AND l_quantity < 10""".stripMargin,
+    "q07_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q08_set_ops" ->
+      """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | UNION
+        | SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |EXCEPT
+        |(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | INTERSECT
+        | SELECT c_custkey FROM customer WHERE c_acctbal > 5000)""".stripMargin,
+    "q09_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(rank() OVER (PARTITION BY o_custkey
+        |     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk,
+        |strftime(lag(o_orderdate, 1) OVER w, '%Y-%m-%d') AS prev_date,
+        |round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |     ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_total
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q10_scalar_battery" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_type) AS type_l,
+        |substring(p_name, 1, 5) AS name5,
+        |CAST(len(p_name) AS BIGINT) AS name_len,
+        |round(p_retailprice, 1) AS price_r,
+        |concat_ws('-', p_brand, p_type) AS brand_type,
+        |regexp_replace(p_name, ' ', '_', 'g') AS name_us,
+        |CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+        |p_partkey % 7 AS key_mod,
+        |CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS size_class
+        |FROM part""".stripMargin,
+    "q11_semi_anti_join" ->
+      """SELECT 'with_orders' AS cohort, CAST(count(*) AS BIGINT) AS cnt FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders' AS cohort, CAST(count(*) AS BIGINT) AS cnt FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q12_rollup" ->
+      """SELECT COALESCE(n_name, 'ALL') AS nation,
+        |COALESCE(c_mktsegment, 'ALL') AS segment,
+        |CAST(count(*) AS BIGINT) AS n_cust,
+        |round(CAST(sum(c_acctbal) AS DOUBLE), 4) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)""".stripMargin,
+    "q13_distinct_exact" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS d_parts,
+        |CAST(count(DISTINCT l_suppkey) AS BIGINT) AS d_supps,
+        |CAST(count(DISTINCT (l_partkey, l_suppkey)) AS BIGINT) AS d_pairs
+        |FROM lineitem""".stripMargin,
+    "q14_join_agg" ->
+      """SELECT n_name, round(CAST(sum(o_totalprice) AS DOUBLE), 4) AS revenue,
+        |CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q15_events_tumbling" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+        |event_type, CAST(count(*) AS BIGINT) AS n,
+        |round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q16_events_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800.0 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM sess GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -27,7 +27,21 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
-  def events(spark: SparkSession, d: String): DataFrame = load(spark, d, "events")
+  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects outright. Read nanos as raw int64
+    * (legacy conf) and truncate to microsecond TimestampType with integer
+    * `div` — a true `/` would round-trip through double and lose
+    * precision above 2^53 ns. */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions
+          .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 
