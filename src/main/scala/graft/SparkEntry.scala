@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{Cleaning, Dedup, Quality}
+import graft.functions.TextFunctions
+import graft.operators.{Cleaning, Dedup, Quality, Similarity, TextDedup}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -231,6 +232,103 @@ object SparkEntry {
       approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
       approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
 
+  // ---------------------------------------------------------------------
+  // Training-data pipeline operators (SURVEY.md §7.5): dedup family,
+  // similarity search, text analysis.
+  // ---------------------------------------------------------------------
+
+  /** d01 — exact dedup: canonical doc + multiplicity per distinct text. */
+  private def d01(s: SparkSession, d: String): DataFrame =
+    TextDedup.exact(Tables.documents(s, d), "doc_id", "text")
+
+  /** d02 — MinHash+LSH near-dup candidate pairs, Jaccard-verified.
+    * No SQL oracle (hash-family internals); rows-only check. */
+  private def d02(s: SparkSession, d: String): DataFrame =
+    TextDedup.minhashPairs(Tables.documents(s, d), "doc_id", "text")
+
+  /** d03 — SimHash near-dup pairs (Hamming <= 3 via chunk blocking).
+    * No SQL oracle; rows-only check. */
+  private def d03(s: SparkSession, d: String): DataFrame =
+    TextDedup.simhashPairs(Tables.documents(s, d), "doc_id", "text")
+
+  /** d04 — exact token-set Jaccard pairs within a source block, via the
+    * inverted-index join (pure SQL semantics — fully oracle-checked). */
+  private def d04(s: SparkSession, d: String): DataFrame =
+    TextDedup.tokenJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      blockCol = "source", threshold = 0.5)
+
+  /** d05 — embedding near-duplicates via sign-LSH + cosine verify.
+    * No SQL oracle (LSH recall is probabilistic); rows-only check. */
+  private def d05(s: SparkSession, d: String): DataFrame =
+    Similarity.nearDupPairs(Tables.embeddings(s, d), threshold = 0.4)
+
+  /** s01 — brute-force exact cosine top-10 for query vectors vec_id<10
+    * (codegen'd CosineSimilarity kernel, broadcast queries). */
+  private def s01(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
+  }
+
+  /** s02 — LSH-bucketed approximate top-10, exact re-rank of candidates.
+    * No SQL oracle (approximate by design); rows-only check. */
+  private def s02(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
+  }
+
+  /** t01 — stopword-heuristic language ID with per-language scores and
+    * deterministic argmax (tie → first in de<en<es<fr<zh order). */
+  private def t01(s: SparkSession, d: String): DataFrame = {
+    val txt = col("text")
+    val scores = TextFunctions.langMarkers.map { case (lang, _) =>
+      lang -> TextFunctions.langScore(txt, lang)
+    }
+    Tables.documents(s, d).select(
+      col("doc_id") +:
+        scores.map { case (lang, c) => c.as(s"s_$lang") } :+
+        TextFunctions.langPredict(scores).as("predicted"): _*)
+  }
+
+  /** t02 — quality scoring: length / word / punctuation / stopword
+    * signals combined into one [0,1] score. */
+  private def t02(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val nChars = length(t).cast("double")
+    val nWords = regexp_count(t, lit("\\S+")).cast("double")
+    val nPunct = regexp_count(t, lit("[^A-Za-z0-9\\s]")).cast("double")
+    val nStop = regexp_count(lower(t),
+      lit(TextFunctions.langMarkers.toMap.apply("en"))).cast("double")
+    val punctRatio = nPunct / nChars
+    val stopRatio = nStop / nWords
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      nChars.cast("long").as("n_chars_m"),
+      nWords.cast("long").as("n_words"),
+      round(punctRatio, 4).as("punct_ratio"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(nChars / nWords, 4).as("chars_per_word"),
+      round(least(lit(1.0), nWords / 50.0) * (lit(1.0) - punctRatio)
+        * least(lit(1.0), lit(0.5) + stopRatio), 4).as("quality"))
+  }
+
+  /** t03 — token counting: whitespace tokens + BPE-ish pre-tokenizer
+    * count (letter runs / digits / marks). */
+  private def t03(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
+      TextFunctions.bpeishTokenCount(col("text")).as("bpe_tokens"),
+      round(length(col("text")).cast("double") /
+        TextFunctions.bpeishTokenCount(col("text")).cast("double"), 4)
+        .as("chars_per_token"))
+
+  /** t04 — document fingerprint: md5 over normalized text (case/punct/
+    * whitespace-invariant exact-dup key). */
+  private def t04(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_clean_project" -> (q01 _),
     "q02_dedup_latest" -> (q02 _),
@@ -249,6 +347,17 @@ object SparkEntry {
     "q15_events_tumbling" -> (q15 _),
     "q16_events_sessions" -> (q16 _),
     "q17_approx_distinct" -> (q17 _),
+    "d01_dedup_exact" -> (d01 _),
+    "d02_dedup_minhash" -> (d02 _),
+    "d03_dedup_simhash" -> (d03 _),
+    "d04_token_jaccard" -> (d04 _),
+    "d05_embed_neardup" -> (d05 _),
+    "s01_ann_brute" -> (s01 _),
+    "s02_ann_lsh" -> (s02 _),
+    "t01_langid" -> (t01 _),
+    "t02_text_quality" -> (t02 _),
+    "t03_token_count" -> (t03 _),
+    "t04_fingerprint" -> (t04 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -371,5 +480,82 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM sess GROUP BY 1, 2""".stripMargin,
+    "d01_dedup_exact" ->
+      """SELECT min(doc_id) AS canonical_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+    "d04_token_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM tok a JOIN tok b
+        |    ON a.t = b.t AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+        |FROM inter
+        |JOIN cnt ca ON id_a = ca.doc_id
+        |JOIN cnt cb ON id_b = cb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5""".stripMargin,
+    "s01_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS cand_id,
+        |    list_cosine_similarity(
+        |      CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, cand_id, sim, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sim DESC, cand_id) AS INT) AS rnk
+        |  FROM scored)
+        |SELECT query_id, rnk, cand_id, round(sim, 4) AS sim
+        |FROM ranked WHERE rnk <= 10""".stripMargin,
+    "t01_langid" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|zu|den)\b')) AS BIGINT) AS s_de,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS BIGINT) AS s_en,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|del|por|para|con|se)\b')) AS BIGINT) AS s_es,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(le|les|et|est|une|dans|que|pour|sur|avec)\b')) AS BIGINT) AS s_fr,
+        |  CAST(len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+        |  CASE
+        |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |    WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |    WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |    ELSE 'zh' END AS predicted
+        |FROM s""".stripMargin,
+    "t02_text_quality" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(len(text) AS DOUBLE) AS nc,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS nw,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS np,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS DOUBLE) AS ns
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(nc AS BIGINT) AS n_chars_m,
+        |  CAST(nw AS BIGINT) AS n_words,
+        |  round(np / nc, 4) AS punct_ratio,
+        |  round(ns / nw, 4) AS stop_ratio,
+        |  round(nc / nw, 4) AS chars_per_word,
+        |  round(least(1.0, nw / 50.0) * (1.0 - np / nc)
+        |    * least(1.0, 0.5 + ns / nw), 4) AS quality
+        |FROM m""".stripMargin,
+    "t03_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+        |  round(CAST(len(text) AS DOUBLE) /
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')), 4) AS chars_per_token
+        |FROM documents""".stripMargin,
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
   )
 }

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Near-duplicate detection over a document corpus — the dedup family a
+  * training-data pipeline needs (exact, MinHash+LSH, SimHash, token
+  * Jaccard). All operators take/return DataFrames and are built from
+  * shuffle-conscious primitives:
+  *
+  *  - Nothing here ever compares all pairs. Candidate generation is
+  *    always an equi-join on a bucket key (LSH band, SimHash chunk,
+  *    shared token), which Spark executes as a hash-partitioned shuffle
+  *    join — the only all-pairs-free shape that survives 100 TB.
+  *  - Signatures (minhash arrays, simhash longs) are tiny relative to
+  *    the documents, so candidate joins ship signatures, not text.
+  *  - Exact verification (Jaccard / Hamming) runs only on candidate
+  *    pairs, post-join.
+  */
+object TextDedup {
+
+  /** Exact dedup: canonical representative (min id) + multiplicity per
+    * distinct text. Grouping key is sha2-256 of the raw text so the
+    * shuffle carries 32-byte keys instead of documents. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("text_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select("canonical_id", "n_copies")
+
+  /** MinHash signature: k independent min-hashes over the shingle set.
+    * Hash family: xxhash64 seeded by mixing the family index into the
+    * hash input (xxhash64 is a codegen'd built-in). */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleCol, s => xxhash64(i, s))))
+
+  /** MinHash + LSH banding: docs whose estimated Jaccard is high land in
+    * the same band bucket with high probability. Returns verified
+    * candidate pairs with exact token-set Jaccard >= `threshold`.
+    *
+    * Pipeline: shingle → k minhashes → split into `bands` bands →
+    * explode (doc, band, bucket=hash(band slice)) → self-join on
+    * (band, bucket) → distinct pairs → exact Jaccard verify.
+    */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                   threshold: Double = 0.6): DataFrame = {
+    val rowsPerBand = k / bands
+    val withSig = docs.select(
+      col(idCol).as("doc_id"),
+      TextFunctions.tokenSet(col(textCol)).as("toks"))
+      .withColumn("shingles", TextFunctions.shingles(col("toks"), shingleN))
+      .withColumn("sig", minhashSignature(col("shingles"), k))
+
+    val banded = withSig.select(
+      col("doc_id"), col("toks"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
+          .cast("string")))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+    val l = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("toks").as("toks_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("toks").as("toks_b"))
+
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "toks_a", "toks_b").distinct()
+      .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact token-set Jaccard as a Column expression. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
+    when(union === 0.0, lit(1.0)).otherwise(inter / union)
+  }
+
+  /** All-pairs token Jaccard >= threshold inside a blocking column
+    * (e.g. source). Candidate generation via the shared-token inverted
+    * index (explode + equi-join on token), so cost is Σ_token df(token)²
+    * within blocks, never corpus². Oracle-checkable: semantics are pure
+    * SQL (explode/join/count), no hashing involved. */
+  def tokenJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, threshold: Double): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+      TextFunctions.tokenSet(col(textCol)).as("toks"))
+    val sizes = toks.select(col("doc_id"), size(col("toks")).as("n"))
+    val inverted = toks.select(col("doc_id"), col("blk"),
+      explode(col("toks")).as("tok"))
+
+    val pairInter = inverted.alias("a")
+      .join(inverted.alias("b"),
+        col("a.tok") === col("b.tok") && col("a.blk") === col("b.blk")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    pairInter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash per document, computed the scalable way: explode to
+    * (doc, token-hash), then 64 codegen'd conditional-count aggregates
+    * (one per bit) with map-side partial aggregation — no interpreted
+    * higher-order lambdas in the hot path, and the shuffle carries 64
+    * longs per doc-partition, not tokens. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokHashes = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokenSet(col(textCol))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val agg = tokHashes.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on the four 16-bit chunks (pigeonhole:
+    * any pair within Hamming distance 3 shares at least one chunk), then
+    * verify exact Hamming <= maxHamming via bit_count(xor). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(docs, idCol, textCol)
+    val chunked = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(j =>
+        shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+
+    val l = chunked.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("id_a"), col("simhash").as("sim_a"))
+    val r = chunked.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("id_b"), col("simhash").as("sim_b"))
+
+    l.join(r, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sim_a", "sim_b").distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** ANN: brute force is exact top-k; LSH finds a planted duplicate
+  * vector and achieves decent recall of the true top-10. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+
+  test("brute force returns exactly k ranked neighbors per query") {
+    val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3), k = 5)
+    val byQ = out.groupBy($"query_id").agg(count(lit(1)).as("n"),
+      max($"rnk").as("maxr")).collect()
+    assert(byQ.length == 3)
+    byQ.foreach(r => assert(r.getLong(1) == 5L && r.getInt(2) == 5))
+    // scores are non-increasing in rank
+    val q0 = out.filter($"query_id" === 0).orderBy($"rnk")
+      .select($"sim").as[Double].collect()
+    assert(q0.zip(q0.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("LSH finds a planted exact-duplicate vector as top neighbor") {
+    val planted = emb.filter($"vec_id" === 7)
+      .select(lit(99999L).as("vec_id"), $"embedding", $"label")
+    val corpus = emb.unionByName(planted)
+    val out = Similarity.lshTopK(corpus, corpus.filter($"vec_id" === 99999L), k = 3)
+    val top = out.filter($"rnk" === 1).select($"cand_id", $"sim").collect().head
+    assert(top.getLong(0) == 7L)
+    assert(top.getDouble(1) > 0.9999)
+  }
+
+  test("LSH recall vs brute force is reasonable on random vectors") {
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, queries, k = 10)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // random 64-dim vectors are a worst case for LSH; just require signal
+    assert(recall > 0.2, s"recall=$recall")
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.VectorFunctions
+
+/** CosineSimilarity / DotProduct: algebraic identities, codegen vs
+  * interpreted agreement, SQL registration, null/zero handling. */
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1f, 0f, 0f), Array(1f, 0f, 0f)),
+    (2L, Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+    (3L, Array(1f, 2f, 3f), Array(-1f, -2f, -3f)),
+    (4L, Array(0f, 0f, 0f), Array(1f, 1f, 1f))
+  ).toDF("id", "a", "b")
+
+  test("cosine identities: self=1, orthogonal=0, opposite=-1, zero=0") {
+    val out = vecs.select($"id", VectorFunctions.cosine($"a", $"b").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - 1.0) < 1e-12)
+    assert(math.abs(out(2L)) < 1e-12)
+    assert(math.abs(out(3L) + 1.0) < 1e-12)
+    assert(out(4L) == 0.0)
+  }
+
+  test("dot product matches manual sum") {
+    val out = vecs.filter($"id" === 3L)
+      .select(VectorFunctions.dot($"a", $"b")).as[Double].head()
+    assert(out == -14.0)
+  }
+
+  test("codegen and interpreted paths agree on real embeddings") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(50)
+    val pairs = emb.select($"vec_id".as("ia"), $"embedding".as("va"))
+      .crossJoin(emb.select($"vec_id".as("ib"), $"embedding".as("vb")))
+      .filter($"ia" < $"ib")
+    val viaExpr = pairs
+      .select(VectorFunctions.cosine($"va", $"vb").as("c")).as[Double].collect()
+    // interpreted reference: higher-order-function formulation
+    val viaHof = pairs.select(
+      (aggregate(zip_with($"va", $"vb", (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x) /
+        (sqrt(aggregate(transform($"va", x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x)) *
+         sqrt(aggregate(transform($"vb", x => x.cast("double") * x.cast("double")),
+           lit(0.0), (acc, x) => acc + x)))).as("c")).as[Double].collect()
+    viaExpr.zip(viaHof).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+  }
+
+  test("SQL registration exposes cosine_sim/dot_product") {
+    VectorFunctions.register(spark)
+    vecs.createOrReplaceTempView("v")
+    val r = spark.sql(
+      "SELECT cosine_sim(a, b) c, dot_product(a, b) d FROM v WHERE id = 1")
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12 && r.getDouble(1) == 1.0)
+  }
+
+  test("null vector yields null (BinaryExpression null semantics)") {
+    val df = Seq((Some(Array(1f)), Option.empty[Array[Float]]))
+      .toDF("a", "b").select(VectorFunctions.cosine($"a", $"b").as("c"))
+    assert(df.collect().head.isNullAt(0))
+  }
+}
