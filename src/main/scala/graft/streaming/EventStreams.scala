@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.Rows.Event
+
+/** Structured Streaming operators over the events stream (SURVEY.md
+  * §2.9 / §7.5). The reference is strictly batch; these are the
+  * streaming-native twins of q15 (tumbling agg) and q16 (sessions).
+  *
+  * Scale design: all state is keyed and watermark-bounded. The tumbling
+  * agg keeps one row per (window, event_type) in the state store and
+  * drops it at watermark + window; sessionization state is one small
+  * case class per active user, timed out by event-time gap. Nothing
+  * driver-side, nothing unbounded.
+  */
+object EventStreams {
+
+  /** Tumbling 5-minute counts/sums with a 10-minute watermark — append
+    * mode: a window emits exactly once, when the watermark passes its
+    * end. Identical semantics to batch q15 for on-time data. */
+  def tumblingAgg(events: DataFrame,
+                  windowLen: String = "5 minutes",
+                  watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Built-in session windows: gap-based (30 min), watermark-bounded. */
+  def sessionWindowAgg(events: DataFrame,
+                       gap: String = "30 minutes",
+                       watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /** A closed session emitted by [[sessionizeStateful]]. */
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Long)
+
+  /** Per-user open-session state (public: the state encoder's generated
+    * code must reach the constructor). */
+  case class SessionState(start: Long, last: Long, n: Long)
+
+  /** Custom sessionization via flatMapGroupsWithState — the
+    * arbitrary-state path for session semantics the built-in
+    * session_window can't express (e.g. per-user custom close rules).
+    * State: (start, last, n) per user; a session closes when event-time
+    * timeout fires (gap elapsed past the watermark). */
+  def sessionizeStateful(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
+                        (implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n))
+          } else {
+            // events within a micro-batch are not ordered — sort this
+            // group's slice; cross-batch ordering is the watermark's job.
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              st match {
+                case null =>
+                  st = SessionState(t, t, 1)
+                case s if t - s.last > gapMs =>
+                  closed ::= Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n)
+                  st = SessionState(t, t, 1)
+                case s =>
+                  st = SessionState(s.start, math.max(s.last, t), s.n + 1)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.last + gapMs)
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.model.Rows.Event
+import graft.streaming.EventStreams
+
+/** Structured Streaming: tumbling agg and stateful sessionization driven
+  * synchronously through MemoryStream + processAllAvailable. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, t: String, user: Long, typ: String = "click") =
+    Event(id, Timestamp.valueOf(t), user, typ, 1.0, "{}")
+
+  test("tumbling agg emits finalized windows after watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.tumblingAgg(mem.toDF(), "5 minutes", "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tumble_out").start()
+    try {
+      mem.addData(
+        ev(1, "2024-01-01 00:01:00", 1), ev(2, "2024-01-01 00:02:00", 1),
+        ev(3, "2024-01-01 00:06:00", 2))
+      q.processAllAvailable()
+      // advance watermark far past the first windows
+      mem.addData(ev(4, "2024-01-01 01:00:00", 1))
+      q.processAllAvailable()
+      val rows = spark.table("tumble_out")
+        .select($"window_start".cast("string"), $"n").as[(String, Long)]
+        .collect().toMap
+      assert(rows("2024-01-01 00:00:00") == 2L)
+      assert(rows("2024-01-01 00:05:00") == 1L)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on gap timeout") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionizeStateful(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // user 1: two events 5 min apart (one session), then 40 min gap
+      mem.addData(
+        ev(1, "2024-01-01 00:00:00", 1), ev(2, "2024-01-01 00:05:00", 1))
+      q.processAllAvailable()
+      mem.addData(ev(3, "2024-01-01 00:45:00", 1))
+      q.processAllAvailable()
+      // push watermark far ahead so the second session times out too
+      mem.addData(ev(4, "2024-01-01 03:00:00", 2))
+      q.processAllAvailable()
+      mem.addData(ev(5, "2024-01-01 06:00:00", 2))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out")
+        .filter($"user_id" === 1L)
+        .select($"session_start".cast("string"), $"session_end".cast("string"), $"n_events")
+        .as[(String, String, Long)].collect().sortBy(_._1)
+      assert(sessions.length >= 1)
+      assert(sessions.head == ("2024-01-01 00:00:00", "2024-01-01 00:05:00", 2L))
+    } finally q.stop()
+  }
+
+  test("built-in session_window groups by gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionWindowAgg(mem.toDF(), "30 minutes", "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sw_out").start()
+    try {
+      mem.addData(
+        ev(1, "2024-01-01 00:00:00", 7), ev(2, "2024-01-01 00:10:00", 7))
+      q.processAllAvailable()
+      mem.addData(ev(3, "2024-01-01 05:00:00", 8))
+      q.processAllAvailable()
+      mem.addData(ev(4, "2024-01-01 09:00:00", 8))
+      q.processAllAvailable()
+      val out = spark.table("sw_out").filter($"user_id" === 7L)
+        .select($"n_events").as[Long].collect()
+      assert(out.sameElements(Array(2L)))
+    } finally q.stop()
+  }
+}
