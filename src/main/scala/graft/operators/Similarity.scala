@@ -70,21 +70,27 @@ object Similarity {
     val tables = (0 until nTables).map(t =>
       hyperplanes(planesPerTable, dim, seed + t))
 
-    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
+    // bucket ids only — the candidate distinct() must never shuffle
+    // 64-float vectors, just (query_id, cand_id) pairs
+    def bucketed(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id),
         posexplode(array(tables.map(p => bucketFor(col(vecCol), p)): _*)))
         .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
 
-    val c = bucketed(corpus, "cand_id", "cand_vec")
-    val q = bucketed(queries, "query_id", "query_vec")
-
-    val candidates = c.join(broadcast(q), Seq("table", "bucket"))
+    val candidates = bucketed(corpus, "cand_id")
+      .join(broadcast(bucketed(queries, "query_id")), Seq("table", "bucket"))
       .filter(col("cand_id") =!= col("query_id"))
-      .select("query_id", "query_vec", "cand_id", "cand_vec").distinct()
+      .select("query_id", "cand_id").distinct()
+
+    // re-attach vectors by id (queries stay broadcast; corpus join is an
+    // equi-join on the corpus' own key — co-partitioned at scale)
+    val withVecs = candidates
+      .join(corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")), "cand_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))), "query_id")
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id").asc)
-    candidates
+    withVecs
       .withColumn("sim", VectorFunctions.cosine(col("cand_vec"), col("query_vec")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -102,18 +108,20 @@ object Similarity {
     val dim = 64
     val tables = (0 until nTables).map(t =>
       hyperplanes(planesPerTable, dim, seed + t))
-    val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    val bucketed = corpus.select(col(idCol).as("id"),
       posexplode(array(tables.map(p => bucketFor(col(vecCol), p)): _*)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
 
-    val l = bucketed.select(col("table"), col("bucket"),
-      col("id").as("id_a"), col("vec").as("vec_a"))
-    val r = bucketed.select(col("table"), col("bucket"),
-      col("id").as("id_b"), col("vec").as("vec_b"))
+    val l = bucketed.select(col("table"), col("bucket"), col("id").as("id_a"))
+    val r = bucketed.select(col("table"), col("bucket"), col("id").as("id_b"))
 
+    // distinct over bare id pairs, vectors re-attached afterwards — the
+    // dedup shuffle carries 16 bytes/row instead of 2×64 floats
     l.join(r, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "vec_a", "vec_b").distinct()
+      .select("id_a", "id_b").distinct()
+      .join(corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a")), "id_a")
+      .join(corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b")), "id_b")
       .withColumn("sim", VectorFunctions.cosine(col("vec_a"), col("vec_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))

@@ -29,12 +29,12 @@ object TextDedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select("canonical_id", "n_copies")
 
-  /** MinHash signature: k independent min-hashes over the shingle set.
-    * Hash family: xxhash64 seeded by mixing the family index into the
-    * hash input (xxhash64 is a codegen'd built-in). */
+  /** MinHash signature: k independent min-hashes over the shingle set,
+    * via the codegen'd [[graft.plans.MinHashSignature]] expression (the
+    * higher-order-function formulation pays k×|shingles| interpreted
+    * lambda calls per row; the custom expression is one primitive loop). */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleCol, s => xxhash64(i, s))))
+    graft.plans.MinHashFunctions.minhashSignature(shingleCol, k)
 
   /** MinHash + LSH banding: docs whose estimated Jaccard is high land in
     * the same band bucket with high probability. Returns verified
@@ -54,21 +54,23 @@ object TextDedup {
       .withColumn("shingles", TextFunctions.shingles(col("toks"), shingleN))
       .withColumn("sig", minhashSignature(col("shingles"), k))
 
+    // band join + distinct on bare id pairs (token arrays re-attached
+    // after dedup — candidate shuffles carry 16-byte rows, not documents)
     val banded = withSig.select(
-      col("doc_id"), col("toks"),
+      col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
           .cast("string")))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
-    val l = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_a"), col("toks").as("toks_a"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_b"), col("toks").as("toks_b"))
-
-    l.join(r, Seq("band", "bucket"))
+    val toks = withSig.select(col("doc_id"), col("toks"))
+    banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "toks_a", "toks_b").distinct()
+      .select("id_a", "id_b").distinct()
+      .join(toks.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(toks.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), "id_b")
       .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
