@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+import graft.sources.Bucketing
+
+/** Runtime demo/smoke for the bucketed-join path: writes lineitem and
+  * orders bucketed by order key, joins them, and prints the shuffle
+  * count in the executed plan (must be 0) plus the row count.
+  * Usage: ScaleDemo [sfDir] */
+object ScaleDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.warehouse.dir", wh.toString)
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+      .select("l_orderkey", "o_totalprice")
+
+    Bucketing.writeBucketed(li, "li_bucketed", "l_orderkey", 8,
+      sortCols = Seq("l_orderkey"))
+    Bucketing.writeBucketed(o, "o_bucketed", "l_orderkey", 8,
+      sortCols = Seq("l_orderkey"))
+
+    val joined = Bucketing.bucketedJoin(spark, "li_bucketed", "o_bucketed",
+      "l_orderkey")
+    val shuffles = joined.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }.size
+    println(s"BUCKETED_JOIN_SHUFFLES=$shuffles ROWS=${joined.count()}")
+    spark.stop()
+  }
+}

@@ -232,6 +232,109 @@ object SparkEntry {
       approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
       approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
 
+  /** q18 — backward as-of join (orders pick up the latest lineitem
+    * shipment at/before their order date for a shared key) via the
+    * single-shuffle union+carry-forward plan in [[graft.operators.AsOfJoin]]. */
+  private def q18(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+      .withColumn("k", col("o_custkey") % 10)
+    val ships = Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("k"), col("l_shipdate"))
+    graft.operators.AsOfJoin.asofBackward(
+      orders, ships, "k", "k", "o_orderdate", "l_shipdate",
+      leftCols = Seq("o_orderkey", "o_orderdate"), asOfOut = "asof_ship")
+      .select(col("o_orderkey"),
+        Cleaning.dateToString(col("o_orderdate")).as("order_date"),
+        Cleaning.dateToString(col("asof_ship")).as("asof_date"))
+  }
+
+  /** q19 — pivot: revenue matrix nation × market segment (fixed pivot
+    * values keep the schema static — mandatory at scale, a dynamic pivot
+    * needs a driver-side distinct pass first). */
+  private def q19(s: SparkSession, d: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .pivot("c_mktsegment", segs)
+      .agg(round(sum(col("o_totalprice")), 4))
+  }
+
+  /** q20 — statistical aggregates: correlation, stddev, variance,
+    * covariance (all single-pass, partial-aggregable moments). */
+  private def q20(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).agg(
+      round(corr(col("o_totalprice"), col("o_custkey")), 6).as("corr_tc"),
+      round(stddev_samp(col("o_totalprice")), 4).as("sd_total"),
+      round(var_samp(col("o_totalprice")), 4).as("var_total"),
+      round(covar_samp(col("o_totalprice"), col("o_custkey")), 4).as("cov_tc"))
+
+  /** q21 — ordered string aggregation per group (deterministic:
+    * array_sort before join). */
+  private def q21(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .groupBy(col("n_regionkey"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+
+  /** q22 — moving average (last 4 rows) per supplier over ship time;
+    * same single-shuffle window shape as the dedup. */
+  private def q22(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .rowsBetween(-3, Window.currentRow)
+    Tables.lineitem(s, d).select(
+      col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      round(avg(col("l_extendedprice")).over(w), 4).as("ma4"))
+  }
+
+  /** q23 — full outer join with presence classification. */
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_custkey"))
+    val o = Tables.orders(s, d).select(col("o_custkey")).distinct()
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(
+        when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "both")
+          .when(col("c_custkey").isNotNull, "customer_only")
+          .otherwise("orders_only").as("presence"))
+      .groupBy(col("presence")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** q24 — cube over (nation, segment): all four grouping combinations. */
+  private def q24(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .cube(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+              coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+              col("n_cust"))
+  }
+
+  /** q25 — exact interpolated percentiles (Spark `percentile` ==
+    * DuckDB `quantile_cont` semantics). */
+  private def q25(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).agg(
+      round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+      round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+      round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+      round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+
+  /** q26 — salted two-stage aggregation (skew path): must be value-equal
+    * to the plain GROUP BY the oracle runs. */
+  private def q26(s: SparkSession, d: String): DataFrame =
+    graft.operators.Salt.saltedAgg(
+      Tables.lineitem(s, d), Seq("l_returnflag"),
+      Seq("total" -> ("l_extendedprice", "sum"),
+          "n" -> ("l_extendedprice", "count"),
+          "mn" -> ("l_quantity", "min"),
+          "mx" -> ("l_quantity", "max")), factor = 8)
+      .select(col("l_returnflag"), round(col("total"), 4).as("total"),
+        col("n"), col("mn"), col("mx"))
+
   // ---------------------------------------------------------------------
   // Training-data pipeline operators (SURVEY.md §7.5): dedup family,
   // similarity search, text analysis.
@@ -347,6 +450,15 @@ object SparkEntry {
     "q15_events_tumbling" -> (q15 _),
     "q16_events_sessions" -> (q16 _),
     "q17_approx_distinct" -> (q17 _),
+    "q18_asof_join" -> (q18 _),
+    "q19_pivot" -> (q19 _),
+    "q20_stats" -> (q20 _),
+    "q21_string_agg" -> (q21 _),
+    "q22_moving_avg" -> (q22 _),
+    "q23_full_outer" -> (q23 _),
+    "q24_cube" -> (q24 _),
+    "q25_percentiles" -> (q25 _),
+    "q26_salted_agg" -> (q26 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),
@@ -480,6 +592,64 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM sess GROUP BY 1, 2""".stripMargin,
+    "q18_asof_join" ->
+      """SELECT o_orderkey,
+        |strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |strftime(l_shipdate, '%Y-%m-%d') AS asof_date
+        |FROM (SELECT o_orderkey, o_orderdate, o_custkey % 10 AS k FROM orders) o
+        |ASOF JOIN (SELECT l_suppkey AS k, l_shipdate FROM lineitem) l
+        |ON o.k = l.k AND l.l_shipdate <= o.o_orderdate""".stripMargin,
+    "q19_pivot" ->
+      """SELECT n_name,
+        |round(sum(CASE WHEN c_mktsegment='AUTOMOBILE' THEN o_totalprice END), 4) AS "AUTOMOBILE",
+        |round(sum(CASE WHEN c_mktsegment='BUILDING' THEN o_totalprice END), 4) AS "BUILDING",
+        |round(sum(CASE WHEN c_mktsegment='FURNITURE' THEN o_totalprice END), 4) AS "FURNITURE",
+        |round(sum(CASE WHEN c_mktsegment='HOUSEHOLD' THEN o_totalprice END), 4) AS "HOUSEHOLD",
+        |round(sum(CASE WHEN c_mktsegment='MACHINERY' THEN o_totalprice END), 4) AS "MACHINERY"
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q20_stats" ->
+      """SELECT round(corr(o_totalprice, o_custkey), 6) AS corr_tc,
+        |round(stddev_samp(o_totalprice), 4) AS sd_total,
+        |round(var_samp(o_totalprice), 4) AS var_total,
+        |round(covar_samp(o_totalprice, o_custkey), 4) AS cov_tc
+        |FROM orders""".stripMargin,
+    "q21_string_agg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+    "q22_moving_avg" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |round(avg(l_extendedprice) OVER (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ma4
+        |FROM lineitem""".stripMargin,
+    "q23_full_outer" ->
+      """SELECT CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'both'
+        |  WHEN c_custkey IS NOT NULL THEN 'customer_only'
+        |  ELSE 'orders_only' END AS presence,
+        |CAST(count(*) AS BIGINT) AS cnt
+        |FROM customer FULL OUTER JOIN
+        |  (SELECT DISTINCT o_custkey FROM orders) o ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
+    "q24_cube" ->
+      """SELECT COALESCE(n_name, 'ALL') AS nation,
+        |COALESCE(c_mktsegment, 'ALL') AS segment,
+        |CAST(count(*) AS BIGINT) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (n_name, c_mktsegment)""".stripMargin,
+    "q25_percentiles" ->
+      """SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        |round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders""".stripMargin,
+    "q26_salted_agg" ->
+      """SELECT l_returnflag,
+        |round(CAST(sum(l_extendedprice) AS DOUBLE), 4) AS total,
+        |CAST(count(l_extendedprice) AS BIGINT) AS n,
+        |min(l_quantity) AS mn, max(l_quantity) AS mx
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS canonical_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,

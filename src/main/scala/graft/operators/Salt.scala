@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation by key salting.
+  *
+  * A skewed group key (one premise with 10^9 rows) makes one reducer the
+  * straggler no matter how many executors exist. Salting splits each
+  * group into `factor` subgroups for the first (heavy) aggregation, then
+  * merges the per-salt partials in a second (tiny) aggregation:
+  *
+  *   stage 1: groupBy(keys, salt)  — shuffle spread over factor× reducers
+  *   stage 2: groupBy(keys)        — at most factor rows per key
+  *
+  * Only algebraic aggregates (sum/count/min/max) merge losslessly this
+  * way; avg is decomposed into sum+count here. Spark's map-side partial
+  * aggregation already absorbs *moderate* skew — salting is for keys so
+  * hot that even one partial-per-partition overwhelms a reducer. AQE's
+  * skew handling covers the join case; this covers aggregation.
+  */
+object Salt {
+
+  /** Deterministic salt derived from the whole row (hash mod factor) —
+    * no RNG, so retries and speculative tasks agree. */
+  def saltCol(df: DataFrame, factor: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(factor))
+
+  /** Two-stage salted aggregation. `aggs` maps output column name →
+    * (input column, op) with op ∈ sum|count|min|max|avg. */
+  def saltedAgg(df: DataFrame, keys: Seq[String],
+                aggs: Seq[(String, (String, String))],
+                factor: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt", saltCol(df, factor))
+
+    val partials = aggs.map { case (out, (in, op)) =>
+      op match {
+        case "sum"   => sum(col(in)).as(s"__p_$out")
+        case "count" => count(col(in)).as(s"__p_$out")
+        case "min"   => min(col(in)).as(s"__p_$out")
+        case "max"   => max(col(in)).as(s"__p_$out")
+        case "avg"   => struct(sum(col(in)).as("s"), count(col(in)).as("c"))
+          .as(s"__p_$out")
+        case other => throw new IllegalArgumentException(
+          s"unsupported salted op: $other")
+      }
+    }
+    val stage1 = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partials.head, partials.tail: _*)
+
+    val merges = aggs.map { case (out, (_, op)) =>
+      op match {
+        case "sum" | "count" => sum(col(s"__p_$out")).as(out)
+        case "min"           => min(col(s"__p_$out")).as(out)
+        case "max"           => max(col(s"__p_$out")).as(out)
+        case "avg" => (sum(col(s"__p_$out.s")) / sum(col(s"__p_$out.c"))).as(out)
+      }
+    }
+    stage1.groupBy(keys.map(col): _*).agg(merges.head, merges.tail: _*)
+  }
+}
