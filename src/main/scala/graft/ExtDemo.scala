@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Fresh-JVM smoke for the SparkSessionExtensions injection point:
+  * builds a session with graft.plans.GraftExtensions and resolves the
+  * injected functions from pure SQL. */
+object ExtDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = spark.sql(
+      """SELECT
+        |  cosine_sim(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)),
+        |             array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS c,
+        |  dot_product(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS d,
+        |  size(minhash_sig(array('a','b','c'), 8, 7)) AS k
+        |""".stripMargin).collect().head
+    println(s"EXT_COSINE=${r.getDouble(0)} EXT_DOT=${r.getDouble(1)} EXT_K=${r.getInt(2)}")
+    spark.stop()
+  }
+}

@@ -41,6 +41,17 @@ object ScaleDemo {
       case e: ShuffleExchangeExec => e
     }.size
     println(s"BUCKETED_JOIN_SHUFFLES=$shuffles ROWS=${joined.count()}")
+
+    // partition pruning: month-partitioned lake, single-month read
+    val lake = java.nio.file.Files.createTempDirectory("graft_lake").toString
+    graft.sources.PartitionedLake.writeByMonth(
+      spark.read.parquet(s"$sfDir/lineitem.parquet"), "l_shipdate", lake)
+    val oneMonth = graft.sources.PartitionedLake.readMonth(spark, lake, "1998-03")
+    val scans = oneMonth.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    println(s"PRUNED_PARTITIONS_READ=${scans.sum} MONTH_ROWS=${oneMonth.count()}")
     spark.stop()
   }
 }

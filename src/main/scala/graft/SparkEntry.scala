@@ -335,10 +335,73 @@ object SparkEntry {
       .select(col("l_returnflag"), round(col("total"), 4).as("total"),
         col("n"), col("mn"), col("mx"))
 
+  /** q27 — TPC-H Q3 shape (shipping priority): 3-way join with
+    * selective filters on both fact paths, top-10 by revenue. */
+  private def q27(s: SparkSession, d: String): DataFrame = {
+    val cut = lit(java.sql.Timestamp.valueOf("1998-06-30 00:00:00"))
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+      .select(col("l_orderkey"),
+        Cleaning.dateToString(col("o_orderdate")).as("order_date"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** q28 — TPC-H Q5 shape (local supplier volume): 6-table snowflake
+    * join, region-filtered, revenue per nation. */
+  private def q28(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    val su = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, l("l_suppkey") === su("s_suppkey")
+        && c("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+  }
+
+  /** q29 — histogram: fixed-width bucketing by portable floor
+    * arithmetic (DuckDB 1.0 lacks width_bucket). */
+  private def q29(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(least(floor(col("o_totalprice") / 50000).cast("long"), lit(11L))
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+
   // ---------------------------------------------------------------------
   // Training-data pipeline operators (SURVEY.md §7.5): dedup family,
   // similarity search, text analysis.
   // ---------------------------------------------------------------------
+
+  /** t05 — document chunking: overlapping 30-token windows, stride 20 —
+    * the one-to-many generator shape of a training-data chunker, all
+    * built-ins (posexplode over a transform). */
+  private def t05(s: SparkSession, d: String): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val len = 30; val stride = 20
+    val nChunks = floor(greatest(size(toks) - len, lit(0)) / lit(stride.toDouble))
+      .cast("int") + 1
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(toks, i * stride + 1, lit(len))))))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+        col("col").as("chunk"))
+  }
 
   /** d01 — exact dedup: canonical doc + multiplicity per distinct text. */
   private def d01(s: SparkSession, d: String): DataFrame =
@@ -459,6 +522,10 @@ object SparkEntry {
     "q24_cube" -> (q24 _),
     "q25_percentiles" -> (q25 _),
     "q26_salted_agg" -> (q26 _),
+    "q27_tpch_q3" -> (q27 _),
+    "q28_tpch_q5" -> (q28 _),
+    "q29_histogram" -> (q29 _),
+    "t05_chunking" -> (t05 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),
@@ -650,6 +717,40 @@ object SparkEntry {
         |CAST(count(l_extendedprice) AS BIGINT) AS n,
         |min(l_quantity) AS mn, max(l_quantity) AS mx
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q27_tpch_q3" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |o_orderpriority,
+        |round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q28_tpch_q5" ->
+      """SELECT n_name,
+        |round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+    "q29_histogram" ->
+      """SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 11) AS bucket,
+        |CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+    "t05_chunking" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |    unnest(range(0, CAST(floor(greatest(len(toks) - 30, 0) / 20.0) AS BIGINT) + 1)) AS i
+        |  FROM t)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  array_to_string(toks[i*20+1 : i*20+30], ' ') AS chunk
+        |FROM idx""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS canonical_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,

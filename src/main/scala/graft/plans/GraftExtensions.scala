@@ -1,0 +1,45 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions injector: makes the engine's native
+  * expressions available to ANY session (including pure-SQL users) via
+  *
+  *   spark.sql.extensions=graft.plans.GraftExtensions
+  *
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  * This is the supported extension point — no session-state mutation
+  * needed, functions resolve in spark.sql() and DataFrame selectExpr.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
+      (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two float arrays"),
+      (es: Seq[Expression]) => DotProduct(es.head, es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(shingles, k, seed) - k-hash MinHash signature"),
+      (es: Seq[Expression]) => {
+        def lit(e: Expression): Long = e.eval(null) match {
+          case i: Int => i.toLong
+          case l: Long => l
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig k/seed must be integer literals, got $other")
+        }
+        val k = if (es.length > 1) lit(es(1)).toInt else 32
+        val seed = if (es.length > 2) lit(es(2)) else 42L
+        MinHashSignature(es.head, k, seed)
+      }))
+  }
+}

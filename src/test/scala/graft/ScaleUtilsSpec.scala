@@ -17,6 +17,18 @@ class ScaleUtilsSpec extends SparkSpec {
     val o = spark.read.parquet(s"${sf()}/orders.parquet")
       .select("o_orderkey", "o_totalprice")
       .withColumnRenamed("o_orderkey", "l_orderkey")
+    // clear any stale managed-table locations from a previous test JVM
+    // (the in-memory catalog forgets the table, the directory survives)
+    Seq("li_b", "o_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
     Bucketing.writeBucketed(li, "li_b", "l_orderkey", 4)
     Bucketing.writeBucketed(o, "o_b", "l_orderkey", 4)
 
