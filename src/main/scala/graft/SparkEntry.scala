@@ -442,6 +442,13 @@ object SparkEntry {
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
   }
 
+  /** s03 — IVF approximate top-10: k-means cells + nProbe probing +
+    * exact rerank. No SQL oracle (clustering-dependent); rows-only. */
+  private def s03(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
+  }
+
   /** t01 — stopword-heuristic language ID with per-language scores and
     * deterministic argmax (tie → first in de<en<es<fr<zh order). */
   private def t01(s: SparkSession, d: String): DataFrame = {
@@ -533,6 +540,7 @@ object SparkEntry {
     "d05_embed_neardup" -> (d05 _),
     "s01_ann_brute" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
+    "s03_ann_ivf" -> (s03 _),
     "t01_langid" -> (t01 _),
     "t02_text_quality" -> (t02 _),
     "t03_token_count" -> (t03 _),

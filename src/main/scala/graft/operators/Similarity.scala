@@ -98,6 +98,61 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k: k-means partitions the
+    * corpus into nLists cells; each query probes only its nProbe nearest
+    * cells and exact-reranks the candidates.
+    *
+    * Scale shape: training samples the corpus (k-means on a bounded
+    * sample), assignment is one codegen'd argmin pass over the corpus,
+    * and the probe join touches nProbe/nLists of the data — the
+    * classic recall/cost dial. Centroids are tiny and broadcast.
+    * Uses Spark MLlib KMeans (cosine distance) — public API. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val featurized = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).as("cand_vec"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed)
+      .setDistanceMeasure("cosine").setMaxIter(5)
+      .fit(featurized)
+
+    val assigned = model.transform(featurized)
+      .select(col("cand_id"), col("cand_vec"), col("prediction").as("cell"))
+
+    // centroids → a tiny broadcast frame of (cell, centroid float array)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }.toSeq.toDF("cell", "centroid")
+
+    // each query ranks cells by cosine-to-centroid, keeps nProbe
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", VectorFunctions.cosine(col("query_vec"), col("centroid")))
+      .withColumn("prnk", row_number().over(probeW))
+      .filter(col("prnk") <= nProbe)
+      .select("query_id", "query_vec", "cell")
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("sim", VectorFunctions.cosine(col("cand_vec"), col("query_vec")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** Embedding near-duplicate pairs: all corpus pairs with cosine >=
     * threshold, found via the same sign-LSH tables (both sides bucketed,
     * self-join per table/bucket) then exact cosine verify. */

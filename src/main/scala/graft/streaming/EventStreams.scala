@@ -44,6 +44,18 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Streaming exact deduplication: drop repeated event_ids within the
+    * watermark horizon — the streaming twin of the batch exact-dedup
+    * operator. State is one entry per distinct key inside the watermark
+    * window, evicted automatically as the watermark advances (the
+    * unbounded-state variant `dropDuplicates` would OOM on an infinite
+    * stream). */
+  def dedupWithinWatermark(events: DataFrame,
+                           watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** A closed session emitted by [[sessionizeStateful]]. */
   case class Session(user_id: Long, session_start: Timestamp,
                      session_end: Timestamp, n_events: Long)

@@ -33,6 +33,25 @@ class SimilaritySpec extends SparkSpec {
     assert(top.getDouble(1) > 0.9999)
   }
 
+  test("IVF finds a planted duplicate and has reasonable recall") {
+    val planted = emb.filter($"vec_id" === 7)
+      .select(lit(88888L).as("vec_id"), $"embedding", $"label")
+    val corpus = emb.unionByName(planted)
+    val out = Similarity.ivfTopK(corpus, corpus.filter($"vec_id" === 88888L),
+      k = 3, nLists = 8, nProbe = 2)
+    val top = out.filter($"rnk" === 1).select($"cand_id", $"sim").collect().head
+    assert(top.getLong(0) == 7L && top.getDouble(1) > 0.9999)
+
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, queries, k = 10,
+      nLists = 8, nProbe = 4)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.3, s"ivf recall=$recall")
+  }
+
   test("LSH recall vs brute force is reasonable on random vectors") {
     val queries = emb.filter($"vec_id" < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, k = 10)

@@ -66,6 +66,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark drops repeated event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dedupWithinWatermark(mem.toDF(), "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData(
+        ev(1, "2024-01-01 00:00:00", 1), ev(1, "2024-01-01 00:00:30", 1),
+        ev(2, "2024-01-01 00:01:00", 2))
+      q.processAllAvailable()
+      mem.addData(ev(1, "2024-01-01 00:02:00", 1)) // dup again, same window
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select($"event_id")
+        .as[Long].collect().sorted
+      assert(ids.sameElements(Array(1L, 2L)))
+    } finally q.stop()
+  }
+
   test("built-in session_window groups by gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
