@@ -502,6 +502,26 @@ object SparkEntry {
       col("doc_id"),
       TextFunctions.fingerprint(col("text")).as("fp"))
 
+  /** m01 — multimodal feature extraction: binary payloads → per-asset
+    * feature vectors via the mapPartitions batch decode (stub codec).
+    * Deterministic but not SQL-expressible; rows-only check. */
+  private def m01(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    graft.multimodal.Multimodal.extractFeatures(
+      graft.multimodal.Multimodal.assetsFromDocuments(s, d))
+      .toDF().select(col("asset_id"), col("kind"), col("checksum"),
+        size(col("features")).as("dim"))
+  }
+
+  /** m02 — video frame sampling: one row per 64-byte frame window.
+    * Frame counts are pure arithmetic over payload sizes → oracle-able. */
+  private def m02(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    graft.multimodal.Multimodal.sampleFrames(
+      graft.multimodal.Multimodal.assetsFromDocuments(s, d), stride = 64)
+      .groupBy(col("asset_id")).agg(count(lit(1)).as("n_frames"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_clean_project" -> (q01 _),
     "q02_dedup_latest" -> (q02 _),
@@ -533,6 +553,8 @@ object SparkEntry {
     "q28_tpch_q5" -> (q28 _),
     "q29_histogram" -> (q29 _),
     "t05_chunking" -> (t05 _),
+    "m01_multimodal_features" -> (m01 _),
+    "m02_frame_sampling" -> (m02 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),
@@ -836,5 +858,9 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    "m02_frame_sampling" ->
+      """SELECT doc_id AS asset_id,
+        |CAST(ceil(len(text) / 64.0) AS BIGINT) AS n_frames
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
   )
 }
