@@ -40,14 +40,17 @@ object PriceCatcherApp {
 
     // -- freshness short-circuit (C4): artifact newer than inputs → exit 1
     val zip = Paths.get(outDir, "pricecatcher.zip")
-    val newestInput = Files.list(Paths.get(sfDir)).iterator()
     val inputMtime = {
-      var m = 0L
-      while (newestInput.hasNext) {
-        val t = Files.getLastModifiedTime(newestInput.next()).toMillis
-        if (t > m) m = t
-      }
-      m
+      val stream = Files.list(Paths.get(sfDir))
+      try {
+        val it = stream.iterator()
+        var m = 0L
+        while (it.hasNext) {
+          val t = Files.getLastModifiedTime(it.next()).toMillis
+          if (t > m) m = t
+        }
+        m
+      } finally stream.close()
     }
     if (Files.exists(zip) &&
         Files.getLastModifiedTime(zip).toMillis >= inputMtime) {
@@ -61,6 +64,10 @@ object PriceCatcherApp {
     val months = PriceCatcher.prices(spark, sfDir)
       .select(date_format(col("date"), "yyyy-MM").as("m"))
       .distinct().orderBy("m").collect().map(_.getString(0))
+    if (months.isEmpty) {
+      System.err.println(s"No fact months found under '$sfDir' — nothing to build.")
+      spark.stop(); sys.exit(2)
+    }
     println(s"Found ${months.length} months: ${months.head}..${months.last}")
     val month = monthArg match {
       case "latest" => months.last

@@ -19,6 +19,10 @@ object ScaleDemo {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.warehouse.dir", wh.toString)
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // AQE wraps plans in AdaptiveSparkPlanExec (a leaf for collect),
+      // which would make the zero-shuffle assertion vacuously pass even
+      // when exchanges exist — disable it for this plan-shape check
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

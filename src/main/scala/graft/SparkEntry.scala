@@ -393,7 +393,10 @@ object SparkEntry {
   private def t05(s: SparkSession, d: String): DataFrame = {
     val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
     val len = 30; val stride = 20
-    val nChunks = floor(greatest(size(toks) - len, lit(0)) / lit(stride.toDouble))
+    // ceil, not floor: a floor window count drops up to stride-1 trailing
+    // tokens per document (silent training-data loss the oracle could
+    // not catch if it replicated the same arithmetic)
+    val nChunks = ceil(greatest(size(toks) - len, lit(0)) / lit(stride.toDouble))
       .cast("int") + 1
     Tables.documents(s, d)
       .select(col("doc_id"), posexplode(transform(
@@ -776,7 +779,7 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id,
         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
         |idx AS (SELECT doc_id, toks,
-        |    unnest(range(0, CAST(floor(greatest(len(toks) - 30, 0) / 20.0) AS BIGINT) + 1)) AS i
+        |    unnest(range(0, CAST(ceil(greatest(len(toks) - 30, 0) / 20.0) AS BIGINT) + 1)) AS i
         |  FROM t)
         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
         |  array_to_string(toks[i*20+1 : i*20+30], ' ') AS chunk
@@ -860,7 +863,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "m02_frame_sampling" ->
       """SELECT doc_id AS asset_id,
-        |CAST(ceil(len(text) / 64.0) AS BIGINT) AS n_frames
+        |CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
   )
 }

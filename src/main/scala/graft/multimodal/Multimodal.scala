@@ -50,7 +50,9 @@ object Multimodal {
           (col("doc_id") % 3 + 1).cast("int")).as("kind"),
         (col("doc_id") % 640 + 64).cast("int").as("meta_width"),
         (col("doc_id") % 480 + 48).cast("int").as("meta_height"),
-        length(col("text")).cast("long").as("n_bytes"),
+        // octet_length, not length: payload is UTF-8 bytes, and for
+        // non-ASCII text the character count understates the byte count
+        octet_length(col("text")).cast("long").as("n_bytes"),
         col("text").cast("binary").as("payload"))
       .as[Asset]
   }

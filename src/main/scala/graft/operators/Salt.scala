@@ -21,10 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Salt {
 
-  /** Deterministic salt derived from the whole row (hash mod factor) —
-    * no RNG, so retries and speculative tasks agree. */
+  /** Salt from the row position (monotonically_increasing_id), not the
+    * row content: content-hash salting sends IDENTICAL rows of a hot key
+    * to the same reducer — and repeated/default records are exactly the
+    * common real-world skew shape. Position-based salt spreads
+    * duplicates round-robin. Deterministic per task attempt for
+    * deterministic sources (id = partition id + row position); the salt
+    * value itself never affects the merged result, only the spread. */
   def saltCol(df: DataFrame, factor: Int): Column =
-    pmod(xxhash64(df.columns.map(col): _*), lit(factor))
+    pmod(monotonically_increasing_id(), lit(factor.toLong))
 
   /** Two-stage salted aggregation. `aggs` maps output column name →
     * (input column, op) with op ∈ sum|count|min|max|avg. */

@@ -51,6 +51,13 @@ object Similarity {
     Array.fill(n)(Array.fill(dim)(rnd.nextGaussian().toFloat))
   }
 
+  /** Embedding dimensionality probed from the first corpus row (one
+    * tiny job). Hardcoding a dim silently truncates wider vectors
+    * (DotProduct folds over min length) and wastes plane components on
+    * narrower ones. */
+  private def probeDim(corpus: DataFrame, vecCol: String): Int =
+    corpus.select(size(col(vecCol))).head().getInt(0)
+
   /** Sign-pattern bucket id for one LSH table: bit i = sign(v · plane_i). */
   private def bucketFor(vec: Column, planes: Array[Array[Float]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
@@ -66,7 +73,7 @@ object Similarity {
               nTables: Int = 16, planesPerTable: Int = 6, seed: Long = 42L,
               idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
-    val dim = 64
+    val dim = probeDim(corpus, vecCol)
     val tables = (0 until nTables).map(t =>
       hyperplanes(planesPerTable, dim, seed + t))
 
@@ -160,7 +167,7 @@ object Similarity {
                    nTables: Int = 16, planesPerTable: Int = 4, seed: Long = 42L,
                    idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
-    val dim = 64
+    val dim = probeDim(corpus, vecCol)
     val tables = (0 until nTables).map(t =>
       hyperplanes(planesPerTable, dim, seed + t))
     val bucketed = corpus.select(col(idCol).as("id"),

@@ -46,7 +46,12 @@ object Tables {
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 
   /** Register every table as a temp view so `spark.sql` queries and the
-    * SQLite-artifact parity layer can address them by name. */
+    * SQLite-artifact parity layer can address them by name. `events`
+    * goes through its dedicated accessor (NANOS handling) so the view
+    * exposes the same TimestampType every other consumer sees. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -32,18 +32,31 @@ class ScaleUtilsSpec extends SparkSpec {
     Bucketing.writeBucketed(li, "li_b", "l_orderkey", 4)
     Bucketing.writeBucketed(o, "o_b", "l_orderkey", 4)
 
-    // force SMJ so the assertion is about bucketing, not broadcast
+    // force SMJ so the assertion is about bucketing, not broadcast; AQE
+    // off so collect() actually traverses the join plan (AQE's wrapper
+    // node is a leaf and would hide any Exchange from the assertion)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val joined = Bucketing.bucketedJoin(spark, "li_b", "o_b", "l_orderkey")
       val shuffles = joined.queryExecution.executedPlan.collect {
         case e: ShuffleExchangeExec => e
       }
       assert(shuffles.isEmpty, s"expected no shuffles, got ${shuffles.size}")
+      // sanity: the same assertion CAN fail — a non-bucketed join shows
+      // exchanges under the same confs
+      val unbucketed = li.join(o, "l_orderkey")
+      val unbucketedShuffles = unbucketed.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(unbucketedShuffles.nonEmpty, "assertion harness is blind")
       // and it still computes the right thing
       val expect = li.join(o, "l_orderkey").count()
       assert(joined.count() == expect)
-    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 
   test("salted aggregation equals plain aggregation") {
