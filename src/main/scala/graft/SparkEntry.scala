@@ -323,6 +323,50 @@ object SparkEntry {
       round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
       round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
 
+  /** q30 — semi-structured JSON column: extract + filter + aggregate on
+    * a JSON field inside the events.props string column. */
+  private def q30(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"),
+           max(col("k")).as("max_k"))
+
+  /** q31 — datetime function battery: extract/trunc/add/diff/format. */
+  private def q31(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("y"),
+      month(col("o_orderdate")).cast("long").as("m"),
+      dayofweek(col("o_orderdate")).cast("long").as("dow"),
+      Cleaning.dateToString(date_trunc("month", col("o_orderdate"))).as("month_start"),
+      Cleaning.dateToString(date_add(col("o_orderdate").cast("date"), 30)).as("due_date"),
+      datediff(lit(java.sql.Date.valueOf("2002-01-01")),
+        col("o_orderdate").cast("date")).cast("long").as("age_days"))
+
+  /** q32 — correlated scalar subquery: orders above their customer's
+    * average order value (decorrelated by Catalyst into a join+agg). */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val avgPer = o.groupBy(col("o_custkey").as("ck"))
+      .agg(avg(col("o_totalprice")).as("avg_price"),
+           sum(col("o_totalprice")).as("cust_sum"),
+           count(lit(1)).as("cust_n"))
+    // cross-engine float discipline: averages land on .xx5 decimals
+    // (sum of cents / count) where Spark's BigDecimal HALF_UP and
+    // DuckDB's binary rounding disagree by a full cent — so the output
+    // carries sum (exactly a 2-dp decimal; round(.,2) erases summation
+    // ULP) and count instead of the avg; the avg drives only the filter,
+    // where a ULP gap can flip nothing but exact-equality rows (only
+    // single-order customers, excluded identically by both engines).
+    o.join(avgPer, o("o_custkey") === avgPer("ck"))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        round(col("cust_sum"), 2).as("cust_sum"), col("cust_n"))
+  }
+
   /** q26 — salted two-stage aggregation (skew path): must be value-equal
     * to the plain GROUP BY the oracle runs. */
   private def q26(s: SparkSession, d: String): DataFrame =
@@ -555,6 +599,9 @@ object SparkEntry {
     "q27_tpch_q3" -> (q27 _),
     "q28_tpch_q5" -> (q28 _),
     "q29_histogram" -> (q29 _),
+    "q30_json_extract" -> (q30 _),
+    "q31_datetime" -> (q31 _),
+    "q32_corr_subquery" -> (q32 _),
     "t05_chunking" -> (t05 _),
     "m01_multimodal_features" -> (m01 _),
     "m02_frame_sampling" -> (m02 _),
@@ -775,6 +822,29 @@ object SparkEntry {
       """SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 11) AS bucket,
         |CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY 1""".stripMargin,
+    "q30_json_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+        |CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |GROUP BY event_type""".stripMargin,
+    "q31_datetime" ->
+      """SELECT o_orderkey,
+        |CAST(year(o_orderdate) AS BIGINT) AS y,
+        |CAST(month(o_orderdate) AS BIGINT) AS m,
+        |CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+        |CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS age_days
+        |FROM orders""".stripMargin,
+    "q32_corr_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |round(cust_sum, 2) AS cust_sum, cust_n
+        |FROM orders JOIN (SELECT o_custkey AS ck, avg(o_totalprice) AS avg_price,
+        |                    CAST(sum(o_totalprice) AS DOUBLE) AS cust_sum,
+        |                    CAST(count(*) AS BIGINT) AS cust_n
+        |                  FROM orders GROUP BY 1) a ON o_custkey = ck
+        |WHERE o_totalprice > avg_price""".stripMargin,
     "t05_chunking" ->
       """WITH t AS (SELECT doc_id,
         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
