@@ -367,6 +367,40 @@ object SparkEntry {
         round(col("cust_sum"), 2).as("cust_sum"), col("cust_n"))
   }
 
+  /** q33 — bag (multiset) set operations: EXCEPT ALL / INTERSECT ALL
+    * preserve multiplicities, unlike the distinct variants of q08. */
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val a = li.select(col("l_partkey"))
+    val b = li.filter(col("l_quantity") > 25).select(col("l_partkey"))
+    a.exceptAll(b).groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_kept"))
+  }
+
+  /** q34 — window navigation: ntile, first/last/nth value over full
+    * frames (one shuffle on the partition key serves all four). */
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      first(col("o_orderkey")).over(full).as("first_order"),
+      last(col("o_orderkey")).over(full).as("last_order"),
+      nth_value(col("o_orderkey"), 2).over(full).as("second_order"))
+  }
+
+  /** q35 — string battery 2: pad/translate/reverse/repeat/position. */
+  private def q35(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d).select(
+      col("n_nationkey"),
+      lpad(col("n_name"), 12, "_").as("padded"),
+      translate(col("n_name"), "AEIOU", "aeiou").as("lowered_vowels"),
+      reverse(col("n_name")).as("reversed"),
+      repeat(substring(col("n_name"), 1, 2), 3).as("repeated"),
+      instr(col("n_name"), "_").cast("long").as("underscore_at"))
+
   /** q26 — salted two-stage aggregation (skew path): must be value-equal
     * to the plain GROUP BY the oracle runs. */
   private def q26(s: SparkSession, d: String): DataFrame =
@@ -602,6 +636,9 @@ object SparkEntry {
     "q30_json_extract" -> (q30 _),
     "q31_datetime" -> (q31 _),
     "q32_corr_subquery" -> (q32 _),
+    "q33_bag_setops" -> (q33 _),
+    "q34_window_nav" -> (q34 _),
+    "q35_string_battery2" -> (q35 _),
     "t05_chunking" -> (t05 _),
     "m01_multimodal_features" -> (m01 _),
     "m02_frame_sampling" -> (m02 _),
@@ -845,6 +882,30 @@ object SparkEntry {
         |                    CAST(count(*) AS BIGINT) AS cust_n
         |                  FROM orders GROUP BY 1) a ON o_custkey = ck
         |WHERE o_totalprice > avg_price""".stripMargin,
+    "q33_bag_setops" ->
+      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_kept FROM (
+        |  SELECT l_partkey FROM lineitem
+        |  EXCEPT ALL
+        |  SELECT l_partkey FROM lineitem WHERE l_quantity > 25
+        |) GROUP BY l_partkey""".stripMargin,
+    "q34_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |first_value(o_orderkey) OVER wf AS first_order,
+        |last_value(o_orderkey) OVER wf AS last_order,
+        |nth_value(o_orderkey, 2) OVER wf AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q35_string_battery2" ->
+      """SELECT n_nationkey,
+        |lpad(n_name, 12, '_') AS padded,
+        |translate(n_name, 'AEIOU', 'aeiou') AS lowered_vowels,
+        |reverse(n_name) AS reversed,
+        |repeat(substring(n_name, 1, 2), 3) AS repeated,
+        |CAST(strpos(n_name, '_') AS BIGINT) AS underscore_at
+        |FROM nation""".stripMargin,
     "t05_chunking" ->
       """WITH t AS (SELECT doc_id,
         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),

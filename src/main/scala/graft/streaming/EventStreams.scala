@@ -56,6 +56,29 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: pair each error event with click
+    * events by the same user in the preceding `window` — both sides
+    * watermarked so the join state is bounded (Spark buffers only rows
+    * inside the watermark + interval horizon). */
+  def clickErrorJoin(events: DataFrame,
+                     window: String = "10 minutes",
+                     watermark: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("error_id"))
+      .withWatermark("e_ts", watermark)
+    clicks.join(errors,
+      col("c_user") === col("e_user")
+        && col("c_ts") <= col("e_ts")
+        && col("c_ts") >= col("e_ts") - expr(s"INTERVAL $window"))
+      .select(col("e_user").as("user_id"), col("error_id"),
+        col("click_id"), col("c_ts"), col("e_ts"))
+  }
+
   /** A closed session emitted by [[sessionizeStateful]]. */
   case class Session(user_id: Long, session_start: Timestamp,
                      session_end: Timestamp, n_events: Long)

@@ -38,6 +38,15 @@ object StreamDemo {
       .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
     println(s"STREAM_WINDOWS=$n STREAM_EVENTS=$total")
     q.stop()
+
+    // stream-stream interval join over the same file source
+    val stream2 = spark.readStream.schema(batch.schema).parquet(dir.toString)
+    val qj = EventStreams.clickErrorJoin(stream2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("demo_join").start()
+    qj.processAllAvailable()
+    println(s"STREAM_JOIN_PAIRS=${spark.table("demo_join").count()}")
+    qj.stop()
     spark.stop()
   }
 }

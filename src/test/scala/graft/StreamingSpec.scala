@@ -85,6 +85,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs errors with preceding clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.clickErrorJoin(mem.toDF(), "10 minutes", "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("join_out").start()
+    try {
+      mem.addData(
+        ev(1, "2024-01-01 00:00:00", 1, "click"),
+        ev(2, "2024-01-01 00:05:00", 1, "error"),   // pairs with click 1
+        ev(3, "2024-01-01 00:20:00", 1, "error"),   // >10min after click 1
+        ev(4, "2024-01-01 00:04:00", 2, "click"))   // other user
+      q.processAllAvailable()
+      mem.addData(ev(9, "2024-01-01 02:00:00", 3, "click")) // advance watermark
+      q.processAllAvailable()
+      val pairs = spark.table("join_out")
+        .select($"error_id", $"click_id").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((2L, 1L)))
+    } finally q.stop()
+  }
+
   test("built-in session_window groups by gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
