@@ -56,6 +56,26 @@ object ScaleDemo {
         f.selectedPartitions.partitionCount
     }
     println(s"PRUNED_PARTITIONS_READ=${scans.sum} MONTH_ROWS=${oneMonth.count()}")
+
+    // incremental upsert: replace exactly one month, then compact it
+    val totalBefore = spark.read.parquet(lake).count()
+    val marchBefore = oneMonth.count()
+    graft.sources.PartitionedLake.upsertMonths(
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .filter(org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.col("l_shipdate"), "yyyy-MM") === "1998-03")
+        .repartition(8),
+      "l_shipdate", lake)
+    def files = new java.io.File(s"$lake/month=1998-03")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val fragmented = files
+    graft.sources.PartitionedLake.compactMonth(spark, lake, "1998-03")
+    val totalAfter = spark.read.parquet(lake).count()
+    println(s"UPSERT_TOTAL_STABLE=${totalBefore == totalAfter} " +
+      s"COMPACTED_FILES=${fragmented}->${files} " +
+      s"MONTH_ROWS_STABLE=${spark.read.parquet(lake)
+        .filter(org.apache.spark.sql.functions.col("month") === "1998-03")
+        .count() == marchBefore}")
     spark.stop()
   }
 }

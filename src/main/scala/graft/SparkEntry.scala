@@ -48,6 +48,22 @@ object SparkEntry {
         Cleaning.dateToString(col("l_shipdate")).as("ship_date"),
         col("l_extendedprice").as("price"))
 
+  /** q02b — A1 in the aggregate (max_by) formulation: enables map-side
+    * partial aggregation so the shuffle carries one candidate per
+    * group-per-partition instead of every row — the better plan when
+    * groups are large/skewed. Checked against the SAME oracle as q02:
+    * the two formulations must be indistinguishable. */
+  private def q02b(s: SparkSession, d: String): DataFrame =
+    Dedup.latestPerGroupAgg(
+      Tables.lineitem(s, d),
+      keys = Seq("l_suppkey", "l_partkey"),
+      orderKey = struct(col("l_shipdate"), -col("l_orderkey"), -col("l_linenumber")))
+      .select(
+        col("l_suppkey").as("premise_code"),
+        col("l_partkey").as("item_code"),
+        Cleaning.dateToString(col("l_shipdate")).as("ship_date"),
+        col("l_extendedprice").as("price"))
+
   /** q03 — the implied consumer join: latest price ⋈ items ⋈ premises
     * (both broadcast; fact-side partitioning untouched). */
   private def q03(s: SparkSession, d: String): DataFrame =
@@ -606,6 +622,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_clean_project" -> (q01 _),
     "q02_dedup_latest" -> (q02 _),
+    "q02b_dedup_latest_agg" -> (q02b _),
     "q03_enrich_join" -> (q03 _),
     "q04_unique_assert" -> (q04 _),
     "q05_agg_pricing" -> (q05 _),
@@ -665,6 +682,13 @@ object SparkEntry {
         |COALESCE(trim(l_returnflag), 'UNKNOWN') AS flag
         |FROM lineitem""".stripMargin,
     "q02_dedup_latest" ->
+      """SELECT l_suppkey AS premise_code, l_partkey AS item_code,
+        |strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        |l_extendedprice AS price
+        |FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey, l_partkey
+        |      ORDER BY l_shipdate DESC, l_orderkey, l_linenumber) AS rn
+        |      FROM lineitem) WHERE rn = 1""".stripMargin,
+    "q02b_dedup_latest_agg" ->
       """SELECT l_suppkey AS premise_code, l_partkey AS item_code,
         |strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
         |l_extendedprice AS price

@@ -68,6 +68,30 @@ object DedupProps extends Properties("graft") {
       r.getSeq[Long](0) == r.getSeq[Long](1)
     }
 
+  property("asofBackward equals naive range-join + max reference") =
+    Prop.forAll(
+      Gen.listOfN(15, Gen.zip(Gen.choose(0, 3), Gen.choose(0, 50))),
+      Gen.listOfN(15, Gen.zip(Gen.choose(0, 3), Gen.choose(0, 50)))) {
+      (left, right) =>
+        import spark.implicits._
+        val l = left.zipWithIndex
+          .map { case ((k, t), i) => (k, new java.sql.Timestamp(t * 60000L), s"L$i") }
+          .toDF("k", "t", "tag")
+        val r = right
+          .map { case (k, t) => (k, new java.sql.Timestamp(t * 60000L)) }
+          .toDF("k", "qt")
+        val got = graft.operators.AsOfJoin
+          .asofBackward(l, r, "k", "k", "t", "qt", Seq("tag"), "m")
+          .select($"tag", $"m".cast("long")).as[(String, Long)].collect().toMap
+        // cast("long") on a timestamp yields epoch SECONDS
+        val expect = left.zipWithIndex.flatMap { case ((k, t), i) =>
+          val matches = right.filter(q => q._1 == k && q._2 <= t)
+          if (matches.isEmpty) None
+          else Some(s"L$i" -> matches.map(_._2).max * 60L)
+        }.toMap
+        got == expect
+    }
+
   property("saltedAgg sum/count equals plain groupBy") =
     Prop.forAll(Gen.listOfN(30, rowGen)) { rows =>
       rows.isEmpty || {
