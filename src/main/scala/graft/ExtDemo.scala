@@ -7,11 +7,8 @@ import org.apache.spark.sql.SparkSession
   * injected functions from pure SQL. */
 object ExtDemo {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[2]")
-      .config("spark.sql.shuffle.partitions", "2")
+    val spark = GraftSession.builder("local[2]", shufflePartitions = 2)
       .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val r = spark.sql(

@@ -53,6 +53,20 @@ class CleaningSpec extends SparkSpec {
     assert(r.getString(1) == "2024-03-05")
   }
 
+  test("tolerance asymmetry: try-cast nulls bad values, plain cast fails fast") {
+    // permissive path (dimension, P4): bad value → null → row dropped
+    val dirty = Seq("12", "x", "4.5").toDF("s")
+    val permissive = dirty.select(Cleaning.tryLong($"s").as("v"))
+      .filter($"v".isNotNull).as[Long].collect().toSeq
+    assert(permissive == Seq(12L)) // "4.5" is not a valid long either
+    // fail-fast path (fact, reference panic semantics): ANSI cast throws
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try intercept[Exception] {
+      dirty.select($"s".cast("long").as("v")).collect()
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+  }
+
   test("assertUnique aborts on duplicate dimension keys") {
     val dup = Seq((1L, "a"), (1L, "b")).toDF("k", "v")
     intercept[IllegalStateException](Quality.assertUnique(dup, "k"))
