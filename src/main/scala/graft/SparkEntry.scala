@@ -301,9 +301,14 @@ object SparkEntry {
     val w = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
       .rowsBetween(-3, Window.currentRow)
+    // windowed SUM of 2-dp prices is an exact 2-dp decimal, so
+    // round(.,2) is ULP-immune; a rounded windowed AVG diverges between
+    // engines at sf0.1 (same .xx5 trap as q32) — emit sum + count, the
+    // caller divides
     Tables.lineitem(s, d).select(
       col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-      round(avg(col("l_extendedprice")).over(w), 4).as("ma4"))
+      round(sum(col("l_extendedprice")).over(w), 2).as("ma4_sum"),
+      count(lit(1)).over(w).as("ma4_n"))
   }
 
   /** q23 — full outer join with presence classification. */
@@ -416,6 +421,19 @@ object SparkEntry {
       reverse(col("n_name")).as("reversed"),
       repeat(substring(col("n_name"), 1, 2), 3).as("repeated"),
       instr(col("n_name"), "_").cast("long").as("underscore_at"))
+
+  /** q36 — explicit GROUPING SETS through the spark.sql entry path
+    * (Tables.registerAll + SQL text): exercises the engine's SQL-first
+    * surface, not just the DataFrame API. */
+  private def q36(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT COALESCE(n_name, 'ALL') AS nation,
+        |COALESCE(c_mktsegment, 'ALL') AS segment,
+        |count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())""".stripMargin)
+  }
 
   /** q26 — salted two-stage aggregation (skew path): must be value-equal
     * to the plain GROUP BY the oracle runs. */
@@ -546,6 +564,19 @@ object SparkEntry {
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
   }
 
+  /** t06 — stopword filtering: token counts before/after removing the
+    * English stopword set (a standard cleaning stage ahead of
+    * shingling/dedup). */
+  private def t06(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+    val toks = TextFunctions.tokenSet(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_except(toks, array(stop.map(lit): _*))).cast("long")
+        .as("n_content_tokens"))
+  }
+
   /** t01 — stopword-heuristic language ID with per-language scores and
     * deterministic argmax (tie → first in de<en<es<fr<zh order). */
   private def t01(s: SparkSession, d: String): DataFrame = {
@@ -656,7 +687,9 @@ object SparkEntry {
     "q33_bag_setops" -> (q33 _),
     "q34_window_nav" -> (q34 _),
     "q35_string_battery2" -> (q35 _),
+    "q36_grouping_sets" -> (q36 _),
     "t05_chunking" -> (t05 _),
+    "t06_stopword_filter" -> (t06 _),
     "m01_multimodal_features" -> (m01 _),
     "m02_frame_sampling" -> (m02 _),
     "d01_dedup_exact" -> (d01 _),
@@ -828,10 +861,12 @@ object SparkEntry {
         |FROM nation GROUP BY n_regionkey""".stripMargin,
     "q22_moving_avg" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |round(avg(l_extendedprice) OVER (PARTITION BY l_suppkey
+        |round(sum(l_extendedprice) OVER w, 2) AS ma4_sum,
+        |CAST(count(*) OVER w AS BIGINT) AS ma4_n
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
         |  ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ma4
-        |FROM lineitem""".stripMargin,
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q23_full_outer" ->
       """SELECT CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'both'
         |  WHEN c_custkey IS NOT NULL THEN 'customer_only'
@@ -930,6 +965,21 @@ object SparkEntry {
         |repeat(substring(n_name, 1, 2), 3) AS repeated,
         |CAST(strpos(n_name, '_') AS BIGINT) AS underscore_at
         |FROM nation""".stripMargin,
+    "q36_grouping_sets" ->
+      """SELECT COALESCE(n_name, 'ALL') AS nation,
+        |COALESCE(c_mktsegment, 'ALL') AS segment,
+        |CAST(count(*) AS BIGINT) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())""".stripMargin,
+    "t06_stopword_filter" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |CAST(len(list_filter(toks, x -> x NOT IN
+        |  ('the','a','of','and','to','in','is','it','that','for'))) AS BIGINT)
+        |  AS n_content_tokens
+        |FROM t""".stripMargin,
     "t05_chunking" ->
       """WITH t AS (SELECT doc_id,
         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
