@@ -577,6 +577,17 @@ object SparkEntry {
         .as("n_content_tokens"))
   }
 
+  /** s04 — label centroids via the typed [[graft.functions.MeanVector]]
+    * Aggregator (one (sums, n) buffer per group vs the 64× shuffle of
+    * explode+avg), exploded to (label, dim, value) for the oracle. */
+  private def s04(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .groupBy(col("label"))
+      .agg(graft.functions.MeanVector.meanVector(col("embedding")).as("centroid"))
+      .select(col("label"), posexplode(col("centroid")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+        round(col("col"), 4).as("c"))
+
   /** t01 — stopword-heuristic language ID with per-language scores and
     * deterministic argmax (tie → first in de<en<es<fr<zh order). */
   private def t01(s: SparkSession, d: String): DataFrame = {
@@ -700,6 +711,7 @@ object SparkEntry {
     "s01_ann_brute" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_ann_ivf" -> (s03 _),
+    "s04_label_centroids" -> (s04 _),
     "t01_langid" -> (t01 _),
     "t02_text_quality" -> (t02 _),
     "t03_token_count" -> (t03 _),
@@ -1023,6 +1035,11 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rnk, cand_id, round(sim, 4) AS sim
         |FROM ranked WHERE rnk <= 10""".stripMargin,
+    "s04_label_centroids" ->
+      """SELECT label, CAST(i AS BIGINT) AS dim, round(avg(v), 4) AS c
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |      generate_subscripts(embedding, 1) AS i FROM embeddings)
+        |GROUP BY 1, 2""".stripMargin,
     "t01_langid" ->
       """WITH s AS (SELECT doc_id,
         |  CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|zu|den)\b')) AS BIGINT) AS s_de,
