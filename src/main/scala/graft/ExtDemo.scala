@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * injected functions from pure SQL. */
 object ExtDemo {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.builder("local[2]", shufflePartitions = 2)
+    val spark = GraftSession.builder(Some("local[2]"), shufflePartitions = 2)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

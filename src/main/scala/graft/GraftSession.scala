@@ -17,17 +17,22 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def builder(master: String = "local[*]",
+  /** @param master set ONLY for local/embedded use; leave None under
+    *   spark-submit, which provides the master itself (an unconditional
+    *   .master here would silently override `--master yarn` and run the
+    *   "100 TB" job single-node on the driver). */
+  def builder(master: Option[String] = None,
               shufflePartitions: Int = Runtime.getRuntime.availableProcessors)
-      : SparkSession.Builder =
-    SparkSession.builder()
-      .master(master)
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      : SparkSession.Builder = {
+    val b = SparkSession.builder()
+    master.foreach(b.master)
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .withExtensions(new graft.plans.GraftExtensions)
+  }
 
   /** Guidance for sizing the shuffle: one partition per ~128 MB of
     * shuffled data keeps reducers in memory without small-task

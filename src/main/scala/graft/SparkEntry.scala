@@ -104,8 +104,11 @@ object SparkEntry {
   /** q06 — filtered projection; both predicate and column set reach the
     * parquet scan (PushedFilters + 3-column ReadSchema at explain time). */
   private def q06(s: SparkSession, d: String): DataFrame =
+    // to_timestamp parses in the SESSION timezone (pinned UTC);
+    // java.sql.Timestamp.valueOf would parse in the JVM default zone
+    // and shift the cutoff instant on non-UTC machines
     Tables.lineitem(s, d)
-      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))
+      .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01 00:00:00"))
         && col("l_quantity") < 10)
       .select(col("l_orderkey"), col("l_extendedprice"))
 
@@ -364,7 +367,7 @@ object SparkEntry {
       dayofweek(col("o_orderdate")).cast("long").as("dow"),
       Cleaning.dateToString(date_trunc("month", col("o_orderdate"))).as("month_start"),
       Cleaning.dateToString(date_add(col("o_orderdate").cast("date"), 30)).as("due_date"),
-      datediff(lit(java.sql.Date.valueOf("2002-01-01")),
+      datediff(to_date(lit("2002-01-01")),
         col("o_orderdate").cast("date")).cast("long").as("age_days"))
 
   /** q32 — correlated scalar subquery: orders above their customer's
@@ -450,7 +453,7 @@ object SparkEntry {
   /** q27 — TPC-H Q3 shape (shipping priority): 3-way join with
     * selective filters on both fact paths, top-10 by revenue. */
   private def q27(s: SparkSession, d: String): DataFrame = {
-    val cut = lit(java.sql.Timestamp.valueOf("1998-06-30 00:00:00"))
+    val cut = to_timestamp(lit("1998-06-30 00:00:00"))
     val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(s, d).filter(col("o_orderdate") < cut)
     val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)

@@ -21,21 +21,34 @@ class MeanVector extends Aggregator[Array[Float], MeanVector.Buf, Array[Double]]
   override def zero: Buf = Buf(Array.emptyDoubleArray, 0L)
 
   override def reduce(b: Buf, a: Array[Float]): Buf = {
-    if (a == null) return b
-    val sums = if (b.sums.isEmpty) new Array[Double](a.length) else b.sums
-    var i = 0
-    val n = math.min(sums.length, a.length)
-    while (i < n) { sums(i) += a(i); i += 1 }
-    Buf(sums, b.n + 1)
+    // null/empty vectors are skipped entirely (not counted into n);
+    // a genuine dimension mismatch is an error, not a silent truncation
+    // (min-length folding would make the result partition-order
+    // dependent on ragged input)
+    if (a == null || a.isEmpty) return b
+    if (b.sums.isEmpty) {
+      val sums = new Array[Double](a.length)
+      var i = 0
+      while (i < a.length) { sums(i) = a(i); i += 1 }
+      Buf(sums, 1L)
+    } else {
+      require(a.length == b.sums.length,
+        s"MeanVector: mixed dimensions ${a.length} vs ${b.sums.length}")
+      var i = 0
+      while (i < a.length) { b.sums(i) += a(i); i += 1 }
+      Buf(b.sums, b.n + 1)
+    }
   }
 
   override def merge(x: Buf, y: Buf): Buf =
+    // empty-sums buffers always have n == 0 (empty vectors are skipped)
     if (x.sums.isEmpty) y
     else if (y.sums.isEmpty) x
     else {
+      require(x.sums.length == y.sums.length,
+        s"MeanVector: mixed dimensions ${x.sums.length} vs ${y.sums.length}")
       var i = 0
-      val n = math.min(x.sums.length, y.sums.length)
-      while (i < n) { x.sums(i) += y.sums(i); i += 1 }
+      while (i < x.sums.length) { x.sums(i) += y.sums(i); i += 1 }
       Buf(x.sums, x.n + y.n)
     }
 

@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * before t| rows per left row. This implementation is the scalable
   * union trick used by time-series engines:
   *
-  *   1. union both sides into one frame (right rows carry their
-  *      payload, left rows carry nulls),
+  *   1. union both sides into one frame (left rows carry their output
+  *      payload; right rows carry their time, which is what gets
+  *      matched — extendable to full right payloads via a struct),
   *   2. one hash shuffle + per-partition sort on (key, time, side) —
   *      right rows sort BEFORE left rows at equal time so `<=`
   *      semantics hold,
@@ -29,18 +30,24 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** @param leftTimeOut column name for the left time in the output
-    * @param asOfOut     column name for the matched right time */
+  /** Returns `leftCols` of each matched left row plus the matched right
+    * time as `asOfOut`. Left rows with no eligible right row are
+    * dropped (inner semantics); null keys never match (equi-join
+    * semantics — window partitioning would otherwise group nulls
+    * together).
+    *
+    * @param leftCols columns of `left` to carry into the output
+    * @param asOfOut  output column name for the matched right time */
   def asofBackward(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String,
                    leftTime: String, rightTime: String,
                    leftCols: Seq[String],
                    asOfOut: String = "asof_time"): DataFrame = {
-    val l = left.select(
+    val l = left.filter(col(leftKey).isNotNull).select(
       col(leftKey).as("__k"), col(leftTime).cast("timestamp").as("__t"),
       lit(1).as("__side"), lit(null).cast("timestamp").as("__rt"),
       struct(leftCols.map(col): _*).as("__payload"))
-    val r = right.select(
+    val r = right.filter(col(rightKey).isNotNull).select(
       col(rightKey).as("__k"), col(rightTime).cast("timestamp").as("__t"),
       lit(0).as("__side"), col(rightTime).cast("timestamp").as("__rt"),
       lit(null).cast(l.schema("__payload").dataType).as("__payload"))

@@ -28,7 +28,7 @@ object Salt {
     * duplicates round-robin. Deterministic per task attempt for
     * deterministic sources (id = partition id + row position); the salt
     * value itself never affects the merged result, only the spread. */
-  def saltCol(df: DataFrame, factor: Int): Column =
+  def saltCol(factor: Int): Column =
     pmod(monotonically_increasing_id(), lit(factor.toLong))
 
   /** Two-stage salted aggregation. `aggs` maps output column name →
@@ -36,7 +36,8 @@ object Salt {
   def saltedAgg(df: DataFrame, keys: Seq[String],
                 aggs: Seq[(String, (String, String))],
                 factor: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt", saltCol(df, factor))
+    require(aggs.nonEmpty, "saltedAgg requires at least one aggregate")
+    val salted = df.withColumn("__salt", saltCol(factor))
 
     val partials = aggs.map { case (out, (in, op)) =>
       op match {

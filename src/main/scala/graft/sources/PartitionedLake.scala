@@ -24,48 +24,55 @@ object PartitionedLake {
   def readMonth(spark: SparkSession, path: String, month: String): DataFrame =
     spark.read.parquet(path).filter(col("month") === month)
 
-  /** Incremental upsert of one month: dynamic partition overwrite
-    * replaces ONLY the partitions present in `df` and leaves the rest of
-    * the decade untouched — the daily-ingest pattern matching the
-    * reference's one-month-per-run cadence (reference:
-    * src/main.rs:219-233) at lake scale. (Static overwrite mode would
-    * drop every other partition — the classic data-loss trap this
-    * method exists to avoid.) */
-  def upsertMonths(df: DataFrame, tsCol: String, path: String): Unit = {
-    val spark = df.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      df.withColumn("month", date_format(col(tsCol), "yyyy-MM"))
-        .write.mode("overwrite").partitionBy("month").parquet(path)
+  /** Run `body` with dynamic partition overwrite, restoring the
+    * previous mode after (static mode — the default — would drop every
+    * partition not present in the written frame: the classic silent
+    * data-loss trap). */
+  private def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body
     finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
     }
   }
 
+  /** Incremental upsert: replaces ONLY the months present in `df`,
+    * leaving the rest of the decade untouched — the daily-ingest
+    * pattern matching the reference's one-month-per-run cadence. */
+  def upsertMonths(df: DataFrame, tsCol: String, path: String): Unit =
+    withDynamicOverwrite(df.sparkSession) {
+      df.withColumn("month", date_format(col(tsCol), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("month").parquet(path)
+    }
+
   /** Small-file compaction for one partition: rewrite a month's files
-    * into ~`targetFiles` outputs. Streaming/incremental ingest produces
-    * file counts proportional to micro-batches; scan cost at 100 TB is
-    * dominated by file-open overhead once files shrink below ~100 MB. */
+    * into ~`targetFiles` outputs.
+    *
+    * Durability: the compacted data is first persisted to a temp
+    * directory on the same filesystem, then the partition is
+    * overwritten FROM that durable copy. Reading and overwriting the
+    * same files in one job (even behind cache()) is not safe — cached
+    * blocks can be evicted or lost mid-write and recomputation would
+    * read half-deleted source files. */
   def compactMonth(spark: SparkSession, path: String, month: String,
                    targetFiles: Int = 1): Unit = {
-    val part = readMonth(spark, path, month).drop("month")
+    val tmp = s"$path/.compact_tmp_$month"
+    readMonth(spark, path, month).drop("month")
       .repartition(targetFiles)
-    // write to a temp dir then atomically swap via upsertMonths semantics
-    val tmp = part.cache()
-    tmp.count() // materialize before overwriting the source partition
-    val spark2 = spark
-    val withMonth = tmp.withColumn("month", lit(month))
-    val prev = spark2.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try withMonth.write.mode("overwrite").partitionBy("month").parquet(path)
-    finally {
-      tmp.unpersist()
-      prev match {
-        case Some(v) => spark2.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark2.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      .write.mode("overwrite").parquet(tmp)
+    try
+      withDynamicOverwrite(spark) {
+        spark.read.parquet(tmp)
+          .withColumn("month", lit(month))
+          .write.mode("overwrite").partitionBy("month").parquet(path)
       }
+    finally {
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
     }
   }
 }
