@@ -97,8 +97,10 @@ object SparkEntry {
         round(sum(col("l_quantity")), 4).as("sum_qty"),
         round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        // never a rounded avg: sum-of-cents/count lands on .xx5 decimals
+        // where Spark HALF_UP and DuckDB binary rounding disagree — the
+        // caller divides sum_disc/count_order (same discipline as q22/q32)
+        round(sum(col("l_discount")), 4).as("sum_disc"),
         count(lit(1)).as("count_order"))
 
   /** q06 — filtered projection; both predicate and column set reach the
@@ -301,8 +303,15 @@ object SparkEntry {
   /** q22 — moving average (last 4 rows) per supplier over ship time;
     * same single-shuffle window shape as the dedup. */
   private def q22(s: SparkSession, d: String): DataFrame = {
+    // l_extendedprice as the final sort key: (orderkey, linenumber) is
+    // NOT unique in this data (planted dup rows — the reason q02
+    // exists), and at sf0.1 one such tie has differing prices, so
+    // engines disagree on running sums unless the order is total over
+    // every sum-relevant column (remaining ties are then value-identical
+    // rows, making the windowed sums order-invariant)
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc, col("l_extendedprice").asc)
       .rowsBetween(-3, Window.currentRow)
     // windowed SUM of 2-dp prices is an exact 2-dp decimal, so
     // round(.,2) is ULP-immune; a rounded windowed AVG diverges between
@@ -355,7 +364,9 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .filter(col("k").isNotNull)
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"),
+      // sum_k not avg_k: k is integral so the sum is exact in both
+      // engines; a rounded avg is the .xx5 cross-engine trap
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
            max(col("k")).as("max_k"))
 
   /** q31 — datetime function battery: extract/trunc/add/diff/format. */
@@ -580,16 +591,18 @@ object SparkEntry {
         .as("n_content_tokens"))
   }
 
-  /** s04 — label centroids via the typed [[graft.functions.MeanVector]]
+  /** s04 — label centroids via the typed [[graft.functions.VectorStats]]
     * Aggregator (one (sums, n) buffer per group vs the 64× shuffle of
-    * explode+avg), exploded to (label, dim, value) for the oracle. */
+    * explode+avg), exploded to (label, dim, sum, n) for the oracle.
+    * Emits round(sum,4) + n, never a rounded mean — the consumer divides
+    * (same .xx5 cross-engine discipline as q22/q32). */
   private def s04(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .groupBy(col("label"))
-      .agg(graft.functions.MeanVector.meanVector(col("embedding")).as("centroid"))
-      .select(col("label"), posexplode(col("centroid")))
+      .agg(graft.functions.VectorStats.vectorStats(col("embedding")).as("st"))
+      .select(col("label"), col("st.n").as("n"), posexplode(col("st.sums")))
       .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
-        round(col("col"), 4).as("c"))
+        round(col("col"), 4).as("s"), col("n"))
 
   /** t01 — stopword-heuristic language ID with per-language scores and
     * deterministic argmax (tie → first in de<en<es<fr<zh order). */
@@ -613,15 +626,18 @@ object SparkEntry {
     val nPunct = regexp_count(t, lit("[^A-Za-z0-9\\s]")).cast("double")
     val nStop = regexp_count(lower(t),
       lit(TextFunctions.langMarkers.toMap.apply("en"))).cast("double")
-    val punctRatio = nPunct / nChars
-    val stopRatio = nStop / nWords
+    // nullif guards: an empty/whitespace-only doc has nChars/nWords = 0,
+    // where unguarded Spark (non-ANSI) emits NULL but DuckDB emits
+    // inf/nan — both engines must agree on NULL for the hash to match
+    val punctRatio = nPunct / nullif(nChars, lit(0.0))
+    val stopRatio = nStop / nullif(nWords, lit(0.0))
     Tables.documents(s, d).select(
       col("doc_id"),
       nChars.cast("long").as("n_chars_m"),
       nWords.cast("long").as("n_words"),
       round(punctRatio, 4).as("punct_ratio"),
       round(stopRatio, 4).as("stop_ratio"),
-      round(nChars / nWords, 4).as("chars_per_word"),
+      round(nChars / nullif(nWords, lit(0.0)), 4).as("chars_per_word"),
       round(least(lit(1.0), nWords / 50.0) * (lit(1.0) - punctRatio)
         * least(lit(1.0), lit(0.5) + stopRatio), 4).as("quality"))
   }
@@ -767,8 +783,7 @@ object SparkEntry {
         |round(CAST(sum(l_quantity) AS DOUBLE), 4) AS sum_qty,
         |round(CAST(sum(l_extendedprice) AS DOUBLE), 4) AS sum_base_price,
         |round(CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE), 4) AS sum_disc_price,
-        |round(avg(l_quantity), 4) AS avg_qty,
-        |round(avg(l_discount), 4) AS avg_disc,
+        |round(CAST(sum(l_discount) AS DOUBLE), 4) AS sum_disc,
         |CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q06_filter_pushdown" ->
@@ -880,7 +895,7 @@ object SparkEntry {
         |CAST(count(*) OVER w AS BIGINT) AS ma4_n
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_suppkey
-        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
         |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q23_full_outer" ->
       """SELECT CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'both'
@@ -935,7 +950,7 @@ object SparkEntry {
         |FROM orders GROUP BY 1""".stripMargin,
     "q30_json_extract" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+        |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
         |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
         |GROUP BY event_type""".stripMargin,
@@ -1039,7 +1054,9 @@ object SparkEntry {
         |SELECT query_id, rnk, cand_id, round(sim, 4) AS sim
         |FROM ranked WHERE rnk <= 10""".stripMargin,
     "s04_label_centroids" ->
-      """SELECT label, CAST(i AS BIGINT) AS dim, round(avg(v), 4) AS c
+      """SELECT label, CAST(i AS BIGINT) AS dim,
+        |round(sum(CAST(v AS DOUBLE)), 4) AS s,
+        |CAST(count(v) AS BIGINT) AS n
         |FROM (SELECT label, unnest(embedding) AS v,
         |      generate_subscripts(embedding, 1) AS i FROM embeddings)
         |GROUP BY 1, 2""".stripMargin,
@@ -1069,11 +1086,11 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(nc AS BIGINT) AS n_chars_m,
         |  CAST(nw AS BIGINT) AS n_words,
-        |  round(np / nc, 4) AS punct_ratio,
-        |  round(ns / nw, 4) AS stop_ratio,
-        |  round(nc / nw, 4) AS chars_per_word,
-        |  round(least(1.0, nw / 50.0) * (1.0 - np / nc)
-        |    * least(1.0, 0.5 + ns / nw), 4) AS quality
+        |  round(np / nullif(nc, 0), 4) AS punct_ratio,
+        |  round(ns / nullif(nw, 0), 4) AS stop_ratio,
+        |  round(nc / nullif(nw, 0), 4) AS chars_per_word,
+        |  round(least(1.0, nw / 50.0) * (1.0 - np / nullif(nc, 0))
+        |    * least(1.0, 0.5 + ns / nullif(nw, 0)), 4) AS quality
         |FROM m""".stripMargin,
     "t03_token_count" ->
       """SELECT doc_id,

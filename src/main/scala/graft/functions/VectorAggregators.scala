@@ -66,3 +66,26 @@ object MeanVector {
   def meanVector(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.udaf(new MeanVector).apply(c)
 }
+
+/** Same accumulation as [[MeanVector]] but finishes with the raw
+  * (sums, n) buffer instead of dividing. This is the oracle-parity form:
+  * a rounded mean lands on .xx5 decimals where Spark and a reference
+  * engine round differently, while round(sum, k) + n lets the consumer
+  * divide — the repo-wide float-aggregate discipline (see q22/q32). */
+class VectorStats extends Aggregator[Array[Float], MeanVector.Buf, MeanVector.Buf] {
+  private val inner = new MeanVector
+  override def zero: MeanVector.Buf = inner.zero
+  override def reduce(b: MeanVector.Buf, a: Array[Float]): MeanVector.Buf =
+    inner.reduce(b, a)
+  override def merge(x: MeanVector.Buf, y: MeanVector.Buf): MeanVector.Buf =
+    inner.merge(x, y)
+  override def finish(b: MeanVector.Buf): MeanVector.Buf = b
+  override def bufferEncoder: Encoder[MeanVector.Buf] = Encoders.product[MeanVector.Buf]
+  override def outputEncoder: Encoder[MeanVector.Buf] = Encoders.product[MeanVector.Buf]
+}
+
+object VectorStats {
+  /** Column form: yields a struct<sums: array<double>, n: bigint>. */
+  def vectorStats(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.udaf(new VectorStats).apply(c)
+}

@@ -42,13 +42,17 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
     val sig = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < n) {
-      val s = arr.getUTF8String(j)
-      var i = 0
-      while (i < k) {
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-          s.numBytes, seed + i)
-        if (h < sig(i)) sig(i) = h
-        i += 1
+      // null shingles are skipped (absent from the set) rather than
+      // NPE-ing the task on one malformed row
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j)
+        var i = 0
+        while (i < k) {
+          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+            s.numBytes, seed + i)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
       }
       j += 1
     }
@@ -69,6 +73,7 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |int $nEl = $a.numElements();
          |for (int $j = 0; $j < $nEl; $j++) {
+         |  if ($a.isNullAt($j)) continue;
          |  $utf8 $s = $a.getUTF8String($j);
          |  for (int $i = 0; $i < $k; $i++) {
          |    long $h = $xxh.hashUnsafeBytes($s.getBaseObject(),

@@ -27,6 +27,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   */
 abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // always nullable: even over non-null array columns the result is NULL
+  // when an array ELEMENT is null (containsNull=true schemas are accepted
+  // — parquet array fields are containsNull by default — and one
+  // malformed row must degrade to NULL, not an executor NPE)
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
       case ArrayType(FloatType, _) => true
@@ -44,13 +49,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
     extends VectorBinaryExpression {
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toFloatArray()
-    val y = b.asInstanceOf[ArrayData].toFloatArray()
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
-    val n = math.min(x.length, y.length)
+    val n = math.min(x.numElements(), y.numElements())
     while (i < n) {
-      val xi = x(i).toDouble; val yi = y(i).toDouble
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
     }
     if (nx == 0.0 || ny == 0.0) 0.0
@@ -59,21 +65,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val x = ctx.freshName("x"); val y = ctx.freshName("y")
       val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny"); val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |float[] $x = $a.toFloatArray();
-         |float[] $y = $b.toFloatArray();
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |int $n = Math.min($x.length, $y.length);
+         |int $n = Math.min($a.numElements(), $b.numElements());
          |for (int $i = 0; $i < $n; $i++) {
-         |  double xi = (double) $x[$i]; double yi = (double) $y[$i];
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  double xi = (double) $a.getFloat($i); double yi = (double) $b.getFloat($i);
          |  $dot += xi * yi; $nx += xi * xi; $ny += yi * yi;
          |}
-         |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0
-         |  : $dot / (Math.sqrt($nx) * Math.sqrt($ny));
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0
+         |    : $dot / (Math.sqrt($nx) * Math.sqrt($ny));
+         |}
          |""".stripMargin
     })
 
@@ -88,29 +94,30 @@ case class DotProduct(left: Expression, right: Expression)
     extends VectorBinaryExpression {
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toFloatArray()
-    val y = b.asInstanceOf[ArrayData].toFloatArray()
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
     var dot = 0.0
     var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) { dot += x(i).toDouble * y(i).toDouble; i += 1 }
+    val n = math.min(x.numElements(), y.numElements())
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1
+    }
     dot
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val x = ctx.freshName("x"); val y = ctx.freshName("y")
       val dot = ctx.freshName("dot"); val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |float[] $x = $a.toFloatArray();
-         |float[] $y = $b.toFloatArray();
          |double $dot = 0.0;
-         |int $n = Math.min($x.length, $y.length);
+         |int $n = Math.min($a.numElements(), $b.numElements());
          |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += (double) $x[$i] * (double) $y[$i];
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = $dot;
+         |if (!${ev.isNull}) { ${ev.value} = $dot; }
          |""".stripMargin
     })
 

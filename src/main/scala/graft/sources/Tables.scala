@@ -33,13 +33,27 @@ object Tables {
     * `div` — a true `/` would round-trip through double and lose
     * precision above 2^53 ns. */
   def events(spark: SparkSession, d: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(spark, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", org.apache.spark.sql.functions
-          .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
-      case _ => raw
+    // set/restore around the read: leaving nanosAsLong set would silently
+    // change every later parquet read in the session (a read must not
+    // have session-wide side effects). The DataFrame stays valid after
+    // restore — the scan's hadoop conf is captured at relation creation,
+    // which .schema below forces (asserted by TablesSpec).
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val raw = load(spark, d, "events")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions
+            .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+        case _ => raw
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")

@@ -63,4 +63,48 @@ class VectorExpressionsSpec extends SparkSpec {
       .toDF("a", "b").select(VectorFunctions.cosine($"a", $"b").as("c"))
     assert(df.collect().head.isNullAt(0))
   }
+
+  test("null ELEMENT yields null, not an executor NPE (both codegen paths)") {
+    val df = Seq(
+      (1L, Array[java.lang.Float](1f, null, 3f), Array[java.lang.Float](1f, 2f, 3f)),
+      (2L, Array[java.lang.Float](1f, 2f, 3f), Array[java.lang.Float](1f, 2f, 3f)))
+      .toDF("id", "a", "b")
+    // codegen path
+    val rows = df.select($"id", VectorFunctions.cosine($"a", $"b").as("c"),
+      VectorFunctions.dot($"a", $"b").as("d")).orderBy($"id").collect()
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2))
+    assert(math.abs(rows(1).getDouble(1) - 1.0) < 1e-12 && rows(1).getDouble(2) == 14.0)
+    // interpreted path (eval through a literal-free filter barrier)
+    import graft.plans.{CosineSimilarity, DotProduct}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val at = ArrayType(FloatType, containsNull = true)
+    val withNull = Literal.create(new GenericArrayData(Array[Any](1f, null, 3f)), at)
+    val clean = Literal.create(new GenericArrayData(Array[Any](1f, 2f, 3f)), at)
+    assert(CosineSimilarity(withNull, clean).eval() == null)
+    assert(DotProduct(withNull, clean).eval() == null)
+    assert(DotProduct(clean, clean).eval() == 14.0)
+  }
+
+  test("minhash skips null shingles instead of NPE (codegen + interpreted)") {
+    import graft.plans.{MinHashFunctions, MinHashSignature}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val df = Seq(
+      (1L, Array[String]("ab", null, "cd")),
+      (2L, Array[String]("ab", "cd")))
+      .toDF("id", "sh")
+      .select($"id", MinHashFunctions.minhashSignature($"sh", 4).as("sig"))
+    val bySig = df.orderBy($"id").collect().map(_.getSeq[Long](1))
+    assert(bySig(0) == bySig(1)) // null element is simply absent from the set
+    val at = ArrayType(StringType, containsNull = true)
+    val lit = Literal.create(new GenericArrayData(
+      Array[Any](UTF8String.fromString("ab"), null, UTF8String.fromString("cd"))), at)
+    val interp = MinHashSignature(lit, 4, 42L).eval()
+      .asInstanceOf[GenericArrayData].toLongArray().toSeq
+    assert(interp == bySig(0))
+  }
 }
