@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, TextDedup}
+import graft.sources.Tables
+
+/** Diagnostics: raw recall numbers behind the d02/d05/s02/s03 oracle
+  * booleans, at any SF — run this when tuning LSH/IVF dials so the
+  * `recall_ok` bounds in SparkEntry keep a visible margin.
+  * Usage: runMain graft.RecallProbe [sfDir] */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < 10)
+
+    def pairRecall(name: String,
+                   truth: org.apache.spark.sql.DataFrame,
+                   found: org.apache.spark.sql.DataFrame): Unit = {
+      val t = truth.count()
+      val h = truth.join(found, Seq("id_a", "id_b"), "left_semi").count()
+      val f = found.count()
+      println(f"RECALL $name%-14s n_true=$t%6d n_hit=$h%6d n_found=$f%6d " +
+        f"recall=${if (t == 0) 1.0 else h.toDouble / t}%.4f")
+    }
+
+    pairRecall("d02_minhash",
+      TextDedup.shingleJaccardPairs(docs, "doc_id", "text"),
+      TextDedup.minhashPairs(docs, "doc_id", "text").select("id_a", "id_b"))
+    pairRecall("d05_neardup",
+      Similarity.bruteForcePairs(emb, 0.4),
+      Similarity.nearDupPairs(emb, 0.4).select("id_a", "id_b"))
+
+    val exact = Similarity.bruteForceTopK(emb, q, 10)
+      .select(col("query_id"), col("cand_id"))
+    def annRecall(name: String, approx: org.apache.spark.sql.DataFrame): Unit = {
+      val hits = exact.join(approx.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+        .orderBy(col("query_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val perQ = (0L until 10L).map(i => hits.getOrElse(i, 0L))
+      println(s"RECALL $name per-query hits@10 = ${perQ.mkString(",")} " +
+        f"min=${perQ.min} mean=${perQ.sum / 10.0}%.1f")
+    }
+    annRecall("s02_lsh", Similarity.lshTopK(emb, q, 10))
+    annRecall("s03_ivf", Similarity.ivfTopK(emb, q, 10))
+    spark.stop()
+  }
+}

@@ -246,12 +246,23 @@ object SparkEntry {
   }
 
   /** q17 — approximate distinct (HLL sketch): the 100 TB path for q13.
-    * No DuckDB oracle (different sketch impls); driver records a
-    * rows-only check. */
+    * Sketch internals differ between engines, so the oracle checks the
+    * sketch's CONTRACT instead of its value: Spark emits the exact
+    * counts (DuckDB recomputes them independently) plus booleans
+    * asserting the rsd=2% sketch landed within 5% of exact — the row
+    * hash-matches iff the sketch honors its error bound. HLL is
+    * deterministic for fixed data, so the booleans are stable. */
   private def q17(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).agg(
-      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+      countDistinct(col("l_partkey")).as("d_parts"),
+      countDistinct(col("l_orderkey")).as("d_orders"))
+      .select(col("d_parts"), col("d_orders"),
+        (abs(col("ap") - col("d_parts")).cast("double") / col("d_parts") <= 0.05)
+          .as("parts_within_5pct"),
+        (abs(col("ao") - col("d_orders")).cast("double") / col("d_orders") <= 0.05)
+          .as("orders_within_5pct"))
 
   /** q18 — backward as-of join (orders pick up the latest lineitem
     * shipment at/before their order date for a shared key) via the
@@ -536,15 +547,50 @@ object SparkEntry {
   private def d01(s: SparkSession, d: String): DataFrame =
     TextDedup.exact(Tables.documents(s, d), "doc_id", "text")
 
-  /** d02 — MinHash+LSH near-dup candidate pairs, Jaccard-verified.
-    * No SQL oracle (hash-family internals); rows-only check. */
-  private def d02(s: SparkSession, d: String): DataFrame =
-    TextDedup.minhashPairs(Tables.documents(s, d), "doc_id", "text")
+  /** d02 — MinHash+LSH near-dup pairs, checked as a recall contract:
+    * hash-family internals aren't SQL-expressible, but the ground truth
+    * IS — pairs whose shingle-set AND token-set Jaccard clear 0.6
+    * ([[TextDedup.shingleJaccardPairs]]). Spark emits the exact truth
+    * count (DuckDB recomputes it independently) plus a boolean that the
+    * banded-LSH pipeline recovered >= 90% of the truth set (measured:
+    * 25/25 at sf0.01, 256/256 at sf0.1 — RecallProbe). Fixed hash
+    * seeds make the boolean deterministic. */
+  private def d02(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val truth = TextDedup.shingleJaccardPairs(docs, "doc_id", "text")
+    val found = TextDedup.minhashPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b")
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val nHit = truth.join(found, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nTrue.crossJoin(nHit).select(col("n_true"),
+      (col("n_hit") >= col("n_true") * lit(0.9)).as("recall_ok"))
+  }
 
-  /** d03 — SimHash near-dup pairs (Hamming <= 3 via chunk blocking).
-    * No SQL oracle; rows-only check. */
-  private def d03(s: SparkSession, d: String): DataFrame =
-    TextDedup.simhashPairs(Tables.documents(s, d), "doc_id", "text")
+  /** d03 — SimHash near-dup pairs. The chunk blocking is pigeonhole-
+    * EXACT (any pair at Hamming <= 3 shares one of the four 16-bit
+    * chunks), so the check cross-validates the blocked operator against
+    * an in-Spark brute-force all-signature-pairs scan: both directions
+    * of the symmetric difference must be empty. The oracle asserts the
+    * contract (constant TRUE row) — the signature itself has no SQL
+    * equivalent. */
+  private def d03(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sigs = TextDedup.simhash(docs, "doc_id", "text")
+    val blocked = TextDedup.simhashPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b")
+    val brute = sigs.alias("a")
+      .join(sigs.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val missed = brute.join(blocked, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("nm"))
+    val extra = blocked.join(brute, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("nx"))
+    brute.agg(count(lit(1)).as("nb")).crossJoin(missed).crossJoin(extra)
+      .select((col("nm") === 0 && col("nx") === 0).as("blocking_exact"),
+        (col("nb") > 0).as("pairs_nonzero"))
+  }
 
   /** d04 — exact token-set Jaccard pairs within a source block, via the
     * inverted-index join (pure SQL semantics — fully oracle-checked). */
@@ -552,10 +598,24 @@ object SparkEntry {
     TextDedup.tokenJaccardPairs(Tables.documents(s, d), "doc_id", "text",
       blockCol = "source", threshold = 0.5)
 
-  /** d05 — embedding near-duplicates via sign-LSH + cosine verify.
-    * No SQL oracle (LSH recall is probabilistic); rows-only check. */
-  private def d05(s: SparkSession, d: String): DataFrame =
-    Similarity.nearDupPairs(Tables.embeddings(s, d), threshold = 0.4)
+  /** d05 — embedding near-duplicates via sign-LSH + cosine verify,
+    * checked as a recall contract against the exact all-pairs truth:
+    * DuckDB recomputes n_true independently (list_cosine_similarity),
+    * and the boolean asserts the auto-tuned LSH recovered >= 80% of it
+    * (measured: 0.915 at sf0.01, 0.970 at sf0.1 — RecallProbe).
+    * Found pairs are exact-verified >= threshold, so found ⊆ truth and
+    * recall is just n_hit/n_true. Seeded hyperplanes → deterministic. */
+  private def d05(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val truth = Similarity.bruteForcePairs(emb, threshold = 0.4)
+    val found = Similarity.nearDupPairs(emb, threshold = 0.4)
+      .select("id_a", "id_b")
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val nHit = truth.join(found, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nTrue.crossJoin(nHit).select(col("n_true"),
+      (col("n_hit") >= col("n_true") * lit(0.8)).as("recall_ok"))
+  }
 
   /** s01 — brute-force exact cosine top-10 for query vectors vec_id<10
     * (codegen'd CosineSimilarity kernel, broadcast queries). */
@@ -564,18 +624,51 @@ object SparkEntry {
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
   }
 
-  /** s02 — LSH-bucketed approximate top-10, exact re-rank of candidates.
-    * No SQL oracle (approximate by design); rows-only check. */
-  private def s02(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
+  /** Shared shape of the ANN recall checks (s02/s03): recall@10 of an
+    * approximate top-k against the exact brute-force top-k (s01's path),
+    * per query. Both sides are deterministic (seeded LSH / seeded
+    * KMeans, unique-tie-break rankings), so `n_hit >= minHits` is a
+    * stable boolean the oracle asserts per query id. */
+  private def annRecallCheck(approx: DataFrame, exact: DataFrame,
+                             minHits: Int): DataFrame = {
+    val truthPairs = exact.select(col("query_id"), col("cand_id"))
+    val hits = truthPairs
+      .join(approx.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    truthPairs.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hit"), lit(0L)) >= minHits).as("recall_ok"))
   }
 
-  /** s03 — IVF approximate top-10: k-means cells + nProbe probing +
-    * exact rerank. No SQL oracle (clustering-dependent); rows-only. */
+  /** s02 — LSH-bucketed approximate top-10 with exact re-rank, checked
+    * as recall@10 >= 0.6 per query vs the brute-force truth (measured
+    * min hits = 8 at sf0.01 AND sf0.1 — see graft.RecallProbe; the
+    * fixture embeddings are near-random, 10th neighbors at cosine ~0.25,
+    * so the auto-tuned table/plane budget from
+    * [[graft.operators.Similarity.tuneSignLsh]] is what carries this). */
+  private def s02(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+    annRecallCheck(
+      Similarity.lshTopK(emb, q, k = 10),
+      Similarity.bruteForceTopK(emb, q, k = 10), minHits = 6)
+  }
+
+  /** s03 — IVF approximate top-10 (sampled k-means cells + nProbe
+    * probing + exact rerank), checked as recall@10 >= 0.4 per query vs
+    * the brute-force truth. nProbe/nLists = 6/16 of the corpus is
+    * scanned; measured min hits = 5 at both SFs (RecallProbe), so 4 is
+    * the contract with one hit of margin — honest for near-random
+    * embeddings where cell residency barely correlates with top-10
+    * membership. */
   private def s03(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
+    val q = emb.filter(col("vec_id") < 10)
+    annRecallCheck(
+      Similarity.ivfTopK(emb, q, k = 10),
+      Similarity.bruteForceTopK(emb, q, k = 10), minHits = 4)
   }
 
   /** t06 — stopword filtering: token counts before/after removing the
@@ -662,13 +755,19 @@ object SparkEntry {
 
   /** m01 — multimodal feature extraction: binary payloads → per-asset
     * feature vectors via the mapPartitions batch decode (stub codec).
-    * Deterministic but not SQL-expressible; rows-only check. */
+    * The oracle covers every SQL-derivable column (asset metadata is
+    * pure arithmetic on doc_id; payload size is byte length) and that
+    * the decode produced the expected feature dimensionality; the
+    * checksum/feature VALUES (stub-codec internals) stay covered by
+    * MultimodalSpec. */
   private def m01(s: SparkSession, d: String): DataFrame = {
     implicit val sp: SparkSession = s
     graft.multimodal.Multimodal.extractFeatures(
       graft.multimodal.Multimodal.assetsFromDocuments(s, d))
-      .toDF().select(col("asset_id"), col("kind"), col("checksum"),
-        size(col("features")).as("dim"))
+      .toDF().select(col("asset_id"), col("kind"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        size(col("features")).cast("long").as("dim"))
   }
 
   /** m02 — video frame sampling: one row per 64-byte frame window.
@@ -863,6 +962,12 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM sess GROUP BY 1, 2""".stripMargin,
+    "q17_approx_distinct" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS d_parts,
+        |CAST(count(DISTINCT l_orderkey) AS BIGINT) AS d_orders,
+        |TRUE AS parts_within_5pct,
+        |TRUE AS orders_within_5pct
+        |FROM lineitem""".stripMargin,
     "q18_asof_join" ->
       """SELECT o_orderkey,
         |strftime(o_orderdate, '%Y-%m-%d') AS order_date,
@@ -1022,6 +1127,48 @@ object SparkEntry {
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS canonical_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    // d02 oracle: the truth count is recomputed from scratch in DuckDB
+    // (order-preserving distinct via first-occurrence list_filter, 3-gram
+    // shingles, inverted-index joins); recall_ok is the LSH contract.
+    "d02_dedup_minhash" ->
+      """WITH raw AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+        |t AS (SELECT doc_id,
+        |    list_filter(tk, (x,i) -> list_position(tk, x) = i) AS toks FROM raw),
+        |sh AS (SELECT doc_id, toks,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i+1:i+3], ' ')
+        |               FOR i IN range(0, len(toks)-2)] END AS shingles
+        |    FROM t),
+        |cnt AS (SELECT doc_id, len(shingles) AS ns, len(toks) AS nt FROM sh),
+        |se AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |si AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS i FROM se a
+        |       JOIN se b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |te AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+        |ti AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS i FROM te a
+        |       JOIN te b ON a.tk = b.tk AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok
+        |FROM si JOIN ti ON si.ia = ti.ia AND si.ib = ti.ib
+        |JOIN cnt ca ON si.ia = ca.doc_id JOIN cnt cb ON si.ib = cb.doc_id
+        |WHERE CAST(si.i AS DOUBLE) / (ca.ns + cb.ns - si.i) >= 0.6
+        |  AND CAST(ti.i AS DOUBLE) / (ca.nt + cb.nt - ti.i) >= 0.6""".stripMargin,
+    // d03 oracle: constant contract row — the in-Spark check is the
+    // brute-force cross-validation (pigeonhole blocking is exact).
+    "d03_dedup_simhash" ->
+      "SELECT TRUE AS blocking_exact, TRUE AS pairs_nonzero",
+    "d05_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |p AS (SELECT list_cosine_similarity(a.v, b.v) AS s
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok
+        |FROM p WHERE s >= 0.4""".stripMargin,
+    "s02_ann_lsh" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "s03_ann_ivf" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "d04_token_jaccard" ->
       """WITH tok AS (
         |  SELECT doc_id, source,
@@ -1102,6 +1249,14 @@ object SparkEntry {
     "t04_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+    "m01_multimodal_features" ->
+      """SELECT doc_id AS asset_id,
+        |CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |     WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |CAST(doc_id % 640 + 64 AS BIGINT) AS width,
+        |CAST(doc_id % 480 + 48 AS BIGINT) AS height,
+        |CAST(8 AS BIGINT) AS dim
         |FROM documents""".stripMargin,
     "m02_frame_sampling" ->
       """SELECT doc_id AS asset_id,

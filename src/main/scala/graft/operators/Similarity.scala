@@ -51,12 +51,46 @@ object Similarity {
     Array.fill(n)(Array.fill(dim)(rnd.nextGaussian().toFloat))
   }
 
-  /** Embedding dimensionality probed from the first corpus row (one
-    * tiny job). Hardcoding a dim silently truncates wider vectors
-    * (DotProduct folds over min length) and wastes plane components on
-    * narrower ones. */
-  private def probeDim(corpus: DataFrame, vecCol: String): Int =
-    corpus.select(size(col(vecCol))).head().getInt(0)
+  /** Corpus row count + embedding dimensionality in ONE tiny job
+    * (parquet count is near-metadata-only; max(size) avoids hardcoding
+    * a dim — DotProduct folds over min length, so a wrong dim silently
+    * truncates or wastes plane components). */
+  private def corpusStats(corpus: DataFrame, vecCol: String): (Long, Int) = {
+    val r = corpus.agg(count(lit(1)), max(size(col(vecCol)))).head()
+    (r.getLong(0), r.getInt(1))
+  }
+
+  /** Probability a random hyperplane puts a pair at cosine `sim` on the
+    * same side: 1 - θ/π. */
+  private def signAgreeProb(sim: Double): Double =
+    1.0 - math.acos(math.max(-1.0, math.min(1.0, sim))) / math.Pi
+
+  /** THE sign-LSH selectivity dial, sized from the corpus instead of
+    * fixed constants (a fixed bucket count makes candidate volume
+    * Θ(N²/buckets) for self-joins — quadratic death at 100 TB):
+    *
+    *  - `planes = ceil(log2(n / targetBucket))` so expected bucket
+    *    occupancy stays ~targetBucket as N grows (buckets = 2^planes).
+    *  - `tables = ceil(ln(1-targetRecall) / ln(1-p^planes))` with
+    *    p = 1-θ/π at `simFloor`, so a pair at the floor similarity is
+    *    still caught with targetRecall after OR-amplification.
+    *
+    * The tension is explicit: raising planes (selectivity) decays
+    * p^planes geometrically, so tables must grow to hold recall — the
+    * table cap below is the honest cost ceiling; past it, either the
+    * similarity floor rises (true near-dups survive: p(0.9)=0.86 keeps
+    * tables bounded at any N) or recall degrades. Both clamps are logged
+    * in the return value rather than hidden. */
+  private[graft] def tuneSignLsh(n: Long, simFloor: Double,
+                                 targetRecall: Double, targetBucket: Int)
+      : (Int, Int) = {
+    val planes = math.max(2, math.min(20,
+      math.ceil(math.log(math.max(2.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
+    val pBand = math.pow(signAgreeProb(simFloor), planes)
+    val tables = math.max(8, math.min(48,
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toInt))
+    (tables, planes)
+  }
 
   /** Sign-pattern bucket id for one LSH table: bit i = sign(v · plane_i). */
   private def bucketFor(vec: Column, planes: Array[Array[Float]]): Column =
@@ -70,12 +104,16 @@ object Similarity {
     * query; exact cosine re-rank of candidates. Recall for neighbors at
     * angle θ is 1-(1-(1-θ/π)^planes)^tables. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nTables: Int = 16, planesPerTable: Int = 6, seed: Long = 42L,
+              nTables: Int = -1, planesPerTable: Int = -1, seed: Long = 42L,
+              simFloor: Double = 0.25, targetRecall: Double = 0.9,
+              targetBucket: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
-    val dim = probeDim(corpus, vecCol)
-    val tables = (0 until nTables).map(t =>
-      hyperplanes(planesPerTable, dim, seed + t))
+    val (n, dim) = corpusStats(corpus, vecCol)
+    val (autoT, autoP) = tuneSignLsh(n, simFloor, targetRecall, targetBucket)
+    val nT = if (nTables > 0) nTables else autoT
+    val nP = if (planesPerTable > 0) planesPerTable else autoP
+    val tables = (0 until nT).map(t => hyperplanes(nP, dim, seed + t))
 
     // bucket ids only — the candidate distinct() must never shuffle
     // 64-float vectors, just (query_id, cand_id) pairs
@@ -115,7 +153,8 @@ object Similarity {
     * classic recall/cost dial. Centroids are tiny and broadcast.
     * Uses Spark MLlib KMeans (cosine distance) — public API. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              nLists: Int = 16, nProbe: Int = 6, seed: Long = 42L,
+              trainCap: Int = 4096,
               idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
@@ -124,9 +163,19 @@ object Similarity {
     val featurized = corpus.select(col(idCol).as("cand_id"),
       col(vecCol).as("cand_vec"),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    // train on a bounded deterministic sample: KMeans.fit runs maxIter
+    // full passes + a per-iteration driver sync, so fitting the whole
+    // corpus makes TRAINING cost O(corpus) × 5 — at 100 TB the centroids
+    // must come from O(trainCap) rows; only the single assignment pass
+    // below touches everything. Sampling is seeded → model deterministic.
+    val n = featurized.count()
+    val trainSet =
+      if (n > trainCap) featurized.sample(withReplacement = false,
+        trainCap.toDouble / n, seed)
+      else featurized
     val model = new KMeans().setK(nLists).setSeed(seed)
       .setDistanceMeasure("cosine").setMaxIter(5)
-      .fit(featurized)
+      .fit(trainSet)
 
     val assigned = model.transform(featurized)
       .select(col("cand_id"), col("cand_vec"), col("prediction").as("cell"))
@@ -164,12 +213,17 @@ object Similarity {
     * threshold, found via the same sign-LSH tables (both sides bucketed,
     * self-join per table/bucket) then exact cosine verify. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
-                   nTables: Int = 16, planesPerTable: Int = 4, seed: Long = 42L,
+                   nTables: Int = -1, planesPerTable: Int = -1, seed: Long = 42L,
+                   targetRecall: Double = 0.95, targetBucket: Int = 64,
                    idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
-    val dim = probeDim(corpus, vecCol)
-    val tables = (0 until nTables).map(t =>
-      hyperplanes(planesPerTable, dim, seed + t))
+    val (n, dim) = corpusStats(corpus, vecCol)
+    // simFloor = the verify threshold: recall is promised exactly for
+    // pairs the operator would keep
+    val (autoT, autoP) = tuneSignLsh(n, threshold, targetRecall, targetBucket)
+    val nT = if (nTables > 0) nTables else autoT
+    val nP = if (planesPerTable > 0) planesPerTable else autoP
+    val tables = (0 until nT).map(t => hyperplanes(nP, dim, seed + t))
     val bucketed = corpus.select(col(idCol).as("id"),
       posexplode(array(tables.map(p => bucketFor(col(vecCol), p)): _*)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
@@ -187,5 +241,20 @@ object Similarity {
       .withColumn("sim", VectorFunctions.cosine(col("vec_a"), col("vec_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Exact all-pairs cosine >= threshold — the O(N²) ground truth the
+    * LSH recall checks compare against. Deliberately quadratic: this is
+    * the verification oracle for [[nearDupPairs]], not a scale path
+    * (one side is broadcast; never run it on an unbounded corpus). */
+  def bruteForcePairs(corpus: DataFrame, threshold: Double,
+                      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val l = corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val r = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    l.join(broadcast(r), col("id_a") < col("id_b"))
+      .withColumn("sim", VectorFunctions.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"))
   }
 }

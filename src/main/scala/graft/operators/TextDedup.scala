@@ -76,6 +76,45 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Exact shingle-set Jaccard pairs via the shingle inverted index —
+    * the deterministic ground truth for MinHash recall checks: a pair
+    * belongs to the truth set iff BOTH its shingle-set Jaccard (what the
+    * minhash signature estimates) and its token-set Jaccard (what
+    * [[minhashPairs]]' verify stage filters on) clear `threshold`.
+    * Shingles are far more discriminative than tokens, so the inverted
+    * self-join stays near-linear where a token index would be Σdf²-
+    * quadratic. Fully SQL-expressible → DuckDB-oracle-checkable. */
+  def shingleJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int = 3, threshold: Double = 0.6)
+      : DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokenSet(col(textCol)).as("toks"))
+      .withColumn("sh", TextFunctions.shingles(col("toks"), shingleN))
+    // shingles over a DISTINCT token sequence cannot repeat, so
+    // size(sh) is the set cardinality
+    val sizes = base.select(col("doc_id"), size(col("sh")).as("ns"))
+    val inv = base.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inter = inv.alias("a")
+      .join(inv.alias("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("si"))
+    val toks = base.select(col("doc_id"), col("toks"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("ns").as("ns_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("ns").as("ns_b")), "id_b")
+      .filter(col("si").cast("double") /
+        (col("ns_a") + col("ns_b") - col("si")).cast("double") >= threshold)
+      .join(toks.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(toks.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      // require a shared token (mirrors the oracle's inner joins) so a
+      // pair of empty docs ("" shingle, union-0 jaccard=1 convention)
+      // cannot enter through the degenerate branch
+      .filter(size(array_intersect(col("toks_a"), col("toks_b"))) > 0
+        && jaccard(col("toks_a"), col("toks_b")) >= threshold)
+      .select("id_a", "id_b")
+  }
+
   /** Exact token-set Jaccard as a Column expression. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
