@@ -92,12 +92,17 @@ object Similarity {
     (tables, planes)
   }
 
-  /** Sign-pattern bucket id for one LSH table: bit i = sign(v · plane_i). */
-  private def bucketFor(vec: Column, planes: Array[Array[Float]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val plane = array(p.map(lit): _*).cast("array<float>")
-      when(VectorFunctions.dot(vec, plane) > 0.0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  /** (table, bucket) rows for every LSH table in one generator pass:
+    * the codegen'd [[graft.plans.SignBuckets]] expression computes all
+    * table buckets per row (planes ride along as a referenced object,
+    * NOT as tables×planes×dim literals — plan size stays O(1) in the
+    * LSH budget), then posexplode yields one row per table. */
+  private def allBuckets(df: DataFrame, idCol: String, outId: String,
+                         vecCol: String,
+                         tables: Seq[Array[Array[Float]]]): DataFrame =
+    df.select(col(idCol).as(outId),
+      posexplode(graft.plans.SignBucketsFunctions.signBuckets(col(vecCol), tables)))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
 
   /** LSH-bucketed approximate top-k: `nTables` independent sign-LSH
     * tables; candidates = corpus rows sharing any table bucket with the
@@ -117,13 +122,9 @@ object Similarity {
 
     // bucket ids only — the candidate distinct() must never shuffle
     // 64-float vectors, just (query_id, cand_id) pairs
-    def bucketed(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id),
-        posexplode(array(tables.map(p => bucketFor(col(vecCol), p)): _*)))
-        .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
-
-    val candidates = bucketed(corpus, "cand_id")
-      .join(broadcast(bucketed(queries, "query_id")), Seq("table", "bucket"))
+    val candidates = allBuckets(corpus, idCol, "cand_id", vecCol, tables)
+      .join(broadcast(allBuckets(queries, idCol, "query_id", vecCol, tables)),
+        Seq("table", "bucket"))
       .filter(col("cand_id") =!= col("query_id"))
       .select("query_id", "cand_id").distinct()
 
@@ -224,9 +225,7 @@ object Similarity {
     val nT = if (nTables > 0) nTables else autoT
     val nP = if (planesPerTable > 0) planesPerTable else autoP
     val tables = (0 until nT).map(t => hyperplanes(nP, dim, seed + t))
-    val bucketed = corpus.select(col(idCol).as("id"),
-      posexplode(array(tables.map(p => bucketFor(col(vecCol), p)): _*)))
-      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    val bucketed = allBuckets(corpus, idCol, "id", vecCol, tables)
 
     val l = bucketed.select(col("table"), col("bucket"), col("id").as("id_a"))
     val r = bucketed.select(col("table"), col("bucket"), col("id").as("id_b"))

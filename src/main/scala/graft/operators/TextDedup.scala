@@ -126,32 +126,60 @@ object TextDedup {
     * (e.g. source). Candidate generation via the shared-token inverted
     * index (explode + equi-join on token), so cost is Σ_token df(token)²
     * within blocks, never corpus². Oracle-checkable: semantics are pure
-    * SQL (explode/join/count), no hashing involved. */
-  /** @param dfPrefilter drop df=1 tokens from the inverted index before
+    * SQL (explode/join/count), no hashing involved.
+    *
+    * @param dfPrefilter drop df=1 tokens from the inverted index before
     *   the self-join (lossless: they can never contribute to an
     *   intersection; doc sizes for |A∪B| are computed beforehand).
     *   Pays for its extra shuffle only when the vocabulary has a long
     *   df=1 tail — true for natural-language corpora, FALSE for this
     *   benchmark's ~100-word synthetic vocabulary (measured 3.9s→6.1s
-    *   at sf0.1 with it on), so it defaults off. */
+    *   at sf0.1 with it on), so it defaults off.
+    * @param maxDfRatio THE scale dial: tokens present in more than this
+    *   fraction of their block are dropped from the token universe
+    *   (both intersections AND set sizes — a self-consistent Jaccard
+    *   over the discriminative-token universe). The inverted-index
+    *   self-join costs Σ df² per block; stopword-like tokens with
+    *   df ≈ block size make that quadratic in block size while telling
+    *   nothing about document similarity (every pair shares them).
+    *   1.0 = off (exact classic Jaccard, the d04 contract); 0.8 is the
+    *   d04b contract, mirrored in its oracle. Lossy by design: a pair
+    *   whose overlap is ONLY ubiquitous tokens is no near-dup. */
   def tokenJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, threshold: Double,
-                        dfPrefilter: Boolean = false): DataFrame = {
+                        dfPrefilter: Boolean = false,
+                        maxDfRatio: Double = 1.0): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
       TextFunctions.tokenSet(col(textCol)).as("toks"))
-    val sizes = toks.select(col("doc_id"), size(col("toks")).as("n"))
     val inverted = toks.select(col("doc_id"), col("blk"),
       explode(col("toks")).as("tok"))
 
-    val sharedInv = if (dfPrefilter) {
-      val shared = inverted.groupBy(col("blk"), col("tok"))
-        .agg(count(lit(1)).as("df")).filter(col("df") > 1)
-        .select("blk", "tok")
-      inverted.join(shared, Seq("blk", "tok"))
-    } else inverted
+    val (universe, sizes) =
+      if (maxDfRatio < 1.0) {
+        // blocks and the (block, token) vocabulary are both tiny relative
+        // to the corpus — the kept-token table broadcasts, so capping adds
+        // one small aggregation, no extra fact-side shuffle
+        val blockSizes = docs.groupBy(col(blockCol).as("blk"))
+          .agg(count(lit(1)).as("bn"))
+        val kept = inverted.groupBy(col("blk"), col("tok"))
+          .agg(count(lit(1)).as("df"))
+          .join(broadcast(blockSizes), "blk")
+          .filter(col("df") <= col("bn") * maxDfRatio)
+          .select("blk", "tok")
+        val fidx = inverted.join(broadcast(kept), Seq("blk", "tok"))
+        (fidx, fidx.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
+      } else {
+        val base = if (dfPrefilter) {
+          val shared = inverted.groupBy(col("blk"), col("tok"))
+            .agg(count(lit(1)).as("df")).filter(col("df") > 1)
+            .select("blk", "tok")
+          inverted.join(shared, Seq("blk", "tok"))
+        } else inverted
+        (base, toks.select(col("doc_id"), size(col("toks")).as("n")))
+      }
 
-    val pairInter = sharedInv.alias("a")
-      .join(sharedInv.alias("b"),
+    val pairInter = universe.alias("a")
+      .join(universe.alias("b"),
         col("a.tok") === col("b.tok") && col("a.blk") === col("b.blk")
           && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
