@@ -62,4 +62,21 @@ class SimilaritySpec extends SparkSpec {
     // random 64-dim vectors are a worst case for LSH; just require signal
     assert(recall > 0.2, s"recall=$recall")
   }
+
+  test("tuneSignLsh dial: buckets grow with N, tables grow to hold recall") {
+    val (t1, p1) = Similarity.tuneSignLsh(500, 0.4, 0.95, 64)
+    val (t2, p2) = Similarity.tuneSignLsh(2000, 0.4, 0.95, 64)
+    val (t3, p3) = Similarity.tuneSignLsh(2000000, 0.4, 0.95, 64)
+    // planes (log2 of bucket count) track corpus size
+    assert(p1 < p2 && p2 < p3)
+    assert(p2 == 5)                      // ceil(log2(2000/64))
+    // more planes decay per-table collision odds -> more tables needed
+    assert(t1 <= t2)
+    // the cost ceiling clamps runaway table counts (documented tradeoff)
+    assert(t3 <= 48)
+    // a genuinely-near floor keeps tables bounded at ANY corpus size:
+    // p(0.9) = 0.856/plane, so even 20 planes need few tables
+    val (tNear, _) = Similarity.tuneSignLsh(2000000000L, 0.9, 0.95, 64)
+    assert(tNear <= 48)
+  }
 }

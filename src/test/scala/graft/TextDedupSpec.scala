@@ -77,4 +77,38 @@ class TextDedupSpec extends SparkSpec {
       .toDF("t").select(TextFunctions.fingerprint($"t").as("f"))
     assert(df.distinct().count() == 1)
   }
+
+  test("shingleJaccardPairs ground truth: dup and near-dup, not unrelated") {
+    val pairs = TextDedup.shingleJaccardPairs(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))             // exact dup: shingleJ = 1
+    assert(!pairs.exists(p => p._1 >= 3L || p._2 >= 3L))
+    // minhash recall contract on this corpus: every truth pair found
+    val found = TextDedup.minhashPairs(corpus, "doc_id", "text",
+      threshold = 0.5).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(found))
+  }
+
+  test("df cap drops ubiquitous tokens: capped Jaccard diverges as designed") {
+    // 'common...' tokens appear in all 4 docs of the block (df ratio 1.0);
+    // the distinguishing tail tokens are rare
+    val docs = Seq(
+      (0L, "common alpha beta gamma delta epsilon one two"),
+      (1L, "alpha common beta gamma delta epsilon one two"),
+      (2L, "common alpha beta gamma delta epsilon nine ten"),
+      (3L, "common alpha beta gamma delta epsilon eleven twelve")
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val exact = TextDedup.tokenJaccardPairs(docs, "doc_id", "text",
+      "source", threshold = 0.5).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val capped = TextDedup.tokenJaccardPairs(docs, "doc_id", "text",
+      "source", threshold = 0.5, maxDfRatio = 0.8).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    // uncapped: the 6 ubiquitous tokens dominate — every pair is 6/10 or
+    // 8/8, all >= 0.5: near-dup detection is meaningless
+    assert(exact == Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L)))
+    // capped universe = the 2 rare tokens per doc (df 1/4 or 2/4 <= 0.8;
+    // the common six at 4/4 are dropped): only (0,1) remain near-dups
+    assert(capped == Set((0L, 1L)))
+  }
 }

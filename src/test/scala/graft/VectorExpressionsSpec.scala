@@ -87,6 +87,41 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(DotProduct(clean, clean).eval() == 14.0)
   }
 
+  test("SignBuckets: codegen == interpreted == per-plane dot signs; null elem -> null") {
+    import graft.plans.{SignBuckets, SignBucketsFunctions}
+    import graft.operators.Similarity
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val tables = (0 until 3).map(t => Similarity.hyperplanes(4, 8, 7L + t))
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(20)
+    // codegen path through the DataFrame API
+    val viaDf = emb.select($"vec_id",
+      SignBucketsFunctions.signBuckets($"embedding", tables).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // reference: per-plane dot signs computed driver-side
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    for ((id, v) <- vecs) {
+      val expect = tables.map { planes =>
+        planes.zipWithIndex.map { case (p, i) =>
+          val dot = p.zip(v).map { case (a, b) => a.toDouble * b.toDouble }.sum
+          if (dot > 0.0) 1L << i else 0L
+        }.reduce(_ | _)
+      }
+      assert(viaDf(id) == expect, s"vec $id")
+    }
+    // interpreted path + null element
+    val at = ArrayType(FloatType, containsNull = true)
+    val flat = tables.flatten.toArray
+    val clean = Literal.create(
+      new GenericArrayData(Array.tabulate[Any](8)(i => (i + 1).toFloat)), at)
+    val dirty = Literal.create(
+      new GenericArrayData(Array[Any](1f, null, 3f, 4f, 5f, 6f, 7f, 8f)), at)
+    assert(SignBuckets(clean, flat, 4).eval() != null)
+    assert(SignBuckets(dirty, flat, 4).eval() == null)
+  }
+
   test("minhash skips null shingles instead of NPE (codegen + interpreted)") {
     import graft.plans.{MinHashFunctions, MinHashSignature}
     import org.apache.spark.sql.catalyst.expressions.Literal
