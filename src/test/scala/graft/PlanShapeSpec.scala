@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape regression tests: the 100 TB story lives in the PHYSICAL
+  * plan, not the row counts — these assertions pin the plan properties
+  * the design rules promise (pushdown, broadcast dims, partial top-1,
+  * top-k without a global sort, no accidental cartesian products) so a
+  * refactor that silently degrades a plan fails CI, not the cluster. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf("sf0.001"))
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q06: filter AND projection reach the parquet scan") {
+    val p = plan("q06_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // pruned ReadSchema: only the 3 referenced columns are read
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(Seq("l_orderkey", "l_extendedprice", "l_quantity", "l_shipdate")
+      .count(read.contains) == read.split(",").length, read)
+    assert(!read.contains("l_comment") && !read.contains("l_partkey"), read)
+  }
+
+  test("q02: dedup-latest plans a partial top-1 before the exchange") {
+    val p = plan("q02_dedup_latest")
+    assert(p.contains("WindowGroupLimit"), p)
+    // partial mode runs map-side, final after one hash exchange
+    assert(p.contains("Partial") || p.split("WindowGroupLimit").length > 2, p)
+  }
+
+  test("q03: dimensions broadcast; the fact side is never re-partitioned") {
+    val p = plan("q03_enrich_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q07: global top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q07_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // no full Sort node outside the take-ordered operator
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("Sort ")), p)
+  }
+
+  test("q01: cleaning projections stay inside whole-stage codegen") {
+    // formatted mode marks codegen'd operators with a '*' prefix
+    val p = plan("q01_clean_project")
+    assert(p.contains("* Project"), p)
+  }
+
+  test("no CartesianProduct exec anywhere in the registry") {
+    // crossJoin appears only with broadcast-tiny sides (1-row aggregates,
+    // query/centroid frames) and must plan as BroadcastNestedLoopJoin —
+    // a CartesianProduct means both sides were large: a scale bug
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
+}
