@@ -57,7 +57,8 @@ object SparkEntry {
     Dedup.latestPerGroupAgg(
       Tables.lineitem(s, d),
       keys = Seq("l_suppkey", "l_partkey"),
-      orderKey = struct(col("l_shipdate"), -col("l_orderkey"), -col("l_linenumber")))
+      orderKey = struct(col("l_shipdate"), -col("l_orderkey"), -col("l_linenumber")),
+      payload = Seq("l_shipdate", "l_extendedprice"))
       .select(
         col("l_suppkey").as("premise_code"),
         col("l_partkey").as("item_code"),
@@ -359,13 +360,18 @@ object SparkEntry {
   }
 
   /** q25 — exact interpolated percentiles (Spark `percentile` ==
-    * DuckDB `quantile_cont` semantics). */
+    * DuckDB `quantile_cont` semantics). One percentile(array(...)) call:
+    * four separate aggregates each build their own value-count map over
+    * the full column — the array form shares a single buffer. */
   private def q25(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).agg(
-      round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
-      round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-      round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
-      round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+    Tables.orders(s, d)
+      .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.99D))")
+        .as("ps"))
+      .select(
+        round(element_at(col("ps"), 1), 4).as("p25"),
+        round(element_at(col("ps"), 2), 4).as("p50"),
+        round(element_at(col("ps"), 3), 4).as("p75"),
+        round(element_at(col("ps"), 4), 4).as("p99"))
 
   /** q30 — semi-structured JSON column: extract + filter + aggregate on
     * a JSON field inside the events.props string column. */

@@ -38,15 +38,23 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** A1, aggregate formulation: max_by(struct(*), orderKey) with partial
-    * aggregation. `orderKey` must be a totally-ordering struct/column so
-    * ties cannot occur (e.g. struct(date, orderkey)). */
+  /** A1, aggregate formulation: max_by(struct(payload), orderKey) with
+    * partial aggregation. `orderKey` must be a totally-ordering
+    * struct/column so ties cannot occur (e.g. struct(date, orderkey)).
+    *
+    * Pass `payload` explicitly when the caller needs only a few columns:
+    * Catalyst cannot prune through the max_by struct buffer, so the
+    * default carry-everything form reads and shuffles the FULL row per
+    * group-partition (measured 2.7s vs 1.2s at sf0.1 on lineitem's 16
+    * columns when only 2 survive to the output). */
   def latestPerGroupAgg(df: DataFrame, keys: Seq[String],
-                        orderKey: Column): DataFrame = {
-    val payload = df.columns.filterNot(keys.contains)
+                        orderKey: Column,
+                        payload: Seq[String] = Nil): DataFrame = {
+    val pay = if (payload.nonEmpty) payload
+              else df.columns.filterNot(keys.contains).toSeq
     val grouped = df.groupBy(keys.map(col): _*)
-      .agg(max_by(struct(payload.map(col): _*), orderKey).as("__row"))
-    payload.foldLeft(grouped)((d, c) => d.withColumn(c, col(s"__row.$c")))
+      .agg(max_by(struct(pay.map(col): _*), orderKey).as("__row"))
+    pay.foldLeft(grouped)((d, c) => d.withColumn(c, col(s"__row.$c")))
       .drop("__row")
   }
 
