@@ -33,4 +33,19 @@ class VectorAggregatorSpec extends SparkSpec {
       .select($"c").as[Array[Double]].head()
     assert(out.toSeq == Seq(3.0, 6.0))
   }
+
+  test("VectorStats (sums, n) divides to exactly MeanVector's mean") {
+    import graft.functions.VectorStats
+    val stats = emb.groupBy($"label")
+      .agg(VectorStats.vectorStats($"embedding").as("st"))
+      .select($"label", $"st.n".as("n"), posexplode($"st.sums"))
+      .select($"label", $"pos", ($"col" / $"n").as("v"))
+    val means = emb.groupBy($"label")
+      .agg(MeanVector.meanVector($"embedding").as("c"))
+      .select($"label", posexplode($"c"))
+      .select($"label", $"pos", $"col".as("v"))
+    // same accumulation path -> bit-identical division results
+    assert(stats.except(means).count() == 0)
+    assert(means.except(stats).count() == 0)
+  }
 }
