@@ -80,8 +80,12 @@ object SqlitePacker {
     }
 
     Files.writeString(dir.resolve("schema.sql"), schemaSql)
+    // load.sql bootstraps the DDL itself (reference flow: create tables +
+    // indexes, then insert, main.rs:192-207 -> 289-311). Without it,
+    // `.import` on a missing table silently consumes the CSV header as
+    // column names and types everything TEXT.
     Files.writeString(dir.resolve("load.sql"),
-      ".mode csv\n" + tables.map { case (n, _) =>
+      ".read schema.sql\n.mode csv\n" + tables.map { case (n, _) =>
         s".import --skip 1 $n.csv $n" }.mkString("\n") + "\nVACUUM;\n")
 
     // zip with deflate, matching the reference's packaging (main.rs:312-325)
