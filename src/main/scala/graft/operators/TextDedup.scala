@@ -48,11 +48,14 @@ object TextDedup {
                    k: Int = 32, bands: Int = 8, shingleN: Int = 3,
                    threshold: Double = 0.6): DataFrame = {
     val rowsPerBand = k / bands
+    // fused shingle+minhash kernel: no shingle strings materialize, and
+    // the whole signature stage stays inside whole-stage codegen
+    // (byte-identical to shingles()+minhashSignature — TextDedupSpec)
     val withSig = docs.select(
       col(idCol).as("doc_id"),
       TextFunctions.tokenSet(col(textCol)).as("toks"))
-      .withColumn("shingles", TextFunctions.shingles(col("toks"), shingleN))
-      .withColumn("sig", minhashSignature(col("shingles"), k))
+      .withColumn("sig", graft.plans.MinHashShingleFunctions
+        .minhashShingleSignature(col("toks"), shingleN, k))
 
     // band join + distinct on bare id pairs (token arrays re-attached
     // after dedup — candidate shuffles carry 16-byte rows, not documents)

@@ -78,6 +78,26 @@ class TextDedupSpec extends SparkSpec {
     assert(df.distinct().count() == 1)
   }
 
+  test("fused shingle+minhash kernel == unfused shingles->minhash pipeline") {
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val toks = TextFunctions.tokenSet($"text")
+    val unfused = TextDedup.minhashSignature(TextFunctions.shingles(toks, 3), 32)
+    val fused = graft.plans.MinHashShingleFunctions
+      .minhashShingleSignature(toks, 3, 32)
+    val diff = docs.select($"doc_id", unfused.as("a"), fused.as("b"))
+      .filter(!($"a" <=> $"b"))
+    assert(diff.count() == 0)
+    // degenerate shapes: short doc (< n tokens), empty doc
+    val edge = Seq((1L, "just two"), (2L, "")).toDF("doc_id", "text")
+    val e = edge.select(
+      TextDedup.minhashSignature(
+        TextFunctions.shingles(TextFunctions.tokenSet($"text"), 3), 8).as("a"),
+      graft.plans.MinHashShingleFunctions
+        .minhashShingleSignature(TextFunctions.tokenSet($"text"), 3, 8).as("b"))
+      .filter(!($"a" <=> $"b"))
+    assert(e.count() == 0)
+  }
+
   test("shingleJaccardPairs ground truth: dup and near-dup, not unrelated") {
     val pairs = TextDedup.shingleJaccardPairs(corpus, "doc_id", "text")
       .as[(Long, Long)].collect().toSet
