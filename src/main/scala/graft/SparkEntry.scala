@@ -475,7 +475,10 @@ object SparkEntry {
           "n" -> ("l_extendedprice", "count"),
           "mn" -> ("l_quantity", "min"),
           "mx" -> ("l_quantity", "max")), factor = 8)
-      .select(col("l_returnflag"), round(col("total"), 4).as("total"),
+      // 2dp, not 4: the salted two-stage sum reassociates one level more
+      // than DuckDB's single agg, and at sf0.1 the extra ULP drift showed
+      // through a 4dp rounding (1e-9-relative diffs on ~5e9 sums)
+      .select(col("l_returnflag"), round(col("total"), 2).as("total"),
         col("n"), col("mn"), col("mx"))
 
   /** q27 — TPC-H Q3 shape (shipping priority): 3-way join with
@@ -1068,7 +1071,7 @@ object SparkEntry {
         |FROM orders""".stripMargin,
     "q26_salted_agg" ->
       """SELECT l_returnflag,
-        |round(CAST(sum(l_extendedprice) AS DOUBLE), 4) AS total,
+        |round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS total,
         |CAST(count(l_extendedprice) AS BIGINT) AS n,
         |min(l_quantity) AS mn, max(l_quantity) AS mx
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
