@@ -57,7 +57,9 @@ object Similarity {
     * truncates or wastes plane components). */
   private def corpusStats(corpus: DataFrame, vecCol: String): (Long, Int) = {
     val r = corpus.agg(count(lit(1)), max(size(col(vecCol)))).head()
-    (r.getLong(0), r.getInt(1))
+    // max() is NULL on an empty corpus — degrade to dim 0 (plans stay
+    // valid and return empty) instead of an NPE at the driver
+    (r.getLong(0), if (r.isNullAt(1)) 0 else r.getInt(1))
   }
 
   /** Probability a random hyperplane puts a pair at cosine `sim` on the
