@@ -281,6 +281,27 @@ object SparkEntry {
         Cleaning.dateToString(col("asof_ship")).as("asof_date"))
   }
 
+  /** q18b — payload-carrying as-of join: like q18 but fetching the
+    * matched shipment's price alongside its date. The right side is
+    * pre-deduped to one row per (key, time) with a deterministic rule
+    * (max price) because DuckDB's ASOF leaves the surviving row at tied
+    * times unspecified — both engines then see an unambiguous match. */
+  private def q18b(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+      .withColumn("k", col("o_custkey") % 10)
+    val ships = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey").as("k"), col("l_shipdate"))
+      .agg(max(col("l_extendedprice")).as("ship_price"))
+    graft.operators.AsOfJoin.asofBackward(
+      orders, ships, "k", "k", "o_orderdate", "l_shipdate",
+      leftCols = Seq("o_orderkey", "o_orderdate"), asOfOut = "asof_ship",
+      rightCols = Seq("ship_price"))
+      .select(col("o_orderkey"),
+        Cleaning.dateToString(col("o_orderdate")).as("order_date"),
+        Cleaning.dateToString(col("asof_ship")).as("asof_date"),
+        col("ship_price"))
+  }
+
   /** q19 — pivot: revenue matrix nation × market segment (fixed pivot
     * values keep the schema static — mandatory at scale, a dynamic pivot
     * needs a driver-side distinct pass first). */
@@ -818,6 +839,7 @@ object SparkEntry {
     "q16_events_sessions" -> (q16 _),
     "q17_approx_distinct" -> (q17 _),
     "q18_asof_join" -> (q18 _),
+    "q18b_asof_payload" -> (q18b _),
     "q19_pivot" -> (q19 _),
     "q20_stats" -> (q20 _),
     "q21_string_agg" -> (q21 _),
@@ -1021,6 +1043,17 @@ object SparkEntry {
         |strftime(l_shipdate, '%Y-%m-%d') AS asof_date
         |FROM (SELECT o_orderkey, o_orderdate, o_custkey % 10 AS k FROM orders) o
         |ASOF JOIN (SELECT l_suppkey AS k, l_shipdate FROM lineitem) l
+        |ON o.k = l.k AND l.l_shipdate <= o.o_orderdate""".stripMargin,
+    "q18b_asof_payload" ->
+      """WITH ships AS (
+        |  SELECT l_suppkey AS k, l_shipdate, max(l_extendedprice) AS ship_price
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT o_orderkey,
+        |strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |strftime(l_shipdate, '%Y-%m-%d') AS asof_date,
+        |ship_price
+        |FROM (SELECT o_orderkey, o_orderdate, o_custkey % 10 AS k FROM orders) o
+        |ASOF JOIN ships l
         |ON o.k = l.k AND l.l_shipdate <= o.o_orderdate""".stripMargin,
     "q19_pivot" ->
       """SELECT n_name,

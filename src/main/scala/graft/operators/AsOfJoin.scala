@@ -31,36 +31,61 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** Returns `leftCols` of each matched left row plus the matched right
-    * time as `asOfOut`. Left rows with no eligible right row are
-    * dropped (inner semantics); null keys never match (equi-join
+    * time as `asOfOut`, and — when `rightCols` is non-empty — the
+    * matched right row's columns. Left rows with no eligible right row
+    * are dropped (inner semantics); null keys never match (equi-join
     * semantics — window partitioning would otherwise group nulls
     * together).
     *
-    * @param leftCols columns of `left` to carry into the output
-    * @param asOfOut  output column name for the matched right time */
+    * Tie semantics: among right rows sharing the greatest eligible
+    * time, the one with the LARGEST (rightCols...) tuple wins — the
+    * carried struct is the final window sort key, so the order is total
+    * whenever tied right rows differ in any carried column (identical
+    * rows are interchangeable). Callers needing a different rule should
+    * pre-dedup the right side to one row per (key, time).
+    *
+    * @param leftCols  columns of `left` to carry into the output
+    * @param asOfOut   output column name for the matched right time
+    * @param rightCols right columns to carry alongside the match */
   def asofBackward(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String,
                    leftTime: String, rightTime: String,
                    leftCols: Seq[String],
-                   asOfOut: String = "asof_time"): DataFrame = {
-    val l = left.filter(col(leftKey).isNotNull).select(
-      col(leftKey).as("__k"), col(leftTime).cast("timestamp").as("__t"),
-      lit(1).as("__side"), lit(null).cast("timestamp").as("__rt"),
-      struct(leftCols.map(col): _*).as("__payload"))
+                   asOfOut: String = "asof_time",
+                   rightCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
+    val l0 = left.filter(col(leftKey).isNotNull)
+    val lPayloadType = StructType(leftCols.map(c => l0.schema(c)))
+    val rStructType = StructType(
+      StructField("__rt0", TimestampType) +: rightCols.map(c => right.schema(c)))
+
     val r = right.filter(col(rightKey).isNotNull).select(
       col(rightKey).as("__k"), col(rightTime).cast("timestamp").as("__t"),
-      lit(0).as("__side"), col(rightTime).cast("timestamp").as("__rt"),
-      lit(null).cast(l.schema("__payload").dataType).as("__payload"))
+      lit(0).as("__side"),
+      struct((col(rightTime).cast("timestamp").as("__rt0") +:
+        rightCols.map(col)): _*).as("__r"),
+      lit(null).cast(lPayloadType).as("__payload"))
+    val l = l0.select(
+      col(leftKey).as("__k"), col(leftTime).cast("timestamp").as("__t"),
+      lit(1).as("__side"), lit(null).cast(rStructType).as("__r"),
+      struct(leftCols.map(col): _*).as("__payload"))
 
+    // right before left at equal time (`<=` semantics); __r last so the
+    // order is total across right rows tied on (key, time)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc, col("__side").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = l.unionByName(r)
-      .withColumn(asOfOut, last(col("__rt"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1 && col(asOfOut).isNotNull)
+      .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__c").isNotNull)
+      .withColumn(asOfOut, col("__c.__rt0"))
 
-    leftCols.foldLeft(carried)((d, c) => d.withColumn(c, col(s"__payload.$c")))
-      .select((leftCols.map(col) :+ col(asOfOut)): _*)
+    val withLeft = leftCols.foldLeft(carried)((d, c) =>
+      d.withColumn(c, col(s"__payload.$c")))
+    val withRight = rightCols.foldLeft(withLeft)((d, c) =>
+      d.withColumn(c, col(s"__c.$c")))
+    withRight.select(
+      (leftCols.map(col) :+ col(asOfOut)) ++ rightCols.map(col): _*)
   }
 }

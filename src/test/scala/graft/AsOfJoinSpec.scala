@@ -34,4 +34,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!out.contains("t3")) // only future quotes → dropped (inner)
     assert(!out.contains("t4")) // no quotes for key → dropped
   }
+
+  test("rightCols carry the matched row's payload; ties pick max tuple") {
+    val trades = Seq((1L, ts("2024-01-01 10:00:00"), "t1"))
+      .toDF("k", "t", "trade_id")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 09:59:00"), 100.0, "mk1"),
+      // two quotes tied on the matched time: largest (px, src) tuple wins
+      (1L, ts("2024-01-01 10:00:00"), 101.5, "mkA"),
+      (1L, ts("2024-01-01 10:00:00"), 102.5, "mkB"),
+      (1L, ts("2024-01-01 10:01:00"), 999.0, "late")
+    ).toDF("k", "qt", "px", "src")
+
+    val row = AsOfJoin.asofBackward(trades, quotes, "k", "k", "t", "qt",
+      leftCols = Seq("trade_id"), asOfOut = "q",
+      rightCols = Seq("px", "src")).collect().head
+    assert(row.getString(0) == "t1")
+    assert(row.getTimestamp(1).toString == "2024-01-01 10:00:00.0")
+    assert(row.getDouble(2) == 102.5 && row.getString(3) == "mkB")
+  }
 }
