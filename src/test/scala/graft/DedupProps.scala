@@ -68,6 +68,20 @@ object DedupProps extends Properties("graft") {
       r.getSeq[Long](0) == r.getSeq[Long](1)
     }
 
+  property("fused shingle+minhash kernel equals unfused pipeline") =
+    Prop.forAll(Gen.listOf(Gen.oneOf(
+      Gen.alphaStr.suchThat(_.nonEmpty), Gen.numStr.suchThat(_.nonEmpty)))) { xs =>
+      import spark.implicits._
+      val toks = xs.distinct // tokenSet semantics: distinct, order kept
+      val df = Seq(Tuple1(toks)).toDF("toks").select(
+        TextDedup.minhashSignature(
+          graft.functions.TextFunctions.shingles(col("toks"), 3), 16).as("a"),
+        graft.plans.MinHashShingleFunctions
+          .minhashShingleSignature(col("toks"), 3, 16).as("b"))
+      val r = df.head()
+      r.getSeq[Long](0) == r.getSeq[Long](1)
+    }
+
   property("asofBackward equals naive range-join + max reference") =
     Prop.forAll(
       Gen.listOfN(15, Gen.zip(Gen.choose(0, 3), Gen.choose(0, 50))),
