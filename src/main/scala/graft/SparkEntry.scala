@@ -554,6 +554,14 @@ object SparkEntry {
   // similarity search, text analysis.
   // ---------------------------------------------------------------------
 
+  /** c01 — THE composed training-data pipeline: quality gate → exact
+    * fingerprint dedup → near-dup prune → chunking, as a one-row funnel
+    * summary the oracle re-derives stage by stage (the prune uses the
+    * SQL-expressible exact pair truth; the MinHash route is the
+    * library's scale path, spec-checked to recover the same set). */
+  private def c01(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curate.stats(Tables.documents(s, d), "doc_id", "text")
+
   /** t05 — document chunking: overlapping 30-token windows, stride 20 —
     * the one-to-many generator shape of a training-data chunker, all
     * built-ins (posexplode over a transform). */
@@ -858,6 +866,7 @@ object SparkEntry {
     "q34_window_nav" -> (q34 _),
     "q35_string_battery2" -> (q35 _),
     "q36_grouping_sets" -> (q36 _),
+    "c01_curation_pipeline" -> (c01 _),
     "t05_chunking" -> (t05 _),
     "t06_stopword_filter" -> (t06 _),
     "m01_multimodal_features" -> (m01 _),
@@ -1195,6 +1204,47 @@ object SparkEntry {
         |  ('the','a','of','and','to','in','is','it','that','for'))) AS BIGINT)
         |  AS n_content_tokens
         |FROM t""".stripMargin,
+    "c01_curation_pipeline" ->
+      """WITH q AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(regexp_extract_all(text, '\S+')) >= 5
+        |    AND len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+        |        / nullif(CAST(len(text) AS DOUBLE), 0) <= 0.3),
+        |u AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY
+        |      md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS canon
+        |    FROM q) WHERE doc_id = canon),
+        |raw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM u),
+        |t AS (SELECT doc_id, list_filter(tk, (x,i) -> list_position(tk, x) = i) AS toks FROM raw),
+        |sh AS (SELECT doc_id, toks,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i+1:i+3], ' ')
+        |               FOR i IN range(0, len(toks)-2)] END AS shingles FROM t),
+        |cnt AS (SELECT doc_id, len(shingles) AS ns, len(toks) AS nt FROM sh),
+        |se AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |si AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS i FROM se a
+        |       JOIN se b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |te AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+        |ti AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS i FROM te a
+        |       JOIN te b ON a.tk = b.tk AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |drop_ids AS (
+        |  SELECT DISTINCT si.ib AS doc_id
+        |  FROM si JOIN ti ON si.ia = ti.ia AND si.ib = ti.ib
+        |  JOIN cnt ca ON si.ia = ca.doc_id JOIN cnt cb ON si.ib = cb.doc_id
+        |  WHERE CAST(si.i AS DOUBLE) / (ca.ns + cb.ns - si.i) >= 0.6
+        |    AND CAST(ti.i AS DOUBLE) / (ca.nt + cb.nt - ti.i) >= 0.6),
+        |kept AS (SELECT u.doc_id, u.text FROM u LEFT JOIN drop_ids d
+        |         ON u.doc_id = d.doc_id WHERE d.doc_id IS NULL),
+        |ch AS (SELECT CAST(ceil(greatest(
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 30, 0) / 20.0)
+        |    AS BIGINT) + 1 AS nch FROM kept)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_input,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_quality,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_unique,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept,
+        |  (SELECT CAST(COALESCE(sum(nch), 0) AS BIGINT) FROM ch) AS n_chunks""".stripMargin,
     "t05_chunking" ->
       """WITH t AS (SELECT doc_id,
         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
