@@ -895,6 +895,14 @@ object SparkEntry {
     * the operator itself; correctness still runs the full checks through
     * [[queries]]. */
   def benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the user-facing form: curated chunks via the MinHash prune (the
+    // oracle's stats form re-runs the funnel with exact pairs 5×)
+    "c01_curation_pipeline" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Curate.chunks(
+        graft.operators.Curate.kept(docs, "doc_id", "text",
+          exactPairs = false), "doc_id", "text")
+    }),
     "q17_approx_distinct" -> ((s: SparkSession, d: String) =>
       Tables.lineitem(s, d).agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
