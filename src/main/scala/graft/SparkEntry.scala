@@ -302,6 +302,22 @@ object SparkEntry {
         col("ship_price"))
   }
 
+  /** q18c — FORWARD as-of join: each order picks up the earliest
+    * shipment at/after its date (mirror of q18, same single-shuffle
+    * union+carry plan walked in descending time). */
+  private def q18c(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+      .withColumn("k", col("o_custkey") % 10)
+    val ships = Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("k"), col("l_shipdate"))
+    graft.operators.AsOfJoin.asofForward(
+      orders, ships, "k", "k", "o_orderdate", "l_shipdate",
+      leftCols = Seq("o_orderkey", "o_orderdate"), asOfOut = "asof_ship")
+      .select(col("o_orderkey"),
+        Cleaning.dateToString(col("o_orderdate")).as("order_date"),
+        Cleaning.dateToString(col("asof_ship")).as("asof_date"))
+  }
+
   /** q19 — pivot: revenue matrix nation × market segment (fixed pivot
     * values keep the schema static — mandatory at scale, a dynamic pivot
     * needs a driver-side distinct pass first). */
@@ -848,6 +864,7 @@ object SparkEntry {
     "q17_approx_distinct" -> (q17 _),
     "q18_asof_join" -> (q18 _),
     "q18b_asof_payload" -> (q18b _),
+    "q18c_asof_forward" -> (q18c _),
     "q19_pivot" -> (q19 _),
     "q20_stats" -> (q20 _),
     "q21_string_agg" -> (q21 _),
@@ -1072,6 +1089,13 @@ object SparkEntry {
         |FROM (SELECT o_orderkey, o_orderdate, o_custkey % 10 AS k FROM orders) o
         |ASOF JOIN ships l
         |ON o.k = l.k AND l.l_shipdate <= o.o_orderdate""".stripMargin,
+    "q18c_asof_forward" ->
+      """SELECT o_orderkey,
+        |strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |strftime(l_shipdate, '%Y-%m-%d') AS asof_date
+        |FROM (SELECT o_orderkey, o_orderdate, o_custkey % 10 AS k FROM orders) o
+        |ASOF JOIN (SELECT l_suppkey AS k, l_shipdate FROM lineitem) l
+        |ON o.k = l.k AND l.l_shipdate >= o.o_orderdate""".stripMargin,
     "q19_pivot" ->
       """SELECT n_name,
         |round(sum(CASE WHEN c_mktsegment='AUTOMOBILE' THEN o_totalprice END), 4) AS "AUTOMOBILE",

@@ -4,8 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join: for each left row, attach the most recent right
-  * row with the same key and right_time <= left_time.
+/** As-of joins: for each left row, attach the most recent right row
+  * with the same key and right_time <= left_time (backward), or the
+  * earliest with right_time >= left_time (forward).
   *
   * Spark has no ASOF JOIN operator; the naive composition
   * (range-condition join + max-per-group) explodes to |matches per key
@@ -52,7 +53,31 @@ object AsOfJoin {
                    leftTime: String, rightTime: String,
                    leftCols: Seq[String],
                    asOfOut: String = "asof_time",
-                   rightCols: Seq[String] = Nil): DataFrame = {
+                   rightCols: Seq[String] = Nil): DataFrame =
+    asofImpl(left, right, leftKey, rightKey, leftTime, rightTime,
+      leftCols, asOfOut, rightCols, forward = false)
+
+  /** Forward as-of: for each left row, the EARLIEST right row with the
+    * same key and right_time >= left_time (the mirror of
+    * [[asofBackward]]; same plan, the union is just walked in
+    * descending time so the carried right row is the smallest eligible
+    * time). Matches DuckDB `ASOF JOIN ... ON r.t >= l.t`. */
+  def asofForward(left: DataFrame, right: DataFrame,
+                  leftKey: String, rightKey: String,
+                  leftTime: String, rightTime: String,
+                  leftCols: Seq[String],
+                  asOfOut: String = "asof_time",
+                  rightCols: Seq[String] = Nil): DataFrame =
+    asofImpl(left, right, leftKey, rightKey, leftTime, rightTime,
+      leftCols, asOfOut, rightCols, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTime: String, rightTime: String,
+                       leftCols: Seq[String],
+                       asOfOut: String,
+                       rightCols: Seq[String],
+                       forward: Boolean): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
     val l0 = left.filter(col(leftKey).isNotNull)
     val lPayloadType = StructType(leftCols.map(c => l0.schema(c)))
@@ -70,10 +95,13 @@ object AsOfJoin {
       lit(1).as("__side"), lit(null).cast(rStructType).as("__r"),
       struct(leftCols.map(col): _*).as("__payload"))
 
-    // right before left at equal time (`<=` semantics); __r last so the
-    // order is total across right rows tied on (key, time)
+    // right before left at equal time (inclusive bound semantics); __r
+    // last so the order is total across right rows tied on (key, time);
+    // forward walks descending time, so the carried right row is the
+    // smallest time >= left time
+    val tOrder = if (forward) col("__t").desc else col("__t").asc
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__side").asc, col("__r").asc)
+      .orderBy(tOrder, col("__side").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = l.unionByName(r)

@@ -53,4 +53,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(row.getTimestamp(1).toString == "2024-01-01 10:00:00.0")
     assert(row.getDouble(2) == 102.5 && row.getString(3) == "mkB")
   }
+
+  test("forward as-of picks earliest right time >= left time") {
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "t1"), // equal-time quote eligible
+      (1L, ts("2024-01-01 10:01:00"), "t2"), // next quote is 10:04
+      (1L, ts("2024-01-01 12:00:00"), "t3")  // nothing after -> dropped
+    ).toDF("k", "t", "trade_id")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 09:59:00")),
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:04:00"))
+    ).toDF("k", "qt")
+    val out = AsOfJoin.asofForward(trades, quotes, "k", "k", "t", "qt",
+      leftCols = Seq("trade_id"), asOfOut = "q")
+      .collect().map(r => r.getString(0) -> r.getTimestamp(1).toString).toMap
+    assert(out("t1") == "2024-01-01 10:00:00.0")
+    assert(out("t2") == "2024-01-01 10:04:00.0")
+    assert(!out.contains("t3"))
+  }
 }
