@@ -16,9 +16,11 @@ object ExtDemo {
         |  cosine_sim(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)),
         |             array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS c,
         |  dot_product(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS d,
-        |  size(minhash_sig(array('a','b','c'), 8, 7)) AS k
+        |  size(minhash_sig(array('a','b','c'), 8, 7)) AS k,
+        |  size(minhash_shingle_sig(array('a','b','c','d'), 3, 16, 7)) AS ks
         |""".stripMargin).collect().head
-    println(s"EXT_COSINE=${r.getDouble(0)} EXT_DOT=${r.getDouble(1)} EXT_K=${r.getInt(2)}")
+    println(s"EXT_COSINE=${r.getDouble(0)} EXT_DOT=${r.getDouble(1)} " +
+      s"EXT_K=${r.getInt(2)} EXT_KS=${r.getInt(3)}")
     spark.stop()
   }
 }

@@ -41,5 +41,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val seed = if (es.length > 2) lit(es(2)) else 42L
         MinHashSignature(es.head, k, seed)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_shingle_sig"),
+      info("minhash_shingle_sig",
+        "minhash_shingle_sig(tokens, n, k, seed) - MinHash signature over " +
+          "n-token shingles, fused (no shingle strings materialized)"),
+      (es: Seq[Expression]) => {
+        def lit(e: Expression): Long = e.eval(null) match {
+          case i: Int => i.toLong
+          case l: Long => l
+          case other => throw new IllegalArgumentException(
+            s"minhash_shingle_sig n/k/seed must be integer literals, got $other")
+        }
+        val n = if (es.length > 1) lit(es(1)).toInt else 3
+        val k = if (es.length > 2) lit(es(2)).toInt else 32
+        val seed = if (es.length > 3) lit(es(3)) else 42L
+        MinHashShingleSignature(es.head, n, k, seed)
+      }))
   }
 }

@@ -36,4 +36,18 @@ class ExtensionsSpec extends SparkSpec {
         ArrayType(org.apache.spark.sql.types.StringType)), 0, 1L)
     assert(!badK.checkInputDataTypes().isSuccess)
   }
+
+  test("fused shingle-minhash expression evals and type-checks") {
+    import graft.plans.MinHashShingleSignature
+    val toks = Literal.create(Array("a", "b", "c", "d"),
+      ArrayType(org.apache.spark.sql.types.StringType))
+    val e = MinHashShingleSignature(toks, 3, 8, 42L)
+    assert(e.checkInputDataTypes().isSuccess)
+    assert(e.dataType == ArrayType(LongType, containsNull = false))
+    assert(e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .numElements() == 8)
+    assert(!MinHashShingleSignature(toks, 0, 8, 42L)
+      .checkInputDataTypes().isSuccess)
+  }
 }
