@@ -817,6 +817,34 @@ object SparkEntry {
       col("doc_id"),
       TextFunctions.fingerprint(col("text")).as("fp"))
 
+  /** t07 — vocabulary builder: token frequency + document frequency,
+    * top 50 by tf with a total tie-break. The classic first pass of
+    * tokenizer training / stopword discovery; one explode + one hash
+    * aggregation, partial-combined map-side. */
+  private def t07(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("tok").asc)
+      .limit(50)
+
+  /** t08 — deterministic hash-ranked stratified sampling: per source,
+    * the 5 docs with the smallest md5(doc_id) — the reproducible
+    * sampling primitive a training pipeline needs (no RNG state: stable
+    * across retries, engines and partitionings, mirrorable in SQL).
+    * row_number + rank filter plans as WindowGroupLimit, so only ~5
+    * candidates per stratum survive each partial. */
+  private def t08(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("doc_id"), col("source"), col("rn").cast("long").as("rn"))
+  }
+
   /** m01 — multimodal feature extraction: binary payloads → per-asset
     * feature vectors via the mapPartitions batch decode (stub codec).
     * The oracle covers every SQL-derivable column (asset metadata is
@@ -886,6 +914,8 @@ object SparkEntry {
     "c01_curation_pipeline" -> (c01 _),
     "t05_chunking" -> (t05 _),
     "t06_stopword_filter" -> (t06 _),
+    "t07_vocabulary" -> (t07 _),
+    "t08_hash_sample" -> (t08 _),
     "m01_multimodal_features" -> (m01 _),
     "m02_frame_sampling" -> (m02 _),
     "d01_dedup_exact" -> (d01 _),
@@ -1433,6 +1463,18 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    "t07_vocabulary" ->
+      """SELECT t AS tok, CAST(count(*) AS BIGINT) AS tf,
+        |CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM (SELECT doc_id,
+        |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY tf DESC, tok LIMIT 50""".stripMargin,
+    "t08_hash_sample" ->
+      """SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 5""".stripMargin,
     "m01_multimodal_features" ->
       """SELECT doc_id AS asset_id,
         |CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
