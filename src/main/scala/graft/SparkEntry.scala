@@ -845,6 +845,18 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), col("rn").cast("long").as("rn"))
   }
 
+  /** t09 — PII-style redaction: emails / IPv4s / phone-like digit runs
+    * scrubbed to typed tags, with per-doc match counts. Behavior on
+    * planted PII lives in TextFunctionsSpec; the oracle pins
+    * cross-engine regex parity on the real corpus. */
+  private def t09(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.redact(col("text")).as("redacted"),
+      regexp_count(col("text"), lit(TextFunctions.emailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(TextFunctions.ipRe)).cast("long").as("n_ips"),
+      regexp_count(col("text"), lit(TextFunctions.phoneRe)).cast("long").as("n_phones"))
+
   /** m01 — multimodal feature extraction: binary payloads → per-asset
     * feature vectors via the mapPartitions batch decode (stub codec).
     * The oracle covers every SQL-derivable column (asset metadata is
@@ -916,6 +928,7 @@ object SparkEntry {
     "t06_stopword_filter" -> (t06 _),
     "t07_vocabulary" -> (t07 _),
     "t08_hash_sample" -> (t08 _),
+    "t09_redaction" -> (t09 _),
     "m01_multimodal_features" -> (m01 _),
     "m02_frame_sampling" -> (m02 _),
     "d01_dedup_exact" -> (d01 _),
@@ -1475,6 +1488,21 @@ object SparkEntry {
         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) WHERE rn <= 5""".stripMargin,
+    "t09_redaction" ->
+      """SELECT doc_id,
+        |regexp_replace(
+        |  regexp_replace(
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+        |  '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS redacted,
+        |CAST(len(regexp_extract_all(text,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |CAST(len(regexp_extract_all(text,
+        |  '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |CAST(len(regexp_extract_all(text,
+        |  '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phones
+        |FROM documents""".stripMargin,
     "m01_multimodal_features" ->
       """SELECT doc_id AS asset_id,
         |CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

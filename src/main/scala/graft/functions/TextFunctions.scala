@@ -46,6 +46,26 @@ object TextFunctions {
     * key that is robust to case/punctuation/whitespace variance. */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
+  // -- PII-style redaction ----------------------------------------------
+
+  /** Patterns kept in the Java∩RE2 dialect (no backreferences or
+    * lookarounds — these specific shapes match identically under Java's
+    * leftmost-first and RE2's leftmost-longest). */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val phoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** Scrub emails, IPv4s and phone-like digit runs to typed tags — the
+    * standard corpus-cleaning pass ahead of training. Order matters
+    * (emails before IPs before phones: an email's host must not be
+    * half-eaten as an IP) and is mirrored verbatim in the oracle. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "[EMAIL]"),
+        ipRe, "[IP]"),
+      phoneRe, "[PHONE]")
+
   // -- language ID ------------------------------------------------------
 
   /** Per-language stopword alternations (whole-word). Tiny on purpose:
