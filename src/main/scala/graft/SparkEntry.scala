@@ -35,13 +35,17 @@ object SparkEntry {
       col("l_extendedprice").cast("double").as("price"),
       Cleaning.cleanString(col("l_returnflag")).as("flag"))
 
-  /** q02 — A1 dedup-latest with deterministic tie-break (window form). */
+  /** q02 — A1 dedup-latest with deterministic tie-break (window form).
+    * The order key ends in l_extendedprice because lineitem plants
+    * duplicate (orderkey, linenumber) rows with differing prices (the
+    * q22 lesson): the order must be TOTAL over every emitted column or
+    * rank 1 of a group becomes engine-order-dependent. */
   private def q02(s: SparkSession, d: String): DataFrame =
     Dedup.latestPerGroup(
       Tables.lineitem(s, d),
       keys = Seq("l_suppkey", "l_partkey"),
       order = Seq(col("l_shipdate").desc, col("l_orderkey").asc,
-                  col("l_linenumber").asc))
+                  col("l_linenumber").asc, col("l_extendedprice").asc))
       .select(
         col("l_suppkey").as("premise_code"),
         col("l_partkey").as("item_code"),
@@ -57,7 +61,8 @@ object SparkEntry {
     Dedup.latestPerGroupAgg(
       Tables.lineitem(s, d),
       keys = Seq("l_suppkey", "l_partkey"),
-      orderKey = struct(col("l_shipdate"), -col("l_orderkey"), -col("l_linenumber")),
+      orderKey = struct(col("l_shipdate"), -col("l_orderkey"),
+        -col("l_linenumber"), -col("l_extendedprice")),
       payload = Seq("l_shipdate", "l_extendedprice"))
       .select(
         col("l_suppkey").as("premise_code"),
@@ -995,14 +1000,14 @@ object SparkEntry {
         |strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
         |l_extendedprice AS price
         |FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey, l_partkey
-        |      ORDER BY l_shipdate DESC, l_orderkey, l_linenumber) AS rn
+        |      ORDER BY l_shipdate DESC, l_orderkey, l_linenumber, l_extendedprice) AS rn
         |      FROM lineitem) WHERE rn = 1""".stripMargin,
     "q02b_dedup_latest_agg" ->
       """SELECT l_suppkey AS premise_code, l_partkey AS item_code,
         |strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
         |l_extendedprice AS price
         |FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey, l_partkey
-        |      ORDER BY l_shipdate DESC, l_orderkey, l_linenumber) AS rn
+        |      ORDER BY l_shipdate DESC, l_orderkey, l_linenumber, l_extendedprice) AS rn
         |      FROM lineitem) WHERE rn = 1""".stripMargin,
     "q03_enrich_join" ->
       """WITH latest AS (
@@ -1010,7 +1015,7 @@ object SparkEntry {
         |         strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
         |         l_extendedprice AS price
         |  FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey, l_partkey
-        |        ORDER BY l_shipdate DESC, l_orderkey, l_linenumber) AS rn
+        |        ORDER BY l_shipdate DESC, l_orderkey, l_linenumber, l_extendedprice) AS rn
         |        FROM lineitem) WHERE rn = 1)
         |SELECT premise_code, item_code, ship_date, price,
         |       p_name AS item, p_brand AS brand, s_name AS premise

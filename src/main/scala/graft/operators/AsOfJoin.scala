@@ -79,6 +79,13 @@ object AsOfJoin {
                        rightCols: Seq[String],
                        forward: Boolean): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
+    // right columns are re-attached with withColumn, which OVERWRITES on
+    // name collision — fail loudly instead of silently clobbering the
+    // left payload (or the as-of output column)
+    val clash = rightCols.intersect(leftCols :+ asOfOut)
+    require(clash.isEmpty,
+      s"rightCols ${clash.mkString(", ")} collide with leftCols/asOfOut — " +
+        "alias the right side before the as-of join")
     val l0 = left.filter(col(leftKey).isNotNull)
     val lPayloadType = StructType(leftCols.map(c => l0.schema(c)))
     val rStructType = StructType(

@@ -73,19 +73,26 @@ object Curate {
         col("col").as("chunk"))
   }
 
-  /** One-row funnel summary over the whole pipeline (the oracle form). */
-  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** One-row funnel summary over the whole pipeline (the oracle form).
+    * Takes the SAME thresholds as [[kept]] and threads them through both
+    * its inline stage counts and the kept() call, so the per-stage
+    * numbers and the final funnel can never silently diverge. */
+  def stats(docs: DataFrame, idCol: String, textCol: String,
+            minWords: Int = 5, maxPunctRatio: Double = 0.3,
+            nearThreshold: Double = 0.6, exactPairs: Boolean = true)
+      : DataFrame = {
     val t = col(textCol)
     val nWords = regexp_count(t, lit("\\S+")).cast("double")
     val nChars = length(t).cast("double")
     val nPunct = regexp_count(t, lit("[^A-Za-z0-9\\s]")).cast("double")
-    val quality = docs.filter(nWords >= 5 &&
-      nPunct / nullif(nChars, lit(0.0)) <= 0.3)
+    val quality = docs.filter(nWords >= minWords &&
+      nPunct / nullif(nChars, lit(0.0)) <= maxPunctRatio)
     val unique = quality
       .withColumn("__canon",
         min(col(idCol)).over(Window.partitionBy(TextFunctions.fingerprint(t))))
       .filter(col(idCol) === col("__canon")).drop("__canon")
-    val keptDocs = kept(docs, idCol, textCol)
+    val keptDocs = kept(docs, idCol, textCol,
+      minWords, maxPunctRatio, nearThreshold, exactPairs)
     docs.agg(count(lit(1)).as("n_input"))
       .crossJoin(quality.agg(count(lit(1)).as("n_quality")))
       .crossJoin(unique.agg(count(lit(1)).as("n_unique")))

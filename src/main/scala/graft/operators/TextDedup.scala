@@ -126,38 +126,45 @@ object TextDedup {
   }
 
   /** All-pairs token Jaccard >= threshold inside a blocking column
-    * (e.g. source). Candidate generation via the shared-token inverted
-    * index (explode + equi-join on token), so cost is Σ_token df(token)²
-    * within blocks, never corpus². Oracle-checkable: semantics are pure
-    * SQL (explode/join/count), no hashing involved.
+    * (e.g. source), with LOSSLESS prefix-filtering candidate generation
+    * (AllPairs/PPJoin, Bayardo et al. WWW'07 / Xiao et al. WWW'08 —
+    * public literature):
     *
-    * @param dfPrefilter drop df=1 tokens from the inverted index before
-    *   the self-join (lossless: they can never contribute to an
-    *   intersection; doc sizes for |A∪B| are computed beforehand).
-    *   Pays for its extra shuffle only when the vocabulary has a long
-    *   df=1 tail — true for natural-language corpora, FALSE for this
-    *   benchmark's ~100-word synthetic vocabulary (measured 3.9s→6.1s
-    *   at sf0.1 with it on), so it defaults off.
-    * @param maxDfRatio THE scale dial: tokens present in more than this
-    *   fraction of their block are dropped from the token universe
-    *   (both intersections AND set sizes — a self-consistent Jaccard
-    *   over the discriminative-token universe). The inverted-index
-    *   self-join costs Σ df² per block; stopword-like tokens with
-    *   df ≈ block size make that quadratic in block size while telling
-    *   nothing about document similarity (every pair shares them).
+    * Order each block's vocabulary by (df asc, token asc) — a global
+    * total order putting the rarest tokens first. For a doc with n
+    * tokens, index only its PREFIX: the first n - ceil(t*n) + 1 tokens
+    * in that order. Lemma: if J(A,B) >= t, the smallest-ordered token w
+    * of A∩B lies in both prefixes — every token of A before w is outside
+    * the intersection, and there are at most |A| - |A∩B| <= n_a -
+    * ceil(t*n_a) of those (|A∩B| >= t*|A∪B| >= t*|A|), so w sits within
+    * A's prefix; symmetrically for B. Joining prefix-index to
+    * prefix-index therefore finds EVERY qualifying pair, while candidate
+    * volume collapses from Σ_token df² (the naive inverted index — a
+    * token in half the block generates (N/2)² join rows) to
+    * Σ_{prefix tokens} df_prefix²: stopword-like tokens sort LAST and
+    * never enter a prefix unless a doc is nearly all stopwords. This is
+    * what makes exact Jaccard survive 100 TB with unchanged semantics —
+    * the verify stage recomputes true Jaccard per candidate from the
+    * full token arrays, so output is identical to the naive plan and the
+    * DuckDB oracle stays byte-for-byte the same.
+    *
+    * @param maxDfRatio optional additional scale dial: tokens present in
+    *   more than this fraction of their block are dropped from the token
+    *   universe FIRST (both intersections AND set sizes — a
+    *   self-consistent Jaccard over the discriminative-token universe).
     *   1.0 = off (exact classic Jaccard, the d04 contract); 0.8 is the
-    *   d04b contract, mirrored in its oracle. Lossy by design: a pair
-    *   whose overlap is ONLY ubiquitous tokens is no near-dup. */
+    *   d04b contract, mirrored in its oracle. Lossy by documented
+    *   design (a pair whose overlap is ONLY ubiquitous tokens is no
+    *   near-dup); prefix filtering then runs on the capped universe. */
   def tokenJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, threshold: Double,
-                        dfPrefilter: Boolean = false,
                         maxDfRatio: Double = 1.0): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
       TextFunctions.tokenSet(col(textCol)).as("toks"))
     val inverted = toks.select(col("doc_id"), col("blk"),
       explode(col("toks")).as("tok"))
 
-    val (universe, sizes) =
+    val universe =
       if (maxDfRatio < 1.0) {
         // blocks and the (block, token) vocabulary are both tiny relative
         // to the corpus — the kept-token table broadcasts, so capping adds
@@ -169,28 +176,49 @@ object TextDedup {
           .join(broadcast(blockSizes), "blk")
           .filter(col("df") <= col("bn") * maxDfRatio)
           .select("blk", "tok")
-        val fidx = inverted.join(broadcast(kept), Seq("blk", "tok"))
-        (fidx, fidx.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
-      } else {
-        val base = if (dfPrefilter) {
-          val shared = inverted.groupBy(col("blk"), col("tok"))
-            .agg(count(lit(1)).as("df")).filter(col("df") > 1)
-            .select("blk", "tok")
-          inverted.join(shared, Seq("blk", "tok"))
-        } else inverted
-        (base, toks.select(col("doc_id"), size(col("toks")).as("n")))
-      }
+        inverted.join(broadcast(kept), Seq("blk", "tok"))
+      } else inverted
 
-    val pairInter = universe.alias("a")
-      .join(universe.alias("b"),
+    // canonical token order = (df asc, token asc) per block. The df
+    // table is vocabulary-sized; no forced broadcast — AQE picks a
+    // broadcast join when the vocab is small and a co-partitioned
+    // shuffle join when it isn't (a real corpus vocabulary can be GBs)
+    val dfTab = universe.groupBy(col("blk"), col("tok"))
+      .agg(count(lit(1)).as("df"))
+
+    // one row per doc: tokens sorted by the canonical order (struct sort
+    // is lexicographic on (df, tok) — a total order since tok is unique
+    // within a doc, so collect_list's arrival order cannot leak through)
+    val docArr = universe.join(dfTab, Seq("blk", "tok"))
+      .groupBy(col("blk"), col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
+      .select(col("blk"), col("doc_id"),
+        transform(col("ord"), x => x.getField("tok")).as("otoks"),
+        size(col("ord")).as("n"))
+
+    // prefix index: the first n - ceil(t*n) + 1 canonical tokens
+    val prefLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
+    val prefix = docArr.select(col("blk"), col("doc_id"),
+      explode(slice(col("otoks"), lit(1), prefLen)).as("tok"))
+
+    // candidates: prefix-to-prefix equi-join, distinct on bare id pairs
+    // (token arrays re-attached after — the dedup shuffle carries 16-byte
+    // rows, not documents)
+    val cand = prefix.alias("a")
+      .join(prefix.alias("b"),
         col("a.tok") === col("b.tok") && col("a.blk") === col("b.blk")
           && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
 
-    pairInter
-      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+    // exact verify: true Jaccard over the full (universe) token arrays
+    cand
+      .join(docArr.select(col("doc_id").as("id_a"),
+        col("otoks").as("toks_a"), col("n").as("n_a")), "id_a")
+      .join(docArr.select(col("doc_id").as("id_b"),
+        col("otoks").as("toks_b"), col("n").as("n_b")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")).cast("double"))
