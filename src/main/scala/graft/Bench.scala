@@ -20,20 +20,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // operator-form substitutes for the contract-check queries (the
-    // checks carry an O(N²) verification harness a user never runs)
-    val bench = SparkEntry.queries ++ SparkEntry.benchOverrides
+    // checks carry an O(N²) verification harness a user never runs),
+    // plus bench-only extras (Zipfian-vocabulary jaccard pair)
+    val bench = SparkEntry.queries ++ SparkEntry.benchOverrides ++
+      SparkEntry.benchExtras
+    // streaming drives run-and-await rather than noop-consume a frame
+    val drives = SparkEntry.streamingDrives
+      .map { case (n, f) => n -> ((s: SparkSession, d: String) => f(s, d)) }
+    val runners: Map[String, (SparkSession, String) => Unit] =
+      bench.map { case (n, f) =>
+        n -> ((s: SparkSession, d: String) => consume(f(s, d)))
+      } ++ drives
     // warmup pass: JVM/codegen/parquet-footer caches; measured passes after
-    bench.foreach { case (_, fn) =>
-      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
+    runners.foreach { case (_, fn) =>
+      try fn(spark, sfDir) catch { case _: Throwable => () }
     }
     // >= 2 measured runs, report the per-query MIN: single-run timings
     // vary >5x under machine load (BENCH_r02 recorded a 1.8x phantom
     // regression on byte-identical code), and min is the noise-robust
     // statistic for a deterministic workload
-    val results = bench.map { case (name, fn) =>
+    val results = runners.map { case (name, fn) =>
       val times = (1 to measuredRuns).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { consume(fn(spark, sfDir)); true }
+        val ok = try { fn(spark, sfDir); true }
                  catch { case _: Throwable => false }
         // a failed query reports -1, never a plausible-looking duration
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0

@@ -99,10 +99,9 @@ object PriceCatcherApp {
     println("Export artifact...")
     val path = SqlitePacker.pack(outDir, latest, premises, items)
     println(s"Packed: $path (${Files.size(path)} bytes)")
+    println("Wrote pricecatcher.db (native SQLite file) + CSV/schema.sql parity artifact")
     if (SqlitePacker.sqliteJdbcAvailable)
-      println("sqlite-jdbc detected: JDBC write path available")
-    else
-      println("sqlite-jdbc not on classpath: wrote CSV + schema.sql parity artifact")
+      println("sqlite-jdbc also detected: JDBC write path available")
     spark.stop()
   }
 }

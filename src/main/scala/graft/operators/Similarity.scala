@@ -54,8 +54,13 @@ object Similarity {
   /** Corpus row count + embedding dimensionality in ONE tiny job
     * (parquet count is near-metadata-only; max(size) avoids hardcoding
     * a dim — DotProduct folds over min length, so a wrong dim silently
-    * truncates or wastes plane components). */
-  private def corpusStats(corpus: DataFrame, vecCol: String): (Long, Int) = {
+    * truncates or wastes plane components).
+    *
+    * Public so callers composing several similarity ops over the SAME
+    * corpus probe it once and pass the result through each op's `stats`
+    * parameter — at 100 TB one stats pass per composition, not one per
+    * operator call. */
+  def corpusStats(corpus: DataFrame, vecCol: String = "embedding"): (Long, Int) = {
     val r = corpus.agg(count(lit(1)), max(size(col(vecCol)))).head()
     // max() is NULL on an empty corpus — degrade to dim 0 (plans stay
     // valid and return empty) instead of an NPE at the driver
@@ -114,9 +119,10 @@ object Similarity {
               nTables: Int = -1, planesPerTable: Int = -1, seed: Long = 42L,
               simFloor: Double = 0.25, targetRecall: Double = 0.9,
               targetBucket: Int = 64,
-              idCol: String = "vec_id", vecCol: String = "embedding")
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              stats: Option[(Long, Int)] = None)
       : DataFrame = {
-    val (n, dim) = corpusStats(corpus, vecCol)
+    val (n, dim) = stats.getOrElse(corpusStats(corpus, vecCol))
     val (autoT, autoP) = tuneSignLsh(n, simFloor, targetRecall, targetBucket)
     val nT = if (nTables > 0) nTables else autoT
     val nP = if (planesPerTable > 0) planesPerTable else autoP
@@ -170,12 +176,17 @@ object Similarity {
     // full passes + a per-iteration driver sync, so fitting the whole
     // corpus makes TRAINING cost O(corpus) × 5 — at 100 TB the centroids
     // must come from O(trainCap) rows; only the single assignment pass
-    // below touches everything. Sampling is seeded → model deterministic.
-    val n = featurized.count()
-    val trainSet =
-      if (n > trainCap) featurized.sample(withReplacement = false,
-        trainCap.toDouble / n, seed)
-      else featurized
+    // below touches everything. Hash-ranked top-trainCap instead of
+    // count()+sample(fraction): no extra counting job (sort+limit plans
+    // as TakeOrderedAndProject — per-partition heaps of trainCap rows,
+    // one pass), the hash order is pseudo-random w.r.t. content, and the
+    // selected set + its order are total-order-determined by ids alone —
+    // identical across partitionings/core counts, unlike sample(), whose
+    // Bernoulli draw follows partition boundaries. The single-partition
+    // GlobalLimit output also makes seeded KMeans init order-stable.
+    val trainSet = featurized
+      .sort(xxhash64(col("cand_id")), col("cand_id"))
+      .limit(trainCap)
     val model = new KMeans().setK(nLists).setSeed(seed)
       .setDistanceMeasure("cosine").setMaxIter(5)
       .fit(trainSet)
@@ -218,9 +229,10 @@ object Similarity {
   def nearDupPairs(corpus: DataFrame, threshold: Double,
                    nTables: Int = -1, planesPerTable: Int = -1, seed: Long = 42L,
                    targetRecall: Double = 0.95, targetBucket: Int = 64,
-                   idCol: String = "vec_id", vecCol: String = "embedding")
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   stats: Option[(Long, Int)] = None)
       : DataFrame = {
-    val (n, dim) = corpusStats(corpus, vecCol)
+    val (n, dim) = stats.getOrElse(corpusStats(corpus, vecCol))
     // simFloor = the verify threshold: recall is promised exactly for
     // pairs the operator would keep
     val (autoT, autoP) = tuneSignLsh(n, threshold, targetRecall, targetBucket)

@@ -13,19 +13,23 @@ import org.apache.spark.sql.functions._
   *
   * The reference's deliverable is one indexed, compressed SQLite file
   * (reference: src/main.rs:191-208 DDL, main.rs:289-311 backup,
-  * main.rs:312-325 zip). No sqlite-jdbc driver ships in
-  * /opt/spark/jars, so the sink has two paths:
+  * main.rs:312-325 zip). No sqlite library (JDBC or native) ships in
+  * this environment, so the sink produces the artifact two ways:
   *
-  *  - JDBC path (used iff org.sqlite.JDBC is on the classpath): write
-  *    each table over a single connection — SQLite is single-writer, so
-  *    `coalesce(1)` and batch inserts; parallel JDBC writers would just
-  *    serialize on the database lock.
-  *  - Parity fallback (always available): per-table CSV (one file via
-  *    coalesce(1) — these artifacts are small by design; the 100 TB data
-  *    stays in parquet, this sink is for the *served* artifact) plus a
-  *    `schema.sql` carrying the exact reference DDL including all ten
-  *    indexes, plus `load.sql` with sqlite3 .import commands, zipped
-  *    with deflate like the reference (main.rs:320).
+  *  - `pricecatcher.db` — a REAL queryable SQLite database file written
+  *    directly from the public file format by [[SqliteFile]] (table
+  *    b-trees; the ten reference indexes are recreated by load.sql —
+  *    see SqliteFile's scope note). Rows stream through
+  *    `toLocalIterator` — single-writer by design, like the reference:
+  *    this is the *served* artifact, small relative to the lake; the
+  *    100 TB data stays in parquet.
+  *  - CSV + `schema.sql` (exact reference DDL incl. all ten indexes) +
+  *    `load.sql` — the text-tooling path: any sqlite3 rebuilds the
+  *    fully indexed database from it.
+  *  - JDBC path (used iff org.sqlite.JDBC is ever on the classpath):
+  *    auto-detected, see [[sqliteJdbcAvailable]].
+  *
+  * Everything is zipped with deflate like the reference (main.rs:320).
   */
 object SqlitePacker {
 
@@ -48,6 +52,30 @@ object SqlitePacker {
   def sqliteJdbcAvailable: Boolean =
     try { Class.forName("org.sqlite.JDBC"); true }
     catch { case _: ClassNotFoundException => false }
+
+  /** Per-table CREATE statements stored in sqlite_master (the index
+    * definitions stay in schema.sql/load.sql — [[SqliteFile]] scope). */
+  private val createTableSql = Map(
+    "prices" -> ("CREATE TABLE prices (date VARCHAR(255), premise_code " +
+      "INTEGER, item_code INTEGER, price FLOAT)"),
+    "premises" -> ("CREATE TABLE premises (premise_code INTEGER, premise " +
+      "VARCHAR(255), address VARCHAR(255), premise_type VARCHAR(255), " +
+      "state VARCHAR(255), district VARCHAR(255))"),
+    "items" -> ("CREATE TABLE items (item_code INTEGER, item VARCHAR(255), " +
+      "unit VARCHAR(255), item_group VARCHAR(255), item_category " +
+      "VARCHAR(255))"))
+
+  /** Row → SQLite storage classes (INTEGER/REAL/TEXT/NULL). */
+  private def sqlValues(r: org.apache.spark.sql.Row): Seq[Any] =
+    r.toSeq.map {
+      case null => null
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case f: Float => f.toDouble
+      case v @ (_: Long | _: Double | _: String) => v
+      case other => other.toString
+    }
 
   /** Stringify engine types to the reference's storage forms (dates as
     * 10-char strings, main.rs:23). */
@@ -79,6 +107,13 @@ object SqlitePacker {
       deleteRecursive(Paths.get(s"$outDir/$name.csv.d"))
     }
 
+    // the real database file — queryable by any sqlite3 as-is
+    val dbPath = dir.resolve("pricecatcher.db")
+    SqliteFile.write(dbPath, tables.map { case (name, df) =>
+      SqliteFile.TableDef(name, createTableSql(name),
+        stringified(df).toLocalIterator().asScala.map(sqlValues))
+    })
+
     Files.writeString(dir.resolve("schema.sql"), schemaSql)
     // load.sql bootstraps the DDL itself (reference flow: create tables +
     // indexes, then insert, main.rs:192-207 -> 289-311). Without it,
@@ -94,7 +129,8 @@ object SqlitePacker {
       new FileOutputStream(zipPath.toFile)))
     try {
       zos.setLevel(9)
-      (tables.map(_._1 + ".csv") ++ Seq("schema.sql", "load.sql")).foreach { f =>
+      (tables.map(_._1 + ".csv") ++
+        Seq("pricecatcher.db", "schema.sql", "load.sql")).foreach { f =>
         zos.putNextEntry(new ZipEntry(f))
         Files.copy(dir.resolve(f), zos)
         zos.closeEntry()

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, TextDedup}
+import graft.sources.Tables
+
+/** CI guard for the contract-oracle margins (CLAUDE.md rule: every
+  * approximate operator's boolean bound must hold with >= 1 unit of
+  * measured margin, so a fixture or tuning change cannot silently land
+  * a contract on its boundary — the gate would then flake instead of
+  * fail honestly).
+  *
+  * Runs at sf0.01 in every `sbt test`; set GRAFT_SLOW=1 to sweep sf0.1
+  * too (the brute-force truth there takes minutes — graft.RecallProbe
+  * prints the same numbers for manual tuning).
+  *
+  * The asserted bounds are the SparkEntry contracts + 1 unit:
+  *  - d02 minhash: oracle asserts recall >= 0.9 of the shingle-Jaccard
+  *    truth set → require n_hit >= ceil(0.9 * n_true) + 1
+  *  - d05 sign-LSH near-dup: oracle recall >= 0.8 → same construction
+  *  - s02 LSH top-10: oracle n_hit >= 6 per query → require min >= 7
+  *  - s03 IVF top-10: oracle n_hit >= 4 per query → require min >= 5
+  */
+class RecallMarginSpec extends SparkSpec {
+
+  private val sfDirs =
+    Seq(sf("sf0.01")) ++
+      (if (sys.env.contains("GRAFT_SLOW")) Seq(sf("sf0.1")) else Nil)
+
+  for (sfDir <- sfDirs) {
+    test(s"pair-recall contracts hold with margin at $sfDir") {
+      val docs = Tables.documents(spark, sfDir)
+      val emb = Tables.embeddings(spark, sfDir)
+
+      val d02Truth = TextDedup.shingleJaccardPairs(docs, "doc_id", "text")
+      val d02True = d02Truth.count()
+      val d02Hit = d02Truth.join(
+        TextDedup.minhashPairs(docs, "doc_id", "text")
+          .select("id_a", "id_b"),
+        Seq("id_a", "id_b"), "left_semi").count()
+      assert(d02True > 0, "d02 truth set empty — fixture changed?")
+      assert(d02Hit >= math.ceil(0.9 * d02True).toLong + 1,
+        s"d02 margin gone: $d02Hit hits of $d02True (bound 0.9)")
+
+      val d05Truth = Similarity.bruteForcePairs(emb, 0.4)
+      val d05True = d05Truth.count()
+      val d05Hit = d05Truth.join(
+        Similarity.nearDupPairs(emb, 0.4).select("id_a", "id_b"),
+        Seq("id_a", "id_b"), "left_semi").count()
+      assert(d05True > 0, "d05 truth set empty — fixture changed?")
+      assert(d05Hit >= math.ceil(0.8 * d05True).toLong + 1,
+        s"d05 margin gone: $d05Hit hits of $d05True (bound 0.8)")
+    }
+
+    test(s"ANN per-query hit contracts hold with margin at $sfDir") {
+      val emb = Tables.embeddings(spark, sfDir)
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, q, 10)
+        .select(col("query_id"), col("cand_id"))
+
+      def minHits(approx: org.apache.spark.sql.DataFrame): Long = {
+        val hits = exact
+          .join(approx.select(col("query_id"), col("cand_id")),
+            Seq("query_id", "cand_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        (0L until 10L).map(i => hits.getOrElse(i, 0L)).min
+      }
+
+      val s02Min = minHits(Similarity.lshTopK(emb, q, 10))
+      assert(s02Min >= 7, s"s02 margin gone: min hits $s02Min, contract 6")
+
+      val s03Min = minHits(Similarity.ivfTopK(emb, q, 10, nProbe = 7))
+      assert(s03Min >= 5, s"s03 margin gone: min hits $s03Min, contract 4")
+    }
+  }
+}

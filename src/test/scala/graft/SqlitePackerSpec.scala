@@ -4,15 +4,49 @@ import java.nio.file.{Files, Paths}
 
 import scala.sys.process._
 
-import graft.sources.SqlitePacker
+import graft.sources.{SqliteFile, SqlitePacker}
 
 /** Artifact-sink contract: CSVs carry headers, load.sql bootstraps the
   * DDL itself (a bare `.import` into a missing table silently consumes
   * the header as column names and types everything TEXT), the zip holds
-  * all five files, and — when a sqlite3 binary is present — one
-  * `.read load.sql` produces correctly-typed, queryable tables. */
+  * all six files, the native pricecatcher.db round-trips through the
+  * independent [[SqliteFile]] reader, and — when a sqlite3 binary is
+  * present — both artifacts are verified by real sqlite3. */
 class SqlitePackerSpec extends SparkSpec {
   import spark.implicits._
+
+  test("SqliteFile round-trips records, multi-page b-trees, empty tables") {
+    val path = Files.createTempFile("graft_sqlite", ".db")
+    // enough rows to force leaf packing + an interior level; mixed types
+    val wide = (1 to 3000).map(i =>
+      Seq(i.toLong, s"name_$i" * 3, i * 0.5, null))
+    val nPages = SqliteFile.write(path, Seq(
+      SqliteFile.TableDef("big",
+        "CREATE TABLE big (id INTEGER, name TEXT, score FLOAT, extra TEXT)",
+        wide.iterator),
+      SqliteFile.TableDef("empty", "CREATE TABLE empty (x INTEGER)",
+        Iterator.empty),
+      SqliteFile.TableDef("tiny", "CREATE TABLE tiny (v INTEGER)",
+        Iterator(Seq(0L), Seq(1L), Seq(-77L), Seq(123456789012L)))))
+    assert(nPages > 3, "3000 rows must span multiple pages")
+
+    val master = SqliteFile.read(path, "sqlite_master")
+    assert(master.map(_(1)) == Seq("big", "empty", "tiny"))
+    assert(master.forall(_(0) == "table"))
+
+    val big = SqliteFile.read(path, "big")
+    assert(big.size == 3000)
+    assert(big.head == Seq(1L, "name_1" * 3, 0.5, null))
+    assert(big.last == Seq(3000L, "name_3000" * 3, 1500.0, null))
+    // b-tree walk preserves rowid order
+    assert(big.map(_(0).asInstanceOf[Long]) == (1L to 3000L))
+
+    assert(SqliteFile.read(path, "empty").isEmpty)
+    // integer serial-type edges: 0, 1, negative, >32-bit
+    assert(SqliteFile.read(path, "tiny").map(_(0)) ==
+      Seq(0L, 1L, -77L, 123456789012L))
+    Files.delete(path)
+  }
 
   test("pack emits a self-bootstrapping artifact that loads in sqlite3") {
     val out = Files.createTempDirectory("packer_spec").toString
