@@ -12,13 +12,13 @@ import scala.collection.mutable.ArrayBuffer
   * CSV + load.sql parity artifact.
   *
   * Scope (documented, deliberate):
-  *  - table b-trees only (leaf + interior pages, multi-level); the ten
-  *    reference indexes ship in schema.sql/load.sql and can be built by
-  *    any sqlite3 with `CREATE INDEX` after load — index b-trees carry
-  *    full key records in interior pages and are not needed for the
-  *    artifact to be queryable.
+  *  - table b-trees (leaf + interior, multi-level) AND index b-trees
+  *    (leaf 0x0A + interior 0x02 with promoted divider entries, BINARY
+  *    collation, NULL < numeric < text < blob class order) — the
+  *    artifact carries the reference's indexes natively.
   *  - no overflow pages: every row must fit the single-page payload
-  *    budget (usable - 35 bytes ≈ 4 KB). The packer's rows are short
+  *    budget (usable - 35 bytes ≈ 4 KB for table leaves; the stricter
+  *    index-page bound for index entries). The packer's rows are short
   *    strings/numbers; the writer fails loudly if a row would overflow.
   *  - value domain: NULL, Long, Double, String, Array[Byte] — exactly
   *    the storage classes the reference schema uses.
@@ -32,8 +32,12 @@ object SqliteFile {
   /** Max single-page cell payload for a table leaf (usable - 35). */
   private val MaxLocal = PageSize - 35
 
+  /** An index over `keyCols` (0-based positions into the row). */
+  case class IndexDef(name: String, createSql: String, keyCols: Seq[Int])
+
   case class TableDef(name: String, createSql: String,
-                      rows: Iterator[Seq[Any]])
+                      rows: Iterator[Seq[Any]],
+                      indexes: Seq[IndexDef] = Nil)
 
   // ---- varints (big-endian base-128, high bit = continue) --------------
 
@@ -161,7 +165,8 @@ object SqliteFile {
   private def buildPage(pageType: Int, cells: Seq[Array[Byte]],
                         rightMost: Int, headerAt: Int): Array[Byte] = {
     val page = new Array[Byte](PageSize)
-    val headerLen = if (pageType == 0x05) 12 else 8
+    val interior = pageType == 0x05 || pageType == 0x02
+    val headerLen = if (interior) 12 else 8
     var content = PageSize
     val ptrs = ArrayBuffer[Int]()
     cells.foreach { c => content -= c.length; ptrs += content
@@ -172,7 +177,7 @@ object SqliteFile {
     page(headerAt) = pageType.toByte
     System.arraycopy(u16(cells.length), 0, page, headerAt + 3, 2)
     System.arraycopy(u16(content & 0xffff), 0, page, headerAt + 5, 2)
-    if (pageType == 0x05)
+    if (interior)
       System.arraycopy(u32(rightMost), 0, page, headerAt + 8, 4)
     cells.indices.foreach(i =>
       System.arraycopy(u16(ptrs(i)), 0, page, ptrBase + 2 * i, 2))
@@ -238,8 +243,13 @@ object SqliteFile {
       var i = 0
       val maxKids = (PageSize - 12 - 4) / (2 + 4 + 9) // conservative
       while (i < level.length) {
-        val group = level.slice(i, i + maxKids)
-        i += group.length
+        var take = math.min(maxKids, level.length - i)
+        // never leave a lone child for the final group: a 1-child
+        // interior page has zero cells (rightmost only) — structurally
+        // dubious and pointless; shift one child right instead
+        if (level.length - i - take == 1) take -= 1
+        val group = level.slice(i, i + take)
+        i += take
         val cells = group.init.map { case (child, maxRowid) =>
           u32(child) ++ varint(maxRowid) }
         val no = db.alloc()
@@ -290,6 +300,140 @@ object SqliteFile {
     1
   }
 
+  // ---- index b-trees ---------------------------------------------------
+
+  /** SQLite storage-class rank: NULL < numeric < TEXT < BLOB. */
+  private def classRank(v: Any): Int = v match {
+    case null => 0
+    case _: Long | _: Double => 1
+    case _: String => 2
+    case _: Array[Byte] => 3
+    case other =>
+      throw new IllegalArgumentException(s"unorderable ${other.getClass}")
+  }
+
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** One-column comparison in SQLite's default (BINARY-collation) index
+    * order: class rank first, then numeric / UTF-8-byte / blob order. */
+  private def cmpVal(a: Any, b: Any): Int = {
+    val r = classRank(a) - classRank(b)
+    if (r != 0) r
+    else (a, b) match {
+      case (null, _) => 0
+      case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+      case (x: Long, y: Double) => java.lang.Double.compare(x.toDouble, y)
+      case (x: Double, y: Long) => java.lang.Double.compare(x, y.toDouble)
+      case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+      case (x: String, y: String) =>
+        cmpBytes(x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+      case (x: Array[Byte], y: Array[Byte]) => cmpBytes(x, y)
+      case _ => 0 // unreachable: equal class ranks matched above
+    }
+  }
+
+  private def cmpRows(a: Seq[Any], b: Seq[Any]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val c = cmpVal(a(i), b(i))
+      if (c != 0) return c < 0
+      i += 1
+    }
+    false
+  }
+
+  /** Stricter single-page payload bound for index pages (spec: X =
+    * ((usable-12)*64/255)-23). */
+  private val MaxLocalIndex = ((PageSize - 12) * 64 / 255) - 23
+
+  /** Bulk-load an index b-tree from PRE-SORTED entry records (key cols +
+    * rowid). Unlike table trees, interior pages hold real entries: when
+    * a leaf fills, the next entry is PROMOTED as the divider that lives
+    * in the parent (each entry stored exactly once). Returns root. */
+  private def buildIndexBtree(db: Db, entries: Seq[Array[Byte]]): Int = {
+    entries.foreach(e => require(e.length <= MaxLocalIndex,
+      s"index entry ${e.length} B exceeds single-page budget $MaxLocalIndex"))
+    if (entries.isEmpty) {
+      val no = db.alloc(); db.put(no, buildPage(0x0A, Nil, 0, 0)); return no
+    }
+
+    // leaves + promoted dividers. Invariant kept throughout: pages
+    // alternate with dividers (pages.length == divs.length + 1 at the
+    // end), every divider is an entry strictly between its neighbours.
+    var pages = ArrayBuffer[Int]()
+    var divs = ArrayBuffer[Array[Byte]]()
+    var cur = ArrayBuffer[Array[Byte]](); var used = 8
+    var i = 0
+    while (i < entries.length) {
+      val cell = varint(entries(i).length.toLong) ++ entries(i)
+      if (cur.nonEmpty && used + 2 + cell.length > PageSize) {
+        if (i < entries.length - 1) {
+          // close this leaf; entry i is promoted: stored only in parent
+          val no = db.alloc(); db.put(no, buildPage(0x0A, cur.toSeq, 0, 0))
+          pages += no; divs += entries(i)
+          i += 1
+        } else {
+          // the LAST entry cannot be promoted (a divider needs a right
+          // sibling) — split one entry earlier: the previous entry goes
+          // up, this one opens the final leaf. Two max-size cells always
+          // fit one page, so cur.length >= 2 and the pop can't empty it.
+          cur.remove(cur.length - 1)
+          val no = db.alloc(); db.put(no, buildPage(0x0A, cur.toSeq, 0, 0))
+          pages += no; divs += entries(i - 1)
+          // entry i restarts in the fresh leaf (do not advance i)
+        }
+        cur = ArrayBuffer[Array[Byte]](); used = 8
+      } else { cur += cell; used += 2 + cell.length; i += 1 }
+    }
+    // the last entry always lands in cur (promotion is never taken on it)
+    val lastNo = db.alloc(); db.put(lastNo, buildPage(0x0A, cur.toSeq, 0, 0))
+    pages += lastNo
+
+    // interior levels: pages.length == divs.length + 1 invariant
+    while (pages.length > 1) {
+      val outPages = ArrayBuffer[Int]()
+      val outDivs = ArrayBuffer[Array[Byte]]()
+      var cells = ArrayBuffer[Array[Byte]](); var used2 = 12
+      var j = 0
+      while (j < divs.length) {
+        val cell = u32(pages(j)) ++ varint(divs(j).length.toLong) ++ divs(j)
+        if (cells.nonEmpty && used2 + 2 + cell.length > PageSize) {
+          if (j < divs.length - 1) {
+            // close covering children ..pages(j); divs(j) goes up
+            val no = db.alloc()
+            db.put(no, buildPage(0x02, cells.toSeq, pages(j), 0))
+            outPages += no; outDivs += divs(j)
+            j += 1
+          } else {
+            // the LAST pair must land in the final page (a divider
+            // needs a right subtree) — split one pair earlier. Two
+            // max-size cells always fit one page, so cells.length >= 2
+            // here and the pop cannot empty the page.
+            cells.remove(cells.length - 1)
+            val no = db.alloc()
+            db.put(no, buildPage(0x02, cells.toSeq, pages(j - 1), 0))
+            outPages += no; outDivs += divs(j - 1)
+            // do not advance j: pair j restarts in the fresh page
+          }
+          cells = ArrayBuffer[Array[Byte]](); used2 = 12
+        } else { cells += cell; used2 += 2 + cell.length; j += 1 }
+      }
+      val no = db.alloc()
+      db.put(no, buildPage(0x02, cells.toSeq, pages.last, 0))
+      outPages += no
+      pages = outPages; divs = outDivs
+    }
+    pages.head
+  }
+
   // ---- file header + write ---------------------------------------------
 
   private def fileHeader(nPages: Int): Array[Byte] = {
@@ -311,15 +455,26 @@ object SqliteFile {
   }
 
   /** Write a database file containing `tables` (rowids assigned 1..n in
-    * iteration order). Returns the number of pages written. */
+    * iteration order) and their index b-trees. Returns pages written. */
   def write(path: Path, tables: Seq[TableDef]): Int = {
     val db = new Db
     val masterRows = ArrayBuffer[Seq[Any]]()
     tables.foreach { t =>
-      val encoded = t.rows.zipWithIndex
-        .map { case (vals, i) => (i + 1L, encodeRecord(vals)) }.toSeq
+      val rows = t.rows.toSeq // materialized: table cells + index keys
+      val encoded = rows.zipWithIndex
+        .map { case (vals, i) => (i + 1L, encodeRecord(vals)) }
       val root = buildTableBtree(db, encoded)
       masterRows += Seq("table", t.name, t.name, root.toLong, t.createSql)
+      t.indexes.foreach { ix =>
+        // index entry = key columns + rowid, sorted in index order
+        val entries = rows.zipWithIndex
+          .map { case (vals, i) =>
+            (ix.keyCols.map(vals).toSeq :+ (i + 1L)): Seq[Any] }
+          .sortWith(cmpRows)
+          .map(encodeRecord)
+        val iroot = buildIndexBtree(db, entries)
+        masterRows += Seq("index", ix.name, t.name, iroot.toLong, ix.createSql)
+      }
     }
     val masterCells = masterRows.zipWithIndex
       .map { case (vals, i) => (i + 1L, encodeRecord(vals)) }
@@ -374,10 +529,58 @@ object SqliteFile {
     val master = walk(1, 100).map(r => decodeRecord(r._2))
     if (table == "sqlite_master") master.map(_.toSeq)
     else {
-      val root = master.find(r => r(1) == table).getOrElse(
-        throw new NoSuchElementException(s"table $table not in db"))
+      val root = master.find(r => r(0) == "table" && r(1) == table)
+        .getOrElse(
+          throw new NoSuchElementException(s"table $table not in db"))
         .apply(3).asInstanceOf[Long].toInt
       walk(root, 0).map(r => decodeRecord(r._2))
     }
+  }
+
+  /** All entries of `index` (key cols + rowid), in index order — the
+    * in-order walk interleaves interior entries between child subtrees
+    * (index interior cells ARE entries, unlike table interiors). */
+  def readIndex(path: Path, index: String): Seq[Seq[Any]] = {
+    val bytes = Files.readAllBytes(path)
+    val pageSize = ((bytes(16) & 0xff) << 8) | (bytes(17) & 0xff)
+
+    def walkIx(pageNo: Int): Seq[Seq[Any]] = {
+      val base = (pageNo - 1) * pageSize
+      val pageType = bytes(base) & 0xff
+      val nCells = ((bytes(base + 3) & 0xff) << 8) | (bytes(base + 4) & 0xff)
+      val headerLen = if (pageType == 0x02) 12 else 8
+      def ptr(i: Int): Int = base + (
+        ((bytes(base + headerLen + 2 * i) & 0xff) << 8) |
+          (bytes(base + headerLen + 2 * i + 1) & 0xff))
+      if (pageType == 0x02) {
+        val parts = (0 until nCells).flatMap { i =>
+          val p = ptr(i)
+          val child = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+            ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+          val (plen, n1) = readVarint(bytes, p + 4)
+          val entry = decodeRecord(java.util.Arrays.copyOfRange(
+            bytes, p + 4 + n1, p + 4 + n1 + plen.toInt))
+          walkIx(child) :+ entry
+        }
+        val right = ((bytes(base + 8) & 0xff) << 24) |
+          ((bytes(base + 9) & 0xff) << 16) |
+          ((bytes(base + 10) & 0xff) << 8) | (bytes(base + 11) & 0xff)
+        parts ++ walkIx(right)
+      } else {
+        require(pageType == 0x0A, s"unexpected index page type $pageType")
+        (0 until nCells).map { i =>
+          val p = ptr(i)
+          val (plen, n1) = readVarint(bytes, p)
+          decodeRecord(java.util.Arrays.copyOfRange(
+            bytes, p + n1, p + n1 + plen.toInt))
+        }
+      }
+    }
+
+    val root = read(path, "sqlite_master")
+      .find(r => r(0) == "index" && r(1) == index)
+      .getOrElse(throw new NoSuchElementException(s"index $index not in db"))
+      .apply(3).asInstanceOf[Long].toInt
+    walkIx(root)
   }
 }

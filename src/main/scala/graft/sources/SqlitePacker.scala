@@ -53,8 +53,33 @@ object SqlitePacker {
     try { Class.forName("org.sqlite.JDBC"); true }
     catch { case _: ClassNotFoundException => false }
 
-  /** Per-table CREATE statements stored in sqlite_master (the index
-    * definitions stay in schema.sql/load.sql — [[SqliteFile]] scope). */
+  /** The reference's nine indexes (schemaSql above), as native index
+    * b-trees in the .db artifact. keyCols are positions in the table's
+    * column order. */
+  private val indexDefs: Map[String, Seq[SqliteFile.IndexDef]] = Map(
+    "prices" -> Seq(
+      SqliteFile.IndexDef("idx_prices_premise_code",
+        "CREATE INDEX idx_prices_premise_code ON prices (premise_code)", Seq(1)),
+      SqliteFile.IndexDef("idx_prices_item_code",
+        "CREATE INDEX idx_prices_item_code ON prices (item_code)", Seq(2))),
+    "premises" -> Seq(
+      SqliteFile.IndexDef("idx_premises_premise_code",
+        "CREATE UNIQUE INDEX idx_premises_premise_code ON premises (premise_code)", Seq(0)),
+      SqliteFile.IndexDef("idx_premises_premise_type",
+        "CREATE INDEX idx_premises_premise_type ON premises (premise_type)", Seq(3)),
+      SqliteFile.IndexDef("idx_premises_state",
+        "CREATE INDEX idx_premises_state ON premises (state)", Seq(4)),
+      SqliteFile.IndexDef("idx_premises_district",
+        "CREATE INDEX idx_premises_district ON premises (district)", Seq(5))),
+    "items" -> Seq(
+      SqliteFile.IndexDef("idx_items_item_code",
+        "CREATE UNIQUE INDEX idx_items_item_code ON items (item_code)", Seq(0)),
+      SqliteFile.IndexDef("idx_items_item_group",
+        "CREATE INDEX idx_items_item_group ON items (item_group)", Seq(3)),
+      SqliteFile.IndexDef("idx_items_item_category",
+        "CREATE INDEX idx_items_item_category ON items (item_category)", Seq(4))))
+
+  /** Per-table CREATE statements stored in sqlite_master. */
   private val createTableSql = Map(
     "prices" -> ("CREATE TABLE prices (date VARCHAR(255), premise_code " +
       "INTEGER, item_code INTEGER, price FLOAT)"),
@@ -107,11 +132,13 @@ object SqlitePacker {
       deleteRecursive(Paths.get(s"$outDir/$name.csv.d"))
     }
 
-    // the real database file — queryable by any sqlite3 as-is
+    // the real database file — queryable by any sqlite3 as-is, with the
+    // reference's indexes as native b-trees
     val dbPath = dir.resolve("pricecatcher.db")
     SqliteFile.write(dbPath, tables.map { case (name, df) =>
       SqliteFile.TableDef(name, createTableSql(name),
-        stringified(df).toLocalIterator().asScala.map(sqlValues))
+        stringified(df).toLocalIterator().asScala.map(sqlValues),
+        indexDefs.getOrElse(name, Nil))
     })
 
     Files.writeString(dir.resolve("schema.sql"), schemaSql)

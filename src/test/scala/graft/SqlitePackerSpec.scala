@@ -48,6 +48,40 @@ class SqlitePackerSpec extends SparkSpec {
     Files.delete(path)
   }
 
+  test("SqliteFile index b-trees: complete, ordered, multi-level") {
+    val path = Files.createTempFile("graft_sqlite_ix", ".db")
+    // key design: text keys large enough to force interior index pages
+    // (promoted-divider path), plus NULLs (class order: NULL first)
+    val n = 4000
+    val rows = (1 to n).map { i =>
+      Seq(if (i % 97 == 0) null else s"key_${"%05d".format((i * 7919) % n)}",
+        i.toLong)
+    }
+    SqliteFile.write(path, Seq(
+      SqliteFile.TableDef("t",
+        "CREATE TABLE t (k TEXT, v INTEGER)", rows.iterator,
+        Seq(SqliteFile.IndexDef("idx_k",
+          "CREATE INDEX idx_k ON t (k)", Seq(0)),
+          SqliteFile.IndexDef("idx_empty_none", // empty-index path
+            "CREATE INDEX idx_empty_none ON t (v)", Seq(1))))))
+
+    val master = SqliteFile.read(path, "sqlite_master")
+    assert(master.count(_(0) == "index") == 2)
+
+    val entries = SqliteFile.readIndex(path, "idx_k")
+    assert(entries.size == n, s"index must hold every row: ${entries.size}")
+    // every (key, rowid) pair present exactly once
+    val expected = rows.zipWithIndex.map { case (r, i) => (r(0), i + 1L) }
+    assert(entries.map(e => (e(0), e(1))).toSet == expected.toSet)
+    // in index order: NULLs first, then byte-ordered text; rowid breaks ties
+    val keys = entries.map(_(0))
+    val (nulls, texts) = keys.span(_ == null)
+    assert(nulls.size == n / 97 && texts.forall(_ != null))
+    assert(texts.map(_.asInstanceOf[String]) ==
+      texts.map(_.asInstanceOf[String]).sorted)
+    Files.delete(path)
+  }
+
   test("pack emits a self-bootstrapping artifact that loads in sqlite3") {
     val out = Files.createTempDirectory("packer_spec").toString
     val prices = Seq(("2001-01-01", 1L, 10L, 9.99), ("2001-01-02", 2L, 11L, 5.0))
