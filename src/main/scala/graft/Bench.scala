@@ -24,22 +24,25 @@ object Bench {
     // plus bench-only extras (Zipfian-vocabulary jaccard pair)
     val bench = SparkEntry.queries ++ SparkEntry.benchOverrides ++
       SparkEntry.benchExtras
-    // streaming drives run-and-await rather than noop-consume a frame
-    val drives = SparkEntry.streamingDrives
-      .map { case (n, f) => n -> ((s: SparkSession, d: String) => f(s, d)) }
-    val runners: Map[String, (SparkSession, String) => Unit] =
-      bench.map { case (n, f) =>
+    // DETERMINISTIC order: batch queries name-sorted first, streaming
+    // drives LAST — Map hash order made each round's interleaving
+    // different, and running a batch query right after a streaming drive
+    // (state-store caches, dirtied heap) measured 4x slower than the
+    // same query in a quiet JVM (q02 7.9s vs 2.1s, q22 5.6s vs 0.8s)
+    val runners: Seq[(String, (SparkSession, String) => Unit)] =
+      bench.toSeq.sortBy(_._1).map { case (n, f) =>
         n -> ((s: SparkSession, d: String) => consume(f(s, d)))
-      } ++ drives
-    // warmup pass: JVM/codegen/parquet-footer caches; measured passes after
-    runners.foreach { case (_, fn) =>
-      try fn(spark, sfDir) catch { case _: Throwable => () }
-    }
-    // >= 2 measured runs, report the per-query MIN: single-run timings
-    // vary >5x under machine load (BENCH_r02 recorded a 1.8x phantom
-    // regression on byte-identical code), and min is the noise-robust
-    // statistic for a deterministic workload
+      } ++ SparkEntry.streamingDrives.toSeq.sortBy(_._1)
+        .map { case (n, f) => n -> ((s: SparkSession, d: String) => f(s, d)) }
+    // per-query warmup IMMEDIATELY before its measured runs (a global
+    // warmup pass would end on the streaming drives and hand the first
+    // measured batch query a dirtied JVM — the same pollution the
+    // ordering above avoids), then >= 2 measured runs reporting the MIN:
+    // single-run timings vary >5x under machine load (BENCH_r02 recorded
+    // a 1.8x phantom regression on byte-identical code), and min is the
+    // noise-robust statistic for a deterministic workload
     val results = runners.map { case (name, fn) =>
+      try fn(spark, sfDir) catch { case _: Throwable => () } // warmup
       val times = (1 to measuredRuns).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir); true }
@@ -51,7 +54,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

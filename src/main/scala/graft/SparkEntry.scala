@@ -667,6 +667,14 @@ object SparkEntry {
     TextDedup.tokenJaccardPairs(Tables.documents(s, d), "doc_id", "text",
       blockCol = "source", threshold = 0.5, maxDfRatio = 0.8)
 
+  /** d06 — exact n-gram (3-shingle) Jaccard dedup pairs: the
+    * order-sensitive cousin of d04's token-set Jaccard (a doc pair must
+    * share word SEQUENCES, not just vocabulary). Same operator that
+    * serves as d02's deterministic truth set, registered first-class;
+    * pairs need both shingle-set and token-set Jaccard >= 0.6. */
+  private def d06(s: SparkSession, d: String): DataFrame =
+    TextDedup.shingleJaccardPairs(Tables.documents(s, d), "doc_id", "text")
+
   /** d05 — embedding near-duplicates via sign-LSH + cosine verify,
     * checked as a recall contract against the exact all-pairs truth:
     * DuckDB recomputes n_true independently (list_cosine_similarity),
@@ -863,6 +871,57 @@ object SparkEntry {
       regexp_count(col("text"), lit(TextFunctions.ipRe)).cast("long").as("n_ips"),
       regexp_count(col("text"), lit(TextFunctions.phoneRe)).cast("long").as("n_phones"))
 
+  /** t10 — TF-IDF keywords: top-3 tokens per document. The RANKING key
+    * is integer-only (tf desc, df asc, tok) — ordering by the float
+    * tfidf would let a last-ulp ln() difference between engines swap
+    * near-ties across the top-3 cutoff; the tfidf VALUE itself is
+    * emitted (4 dp) where a boundary landing is measure-zero. */
+  private def t10(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("tok").asc)
+    tf.join(dfTab, "tok").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") *
+        log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("tok"), col("tf"), col("df"),
+        col("tfidf"))
+  }
+
+  /** t11 — repetition signals (Gopher-style quality filters): word
+    * counts, distinct ratio, and the share of the doc taken by its most
+    * frequent token. Integer ratios only — no transcendental functions
+    * in anything the oracle hashes order-sensitively. */
+  private def t11(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0))).as("tok"))
+    val perTok = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val agg = perTok.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_words"),
+      count(lit(1)).as("n_distinct"),
+      max(col("c")).as("top_tf"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).cast("long").as("n_words"),
+        coalesce(col("n_distinct"), lit(0L)).cast("long").as("n_distinct"),
+        coalesce(col("top_tf"), lit(0L)).cast("long").as("top_tf"),
+        round(col("top_tf").cast("double") /
+          nullif(col("n_words"), lit(0L)), 4).as("rep_ratio"),
+        round(col("n_distinct").cast("double") /
+          nullif(col("n_words"), lit(0L)), 4).as("distinct_ratio"))
+  }
+
   /** m01 — multimodal feature extraction: real BMP/WAV/GVF container
     * payloads → per-asset parsed dimensions + features via the
     * mapPartitions batch decode. The engine PARSES width/height/
@@ -946,6 +1005,9 @@ object SparkEntry {
     "d04_token_jaccard" -> (d04 _),
     "d04b_token_jaccard_capped" -> (d04b _),
     "d05_embed_neardup" -> (d05 _),
+    "d06_ngram_jaccard" -> (d06 _),
+    "t10_tfidf_keywords" -> (t10 _),
+    "t11_repetition" -> (t11 _),
     "s01_ann_brute" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_ann_ivf" -> (s03 _),
@@ -1602,6 +1664,60 @@ object SparkEntry {
         |CAST(len(regexp_extract_all(text,
         |  '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phones
         |FROM documents""".stripMargin,
+    // d06: same derivation as the d02 oracle (order-preserving distinct,
+    // shingling, dual Jaccard conditions) but emitting the pairs
+    "d06_ngram_jaccard" ->
+      """WITH raw AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+        |t AS (SELECT doc_id,
+        |    list_filter(tk, (x,i) -> list_position(tk, x) = i) AS toks FROM raw),
+        |sh AS (SELECT doc_id, toks,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i+1:i+3], ' ')
+        |               FOR i IN range(0, len(toks)-2)] END AS shingles
+        |    FROM t),
+        |cnt AS (SELECT doc_id, len(shingles) AS ns, len(toks) AS nt FROM sh),
+        |se AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |si AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS i FROM se a
+        |       JOIN se b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |te AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+        |ti AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS i FROM te a
+        |       JOIN te b ON a.tk = b.tk AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT si.ia AS id_a, si.ib AS id_b
+        |FROM si JOIN ti ON si.ia = ti.ia AND si.ib = ti.ib
+        |JOIN cnt ca ON si.ia = ca.doc_id JOIN cnt cb ON si.ib = cb.doc_id
+        |WHERE CAST(si.i AS DOUBLE) / (ca.ns + cb.ns - si.i) >= 0.6
+        |  AND CAST(ti.i AS DOUBLE) / (ca.nt + cb.nt - ti.i) >= 0.6""".stripMargin,
+    "t10_tfidf_keywords" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |    FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, tok, tf, df,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf DESC, df, tok) AS rnk
+        |    FROM tf JOIN df USING (tok) CROSS JOIN n)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok,
+        |    CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+        |FROM scored WHERE rnk <= 3""".stripMargin,
+    "t11_repetition" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |    FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(max(c) AS BIGINT) AS top_tf FROM tf GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+        |    coalesce(n_distinct, 0) AS n_distinct,
+        |    coalesce(top_tf, 0) AS top_tf,
+        |    round(CAST(top_tf AS DOUBLE) / nullif(n_words, 0), 4) AS rep_ratio,
+        |    round(CAST(n_distinct AS DOUBLE) / nullif(n_words, 0), 4)
+        |      AS distinct_ratio
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
     "m01_multimodal_features" ->
       """SELECT doc_id AS asset_id,
         |CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
