@@ -164,27 +164,31 @@ object TextDedup {
     val inverted = toks.select(col("doc_id"), col("blk"),
       explode(col("toks")).as("tok"))
 
-    val universe =
+    // canonical token order key = (df asc, token asc) per block. The df
+    // table is vocabulary-sized; no forced broadcast on its fact-side
+    // join — AQE picks a broadcast join when the vocab is small and a
+    // co-partitioned shuffle join when it isn't (a real corpus
+    // vocabulary can be GBs). Computed ONCE: capping drops whole tokens
+    // (never individual occurrences), so the kept tokens' df values are
+    // unchanged and the capped universe's df table is just the filtered
+    // df table — no second aggregation over the joined universe.
+    val dfAll = inverted.groupBy(col("blk"), col("tok"))
+      .agg(count(lit(1)).as("df"))
+
+    val (universe, dfTab) =
       if (maxDfRatio < 1.0) {
         // blocks and the (block, token) vocabulary are both tiny relative
         // to the corpus — the kept-token table broadcasts, so capping adds
         // one small aggregation, no extra fact-side shuffle
         val blockSizes = docs.groupBy(col(blockCol).as("blk"))
           .agg(count(lit(1)).as("bn"))
-        val kept = inverted.groupBy(col("blk"), col("tok"))
-          .agg(count(lit(1)).as("df"))
+        val kept = dfAll
           .join(broadcast(blockSizes), "blk")
           .filter(col("df") <= col("bn") * maxDfRatio)
-          .select("blk", "tok")
-        inverted.join(broadcast(kept), Seq("blk", "tok"))
-      } else inverted
-
-    // canonical token order = (df asc, token asc) per block. The df
-    // table is vocabulary-sized; no forced broadcast — AQE picks a
-    // broadcast join when the vocab is small and a co-partitioned
-    // shuffle join when it isn't (a real corpus vocabulary can be GBs)
-    val dfTab = universe.groupBy(col("blk"), col("tok"))
-      .agg(count(lit(1)).as("df"))
+          .select("blk", "tok", "df")
+        (inverted.join(broadcast(kept.select("blk", "tok")),
+          Seq("blk", "tok")), kept)
+      } else (inverted, dfAll)
 
     // one row per doc: tokens sorted by the canonical order (struct sort
     // is lexicographic on (df, tok) — a total order since tok is unique
