@@ -17,8 +17,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** Relation memo — the library-local analog of a catalog/metastore
+    * entry. `spark.read.parquet` pays a driver-side file listing +
+    * footer schema read per call; repeated query invocations over the
+    * same path (every Verify/Bench run, any composed pipeline) should
+    * pay it once. DataFrames are immutable logical plans, so sharing is
+    * safe; keyed per session (a plan is bound to its session). Bounded:
+    * one entry per (session, path) actually read. */
+  private val relCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private def sessionKey(spark: SparkSession): Int =
+    System.identityHashCode(spark)
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    // events is NOT memoized here: its relation is only valid when
+    // created under the nanosAsLong conf, so `events` caches its
+    // CONVERTED frame below instead (a raw cache entry made without the
+    // conf would poison every later events read)
+    if (name == "events") spark.read.parquet(s"$sfDir/$name.parquet")
+    else relCache.getOrElseUpdate(
+      (sessionKey(spark), s"$sfDir/$name.parquet"),
+      spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
@@ -32,7 +52,11 @@ object Tables {
     * (legacy conf) and truncate to microsecond TimestampType with integer
     * `div` — a true `/` would round-trip through double and lose
     * precision above 2^53 ns. */
-  def events(spark: SparkSession, d: String): DataFrame = {
+  def events(spark: SparkSession, d: String): DataFrame =
+    relCache.getOrElseUpdate((sessionKey(spark), s"$d/events.parquet#conv"),
+      eventsUncached(spark, d))
+
+  private def eventsUncached(spark: SparkSession, d: String): DataFrame = {
     // set/restore around the read: leaving nanosAsLong set would silently
     // change every later parquet read in the session (a read must not
     // have session-wide side effects). The DataFrame stays valid after
