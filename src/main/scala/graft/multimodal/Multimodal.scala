@@ -119,6 +119,160 @@ object Multimodal {
     }
   }
 
+  /** Resized-image row. `payload` is a real re-encoded BMP;
+    * `roundtrip_ok` is the contract check (see [[resizeImages]]). */
+  case class ResizedImage(asset_id: Long, in_width: Int, in_height: Int,
+                          out_width: Int, out_height: Int, out_bytes: Long,
+                          roundtrip_ok: Boolean, payload: Array[Byte])
+
+  /** BMP rows are padded to 4-byte boundaries (public format spec).
+    * Long: a claimed width near 2^31 overflows the Int form. */
+  private def rowStride(width: Int): Long = (width.toLong * 3 + 3) & ~3L
+
+  /** Read one channel byte of pixel (sx, sy) from a BMP payload in
+    * storage order; bytes past the end of a TRUNCATED pixel array read
+    * as 0 (black) — the lenient-decoder behavior a crawled corpus
+    * needs, since a malformed blob must yield a classifiable row. */
+  private def pixelByte(p: Array[Byte], bodyOff: Int, stride: Long,
+                        sx: Int, sy: Int, c: Int): Byte = {
+    // Long offset: sy * stride wraps Int for claimed-huge dims, and a
+    // wrapped offset could land IN range and silently read wrong bytes
+    val off = bodyOff + sy * stride + sx * 3L + c
+    if (off >= 0 && off < p.length) p(off.toInt) else 0
+  }
+
+  /** ======== RESIZE CONTRACT ========
+    * Nearest-neighbor downscale to fit in `maxDim` × `maxDim`, aspect
+    * preserved, integer arithmetic only:
+    *   g     = max(in_w, in_h)
+    *   out_w = max(1, in_w * maxDim / g)   (integer division; no-op
+    *   out_h = max(1, in_h * maxDim / g)    when g <= maxDim)
+    *   src(x, y) = (x * in_w / out_w, y * in_h / out_h)
+    * The output is a REAL 24bpp BMP (4-byte-padded rows, zeroed pad).
+    *
+    * `roundtrip_ok` verifies the output INDEPENDENTLY of the resize
+    * loop: [[MediaCodec.decodeHeader]] must re-parse the emitted bytes
+    * to (image, out_w, out_h) with the exact expected byte length, and
+    * every output pixel is compared against a fresh read of the SOURCE
+    * payload at the contract's src(x, y) — a wrong stride, flipped
+    * coordinate, or off-by-one in the writer fails the gate. The m03
+    * oracle re-derives out_w/out_h/out_bytes in SQL from this contract
+    * and pins roundtrip_ok = true. */
+  def resizeImages(assets: Dataset[Asset], maxDim: Int = 64)
+                  (implicit spark: SparkSession): Dataset[ResizedImage] = {
+    import spark.implicits._
+    assets.flatMap { a =>
+      MediaCodec.decodeHeader(a.payload) match {
+        case Some(mi) if mi.kind == "image" && mi.width > 0 && mi.height > 0 =>
+          val (w, h) = (mi.width, mi.height)
+          val g = math.max(w, h)
+          // Long arithmetic: a crawled blob can CLAIM w near 2^31 and
+          // w * maxDim / x * w must not overflow (output stays <= maxDim
+          // either way, so allocations are bounded by contract)
+          val ow = if (g <= maxDim) w
+                   else math.max(1L, w.toLong * maxDim / g).toInt
+          val oh = if (g <= maxDim) h
+                   else math.max(1L, h.toLong * maxDim / g).toInt
+          val strideIn = rowStride(w)
+          // output dims are <= max(maxDim, source-if-smaller), so the
+          // output stride/allocation is small Int by construction
+          val strideOut = rowStride(ow).toInt
+          val body = new Array[Byte](strideOut * oh)
+          var y = 0
+          while (y < oh) {
+            val sy = (y.toLong * h / oh).toInt
+            var x = 0
+            while (x < ow) {
+              val sx = (x.toLong * w / ow).toInt
+              var c = 0
+              while (c < 3) {
+                body(y * strideOut + x * 3 + c) =
+                  pixelByte(a.payload, mi.bodyOffset, strideIn, sx, sy, c)
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          val out = MediaCodec.encodeBmp(ow, oh, body)
+          // contract check, arithmetic-inverted from the writer: walk the
+          // OUTPUT bytes linearly and derive (x, y, channel) from each
+          // offset by division/modulo (the writer multiplies), expecting
+          // pad bytes zero and pixel bytes equal to a fresh source read —
+          // a wrong stride, swapped coordinate, or pad overrun fails here
+          // even though the writer "agreed with itself".
+          val ok = MediaCodec.decodeHeader(out) match {
+            case Some(ri) if ri.kind == "image" && ri.width == ow &&
+                ri.height == oh && out.length == 54 + strideOut * oh =>
+              var good = ri.bodyOffset == 54
+              var off = 0
+              while (good && off < strideOut * oh) {
+                val yy = off / strideOut
+                val r = off % strideOut
+                val expect =
+                  if (r >= ow * 3) 0: Byte // row pad
+                  else pixelByte(a.payload, mi.bodyOffset, strideIn,
+                    ((r / 3).toLong * w / ow).toInt,
+                    (yy.toLong * h / oh).toInt, r % 3)
+                good = out(ri.bodyOffset + off) == expect
+                off += 1
+              }
+              good
+            case _ => false
+          }
+          Iterator.single(ResizedImage(a.asset_id, w, h, ow, oh,
+            out.length.toLong, ok, out))
+        case _ => Iterator.empty
+      }
+    }
+  }
+
+  /** Audio stats row. All fields but `amp_ok` are header facts +
+    * integer arithmetic (SQL-derivable); `amp_ok` asserts the PCM
+    * sample parse. */
+  case class AudioStats(asset_id: Long, sample_rate: Long, channels: Long,
+                        n_samples: Long, duration_ms: Long, amp_ok: Boolean)
+
+  /** Audio feature extraction over real WAV payloads: per-channel
+    * sample count and duration from the parsed header + data-chunk
+    * length (exact integer arithmetic — truncating division, mirrored
+    * by the m04 oracle), plus a PCM16 parse check: the summed |sample|
+    * is computed twice through genuinely different byte routes — a
+    * hand-rolled little-endian loop vs the JVM's ByteBuffer/ShortBuffer
+    * view — and `amp_ok` pins their agreement (an endianness or stride
+    * bug in either route fails the gate; a trailing odd byte is ignored
+    * by both, as a PCM16 reader must). Audio rows are recognized by
+    * their parsed RIFF magic, never the metadata claim. */
+  def audioStats(assets: Dataset[Asset])
+                (implicit spark: SparkSession): Dataset[AudioStats] = {
+    import spark.implicits._
+    assets.flatMap { a =>
+      MediaCodec.decodeHeader(a.payload) match {
+        case Some(mi) if mi.kind == "audio" && mi.channels > 0 &&
+            mi.sampleRate > 0 =>
+          val bodyLen = math.max(0, a.payload.length - mi.bodyOffset)
+          val nSamples = bodyLen / (2L * mi.channels)
+          val durationMs = nSamples * 1000L / mi.sampleRate
+          // route 1: hand-rolled LE i16 walk
+          var sum1 = 0L
+          var i = mi.bodyOffset
+          while (i + 1 < a.payload.length) {
+            val s = ((a.payload(i) & 0xff) | (a.payload(i + 1) << 8)).toShort
+            sum1 += math.abs(s.toLong); i += 2
+          }
+          // route 2: the JVM's buffer view does the endianness
+          val sb = java.nio.ByteBuffer
+            .wrap(a.payload, mi.bodyOffset, bodyLen & ~1)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+          var sum2 = 0L
+          while (sb.hasRemaining) sum2 += math.abs(sb.get().toLong)
+          Iterator.single(AudioStats(a.asset_id, mi.sampleRate.toLong,
+            mi.channels.toLong, nSamples, durationMs, sum1 == sum2))
+        case _ => Iterator.empty
+      }
+    }
+  }
+
   /** Frame sampling for video assets: emit every `stride`-th byte window
     * of the container BODY as a frame — the one-to-many generator shape
     * (flatMap) a real frame sampler has. Videos are recognized by their

@@ -78,6 +78,55 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.features.forall(f => f >= -0.5f && f <= 0.5f))
   }
 
+  test("resize: real NN downscale with known pixels, truncation, pads") {
+    // 4×2 source, full pixel array, row stride = (4*3+3)&~3 = 12 (no pad)
+    val src = Array.tabulate(2, 12)((y, i) => (y * 100 + i).toByte)
+    val bmp = MediaCodec.encodeBmp(4, 2, src.flatten.toArray)
+    val asset = Multimodal.Asset(7L, "image", 4, 2, bmp.length, bmp)
+    // maxDim=2 → g=4, out = (2, 1); src(x,0) = (x*4/2, 0*2/1) = (2x, 0)
+    val r = Multimodal.resizeImages(Seq(asset).toDS(), maxDim = 2).head()
+    assert(r.out_width == 2 && r.out_height == 1 && r.roundtrip_ok)
+    val mi = MediaCodec.decodeHeader(r.payload).get
+    assert(mi.width == 2 && mi.height == 1)
+    // out stride = (2*3+3)&~3 = 8: pixels (0,0)->src(0,0), (1,0)->src(2,0)
+    val body = r.payload.drop(mi.bodyOffset)
+    assert(body.length == 8)
+    assert(body.take(3).toSeq == src(0).take(3).toSeq)
+    assert(body.slice(3, 6).toSeq == src(0).slice(6, 9).toSeq)
+    assert(body(6) == 0 && body(7) == 0) // row pad bytes zeroed
+    // truncated pixel array (the fixture shape): missing bytes read black
+    val trunc = MediaCodec.encodeBmp(100, 100, Array[Byte](9, 8, 7))
+    val tr = Multimodal.resizeImages(
+      Seq(Multimodal.Asset(8L, "image", 100, 100, trunc.length, trunc)).toDS(),
+      maxDim = 10).head()
+    assert(tr.out_width == 10 && tr.out_height == 10 && tr.roundtrip_ok)
+    val tb = tr.payload.drop(54)
+    assert(tb(0) == 9 && tb(1) == 8 && tb(2) == 7 && tb.drop(3).forall(_ == 0))
+    // non-images and malformed payloads are skipped, never thrown on
+    val skip = Multimodal.resizeImages(Seq(
+      Multimodal.Asset(9L, "audio", 0, 0, 4L,
+        MediaCodec.encodeWav(8000, 1, Array[Byte](1, 2))),
+      Multimodal.Asset(10L, "image", 1, 1, 3L, Array[Byte](1, 2, 3))).toDS())
+    assert(skip.count() == 0)
+  }
+
+  test("audio stats: samples/duration from real bytes, dual-route amp") {
+    // 11025 Hz stereo, 10 samples + 1 trailing odd byte (ignored)
+    val body = Array.tabulate(21)(i => (i * 37 - 100).toByte)
+    val wav = MediaCodec.encodeWav(11025, 2, body)
+    val st = Multimodal.audioStats(
+      Seq(Multimodal.Asset(3L, "audio", 0, 0, wav.length, wav)).toDS()).head()
+    assert(st.sample_rate == 11025 && st.channels == 2)
+    assert(st.n_samples == 5)                  // 21 bytes -> 10 i16 -> /2ch
+    assert(st.duration_ms == 5 * 1000 / 11025) // = 0, truncating
+    assert(st.amp_ok)
+    // non-audio payloads are skipped by parsed magic, even if claimed
+    val bmp = MediaCodec.encodeBmp(4, 4, Array[Byte](1))
+    assert(Multimodal.audioStats(
+      Seq(Multimodal.Asset(4L, "audio", 0, 0, bmp.length, bmp)).toDS())
+      .count() == 0)
+  }
+
   test("frame sampling explodes video assets only, over the body bytes") {
     val frames = Multimodal.sampleFrames(assets, stride = 64)
     val videoCount = assets.filter($"kind" === "video").count()
