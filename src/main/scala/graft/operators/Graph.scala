@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components — duplicate-PAIR output (d01/d04/
+  * d06/d05 all emit pairs) is only half of dedup; a curation pipeline
+  * needs duplicate CLUSTERS: union the pairs into components, pick one
+  * canonical doc per component, drop the rest.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", public literature) —
+  * converges in O(log²·n) rounds INDEPENDENT of graph diameter, unlike
+  * naive min-label propagation whose round count is the diameter (a
+  * pathological duplicate chain at 100 TB would need millions of
+  * rounds). Each half-round is one aggregation + one equi-join on the
+  * node key — no collect_list neighbor materialization (a hub node's
+  * neighbor list would not fit an executor row; the min-aggregate
+  * formulation below never builds it), no driver-side graph state.
+  *
+  * Determinism: every step is min() arithmetic over the node ids —
+  * partitioning- and retry-independent. Convergence is detected from
+  * two scalar aggregates per round (count + order-independent hash
+  * sum), not by collecting the edge set.
+  *
+  * Lineage: each round localCheckpoints the edge set — iterative plans
+  * otherwise stack O(rounds) joins into one Catalyst tree (analysis
+  * blows up long before the data does). On a real cluster, swap
+  * localCheckpoint for reliable `checkpoint` to a DFS dir (one line,
+  * noted here because local[*] has no DFS).
+  */
+object Graph {
+
+  /** Connected components over an undirected edge list.
+    *
+    * @param edges  two-column DataFrame; each row one undirected edge
+    *               between long-typed node ids (self-loops and duplicate
+    *               edges are tolerated and ignored)
+    * @return (node, component) — one row per node appearing in `edges`,
+    *         component = the MINIMUM node id reachable from `node`
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val srcCol = edges.columns(0)
+    val dstCol = edges.columns(1)
+    // canonical undirected form (lo, hi), self-loops dropped
+    val base = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+
+    // large-star: per node u over its SYMMETRIC neighborhood, attach
+    // every strictly-larger neighbor to m = min(N(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+        .union(e.select(col("hi").as("u"), col("lo").as("v")))
+      val m = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      sym.join(m, "u").filter(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("lo"),
+          greatest(col("v"), col("m")).as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .distinct()
+    }
+
+    // small-star: per node u over its strictly-SMALLER neighbors
+    // (canonical (hi=u, lo=v) orientation), link them all — and u —
+    // to the minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("hi").as("u")).agg(min(col("lo")).as("m"))
+      val linkSmall = e.select(col("hi").as("u"), col("lo").as("v"))
+        .join(m, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+      val linkSelf = m.select(col("m").as("lo"), col("u").as("hi"))
+      linkSmall.union(linkSelf).distinct()
+    }
+
+    // order-independent edge-set signature: stable across rounds iff the
+    // set is. bit_xor, not sum: xor can't overflow (ANSI mode forbids
+    // wrapping sums) and the edge set is distinct so nothing cancels;
+    // a 64-bit collision across rounds is not a correctness risk worth
+    // a full set-compare every round
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(
+        coalesce(bit_xor(xxhash64(col("lo"), col("hi"))), lit(0L)).as("h"),
+        count(lit(1)).as("n")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var cur = base.localCheckpoint()
+    var sig = signature(cur)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      cur = next
+      it += 1
+    }
+
+    // at the small-star fixpoint every edge is (component-min, member);
+    // nodes: members get their lo, minima get themselves
+    val members = cur.select(col("hi").as("node"), col("lo").as("component"))
+    val roots = cur.select(col("lo").as("node"), col("lo").as("component"))
+    members.union(roots).groupBy("node")
+      .agg(min(col("component")).as("component"))
+  }
+
+  /** Cluster view: every node labeled, singleton-inclusive.
+    *
+    * @param nodes single-column DataFrame of ALL node ids (docs without
+    *              any duplicate pair become their own singleton cluster)
+    * @return (node, component, cluster_size)
+    */
+  def dupClusters(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val idCol = nodes.columns(0)
+    val all = nodes.select(col(idCol).cast("long").as("node")).distinct()
+    val cc = connectedComponents(edges)
+    val labeled = all.join(cc, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
+    val sizes = labeled.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "component")
+      .select(col("node"), col("component"), col("cluster_size"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Connected components (large-star/small-star): known shapes, noise
+  * tolerance, singleton handling, and agreement with a local union-find
+  * on a seeded random graph. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("chain, triangle, and cross-component isolation") {
+    // chain 1-2-3-4 (diameter stress), triangle 10-11-12, pair 20-21
+    val labels = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (21L, 20L)))
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("self-loops and duplicate/reversed edges are tolerated") {
+    val labels = cc(Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)))
+    // node 5 only had a self-loop: no real edge, so it is absent here
+    // (dupClusters is the singleton-inclusive view)
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("agrees with local union-find on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 200
+    val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // local union-find ground truth
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> {
+        // component label = min node id in the component, among nodes
+        // that appear in an edge
+        val root = find(v.toInt)
+        edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .filter(u => find(u.toInt) == root).min
+      }).toMap
+    assert(cc(edges) == want)
+  }
+
+  test("dupClusters labels every node, singletons included, with sizes") {
+    val nodes = (1L to 8L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = Graph.dupClusters(nodes, edges)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 4L, 1L), (5L, 5L, 2L), (6L, 5L, 2L),
+      (7L, 7L, 1L), (8L, 8L, 1L)))
+  }
+}
