@@ -89,3 +89,56 @@ object VectorStats {
   def vectorStats(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.udaf(new VectorStats).apply(c)
 }
+
+/** Per-dimension max(|v_d|) over an embedding column — the scale
+  * vector for int8 quantization ([[graft.plans.QuantizeVector]]).
+  * Exact: abs/max involve no arithmetic, so the result (and everything
+  * quantized with it) is bit-reproducible regardless of partitioning.
+  * Same one-buffer-per-group shape as [[MeanVector]] (explode+max would
+  * 64× the shuffle). */
+class MaxAbsVector extends Aggregator[Array[Float], Array[Double], Array[Double]] {
+
+  override def zero: Array[Double] = Array.emptyDoubleArray
+
+  override def reduce(b: Array[Double], a: Array[Float]): Array[Double] = {
+    if (a == null || a.isEmpty) return b
+    if (b.isEmpty) {
+      val out = new Array[Double](a.length)
+      var i = 0
+      while (i < a.length) { out(i) = math.abs(a(i).toDouble); i += 1 }
+      out
+    } else {
+      require(a.length == b.length,
+        s"MaxAbsVector: mixed dimensions ${a.length} vs ${b.length}")
+      var i = 0
+      while (i < a.length) {
+        val v = math.abs(a(i).toDouble)
+        if (v > b(i)) b(i) = v
+        i += 1
+      }
+      b
+    }
+  }
+
+  override def merge(x: Array[Double], y: Array[Double]): Array[Double] =
+    if (x.isEmpty) y
+    else if (y.isEmpty) x
+    else {
+      require(x.length == y.length,
+        s"MaxAbsVector: mixed dimensions ${x.length} vs ${y.length}")
+      var i = 0
+      while (i < x.length) { if (y(i) > x(i)) x(i) = y(i); i += 1 }
+      x
+    }
+
+  override def finish(b: Array[Double]): Array[Double] = b
+  override def bufferEncoder: Encoder[Array[Double]] =
+    ExpressionEncoder[Array[Double]]()
+  override def outputEncoder: Encoder[Array[Double]] =
+    ExpressionEncoder[Array[Double]]()
+}
+
+object MaxAbsVector {
+  def maxAbsVector(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.udaf(new MaxAbsVector).apply(c)
+}

@@ -256,6 +256,51 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Per-dimension int8 quantization scales (max |v_d| over the
+    * corpus) — ONE aggregation pass through the typed
+    * [[graft.functions.MaxAbsVector]] Aggregator (map-side combined;
+    * explode+max would 64× the shuffle). Driver-side result is
+    * dim-sized. Exact and partitioning-independent (abs/max do no
+    * arithmetic), so everything quantized with it is bit-reproducible.
+    * Public for the same reason as [[corpusStats]]: compute once, pass
+    * to every quantized op over the same corpus. */
+  def quantScales(corpus: DataFrame, vecCol: String = "embedding")
+      : Array[Double] = {
+    val r = corpus.agg(
+      graft.functions.MaxAbsVector.maxAbsVector(col(vecCol))).head()
+    if (r.isNullAt(0)) Array.emptyDoubleArray else r.getSeq[Double](0).toArray
+  }
+
+  /** Int8-quantized brute-force top-k (QUANTIZATION CONTRACT in
+    * QuantizeExpressions.scaladoc): the 100 TB memory/shuffle form of
+    * [[bruteForceTopK]] — 4× fewer bytes per vector moving through the
+    * scan, and the scoring loop is exact int64 arithmetic, so ranking
+    * (score desc, cand_id) is a TOTAL order with no float tie
+    * ambiguity: the s05 oracle recomputes identical integer scores in
+    * SQL and hash-matches, no recall contract needed. Same plan shape
+    * as brute force: queries broadcast, corpus never shuffled, one
+    * top-k window. Compose with [[bruteForceTopK]] over the shortlist
+    * for an exact-rerank pipeline. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    scales: Option[Array[Double]] = None): DataFrame = {
+    import graft.plans.QuantizeFunctions
+    val sc = scales.getOrElse(quantScales(corpus, vecCol))
+    val c = corpus.select(col(idCol).as("cand_id"),
+      QuantizeFunctions.quantize(col(vecCol), sc).as("cand_q"))
+    val q = queries.select(col(idCol).as("query_id"),
+      QuantizeFunctions.quantize(col(vecCol), sc).as("query_q"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("iscore",
+        QuantizeFunctions.intDot(col("cand_q"), col("query_q")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("iscore").desc, col("cand_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("iscore"))
+  }
+
   /** Exact all-pairs cosine >= threshold — the O(N²) ground truth the
     * LSH recall checks compare against. Deliberately quadratic: this is
     * the verification oracle for [[nearDupPairs]], not a scale path
