@@ -508,6 +508,27 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())""".stripMargin)
   }
 
+  /** q37 — bucketized range join (no equi-key): high-value purchases
+    * open 10-minute attribution windows; count/aggregate ALL events
+    * falling inside each window. RangeJoin.scaladoc has the scale
+    * argument (bucket equi-join vs BroadcastNestedLoop). The oracle
+    * runs the naive BETWEEN join — identical output set by
+    * construction iff the bucketization is lossless. */
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val iv = ev
+      .filter(col("event_type") === "purchase" && col("value") > 95)
+      .select(col("event_id").as("interval_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+    graft.operators.RangeJoin.intervalJoin(
+        iv, ev.select(col("ts").as("e_ts"), col("event_id").as("e_id"),
+          col("user_id"), col("value")), bucketSeconds = 600)
+      .groupBy(col("interval_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 4).as("sum_value"))
+  }
+
   /** q26 — salted two-stage aggregation (skew path): must be value-equal
     * to the plain GROUP BY the oracle runs. */
   private def q26(s: SparkSession, d: String): DataFrame =
@@ -667,6 +688,22 @@ object SparkEntry {
     TextDedup.tokenJaccardPairs(Tables.documents(s, d), "doc_id", "text",
       blockCol = "source", threshold = 0.5, maxDfRatio = 0.8)
 
+  /** d07 — duplicate clusters: token-Jaccard near-dup pairs (the d04
+    * edge set) unioned into connected components via alternating
+    * large-star/small-star (Graph.scaladoc — O(log²n) rounds regardless
+    * of chain length), every document labeled with its component's
+    * minimum doc_id, singletons included. The oracle re-derives the
+    * components INDEPENDENTLY of the star algorithm: a recursive-CTE
+    * min-label transitive closure over the same pair SQL. */
+  private def d07(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = TextDedup.tokenJaccardPairs(docs, "doc_id", "text",
+      blockCol = "source", threshold = 0.5)
+    graft.operators.Graph.dupClusters(
+        docs.select(col("doc_id")), pairs.select(col("id_a"), col("id_b")))
+      .select(col("node").as("doc_id"), col("component"), col("cluster_size"))
+  }
+
   /** d06 — exact n-gram (3-shingle) Jaccard dedup pairs: the
     * order-sensitive cousin of d04's token-set Jaccard (a doc pair must
     * share word SEQUENCES, not just vocabulary). Same operator that
@@ -699,6 +736,16 @@ object SparkEntry {
   private def s01(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
+  }
+
+  /** s05 — int8-quantized brute-force top-10: integer scores are exact
+    * both engines (QUANTIZATION CONTRACT, QuantizeExpressions.scaladoc),
+    * so unlike s02/s03 this approximate-SEARCH-QUALITY operator still
+    * gets a full deterministic oracle — the SQL recomputes scale
+    * vector, codes and int64 scores and must hash-match bit-for-bit. */
+  private def s05(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
   }
 
   /** Shared shape of the ANN recall checks (s02/s03): recall@10 of an
@@ -951,6 +998,32 @@ object SparkEntry {
       .groupBy(col("asset_id")).agg(count(lit(1)).as("n_frames"))
   }
 
+  /** m03 — image resize: real nearest-neighbor BMP downscale to fit
+    * 64×64 (RESIZE CONTRACT in Multimodal.scaladoc). out_* dims/bytes
+    * are integer arithmetic the oracle re-derives in SQL from the asset
+    * contract; roundtrip_ok is the in-Spark contract check (output BMP
+    * re-decoded + pixels compared via arithmetic-inverted indexing). */
+  private def m03(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    graft.multimodal.Multimodal.resizeImages(
+      graft.multimodal.Multimodal.assetsFromDocuments(s, d), maxDim = 64)
+      .toDF().select(col("asset_id"),
+        col("in_width").cast("long").as("in_width"),
+        col("in_height").cast("long").as("in_height"),
+        col("out_width").cast("long").as("out_width"),
+        col("out_height").cast("long").as("out_height"),
+        col("out_bytes"), col("roundtrip_ok"))
+  }
+
+  /** m04 — audio stats over real WAV payloads: header facts + exact
+    * integer arithmetic the oracle re-derives from the asset contract;
+    * amp_ok is the dual-route PCM16 parse check (Multimodal.scaladoc). */
+  private def m04(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    graft.multimodal.Multimodal.audioStats(
+      graft.multimodal.Multimodal.assetsFromDocuments(s, d)).toDF()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_clean_project" -> (q01 _),
     "q02_dedup_latest" -> (q02 _),
@@ -991,6 +1064,7 @@ object SparkEntry {
     "q34_window_nav" -> (q34 _),
     "q35_string_battery2" -> (q35 _),
     "q36_grouping_sets" -> (q36 _),
+    "q37_range_join" -> (q37 _),
     "c01_curation_pipeline" -> (c01 _),
     "t05_chunking" -> (t05 _),
     "t06_stopword_filter" -> (t06 _),
@@ -999,6 +1073,8 @@ object SparkEntry {
     "t09_redaction" -> (t09 _),
     "m01_multimodal_features" -> (m01 _),
     "m02_frame_sampling" -> (m02 _),
+    "m03_image_resize" -> (m03 _),
+    "m04_audio_stats" -> (m04 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),
@@ -1006,12 +1082,14 @@ object SparkEntry {
     "d04b_token_jaccard_capped" -> (d04b _),
     "d05_embed_neardup" -> (d05 _),
     "d06_ngram_jaccard" -> (d06 _),
+    "d07_dup_clusters" -> (d07 _),
     "t10_tfidf_keywords" -> (t10 _),
     "t11_repetition" -> (t11 _),
     "s01_ann_brute" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_ann_ivf" -> (s03 _),
     "s04_label_centroids" -> (s04 _),
+    "s05_ann_quantized" -> (s05 _),
     "t01_langid" -> (t01 _),
     "t02_text_quality" -> (t02 _),
     "t03_token_count" -> (t03 _),
@@ -1431,6 +1509,18 @@ object SparkEntry {
         |CAST(count(*) AS BIGINT) AS n_cust
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())""".stripMargin,
+    // Naive BETWEEN join — the bucketized Spark plan must produce the
+    // identical match set (bucketization is lossless by construction).
+    "q37_range_join" ->
+      """WITH iv AS (
+        |  SELECT event_id AS interval_id, ts AS s,
+        |         ts + INTERVAL 10 MINUTE AS e
+        |  FROM events WHERE event_type = 'purchase' AND value > 95)
+        |SELECT interval_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users,
+        |  round(sum(ev.value), 4) AS sum_value
+        |FROM iv JOIN events ev ON ev.ts >= iv.s AND ev.ts < iv.e
+        |GROUP BY 1""".stripMargin,
     "t06_stopword_filter" ->
       """WITH t AS (SELECT doc_id,
         |  list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
@@ -1573,6 +1663,64 @@ object SparkEntry {
         |JOIN cnt ca ON id_a = ca.doc_id
         |JOIN cnt cb ON id_b = cb.doc_id
         |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5""".stripMargin,
+    // Components derived INDEPENDENTLY of the Spark-side star
+    // algorithm: recursive-CTE min-label transitive closure over the
+    // symmetric closure of the same ≥0.5 token-Jaccard pair set.
+    "d07_dup_clusters" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM tok a JOIN tok b
+        |    ON a.t = b.t AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |e AS (
+        |  SELECT id_a AS a, id_b AS b FROM inter
+        |  JOIN cnt ca ON id_a = ca.doc_id
+        |  JOIN cnt cb ON id_b = cb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+        |sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+        |reach(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id),
+        |lab AS (SELECT id AS doc_id, min(comp) AS component
+        |        FROM reach GROUP BY 1)
+        |SELECT doc_id, component,
+        |  CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+        |    AS cluster_size
+        |FROM lab""".stripMargin,
+    // Independent restatement of the QUANTIZATION CONTRACT
+    // (QuantizeExpressions.scaladoc): per-dim max-abs scales, codes =
+    // clamp(floor(v*127/s + 0.5)), int64 scores — all exact arithmetic,
+    // so this hash-matches the Spark result bit-for-bit.
+    "s05_ann_quantized" ->
+      """WITH dims AS (SELECT unnest(range(1,
+        |    (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
+        |sc AS (SELECT i, max(abs(CAST(embedding[i] AS DOUBLE))) AS s
+        |       FROM embeddings, dims GROUP BY i),
+        |sv AS (SELECT list(s ORDER BY i) AS s FROM sc),
+        |qz AS (SELECT vec_id,
+        |  [CASE WHEN sv.s[i] = 0 THEN 0
+        |        ELSE CAST(least(127, greatest(-127,
+        |          floor(CAST(embedding[i] AS DOUBLE) * 127 / sv.s[i] + 0.5)))
+        |          AS BIGINT) END
+        |   FOR i IN range(1, len(embedding) + 1)] AS q
+        |  FROM embeddings, sv),
+        |qs AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 10),
+        |scored AS (SELECT qs.query_id, c.vec_id AS cand_id,
+        |    CAST(list_sum([c.q[i] * qs.qq[i]
+        |      FOR i IN range(1, len(c.q) + 1)]) AS BIGINT) AS iscore
+        |  FROM qz c, qs WHERE c.vec_id <> qs.query_id),
+        |ranked AS (SELECT query_id, cand_id, iscore,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY iscore DESC, cand_id) AS INT) AS rnk
+        |  FROM scored)
+        |SELECT query_id, rnk, cand_id, iscore FROM ranked
+        |WHERE rnk <= 10""".stripMargin,
     "s01_ann_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |           FROM embeddings WHERE vec_id < 10),
@@ -1734,5 +1882,41 @@ object SparkEntry {
       """SELECT doc_id AS asset_id,
         |CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+    // Header facts + truncating integer arithmetic from the asset
+    // contract; amp_ok (the dual-route PCM16 parse agreement) is the
+    // in-Spark contract boolean, pinned TRUE.
+    "m04_audio_stats" ->
+      """SELECT doc_id AS asset_id,
+        |CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
+        |CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |CAST(strlen(text) // (2 * (1 + doc_id % 2)) AS BIGINT) AS n_samples,
+        |CAST((strlen(text) // (2 * (1 + doc_id % 2))) * 1000
+        |     // (8000 + (doc_id % 8) * 1000) AS BIGINT) AS duration_ms,
+        |TRUE AS amp_ok
+        |FROM documents WHERE doc_id % 3 = 1""".stripMargin,
+    // Re-derives the RESIZE CONTRACT (Multimodal.scaladoc) from the
+    // asset contract: fit-in-64 nearest-neighbor dims by integer
+    // division, 4-byte-padded BMP rows, 54-byte header. roundtrip_ok
+    // is the in-Spark contract boolean — pinned TRUE here.
+    "m03_image_resize" ->
+      """WITH img AS (
+        |  SELECT doc_id AS asset_id,
+        |         CAST(doc_id % 640 + 64 AS BIGINT) AS in_width,
+        |         CAST(doc_id % 480 + 48 AS BIGINT) AS in_height
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |dims AS (
+        |  SELECT *, greatest(in_width, in_height) AS g FROM img),
+        |o AS (
+        |  SELECT asset_id, in_width, in_height,
+        |         CASE WHEN g <= 64 THEN in_width
+        |              ELSE greatest(1, in_width * 64 // g) END AS out_width,
+        |         CASE WHEN g <= 64 THEN in_height
+        |              ELSE greatest(1, in_height * 64 // g) END AS out_height
+        |  FROM dims)
+        |SELECT asset_id, in_width, in_height, out_width, out_height,
+        |       CAST(54 + ((out_width * 3 + 3) // 4) * 4 * out_height
+        |            AS BIGINT) AS out_bytes,
+        |       TRUE AS roundtrip_ok
+        |FROM o""".stripMargin,
   )
 }
