@@ -1530,8 +1530,11 @@ object SparkEntry {
         |  ('the','a','of','and','to','in','is','it','that','for'))) AS BIGINT)
         |  AS n_content_tokens
         |FROM t""".stripMargin,
+    // The funnel re-derived end to end; the cluster-canonical count
+    // comes from a recursive-CTE min-label closure over the verified
+    // pair set — independent of the Spark-side star algorithm.
     "c01_curation_pipeline" ->
-      """WITH q AS (
+      """WITH RECURSIVE q AS (
         |  SELECT doc_id, text FROM documents
         |  WHERE len(regexp_extract_all(text, '\S+')) >= 5
         |    AND len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
@@ -1554,14 +1557,21 @@ object SparkEntry {
         |te AS (SELECT doc_id, unnest(toks) AS tk FROM t),
         |ti AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS i FROM te a
         |       JOIN te b ON a.tk = b.tk AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |drop_ids AS (
-        |  SELECT DISTINCT si.ib AS doc_id
+        |e2 AS (
+        |  SELECT si.ia AS a, si.ib AS b
         |  FROM si JOIN ti ON si.ia = ti.ia AND si.ib = ti.ib
         |  JOIN cnt ca ON si.ia = ca.doc_id JOIN cnt cb ON si.ib = cb.doc_id
         |  WHERE CAST(si.i AS DOUBLE) / (ca.ns + cb.ns - si.i) >= 0.6
         |    AND CAST(ti.i AS DOUBLE) / (ca.nt + cb.nt - ti.i) >= 0.6),
-        |kept AS (SELECT u.doc_id, u.text FROM u LEFT JOIN drop_ids d
-        |         ON u.doc_id = d.doc_id WHERE d.doc_id IS NULL),
+        |kept AS (SELECT u.doc_id, u.text FROM u
+        |         LEFT JOIN (SELECT DISTINCT b FROM e2) d ON u.doc_id = d.b
+        |         WHERE d.b IS NULL),
+        |sym2 AS (SELECT a, b FROM e2 UNION SELECT b AS a, a AS b FROM e2),
+        |reach2(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM u
+        |  UNION
+        |  SELECT s.b, r.comp FROM reach2 r JOIN sym2 s ON s.a = r.id),
+        |lab2 AS (SELECT id, min(comp) AS component FROM reach2 GROUP BY 1),
         |ch AS (SELECT CAST(ceil(greatest(
         |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 30, 0) / 20.0)
         |    AS BIGINT) + 1 AS nch FROM kept)
@@ -1570,6 +1580,8 @@ object SparkEntry {
         |  (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_quality,
         |  (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_unique,
         |  (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lab2 WHERE id = component)
+        |    AS n_kept_clustered,
         |  (SELECT CAST(COALESCE(sum(nch), 0) AS BIGINT) FROM ch) AS n_chunks""".stripMargin,
     "t05_chunking" ->
       """WITH t AS (SELECT doc_id,

@@ -14,50 +14,93 @@ import graft.functions.TextFunctions
   *                       (t02's signals as a filter)
   *   2. exact dedup    — keep the min-id doc per normalized fingerprint
   *                       (t04's md5 key)
-  *   3. near-dup prune — drop the larger id of every verified near-dup
-  *                       pair; `exactPairs = true` uses the
-  *                       SQL-expressible shingle+token-Jaccard truth set
-  *                       (oracle-checkable), `false` the MinHash+LSH
-  *                       candidate path (the 100 TB route — measured
-  *                       100% recall of the truth set on the fixture)
+  *   3. near-dup prune — two semantics, both shipped:
+  *                       [[kept]] drops the larger id of every verified
+  *                       near-dup pair (pairwise prune — keeps every
+  *                       LOCAL-minimum doc, so a cluster {1–3, 2–3}
+  *                       keeps both 1 and 2);
+  *                       [[keptClustered]] unions the pairs into
+  *                       connected components ([[Graph]]) and keeps ONE
+  *                       canonical doc per cluster — the semantics a
+  *                       corpus owner usually wants. `exactPairs = true`
+  *                       uses the SQL-expressible shingle+token-Jaccard
+  *                       truth set (oracle-checkable), `false` the
+  *                       MinHash+LSH candidate path (the 100 TB route —
+  *                       measured 100% recall of the truth set on the
+  *                       fixture)
   *   4. chunking       — t05's overlapping token windows
   *
   * Every stage is a declarative transform on the same DataFrame, so
   * Catalyst fuses the projections and the only shuffles are the ones
   * the semantics demand (fingerprint group, pair join, chunk explode).
+  * The quality/unique stages are FACTORED helpers shared by every
+  * entry point, so funnel counts and kept sets can never silently
+  * diverge when a threshold changes.
   */
 object Curate {
 
-  /** Documents surviving quality gate + exact dedup + near-dup prune. */
-  def kept(docs: DataFrame, idCol: String, textCol: String,
-           minWords: Int = 5, maxPunctRatio: Double = 0.3,
-           nearThreshold: Double = 0.6, exactPairs: Boolean = true)
-      : DataFrame = {
+  /** Stage 1: the quality gate. */
+  private def qualityDocs(docs: DataFrame, textCol: String,
+                          minWords: Int, maxPunctRatio: Double): DataFrame = {
     val t = col(textCol)
     val nWords = regexp_count(t, lit("\\S+")).cast("double")
     val nChars = length(t).cast("double")
     val nPunct = regexp_count(t, lit("[^A-Za-z0-9\\s]")).cast("double")
     // NULL ratio (empty doc) fails the predicate in both engines
-    val quality = docs.filter(nWords >= minWords &&
+    docs.filter(nWords >= minWords &&
       nPunct / nullif(nChars, lit(0.0)) <= maxPunctRatio)
+  }
 
-    val wFp = Window.partitionBy(TextFunctions.fingerprint(t))
-    val unique = quality
+  /** Stage 2: exact dedup — min-id doc per normalized fingerprint. */
+  private def uniqueDocs(quality: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val wFp = Window.partitionBy(TextFunctions.fingerprint(col(textCol)))
+    quality
       .withColumn("__canon", min(col(idCol)).over(wFp))
       .filter(col(idCol) === col("__canon")).drop("__canon")
+  }
 
-    val pairs =
-      if (exactPairs)
-        TextDedup.shingleJaccardPairs(unique, idCol, textCol,
-          threshold = nearThreshold)
-      else
-        TextDedup.minhashPairs(unique, idCol, textCol,
-          threshold = nearThreshold).select("id_a", "id_b")
-    // id_b > id_a by construction: dropping every doc that is the larger
-    // side of any pair keeps exactly the smallest id of each dup cluster
-    // reachable through pairwise links
+  /** Stage 3's edge set: verified near-dup pairs over the unique docs. */
+  private def nearDupPairs(unique: DataFrame, idCol: String,
+                           textCol: String, nearThreshold: Double,
+                           exactPairs: Boolean): DataFrame =
+    if (exactPairs)
+      TextDedup.shingleJaccardPairs(unique, idCol, textCol,
+        threshold = nearThreshold).select("id_a", "id_b")
+    else
+      TextDedup.minhashPairs(unique, idCol, textCol,
+        threshold = nearThreshold).select("id_a", "id_b")
+
+  /** Documents surviving quality gate + exact dedup + PAIRWISE near-dup
+    * prune (every doc that is the larger side of any pair drops). */
+  def kept(docs: DataFrame, idCol: String, textCol: String,
+           minWords: Int = 5, maxPunctRatio: Double = 0.3,
+           nearThreshold: Double = 0.6, exactPairs: Boolean = true)
+      : DataFrame = {
+    val unique = uniqueDocs(
+      qualityDocs(docs, textCol, minWords, maxPunctRatio), idCol, textCol)
+    val pairs = nearDupPairs(unique, idCol, textCol, nearThreshold, exactPairs)
     unique.join(pairs.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
+  }
+
+  /** Documents surviving quality gate + exact dedup + CLUSTER-canonical
+    * near-dup dedup: pairs union into connected components
+    * ([[Graph.dupClusters]], large-star/small-star — O(log²n) rounds at
+    * any cluster diameter) and only each component's minimum id
+    * survives. Subset of [[kept]]'s result: pairwise pruning keeps every
+    * local minimum, this keeps the global one per cluster. */
+  def keptClustered(docs: DataFrame, idCol: String, textCol: String,
+                    minWords: Int = 5, maxPunctRatio: Double = 0.3,
+                    nearThreshold: Double = 0.6, exactPairs: Boolean = true)
+      : DataFrame = {
+    val unique = uniqueDocs(
+      qualityDocs(docs, textCol, minWords, maxPunctRatio), idCol, textCol)
+    val pairs = nearDupPairs(unique, idCol, textCol, nearThreshold, exactPairs)
+    val canon = Graph.dupClusters(unique.select(col(idCol)), pairs)
+      .filter(col("node") === col("component"))
+      .select(col("node").as(idCol))
+    unique.join(canon, Seq(idCol), "left_semi")
   }
 
   /** Overlapping token-window chunks of the kept documents. */
@@ -74,29 +117,26 @@ object Curate {
   }
 
   /** One-row funnel summary over the whole pipeline (the oracle form).
-    * Takes the SAME thresholds as [[kept]] and threads them through both
-    * its inline stage counts and the kept() call, so the per-stage
-    * numbers and the final funnel can never silently diverge. */
+    * Takes the SAME thresholds as [[kept]] and threads them through the
+    * SHARED stage helpers, so the per-stage numbers and the final
+    * funnels can never silently diverge. Emits BOTH prune semantics —
+    * n_kept (pairwise) and n_kept_clustered (cluster-canonical) — so
+    * the difference between them is a measured quantity. */
   def stats(docs: DataFrame, idCol: String, textCol: String,
             minWords: Int = 5, maxPunctRatio: Double = 0.3,
             nearThreshold: Double = 0.6, exactPairs: Boolean = true)
       : DataFrame = {
-    val t = col(textCol)
-    val nWords = regexp_count(t, lit("\\S+")).cast("double")
-    val nChars = length(t).cast("double")
-    val nPunct = regexp_count(t, lit("[^A-Za-z0-9\\s]")).cast("double")
-    val quality = docs.filter(nWords >= minWords &&
-      nPunct / nullif(nChars, lit(0.0)) <= maxPunctRatio)
-    val unique = quality
-      .withColumn("__canon",
-        min(col(idCol)).over(Window.partitionBy(TextFunctions.fingerprint(t))))
-      .filter(col(idCol) === col("__canon")).drop("__canon")
+    val quality = qualityDocs(docs, textCol, minWords, maxPunctRatio)
+    val unique = uniqueDocs(quality, idCol, textCol)
     val keptDocs = kept(docs, idCol, textCol,
+      minWords, maxPunctRatio, nearThreshold, exactPairs)
+    val clusteredDocs = keptClustered(docs, idCol, textCol,
       minWords, maxPunctRatio, nearThreshold, exactPairs)
     docs.agg(count(lit(1)).as("n_input"))
       .crossJoin(quality.agg(count(lit(1)).as("n_quality")))
       .crossJoin(unique.agg(count(lit(1)).as("n_unique")))
       .crossJoin(keptDocs.agg(count(lit(1)).as("n_kept")))
+      .crossJoin(clusteredDocs.agg(count(lit(1)).as("n_kept_clustered")))
       .crossJoin(chunks(keptDocs, idCol, textCol)
         .agg(count(lit(1)).as("n_chunks")))
   }

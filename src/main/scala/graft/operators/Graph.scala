@@ -89,12 +89,32 @@ object Graph {
       (r.getLong(0), r.getLong(1))
     }
 
-    var cur = base.localCheckpoint()
+    // Checkpoint hygiene: each round's localCheckpoint persists an
+    // edge-set copy in the block manager, and nothing below ever reads
+    // a SUPERSEDED round again — without explicit unpersist the blocks
+    // pile up for O(log n) rounds and squeeze every query that runs
+    // after this one in the same JVM (measured: q02/q03 inflated 4×
+    // in the bench suite). Track the RDD ids each checkpoint creates
+    // and drop the previous round's as soon as the next lands; only
+    // the LIVE checkpoint (which the returned frame depends on) stays.
+    val sc = edges.sparkSession.sparkContext
+    var liveIds: Set[Int] = Set.empty
+    def checkpointSwapping(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      val created = (sc.getPersistentRDDs.keySet -- before).toSet
+      liveIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      liveIds = created
+      out
+    }
+
+    var cur = checkpointSwapping(base)
     var sig = signature(cur)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val next = checkpointSwapping(smallStar(largeStar(cur)))
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig

@@ -14,9 +14,32 @@ class CurateSpec extends SparkSpec {
 
   test("funnel: each stage only shrinks; chunks cover kept docs") {
     val r = Curate.stats(docs, "doc_id", "text").collect().head
-    val Seq(in, q, u, k, ch) = (0 until 5).map(r.getLong)
+    val Seq(in, q, u, k, kc, ch) = (0 until 6).map(r.getLong)
     assert(in >= q && q >= u && u >= k && k > 0)
+    assert(kc <= k && kc > 0,
+      "cluster-canonical keep is a subset of the pairwise keep")
     assert(ch >= k, "every kept doc yields at least one chunk")
+  }
+
+  test("clustered keep takes one doc per component, pairwise can take more") {
+    // component {1,2,3}: edges only (1,3) and (2,3) — 1 and 2 are both
+    // local minima (pairwise keeps both), the cluster keeps only 1.
+    // Texts: 1 and 2 share >= 60% shingles with 3 but < 60% with each
+    // other; 9 is an unrelated singleton.
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val crafted = Seq(
+      (1L, s"$a one two three"),
+      (2L, s"$a seven eight nine"),
+      (3L, s"$a"),
+      (9L, "completely different words about an unrelated subject matter")
+    ).toDF("doc_id", "text")
+    val pairwise = Curate.kept(crafted, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val clustered = Curate.keptClustered(crafted, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(clustered.subsetOf(pairwise))
+    assert(clustered == Set(1L, 9L))
+    assert(pairwise == Set(1L, 2L, 9L))
   }
 
   test("minhash prune path keeps the same set as the exact-pair path") {
