@@ -17,10 +17,15 @@ object ExtDemo {
         |             array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS c,
         |  dot_product(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS d,
         |  size(minhash_sig(array('a','b','c'), 8, 7)) AS k,
-        |  size(minhash_shingle_sig(array('a','b','c','d'), 3, 16, 7)) AS ks
+        |  size(minhash_shingle_sig(array('a','b','c','d'), 3, 16, 7)) AS ks,
+        |  int_dot_product(
+        |    quantize_vector(array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT)),
+        |                    array(2.0D, 0.5D)),
+        |    quantize_vector(array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT)),
+        |                    array(2.0D, 0.5D))) AS qd
         |""".stripMargin).collect().head
     println(s"EXT_COSINE=${r.getDouble(0)} EXT_DOT=${r.getDouble(1)} " +
-      s"EXT_K=${r.getInt(2)} EXT_KS=${r.getInt(3)}")
+      s"EXT_K=${r.getInt(2)} EXT_KS=${r.getInt(3)} EXT_QD=${r.getLong(4)}")
     spark.stop()
   }
 }

@@ -58,5 +58,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val seed = if (es.length > 3) lit(es(3)) else 42L
         MinHashShingleSignature(es.head, n, k, seed)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("int_dot_product"),
+      info("int_dot_product",
+        "int_dot_product(a, b) - exact int64 dot product of two int arrays"),
+      (es: Seq[Expression]) => IntDotProduct(es.head, es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("quantize_vector"),
+      info("quantize_vector",
+        "quantize_vector(v, scales) - int8 codes per the quantization " +
+          "contract; scales must be a foldable double-array literal"),
+      (es: Seq[Expression]) => {
+        val scales = es(1).eval(null) match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toDoubleArray()
+          case other => throw new IllegalArgumentException(
+            s"quantize_vector scales must be an array literal, got $other")
+        }
+        QuantizeVector(es.head, scales)
+      }))
   }
 }
