@@ -52,6 +52,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("* Project"), p)
   }
 
+  test("s05: queries broadcast, corpus never shuffled before scoring") {
+    val p = plan("s05_ann_quantized")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q37: range join is a bucket equi-join, not a nested loop") {
+    val p = plan("q37_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("no CartesianProduct exec anywhere in the registry") {
     // crossJoin appears only with broadcast-tiny sides (1-row aggregates,
     // query/centroid frames) and must plan as BroadcastNestedLoopJoin —
