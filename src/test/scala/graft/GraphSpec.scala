@@ -52,6 +52,18 @@ class GraphSpec extends SparkSpec {
     assert(cc(edges) == want)
   }
 
+  test("long chain converges in far fewer rounds than its diameter") {
+    // a 4096-node path is the star algorithm's worst case and naive
+    // min-label propagation's death: the naive form needs 4096 rounds,
+    // the default maxIter is 50, so a fully-correct labeling here
+    // PROVES the O(log² n) round bound actually holds
+    val n = 4096
+    val edges = (0L until (n - 1)).map(i => (i, i + 1))
+    val labels = cc(edges)
+    assert(labels.size == n)
+    assert(labels.values.forall(_ == 0L))
+  }
+
   test("dupClusters labels every node, singletons included, with sizes") {
     val nodes = (1L to 8L).toDF("doc_id")
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
