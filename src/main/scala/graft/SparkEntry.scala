@@ -969,6 +969,41 @@ object SparkEntry {
           nullif(col("n_words"), lit(0L)), 4).as("distinct_ratio"))
   }
 
+  /** t12 — Misra–Gries heavy hitters over a deterministic Zipfian token
+    * stream. The stream is md5 arithmetic BOTH engines reproduce
+    * (rank = floor(1e6/(m+1)), m = first-6-hex(md5("id:slot")) % 1e6 —
+    * rank r lands with probability ~1/r², so a genuine heavy head
+    * exists and the 20000-rank vocabulary forces real MG evictions).
+    * MG estimates are merge-order-dependent, so the emitted rows are
+    * the DETERMINISTIC exact heavy hitters (true·(k+1) > N, integer
+    * arithmetic) with booleans asserting the sketch's guarantees:
+    * every heavy token is present, and its estimate sits within
+    * [true − N/(k+1), true] — checked as (true−est)·(k+1) ≤ N, exact. */
+  private def t12(s: SparkSession, d: String): DataFrame = {
+    val k = 16
+    val zipfToks = transform(sequence(lit(1), lit(30)), i => {
+      val h = md5(concat(col("doc_id").cast("string"), lit(":"),
+        i.cast("string")))
+      val m = pmod(conv(substring(h, 1, 6), 16, 10).cast("long"),
+        lit(1000000L))
+      concat(lit("zipf"), least(
+        floor(lit(1000000.0) / (m + 1).cast("double")), lit(20000.0))
+        .cast("long").cast("string"))
+    })
+    val toks = Tables.documents(s, d).select(explode(zipfToks).as("token"))
+    val totals = toks.agg(count(lit(1)).as("n_stream"))
+    val sketch = toks.agg(graft.functions.FrequentTokens
+      .frequentTokens(col("token"), k).as("sk"))
+    val est = coalesce(element_at(col("sk"), col("token")), lit(0L))
+    toks.groupBy("token").agg(count(lit(1)).as("n_true"))
+      .crossJoin(totals).crossJoin(sketch)
+      .filter(col("n_true") * (k + 1) > col("n_stream"))
+      .select(col("token"), col("n_true"),
+        element_at(col("sk"), col("token")).isNotNull.as("in_sketch"),
+        (est <= col("n_true") &&
+          (col("n_true") - est) * (k + 1) <= col("n_stream")).as("est_ok"))
+  }
+
   /** m01 — multimodal feature extraction: real BMP/WAV/GVF container
     * payloads → per-asset parsed dimensions + features via the
     * mapPartitions batch decode. The engine PARSES width/height/
@@ -1085,6 +1120,7 @@ object SparkEntry {
     "d07_dup_clusters" -> (d07 _),
     "t10_tfidf_keywords" -> (t10 _),
     "t11_repetition" -> (t11 _),
+    "t12_heavy_hitters" -> (t12 _),
     "s01_ann_brute" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_ann_ivf" -> (s03 _),
@@ -1809,6 +1845,23 @@ object SparkEntry {
         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) WHERE rn <= 5""".stripMargin,
+    // The exact heavy-hitter set over the SAME md5-derived Zipf stream
+    // (identical hex parse and float path: floor(1e6/(m+1)) with m from
+    // the first 6 md5 hex digits); the sketch's guarantee booleans are
+    // theorems for any merge order, pinned TRUE.
+    "t12_heavy_hitters" ->
+      """WITH slots AS (SELECT doc_id, unnest(range(1, 31)) AS i
+        |               FROM documents),
+        |tok AS (SELECT concat('zipf', CAST(CAST(least(floor(1000000.0 /
+        |    (CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
+        |       CAST(i AS VARCHAR))), 1, 6)) AS BIGINT) % 1000000 + 1)),
+        |    20000.0) AS BIGINT) AS VARCHAR)) AS token
+        |  FROM slots),
+        |tot AS (SELECT count(*) AS n_stream FROM tok),
+        |heavy AS (SELECT token, count(*) AS n_true FROM tok GROUP BY 1)
+        |SELECT token, CAST(n_true AS BIGINT) AS n_true,
+        |  TRUE AS in_sketch, TRUE AS est_ok
+        |FROM heavy, tot WHERE n_true * 17 > n_stream""".stripMargin,
     "t09_redaction" ->
       """SELECT doc_id,
         |regexp_replace(
