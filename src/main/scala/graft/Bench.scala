@@ -10,7 +10,9 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // the driver contract says local[32]; SPARK_GRAFT_CPUS exists for
+    // local skew/thread experiments only
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val measuredRuns = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val spark = SparkSession.builder()
@@ -29,11 +31,19 @@ object Bench {
     // different, and running a batch query right after a streaming drive
     // (state-store caches, dirtied heap) measured 4x slower than the
     // same query in a quiet JVM (q02 7.9s vs 2.1s, q22 5.6s vs 0.8s)
-    val runners: Seq[(String, (SparkSession, String) => Unit)] =
+    val runners0: Seq[(String, (SparkSession, String) => Unit)] =
       bench.toSeq.sortBy(_._1).map { case (n, f) =>
         n -> ((s: SparkSession, d: String) => consume(f(s, d)))
       } ++ SparkEntry.streamingDrives.toSeq.sortBy(_._1)
         .map { case (n, f) => n -> ((s: SparkSession, d: String) => f(s, d)) }
+    // dev dial: SPARK_GRAFT_BENCH_ONLY=q02,st04 micro-benches a comma
+    // list of name prefixes without paying the full ~6 min sweep
+    val runners = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(pats) =>
+        val ps = pats.split(",").map(_.trim).filter(_.nonEmpty)
+        runners0.filter { case (n, _) => ps.exists(n.startsWith) }
+      case None => runners0
+    }
     // per-query warmup IMMEDIATELY before its measured runs (a global
     // warmup pass would end on the streaming drives and hand the first
     // measured batch query a dirtied JVM — the same pollution the

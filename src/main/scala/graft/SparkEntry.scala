@@ -232,6 +232,18 @@ object SparkEntry {
       .select(col("w.start").as("window_start"), col("event_type"),
               col("n"), col("sum_value"))
 
+  /** q39 — stream-static dim enrichment, batch twin: runs the EXACT
+    * same code path as the st05 streaming drive
+    * ([[graft.streaming.EventStreams.enrichedTumblingAgg]] — its
+    * withWatermark is a documented no-op on a batch frame), so the
+    * oracle gate on this query covers the streaming operator's
+    * semantics for on-time data. Dim is broadcast; the stream/fact side
+    * is never re-partitioned by the join, and the only shuffle is the
+    * (window, segment) aggregation. */
+  private def q39(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStreams.enrichedTumblingAgg(
+      Tables.events(s, d), Tables.customer(s, d))
+
   /** q16 — sessionization in batch: a new session starts after a >30 min
     * gap per user. lag + running-sum over one user-partitioned window —
     * a single shuffle on user_id; the streaming twin lives in
@@ -529,6 +541,35 @@ object SparkEntry {
         round(sum(col("value")), 4).as("sum_value"))
   }
 
+  /** q38 — Bloom-pruned shuffle join: the dim side's key set is
+    * aggregated into a Bloom filter ([[graft.plans.BloomMightContain]],
+    * codegen'd) that drops non-matching fact rows BEFORE the join
+    * exchange — the runtime-filter pattern for a build side too big to
+    * broadcast as rows but whose keys fit in a few hundred KB of bits.
+    * At 100 TB this is the difference between shuffling the whole fact
+    * table and shuffling only the ~matching fraction. Bloom false
+    * positives are discarded by the exact join that follows, so the
+    * result is byte-identical to the unfiltered join and the oracle is
+    * the plain join SQL. The join is hinted shuffle_hash: a broadcast
+    * join would make the Bloom redundant (this query DEMONSTRATES the
+    * non-broadcastable-dim regime on fixture-sized data). */
+  private def q38(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.supplier(s, d)
+      .filter(col("s_acctbal") > 5000.0)
+      .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"))
+    // one small job over the dim side; capacity is generous so the
+    // measured fpp stays near the nominal 1% even at 10x the fixture
+    val bloom = dim.stat.bloomFilter("s_suppkey", 1000000L, 0.01)
+    Tables.lineitem(s, d)
+      .filter(graft.plans.BloomFunctions.mightContain(
+        col("l_suppkey").cast("long"), bloom))
+      .join(dim.hint("shuffle_hash"),
+        col("l_suppkey").cast("long") === col("s_suppkey"))
+      .groupBy(col("s_suppkey").as("suppkey"), col("s_name"))
+      .agg(round(sum(col("l_extendedprice")), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** q26 — salted two-stage aggregation (skew path): must be value-equal
     * to the plain GROUP BY the oracle runs. */
   private def q26(s: SparkSession, d: String): DataFrame =
@@ -603,6 +644,28 @@ object SparkEntry {
     * library's scale path, spec-checked to recover the same set). */
   private def c01(s: SparkSession, d: String): DataFrame =
     graft.operators.Curate.stats(Tables.documents(s, d), "doc_id", "text")
+
+  /** c02 — incremental curation: admit a delta batch against an
+    * existing corpus without re-deduping the corpus — exact dup via
+    * hash semi-join, near dup via the CROSS-SET prefix-filter Jaccard
+    * join whose cost scales with the delta. The delta view models a
+    * real ingest: a fresh slice (doc_id%100 >= 80) plus REPOSTS of
+    * corpus docs under new ids (doc_id%100 < 10, id+1000000 — the
+    * yesterday's-crawl-reappears case that makes the exact probe
+    * load-bearing; the raw fixture plants zero identical-text pairs).
+    * The oracle derives both probes independently: exact on raw text
+    * equality (the engine's sha2-256 grouping is a shuffle-size
+    * optimization it must be indistinguishable from) and near-dup from
+    * the naive inverted-index Jaccard restricted to delta×corpus. */
+  private def c02(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+    val delta = docs.filter(col("doc_id") % 100 >= 80)
+      .unionByName(docs.filter(col("doc_id") % 100 < 10)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val corpus = docs.filter(col("doc_id") % 100 < 80)
+    graft.operators.Curate.incremental(delta, corpus,
+      "doc_id", "text", "source", threshold = 0.5)
+  }
 
   /** t05 — document chunking: overlapping 30-token windows, stride 20 —
     * the one-to-many generator shape of a training-data chunker, all
@@ -1004,6 +1067,32 @@ object SparkEntry {
           (col("n_true") - est) * (k + 1) <= col("n_stream")).as("est_ok"))
   }
 
+  /** t13 — unigram language-model score (the CCNet-style quality
+    * signal): fit a unigram LM on the corpus (token → count, one
+    * vocabulary-sized aggregate), then score each document by its
+    * negative log-likelihood −Σ ln(c_tok/total) over its tokens WITH
+    * multiplicity. High nll/token ⇒ rare-vocabulary text (gibberish,
+    * boilerplate-free); low ⇒ stopword-heavy. Emits round(sum,4) +
+    * token count — never a rounded average (CLAUDE.md float rule); the
+    * consumer divides. The logprob table is vocabulary-sized, so AQE
+    * broadcasts its join against the token stream; docs with zero
+    * tokens carry no LM evidence and drop (inner-join semantics, same
+    * both sides). Σ of ~10²–10³ ln terms rounds stably at 4dp (per-term
+    * cross-engine ULP drift ~1e-16 relative, t10 precedent). */
+  private def t13(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
+        lit(0))).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).cast("double").as("n_total"))
+    toks.join(counts, Seq("tok"))
+      .crossJoin(total)
+      .groupBy(col("doc_id"))
+      .agg(round(sum(log(col("n_total")) - log(col("c").cast("double"))), 4)
+        .as("nll"),
+        count(lit(1)).as("n_toks"))
+  }
+
   /** m01 — multimodal feature extraction: real BMP/WAV/GVF container
     * payloads → per-asset parsed dimensions + features via the
     * mapPartitions batch decode. The engine PARSES width/height/
@@ -1100,7 +1189,10 @@ object SparkEntry {
     "q35_string_battery2" -> (q35 _),
     "q36_grouping_sets" -> (q36 _),
     "q37_range_join" -> (q37 _),
+    "q38_bloom_join" -> (q38 _),
+    "q39_events_dim_join" -> (q39 _),
     "c01_curation_pipeline" -> (c01 _),
+    "c02_incremental_dedup" -> (c02 _),
     "t05_chunking" -> (t05 _),
     "t06_stopword_filter" -> (t06 _),
     "t07_vocabulary" -> (t07 _),
@@ -1121,6 +1213,7 @@ object SparkEntry {
     "t10_tfidf_keywords" -> (t10 _),
     "t11_repetition" -> (t11 _),
     "t12_heavy_hitters" -> (t12 _),
+    "t13_lm_score" -> (t13 _),
     "s01_ann_brute" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_ann_ivf" -> (s03 _),
@@ -1207,7 +1300,8 @@ object SparkEntry {
     * in BENCH. */
   def streamingDrives: Map[String, (SparkSession, String) => Unit] = {
     import org.apache.spark.sql.streaming.Trigger
-    def drive(f: DataFrame => DataFrame): (SparkSession, String) => Unit =
+    def drive(f: (SparkSession, String, DataFrame) => DataFrame)
+        : (SparkSession, String) => Unit =
       (s: SparkSession, d: String) => {
         // the events fixture stores TIMESTAMP(NANOS), which the vectorized
         // reader rejects — same nanosAsLong treatment as Tables.events,
@@ -1235,7 +1329,7 @@ object SparkEntry {
                 org.apache.spark.sql.types.LongType)
               src0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
             else src0
-          val q = f(src).writeStream.format("noop")
+          val q = f(s, d, src).writeStream.format("noop")
             .trigger(Trigger.AvailableNow())
             .option("checkpointLocation",
               java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
@@ -1248,13 +1342,18 @@ object SparkEntry {
       }
     Map(
       "st01_stream_tumbling" ->
-        drive(graft.streaming.EventStreams.tumblingAgg(_)),
+        drive((_, _, src) => graft.streaming.EventStreams.tumblingAgg(src)),
       "st02_stream_sessions" ->
-        drive(graft.streaming.EventStreams.sessionWindowAgg(_)),
+        drive((_, _, src) =>
+          graft.streaming.EventStreams.sessionWindowAgg(src)),
       "st03_stream_dedup" ->
-        drive(graft.streaming.EventStreams.dedupWithinWatermark(_)),
+        drive((_, _, src) =>
+          graft.streaming.EventStreams.dedupWithinWatermark(src)),
       "st04_stream_interval_join" ->
-        drive(graft.streaming.EventStreams.clickErrorJoin(_)))
+        drive((_, _, src) => graft.streaming.EventStreams.clickErrorJoin(src)),
+      "st05_stream_dim_join" ->
+        drive((s, d, src) => graft.streaming.EventStreams
+          .enrichedTumblingAgg(src, Tables.customer(s, d))))
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1369,6 +1468,12 @@ object SparkEntry {
         |event_type, CAST(count(*) AS BIGINT) AS n,
         |round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q39_events_dim_join" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+        |c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n,
+        |round(sum(value), 4) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
     "q16_events_sessions" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts,
@@ -1557,6 +1662,54 @@ object SparkEntry {
         |  round(sum(ev.value), 4) AS sum_value
         |FROM iv JOIN events ev ON ev.ts >= iv.s AND ev.ts < iv.e
         |GROUP BY 1""".stripMargin,
+    // the Bloom prune is output-invisible by construction (false
+    // positives die in the exact join), so the oracle is the PLAIN join
+    "q38_bloom_join" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS suppkey, s_name,
+        |  round(sum(l_extendedprice), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_acctbal > 5000.0
+        |GROUP BY 1, 2""".stripMargin,
+    // both probes re-derived independently of the engine: exact dup on
+    // RAW TEXT equality (not the engine's sha2 rewrite), near dup from
+    // the naive inverted-index Jaccard restricted to delta x corpus
+    // (not the prefix-filtered join)
+    "c02_incremental_dedup" ->
+      """WITH delta AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  WHERE doc_id % 100 >= 80
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text, source FROM documents
+        |  WHERE doc_id % 100 < 10),
+        |corpus AS (SELECT doc_id, text, source FROM documents
+        |  WHERE doc_id % 100 < 80),
+        |ex AS (SELECT DISTINCT d.doc_id
+        |  FROM delta d JOIN corpus c ON d.text = c.text),
+        |tok AS (SELECT doc_id, source,
+        |    unnest(list_distinct(regexp_extract_all(lower(text),
+        |      '[a-z0-9]+'))) AS t
+        |  FROM (SELECT * FROM delta UNION ALL SELECT * FROM corpus)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        |dd AS (SELECT doc_id FROM delta),
+        |cc AS (SELECT doc_id FROM corpus),
+        |inter AS (
+        |  SELECT a.doc_id AS pid, b.doc_id AS cid, count(*) AS i
+        |  FROM tok a JOIN tok b ON a.t = b.t AND a.source = b.source
+        |  JOIN dd ON a.doc_id = dd.doc_id
+        |  JOIN cc ON b.doc_id = cc.doc_id
+        |  GROUP BY 1, 2),
+        |near AS (SELECT DISTINCT pid AS doc_id FROM inter
+        |  JOIN cnt ca ON pid = ca.doc_id
+        |  JOIN cnt cb ON cid = cb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5)
+        |SELECT d.doc_id,
+        |  (e.doc_id IS NOT NULL) AS exact_dup,
+        |  (n.doc_id IS NOT NULL) AS near_dup,
+        |  (e.doc_id IS NULL AND n.doc_id IS NULL) AS kept
+        |FROM delta d
+        |LEFT JOIN ex e ON d.doc_id = e.doc_id
+        |LEFT JOIN near n ON d.doc_id = n.doc_id""".stripMargin,
     "t06_stopword_filter" ->
       """WITH t AS (SELECT doc_id,
         |  list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
@@ -1862,6 +2015,20 @@ object SparkEntry {
         |SELECT token, CAST(n_true AS BIGINT) AS n_true,
         |  TRUE AS in_sketch, TRUE AS est_ok
         |FROM heavy, tot WHERE n_true * 17 > n_stream""".stripMargin,
+    // unigram LM fit on the same corpus; nll = sum over token
+    // OCCURRENCES of ln(total) - ln(count). Sum-of-lns rounds stably at
+    // 4dp (per-term cross-engine drift is last-ulp); count stays exact.
+    "t13_lm_score" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM cnt)
+        |SELECT doc_id,
+        |  round(sum(ln(n_total) - ln(CAST(c AS DOUBLE))), 4) AS nll,
+        |  count(*) AS n_toks
+        |FROM tok JOIN cnt USING (tok) CROSS JOIN tot
+        |GROUP BY 1""".stripMargin,
     "t09_redaction" ->
       """SELECT doc_id,
         |regexp_replace(

@@ -116,6 +116,46 @@ object Curate {
         col("col").as("chunk"))
   }
 
+  /** Incremental curation: admit a DELTA batch against an existing
+    * (already-curated) CORPUS without touching the corpus itself — the
+    * shape every production ingest actually runs at 100 TB (you never
+    * re-dedup the curated store per batch; you test the new docs against
+    * it). Per delta doc this emits
+    *
+    *   - `exact_dup`  — a corpus doc with identical text exists
+    *                    (grouped on sha2-256 so the probe shuffle
+    *                    carries 32-byte keys, not documents),
+    *   - `near_dup`   — some same-block corpus doc has token Jaccard >=
+    *                    `threshold`, found via the cross-set lossless
+    *                    prefix-filter join ([[TextDedup.tokenJaccardAgainst]])
+    *                    whose candidate cost scales with the delta, not
+    *                    the corpus,
+    *   - `kept`       — neither.
+    *
+    * Both probes are semi-join shaped: nothing about the corpus is ever
+    * materialized per delta row beyond its (reusable) hash set and
+    * prefix index. Requires delta and corpus ids disjoint. */
+  def incremental(delta: DataFrame, corpus: DataFrame, idCol: String,
+                  textCol: String, blockCol: String,
+                  threshold: Double = 0.5): DataFrame = {
+    val dh = delta.select(col(idCol).as("doc_id"),
+      sha2(col(textCol), 256).as("h"))
+    val ch = corpus.select(sha2(col(textCol), 256).as("h")).distinct()
+    val exactDup = dh.join(ch, Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("__exact", lit(true))
+    val nearDup = TextDedup.tokenJaccardAgainst(delta, corpus,
+        idCol, textCol, blockCol, threshold)
+      .select(col("probe_id").as("doc_id")).distinct()
+      .withColumn("__near", lit(true))
+    delta.select(col(idCol).as("doc_id"))
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__exact"), lit(false)).as("exact_dup"),
+        coalesce(col("__near"), lit(false)).as("near_dup"))
+      .withColumn("kept", !col("exact_dup") && !col("near_dup"))
+  }
+
   /** One-row funnel summary over the whole pipeline (the oracle form).
     * Takes the SAME thresholds as [[kept]] and threads them through the
     * SHARED stage helpers, so the per-stage numbers and the final

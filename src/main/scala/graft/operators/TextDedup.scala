@@ -190,20 +190,7 @@ object TextDedup {
           Seq("blk", "tok")), kept)
       } else (inverted, dfAll)
 
-    // one row per doc: tokens sorted by the canonical order (struct sort
-    // is lexicographic on (df, tok) — a total order since tok is unique
-    // within a doc, so collect_list's arrival order cannot leak through)
-    val docArr = universe.join(dfTab, Seq("blk", "tok"))
-      .groupBy(col("blk"), col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
-      .select(col("blk"), col("doc_id"),
-        transform(col("ord"), x => x.getField("tok")).as("otoks"),
-        size(col("ord")).as("n"))
-
-    // prefix index: the first n - ceil(t*n) + 1 canonical tokens
-    val prefLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
-    val prefix = docArr.select(col("blk"), col("doc_id"),
-      explode(slice(col("otoks"), lit(1), prefLen)).as("tok"))
+    val (docArr, prefix) = prefixIndex(universe, dfTab, threshold)
 
     // candidates: prefix-to-prefix equi-join, distinct on bare id pairs
     // (token arrays re-attached after — the dedup shuffle carries 16-byte
@@ -215,7 +202,85 @@ object TextDedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
 
-    // exact verify: true Jaccard over the full (universe) token arrays
+    verifyJaccard(cand, docArr, threshold)
+  }
+
+  /** Cross-set token Jaccard with the SAME lossless prefix filter as
+    * [[tokenJaccardPairs]]: every `probe` doc paired with every `index`
+    * doc in its block at Jaccard >= threshold. This is the INCREMENTAL
+    * shape — at 100 TB you never re-dedup the curated corpus against
+    * itself per ingest; you join the new batch's prefixes against the
+    * (precomputable, reusable) corpus prefix index, so cost scales with
+    * the delta, not the corpus. The candidate join is probe-prefix ⋈
+    * index-prefix only: within-probe and within-index pairs never form.
+    *
+    * Correctness of the shared canonical order: the prefix lemma needs
+    * ONE global total order over tokens, common to both sides — so df is
+    * computed over the UNION of both sides' inverted indexes. (For a
+    * long-lived corpus index, corpus-only df works too: any fixed total
+    * order preserves the lemma; df-ordering only tunes selectivity.)
+    *
+    * Requires probe and index ids to be disjoint (one `doc_id` column
+    * keys the shared index). */
+  def tokenJaccardAgainst(probe: DataFrame, index: DataFrame,
+                          idCol: String, textCol: String, blockCol: String,
+                          threshold: Double): DataFrame = {
+    def tag(df: DataFrame, side: Int) =
+      df.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+        TextFunctions.tokenSet(col(textCol)).as("toks"),
+        lit(side).as("side"))
+    val inverted = tag(probe, 0).unionByName(tag(index, 1))
+      .select(col("doc_id"), col("blk"), col("side"),
+        explode(col("toks")).as("tok"))
+    val dfTab = inverted.groupBy(col("blk"), col("tok"))
+      .agg(count(lit(1)).as("df"))
+    val (docArr, prefix) =
+      prefixIndex(inverted, dfTab, threshold, extraDocCols = Seq("side"))
+    val cand = prefix.filter(col("side") === 0).alias("a")
+      .join(prefix.filter(col("side") === 1).alias("b"),
+        col("a.tok") === col("b.tok") && col("a.blk") === col("b.blk"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    verifyJaccard(cand, docArr, threshold)
+      .select(col("id_a").as("probe_id"), col("id_b").as("index_id"),
+        col("jaccard"))
+  }
+
+  /** Canonical-order doc arrays + prefix index, shared by the within-set
+    * and cross-set prefix-filter joins. `universe` = (doc_id, blk, tok
+    * [, extras…]) occurrence rows over the kept token universe; `dfTab` =
+    * (blk, tok, df) in the SAME universe. `extraDocCols` are constant per
+    * doc (e.g. a side tag) and are carried onto the prefix rows. */
+  private def prefixIndex(universe: DataFrame, dfTab: DataFrame,
+                          threshold: Double,
+                          extraDocCols: Seq[String] = Nil)
+      : (DataFrame, DataFrame) = {
+    // one row per doc: tokens sorted by the canonical order (struct sort
+    // is lexicographic on (df, tok) — a total order since tok is unique
+    // within a doc, so collect_list's arrival order cannot leak through)
+    val extras = extraDocCols.map(c => first(col(c)).as(c))
+    val docArr = universe.join(dfTab, Seq("blk", "tok"))
+      .groupBy(col("blk"), col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"),
+        extras: _*)
+      .select(col("blk") +: col("doc_id") +:
+        transform(col("ord"), x => x.getField("tok")).as("otoks") +:
+        size(col("ord")).as("n") +: extraDocCols.map(col): _*)
+
+    // prefix index: the first n - ceil(t*n) + 1 canonical tokens
+    val prefLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
+    val prefix = docArr.select(col("blk") +: col("doc_id") +:
+      explode(slice(col("otoks"), lit(1), prefLen)).as("tok") +:
+      extraDocCols.map(col): _*)
+    (docArr, prefix)
+  }
+
+  /** Exact verify: true Jaccard over the full (universe) token arrays,
+    * recomputed per candidate — output is identical to the naive
+    * inverted-index plan, which is what keeps the DuckDB oracles
+    * byte-for-byte unchanged under prefix filtering. */
+  private def verifyJaccard(cand: DataFrame, docArr: DataFrame,
+                            threshold: Double): DataFrame =
     cand
       .join(docArr.select(col("doc_id").as("id_a"),
         col("otoks").as("toks_a"), col("n").as("n_a")), "id_a")
@@ -228,7 +293,6 @@ object TextDedup {
           (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-  }
 
   /** 64-bit SimHash per document, computed the scalable way: explode to
     * (doc, token-hash), then 64 codegen'd conditional-count aggregates

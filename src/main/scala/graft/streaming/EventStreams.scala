@@ -44,6 +44,29 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Stream-static enrichment + windowed aggregation: the unbounded
+    * events stream broadcast-joined to a bounded dimension, then
+    * tumbling-window aggregated per dim attribute. The static side
+    * never enters the state store — it is (re)planned per micro-batch
+    * and shipped as a broadcast, so streaming state stays one row per
+    * (window, segment) exactly as in [[tumblingAgg]]. The SAME code
+    * path runs in batch (withWatermark is a documented batch no-op),
+    * which is what q39's oracle checks. */
+  def enrichedTumblingAgg(events: DataFrame, dim: DataFrame,
+                          eventKey: String = "user_id",
+                          dimKey: String = "c_custkey",
+                          segment: String = "c_mktsegment",
+                          windowLen: String = "5 minutes",
+                          watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim.select(col(dimKey), col(segment))),
+        col(eventKey) === col(dimKey))
+      .groupBy(window(col("ts"), windowLen).as("w"), col(segment))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"),
+        col(segment).as("segment"), col("n"), col("sum_value"))
+
   /** Streaming exact deduplication: drop repeated event_ids within the
     * watermark horizon — the streaming twin of the batch exact-dedup
     * operator. State is one entry per distinct key inside the watermark

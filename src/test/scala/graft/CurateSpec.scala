@@ -61,4 +61,31 @@ class CurateSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(10L))
   }
+
+  test("incremental: exact/near/kept flags against a fixed corpus") {
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "the cat sleeps near the warm fire in the old house"
+    val corpus = Seq(
+      (0L, base, "s"),
+      (1L, "unrelated corpus text about catalyst rules physical plans " +
+           "and whole stage code generation for joins", "s")
+    ).toDF("doc_id", "text", "source")
+    val delta = Seq(
+      (10L, base, "s"),                          // repost: exact AND near
+      (11L, base.replace("warm", "cold"), "s"),  // near only
+      (12L, "fresh document with entirely disjoint vocabulary covering " +
+            "bloom filters prefix indexes and sketches", "s"),
+      (13L, base, "t")                           // exact text, other block:
+    ).toDF("doc_id", "text", "source")           // exact yes, near no
+
+    val out = Curate.incremental(delta, corpus, "doc_id", "text", "source")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(out(10L) == ((true, true, false)))
+    assert(out(11L) == ((false, true, false)))
+    assert(out(12L) == ((false, false, true)))
+    assert(out(13L) == ((true, false, false)),
+      "near-dup is block-scoped; exact dup is corpus-global")
+    assert(out.size == 4)
+  }
 }

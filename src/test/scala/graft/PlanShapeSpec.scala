@@ -63,6 +63,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q38: bloom prune sits under a shuffle join, not a broadcast") {
+    val p = plan("q38_bloom_join")
+    // the whole point: fact rows are dropped by the Bloom predicate
+    // BEFORE the join exchange, in the non-broadcastable-dim regime
+    assert(p.contains("bloom_might_contain"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
   test("no CartesianProduct exec anywhere in the registry") {
     // crossJoin appears only with broadcast-tiny sides (1-row aggregates,
     // query/centroid frames) and must plan as BroadcastNestedLoopJoin —

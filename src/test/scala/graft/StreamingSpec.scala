@@ -125,4 +125,27 @@ class StreamingSpec extends SparkSpec {
       assert(out.sameElements(Array(2L)))
     } finally q.stop()
   }
+
+  test("stream-static dim join enriches and windows; static side stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[Event]
+    val q = EventStreams.enrichedTumblingAgg(mem.toDF(), dim,
+        windowLen = "5 minutes", watermark = "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dim_out").start()
+    try {
+      mem.addData(
+        ev(1, "2024-01-01 00:01:00", 1), ev(2, "2024-01-01 00:02:00", 1),
+        ev(3, "2024-01-01 00:03:00", 2),
+        ev(4, "2024-01-01 00:04:00", 99))  // no dim row: dropped by join
+      q.processAllAvailable()
+      mem.addData(ev(9, "2024-01-01 02:00:00", 1)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("dim_out")
+        .select($"segment", $"n").as[(String, Long)].collect().toMap
+      assert(rows == Map("BUILDING" -> 2L, "MACHINERY" -> 1L))
+    } finally q.stop()
+  }
 }

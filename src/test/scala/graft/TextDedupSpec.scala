@@ -131,4 +131,43 @@ class TextDedupSpec extends SparkSpec {
     // the common six at 4/4 are dropped): only (0,1) remain near-dups
     assert(capped == Set((0L, 1L)))
   }
+
+  test("tokenJaccardAgainst == brute-force delta x corpus, never within-side") {
+    val index = Seq(
+      (0L, base, "s1"),
+      (1L, base.replace("fox", "wolf"), "s1"),
+      (2L, base, "s2"),
+      (3L, "entirely disjoint vocabulary concerning columnar execution " +
+           "vectorized readers and adaptive query planning", "s1")
+    ).toDF("doc_id", "text", "src")
+    val probe = Seq(
+      (10L, base, "s1"),                          // near-dup of 0 and 1
+      (11L, base, "s2"),                          // near-dup of 2 (block!)
+      (12L, base, "s3"),                          // right text, wrong block
+      (13L, "nothing here overlaps with anything else at all truly", "s1"),
+      (14L, base.replace("warm", "cold"), "s1")   // near-dup of 0/1
+    ).toDF("doc_id", "text", "src")
+
+    val got = TextDedup.tokenJaccardAgainst(probe, index,
+      "doc_id", "text", "src", threshold = 0.5)
+      .select("probe_id", "index_id").as[(Long, Long)].collect().toSet
+
+    // brute force over the full cross product, same-block only
+    val pv = probe.select(col("doc_id").as("probe_id"), col("src"),
+      TextFunctions.tokenSet(col("text")).as("ta"))
+    val iv = index.select(col("doc_id").as("index_id"),
+      col("src").as("isrc"), TextFunctions.tokenSet(col("text")).as("tb"))
+    val brute = pv.crossJoin(iv)
+      .filter(col("src") === col("isrc") &&
+        TextDedup.jaccard(col("ta"), col("tb")) >= 0.5)
+      .select("probe_id", "index_id").as[(Long, Long)].collect().toSet
+
+    assert(got == brute, s"prefix-filtered $got != brute $brute")
+    assert(brute.contains((10L, 0L)) && brute.contains((11L, 2L)) &&
+      brute.contains((14L, 0L)))
+    // wrong-block and disjoint-vocabulary probes pair with nothing;
+    // within-probe / within-index pairs cannot form by construction
+    assert(!got.exists(p => p._1 == 12L || p._1 == 13L))
+    assert(got.forall(p => p._1 >= 10L && p._2 < 10L))
+  }
 }
