@@ -55,6 +55,20 @@ object RecallProbe {
     }
     annRecall("s02_lsh", Similarity.lshTopK(emb, q, 10))
     annRecall("s03_ivf", Similarity.ivfTopK(emb, q, 10))
+
+    // q40: actual rank error of each approx quantile vs the contract's
+    // 0.01*n allowance (sketch guarantee is n/1000 — want >= 10x slack)
+    val ord = Tables.orders(spark, sfDir).select(col("o_totalprice").as("val"))
+    val n = ord.count()
+    val aps = ord.agg(expr("approx_percentile(val, " +
+        "array(0.25D, 0.5D, 0.75D, 0.99D), 1000)").as("ap"))
+      .collect().head.getSeq[Double](0)
+    Seq(0.25, 0.5, 0.75, 0.99).zip(aps).foreach { case (quant, v) =>
+      val rank = ord.filter(col("val") <= v).count()
+      val err = math.abs(rank - quant * n)
+      println(f"QUANTILE q40 q=$quant%.2f rank_err=$err%.1f " +
+        f"allowance=${0.01 * n}%.1f margin=${0.01 * n - err}%.1f")
+    }
     spark.stop()
   }
 }

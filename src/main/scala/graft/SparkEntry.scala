@@ -427,6 +427,67 @@ object SparkEntry {
         round(element_at(col("ps"), 3), 4).as("p75"),
         round(element_at(col("ps"), 4), 4).as("p99"))
 
+  /** q40 — approximate quantiles via the mergeable GK sketch
+    * (approx_percentile, accuracy 1000 ⇒ rank error ≤ n/1000), checked
+    * as a rank-bound CONTRACT: the oracle recomputes the exact values
+    * at ranks (q ± 0.01)·n — 10× the sketch's guarantee, so the
+    * boolean carries a wide deterministic margin (raw rank errors:
+    * `graft.RecallProbe`) — and asserts each approx value lands
+    * between them. lo/hi are raw column values (no arithmetic), so
+    * they hash bit-exactly. The exact-rank harness global-sorts once
+    * for verification only; Bench measures the sketch agg alone
+    * (benchOverrides). At 100 TB the sketch is the only form that
+    * exists — exact percentiles (q25) need a global sort, GK partials
+    * merge map-side like any agg. */
+  private def q40(s: SparkSession, d: String): DataFrame = {
+    val slack = 0.01
+    val qs = Seq(0.25, 0.5, 0.75, 0.99)
+    val o = Tables.orders(s, d).select(col("o_totalprice").as("val"))
+    val approx = o.agg(
+      expr("approx_percentile(val, array(0.25D, 0.5D, 0.75D, 0.99D), 1000)")
+        .as("ap"),
+      count(lit(1)).as("n"))
+    val ranked = o.select(col("val"),
+      row_number().over(Window.orderBy(col("val"))).as("r"))
+    val k = approx
+      .select(col("ap"), col("n"), posexplode(array(qs.map(lit): _*)))
+      .select(element_at(col("ap"), col("pos") + 1).as("av"),
+        col("col").as("quantile"),
+        greatest(lit(1L), floor((col("col") - slack) * col("n"))
+          .cast("long")).as("klo"),
+        least(col("n"), ceil((col("col") + slack) * col("n"))
+          .cast("long")).as("khi"))
+    k.join(ranked.select(col("r").as("klo"), col("val").as("lo")), "klo")
+      .join(ranked.select(col("r").as("khi"), col("val").as("hi")), "khi")
+      .select(col("quantile"), col("lo"), col("hi"),
+        (col("av") >= col("lo") && col("av") <= col("hi"))
+          .as("within_bounds"))
+  }
+
+  /** l01 — JSONL export/reimport parity: writes the documents table as
+    * newline-delimited JSON (the interchange format training-data
+    * pipelines speak), reads it back through the same schema, and
+    * asserts exact content parity via an order-insensitive
+    * bit_xor(xxhash64) signature (ANSI-safe; sum would throw on
+    * overflow). Real sink+source plumbing — splittable line files,
+    * full unicode/escape round-trip — with the weaker aggregate-parity
+    * oracle (count + contract boolean): the CONTENT equality is the
+    * Spark-side signature comparison. */
+  private def l01(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val out = s"/tmp/graft_jsonl_${Integer.toHexString(d.hashCode)}"
+    docs.write.mode("overwrite").json(out)
+    val back = s.read.schema(docs.schema).json(out)
+    def sig(df: DataFrame, n: String, g: String) = df.agg(
+      count(lit(1)).as(n),
+      expr("bit_xor(xxhash64(doc_id, text, lang, source, n_chars))").as(g))
+    sig(docs, "n_docs", "sig_a").crossJoin(sig(back, "n_back", "sig_b"))
+      .select(col("n_docs"),
+        (col("n_docs") === col("n_back") && col("sig_a") === col("sig_b"))
+          .as("roundtrip_ok"))
+  }
+
   /** q30 — semi-structured JSON column: extract + filter + aggregate on
     * a JSON field inside the events.props string column. */
   private def q30(s: SparkSession, d: String): DataFrame =
@@ -1191,6 +1252,8 @@ object SparkEntry {
     "q37_range_join" -> (q37 _),
     "q38_bloom_join" -> (q38 _),
     "q39_events_dim_join" -> (q39 _),
+    "q40_approx_quantiles" -> (q40 _),
+    "l01_jsonl_roundtrip" -> (l01 _),
     "c01_curation_pipeline" -> (c01 _),
     "c02_incremental_dedup" -> (c02 _),
     "t05_chunking" -> (t05 _),
@@ -1245,6 +1308,12 @@ object SparkEntry {
       Tables.lineitem(s, d).agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))),
+    // the operator is the sketch agg; the global-sort rank check is
+    // the contract harness
+    "q40_approx_quantiles" -> ((s: SparkSession, d: String) =>
+      Tables.orders(s, d).agg(expr(
+        "approx_percentile(o_totalprice, " +
+          "array(0.25D, 0.5D, 0.75D, 0.99D), 1000)").as("ap"))),
     "d02_dedup_minhash" -> ((s: SparkSession, d: String) =>
       TextDedup.minhashPairs(Tables.documents(s, d), "doc_id", "text")),
     "d03_dedup_simhash" -> ((s: SparkSession, d: String) =>
@@ -1662,6 +1731,30 @@ object SparkEntry {
         |  round(sum(ev.value), 4) AS sum_value
         |FROM iv JOIN events ev ON ev.ts >= iv.s AND ev.ts < iv.e
         |GROUP BY 1""".stripMargin,
+    // rank-bound contract: lo/hi are raw values at ranks (q ± 0.01)n —
+    // 10x the sketch's n/1000 guarantee — derived here from first
+    // principles (ordered row_number), independent of the Spark harness
+    "q40_approx_quantiles" ->
+      """WITH nn AS (SELECT count(*) AS n FROM orders),
+        |v AS (SELECT o_totalprice AS val,
+        |        row_number() OVER (ORDER BY o_totalprice) AS r
+        |      FROM orders),
+        |qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.99]) AS quantile),
+        |k AS (SELECT quantile,
+        |        greatest(1, CAST(floor((quantile - 0.01) * n) AS BIGINT))
+        |          AS klo,
+        |        least(n, CAST(ceil((quantile + 0.01) * n) AS BIGINT))
+        |          AS khi
+        |      FROM qs, nn)
+        |SELECT k.quantile, vlo.val AS lo, vhi.val AS hi,
+        |  TRUE AS within_bounds
+        |FROM k JOIN v vlo ON vlo.r = k.klo
+        |JOIN v vhi ON vhi.r = k.khi""".stripMargin,
+    // aggregate-parity oracle; the content equality lives in the
+    // Spark-side signature comparison (roundtrip_ok)
+    "l01_jsonl_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS roundtrip_ok
+        |FROM documents""".stripMargin,
     // the Bloom prune is output-invisible by construction (false
     // positives die in the exact join), so the oracle is the PLAIN join
     "q38_bloom_join" ->

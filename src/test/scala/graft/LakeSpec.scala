@@ -49,4 +49,27 @@ class LakeSpec extends SparkSpec {
     assert(files("1998-03") == 1)
     assert(PartitionedLake.readMonth(spark, lake, "1998-03").count() == rowsBefore)
   }
+
+  test("jsonl roundtrip is exact on newlines, quotes, unicode, nulls") {
+    // the l01 sink/source pattern on adversarial content: JSON string
+    // escaping must carry every byte back (a newline inside a field is
+    // the classic silent corrupter of line-delimited corpora)
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_spec").toString
+    val rows = Seq(
+      (1L, "line one\nline two\ttabbed", "en"),
+      (2L, "quotes \" and \\ backslash and emoji ☃ 😀", "zh"),
+      (3L, null.asInstanceOf[String], "de"),
+      (4L, "control  char and trailing space ", "es")
+    ).toDF("doc_id", "text", "lang")
+    rows.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(rows.schema).json(dir)
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select($"doc_id", coalesce($"text", lit("<NULL>")), $"lang")
+      .as[(Long, String, String)].collect().toSet
+    assert(key(back) == key(rows))
+    // and the registered query's contract holds on the real table
+    val out = SparkEntry.queries("l01_jsonl_roundtrip")(spark, sf())
+      .collect().head
+    assert(out.getBoolean(1), "documents jsonl roundtrip_ok")
+  }
 }

@@ -74,5 +74,22 @@ class RecallMarginSpec extends SparkSpec {
       val s03Min = minHits(Similarity.ivfTopK(emb, q, 10, nProbe = 7))
       assert(s03Min >= 5, s"s03 margin gone: min hits $s03Min, contract 4")
     }
+
+    test(s"q40 rank errors stay under HALF the contract allowance at $sfDir") {
+      // contract allowance is 0.01*n (10x the sketch's n/1000 bound);
+      // require the measured error under 0.005*n — >= 2x margin on the
+      // contract, so a Spark-internal sketch change flakes here first
+      val ord = Tables.orders(spark, sfDir).select(col("o_totalprice").as("val"))
+      val n = ord.count()
+      val aps = ord.agg(expr("approx_percentile(val, " +
+          "array(0.25D, 0.5D, 0.75D, 0.99D), 1000)").as("ap"))
+        .collect().head.getSeq[Double](0)
+      Seq(0.25, 0.5, 0.75, 0.99).zip(aps).foreach { case (quant, v) =>
+        val rank = ord.filter(col("val") <= v).count()
+        val err = math.abs(rank - quant * n)
+        assert(err <= 0.005 * n,
+          f"q40 margin gone at q=$quant: rank_err=$err%.1f vs 0.005n=${0.005 * n}%.1f")
+      }
+    }
   }
 }
