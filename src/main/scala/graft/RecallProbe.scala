@@ -54,7 +54,9 @@ object RecallProbe {
         f"min=${perQ.min} mean=${perQ.sum / 10.0}%.1f")
     }
     annRecall("s02_lsh", Similarity.lshTopK(emb, q, 10))
-    annRecall("s03_ivf", Similarity.ivfTopK(emb, q, 10))
+    // nProbe=7 matches the REGISTERED s03 contract (SparkEntry) — the
+    // operator default is 6, which under-reports the shipped margin
+    annRecall("s03_ivf", Similarity.ivfTopK(emb, q, 10, nProbe = 7))
 
     // q40: actual rank error of each approx quantile vs the contract's
     // 0.01*n allowance (sketch guarantee is n/1000 — want >= 10x slack)

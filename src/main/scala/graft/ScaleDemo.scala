@@ -76,6 +76,24 @@ object ScaleDemo {
       s"MONTH_ROWS_STABLE=${spark.read.parquet(lake)
         .filter(org.apache.spark.sql.functions.col("month") === "1998-03")
         .count() == marchBefore}")
+
+    // bloom-pruned join (q38's pattern): how many fact rows the Bloom
+    // drops BEFORE the join exchange vs the true matching count — the
+    // gap is false-positive overhead (expect ~1% of non-matches at the
+    // nominal fpp)
+    import org.apache.spark.sql.functions.col
+    val dim = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .filter(col("s_acctbal") > 5000.0)
+      .select(col("s_suppkey").cast("long").as("k"))
+    val bloom = dim.stat.bloomFilter("k", 1000000L, 0.01)
+    val fact = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_suppkey").cast("long").as("k"))
+    val nFact = fact.count()
+    val survived = fact.filter(
+      graft.plans.BloomFunctions.mightContain(col("k"), bloom)).count()
+    val nTrue = fact.join(dim, Seq("k"), "left_semi").count()
+    println(s"BLOOM_FACT_ROWS=$nFact SURVIVED=$survived TRUE_MATCHES=$nTrue " +
+      s"SHUFFLE_SAVED=${(nFact - survived) * 100 / math.max(1, nFact)}%")
     spark.stop()
   }
 }

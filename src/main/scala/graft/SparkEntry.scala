@@ -1398,12 +1398,25 @@ object SparkEntry {
                 org.apache.spark.sql.types.LongType)
               src0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
             else src0
-          val q = f(s, d, src).writeStream.format("noop")
-            .trigger(Trigger.AvailableNow())
-            .option("checkpointLocation",
-              java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
-            .start()
-          q.awaitTermination()
+          val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
+          try {
+            val q = f(s, d, src).writeStream.format("noop")
+              .trigger(Trigger.AvailableNow())
+              .option("checkpointLocation", ckpt.toString)
+              .start()
+            q.awaitTermination()
+          } finally {
+            // a fresh-checkpoint run's state dir is never reused — drop
+            // it from disk, and drop its state-store providers from the
+            // executor: back-to-back drives otherwise accumulate
+            // in-memory state maps, and the heap residue inflated the
+            // LAST drive 3× in the full suite vs a quiet JVM
+            org.apache.spark.sql.graftglue.GraftGlue.unloadStateStores()
+            import java.nio.file.{Files, Path}
+            import java.util.Comparator
+            Files.walk(ckpt).sorted(Comparator.reverseOrder[Path]())
+              .forEach(p => Files.deleteIfExists(p))
+          }
         } finally prev match {
           case Some(v) => s.conf.set(key, v)
           case None => s.conf.unset(key)
