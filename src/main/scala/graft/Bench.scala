@@ -62,10 +62,33 @@ object Bench {
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3dp is ample for wall-clock seconds and keeps the line short: the
+    // harness that collects this output only retains the LAST ~2000
+    // characters of stdout, and at 80+ queries a full-precision line
+    // blows past that window (rounds 1-4 all had their line head
+    // truncated, round 4 lost even the headline total)
+    def f(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(full)
+    // persist the complete per-query map where a tail window can't lose
+    // it (cwd = repo root under sbt), then end stdout with a compact
+    // line that ALWAYS fits in the retained tail: total + slowest 15
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    // the final line keeps the documented schema ("queries" map) so the
+    // driver's parser works on it, but holds only the slowest 15 —
+    // guaranteed to fit; the full map is the line above + BENCH_FULL.json
+    val slow = results.sortBy(-_._2).take(15)
+      .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
