@@ -1209,6 +1209,139 @@ object SparkEntry {
       graft.multimodal.Multimodal.assetsFromDocuments(s, d)).toDF()
   }
 
+  /** t14 — BM25 retrieval: score every document holding any of a fixed
+    * query-term set, return the top 20. One explode → two small aggs
+    * (per-doc length, per-(doc,term) tf); df and the corpus stats are
+    * vocabulary-/constant-sized and broadcast, so the only full-data
+    * shuffle is the tf groupBy. Top-k plans as TakeOrderedAndProject
+    * (no global sort); rank is computed over the surviving 20 rows.
+    * Scoring is log-bearing (idf), so the oracle mirrors the formula
+    * term-for-term and both sides round the 1–3-term sum at 4dp (t13
+    * precedent); ranking uses the ROUNDED score with doc_id tie-break
+    * so rank is deterministic across engines. */
+  private def t14(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("vector", "stream", "window")
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
+        lit(0))).as("tok"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // k1 = 1.2, b = 0.75; idf = ln(1 + (N - df + 0.5)/(df + 0.5)) — the
+    // non-negative Robertson form. Written with the SAME association as
+    // the oracle so both engines produce bit-identical doubles.
+    val scored = tf.join(broadcast(dfT), "tok").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+    val agg = scored.groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 4).as("bm25"),
+        count(lit(1)).as("n_terms"))
+    agg.orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("bm25").desc, col("doc_id").asc))
+        .cast("long"))
+      .select(col("rnk"), col("doc_id"), col("bm25"), col("n_terms"))
+  }
+
+  /** q41 — higher-order array-function battery over the token list:
+    * transform / aggregate / filter / zip_with / sort / slice / reverse
+    * / distinct, all on INTEGER payloads (token lengths) so every value
+    * the oracle hashes is exact — no float folds over engine-ordered
+    * lists. Everything runs inside one codegen'd projection; no
+    * explode, no shuffle. */
+  private def q41(s: SparkSession, d: String): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        transform(col("toks"), x => length(x).cast("long")).as("lens"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        array_contains(col("toks"), "vector").as("has_vector"),
+        aggregate(col("lens"), lit(0L), (a, x) => a + x).as("sum_len"),
+        array_max(col("lens")).as("max_len"),
+        array_min(col("lens")).as("min_len"),
+        size(filter(col("lens"), x => x > 4)).cast("long").as("n_long"),
+        concat_ws(",", slice(reverse(array_sort(col("lens"))), 1, 3)
+          .cast("array<string>")).as("top3_lens"),
+        aggregate(zip_with(col("lens"), reverse(col("lens")),
+          (a, b) => a * b), lit(0L), (a, x) => a + x).as("dot_rev"))
+  }
+
+  /** q42 — salted shuffle join ([[graft.operators.Salt.saltedJoin]]):
+    * the skew-safe join form — hot l_orderkey rows spread over `factor`
+    * reducers, orders replicated factor×. Semantically a plain inner
+    * join, which is exactly what the oracle runs; the post-join agg is
+    * the usual single-level two-phase sum (4dp, q27 precedent). */
+  private def q42(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.operators.Salt.saltedJoin(li, ord, "l_orderkey", factor = 4)
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice")), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** d08 — benchmark decontamination: drop/flag training docs sharing
+    * any 3-token shingle with a held-out eval set (here the synthetic
+    * doc_id % 97 == 0 slice — eval sets are externally supplied in a
+    * real pipeline). The Spark side joins on xxhash64(shingle) so the
+    * shuffle/broadcast key is 8 bytes, not the shingle string — at
+    * 100 TB the eval side stays a few MB of hashes and broadcasts; the
+    * training side never shuffles its text. The oracle joins the
+    * shingle STRINGS — hash-join and string-join agree unless xxhash64
+    * collides (~2⁻⁶⁴ per pair, and a collision would fail the gate
+    * deterministically, not flake). */
+  private def d08(s: SparkSession, d: String): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        explode(when(size(col("toks")) >= 3,
+          transform(sequence(lit(0), size(col("toks")) - 3),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))
+          .otherwise(array().cast("array<string>"))).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val evalSet = sh.filter(col("doc_id") % 97 === 0).select("h").distinct()
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalSet), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shared"))
+  }
+
+  /** c03 — deterministic corpus mixing: sample each language stratum at
+    * a per-stratum rate (en 80%, others 50% — the up/down-weighting
+    * step of a training-data mix) by md5-rank within the stratum.
+    * Membership is integer arithmetic (10·rn ≤ w10·n) — no float
+    * fraction to drift — and the md5 rank makes the sample stable
+    * across retries, partitionings, and engines (t08 precedent). Emits
+    * the kept rows themselves, not just counts, so the gate pins the
+    * exact sample. One shuffle (the per-lang window). */
+  private def c03(s: SparkSession, d: String): DataFrame = {
+    val byLang = Window.partitionBy(col("lang"))
+    val w = byLang.orderBy(
+      md5(concat(col("doc_id").cast("string"), lit(":mix"))).asc,
+      col("doc_id").asc)
+    val w10 = when(col("lang") === "en", lit(8L)).otherwise(lit(5L))
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_lang", count(lit(1)).over(byLang))
+      .filter(col("rn") * 10 <= w10 * col("n_lang"))
+      .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_clean_project" -> (q01 _),
     "q02_dedup_latest" -> (q02 _),
@@ -1277,6 +1410,11 @@ object SparkEntry {
     "t11_repetition" -> (t11 _),
     "t12_heavy_hitters" -> (t12 _),
     "t13_lm_score" -> (t13 _),
+    "t14_bm25" -> (t14 _),
+    "q41_array_battery" -> (q41 _),
+    "q42_salted_join" -> (q42 _),
+    "d08_decontaminate" -> (d08 _),
+    "c03_corpus_mix" -> (c03 _),
     "s01_ann_brute" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_ann_ivf" -> (s03 _),
@@ -2135,6 +2273,86 @@ object SparkEntry {
         |  count(*) AS n_toks
         |FROM tok JOIN cnt USING (tok) CROSS JOIN tot
         |GROUP BY 1""".stripMargin,
+    // BM25: formula mirrored association-for-association (same IEEE
+    // double ops in the same order ⇒ identical bits before the 4dp
+    // round); ranking uses the rounded score + doc_id so the top-20
+    // cutoff is deterministic on both engines.
+    "t14_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+        |       WHERE tok IN ('vector', 'stream', 'window') GROUP BY 1, 2),
+        |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (SELECT tf.doc_id,
+        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+        |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+        |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS contrib
+        |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats),
+        |agg AS (SELECT doc_id, round(sum(contrib), 4) AS bm25,
+        |    count(*) AS n_terms FROM scored GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+        |    AS rnk, doc_id, bm25, n_terms
+        |FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    // integer-only higher-order list battery — every hashed value exact
+    "q41_array_battery" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |l AS (SELECT doc_id, toks,
+        |    list_transform(toks, x -> CAST(length(x) AS BIGINT)) AS lens
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_toks,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  list_contains(toks, 'vector') AS has_vector,
+        |  CAST(list_sum(lens) AS BIGINT) AS sum_len,
+        |  list_max(lens) AS max_len,
+        |  list_min(lens) AS min_len,
+        |  CAST(len(list_filter(lens, x -> x > 4)) AS BIGINT) AS n_long,
+        |  array_to_string(list_transform(list_reverse(list_sort(lens))[1:3],
+        |    x -> CAST(x AS VARCHAR)), ',') AS top3_lens,
+        |  CAST(list_sum(list_transform(list_zip(lens, list_reverse(lens)),
+        |    z -> z[1] * z[2])) AS BIGINT) AS dot_rev
+        |FROM l""".stripMargin,
+    // the salted join IS a plain inner join — the oracle runs the plain
+    // form; single-level post-join sum rounds at 4dp (q27 precedent)
+    "q42_salted_join" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice), 4) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    // decontamination: the oracle joins shingle STRINGS where the engine
+    // joins xxhash64(shingle) — equal unless the 64-bit hash collides,
+    // which would fail deterministically, not flake.
+    "d08_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+        |         ELSE [array_to_string(toks[i+1:i+3], ' ')
+        |               FOR i IN range(0, len(toks)-2)] END) AS s
+        |  FROM t),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+        |SELECT doc_id, CAST(count(DISTINCT s) AS BIGINT) AS n_shared
+        |FROM sh JOIN ev USING (s)
+        |WHERE doc_id % 97 <> 0
+        |GROUP BY 1""".stripMargin,
+    // per-stratum keep test is integer arithmetic: 10·rn <= w10·n_lang
+    "c03_corpus_mix" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mix'), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n_lang
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+        |FROM r
+        |WHERE rn * 10 <= (CASE WHEN lang = 'en' THEN 8 ELSE 5 END) * n_lang""".stripMargin,
     "t09_redaction" ->
       """SELECT doc_id,
         |regexp_replace(

@@ -64,4 +64,24 @@ object Salt {
     }
     stage1.groupBy(keys.map(col): _*).agg(merges.head, merges.tail: _*)
   }
+
+  /** Salted shuffle JOIN for a skewed equi-key (the join-side twin of
+    * [[saltedAgg]], for when AQE's skew split can't help — e.g. a
+    * single key holding >1 task's worth of rows on BOTH inputs' probe
+    * side). Each `big` row takes one position-derived salt in
+    * [0, factor); `other` is replicated factor× so every (key, salt)
+    * bucket can meet its match. The hot key's rows now land on `factor`
+    * reducers instead of one; the price is `factor`× the other side's
+    * shuffle volume — use for large⋈medium where broadcast is too big
+    * and one key dominates. Result ≡ plain inner equi-join (salt never
+    * reaches the output). Both inputs must carry `key` under the same
+    * name; `other`'s non-key columns survive. */
+  def saltedJoin(big: DataFrame, other: DataFrame, key: String,
+                 factor: Int = 8): DataFrame = {
+    require(factor > 0, "saltedJoin factor must be positive")
+    val salted = big.withColumn("__salt", saltCol(factor))
+    val repl = other.withColumn("__salt",
+      explode(sequence(lit(0L), lit(factor - 1L))))
+    salted.join(repl, Seq(key, "__salt")).drop("__salt")
+  }
 }
