@@ -72,6 +72,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q41: the array battery is one codegen projection — no exchange") {
+    val p = plan("q41_array_battery")
+    assert(p.contains("* Project"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("t14: top-20 is TakeOrderedAndProject; df/stats sides broadcast") {
+    val p = plan("t14_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d08: the eval shingle set broadcasts; training text never shuffles") {
+    val p = plan("d08_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("no CartesianProduct exec anywhere in the registry") {
     // crossJoin appears only with broadcast-tiny sides (1-row aggregates,
     // query/centroid frames) and must plan as BroadcastNestedLoopJoin —
