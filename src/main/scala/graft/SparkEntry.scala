@@ -1342,6 +1342,55 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
   }
 
+  /** q43 — time-based RANGE window frame: per-customer trailing-30-day
+    * order count + revenue. RANGE frames are tie-SAFE by construction
+    * (membership is value-based — all orders on the same date are
+    * peers), unlike ROWS frames which need a total order (q22 lesson);
+    * only the float sum's association varies, handled by the usual 4dp
+    * round. Both engines order by integer days-since-epoch with a
+    * -30..0 frame so the frame arithmetic is identical. One hash
+    * shuffle on o_custkey. */
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("days"))
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+          .cast("long").as("days"))
+      .select(col("o_custkey"), col("o_orderdate"),
+        count(lit(1)).over(w).as("n_orders_30d"),
+        round(sum(col("o_totalprice")).over(w), 4).as("rev_30d"))
+  }
+
+  /** t15 — bigram LM score (the conditional-probability upgrade of
+    * t13's unigram): fit c(w1 w2) and context totals c(w1·) on the
+    * corpus, score each doc by Σ ln(c_ctx) − ln(c_bigram) over its
+    * bigram OCCURRENCES. Bigrams come straight off the token array in
+    * the projection (no lag window — no extra shuffle); the count
+    * tables are vocabulary²-bounded and the probability join runs
+    * broadcast at this corpus, hash at 100 TB where AQE decides.
+    * Docs with <2 tokens carry no bigram evidence and drop (inner-join
+    * semantics, same both sides). Σ-of-lns rounds at 4dp (t13). */
+  private def t15(s: SparkSession, d: String): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val bigrams = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        explode(when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => concat_ws(" ", col("toks")(i), col("toks")(i + 1))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+    val cBg = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+      .withColumn("ctx", split(col("bg"), " ").getItem(0))
+    val cCtx = cBg.groupBy(col("ctx")).agg(sum(col("c_bg")).as("c_ctx"))
+    bigrams.join(cBg, Seq("bg")).join(cCtx, Seq("ctx"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(log(col("c_ctx").cast("double")) -
+        log(col("c_bg").cast("double"))), 4).as("nll"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_clean_project" -> (q01 _),
     "q02_dedup_latest" -> (q02 _),
@@ -1411,8 +1460,10 @@ object SparkEntry {
     "t12_heavy_hitters" -> (t12 _),
     "t13_lm_score" -> (t13 _),
     "t14_bm25" -> (t14 _),
+    "t15_bigram_lm" -> (t15 _),
     "q41_array_battery" -> (q41 _),
     "q42_salted_join" -> (q42 _),
+    "q43_range_frame" -> (q43 _),
     "d08_decontaminate" -> (d08 _),
     "c03_corpus_mix" -> (c03 _),
     "s01_ann_brute" -> (s01 _),
@@ -1573,7 +1624,20 @@ object SparkEntry {
         drive((_, _, src) => graft.streaming.EventStreams.clickErrorJoin(src)),
       "st05_stream_dim_join" ->
         drive((s, d, src) => graft.streaming.EventStreams
-          .enrichedTumblingAgg(src, Tables.customer(s, d))))
+          .enrichedTumblingAgg(src, Tables.customer(s, d))),
+      // the arbitrary-state path (flatMapGroupsWithState): AvailableNow
+      // on one file is a single micro-batch, so what's measured is the
+      // per-key state-machine ingest (the dominant cost) — event-time
+      // timeouts need a later batch to fire and emit nothing here
+      "st06_stream_stateful_sessions" ->
+        drive((s, _, src) => {
+          implicit val sp: SparkSession = s
+          import s.implicits._
+          graft.streaming.EventStreams.sessionizeStateful(
+            src.select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value"), col("props"))
+              .as[graft.model.Rows.Event]).toDF()
+        }))
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2297,6 +2361,35 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
         |    AS rnk, doc_id, bm25, n_terms
         |FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    // RANGE frame over integer days-since-epoch: identical frame
+    // arithmetic both engines; count exact, sum 4dp
+    "q43_range_frame" ->
+      """SELECT o_custkey, o_orderdate,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_orders_30d,
+        |  round(sum(o_totalprice) OVER w, 4) AS rev_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // bigram LM: c(w1 w2) and c(w1 ·) refit from scratch; Σ-of-lns 4dp
+    "t15_bigram_lm" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |bg AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+        |         ELSE [toks[i+1] || ' ' || toks[i+2]
+        |               FOR i IN range(0, len(toks)-1)] END) AS bg
+        |  FROM t),
+        |cbg AS (SELECT bg, count(*) AS c_bg,
+        |    string_split(bg, ' ')[1] AS ctx FROM bg GROUP BY 1),
+        |cctx AS (SELECT ctx, sum(c_bg) AS c_ctx FROM cbg GROUP BY 1)
+        |SELECT doc_id,
+        |  round(sum(ln(CAST(c_ctx AS DOUBLE)) - ln(CAST(c_bg AS DOUBLE))), 4)
+        |    AS nll,
+        |  count(*) AS n_bigrams
+        |FROM bg JOIN cbg USING (bg) JOIN cctx USING (ctx)
+        |GROUP BY 1""".stripMargin,
     // integer-only higher-order list battery — every hashed value exact
     "q41_array_battery" ->
       """WITH t AS (SELECT doc_id,
