@@ -72,8 +72,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // subtotals so rounds compare like-for-like: the headline total grew
+    // across rounds mostly by ADDING queries (streaming drives, bench-only
+    // extras), not by regressing the ones that existed
+    def subtotal(pred: String => Boolean): Double =
+      results.collect { case (k, v) if pred(k) && v >= 0 => v }.sum
+    val streamingNames = SparkEntry.streamingDrives.keySet
+    val extraNames = SparkEntry.benchExtras.keySet
+    val tStream = subtotal(streamingNames.contains)
+    val tExtras = subtotal(extraNames.contains)
+    val tBatch = subtotal(k =>
+      !streamingNames.contains(k) && !extraNames.contains(k))
     val full =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","value_batch":${f(tBatch)},"value_streaming":${f(tStream)},"value_extras":${f(tExtras)},"queries":$qs,"sf":"$sfDir"}"""
     println(full)
     // persist the complete per-query map where a tail window can't lose
     // it (cwd = repo root under sbt), then end stdout with a compact
@@ -88,7 +99,7 @@ object Bench {
     // guaranteed to fit; the full map is the line above + BENCH_FULL.json
     val slow = results.sortBy(-_._2).take(15)
       .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","value_batch":${f(tBatch)},"value_streaming":${f(tStream)},"value_extras":${f(tExtras)},"n_queries":${results.size},"queries":$slow,"queries_full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1363,6 +1363,35 @@ object SparkEntry {
         round(sum(col("o_totalprice")).over(w), 4).as("rev_30d"))
   }
 
+  /** q44 — date-spine gap fill (time-series resample): materialize a
+    * contiguous daily spine per customer (sequence+explode — generated,
+    * not shuffled), left-join the sparse daily order revenue onto it,
+    * and forward-fill gaps with `last(_, ignoreNulls)` over an
+    * unbounded-preceding ROWS frame. The spine join is an equi-join on
+    * (custkey, day) and the fill is one window pass — no as-of join
+    * machinery needed when the grid is regular. Spine bounded to a
+    * fixed 61-day window × 100 customers so row count is constant per
+    * SF. Leading days before a customer's first order stay NULL (same
+    * both engines). */
+  private def q44(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1995-01-01").cast("date")
+    val hi = lit("1995-03-02").cast("date")
+    val spine = Tables.customer(s, d)
+      .filter(col("c_custkey") < 100)
+      .select(col("c_custkey"),
+        explode(sequence(lo, hi, expr("interval 1 day"))).as("day"))
+    val daily = Tables.orders(s, d)
+      .filter(col("o_orderdate").between(lo, hi) && col("o_custkey") < 100)
+      .groupBy(col("o_custkey").as("c_custkey"),
+        col("o_orderdate").as("day"))
+      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+    val w = Window.partitionBy(col("c_custkey")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("c_custkey", "day"), "left")
+      .select(col("c_custkey"), col("day"), col("rev"),
+        last(col("rev"), ignoreNulls = true).over(w).as("rev_filled"))
+  }
+
   /** t15 — bigram LM score (the conditional-probability upgrade of
     * t13's unigram): fit c(w1 w2) and context totals c(w1·) on the
     * corpus, score each doc by Σ ln(c_ctx) − ln(c_bigram) over its
@@ -1464,6 +1493,7 @@ object SparkEntry {
     "q41_array_battery" -> (q41 _),
     "q42_salted_join" -> (q42 _),
     "q43_range_frame" -> (q43 _),
+    "q44_gap_fill" -> (q44 _),
     "d08_decontaminate" -> (d08 _),
     "c03_corpus_mix" -> (c03 _),
     "s01_ann_brute" -> (s01 _),
@@ -2371,6 +2401,25 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
         |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // gap fill: spine × sparse daily revenue, forward-filled with
+    // last_value IGNORE NULLS over the same total (cust, day) order
+    "q44_gap_fill" ->
+      """WITH spine AS (
+        |  SELECT c_custkey, CAST(unnest(generate_series(DATE '1995-01-01',
+        |    DATE '1995-03-02', INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM customer WHERE c_custkey < 100),
+        |daily AS (
+        |  SELECT o_custkey AS c_custkey, o_orderdate AS day,
+        |    round(sum(o_totalprice), 4) AS rev
+        |  FROM orders
+        |  WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-02'
+        |    AND o_custkey < 100
+        |  GROUP BY 1, 2)
+        |SELECT c_custkey, day, rev,
+        |  last_value(rev IGNORE NULLS) OVER (PARTITION BY c_custkey
+        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS rev_filled
+        |FROM spine LEFT JOIN daily USING (c_custkey, day)""".stripMargin,
     // bigram LM: c(w1 w2) and c(w1 ·) refit from scratch; Σ-of-lns 4dp
     "t15_bigram_lm" ->
       """WITH t AS (SELECT doc_id,

@@ -72,4 +72,30 @@ class LakeSpec extends SparkSpec {
       .collect().head
     assert(out.getBoolean(1), "documents jsonl roundtrip_ok")
   }
+
+  test("schema evolution: mergeSchema unions column sets, nulls backfill") {
+    // the 100 TB lake reality: a column added in month N must not force
+    // a rewrite of months 1..N-1 — old files stay, readers merge
+    val lake = java.nio.file.Files.createTempDirectory("lake_evo").toString
+    Seq((1L, "alpha")).toDF("doc_id", "text")
+      .write.parquet(s"$lake/batch=1")
+    Seq((2L, "beta", "en")).toDF("doc_id", "text", "lang")
+      .write.parquet(s"$lake/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(lake)
+    assert(merged.columns.toSet == Set("doc_id", "text", "lang", "batch"))
+    val rows = merged.select($"doc_id", $"lang")
+      .as[(Long, Option[String])].collect().toMap
+    assert(rows == Map(1L -> None, 2L -> Some("en")),
+      "pre-evolution files read the new column as NULL")
+  }
+
+  test("unionByName with allowMissingColumns aligns evolved batches") {
+    val v1 = Seq((1L, "alpha")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "en", "beta")).toDF("doc_id", "lang", "text") // reordered
+    val u = v1.unionByName(v2, allowMissingColumns = true)
+    val got = u.select($"doc_id", $"text", $"lang")
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(got == Set((1L, "alpha", None), (2L, "beta", Some("en"))),
+      "by-name alignment, not positional; missing columns null-filled")
+  }
 }
