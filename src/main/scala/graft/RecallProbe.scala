@@ -53,6 +53,20 @@ object RecallProbe {
       println(s"RECALL $name per-query hits@10 = ${perQ.mkString(",")} " +
         f"min=${perQ.min} mean=${perQ.sum / 10.0}%.1f")
     }
+    // d09: semdedup drop recall vs the ideal drop set (vectors having a
+    // LOWER-id global near-dup — the drops an exact all-pairs pass makes)
+    {
+      val ideal = Similarity.bruteForcePairs(emb, sys.env.getOrElse("D09_T", "0.4").toDouble)
+        .select(col("id_b").as("vec_id")).distinct()
+      val dropped = Similarity.semDedup(emb, sys.env.getOrElse("D09_T", "0.4").toDouble, nLists = sys.env.getOrElse("D09_NLISTS", "16").toInt)
+        .filter(col("dropped")).select("vec_id")
+      val t = ideal.count()
+      val h = ideal.join(dropped, Seq("vec_id"), "left_semi").count()
+      val extra = dropped.join(ideal, Seq("vec_id"), "left_anti").count()
+      println(f"RECALL d09_semdedup  n_ideal=$t%6d n_hit=$h%6d " +
+        f"n_unjustified=$extra%d recall=${if (t == 0) 1.0 else h.toDouble / t}%.4f")
+    }
+
     annRecall("s02_lsh", Similarity.lshTopK(emb, q, 10))
     // nProbe=7 matches the REGISTERED s03 contract (SparkEntry) — the
     // operator default is 6, which under-reports the shipped margin

@@ -855,6 +855,32 @@ object SparkEntry {
       (col("n_hit") >= col("n_true") * lit(0.8)).as("recall_ok"))
   }
 
+  /** d09 — SemDeDup-style semantic dedup contract: cluster-scoped
+    * near-dup pruning ([[Similarity.semDedup]], nAssign=3 multi-assign)
+    * vs the exact all-pairs ideal drop set. n_ideal is recomputable
+    * (DuckDB re-runs the all-pairs cosine — d05's machinery);
+    * recall_ok asserts the cluster-scoped pass catches ≥ 70% of the
+    * ideal drops (measured 0.96 sf0.01 / 0.88 sf0.1 — RecallProbe);
+    * drops_justified asserts every drop has a lower-id global near-dup
+    * (a theorem of the construction — any within-cluster pair IS a
+    * global pair — computed, not assumed). */
+  private def d09(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val ideal = Similarity.bruteForcePairs(emb, 0.4)
+      .select(col("id_b").as("vec_id")).distinct()
+    val dropped = Similarity.semDedup(emb, 0.4)
+      .filter(col("dropped")).select("vec_id")
+    val nIdeal = ideal.agg(count(lit(1)).as("n_ideal"))
+    val nHit = ideal.join(dropped, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val nUnjust = dropped.join(ideal, Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_unjust"))
+    nIdeal.crossJoin(nHit).crossJoin(nUnjust).select(
+      col("n_ideal"),
+      (col("n_hit") >= col("n_ideal") * lit(0.7)).as("recall_ok"),
+      (col("n_unjust") === 0).as("drops_justified"))
+  }
+
   /** s01 — brute-force exact cosine top-10 for query vectors vec_id<10
     * (codegen'd CosineSimilarity kernel, broadcast queries). */
   private def s01(s: SparkSession, d: String): DataFrame = {
@@ -1495,6 +1521,7 @@ object SparkEntry {
     "q43_range_frame" -> (q43 _),
     "q44_gap_fill" -> (q44 _),
     "d08_decontaminate" -> (d08 _),
+    "d09_semdedup" -> (d09 _),
     "c03_corpus_mix" -> (c03 _),
     "s01_ann_brute" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
@@ -1539,6 +1566,8 @@ object SparkEntry {
       TextDedup.simhashPairs(Tables.documents(s, d), "doc_id", "text")),
     "d05_embed_neardup" -> ((s: SparkSession, d: String) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), threshold = 0.4)),
+    "d09_semdedup" -> ((s: SparkSession, d: String) =>
+      Similarity.semDedup(Tables.embeddings(s, d), threshold = 0.4)),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
@@ -2158,6 +2187,18 @@ object SparkEntry {
         |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok
         |FROM p WHERE s >= 0.4""".stripMargin,
+    // d09: n_ideal = distinct higher ids over the SAME all-pairs cosine
+    // truth d05 recomputes; the two booleans are the Spark-side checks,
+    // pinned (recall floor 0.7 — measured 0.96/0.88, RecallMarginSpec)
+    "d09_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |p AS (SELECT b.vec_id AS id_b
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |      WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
+        |SELECT CAST(count(DISTINCT id_b) AS BIGINT) AS n_ideal,
+        |  TRUE AS recall_ok, TRUE AS drops_justified
+        |FROM p""".stripMargin,
     "s02_ann_lsh" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,

@@ -161,29 +161,35 @@ object Similarity {
     * and the probe join touches nProbe/nLists of the data — the
     * classic recall/cost dial. Centroids are tiny and broadcast.
     * Uses Spark MLlib KMeans (cosine distance) — public API. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nLists: Int = 16, nProbe: Int = 6, seed: Long = 42L,
-              trainCap: Int = 4096,
-              idCol: String = "vec_id", vecCol: String = "embedding")
-      : DataFrame = {
+  /** Deterministic bounded-cost k-means partition of the corpus — the
+    * shared front half of [[ivfTopK]] and [[semDedup]].
+    *
+    * Trains on a bounded deterministic sample: KMeans.fit runs maxIter
+    * full passes + a per-iteration driver sync, so fitting the whole
+    * corpus makes TRAINING cost O(corpus) × 5 — at 100 TB the centroids
+    * must come from O(trainCap) rows; only the single assignment pass
+    * touches everything. Hash-ranked top-trainCap instead of
+    * count()+sample(fraction): no extra counting job (sort+limit plans
+    * as TakeOrderedAndProject — per-partition heaps of trainCap rows,
+    * one pass), the hash order is pseudo-random w.r.t. content, and the
+    * selected set + its order are total-order-determined by ids alone —
+    * identical across partitionings/core counts, unlike sample(), whose
+    * Bernoulli draw follows partition boundaries. The single-partition
+    * GlobalLimit output also makes seeded KMeans init order-stable.
+    *
+    * @return (assigned (cand_id, cand_vec, cell),
+    *          centroids (cell, centroid float array — broadcast-sized))
+    */
+  private[graft] def clusterAssign(corpus: DataFrame, nLists: Int,
+                                   seed: Long, trainCap: Int,
+                                   idCol: String, vecCol: String)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
     val featurized = corpus.select(col(idCol).as("cand_id"),
       col(vecCol).as("cand_vec"),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    // train on a bounded deterministic sample: KMeans.fit runs maxIter
-    // full passes + a per-iteration driver sync, so fitting the whole
-    // corpus makes TRAINING cost O(corpus) × 5 — at 100 TB the centroids
-    // must come from O(trainCap) rows; only the single assignment pass
-    // below touches everything. Hash-ranked top-trainCap instead of
-    // count()+sample(fraction): no extra counting job (sort+limit plans
-    // as TakeOrderedAndProject — per-partition heaps of trainCap rows,
-    // one pass), the hash order is pseudo-random w.r.t. content, and the
-    // selected set + its order are total-order-determined by ids alone —
-    // identical across partitionings/core counts, unlike sample(), whose
-    // Bernoulli draw follows partition boundaries. The single-partition
-    // GlobalLimit output also makes seeded KMeans init order-stable.
     val trainSet = featurized
       .sort(xxhash64(col("cand_id")), col("cand_id"))
       .limit(trainCap)
@@ -194,12 +200,71 @@ object Similarity {
     val assigned = model.transform(featurized)
       .select(col("cand_id"), col("cand_vec"), col("prediction").as("cell"))
 
-    // centroids → a tiny broadcast frame of (cell, centroid float array)
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
     }.toSeq.toDF("cell", "centroid")
+    (assigned, centroids)
+  }
+
+  /** SemDeDup-style semantic dedup (public literature: cluster the
+    * embedding space, prune near-duplicates WITHIN each cluster): a
+    * vector drops iff some lower-id vector in its cluster has cosine ≥
+    * `threshold` with it; each near-group keeps its min-id
+    * representative. Within-cluster pairing is a cell equi-self-join —
+    * candidate volume is Σ_cell occupancy², and nLists is the dial that
+    * holds occupancy (n/nLists) constant as n grows, so per-cell cost
+    * never balloons the way a global all-pairs would. Approximate by
+    * design: a near-dup pair split across two clusters is missed —
+    * recall vs the exact all-pairs truth is the d09 contract.
+    *
+    * @return (vec_id, cell, dropped) — one row per corpus vector
+    */
+  def semDedup(corpus: DataFrame, threshold: Double, nLists: Int = 16,
+               nAssign: Int = 3, seed: Long = 42L, trainCap: Int = 4096,
+               idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val (assigned, centroids) =
+      clusterAssign(corpus, nLists, seed, trainCap, idCol, vecCol)
+    // multi-assignment (the IVF multi-probe trick, applied to dedup): a
+    // near-dup pair sitting astride a cluster boundary is missed by
+    // top-1 assignment; joining each vector into its nAssign closest
+    // cells catches any pair that shares at least one of them. Cost is
+    // the same dial as before — occupancy rises to nAssign·n/nLists, so
+    // grow nLists with nAssign to hold per-cell volume.
+    val rankW = Window.partitionBy(col("cand_id"))
+      .orderBy(col("csim").desc, col("cell").asc)
+    val multi = corpus
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", VectorFunctions.cosine(col("cand_vec"), col("centroid")))
+      .withColumn("r", row_number().over(rankW))
+      .filter(col("r") <= nAssign)
+      .select(col("cell"), col("cand_id"), col("cand_vec"))
+    val a = multi.select(col("cell"), col("cand_id").as("id_a"),
+      col("cand_vec").as("vec_a"))
+    val b = multi.select(col("cell"), col("cand_id").as("id_b"),
+      col("cand_vec").as("vec_b"))
+    val droppedIds = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(VectorFunctions.cosine(col("vec_a"), col("vec_b"))
+        >= threshold)
+      .select(col("id_b").as("cand_id")).distinct()
+    assigned.join(droppedIds.withColumn("dropped", lit(true)),
+        Seq("cand_id"), "left")
+      .select(col("cand_id").as(idCol), col("cell"),
+        coalesce(col("dropped"), lit(false)).as("dropped"))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 16, nProbe: Int = 6, seed: Long = 42L,
+              trainCap: Int = 4096,
+              idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+
+    val (assigned, centroids) =
+      clusterAssign(corpus, nLists, seed, trainCap, idCol, vecCol)
 
     // each query ranks cells by cosine-to-centroid, keeps nProbe
     val probeW = Window.partitionBy(col("query_id"))

@@ -51,6 +51,19 @@ class RecallMarginSpec extends SparkSpec {
       assert(d05True > 0, "d05 truth set empty — fixture changed?")
       assert(d05Hit >= math.ceil(0.8 * d05True).toLong + 1,
         s"d05 margin gone: $d05Hit hits of $d05True (bound 0.8)")
+
+      // d09 semdedup: drop-recall bound 0.7 vs the ideal drop set
+      // (distinct higher ids of the d05 truth pairs), plus the
+      // justification theorem (zero drops outside the ideal set)
+      val ideal = d05Truth.select(col("id_b").as("vec_id")).distinct()
+      val idealN = ideal.count()
+      val dropped = Similarity.semDedup(emb, 0.4)
+        .filter(col("dropped")).select("vec_id")
+      val d09Hit = ideal.join(dropped, Seq("vec_id"), "left_semi").count()
+      val d09Unjust = dropped.join(ideal, Seq("vec_id"), "left_anti").count()
+      assert(d09Hit >= math.ceil(0.7 * idealN).toLong + 1,
+        s"d09 margin gone: $d09Hit hits of $idealN (bound 0.7)")
+      assert(d09Unjust == 0, s"d09: $d09Unjust unjustified drops")
     }
 
     test(s"ANN per-query hit contracts hold with margin at $sfDir") {
