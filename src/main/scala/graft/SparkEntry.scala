@@ -1389,6 +1389,18 @@ object SparkEntry {
         round(sum(col("o_totalprice")).over(w), 4).as("rev_30d"))
   }
 
+  /** t16 — containment (quote/excerpt) detection:
+    * [[TextDedup.tokenContainmentPairs]] blocked by source at 0.9.
+    * Directional — the near-subset doc is id_sub; symmetric Jaccard
+    * (d04) misses a paragraph quoted inside a much larger doc. (Pair
+    * counts on THIS fixture are dense — the ~100-word synthetic
+    * vocabulary makes short docs near-subsets of everything, the same
+    * artifact documented at d04's Zipf note; real-corpus containment
+    * hits are rare.) */
+  private def t16(s: SparkSession, d: String): DataFrame =
+    TextDedup.tokenContainmentPairs(Tables.documents(s, d),
+      "doc_id", "text", "source", threshold = 0.9)
+
   /** q44 — date-spine gap fill (time-series resample): materialize a
     * contiguous daily spine per customer (sequence+explode — generated,
     * not shuffled), left-join the sparse daily order revenue onto it,
@@ -1516,6 +1528,7 @@ object SparkEntry {
     "t13_lm_score" -> (t13 _),
     "t14_bm25" -> (t14 _),
     "t15_bigram_lm" -> (t15 _),
+    "t16_containment" -> (t16 _),
     "q41_array_battery" -> (q41 _),
     "q42_salted_join" -> (q42 _),
     "q43_range_frame" -> (q43 _),
@@ -2509,6 +2522,23 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+    // containment: naive inverted-index recompute — same output set the
+    // prefix-filtered engine plan produces; i/n_sub is an exact rational
+    "t16_containment" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_sub, b.doc_id AS id_sup, count(*) AS i
+        |  FROM tok a JOIN tok b
+        |    ON a.t = b.t AND a.source = b.source AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_sub, id_sup,
+        |  round(CAST(i AS DOUBLE) / ca.n, 4) AS containment
+        |FROM inter JOIN cnt ca ON id_sub = ca.doc_id
+        |WHERE CAST(i AS DOUBLE) / ca.n >= 0.9""".stripMargin,
     // decontamination: the oracle joins shingle STRINGS where the engine
     // joins xxhash64(shingle) — equal unless the 64-bit hash collides,
     // which would fail deterministically, not flake.

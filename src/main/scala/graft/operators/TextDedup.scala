@@ -251,6 +251,52 @@ object TextDedup {
     * [, extras…]) occurrence rows over the kept token universe; `dfTab` =
     * (blk, tok, df) in the SAME universe. `extraDocCols` are constant per
     * doc (e.g. a side tag) and are carried onto the prefix rows. */
+  /** Directional token-set CONTAINMENT pairs within a block: every
+    * (sub, sup) with |tok(sub) ∩ tok(sup)| / |tok(sub)| ≥ threshold,
+    * sub ≠ sup — the quote/excerpt detector symmetric Jaccard misses
+    * (a paragraph quoted inside a much larger doc has tiny Jaccard but
+    * containment ≈ 1). Asymmetric prefix filtering: the SUB side keeps
+    * the [[prefixIndex]] prefix — C(A→B) ≥ t forces |A∩B| ≥ ⌈t·|A|⌉,
+    * so the canonically-smallest shared token sits within A's first
+    * |A| − ⌈t·|A|⌉ + 1 tokens, same lemma as Jaccard — but the SUP side
+    * must index ALL its tokens (the shared token can sit anywhere in
+    * B's order). Candidate volume is Σ_tok df_full·df_prefix: a
+    * stopword only enters a prefix when a doc is nearly all stopwords,
+    * so the quadratic head never forms. Verify recomputes exact
+    * containment from the full arrays — output identical to the naive
+    * inverted-index plan, oracle unchanged. Containment itself is an
+    * exact rational (i / n_sub) — full oracle, no contract needed. */
+  def tokenContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                            blockCol: String, threshold: Double)
+      : DataFrame = {
+    val inverted = docs.select(col(idCol).as("doc_id"),
+      col(blockCol).as("blk"),
+      explode(TextFunctions.tokenSet(col(textCol))).as("tok"))
+    val dfTab = inverted.groupBy(col("blk"), col("tok"))
+      .agg(count(lit(1)).as("df"))
+    val (docArr, prefix) = prefixIndex(inverted, dfTab, threshold)
+    val full = docArr.select(col("blk"), col("doc_id"),
+      explode(col("otoks")).as("tok"))
+    val cand = prefix.alias("a")
+      .join(full.alias("b"),
+        col("a.tok") === col("b.tok") && col("a.blk") === col("b.blk")
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id_sub"), col("b.doc_id").as("id_sup"))
+      .distinct()
+    cand
+      .join(docArr.select(col("doc_id").as("id_sub"),
+        col("otoks").as("toks_a"), col("n").as("n_sub")), "id_sub")
+      .join(docArr.select(col("doc_id").as("id_sup"),
+        col("otoks").as("toks_b")), "id_sup")
+      .withColumn("inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("containment",
+        col("inter").cast("double") / col("n_sub").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_sub"), col("id_sup"),
+        round(col("containment"), 4).as("containment"))
+  }
+
   private def prefixIndex(universe: DataFrame, dfTab: DataFrame,
                           threshold: Double,
                           extraDocCols: Seq[String] = Nil)

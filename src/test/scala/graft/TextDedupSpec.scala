@@ -170,4 +170,22 @@ class TextDedupSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 12L || p._1 == 13L))
     assert(got.forall(p => p._1 >= 10L && p._2 < 10L))
   }
+
+  test("containment is directional and survives a huge asymmetric sup") {
+    import spark.implicits._
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"w1 w2 w3 w4 w5", "s"),        // fully contained in 2
+      (2L, big, "s"),                       // the containing doc
+      (3L, "w1 w2 w3 w4 zz", "s"),         // 4/5 = 0.8 < 0.9 → out
+      (4L, "w1 w2 w3 w4 w5", "other"),     // right tokens, wrong block
+      (9L, "qq rr ss tt uu", "s")          // disjoint vocabulary
+    ).toDF("doc_id", "text", "source")
+    val got = graft.operators.TextDedup
+      .tokenContainmentPairs(docs, "doc_id", "text", "source", 0.9)
+      .select("id_sub", "id_sup").as[(Long, Long)].collect().toSet
+    // Jaccard(1,2) = 5/60 ≈ 0.08 — symmetric dedup never finds this pair
+    assert(got == Set((1L, 2L)),
+      s"expected only the (quote → source) direction, got $got")
+  }
 }
