@@ -1401,6 +1401,24 @@ object SparkEntry {
     TextDedup.tokenContainmentPairs(Tables.documents(s, d),
       "doc_id", "text", "source", threshold = 0.9)
 
+  /** t17 — Unicode normalization (NFC composition + accent folding) via
+    * the native codegen expressions ([[graft.plans.UnicodeFunctions]]).
+    * The fixture corpus is ASCII, where both transforms are the
+    * identity — so the oracle pins CROSS-ENGINE PARITY of the
+    * normalization semantics on real data (nfc_normalize/strip_accents
+    * are DuckDB built-ins), and the planted-unicode behavior (é
+    * composed≡decomposed, folding, codegen≡interpreted) lives in
+    * UnicodeSpec. Same split as t09's regex-parity oracle. */
+  private def t17(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.UnicodeFunctions
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      UnicodeFunctions.nfcCol(col("text")).as("nfc_text"),
+      UnicodeFunctions.stripAccentsCol(col("text")).as("folded_text"),
+      (length(UnicodeFunctions.nfcCol(col("text"))) === length(col("text")))
+        .as("nfc_ascii_identity"))
+  }
+
   /** q44 — date-spine gap fill (time-series resample): materialize a
     * contiguous daily spine per customer (sequence+explode — generated,
     * not shuffled), left-join the sparse daily order revenue onto it,
@@ -1428,6 +1446,36 @@ object SparkEntry {
     spine.join(daily, Seq("c_custkey", "day"), "left")
       .select(col("c_custkey"), col("day"), col("rev"),
         last(col("rev"), ignoreNulls = true).over(w).as("rev_filled"))
+  }
+
+  /** q45 — ordered funnel analysis (view → click → purchase per user):
+    * each stage is min(ts) of its event type STRICTLY AFTER the prior
+    * stage's time — three conditional-min aggregations, each one hash
+    * shuffle on user_id with the prior stage's (user-unique) timestamp
+    * riding in the grouping key; no window, no collect_list of event
+    * sequences (a hot user's history never materializes as one row).
+    * min over event-time is deterministic under ts ties (same min);
+    * raw timestamps compare exactly cross-engine (q16 precedent). */
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id"), col("t_view"), col("t_click"))
+      .agg(min(col("ts")).as("t_purchase"))
+    v.join(c.select("user_id", "t_click"), Seq("user_id"), "left")
+      .join(p.select("user_id", "t_purchase"), Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"),
+        col("t_purchase"),
+        (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+          + when(col("t_purchase").isNotNull, 1).otherwise(0))
+          .cast("long").as("stage"))
   }
 
   /** t15 — bigram LM score (the conditional-probability upgrade of
@@ -1529,10 +1577,12 @@ object SparkEntry {
     "t14_bm25" -> (t14 _),
     "t15_bigram_lm" -> (t15 _),
     "t16_containment" -> (t16 _),
+    "t17_unicode_norm" -> (t17 _),
     "q41_array_battery" -> (q41 _),
     "q42_salted_join" -> (q42 _),
     "q43_range_frame" -> (q43 _),
     "q44_gap_fill" -> (q44 _),
+    "q45_funnel" -> (q45 _),
     "d08_decontaminate" -> (d08 _),
     "d09_semdedup" -> (d09 _),
     "c03_corpus_mix" -> (c03 _),
@@ -2474,6 +2524,24 @@ object SparkEntry {
         |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS rev_filled
         |FROM spine LEFT JOIN daily USING (c_custkey, day)""".stripMargin,
+    // funnel: same three conditional-min stages, left-joined back
+    "q45_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, v.t_view, min(e.ts) AS t_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |      GROUP BY 1, 2),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |      GROUP BY 1)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  CAST(1 + (CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END)
+        |         + (CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
     // bigram LM: c(w1 w2) and c(w1 ·) refit from scratch; Σ-of-lns 4dp
     "t15_bigram_lm" ->
       """WITH t AS (SELECT doc_id,
@@ -2522,6 +2590,12 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+    // unicode normalization: DuckDB's built-ins are the oracle twins
+    "t17_unicode_norm" ->
+      """SELECT doc_id, nfc_normalize(text) AS nfc_text,
+        |  strip_accents(text) AS folded_text,
+        |  length(nfc_normalize(text)) = length(text) AS nfc_ascii_identity
+        |FROM documents""".stripMargin,
     // containment: naive inverted-index recompute — same output set the
     // prefix-filtered engine plan produces; i/n_sub is an exact rational
     "t16_containment" ->

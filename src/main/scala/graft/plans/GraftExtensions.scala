@@ -77,5 +77,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         QuantizeVector(es.head, scales)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(s) - Unicode canonical composition (NFC)"),
+      (es: Seq[Expression]) => NfcNormalize(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("strip_accents"),
+      info("strip_accents",
+        "strip_accents(s) - NFD-decompose and drop combining marks"),
+      (es: Seq[Expression]) => StripAccents(es.head)))
   }
 }
