@@ -1419,6 +1419,56 @@ object SparkEntry {
         .as("nfc_ascii_identity"))
   }
 
+  /** t18 — sequence packing: lay documents head-to-tail in a
+    * deterministic (md5-rank) order and cut fixed 2048-token training
+    * bins from the running offset — the standard pre-training packing
+    * step (bin = floor(offset/2048); a doc straddles bins when its span
+    * crosses a boundary, counted in n_bins). One token-count agg + one
+    * global running sum. The running sum is a single-partition window
+    * at the FINAL step over (doc, n_tok) rows only — fine up to ~10⁹
+    * docs on a driver-sized partition; past that the standard two-level
+    * trick (per-partition sums + broadcast prefix offsets) applies, but
+    * is not needed at this fixture's scale and would bury the
+    * semantics. Integer arithmetic only — exact oracle. */
+  private def t18(s: SparkSession, d: String): DataFrame = {
+    val binSize = 2048L
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+        .cast("long").as("n_tok"))
+    val w = Window.orderBy(
+      md5(concat(col("doc_id").cast("string"), lit(":pack"))).asc,
+      col("doc_id").asc)
+    toks
+      .withColumn("end_off", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("n_tok"),
+        floor((col("end_off") - col("n_tok")) / lit(2048.0))
+          .cast("long").as("bin"),
+        ((col("end_off") - col("n_tok")) % binSize).as("bin_off"),
+        (floor((col("end_off") - 1) / lit(2048.0)) -
+          floor((col("end_off") - col("n_tok")) / lit(2048.0)) + 1)
+          .cast("long").as("n_bins"))
+  }
+
+  /** q46 — null-safe equality join (`<=>` / IS NOT DISTINCT FROM):
+    * NULL keys MATCH each other, unlike plain equi-join where they
+    * match nothing. Exercised on a derived nullable key both sides.
+    * Plans as a regular hash join on the null-safe comparator. */
+  private def q46(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      when(col("l_linenumber") > 4, col("l_linenumber").cast("long"))
+        .as("k"),
+      col("l_quantity"))
+    val dim = Tables.lineitem(s, d)
+      .select(when(col("l_linenumber") > 4, col("l_linenumber").cast("long"))
+        .as("k"))
+      .distinct()
+      .withColumn("tag", coalesce(col("k").cast("string"), lit("null-key")))
+    li.alias("a").join(dim.alias("b"), col("a.k") <=> col("b.k"))
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"))
+  }
+
   /** q44 — date-spine gap fill (time-series resample): materialize a
     * contiguous daily spine per customer (sequence+explode — generated,
     * not shuffled), left-join the sparse daily order revenue onto it,
@@ -1583,6 +1633,8 @@ object SparkEntry {
     "q43_range_frame" -> (q43 _),
     "q44_gap_fill" -> (q44 _),
     "q45_funnel" -> (q45 _),
+    "q46_nullsafe_join" -> (q46 _),
+    "t18_seq_pack" -> (t18 _),
     "d08_decontaminate" -> (d08 _),
     "d09_semdedup" -> (d09 _),
     "c03_corpus_mix" -> (c03 _),
@@ -2524,6 +2576,35 @@ object SparkEntry {
         |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS rev_filled
         |FROM spine LEFT JOIN daily USING (c_custkey, day)""".stripMargin,
+    // sequence packing: same md5 layout order, integer offsets
+    "t18_seq_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+        |      AS n_tok
+        |  FROM documents),
+        |o AS (SELECT doc_id, n_tok,
+        |    sum(n_tok) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':pack'),
+        |      doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS end_off
+        |  FROM t)
+        |SELECT doc_id, n_tok,
+        |  CAST(floor((end_off - n_tok) / 2048.0) AS BIGINT) AS bin,
+        |  (end_off - n_tok) % 2048 AS bin_off,
+        |  CAST(floor((end_off - 1) / 2048.0)
+        |    - floor((end_off - n_tok) / 2048.0) + 1 AS BIGINT) AS n_bins
+        |FROM o""".stripMargin,
+    // null-safe join: IS NOT DISTINCT FROM matches NULL keys together
+    "q46_nullsafe_join" ->
+      """WITH li AS (SELECT CASE WHEN l_linenumber > 4
+        |      THEN CAST(l_linenumber AS BIGINT) END AS k, l_quantity
+        |    FROM lineitem),
+        |dim AS (SELECT DISTINCT k,
+        |    coalesce(CAST(k AS VARCHAR), 'null-key') AS tag
+        |  FROM li)
+        |SELECT tag, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 4) AS sum_qty
+        |FROM li JOIN dim ON li.k IS NOT DISTINCT FROM dim.k
+        |GROUP BY 1""".stripMargin,
     // funnel: same three conditional-min stages, left-joined back
     "q45_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
