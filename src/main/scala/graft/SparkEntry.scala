@@ -1180,6 +1180,22 @@ object SparkEntry {
         count(lit(1)).as("n_toks"))
   }
 
+  /** c04 — CCNet-style perplexity bucketing: score every doc with the
+    * t13 unigram LM, order by nll-per-token, split into head/middle/
+    * tail terciles (ntile(3)) — the classic language-model quality
+    * gate keeps middle (head = boilerplate/stopword-heavy, tail =
+    * gibberish). Ordering uses the 4dp-ROUNDED nll (the value the t13
+    * gate already proves bit-equal cross-engine) ÷ exact token count,
+    * with doc_id tie-break — so the tercile assignment is deterministic
+    * on both engines. The ntile window is (doc, score) rows only. */
+  private def c04(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(
+      (col("nll") / col("n_toks")).asc, col("doc_id").asc)
+    t13(s, d)
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .select(col("doc_id"), col("nll"), col("n_toks"), col("bucket"))
+  }
+
   /** m01 — multimodal feature extraction: real BMP/WAV/GVF container
     * payloads → per-asset parsed dimensions + features via the
     * mapPartitions batch decode. The engine PARSES width/height/
@@ -1638,6 +1654,7 @@ object SparkEntry {
     "d08_decontaminate" -> (d08 _),
     "d09_semdedup" -> (d09 _),
     "c03_corpus_mix" -> (c03 _),
+    "c04_ccnet_buckets" -> (c04 _),
     "s01_ann_brute" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_ann_ivf" -> (s03 _),
@@ -2671,6 +2688,22 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+    // CCNet buckets: t13's nll (already gate-proven bit-equal) per
+    // token, terciled with the same total order
+    "c04_ccnet_buckets" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM cnt),
+        |scored AS (SELECT doc_id,
+        |    round(sum(ln(n_total) - ln(CAST(c AS DOUBLE))), 4) AS nll,
+        |    count(*) AS n_toks
+        |  FROM tok JOIN cnt USING (tok) CROSS JOIN tot GROUP BY 1)
+        |SELECT doc_id, nll, n_toks,
+        |  CAST(ntile(3) OVER (ORDER BY nll / n_toks, doc_id) AS BIGINT)
+        |    AS bucket
+        |FROM scored""".stripMargin,
     // unicode normalization: DuckDB's built-ins are the oracle twins
     "t17_unicode_norm" ->
       """SELECT doc_id, nfc_normalize(text) AS nfc_text,
