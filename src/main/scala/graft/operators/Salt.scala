@@ -82,6 +82,11 @@ object Salt {
     val salted = big.withColumn("__salt", saltCol(factor))
     val repl = other.withColumn("__salt",
       explode(sequence(lit(0L), lit(factor - 1L))))
-    salted.join(repl, Seq(key, "__salt")).drop("__salt")
+    // shuffle_hash hint: this operator exists for the regime where the
+    // other side is NOT broadcastable — on a small fixture Catalyst
+    // would broadcast it, making the salt a measured no-op. A broadcast
+    // join never needs salting (no shuffle to skew); callers in that
+    // regime should just join.
+    salted.join(repl.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")
   }
 }

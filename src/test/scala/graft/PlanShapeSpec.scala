@@ -90,6 +90,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q42: salted join shuffles on (key, salt), never broadcasts") {
+    val p = plan("q42_salted_join")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("__salt"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
   test("no CartesianProduct exec anywhere in the registry") {
     // crossJoin appears only with broadcast-tiny sides (1-row aggregates,
     // query/centroid frames) and must plan as BroadcastNestedLoopJoin —
