@@ -1572,6 +1572,129 @@ object SparkEntry {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** q47 — Z-order clustering key (graft.plans.ZOrder2): the layout
+    * primitive behind [[graft.sources.Bucketing.zorderWrite]], emitted
+    * per-row so the oracle can re-derive the full bit contract in SQL
+    * (DuckDB recomputes the interleave with shift/mask arithmetic over
+    * generate_series — no shared code, independent semantics). Pure
+    * integer bit logic: bit-reproducible across engines, and the
+    * expression stays inside whole-stage codegen (PlanShapeSpec). */
+  private def q47(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      graft.plans.ZOrder2.zorder2(col("l_suppkey"), col("l_partkey"))
+        .as("zkey"))
+
+  /** q48 — SCD Type-2 history build: collapse each customer's order
+    * stream into status runs with validity ranges — the standard
+    * warehouse "snapshot stream → dimension history" derivation. Change
+    * points via lag, version ids via running sum over a TOTAL order
+    * ((o_orderdate, o_orderkey) — orderkey is unique, so ties in date
+    * can't reorder; q22 lesson), run boundaries via groupBy + lead.
+    * One window shuffle on o_custkey, reused by both window passes and
+    * the final aggregation (same partitioning key — Catalyst plans one
+    * Exchange). valid_to is NULL on the open (current) run. */
+  private def q48(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val marked = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderstatus"))
+      .withColumn("chg",
+        when(lag(col("o_orderstatus"), 1).over(w).isNull ||
+          lag(col("o_orderstatus"), 1).over(w) =!= col("o_orderstatus"), 1)
+          .otherwise(0))
+      .withColumn("version",
+        sum(col("chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = marked.groupBy(col("o_custkey"), col("version"))
+      .agg(first(col("o_orderstatus")).as("status"), // constant within run
+        min(col("o_orderdate")).as("from_ts"),
+        count(lit(1)).as("n_orders"))
+    val wv = Window.partitionBy(col("o_custkey")).orderBy(col("version"))
+    runs.select(col("o_custkey").as("custkey"), col("version"),
+      col("status"),
+      Cleaning.dateToString(col("from_ts")).as("valid_from"),
+      Cleaning.dateToString(lead(col("from_ts"), 1).over(wv)).as("valid_to"),
+      col("n_orders"))
+  }
+
+  /** q49 — matched-model Laspeyres price index over lineitem: per
+    * (month, item) representative price = min observed (min, not avg —
+    * deterministic under duplicates and engine-order-independent), base
+    * basket = items priced in the earliest month, index(month) =
+    * Σ p_month / Σ p_base over items present in BOTH (matched-model so
+    * numerator and denominator cover the same basket). This is the
+    * reference domain's own headline analytic (OpenDOSM pricecatcher is
+    * a CPI input). Shape at scale: one (month, item) partial agg over
+    * the fact, a broadcast of the base basket (items dimension — small
+    * by star-schema construction), one final agg by month. The ratio
+    * divides two 4dp-rounded sums (identical doubles both engines), so
+    * 6dp on the quotient is safe (never a rounded avg). */
+  private def q49(s: SparkSession, d: String): DataFrame = {
+    val mp = Tables.lineitem(s, d)
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        col("l_partkey"), col("l_extendedprice"))
+      .groupBy(col("month"), col("l_partkey"))
+      .agg(min(col("l_extendedprice")).as("p"))
+    val baseMonth = mp.agg(min(col("month")).as("base_month"))
+    val base = mp.join(broadcast(baseMonth),
+        col("month") === col("base_month"))
+      .select(col("l_partkey"), col("p").as("p_base"))
+    mp.join(broadcast(base), Seq("l_partkey"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("p")), 4).as("sum_cur"),
+        round(sum(col("p_base")), 4).as("sum_base"))
+      .select(col("month"), col("n_items"), col("sum_cur"), col("sum_base"),
+        round(col("sum_cur") / nullif(col("sum_base"), lit(0.0)), 6)
+          .as("price_index"))
+  }
+
+  /** q50 — cohort retention over events (day granularity — the fixture
+    * spans one month): cohort = a user's first active day, then distinct
+    * active users per (cohort, day offset). Two hash shuffles (user_id,
+    * then (cohort, offset)); the per-user first-day table re-joins the
+    * distinct activity pairs on user_id — both sides already reduced to
+    * one/few rows per user, so the join input is the DISTINCT pairs, not
+    * the raw event stream. */
+  private def q50(s: SparkSession, d: String): DataFrame = {
+    val act = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val firstDay = act.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort"))
+    act.join(firstDay, Seq("user_id"))
+      .groupBy(Cleaning.dateToString(col("cohort")).as("cohort"),
+        datediff(col("day"), col("cohort")).as("offset_days"))
+      .agg(count(lit(1)).as("users"))
+  }
+
+  /** t19 — positional inverted index (the retrieval-side structure BM25
+    * t14 scores against): per (token, doc) posting with term frequency
+    * and 0-based positions — phrase-query-capable. DOC-partitioned
+    * postings (one row per token×doc, positions bounded by one doc's
+    * length), NOT one global concatenated list per token: the global
+    * form is a collect-the-corpus anti-pattern at 100 TB while this
+    * shape partitions on (token, doc) and builds each posting from one
+    * doc's rows. df rides in from a token-level count-distinct agg
+    * (broadcast — vocabulary-bounded). */
+  private def t19(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+        .as(Seq("pos", "token")))
+    val dfTab = toks.groupBy(col("token"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    toks.groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        array_join(array_sort(collect_list(col("pos")))
+          .cast("array<string>"), ",").as("positions"))
+      .join(broadcast(dfTab), Seq("token"))
+      .select(col("token"), col("df"), col("doc_id"), col("tf"),
+        col("positions"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_clean_project" -> (q01 _),
     "q02_dedup_latest" -> (q02 _),
@@ -1664,6 +1787,11 @@ object SparkEntry {
     "t02_text_quality" -> (t02 _),
     "t03_token_count" -> (t03 _),
     "t04_fingerprint" -> (t04 _),
+    "q47_zorder_key" -> (q47 _),
+    "q48_scd2_history" -> (q48 _),
+    "q49_price_index" -> (q49 _),
+    "q50_retention" -> (q50 _),
+    "t19_inverted_index" -> (t19 _),
   )
 
   /** Bench-time substitutes for the contract-check queries: the checks
@@ -1813,6 +1941,8 @@ object SparkEntry {
           graft.streaming.EventStreams.dedupWithinWatermark(src)),
       "st04_stream_interval_join" ->
         drive((_, _, src) => graft.streaming.EventStreams.clickErrorJoin(src)),
+      "st07_stream_sliding" ->
+        drive((_, _, src) => graft.streaming.EventStreams.slidingAgg(src)),
       "st05_stream_dim_join" ->
         drive((s, d, src) => graft.streaming.EventStreams
           .enrichedTumblingAgg(src, Tables.customer(s, d))),
@@ -2875,5 +3005,84 @@ object SparkEntry {
         |            AS BIGINT) AS out_bytes,
         |       TRUE AS roundtrip_ok
         |FROM o""".stripMargin,
+    // independent derivation: per-bit shift/mask sum over
+    // generate_series — no spread-mask shortcut shared with the Spark
+    // side (bit i of x lands at 2i, bit i of y at 2i+1; inputs mod 2^32)
+    "q47_zorder_key" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST((SELECT sum(((l_suppkey >> t.i) & 1) << (2 * t.i))
+        |            + sum(((l_partkey >> t.i) & 1) << (2 * t.i + 1))
+        |        FROM generate_series(0, 31) t(i)) AS BIGINT) AS zkey
+        |FROM lineitem""".stripMargin,
+    "q48_scd2_history" ->
+      """WITH marked AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |    CASE WHEN lag(o_orderstatus) OVER w IS NULL
+        |           OR lag(o_orderstatus) OVER w <> o_orderstatus
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)),
+        |versioned AS (
+        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS version
+        |  FROM marked),
+        |runs AS (
+        |  SELECT o_custkey, version, min(o_orderstatus) AS status,
+        |         min(o_orderdate) AS from_ts,
+        |         count(*) AS n_orders
+        |  FROM versioned GROUP BY o_custkey, version)
+        |SELECT o_custkey AS custkey, version, status,
+        |  strftime(from_ts, '%Y-%m-%d') AS valid_from,
+        |  strftime(lead(from_ts) OVER (PARTITION BY o_custkey
+        |    ORDER BY version), '%Y-%m-%d') AS valid_to,
+        |  CAST(n_orders AS BIGINT) AS n_orders
+        |FROM runs""".stripMargin,
+    "q49_price_index" ->
+      """WITH mp AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS month, l_partkey,
+        |         min(l_extendedprice) AS p
+        |  FROM lineitem GROUP BY 1, 2),
+        |base AS (
+        |  SELECT l_partkey, p AS p_base FROM mp
+        |  WHERE month = (SELECT min(month) FROM mp))
+        |SELECT mp.month, count(*) AS n_items,
+        |  round(CAST(sum(mp.p) AS DOUBLE), 4) AS sum_cur,
+        |  round(CAST(sum(base.p_base) AS DOUBLE), 4) AS sum_base,
+        |  round(round(CAST(sum(mp.p) AS DOUBLE), 4)
+        |    / nullif(round(CAST(sum(base.p_base) AS DOUBLE), 4), 0),
+        |    6) AS price_index
+        |FROM mp JOIN base USING (l_partkey)
+        |GROUP BY mp.month""".stripMargin,
+    "q50_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |first_day AS (
+        |  SELECT user_id, min(day) AS cohort FROM act GROUP BY user_id)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+        |  CAST(date_diff('day', cohort, day) AS INT) AS offset_days,
+        |  count(*) AS users
+        |FROM act JOIN first_day USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    // positions re-derived via a lateral index walk over the token list
+    // (1-based generate_series → 0-based positions), not via any shared
+    // explode helper
+    "t19_inverted_index" ->
+      """WITH lsts AS (
+        |  SELECT doc_id,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS lst
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(lst) AS token,
+        |         unnest(generate_series(1, length(lst))) - 1 AS pos
+        |  FROM lsts),
+        |df_tab AS (
+        |  SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+        |SELECT token, df, doc_id, count(*) AS tf,
+        |  string_agg(pos, ',' ORDER BY pos) AS positions
+        |FROM toks JOIN df_tab USING (token)
+        |GROUP BY token, df, doc_id""".stripMargin,
   )
 }

@@ -86,5 +86,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("strip_accents",
         "strip_accents(s) - NFD-decompose and drop combining marks"),
       (es: Seq[Expression]) => StripAccents(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("zorder2"),
+      info("zorder2",
+        "zorder2(x, y) - 64-bit Morton interleave of two integer keys " +
+          "(bit 2i = x bit i, bit 2i+1 = y bit i; inputs mod 2^32)"),
+      (es: Seq[Expression]) => ZOrder2(es.head, es(1))))
   }
 }

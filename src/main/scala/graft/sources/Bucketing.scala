@@ -33,4 +33,42 @@ object Bucketing {
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
                    key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Z-order-clustered parquet write: range-partition + sort by the
+    * Morton interleave of two filter columns, so every output file's
+    * footer (min, max) is tight on BOTH columns and predicates on either
+    * dimension prune most files (see [[graft.plans.ZOrder2]] for the
+    * layout argument). `numFiles` ≈ table bytes / 128 MB at scale.
+    *
+    * Each column is first NORMALIZED to a 16-bit range via a linear
+    * (min, max) scale — raw interleave degenerates when the dimensions
+    * have mismatched bit widths (a key spanning 0..9 contributes only 4
+    * meaningful bit planes against a 0..200 key's 8, so every range split
+    * lands on the wide key's bits and the narrow column's per-file span
+    * stays global — measured, not hypothetical; ZOrderSpec holds the
+    * regression). The (min, max) probe is ONE cheap agg job over just the
+    * two key columns; for heavily skewed keys substitute quantile-rank
+    * normalization (approxQuantile boundaries + binary-search bucketing —
+    * same shape Delta's OPTIMIZE ZORDER uses) at the cost of a sampled
+    * quantile pass. ZOrderSpec measures the locality this buys.
+    */
+  def zorderWrite(df: DataFrame, c1: String, c2: String,
+                  path: String, numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, min, max}
+    val r = df.agg(min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+                   min(col(c2)).cast("double"), max(col(c2)).cast("double"))
+      .head()
+    def scale16(c: String, lo: Double, hi: Double) = {
+      val span = if (hi > lo) hi - lo else 1.0
+      ((col(c).cast("double") - lo) * (65535.0 / span)).cast("long")
+    }
+    val zkey = graft.plans.ZOrder2.zorder2(
+      scale16(c1, r.getDouble(0), r.getDouble(1)),
+      scale16(c2, r.getDouble(2), r.getDouble(3)))
+    df.withColumn("_zkey", zkey)
+      .repartitionByRange(numFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -33,6 +33,22 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding windows: each event lands in windowLen/slide overlapping
+    * windows — state is per (window, event_type), so the store carries
+    * overlap-factor × the tumbling cardinality; the watermark bounds it
+    * the same way. Append mode, same emit-once discipline as
+    * [[tumblingAgg]]. */
+  def slidingAgg(events: DataFrame,
+                 windowLen: String = "10 minutes",
+                 slide: String = "5 minutes",
+                 watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Built-in session windows: gap-based (30 min), watermark-bounded. */
   def sessionWindowAgg(events: DataFrame,
                        gap: String = "30 minutes",

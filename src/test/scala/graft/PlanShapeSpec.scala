@@ -97,6 +97,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q47: zorder key is one codegen projection over the scan") {
+    val p = plan("q47_zorder_key")
+    assert(p.contains("* Project"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q48: both window passes and the run-agg share ONE custkey exchange") {
+    val p = plan("q48_scd2_history")
+    // lag + running sum + groupBy + lead are all partitioned by
+    // o_custkey; more than one exchange means the partitioning was
+    // dropped between stages
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2, p)
+  }
+
+  test("q49: base basket joins broadcast; fact agg is partial+final") {
+    val p = plan("q49_price_index")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("t19: df table broadcast onto the postings agg") {
+    val p = plan("t19_inverted_index")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("no CartesianProduct exec anywhere in the registry") {
     // crossJoin appears only with broadcast-tiny sides (1-row aggregates,
     // query/centroid frames) and must plan as BroadcastNestedLoopJoin —

@@ -38,6 +38,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding agg lands one event in every overlapping window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.slidingAgg(mem.toDF(), "10 minutes", "5 minutes",
+        "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("slide_out").start()
+    try {
+      // 00:06 falls in [00:00,00:10) and [00:05,00:15)
+      mem.addData(ev(1, "2024-01-01 00:06:00", 1))
+      q.processAllAvailable()
+      mem.addData(ev(2, "2024-01-01 01:00:00", 1)) // advance watermark
+      q.processAllAvailable()
+      val starts = spark.table("slide_out")
+        .select($"window_start".cast("string")).as[String].collect().sorted
+      assert(starts.toSeq == Seq("2024-01-01 00:00:00", "2024-01-01 00:05:00"))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap timeout") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
