@@ -1695,6 +1695,67 @@ object SparkEntry {
         col("positions"))
   }
 
+  /** q51 — CDC changeset apply ([[graft.operators.Cdc]]): a
+    * deterministic changeset derived from each customer's latest order
+    * (op from its status: F→update acctbal, O→insert a new +1,000,000
+    * key, others→delete) applied to the customer snapshot. The
+    * changeset build reuses the A1 dedup-latest operator (total order
+    * (o_orderdate, o_orderkey)); the apply is ONE broadcast join on
+    * c_custkey + a partition-wise union of inserts. The new balance is
+    * the RAW o_totalprice double (no re-rounding of a raw value — both
+    * engines read the identical parquet bits). */
+  private def q51(s: SparkSession, d: String): DataFrame = {
+    val latest = Dedup.latestPerGroupAgg(
+      Tables.orders(s, d),
+      keys = Seq("o_custkey"),
+      orderKey = struct(col("o_orderdate"), col("o_orderkey")),
+      payload = Seq("o_orderstatus", "o_totalprice"))
+    val changes = latest.select(
+      col("o_custkey").as("c_custkey"),
+      when(col("o_orderstatus") === "F", "U")
+        .when(col("o_orderstatus") === "O", "I")
+        .otherwise("D").as("op"),
+      col("o_totalprice").as("new_bal"))
+    graft.operators.Cdc.applyChanges(
+      Tables.customer(s, d), changes, "c_custkey", "op",
+      updates = Map("c_acctbal" -> col("new_bal")),
+      insertSelect = ins => ins.select(
+        (col("c_custkey") + 1000000L).as("c_custkey"),
+        lit("NEW").as("c_name"),
+        lit(0).cast("int").as("c_nationkey"),
+        col("new_bal").as("c_acctbal"),
+        lit("NEW").as("c_mktsegment")))
+  }
+
+  /** q52 — mergeable HLL sketch lifecycle (build → store → union →
+    * estimate): per-day user sketches over events, then ONE union-merge
+    * for the month total — the only distinct-count shape that composes
+    * incrementally at 100 TB (per-partition sketches persist; a new
+    * day's data never re-reads history, unlike count_distinct which
+    * re-shuffles everything). Contract oracle (q17 discipline): exact
+    * counts are DuckDB-recomputable; the booleans assert the Datasketches
+    * HLL estimate (lgConfigK=12, rel err ~1.6%) landed within 5%
+    * (RecallMarginSpec holds the measured margins; Bench measures the
+    * sketch path alone via benchOverrides). */
+  private def q52(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(Cleaning.dateToString(col("ts")).as("day"), col("user_id"))
+    val perDay = days.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+        countDistinct(col("user_id")).as("n_exact"))
+    val total = perDay.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .crossJoin(broadcast(
+        days.agg(countDistinct(col("user_id")).as("n_exact"))))
+      .select(lit("TOTAL").as("day"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05)
+          .as("within_5pct"))
+    perDay.select(col("day"), col("n_exact"),
+        (abs(hll_sketch_estimate(col("sk")) - col("n_exact"))
+          <= col("n_exact") * 0.05).as("within_5pct"))
+      .unionByName(total)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_clean_project" -> (q01 _),
     "q02_dedup_latest" -> (q02 _),
@@ -1791,6 +1852,8 @@ object SparkEntry {
     "q48_scd2_history" -> (q48 _),
     "q49_price_index" -> (q49 _),
     "q50_retention" -> (q50 _),
+    "q51_cdc_apply" -> (q51 _),
+    "q52_hll_sketches" -> (q52 _),
     "t19_inverted_index" -> (t19 _),
   )
 
@@ -1836,6 +1899,15 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 10,
         nProbe = 7)
+    }),
+    // the operator is the sketch build + union-merge; the exact
+    // count_distinct next to it is the contract harness
+    "q52_hll_sketches" -> ((s: SparkSession, d: String) => {
+      val days = Tables.events(s, d)
+        .select(Cleaning.dateToString(col("ts")).as("day"), col("user_id"))
+      days.groupBy(col("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_total"))
     }))
 
   /** Bench-only batch extras (no oracle — the oracled d04/d04b cover
@@ -3066,6 +3138,39 @@ object SparkEntry {
         |  count(*) AS users
         |FROM act JOIN first_day USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    // the apply semantics re-derived as one SQL statement (left join +
+    // filter + case), not via the operator's fold
+    "q51_cdc_apply" ->
+      """WITH latest AS (
+        |  SELECT o_custkey, o_orderstatus, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |ch AS (
+        |  SELECT o_custkey AS k,
+        |    CASE o_orderstatus WHEN 'F' THEN 'U'
+        |                       WHEN 'O' THEN 'I'
+        |                       ELSE 'D' END AS op,
+        |    o_totalprice AS new_bal
+        |  FROM latest WHERE rn = 1)
+        |SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN op = 'U' THEN new_bal ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer LEFT JOIN (SELECT * FROM ch WHERE op <> 'I') mu
+        |  ON c_custkey = mu.k
+        |WHERE op IS NULL OR op = 'U'
+        |UNION ALL
+        |SELECT k + 1000000, 'NEW', 0, new_bal, 'NEW'
+        |FROM ch WHERE op = 'I'""".stripMargin,
+    // exact counts only — the estimate is engine-specific; the booleans
+    // carry the error contract (q17 discipline)
+    "q52_hll_sketches" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  count(DISTINCT user_id) AS n_exact, TRUE AS within_5pct
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT 'TOTAL', count(DISTINCT user_id), TRUE
+        |FROM events""".stripMargin,
     // positions re-derived via a lateral index walk over the token list
     // (1-based generate_series → 0-based positions), not via any shared
     // explode helper

@@ -88,6 +88,31 @@ class RecallMarginSpec extends SparkSpec {
       assert(s03Min >= 5, s"s03 margin gone: min hits $s03Min, contract 4")
     }
 
+    test(s"q52 HLL estimates stay under HALF the 5pct allowance at $sfDir") {
+      // contract: every per-day estimate and the union-merged total
+      // within 5% of exact; require the measured relative error < 2.5%
+      // so a Datasketches default change flakes here before the gate
+      val days = Tables.events(spark, sfDir)
+        .select(to_date(col("ts")).cast("string").as("day"), col("user_id"))
+      val rows = days.groupBy(col("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+          countDistinct(col("user_id")).as("n_exact"))
+      val perDayErr = rows
+        .select((abs(hll_sketch_estimate(col("sk")) - col("n_exact"))
+          .cast("double") / col("n_exact")).as("rel"))
+        .agg(max(col("rel"))).collect().head.getDouble(0)
+      assert(perDayErr < 0.025,
+        f"q52 per-day margin gone: max rel err $perDayErr%.4f vs 0.025")
+      val totalEst = rows
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+        .collect().head.getLong(0)
+      val totalExact = days.select(countDistinct(col("user_id")))
+        .collect().head.getLong(0)
+      val totErr = math.abs(totalEst - totalExact).toDouble / totalExact
+      assert(totErr < 0.025,
+        f"q52 total margin gone: rel err $totErr%.4f vs 0.025")
+    }
+
     test(s"q40 rank errors stay under HALF the contract allowance at $sfDir") {
       // contract allowance is 0.01*n (10x the sketch's n/1000 bound);
       // require the measured error under 0.005*n — >= 2x margin on the
