@@ -94,6 +94,31 @@ object ScaleDemo {
     val nTrue = fact.join(dim, Seq("k"), "left_semi").count()
     println(s"BLOOM_FACT_ROWS=$nFact SURVIVED=$survived TRUE_MATCHES=$nTrue " +
       s"SHUFFLE_SAVED=${(nFact - survived) * 100 / math.max(1, nFact)}%")
+
+    // z-order layout: row-group/file skipping on BOTH clustered columns.
+    // Files whose footer (min, max) excludes the predicate value are
+    // never opened — count the files whose range admits the value, for
+    // a point filter on EACH dimension, against a 1-dim-sorted layout
+    // where the second column's ranges are ~global (no skipping).
+    val zdir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val sdir = java.nio.file.Files.createTempDirectory("graft_s").toString
+    val liZ = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_suppkey", "l_partkey", "l_extendedprice")
+    Bucketing.zorderWrite(liZ, "l_suppkey", "l_partkey", zdir, 16)
+    liZ.repartitionByRange(16, col("l_suppkey"))
+      .sortWithinPartitions("l_suppkey")
+      .write.mode("overwrite").parquet(sdir)
+    def filesAdmitting(dir: String, c: String, v: Long): Int =
+      spark.read.parquet(dir)
+        .groupBy(org.apache.spark.sql.functions.input_file_name())
+        .agg(org.apache.spark.sql.functions.min(col(c)).as("lo"),
+          org.apache.spark.sql.functions.max(col(c)).as("hi"))
+        .filter(col("lo") <= v && col("hi") >= v).count().toInt
+    val (ps, pp) = (5L, 100L)
+    println(s"ZORDER_FILES_READ suppkey=${filesAdmitting(zdir, "l_suppkey", ps)}/16 " +
+      s"partkey=${filesAdmitting(zdir, "l_partkey", pp)}/16 | " +
+      s"1DIM_SORT suppkey=${filesAdmitting(sdir, "l_suppkey", ps)}/16 " +
+      s"partkey=${filesAdmitting(sdir, "l_partkey", pp)}/16")
     spark.stop()
   }
 }
