@@ -1756,6 +1756,65 @@ object SparkEntry {
       .unionByName(total)
   }
 
+  /** q53 — event-transition matrix (first-order Markov counts): per
+    * user, adjacent event-type pairs under the TOTAL order (ts,
+    * event_id) — event_id breaks timestamp ties so lag is
+    * engine-order-independent (q22 lesson) — counted into a (from, to)
+    * matrix with each row's share of its from-state total. One window
+    * shuffle on user_id, one count shuffle on the (from, to) pairs
+    * (|event types|² rows at most). share = ratio of exact counts at
+    * 6dp: both engines divide identical integers. */
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("from_type"))
+    trans.select(col("from_type"), col("to_type"), col("n"),
+      round(col("n").cast("double") / sum(col("n")).over(wf), 6)
+        .as("share"))
+  }
+
+  /** q54 — dataset profiling (the lake-ops "describe" every ingest
+    * runs): one pass over customer computes per-column null counts,
+    * exact distincts, and numeric min/max, then unpivots to one row per
+    * column via stack. ONE aggregation job for the whole profile —
+    * never a per-column scan loop (the 100 TB difference between
+    * profiling and re-reading the table N_cols times); min/max/count
+    * only — no avg, no float sums (CLAUDE.md float discipline moot by
+    * construction). */
+  private def q54(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val agg = c.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("c_name").isNull, 1).otherwise(0)).as("nn_name"),
+      countDistinct(col("c_name")).as("nd_name"),
+      sum(when(col("c_mktsegment").isNull, 1).otherwise(0)).as("nn_seg"),
+      countDistinct(col("c_mktsegment")).as("nd_seg"),
+      sum(when(col("c_acctbal").isNull, 1).otherwise(0)).as("nn_bal"),
+      countDistinct(col("c_acctbal")).as("nd_bal"),
+      min(col("c_acctbal")).as("min_bal"), max(col("c_acctbal")).as("max_bal"),
+      sum(when(col("c_nationkey").isNull, 1).otherwise(0)).as("nn_nat"),
+      countDistinct(col("c_nationkey")).as("nd_nat"),
+      min(col("c_nationkey").cast("double")).as("min_nat"),
+      max(col("c_nationkey").cast("double")).as("max_nat"))
+    agg.select(col("n_rows"), expr(
+      """stack(4,
+        |  'c_name', nn_name, nd_name, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  'c_mktsegment', nn_seg, nd_seg, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  'c_acctbal', nn_bal, nd_bal, min_bal, max_bal,
+        |  'c_nationkey', nn_nat, nd_nat, min_nat, max_nat)
+        |  AS (col_name, n_null, n_distinct, min_val, max_val)""".stripMargin))
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_clean_project" -> (q01 _),
     "q02_dedup_latest" -> (q02 _),
@@ -1854,6 +1913,8 @@ object SparkEntry {
     "q50_retention" -> (q50 _),
     "q51_cdc_apply" -> (q51 _),
     "q52_hll_sketches" -> (q52 _),
+    "q53_transitions" -> (q53 _),
+    "q54_profile" -> (q54 _),
     "t19_inverted_index" -> (t19 _),
   )
 
@@ -3162,6 +3223,47 @@ object SparkEntry {
         |UNION ALL
         |SELECT k + 1000000, 'NEW', 0, new_bal, 'NEW'
         |FROM ch WHERE op = 'I'""".stripMargin,
+    "q53_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |trans AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |         count(*) AS n
+        |  FROM seq WHERE next_type IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    sum(n) OVER (PARTITION BY from_type), 6) AS share
+        |FROM trans""".stripMargin,
+    "q54_profile" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |    sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS nn_name,
+        |    count(DISTINCT c_name) AS nd_name,
+        |    sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS nn_seg,
+        |    count(DISTINCT c_mktsegment) AS nd_seg,
+        |    sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS nn_bal,
+        |    count(DISTINCT c_acctbal) AS nd_bal,
+        |    min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+        |    sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS nn_nat,
+        |    count(DISTINCT c_nationkey) AS nd_nat,
+        |    CAST(min(c_nationkey) AS DOUBLE) AS min_nat,
+        |    CAST(max(c_nationkey) AS DOUBLE) AS max_nat
+        |  FROM customer)
+        |SELECT col_name, n_rows, CAST(n_null AS BIGINT) AS n_null,
+        |  n_distinct, min_val, max_val FROM (
+        |  SELECT 'c_name' AS col_name, n_rows, nn_name AS n_null,
+        |    nd_name AS n_distinct, CAST(NULL AS DOUBLE) AS min_val,
+        |    CAST(NULL AS DOUBLE) AS max_val FROM a
+        |  UNION ALL SELECT 'c_mktsegment', n_rows, nn_seg, nd_seg,
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'c_acctbal', n_rows, nn_bal, nd_bal,
+        |    min_bal, max_bal FROM a
+        |  UNION ALL SELECT 'c_nationkey', n_rows, nn_nat, nd_nat,
+        |    min_nat, max_nat FROM a)""".stripMargin,
     // exact counts only — the estimate is engine-specific; the booleans
     // carry the error contract (q17 discipline)
     "q52_hll_sketches" ->
