@@ -1815,6 +1815,36 @@ object SparkEntry {
         col("n_distinct"), col("min_val"), col("max_val"))
   }
 
+  /** d10 — exact repeated-span detection (the substring-dedup shape of
+    * Lee et al.'s "Deduplicating Training Data", public literature):
+    * every 20-token window of every document, grouped across the
+    * corpus; spans occurring in ≥2 distinct documents are boilerplate /
+    * template / contamination candidates. Top 100 by occurrence count
+    * with a total (n_occ, n_docs, span) tie-break. The span STRING is
+    * the grouping key here because the oracle must re-derive it
+    * engine-independently; at 100 TB the shuffle key would be
+    * xxhash64(span) with the string re-attached for the survivors only
+    * (same id-only-shuffle discipline as the pair ops) — the window
+    * explode itself is linear in corpus tokens either way, and the
+    * top-k is TakeOrderedAndProject after a partial-combined count. */
+  private def d10(s: SparkSession, d: String): DataFrame = {
+    val span = 20
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= span)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - span),
+          i => array_join(slice(col("toks"), i + 1, lit(span)), " ")))
+          .as("span"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_occ"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_occ").desc, col("n_docs").desc, col("span"))
+      .limit(100)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_clean_project" -> (q01 _),
     "q02_dedup_latest" -> (q02 _),
@@ -1915,6 +1945,7 @@ object SparkEntry {
     "q52_hll_sketches" -> (q52 _),
     "q53_transitions" -> (q53 _),
     "q54_profile" -> (q54 _),
+    "d10_repeated_spans" -> (d10 _),
     "t19_inverted_index" -> (t19 _),
   )
 
@@ -3223,6 +3254,28 @@ object SparkEntry {
         |UNION ALL
         |SELECT k + 1000000, 'NEW', 0, new_bal, 'NEW'
         |FROM ch WHERE op = 'I'""".stripMargin,
+    // spans re-derived via the lockstep-unnest index walk (t19 idiom) +
+    // per-position list_slice, not any shared transform helper
+    "d10_repeated_spans" ->
+      """WITH lsts AS (
+        |  SELECT doc_id,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS lst
+        |  FROM documents WHERE length(regexp_extract_all(lower(text),
+        |    '[a-z0-9]+')) >= 20),
+        |spans AS (
+        |  SELECT doc_id,
+        |    array_to_string(lst[i:i+19], ' ') AS span
+        |  FROM (SELECT doc_id, lst,
+        |          unnest(generate_series(1, length(lst) - 19)) AS i
+        |        FROM lsts)),
+        |grouped AS (
+        |  SELECT span, count(*) AS n_occ,
+        |         count(DISTINCT doc_id) AS n_docs
+        |  FROM spans GROUP BY span
+        |  HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT span, n_occ, n_docs FROM grouped
+        |ORDER BY n_occ DESC, n_docs DESC, span
+        |LIMIT 100""".stripMargin,
     "q53_transitions" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,
