@@ -1845,6 +1845,47 @@ object SparkEntry {
       .limit(100)
   }
 
+  /** q55 — per-group top-N (each customer's 3 most expensive orders):
+    * THE retrieval plan shape whose scalability lives or dies on rank-
+    * limit pushdown — row_number ≤ N must plan as WindowGroupLimit
+    * (per-partition partial top-N before the shuffle, so ~N·groups rows
+    * move, not the fact table; PlanShapeSpec pins it). Total order
+    * (o_totalprice desc, o_orderkey) — orderkey breaks price ties. */
+  private def q55(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+  }
+
+  /** q56 — snapshot diff / reconciliation: classify every key across
+    * two snapshot versions as added / removed / changed, emitting both
+    * payloads. The inverse of [[graft.operators.Cdc.applyChanges]] —
+    * diffing q51's applied snapshot against the original recovers
+    * exactly the effective changeset (asserted in CdcSpec), which is
+    * how a lake audits what an ingest actually did. ONE full-outer
+    * hash join on the key; unchanged rows are dropped BEFORE any
+    * further processing, so downstream cost ∝ churn, not table size.
+    * Payload equality on doubles is exact bit equality — both engines
+    * compare the same parquet-read values, no arithmetic. */
+  private def q56(s: SparkSession, d: String): DataFrame = {
+    val before = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal").as("bal_before"))
+    val after = q51(s, d)
+      .select(col("c_custkey"), col("c_acctbal").as("bal_after"))
+    before.join(after, Seq("c_custkey"), "full_outer")
+      .withColumn("change_kind",
+        when(col("bal_before").isNull, "added")
+          .when(col("bal_after").isNull, "removed")
+          .when(col("bal_before") =!= col("bal_after"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("change_kind") =!= "unchanged")
+      .select(col("c_custkey"), col("change_kind"),
+        col("bal_before"), col("bal_after"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_clean_project" -> (q01 _),
     "q02_dedup_latest" -> (q02 _),
@@ -1946,6 +1987,8 @@ object SparkEntry {
     "q53_transitions" -> (q53 _),
     "q54_profile" -> (q54 _),
     "d10_repeated_spans" -> (d10 _),
+    "q55_topn_per_group" -> (q55 _),
+    "q56_snapshot_diff" -> (q56 _),
     "t19_inverted_index" -> (t19 _),
   )
 
@@ -3276,6 +3319,45 @@ object SparkEntry {
         |SELECT span, n_occ, n_docs FROM grouped
         |ORDER BY n_occ DESC, n_docs DESC, span
         |LIMIT 100""".stripMargin,
+    "q55_topn_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |      FROM orders)
+        |WHERE rnk <= 3""".stripMargin,
+    // the diff is re-stated from first principles over the SAME apply
+    // SQL as q51 (inlined), not by inverting the operator
+    "q56_snapshot_diff" ->
+      """WITH latest AS (
+        |  SELECT o_custkey, o_orderstatus, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |ch AS (
+        |  SELECT o_custkey AS k,
+        |    CASE o_orderstatus WHEN 'F' THEN 'U'
+        |                       WHEN 'O' THEN 'I'
+        |                       ELSE 'D' END AS op,
+        |    o_totalprice AS new_bal
+        |  FROM latest WHERE rn = 1),
+        |after AS (
+        |  SELECT c_custkey, CASE WHEN op = 'U' THEN new_bal
+        |                         ELSE c_acctbal END AS bal
+        |  FROM customer LEFT JOIN (SELECT * FROM ch WHERE op <> 'I') mu
+        |    ON c_custkey = mu.k
+        |  WHERE op IS NULL OR op = 'U'
+        |  UNION ALL
+        |  SELECT k + 1000000, new_bal FROM ch WHERE op = 'I')
+        |SELECT COALESCE(c.c_custkey, a.c_custkey) AS c_custkey,
+        |  CASE WHEN c.c_custkey IS NULL THEN 'added'
+        |       WHEN a.c_custkey IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change_kind,
+        |  c.c_acctbal AS bal_before, a.bal AS bal_after
+        |FROM customer c FULL OUTER JOIN after a
+        |  ON c.c_custkey = a.c_custkey
+        |WHERE c.c_custkey IS NULL OR a.c_custkey IS NULL
+        |   OR c.c_acctbal <> a.bal""".stripMargin,
     "q53_transitions" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

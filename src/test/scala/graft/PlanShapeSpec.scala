@@ -129,6 +129,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q55: rank filter pushes into WindowGroupLimit partial top-N") {
+    val p = plan("q55_topn_per_group")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("no CartesianProduct exec anywhere in the registry") {
     // crossJoin appears only with broadcast-tiny sides (1-row aggregates,
     // query/centroid frames) and must plan as BroadcastNestedLoopJoin —
