@@ -1886,6 +1886,48 @@ object SparkEntry {
         col("bal_before"), col("bal_after"))
   }
 
+  /** q57 — blocked fuzzy string join (approximate entity matching):
+    * customer-name pairs at Levenshtein distance ≤ 1, candidates
+    * generated by a 16-char-prefix equi-join block — NEVER an all-pairs
+    * cross product (the block is the standard record-linkage move: edit
+    * distance ≤ k implies the strings agree on a long prefix or the
+    * block key absorbs the edit — here names are fixed-format, so a
+    * distance-1 pair always shares the 16-char prefix). Distance is
+    * exact integer — both engines implement classic Levenshtein. At
+    * 100 TB the block key keeps candidate volume Σ block² with block
+    * sizes bounded by key design, same discipline as d04's blocks. */
+  private def q57(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        substring(col("c_name"), 1, 16).as("blk"))
+    c.alias("a").join(c.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("dist", levenshtein(col("a.name"), col("b.name")))
+      .filter(col("dist") <= 1)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("dist").cast("int").as("dist"))
+  }
+
+  /** t20 — BPE merge-pair statistics (the inner loop of byte-pair-
+    * encoding tokenizer training): count adjacent CHARACTER pairs
+    * within corpus words, emit the top 20 merge candidates under a
+    * total (count desc, pair) order. Pairs come straight off the char
+    * split in the projection (t15's bigram idiom one level down); one
+    * partial-combined count shuffle over a ≤ |alphabet|² key space. */
+  private def t20(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+        .as("w"))
+      .filter(length(col("w")) >= 2)
+    words
+      .select(explode(transform(sequence(lit(0), length(col("w")) - 2),
+        i => col("w").substr(i + 1, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_clean_project" -> (q01 _),
     "q02_dedup_latest" -> (q02 _),
@@ -1989,6 +2031,8 @@ object SparkEntry {
     "d10_repeated_spans" -> (d10 _),
     "q55_topn_per_group" -> (q55 _),
     "q56_snapshot_diff" -> (q56 _),
+    "q57_fuzzy_join" -> (q57 _),
+    "t20_bpe_pairs" -> (t20 _),
     "t19_inverted_index" -> (t19 _),
   )
 
@@ -3319,6 +3363,27 @@ object SparkEntry {
         |SELECT span, n_occ, n_docs FROM grouped
         |ORDER BY n_occ DESC, n_docs DESC, span
         |LIMIT 100""".stripMargin,
+    "q57_fuzzy_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_name AS name,
+        |         substring(c_name, 1, 16) AS blk
+        |  FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin,
+    // char pairs re-derived via the lockstep-unnest index walk over the
+    // split word, not a shared substring helper
+    "t20_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT substring(w, i, 2) AS pair
+        |  FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+        |        FROM words WHERE length(w) >= 2))
+        |SELECT pair, count(*) AS n FROM pairs GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "q55_topn_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
