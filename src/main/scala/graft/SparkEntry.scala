@@ -1597,6 +1597,12 @@ object SparkEntry {
   private def q48(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
+    // all-window formulation: change rows ARE the runs. Every window
+    // below partitions by o_custkey, so the whole derivation — lag
+    // change detection, running version, per-customer total, and the
+    // lead lookups among run starts — shares ONE hash exchange
+    // (PlanShapeSpec pins exactly one); a groupBy(custkey, version)
+    // would re-shuffle on the widened key for nothing.
     val marked = Tables.orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
         col("o_orderstatus"))
@@ -1607,16 +1613,19 @@ object SparkEntry {
       .withColumn("version",
         sum(col("chg")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val runs = marked.groupBy(col("o_custkey"), col("version"))
-      .agg(first(col("o_orderstatus")).as("status"), // constant within run
-        min(col("o_orderdate")).as("from_ts"),
-        count(lit(1)).as("n_orders"))
-    val wv = Window.partitionBy(col("o_custkey")).orderBy(col("version"))
-    runs.select(col("o_custkey").as("custkey"), col("version"),
-      col("status"),
-      Cleaning.dateToString(col("from_ts")).as("valid_from"),
-      Cleaning.dateToString(lead(col("from_ts"), 1).over(wv)).as("valid_to"),
-      col("n_orders"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_total", count(lit(1)).over(
+        Window.partitionBy(col("o_custkey"))))
+    val ws = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("rn"))
+    marked.filter(col("chg") === 1)
+      .select(col("o_custkey").as("custkey"), col("version"),
+        col("o_orderstatus").as("status"),
+        Cleaning.dateToString(col("o_orderdate")).as("valid_from"),
+        Cleaning.dateToString(lead(col("o_orderdate"), 1).over(ws))
+          .as("valid_to"),
+        (coalesce(lead(col("rn"), 1).over(ws), col("n_total") + 1)
+          - col("rn")).cast("long").as("n_orders"))
   }
 
   /** q49 — matched-model Laspeyres price index over lineitem: per

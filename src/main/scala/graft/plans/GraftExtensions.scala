@@ -87,6 +87,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "strip_accents(s) - NFD-decompose and drop combining marks"),
       (es: Seq[Expression]) => StripAccents(es.head)))
     ext.injectFunction((
+      FunctionIdentifier("range_bucket"),
+      info("range_bucket",
+        "range_bucket(v, boundaries) - quantile-rank bucket: count of " +
+          "boundaries strictly below v; boundaries must be a foldable " +
+          "double-array literal"),
+      (es: Seq[Expression]) => {
+        val bs = es(1).eval(null) match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toDoubleArray()
+          case other => throw new IllegalArgumentException(
+            s"range_bucket boundaries must be an array literal, got $other")
+        }
+        RangeBucket(es.head, bs)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("zorder2"),
       info("zorder2",
         "zorder2(x, y) - 64-bit Morton interleave of two integer keys " +

@@ -71,4 +71,35 @@ object Bucketing {
       .drop("_zkey")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** The skew-proof variant of [[zorderWrite]]: each column is
+    * normalized to its QUANTILE RANK (256 approxQuantile cuts →
+    * [[graft.plans.RangeBucket]] binary-search codes) before the Morton
+    * interleave, so a heavy-tailed key still spreads over the full code
+    * range and every z-cell carries ~equal row mass. One sampled
+    * quantile pass over the two key columns (single `approxQuantile`
+    * call), boundaries broadcast on the expression — this is the
+    * range-ID construction Delta's OPTIMIZE ZORDER uses. Prefer this
+    * whenever key distributions are unknown; `zorderWrite`'s linear
+    * scale only wins when keys are known ~uniform (saves the quantile
+    * pass). */
+  def zorderWriteQuantile(df: DataFrame, c1: String, c2: String,
+                          path: String, numFiles: Int,
+                          buckets: Int = 256): Unit = {
+    import org.apache.spark.sql.functions.col
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val Array(b1, b2) = df
+      .select(col(c1).cast("double").as(c1), col(c2).cast("double").as(c2))
+      .stat.approxQuantile(Array(c1, c2), probs, 0.01)
+    val zkey = graft.plans.ZOrder2.zorder2(
+      graft.plans.RangeBucket.rangeBucket(col(c1).cast("double"), b1)
+        .cast("long"),
+      graft.plans.RangeBucket.rangeBucket(col(c2).cast("double"), b2)
+        .cast("long"))
+    df.withColumn("_zkey", zkey)
+      .repartitionByRange(numFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -103,12 +103,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
-  test("q48: both window passes and the run-agg share ONE custkey exchange") {
+  test("q48: every window stage shares ONE custkey exchange") {
     val p = plan("q48_scd2_history")
-    // lag + running sum + groupBy + lead are all partitioned by
-    // o_custkey; more than one exchange means the partitioning was
-    // dropped between stages
-    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2, p)
+    // lag, running version sum, per-customer total, and the run-start
+    // lead lookups are all partitioned by o_custkey — the all-window
+    // formulation must plan exactly one hash exchange. Count detail-
+    // section nodes ("(n) Exchange") — the tree section would double-
+    // count every node
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p)
   }
 
   test("q49: base basket joins broadcast; fact agg is partial+final") {

@@ -48,6 +48,45 @@ class ZOrderSpec extends SparkSpec {
     assert(viaSql.sameElements(viaEval))
   }
 
+  test("RangeBucket: binary search matches naive count, codegen agrees") {
+    val bs = Array(1.0, 3.0, 3.0, 7.0, 10.0)
+    def naiveCount(v: Double) = bs.count(_ < v)
+    for (v <- Seq(0.0, 1.0, 2.0, 3.0, 5.0, 7.0, 10.0, 11.0, -1.0))
+      assert(graft.plans.RangeBucket.search(bs, v) == naiveCount(v), s"v=$v")
+    // codegen path over a real column
+    val vals = Seq(0.5, 1.0, 4.2, 9.9, 12.0).toDF("v")
+    val out = vals.select(
+      graft.plans.RangeBucket.rangeBucket($"v", bs).as("b"))
+      .as[Int].collect()
+    assert(out.sameElements(Seq(0.5, 1.0, 4.2, 9.9, 12.0)
+      .map(v => naiveCount(v))))
+  }
+
+  test("quantile z-order balances a heavy-tailed key where linear can't") {
+    // heavy tail: x = k^3 concentrates 87% of values in the lowest 2%
+    // of the value range — linear 16-bit scaling maps most rows to a
+    // handful of codes, so early z-cells are overstuffed
+    val skewed = spark.range(0, 8000).selectExpr(
+      "CAST(id % 20 AS LONG) AS y",
+      "CAST(pow(id % 1000, 3) AS LONG) AS x")
+    val qdir = java.nio.file.Files.createTempDirectory("graft_zq").toString
+    Bucketing.zorderWriteQuantile(skewed, "x", "y", qdir, numFiles = 16)
+    // rank-space tightness: per-file x-PERCENTILE span must be small
+    // even though the raw x value span of low-percentile files is tiny
+    // and of the top file is astronomically large. input_file_name()
+    // must be captured AT THE SCAN (it returns "" after any shuffle),
+    // so ranks join in by value afterwards
+    val withFile = spark.read.parquet(qdir)
+      .select($"x", input_file_name().as("f"))
+    val ranks = withFile.select($"x").distinct()
+      .withColumn("xr", percent_rank().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"x")))
+    val avgSpan = withFile.join(ranks, "x").groupBy($"f")
+      .agg((max($"xr") - min($"xr")).as("span"))
+      .agg(avg($"span")).head().getDouble(0)
+    assert(avgSpan < 0.6, s"avg per-file percentile span $avgSpan")
+  }
+
   test("z-clustered write yields tight per-file ranges on both dims") {
     val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
       .select($"l_suppkey", $"l_partkey")
