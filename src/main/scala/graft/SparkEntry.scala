@@ -1641,11 +1641,19 @@ object SparkEntry {
     * divides two 4dp-rounded sums (identical doubles both engines), so
     * 6dp on the quotient is safe (never a rounded avg). */
   private def q49(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint: mp feeds THREE subtrees (base-month probe, base
+    // basket, the index agg) whose differing column pruning defeats
+    // exchange reuse — without it the plan scans the FACT table three
+    // times (measured: 3 parquet scans in explain). The checkpoint
+    // materializes the (month × item)-sized aggregate once — exactly
+    // the "reuse the partial" move that matters when the fact is 100 TB
+    // and the aggregate is MBs (c02 precedent).
     val mp = Tables.lineitem(s, d)
       .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
         col("l_partkey"), col("l_extendedprice"))
       .groupBy(col("month"), col("l_partkey"))
       .agg(min(col("l_extendedprice")).as("p"))
+      .localCheckpoint()
     val baseMonth = mp.agg(min(col("month")).as("base_month"))
     val base = mp.join(broadcast(baseMonth),
         col("month") === col("base_month"))
