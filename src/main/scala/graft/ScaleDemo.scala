@@ -119,6 +119,42 @@ object ScaleDemo {
       s"partkey=${filesAdmitting(zdir, "l_partkey", pp)}/16 | " +
       s"1DIM_SORT suppkey=${filesAdmitting(sdir, "l_suppkey", ps)}/16 " +
       s"partkey=${filesAdmitting(sdir, "l_partkey", pp)}/16")
+
+    // AQE runtime skew-split: the OTHER half of the skew story next to
+    // the explicit salt (q26/q42 — use the salt when the hot key is
+    // known at authoring time; AQE catches the ones you didn't know
+    // about). One synthetic hot key carrying ~half the fact rows joins
+    // a small-but-over-threshold dim; with AQE skew-join on, the
+    // oversized shuffle partition is split into task-sized reads —
+    // visible as "skewed" in the final (adaptive) plan.
+    val aqeSession = spark.newSession()
+    aqeSession.conf.set("spark.sql.adaptive.enabled", "true")
+    aqeSession.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    aqeSession.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    aqeSession.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    aqeSession.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    aqeSession.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    aqeSession.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "8KB")
+    // a skewed REDUCE partition is split into subsets of MAP outputs,
+    // so the demo fact must genuinely SPAN mappers: range() parallelizes
+    // into 4 real map tasks that each hold hot-key rows. (A
+    // single-row-group parquet fixture puts every row in ONE mapper no
+    // matter how many byte-range splits exist — measured via
+    // graft.SkewProbe: per-mapper sizes [0, 8MB, 0, 0] → unsplittable,
+    // the sf0.01 analog of a real cluster's thousands of map tasks.)
+    val skewFact = aqeSession.range(0, 1200000, 1, 4)
+      .selectExpr("CASE WHEN id % 5 > 0 THEN 0L ELSE id % 100 END AS k",
+        "CAST(id AS DOUBLE) AS v")
+    val dimK = aqeSession.read.parquet(s"$sfDir/supplier.parquet")
+      .selectExpr("CAST(s_suppkey AS LONG) AS k", "s_acctbal")
+    val skewed = skewFact.join(dimK, "k")
+    // drive THIS DataFrame's QueryExecution (a .count() would build its
+    // own and leave this adaptive plan unfinalized)
+    val nSkew = skewed.collect().length
+    val planStr = skewed.queryExecution.executedPlan.toString
+    if (sys.env.contains("GRAFT_DEBUG_PLAN")) println(planStr)
+    println(s"AQE_SKEW_SPLIT=${planStr.toLowerCase.contains("skewed")} ROWS=$nSkew")
     spark.stop()
   }
 }
