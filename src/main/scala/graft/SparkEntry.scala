@@ -1949,6 +1949,67 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** c05 — the COMPLETE pre-training data pipeline, composed end to end
+    * from this engine's own operators: quality gate → exact dedup →
+    * near-dup prune ([[graft.operators.Curate.kept]], the c01 stages) →
+    * benchmark decontamination (drop any training doc sharing a trigram
+    * with the held-out eval slice — d08's probe, applied as a filter) →
+    * per-language mixing (c03's integer-arithmetic md5-rank sampling) →
+    * sequence packing totals (t18's bin arithmetic). One registered
+    * statement proving the stages COMPOSE — a user's whole curation run
+    * is this query with their thresholds. All-integer output row, and
+    * every stage keeps its scale shape: nothing here collects, every
+    * join is the semi/anti/broadcast form its component query pinned.
+    * The oracle re-derives the entire funnel in one SQL chain built
+    * from the per-stage oracles — no shared code with this side.
+    * (Fixture note: the ~31-word synthetic vocabulary makes trigram
+    * collisions with the eval slice near-universal, so decontamination
+    * drops most docs here — 4756→295 at sf0.1. That is the fixture's
+    * density artifact, the same one documented at d04's Zipf note, not
+    * an operator property.) */
+  private def c05(s: SparkSession, d: String): DataFrame =
+    c05Funnel(s, d, exactPairs = true)
+
+  private def c05Funnel(s: SparkSession, d: String,
+                        exactPairs: Boolean): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val kept = graft.operators.Curate.kept(docs, "doc_id", "text",
+      exactPairs = exactPairs)
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val sh = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        explode(when(size(col("toks")) >= 3,
+          transform(sequence(lit(0), size(col("toks")) - 3),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))
+          .otherwise(array().cast("array<string>"))).as("sh3"))
+    val evalSet = sh.filter(col("doc_id") % 97 === 0)
+      .select("sh3").distinct()
+    val contaminated = sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalSet), Seq("sh3")).select("doc_id").distinct()
+    val clean = kept.filter(col("doc_id") % 97 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val wMix = Window.partitionBy(col("lang"))
+      .orderBy(md5(concat(col("doc_id").cast("string"), lit(":mix"))),
+        col("doc_id"))
+    val mixed = clean
+      .withColumn("rn", row_number().over(wMix))
+      .withColumn("n_lang", count(lit(1)).over(
+        Window.partitionBy(col("lang"))))
+      .filter(col("rn") * 10 <=
+        when(col("lang") === "en", 8).otherwise(5) * col("n_lang"))
+    val totals = mixed.select(size(toks).cast("long").as("n_tok"))
+      .agg(count(lit(1)).as("n_mixed"),
+        coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
+    docs.agg(count(lit(1)).as("n_input"))
+      .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+      .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
+      .crossJoin(totals)
+      .select(col("n_input"), col("n_kept"), col("n_clean"),
+        col("n_mixed"), col("n_tokens"),
+        expr("(n_tokens + 2047) DIV 2048").as("n_bins"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_clean_project" -> (q01 _),
     "q02_dedup_latest" -> (q02 _),
@@ -2053,6 +2114,7 @@ object SparkEntry {
     "q55_topn_per_group" -> (q55 _),
     "q56_snapshot_diff" -> (q56 _),
     "q57_fuzzy_join" -> (q57 _),
+    "c05_training_mix" -> (c05 _),
     "t20_bpe_pairs" -> (t20 _),
     "t19_inverted_index" -> (t19 _),
   )
@@ -2100,6 +2162,10 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 10,
         nProbe = 7)
     }),
+    // the user-facing funnel runs the MinHash near-dup route (c01's
+    // split); the exact-pairs route exists for the oracle's benefit
+    "c05_training_mix" -> ((s: SparkSession, d: String) =>
+      c05Funnel(s, d, exactPairs = false)),
     // the operator is the sketch build + union-merge; the exact
     // count_distinct next to it is the contract harness
     "q52_hll_sketches" -> ((s: SparkSession, d: String) => {
@@ -3384,6 +3450,74 @@ object SparkEntry {
         |SELECT span, n_occ, n_docs FROM grouped
         |ORDER BY n_occ DESC, n_docs DESC, span
         |LIMIT 100""".stripMargin,
+    // the full-funnel oracle: c01's quality/unique/near-dup chain +
+    // d08's trigram decontamination + c03's md5-rank mixing + t18's bin
+    // arithmetic, composed as one independent SQL derivation
+    "c05_training_mix" ->
+      """WITH q AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(regexp_extract_all(text, '\S+')) >= 5
+        |    AND len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+        |        / nullif(CAST(len(text) AS DOUBLE), 0) <= 0.3),
+        |u AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY
+        |      md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS canon
+        |    FROM q) WHERE doc_id = canon),
+        |raw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM u),
+        |t AS (SELECT doc_id, list_filter(tk, (x,i) -> list_position(tk, x) = i) AS toks FROM raw),
+        |shg AS (SELECT doc_id, toks,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i+1:i+3], ' ')
+        |               FOR i IN range(0, len(toks)-2)] END AS shingles FROM t),
+        |cnt AS (SELECT doc_id, len(shingles) AS ns, len(toks) AS nt FROM shg),
+        |se AS (SELECT doc_id, unnest(shingles) AS s FROM shg),
+        |si AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS i FROM se a
+        |       JOIN se b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |te AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+        |ti AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS i FROM te a
+        |       JOIN te b ON a.tk = b.tk AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |e2 AS (
+        |  SELECT si.ia AS a, si.ib AS b
+        |  FROM si JOIN ti ON si.ia = ti.ia AND si.ib = ti.ib
+        |  JOIN cnt ca ON si.ia = ca.doc_id JOIN cnt cb ON si.ib = cb.doc_id
+        |  WHERE CAST(si.i AS DOUBLE) / (ca.ns + cb.ns - si.i) >= 0.6
+        |    AND CAST(ti.i AS DOUBLE) / (ca.nt + cb.nt - ti.i) >= 0.6),
+        |kept AS (SELECT u.doc_id, u.text FROM u
+        |         LEFT JOIN (SELECT DISTINCT b FROM e2) dd ON u.doc_id = dd.b
+        |         WHERE dd.b IS NULL),
+        |rt AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |rsh AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+        |         ELSE [array_to_string(toks[i+1:i+3], ' ')
+        |               FOR i IN range(0, len(toks)-2)] END) AS s
+        |  FROM rt),
+        |ev AS (SELECT DISTINCT s FROM rsh WHERE doc_id % 97 = 0),
+        |contam AS (SELECT DISTINCT doc_id FROM rsh JOIN ev USING (s)
+        |           WHERE doc_id % 97 <> 0),
+        |cl AS (SELECT k.doc_id, k.text, d.lang
+        |  FROM kept k JOIN documents d USING (doc_id)
+        |  LEFT JOIN contam c ON k.doc_id = c.doc_id
+        |  WHERE c.doc_id IS NULL AND k.doc_id % 97 <> 0),
+        |r AS (SELECT doc_id, text, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mix'), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n_lang
+        |  FROM cl),
+        |mixed AS (SELECT doc_id, text FROM r
+        |  WHERE rn * 10 <= (CASE WHEN lang = 'en' THEN 8 ELSE 5 END) * n_lang),
+        |tk2 AS (SELECT CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |    AS BIGINT) AS n_tok FROM mixed)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_input,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cl) AS n_clean,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM tk2) AS n_mixed,
+        |  (SELECT CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM tk2) AS n_tokens,
+        |  (SELECT CAST((coalesce(sum(n_tok), 0) + 2047) // 2048 AS BIGINT)
+        |   FROM tk2) AS n_bins""".stripMargin,
     "q57_fuzzy_join" ->
       """WITH c AS (
         |  SELECT c_custkey AS id, c_name AS name,
