@@ -1967,6 +1967,14 @@ object SparkEntry {
     * drops most docs here — 4756→295 at sf0.1. That is the fixture's
     * density artifact, the same one documented at d04's Zipf note, not
     * an operator property.) */
+  /** s06 — exact MIPS top-10 ([[Similarity.mipsTopK]]): dot-product
+    * ranking, the retrieval score embedding models train on. Fully
+    * deterministic oracle (index-order summation, no sqrt/division). */
+  private def s06(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.mipsTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
+  }
+
   private def c05(s: SparkSession, d: String): DataFrame =
     c05Funnel(s, d, exactPairs = true)
 
@@ -2115,6 +2123,7 @@ object SparkEntry {
     "q56_snapshot_diff" -> (q56 _),
     "q57_fuzzy_join" -> (q57 _),
     "c05_training_mix" -> (c05 _),
+    "s06_mips_brute" -> (s06 _),
     "t20_bpe_pairs" -> (t20 _),
     "t19_inverted_index" -> (t19 _),
   )
@@ -2914,6 +2923,20 @@ object SparkEntry {
         |    PARTITION BY query_id ORDER BY sim DESC, cand_id) AS INT) AS rnk
         |  FROM scored)
         |SELECT query_id, rnk, cand_id, round(sim, 4) AS sim
+        |FROM ranked WHERE rnk <= 10""".stripMargin,
+    "s06_mips_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS cand_id,
+        |    list_dot_product(
+        |      CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS score
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, cand_id, score, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, cand_id) AS INT) AS rnk
+        |  FROM scored)
+        |SELECT query_id, rnk, cand_id, round(score, 4) AS score
         |FROM ranked WHERE rnk <= 10""".stripMargin,
     "s04_label_centroids" ->
       """SELECT label, CAST(i AS BIGINT) AS dim,

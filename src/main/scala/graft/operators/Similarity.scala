@@ -44,6 +44,36 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Brute-force MIPS (maximum inner product search): rank by raw dot
+    * product instead of cosine — the score embedding models are trained
+    * on (a high-norm "hub" vector legitimately outranks a same-angle
+    * low-norm one; cosine hides that). Same scale shape as
+    * [[bruteForceTopK]]: queries broadcast, corpus never shuffles,
+    * codegen scoring, per-query WindowGroupLimit. Deterministic oracle:
+    * both engines sum products in index order over identical floats, so
+    * the doubles are bit-identical (no sqrt/division, unlike cosine).
+    * For sub-linear MIPS at 100 TB, the norm-augmentation reduction
+    * (Shrivastava & Li, public literature) maps it onto the existing
+    * cosine LSH path: augment corpus vectors with sqrt(M²−‖x‖²); the
+    * brute form here is the exact baseline that reduction is judged
+    * against. */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("score",
+        VectorFunctions.dot(col("cand_vec"), col("query_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"),
+        round(col("score"), 4).as("score"))
+  }
+
   /** Deterministic random hyperplanes: `n` planes of dimension `dim`,
     * seeded — identical across driver restarts and executors. */
   private[graft] def hyperplanes(n: Int, dim: Int, seed: Long): Array[Array[Float]] = {
