@@ -1967,6 +1967,21 @@ object SparkEntry {
     * drops most docs here — 4756→295 at sf0.1. That is the fixture's
     * density artifact, the same one documented at d04's Zipf note, not
     * an operator property.) */
+  /** q58 — grouped exact percentiles (median/p90 per order priority):
+    * the per-segment distribution summary q25 does globally. Exact
+    * percentile is a sort-based aggregate — per GROUP that means each
+    * group's values collect to one reducer (fine: group count is tiny,
+    * values per group ≪ executor memory at any SF; for billion-row
+    * groups the q40 sketch is the scale form, documented there). Same
+    * quantile_cont interpolation pairing as q25. */
+  private def q58(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(o_totalprice, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9D)"), 4).as("p90"))
+
   /** s06 — exact MIPS top-10 ([[Similarity.mipsTopK]]): dot-product
     * ranking, the retrieval score embedding models train on. Fully
     * deterministic oracle (index-order summation, no sqrt/division). */
@@ -2124,6 +2139,7 @@ object SparkEntry {
     "q57_fuzzy_join" -> (q57 _),
     "c05_training_mix" -> (c05 _),
     "s06_mips_brute" -> (s06 _),
+    "q58_grouped_percentiles" -> (q58 _),
     "t20_bpe_pairs" -> (t20 _),
     "t19_inverted_index" -> (t19 _),
   )
@@ -2518,6 +2534,11 @@ object SparkEntry {
         |round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
         |round(quantile_cont(o_totalprice, 0.99), 4) AS p99
         |FROM orders""".stripMargin,
+    "q58_grouped_percentiles" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q26_salted_agg" ->
       """SELECT l_returnflag,
         |round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS total,
