@@ -1967,6 +1967,29 @@ object SparkEntry {
     * drops most docs here — 4756→295 at sf0.1. That is the fixture's
     * density artifact, the same one documented at d04's Zipf note, not
     * an operator property.) */
+  /** t21 — readability scoring (Flesch reading-ease form): sentence,
+    * word, and syllable-proxy counts per doc plus the standard linear
+    * score 206.835 − 1.015·(W/S) − 84.6·(Syl/W) — the classic quality
+    * signal beyond t02's length/punct ratios. Syllables proxied by
+    * vowel-group runs (the usual heuristic; exact same regex both
+    * engines, Java∩RE2 dialect). Pure projection + codegen regexp
+    * counts, no shuffle at all. Zero-able denominators nullif'd BOTH
+    * sides (no sentence punctuation ⇒ NULL score); the score divides
+    * and linearly combines identical integers, so 4dp is safe. */
+  private def t21(s: SparkSession, d: String): DataFrame = {
+    val words = regexp_count(col("text"), lit("\\S+")).cast("long")
+    val sents = regexp_count(col("text"), lit("[.!?]+")).cast("long")
+    val sylls = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      words.as("n_words"), sents.as("n_sentences"), sylls.as("n_syllables"),
+      round(lit(206.835)
+        - lit(1.015) * (words.cast("double") /
+            nullif(sents.cast("double"), lit(0.0)))
+        - lit(84.6) * (sylls.cast("double") /
+            nullif(words.cast("double"), lit(0.0))), 4).as("flesch"))
+  }
+
   /** q58 — grouped exact percentiles (median/p90 per order priority):
     * the per-segment distribution summary q25 does globally. Exact
     * percentile is a sort-based aggregate — per GROUP that means each
@@ -2140,6 +2163,7 @@ object SparkEntry {
     "c05_training_mix" -> (c05 _),
     "s06_mips_brute" -> (s06 _),
     "q58_grouped_percentiles" -> (q58 _),
+    "t21_readability" -> (t21 _),
     "t20_bpe_pairs" -> (t20 _),
     "t19_inverted_index" -> (t19 _),
   )
@@ -2534,6 +2558,19 @@ object SparkEntry {
         |round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
         |round(quantile_cont(o_totalprice, 0.99), 4) AS p99
         |FROM orders""".stripMargin,
+    "t21_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |    AS n_syllables,
+        |  round(206.835
+        |    - 1.015 * (CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+        |        / nullif(CAST(len(regexp_extract_all(text, '[.!?]+')) AS DOUBLE), 0))
+        |    - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+        |        / nullif(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 0)),
+        |    4) AS flesch
+        |FROM documents""".stripMargin,
     "q58_grouped_percentiles" ->
       """SELECT o_orderpriority, count(*) AS n,
         |round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
