@@ -1967,6 +1967,38 @@ object SparkEntry {
     * drops most docs here — 4756→295 at sf0.1. That is the fixture's
     * density artifact, the same one documented at d04's Zipf note, not
     * an operator property.) */
+  /** q59 — unpivot (wide → long, the inverse of q19's pivot): q19's
+    * nation × segment revenue matrix melted back to long form via
+    * stack, null cells (segment absent for a nation) dropped. Pivot
+    * and unpivot round-trip through the same 4dp-rounded sums, so the
+    * oracle can restate the result as the DIRECT long-form aggregation
+    * — proving the wide detour loses nothing. */
+  private def q59(s: SparkSession, d: String): DataFrame =
+    q19(s, d).select(col("n_name"), expr(
+      """stack(5,
+        |  'AUTOMOBILE', AUTOMOBILE, 'BUILDING', BUILDING,
+        |  'FURNITURE', FURNITURE, 'HOUSEHOLD', HOUSEHOLD,
+        |  'MACHINERY', MACHINERY) AS (segment, revenue)""".stripMargin))
+      .filter(col("revenue").isNotNull)
+
+  /** q60 — rank-function battery (rank / dense_rank / percent_rank /
+    * cume_dist) per order priority over the TIE-BEARING o_orderdate
+    * order — the point: rank functions depend only on ORDER-KEY values,
+    * so ties produce identical ranks deterministically (no total-order
+    * requirement, unlike row_number — the q22 distinction in the other
+    * direction). percent_rank/cume_dist are ratios of rank integers:
+    * identical doubles both engines, 6dp safe. */
+  private def q60(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderdate"))
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_orderpriority"),
+      rank().over(w).cast("long").as("rnk"),
+      dense_rank().over(w).cast("long").as("drnk"),
+      round(percent_rank().over(w), 6).as("pr"),
+      round(cume_dist().over(w), 6).as("cd"))
+  }
+
   /** t21 — readability scoring (Flesch reading-ease form): sentence,
     * word, and syllable-proxy counts per doc plus the standard linear
     * score 206.835 − 1.015·(W/S) − 84.6·(Syl/W) — the classic quality
@@ -2164,6 +2196,8 @@ object SparkEntry {
     "s06_mips_brute" -> (s06 _),
     "q58_grouped_percentiles" -> (q58 _),
     "t21_readability" -> (t21 _),
+    "q59_unpivot" -> (q59 _),
+    "q60_rank_battery" -> (q60 _),
     "t20_bpe_pairs" -> (t20 _),
     "t19_inverted_index" -> (t19 _),
   )
@@ -2558,6 +2592,24 @@ object SparkEntry {
         |round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
         |round(quantile_cont(o_totalprice, 0.99), 4) AS p99
         |FROM orders""".stripMargin,
+    // restated as the direct long-form aggregation (no pivot detour)
+    "q59_unpivot" ->
+      """SELECT n_name, c_mktsegment AS segment,
+        |  round(CAST(sum(o_totalprice) AS DOUBLE), 4) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'FURNITURE',
+        |  'HOUSEHOLD', 'MACHINERY')
+        |GROUP BY n_name, c_mktsegment""".stripMargin,
+    "q60_rank_battery" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate)""".stripMargin,
     "t21_readability" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
