@@ -1999,6 +1999,30 @@ object SparkEntry {
       round(cume_dist().over(w), 6).as("cd"))
   }
 
+  /** q61 — map-type battery: construct (map), merge (map_concat),
+    * enumerate (map_keys, sorted), look up (element_at), and parse
+    * (from_json into map<string,bigint>) — the map surface no other
+    * query exercises. Output is FLATTENED to scalars so the oracle can
+    * re-derive every value from first principles without map types
+    * (the maps are Spark-side plumbing; only their observable content
+    * is gated). Bucket values stringify via integer casts only — never
+    * stringify a double (engine formatting differs). */
+  private def q61(s: SparkSession, d: String): DataFrame = {
+    val bucket = floor(col("value") / 100).cast("long").cast("string")
+    val m = map(lit("type"), col("event_type"), lit("bucket"), bucket)
+    val m2 = map_concat(m,
+      map(lit("day"), Cleaning.dateToString(col("ts"))))
+    val parsed = from_json(col("props"), lit("map<string,bigint>"))
+    Tables.events(s, d).select(
+      col("event_id"),
+      size(m2).as("n_entries"),
+      element_at(m2, "type").as("type_val"),
+      element_at(m2, "bucket").as("bucket_val"),
+      element_at(m2, "day").as("day_val"),
+      array_join(array_sort(map_keys(m2)), ",").as("keys"),
+      element_at(parsed, "k").as("k_val"))
+  }
+
   /** t21 — readability scoring (Flesch reading-ease form): sentence,
     * word, and syllable-proxy counts per doc plus the standard linear
     * score 206.835 − 1.015·(W/S) − 84.6·(Syl/W) — the classic quality
@@ -2198,6 +2222,7 @@ object SparkEntry {
     "t21_readability" -> (t21 _),
     "q59_unpivot" -> (q59 _),
     "q60_rank_battery" -> (q60 _),
+    "q61_map_battery" -> (q61 _),
     "t20_bpe_pairs" -> (t20 _),
     "t19_inverted_index" -> (t19 _),
   )
@@ -2592,6 +2617,16 @@ object SparkEntry {
         |round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
         |round(quantile_cont(o_totalprice, 0.99), 4) AS p99
         |FROM orders""".stripMargin,
+    // every map-derived value restated from first principles, no maps
+    "q61_map_battery" ->
+      """SELECT event_id,
+        |  3 AS n_entries,
+        |  event_type AS type_val,
+        |  CAST(CAST(floor(value / 100) AS BIGINT) AS VARCHAR) AS bucket_val,
+        |  strftime(ts, '%Y-%m-%d') AS day_val,
+        |  'bucket,day,type' AS keys,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+        |FROM events""".stripMargin,
     // restated as the direct long-form aggregation (no pivot detour)
     "q59_unpivot" ->
       """SELECT n_name, c_mktsegment AS segment,
