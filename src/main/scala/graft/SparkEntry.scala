@@ -1999,6 +1999,35 @@ object SparkEntry {
       round(cume_dist().over(w), 6).as("cd"))
   }
 
+  /** q62 — subquery-form battery over the spark.sql entry path:
+    * IN / EXISTS / NOT EXISTS / NOT IN, with the NOT-IN-vs-NULL trap
+    * pinned on purpose — the probe list contains a NULL (planted via a
+    * CASE over linenumber), so `NOT IN` is three-valued-logic-empty
+    * while `NOT EXISTS` returns the real complement. Both engines
+    * implement ANSI semantics; the gate proves this engine does NOT
+    * paper over the divergence. One row of counts. */
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("li_q62")
+    Tables.orders(s, d).createOrReplaceTempView("o_q62")
+    s.sql(
+      """WITH probe AS (
+        |  SELECT CASE WHEN l_linenumber = 7 THEN CAST(NULL AS BIGINT)
+        |              ELSE l_orderkey END AS k
+        |  FROM li_q62 WHERE l_linenumber >= 6)
+        |SELECT
+        |  (SELECT count(*) FROM o_q62
+        |   WHERE o_orderkey IN (SELECT k FROM probe)) AS n_in,
+        |  (SELECT count(*) FROM o_q62 o
+        |   WHERE EXISTS (SELECT 1 FROM probe p
+        |                 WHERE p.k = o.o_orderkey)) AS n_exists,
+        |  (SELECT count(*) FROM o_q62 o
+        |   WHERE NOT EXISTS (SELECT 1 FROM probe p
+        |                     WHERE p.k = o.o_orderkey)) AS n_not_exists,
+        |  (SELECT count(*) FROM o_q62
+        |   WHERE o_orderkey NOT IN (SELECT k FROM probe)) AS n_not_in
+        |""".stripMargin)
+  }
+
   /** q61 — map-type battery: construct (map), merge (map_concat),
     * enumerate (map_keys, sorted), look up (element_at), and parse
     * (from_json into map<string,bigint>) — the map surface no other
@@ -2223,6 +2252,7 @@ object SparkEntry {
     "q59_unpivot" -> (q59 _),
     "q60_rank_battery" -> (q60 _),
     "q61_map_battery" -> (q61 _),
+    "q62_subquery_battery" -> (q62 _),
     "t20_bpe_pairs" -> (t20 _),
     "t19_inverted_index" -> (t19 _),
   )
@@ -2617,6 +2647,22 @@ object SparkEntry {
         |round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
         |round(quantile_cont(o_totalprice, 0.99), 4) AS p99
         |FROM orders""".stripMargin,
+    "q62_subquery_battery" ->
+      """WITH probe AS (
+        |  SELECT CASE WHEN l_linenumber = 7 THEN CAST(NULL AS BIGINT)
+        |              ELSE l_orderkey END AS k
+        |  FROM lineitem WHERE l_linenumber >= 6)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_orderkey IN (SELECT k FROM probe)) AS n_in,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |   WHERE EXISTS (SELECT 1 FROM probe p
+        |                 WHERE p.k = o.o_orderkey)) AS n_exists,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM probe p
+        |                     WHERE p.k = o.o_orderkey)) AS n_not_exists,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_orderkey NOT IN (SELECT k FROM probe)) AS n_not_in""".stripMargin,
     // every map-derived value restated from first principles, no maps
     "q61_map_battery" ->
       """SELECT event_id,
