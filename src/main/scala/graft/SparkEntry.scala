@@ -1999,6 +1999,40 @@ object SparkEntry {
       round(cume_dist().over(w), 6).as("cd"))
   }
 
+  /** q63 — struct-type battery: named_struct construction, field
+    * access, and lexicographic array_sort of structs (the ordering the
+    * engine's canonical-order machinery leans on internally — here
+    * pinned as an observable contract). Per order-priority: sort the
+    * (totalprice, orderkey) structs, emit the extremes' fields. Output
+    * flattened to scalars (q61 discipline); sorting structs of
+    * (double, long) is lexicographic on exact parquet doubles — no
+    * arithmetic, so cross-engine deterministic. */
+  private def q63(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(sort_array(collect_list(
+        struct(col("o_totalprice"), col("o_orderkey")))).as("sorted"))
+      .select(col("o_orderpriority"),
+        size(col("sorted")).as("n"),
+        col("sorted").getItem(0).getField("o_totalprice").as("min_price"),
+        col("sorted").getItem(0).getField("o_orderkey").as("min_key"),
+        element_at(col("sorted"), -1).getField("o_totalprice").as("max_price"),
+        element_at(col("sorted"), -1).getField("o_orderkey").as("max_key"))
+
+  /** q64 — conditional-aggregate battery: count_if / every / any /
+    * sum-FILTER semantics (Spark's count_if, every, any against
+    * DuckDB's FILTER clause and bool_and/bool_or) — the idiom family
+    * behind every selective metric in the t-series, pinned directly.
+    * All counts/booleans — integer-exact gate. */
+  private def q64(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count_if(col("l_quantity") > 25).as("n_big"),
+        expr("every(l_quantity > 0)").as("all_positive"),
+        expr("any(l_discount > 0.09)").as("has_deep_discount"),
+        count(when(col("l_tax") > 0.05, 1)).as("n_taxed"))
+
   /** q62 — subquery-form battery over the spark.sql entry path:
     * IN / EXISTS / NOT EXISTS / NOT IN, with the NOT-IN-vs-NULL trap
     * pinned on purpose — the probe list contains a NULL (planted via a
@@ -2253,6 +2287,8 @@ object SparkEntry {
     "q60_rank_battery" -> (q60 _),
     "q61_map_battery" -> (q61 _),
     "q62_subquery_battery" -> (q62 _),
+    "q63_struct_battery" -> (q63 _),
+    "q64_conditional_agg" -> (q64 _),
     "t20_bpe_pairs" -> (t20 _),
     "t19_inverted_index" -> (t19 _),
   )
@@ -2647,6 +2683,32 @@ object SparkEntry {
         |round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
         |round(quantile_cont(o_totalprice, 0.99), 4) AS p99
         |FROM orders""".stripMargin,
+    // extremes restated via plain min/max + arg-min/max under the SAME
+    // lexicographic tie-break (min key among min-price rows)
+    "q63_struct_battery" ->
+      """WITH ex AS (
+        |  SELECT o_orderpriority,
+        |    count(*) AS n,
+        |    min(o_totalprice) AS min_price,
+        |    max(o_totalprice) AS max_price
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT ex.o_orderpriority, CAST(n AS INT) AS n,
+        |  min_price,
+        |  (SELECT min(o_orderkey) FROM orders o
+        |   WHERE o.o_orderpriority = ex.o_orderpriority
+        |     AND o.o_totalprice = ex.min_price) AS min_key,
+        |  max_price,
+        |  (SELECT max(o_orderkey) FROM orders o
+        |   WHERE o.o_orderpriority = ex.o_orderpriority
+        |     AND o.o_totalprice = ex.max_price) AS max_key
+        |FROM ex""".stripMargin,
+    "q64_conditional_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+        |  bool_and(l_quantity > 0) AS all_positive,
+        |  bool_or(l_discount > 0.09) AS has_deep_discount,
+        |  CAST(count(*) FILTER (WHERE l_tax > 0.05) AS BIGINT) AS n_taxed
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q62_subquery_battery" ->
       """WITH probe AS (
         |  SELECT CASE WHEN l_linenumber = 7 THEN CAST(NULL AS BIGINT)
