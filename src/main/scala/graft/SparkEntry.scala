@@ -2175,6 +2175,79 @@ object SparkEntry {
         expr("(n_tokens + 2047) DIV 2048").as("n_bins"))
   }
 
+  /** q65 — exponentially-weighted moving average (trend smoothing, the
+    * time-series class the suite lacked) per supplier over the TOTAL
+    * order (shipdate, orderkey, linenumber, extendedprice — the q22
+    * lesson: every emitted value must be order-pinned under ties). The
+    * textbook EWMA recursion is not declarative, so this is the
+    * closed-form bounded-lookback variant: 8 lag terms with weights
+    * (1/2)^j renormalized over the terms that exist. α = 1/2 makes every
+    * weight an exact binary fraction, so x·2⁻ʲ is EXACT double
+    * arithmetic; the only inexact steps (the left-associated 8-term sums
+    * and one division) are written in the same order in both engines and
+    * land bit-identical. Scale: one window shuffle on l_suppkey; the
+    * frame is 8 rows of running state per row — no second pass, no skew
+    * beyond the supplier partitioning itself. */
+  private def q65(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"))
+    val terms = (0 to 7).map { j =>
+      val x = if (j == 0) col("l_extendedprice")
+              else lag(col("l_extendedprice"), j).over(w)
+      val wt = lit(math.pow(0.5, j))
+      (when(x.isNull, lit(0.0)).otherwise(x * wt),
+        when(x.isNull, lit(0.0)).otherwise(wt))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    Tables.lineitem(s, d)
+      .withColumn("ewma", round(num / den, 4))
+      .select(col("l_suppkey").as("premise_code"),
+        col("l_orderkey").as("order_key"),
+        col("l_linenumber").as("line_no"),
+        col("l_extendedprice").as("price"),
+        col("ewma"))
+  }
+
+  /** q66 — robust outlier fences (Tukey IQR anomaly detection — the
+    * data-quality screen every ingest pipeline runs) per part brand.
+    * Everything compared is EXACT: prices ride as integer cents, exact
+    * quartiles of integers interpolate to quarter fractions (binary-
+    * exact), IQR·1.5 is a multiple of 1/8 (binary-exact), and the fences
+    * are emitted ×4 / ×8 as integers so no decimal rounding exists
+    * anywhere in the result. Plan: ONE broadcast dim join (part), one
+    * grouped sort-agg for the 25-row fence table, fences broadcast back
+    * onto the fact — the fact shuffles once, on p_brand. At 100 TB the
+    * exact per-group percentile is the only sort-bearing step; its
+    * group-local sort is the price of exactness (q40's GK sketch is the
+    * sketch form when even that is too much). */
+  private def q66(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+    val fences = li.groupBy(col("p_brand")).agg(
+        expr("percentile(cents, 0.25D)").as("q1"),
+        expr("percentile(cents, 0.75D)").as("q3"),
+        count(lit(1)).as("n_rows"))
+      .select(col("p_brand"), col("n_rows"), col("q1"), col("q3"),
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+    li.join(broadcast(fences.select("p_brand", "lo", "hi")), Seq("p_brand"))
+      .groupBy(col("p_brand"))
+      .agg(sum(when(col("cents") > col("hi"), 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("cents") < col("lo"), 1L).otherwise(0L)).as("n_below"))
+      .join(fences, Seq("p_brand"))
+      .select(col("p_brand"), col("n_rows"),
+        (col("q1") * 4).cast("long").as("q1_x4"),
+        (col("q3") * 4).cast("long").as("q3_x4"),
+        (col("lo") * 8).cast("long").as("lo_x8"),
+        (col("hi") * 8).cast("long").as("hi_x8"),
+        col("n_above"), col("n_below"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_clean_project" -> (q01 _),
     "q02_dedup_latest" -> (q02 _),
@@ -2291,6 +2364,8 @@ object SparkEntry {
     "q64_conditional_agg" -> (q64 _),
     "t20_bpe_pairs" -> (t20 _),
     "t19_inverted_index" -> (t19 _),
+    "q65_ewma" -> (q65 _),
+    "q66_outlier_fences" -> (q66 _),
   )
 
   /** Bench-time substitutes for the contract-check queries: the checks
@@ -3922,5 +3997,73 @@ object SparkEntry {
         |  string_agg(pos, ',' ORDER BY pos) AS positions
         |FROM toks JOIN df_tab USING (token)
         |GROUP BY token, df, doc_id""".stripMargin,
+    // EWMA restated as the same closed-form 8-term expression. Every
+    // weight 2^-j is an exact binary fraction (DuckDB's DECIMAL literal
+    // casts to the same exact double), x*2^-j is exact, and the sums /
+    // division are written left-associated exactly as the Spark side
+    // reduces them — the doubles are bit-identical before the 4dp round.
+    "q65_ewma" ->
+      """WITH t AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    lag(l_extendedprice, 1) OVER w AS x1,
+        |    lag(l_extendedprice, 2) OVER w AS x2,
+        |    lag(l_extendedprice, 3) OVER w AS x3,
+        |    lag(l_extendedprice, 4) OVER w AS x4,
+        |    lag(l_extendedprice, 5) OVER w AS x5,
+        |    lag(l_extendedprice, 6) OVER w AS x6,
+        |    lag(l_extendedprice, 7) OVER w AS x7
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice))
+        |SELECT l_suppkey AS premise_code, l_orderkey AS order_key,
+        |  l_linenumber AS line_no, l_extendedprice AS price,
+        |  round(
+        |   (l_extendedprice * 1.0
+        |    + (CASE WHEN x1 IS NULL THEN 0.0 ELSE x1 * 0.5 END)
+        |    + (CASE WHEN x2 IS NULL THEN 0.0 ELSE x2 * 0.25 END)
+        |    + (CASE WHEN x3 IS NULL THEN 0.0 ELSE x3 * 0.125 END)
+        |    + (CASE WHEN x4 IS NULL THEN 0.0 ELSE x4 * 0.0625 END)
+        |    + (CASE WHEN x5 IS NULL THEN 0.0 ELSE x5 * 0.03125 END)
+        |    + (CASE WHEN x6 IS NULL THEN 0.0 ELSE x6 * 0.015625 END)
+        |    + (CASE WHEN x7 IS NULL THEN 0.0 ELSE x7 * 0.0078125 END))
+        |   /
+        |   (1.0
+        |    + (CASE WHEN x1 IS NULL THEN 0.0 ELSE 0.5 END)
+        |    + (CASE WHEN x2 IS NULL THEN 0.0 ELSE 0.25 END)
+        |    + (CASE WHEN x3 IS NULL THEN 0.0 ELSE 0.125 END)
+        |    + (CASE WHEN x4 IS NULL THEN 0.0 ELSE 0.0625 END)
+        |    + (CASE WHEN x5 IS NULL THEN 0.0 ELSE 0.03125 END)
+        |    + (CASE WHEN x6 IS NULL THEN 0.0 ELSE 0.015625 END)
+        |    + (CASE WHEN x7 IS NULL THEN 0.0 ELSE 0.0078125 END)), 4) AS ewma
+        |FROM t""".stripMargin,
+    // Tukey fences re-derived from quantile_cont (same p*(n-1) linear
+    // interpolation definition): all arithmetic on integer cents is
+    // binary-exact (quartiles land on quarter fractions, 1.5*IQR on
+    // eighths), so the ×4/×8 integer encodings and the fence
+    // comparisons cannot drift between engines.
+    "q66_outlier_fences" ->
+      """WITH li AS (
+        |  SELECT p_brand,
+        |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |f AS (
+        |  SELECT p_brand, count(*) AS n_rows,
+        |         quantile_cont(cents, 0.25) AS q1,
+        |         quantile_cont(cents, 0.75) AS q3
+        |  FROM li GROUP BY 1),
+        |f2 AS (
+        |  SELECT p_brand, n_rows, q1, q3,
+        |         q1 - (q3 - q1) * 1.5 AS lo,
+        |         q3 + (q3 - q1) * 1.5 AS hi
+        |  FROM f)
+        |SELECT li.p_brand, n_rows,
+        |  CAST(q1 * 4 AS BIGINT) AS q1_x4,
+        |  CAST(q3 * 4 AS BIGINT) AS q3_x4,
+        |  CAST(lo * 8 AS BIGINT) AS lo_x8,
+        |  CAST(hi * 8 AS BIGINT) AS hi_x8,
+        |  CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |  CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+        |FROM li JOIN f2 ON li.p_brand = f2.p_brand
+        |GROUP BY li.p_brand, n_rows, q1, q3, lo, hi""".stripMargin,
   )
 }
