@@ -68,6 +68,7 @@ object RecallProbe {
     }
 
     annRecall("s02_lsh", Similarity.lshTopK(emb, q, 10))
+    annRecall("s07_jl16", Similarity.projectedTopK(emb, q, 10))
     // nProbe=7 matches the REGISTERED s03 contract (SparkEntry) — the
     // operator default is 6, which under-reports the shipped margin
     annRecall("s03_ivf", Similarity.ivfTopK(emb, q, 10, nProbe = 7))
@@ -84,6 +85,23 @@ object RecallProbe {
       val err = math.abs(rank - quant * n)
       println(f"QUANTILE q40 q=$quant%.2f rank_err=$err%.1f " +
         f"allowance=${0.01 * n}%.1f margin=${0.01 * n - err}%.1f")
+    }
+
+    // q67: CMS max overestimate across the heavy tokens vs eps*N
+    {
+      val toks = docs.select(explode(SparkEntry.zipfTokens).as("token"))
+      val nStream = toks.count()
+      val sk = toks.agg(count_min_sketch(col("token"),
+        lit(0.001d), lit(0.99d), lit(42)).as("sk"))
+      val over = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("n_true"))
+        .filter(col("n_true") * 100 >= nStream)
+        .crossJoin(broadcast(sk))
+        .select((graft.plans.CmsFunctions
+          .cmsEstimate(col("sk"), col("token")) - col("n_true")).as("over"))
+        .agg(max(col("over"))).collect().head.getLong(0)
+      println(f"CMS q67 max_overestimate=$over%d " +
+        f"allowance=${0.001 * nStream}%.1f margin=${0.001 * nStream - over}%.1f")
     }
     spark.stop()
   }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1129,9 +1129,12 @@ object SparkEntry {
     * arithmetic) with booleans asserting the sketch's guarantees:
     * every heavy token is present, and its estimate sits within
     * [true − N/(k+1), true] — checked as (true−est)·(k+1) ≤ N, exact. */
-  private def t12(s: SparkSession, d: String): DataFrame = {
-    val k = 16
-    val zipfToks = transform(sequence(lit(1), lit(30)), i => {
+  /** The deterministic Zipfian token stream shared by t12 and q67:
+    * 30 slots per doc, rank = floor(1e6/(m+1)) with m = first-6-hex of
+    * md5("id:slot") % 1e6 — md5 arithmetic both engines reproduce, and
+    * rank r lands with probability ~1/r² so a genuine heavy head exists. */
+  private[graft] def zipfTokens: Column =
+    transform(sequence(lit(1), lit(30)), i => {
       val h = md5(concat(col("doc_id").cast("string"), lit(":"),
         i.cast("string")))
       val m = pmod(conv(substring(h, 1, 6), 16, 10).cast("long"),
@@ -1140,7 +1143,10 @@ object SparkEntry {
         floor(lit(1000000.0) / (m + 1).cast("double")), lit(20000.0))
         .cast("long").cast("string"))
     })
-    val toks = Tables.documents(s, d).select(explode(zipfToks).as("token"))
+
+  private def t12(s: SparkSession, d: String): DataFrame = {
+    val k = 16
+    val toks = Tables.documents(s, d).select(explode(zipfTokens).as("token"))
     val totals = toks.agg(count(lit(1)).as("n_stream"))
     val sketch = toks.agg(graft.functions.FrequentTokens
       .frequentTokens(col("token"), k).as("sk"))
@@ -2248,6 +2254,36 @@ object SparkEntry {
         col("n_above"), col("n_below"))
   }
 
+  /** q67 — count-min sketch frequency estimation over the shared t12
+    * Zipfian token stream, completing the mergeable-sketch family (Bloom
+    * q38, HLL q52, GK quantiles q40, Misra–Gries t12, CMS here). The
+    * sketch is a depth×width counter grid (eps=0.001 → width 2000,
+    * conf=0.99 → depth 7); merge is cell-wise sum — commutative, so the
+    * estimate is partition-order invariant — and a point estimate is the
+    * min over depth rows: never below the true count, over it by at most
+    * eps·N w.h.p. Contract oracle (t12 discipline): emitted rows are the
+    * DETERMINISTIC exact 1%-heavy tokens; the booleans assert both CMS
+    * guarantees in exact integer arithmetic ((est−true)·1000 ≤ N ⇔
+    * est−true ≤ eps·N). The probe itself runs through the native
+    * [[graft.plans.CmsEstimate]] expression on the broadcast one-row
+    * sketch — never a driver round-trip. At 100 TB the sketch build is
+    * the only fact-path work (codegen'd partial agg, 56 KB of state per
+    * partition); the exact heavy counts here are the verification
+    * harness, not the operator. */
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(explode(zipfTokens).as("token"))
+    val totals = toks.agg(count(lit(1)).as("n_stream"))
+    val sk = toks.agg(count_min_sketch(col("token"),
+      lit(0.001d), lit(0.99d), lit(42)).as("sk"))
+    val est = graft.plans.CmsFunctions.cmsEstimate(col("sk"), col("token"))
+    toks.groupBy(col("token")).agg(count(lit(1)).as("n_true"))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(sk))
+      .filter(col("n_true") * 100 >= col("n_stream"))
+      .select(col("token"), col("n_true"),
+        (est >= col("n_true")).as("lower_ok"),
+        ((est - col("n_true")) * 1000 <= col("n_stream")).as("upper_ok"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_clean_project" -> (q01 _),
     "q02_dedup_latest" -> (q02 _),
@@ -2366,6 +2402,7 @@ object SparkEntry {
     "t19_inverted_index" -> (t19 _),
     "q65_ewma" -> (q65 _),
     "q66_outlier_fences" -> (q66 _),
+    "q67_cms_freq" -> (q67 _),
   )
 
   /** Bench-time substitutes for the contract-check queries: the checks
@@ -4065,5 +4102,22 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below
         |FROM li JOIN f2 ON li.p_brand = f2.p_brand
         |GROUP BY li.p_brand, n_rows, q1, q3, lo, hi""".stripMargin,
+    // CMS contract (t12 discipline): the oracle recomputes the exact
+    // heavy-hitter set and true counts from the same md5 Zipf stream and
+    // asserts the sketch booleans as TRUE — the Spark side proves them
+    // via exact integer comparisons against the sketch's estimates.
+    "q67_cms_freq" ->
+      """WITH slots AS (SELECT doc_id, unnest(range(1, 31)) AS i
+        |               FROM documents),
+        |tok AS (SELECT concat('zipf', CAST(CAST(least(floor(1000000.0 /
+        |    (CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
+        |       CAST(i AS VARCHAR))), 1, 6)) AS BIGINT) % 1000000 + 1)),
+        |    20000.0) AS BIGINT) AS VARCHAR)) AS token
+        |  FROM slots),
+        |tot AS (SELECT count(*) AS n_stream FROM tok),
+        |heavy AS (SELECT token, count(*) AS n_true FROM tok GROUP BY 1)
+        |SELECT token, CAST(n_true AS BIGINT) AS n_true,
+        |  TRUE AS lower_ok, TRUE AS upper_ok
+        |FROM heavy, tot WHERE n_true * 100 >= n_stream""".stripMargin,
   )
 }

@@ -113,6 +113,28 @@ class RecallMarginSpec extends SparkSpec {
         f"q52 total margin gone: rel err $totErr%.4f vs 0.025")
     }
 
+    test(s"q67 CMS overestimates stay under HALF the eps*N allowance at $sfDir") {
+      // contract: est - true <= 0.001*N for every 1%-heavy token;
+      // require the measured max overestimate under 0.0005*N so a
+      // sketch-width or fixture change flakes here before the gate
+      val toks = Tables.documents(spark, sfDir)
+        .select(explode(SparkEntry.zipfTokens).as("token"))
+      val n = toks.count()
+      val sk = toks.agg(count_min_sketch(col("token"),
+        lit(0.001d), lit(0.99d), lit(42)).as("sk"))
+      val maxOver = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("n_true"))
+        .filter(col("n_true") * 100 >= n)
+        .crossJoin(broadcast(sk))
+        .select((graft.plans.CmsFunctions.cmsEstimate(col("sk"), col("token"))
+          - col("n_true")).as("over"))
+        .agg(min(col("over")).as("mn"), max(col("over")).as("mx"))
+        .collect().head
+      assert(maxOver.getLong(0) >= 0, "q67: CMS underestimated — impossible")
+      assert(maxOver.getLong(1) <= 0.0005 * n,
+        f"q67 margin gone: max overestimate ${maxOver.getLong(1)} vs ${0.0005 * n}%.1f")
+    }
+
     test(s"q40 rank errors stay under HALF the contract allowance at $sfDir") {
       // contract allowance is 0.01*n (10x the sketch's n/1000 bound);
       // require the measured error under 0.005*n — >= 2x margin on the
