@@ -68,7 +68,20 @@ object RecallProbe {
     }
 
     annRecall("s02_lsh", Similarity.lshTopK(emb, q, 10))
-    annRecall("s07_jl16", Similarity.projectedTopK(emb, q, 10))
+
+    // s07: JL distortion stats behind the mae/frac contract booleans
+    {
+      val r = Similarity.jlDistortionPairs(emb)
+        .agg(count(lit(1)).as("n"),
+          avg(abs(col("cos_proj") - col("cos_exact"))).as("mae"),
+          expr("percentile(abs(cos_proj - cos_exact), 0.9)").as("p90"),
+          avg((abs(col("cos_proj") - col("cos_exact")) <= 0.3)
+            .cast("int")).as("frac"))
+        .collect().head
+      println(f"JL s07 n_pairs=${r.getLong(0)} mae=${r.getDouble(1)}%.4f " +
+        f"(bound 0.2) p90=${r.getDouble(2)}%.4f " +
+        f"frac|err|<=0.3=${r.getDouble(3)}%.4f (bound 0.8)")
+    }
     // nProbe=7 matches the REGISTERED s03 contract (SparkEntry) — the
     // operator default is 6, which under-reports the shipped margin
     annRecall("s03_ivf", Similarity.ivfTopK(emb, q, 10, nProbe = 7))

@@ -2138,6 +2138,31 @@ object SparkEntry {
     Similarity.mipsTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
   }
 
+  /** s07 — Johnson–Lindenstrauss embedding compression (64 → 32 dims,
+    * seeded Gaussian planes through the codegen'd
+    * [[graft.plans.ProjectVector]] — 2× narrower vectors for every
+    * downstream scan/shuffle). Contract oracle on what JL actually
+    * guarantees: DISTANCE preservation. Over the deterministic disjoint
+    * pairing (2i, 2i+1), mean |cos_proj − cos_exact| ≤ 0.2 and ≥80% of
+    * pairs within 0.3 — measured 0.137/0.889 at sf0.01 and 0.141/0.916
+    * at sf0.1 (RecallProbe), real margin on both bounds. Compressed
+    * top-k RANKING on these near-random fixture embeddings is
+    * near-chance (structureless data has no low-dim structure to keep),
+    * so the rank-claim is deliberately NOT the contract —
+    * [[graft.operators.Similarity.projectedTopK]] ships as the
+    * shortlist-then-exact-rerank usage. The oracle re-derives n_pairs
+    * structurally (even⋈odd id join) and asserts the booleans TRUE. */
+  private def s07(s: SparkSession, d: String): DataFrame = {
+    val pairs = Similarity.jlDistortionPairs(Tables.embeddings(s, d))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        avg(abs(col("cos_proj") - col("cos_exact"))).as("mae"),
+        avg((abs(col("cos_proj") - col("cos_exact")) <= 0.3)
+          .cast("int")).as("frac"))
+      .select(col("n_pairs"),
+        (col("mae") <= 0.2).as("mae_ok"),
+        (col("frac") >= 0.8).as("frac_ok"))
+  }
+
   private def c05(s: SparkSession, d: String): DataFrame =
     c05Funnel(s, d, exactPairs = true)
 
@@ -2403,6 +2428,7 @@ object SparkEntry {
     "q65_ewma" -> (q65 _),
     "q66_outlier_fences" -> (q66 _),
     "q67_cms_freq" -> (q67 _),
+    "s07_jl_distortion" -> (s07 _),
   )
 
   /** Bench-time substitutes for the contract-check queries: the checks
@@ -4119,5 +4145,13 @@ object SparkEntry {
         |SELECT token, CAST(n_true AS BIGINT) AS n_true,
         |  TRUE AS lower_ok, TRUE AS upper_ok
         |FROM heavy, tot WHERE n_true * 100 >= n_stream""".stripMargin,
+    // JL distortion contract: n_pairs re-derived structurally (even id
+    // joined to its odd successor), bound booleans asserted TRUE — the
+    // Spark side proves them against its own exact full-dim cosines.
+    "s07_jl_distortion" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  TRUE AS mae_ok, TRUE AS frac_ok
+        |FROM embeddings a JOIN embeddings b
+        |  ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0""".stripMargin,
   )
 }

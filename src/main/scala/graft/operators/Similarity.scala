@@ -74,6 +74,75 @@ object Similarity {
         round(col("score"), 4).as("score"))
   }
 
+  /** Johnson–Lindenstrauss compressed top-k: project corpus AND queries
+    * through the same seeded Gaussian plane matrix
+    * ([[graft.plans.ProjectVector]], dim → nDims), then rank by cosine
+    * in the compressed space. The JL lemma says angles survive the
+    * compression approximately, so the compressed ranking approximates
+    * the exact one at nDims/dim of the scoring and shuffle cost — the
+    * embedding-compression trade every vector store offers. At 100 TB
+    * this is a storage-layer lever too: persist the 4× smaller projected
+    * column once and every downstream scan pays nDims, not dim (compose
+    * with lshTopK/ivfTopK for sub-linear candidate generation — this
+    * operator is about WIDTH, those are about DEPTH). Deterministic:
+    * planes come from a fixed seed, projection is the codegen'd
+    * expression, ties break on cand_id. */
+  def projectedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    nDims: Int = 16, seed: Long = 7L,
+                    stats: Option[(Long, Int)] = None,
+                    idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val (_, dim) = stats.getOrElse(corpusStats(corpus, vecCol))
+    val planes = hyperplanes(nDims, dim, seed)
+    def proj(c: Column): Column =
+      graft.plans.ProjectVectorFunctions.projectVector(c, planes)
+    val c = corpus.select(col(idCol).as("cand_id"),
+      proj(col(vecCol)).as("cand_vec"))
+    val q = queries.select(col(idCol).as("query_id"),
+      proj(col(vecCol)).as("query_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("sim",
+        VectorFunctions.cosine(col("cand_vec"), col("query_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** Cosine distortion of the JL projection, measured on the
+    * deterministic disjoint pairing (2i, 2i+1): one row per pair with
+    * the exact (full-dim) and projected cosine. The JL lemma's claim is
+    * DISTANCE preservation, not rank preservation — on structureless
+    * near-random embeddings (this fixture) compressed top-k is
+    * near-chance while pairwise cosine error stays bounded by ~1/√nDims,
+    * so the distortion contract is the honest one (s07 asserts it;
+    * [[projectedTopK]] is the shortlist-and-rerank usage). Self-join on
+    * the pair id only — at 100 TB the pairing key is derived from the
+    * id, both sides partition the same way, and nothing but (id, vec)
+    * ever shuffles. */
+  def jlDistortionPairs(corpus: DataFrame, nDims: Int = 32, seed: Long = 7L,
+                        stats: Option[(Long, Int)] = None,
+                        idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val (_, dim) = stats.getOrElse(corpusStats(corpus, vecCol))
+    val planes = hyperplanes(nDims, dim, seed)
+    def proj(c: Column): Column =
+      graft.plans.ProjectVectorFunctions.projectVector(c, planes)
+    val a = corpus.filter(col(idCol) % 2 === 0)
+      .select((col(idCol) / 2).cast("long").as("pair_id"),
+        col(vecCol).as("va"))
+    val b = corpus.filter(col(idCol) % 2 === 1)
+      .select(((col(idCol) - 1) / 2).cast("long").as("pair_id"),
+        col(vecCol).as("vb"))
+    a.join(b, Seq("pair_id"))
+      .select(col("pair_id"),
+        VectorFunctions.cosine(col("va"), col("vb")).as("cos_exact"),
+        VectorFunctions.cosine(proj(col("va")), proj(col("vb"))).as("cos_proj"))
+  }
+
   /** Deterministic random hyperplanes: `n` planes of dimension `dim`,
     * seeded — identical across driver restarts and executors. */
   private[graft] def hyperplanes(n: Int, dim: Int, seed: Long): Array[Array[Float]] = {

@@ -113,6 +113,21 @@ class RecallMarginSpec extends SparkSpec {
         f"q52 total margin gone: rel err $totErr%.4f vs 0.025")
     }
 
+    test(s"s07 JL distortion stays clear of both contract bounds at $sfDir") {
+      // contract: mae <= 0.2, frac(|err|<=0.3) >= 0.8; require measured
+      // mae <= 0.17 and frac >= 0.85 so a plane-seed or fixture change
+      // flakes here before the gate
+      val r = Similarity.jlDistortionPairs(Tables.embeddings(spark, sfDir))
+        .agg(avg(abs(col("cos_proj") - col("cos_exact"))).as("mae"),
+          avg((abs(col("cos_proj") - col("cos_exact")) <= 0.3)
+            .cast("int")).as("frac"))
+        .collect().head
+      assert(r.getDouble(0) <= 0.17,
+        f"s07 mae margin gone: ${r.getDouble(0)}%.4f vs 0.17")
+      assert(r.getDouble(1) >= 0.85,
+        f"s07 frac margin gone: ${r.getDouble(1)}%.4f vs 0.85")
+    }
+
     test(s"q67 CMS overestimates stay under HALF the eps*N allowance at $sfDir") {
       // contract: est - true <= 0.001*N for every 1%-heavy token;
       // require the measured max overestimate under 0.0005*N so a

@@ -122,6 +122,40 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(SignBuckets(dirty, flat, 4).eval() == null)
   }
 
+  test("ProjectVector: codegen == interpreted == driver-side dots; null elem -> null") {
+    import graft.plans.{ProjectVector, ProjectVectorFunctions}
+    import graft.operators.Similarity
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val planes = Similarity.hyperplanes(5, 8, 11L)
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(20)
+      .select($"vec_id", expr("slice(embedding, 1, 8)").as("v8"))
+    // codegen path through the DataFrame API
+    val viaDf = emb.select($"vec_id",
+      ProjectVectorFunctions.projectVector($"v8", planes).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // reference: driver-side dots with the same double-accumulate order
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    for ((id, v) <- vecs) {
+      val expect = planes.map { p =>
+        var dot = 0.0
+        for (j <- v.indices) dot += v(j).toDouble * p(j)
+        dot.toFloat
+      }.toSeq
+      assert(viaDf(id) == expect, s"vec $id")
+    }
+    // interpreted path + null element
+    val at = ArrayType(FloatType, containsNull = true)
+    val clean = Literal.create(
+      new GenericArrayData(Array.tabulate[Any](8)(i => (i + 1).toFloat)), at)
+    val dirty = Literal.create(
+      new GenericArrayData(Array[Any](1f, null, 3f, 4f, 5f, 6f, 7f, 8f)), at)
+    assert(ProjectVector(clean, planes).eval() != null)
+    assert(ProjectVector(dirty, planes).eval() == null)
+  }
+
   test("minhash skips null shingles instead of NPE (codegen + interpreted)") {
     import graft.plans.{MinHashFunctions, MinHashSignature}
     import org.apache.spark.sql.catalyst.expressions.Literal
