@@ -488,6 +488,38 @@ object SparkEntry {
           .as("roundtrip_ok"))
   }
 
+  /** l02 — dirty CSV ingest with quarantine: the lake-level form of the
+    * reference's P4 tolerance asymmetry. The reference either skips a
+    * dirty dimension row or fails the whole fact load; a 100 TB ingest
+    * can do neither silently — PERMISSIVE parsing keeps every row,
+    * routes each malformed LINE into a declared corrupt-record column
+    * (the raw text, so nothing is lost), and the aggregate over the
+    * clean rows proceeds in the same pass. The fixture CSV is derived
+    * from documents with every 97th row planted malformed ("N/A" where
+    * the bigint belongs — the same id-rule the oracle re-derives from
+    * parquet, so the planted corruption is independently checkable).
+    * Splittable line files: at 100 TB each executor parses its own
+    * byte range; the quarantine column shuffles nowhere (it aggregates
+    * to one count). */
+  private def l02(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+    val out = s"/tmp/graft_csv_${Integer.toHexString(d.hashCode)}"
+    docs.select(concat(
+        col("doc_id").cast("string"), lit(","), col("lang"), lit(","),
+        when(col("doc_id") % 97 === 0, lit("N/A"))
+          .otherwise(col("n_chars").cast("string"))).as("value"))
+      .write.mode("overwrite").text(out)
+    val back = s.read
+      .schema("doc_id LONG, lang STRING, n_chars LONG, _bad STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(out)
+    back.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+      sum(when(col("_bad").isNull, col("n_chars"))).as("sum_chars_good"))
+  }
+
   /** q30 — semi-structured JSON column: extract + filter + aggregate on
     * a JSON field inside the events.props string column. */
   private def q30(s: SparkSession, d: String): DataFrame =
@@ -2429,6 +2461,7 @@ object SparkEntry {
     "q66_outlier_fences" -> (q66 _),
     "q67_cms_freq" -> (q67 _),
     "s07_jl_distortion" -> (s07 _),
+    "l02_csv_quarantine" -> (l02 _),
   )
 
   /** Bench-time substitutes for the contract-check queries: the checks
@@ -4153,5 +4186,15 @@ object SparkEntry {
         |  TRUE AS mae_ok, TRUE AS frac_ok
         |FROM embeddings a JOIN embeddings b
         |  ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0""".stripMargin,
+    // quarantine counts re-derived from parquet via the planting rule —
+    // the oracle never parses the CSV, it predicts what a correct
+    // PERMISSIVE parse must report
+    "l02_csv_quarantine" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_bad,
+        |  CAST(sum(CASE WHEN doc_id % 97 <> 0 THEN n_chars ELSE 0 END)
+        |       AS BIGINT) AS sum_chars_good
+        |FROM documents""".stripMargin,
   )
 }

@@ -38,6 +38,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark DROPS late rows once their window is finalized") {
+    // the semantics the batch twins cannot express: a row arriving
+    // behind the watermark is discarded, exactly once, silently — and
+    // an on-time replay of the same window before finalization is NOT
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.tumblingAgg(mem.toDF(), "5 minutes", "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      // batch 1: two rows in [00:00, 00:05); watermark still at 00:01
+      mem.addData(
+        ev(1, "2024-01-01 00:01:00", 1), ev(2, "2024-01-01 00:02:00", 1))
+      q.processAllAvailable()
+      // batch 2: a LATE-but-inside-watermark row for the same window
+      // (00:03 >= watermark 00:01) must still count
+      mem.addData(ev(3, "2024-01-01 00:03:00", 2))
+      q.processAllAvailable()
+      // batch 3: advance event time far ahead → watermark 00:50,
+      // [00:00,00:05) finalizes and emits with n=3
+      mem.addData(ev(4, "2024-01-01 00:51:00", 1))
+      q.processAllAvailable()
+      // batch 4: a row at 00:04 is now BEHIND the watermark — dropped;
+      // a second advance proves no duplicate/corrected emission follows
+      mem.addData(ev(5, "2024-01-01 00:04:00", 3))
+      q.processAllAvailable()
+      mem.addData(ev(6, "2024-01-01 02:00:00", 1))
+      q.processAllAvailable()
+      val rows = spark.table("late_out")
+        .select($"window_start".cast("string"), $"n").as[(String, Long)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      // exactly ONE emission for the first window, counting 3 on-time
+      // rows and NOT the late replay
+      assert(rows("2024-01-01 00:00:00") == Seq(3L),
+        s"late row leaked or window re-emitted: $rows")
+      assert(!rows.contains("2024-01-01 00:50:00") ||
+        rows("2024-01-01 00:50:00") == Seq(1L))
+    } finally q.stop()
+  }
+
   test("sliding agg lands one event in every overlapping window") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
