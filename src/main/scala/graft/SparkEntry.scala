@@ -2341,6 +2341,65 @@ object SparkEntry {
         ((est - col("n_true")) * 1000 <= col("n_stream")).as("upper_ok"))
   }
 
+  /** q68 — time-weighted average price (TWAP): each (supplier, part)
+    * price is in effect from its ship date until the next one; weight
+    * by that exact integer day span. The time-series sibling of q65's
+    * EWMA (event-weighted vs duration-weighted). Emits exact integer
+    * sums — Σ(cents·days) and Σdays — never the ratio: both engines
+    * divide identically-exact integers into a float only at the
+    * consumer, so nothing can drift. One window shuffle on the
+    * (suppkey) key for lead(), one grouped agg on the same key — AQE
+    * coalesces them into a single exchange. */
+  private def q68(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"))
+    Tables.lineitem(s, d)
+      .withColumn("next_ts", lead(col("l_shipdate"), 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+        datediff(col("next_ts").cast("date"),
+          col("l_shipdate").cast("date")).cast("long").as("days"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("cents") * col("days")).as("sum_cents_days"),
+        sum(col("days")).as("sum_days"))
+  }
+
+  /** q69 — OHLC bars (open/high/low/close per supplier per month): the
+    * financial-bars shape. Open/close are the first/last price under
+    * the TOTAL (shipdate, orderkey, linenumber, price) order — the q22
+    * tie lesson again, since lineitem plants equal-key rows with
+    * different prices; high/low are plain extremes. Two window passes
+    * (asc row_number for open, desc for close) and the bar agg all
+    * share ONE (suppkey, month) partitioning. Prices ride as exact
+    * cents. */
+  private def q69(s: SparkSession, d: String): DataFrame = {
+    val bar = Seq(col("l_suppkey"), date_trunc("month", col("l_shipdate")))
+    val asc = Window.partitionBy(bar: _*)
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc, col("l_extendedprice").asc)
+    val desc = Window.partitionBy(bar: _*)
+      .orderBy(col("l_shipdate").desc, col("l_orderkey").desc,
+        col("l_linenumber").desc, col("l_extendedprice").desc)
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey"),
+        Cleaning.dateToString(date_trunc("month", col("l_shipdate")))
+          .as("bar_month"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+        col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+      .withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy(col("l_suppkey"), col("bar_month"))
+      .agg(count(lit(1)).as("n_trades"),
+        max(when(col("rn_a") === 1, col("cents"))).as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max(when(col("rn_d") === 1, col("cents"))).as("close_cents"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_clean_project" -> (q01 _),
     "q02_dedup_latest" -> (q02 _),
@@ -2462,6 +2521,8 @@ object SparkEntry {
     "q67_cms_freq" -> (q67 _),
     "s07_jl_distortion" -> (s07 _),
     "l02_csv_quarantine" -> (l02 _),
+    "q68_twap" -> (q68 _),
+    "q69_ohlc_bars" -> (q69 _),
   )
 
   /** Bench-time substitutes for the contract-check queries: the checks
@@ -4196,5 +4257,48 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN doc_id % 97 <> 0 THEN n_chars ELSE 0 END)
         |       AS BIGINT) AS sum_chars_good
         |FROM documents""".stripMargin,
+    // TWAP re-derived over the same total order; day spans and cents
+    // are exact integers in both engines, and only sums are emitted
+    "q68_twap" ->
+      """WITH t AS (
+        |  SELECT l_suppkey,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |    l_shipdate,
+        |    lead(l_shipdate) OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |               l_extendedprice) AS next_ts
+        |  FROM lineitem)
+        |SELECT l_suppkey, count(*) AS n_spans,
+        |  CAST(sum(cents * datediff('day', CAST(l_shipdate AS DATE),
+        |       CAST(next_ts AS DATE))) AS BIGINT) AS sum_cents_days,
+        |  CAST(sum(datediff('day', CAST(l_shipdate AS DATE),
+        |       CAST(next_ts AS DATE))) AS BIGINT) AS sum_days
+        |FROM t WHERE next_ts IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    // OHLC bars: open/close via first/last row_number under the same
+    // total order, high/low as plain extremes on exact cents
+    "q69_ohlc_bars" ->
+      """WITH t AS (
+        |  SELECT l_suppkey,
+        |    strftime(date_trunc('month', l_shipdate), '%Y-%m-%d')
+        |      AS bar_month,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY l_suppkey,
+        |        date_trunc('month', l_shipdate)
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |               l_extendedprice) AS rn_a,
+        |    row_number() OVER (PARTITION BY l_suppkey,
+        |        date_trunc('month', l_shipdate)
+        |      ORDER BY l_shipdate DESC, l_orderkey DESC,
+        |               l_linenumber DESC, l_extendedprice DESC) AS rn_d
+        |  FROM lineitem)
+        |SELECT l_suppkey, bar_month, count(*) AS n_trades,
+        |  CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT)
+        |    AS open_cents,
+        |  CAST(max(cents) AS BIGINT) AS high_cents,
+        |  CAST(min(cents) AS BIGINT) AS low_cents,
+        |  CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT)
+        |    AS close_cents
+        |FROM t GROUP BY 1, 2""".stripMargin,
   )
 }
