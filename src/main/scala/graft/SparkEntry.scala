@@ -2400,6 +2400,35 @@ object SparkEntry {
         max(when(col("rn_d") === 1, col("cents"))).as("close_cents"))
   }
 
+  /** q70 — LATERAL join battery: the correlated-subquery-as-a-TABLE
+    * surface (SQL:1999 lateral derived tables, supported by Spark 4's
+    * planner via subquery decorrelation). Two forms no other query
+    * exercises: (a) LATERAL with ORDER BY … LIMIT — "top-2 line items
+    * per order", which Catalyst decorrelates into a windowed
+    * rank-limit instead of running a per-row subquery (the same
+    * WindowGroupLimit shape q55 pins directly); (b) LATERAL aggregate —
+    * per-order scalar stats joined positionally. Both engines evaluate
+    * the same ANSI text modulo view names. Exact columns only: prices
+    * ride as stored doubles, counts as bigints, and the top-2 ORDER BY
+    * is total (price DESC, linenumber) within an order. */
+  private def q70(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("o_q70")
+    Tables.lineitem(s, d).createOrReplaceTempView("li_q70")
+    s.sql(
+      """SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice,
+        |       a.n_lines, a.max_price
+        |FROM o_q70 o,
+        |LATERAL (
+        |  SELECT l_linenumber, l_extendedprice FROM li_q70
+        |  WHERE l_orderkey = o.o_orderkey
+        |  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t,
+        |LATERAL (
+        |  SELECT count(*) AS n_lines, max(l_extendedprice) AS max_price
+        |  FROM li_q70 WHERE l_orderkey = o.o_orderkey) a
+        |WHERE o.o_orderstatus = 'O'
+        |""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_clean_project" -> (q01 _),
     "q02_dedup_latest" -> (q02 _),
@@ -2523,6 +2552,7 @@ object SparkEntry {
     "l02_csv_quarantine" -> (l02 _),
     "q68_twap" -> (q68 _),
     "q69_ohlc_bars" -> (q69 _),
+    "q70_lateral" -> (q70 _),
   )
 
   /** Bench-time substitutes for the contract-check queries: the checks
@@ -4300,5 +4330,20 @@ object SparkEntry {
         |  CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT)
         |    AS close_cents
         |FROM t GROUP BY 1, 2""".stripMargin,
+    // the same ANSI lateral text, DuckDB's native LATERAL evaluation
+    // vs Spark's decorrelation — identical result sets prove the
+    // rewrite preserves semantics
+    "q70_lateral" ->
+      """SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice,
+        |       CAST(a.n_lines AS BIGINT) AS n_lines, a.max_price
+        |FROM orders o,
+        |LATERAL (
+        |  SELECT l_linenumber, l_extendedprice FROM lineitem
+        |  WHERE l_orderkey = o.o_orderkey
+        |  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t,
+        |LATERAL (
+        |  SELECT count(*) AS n_lines, max(l_extendedprice) AS max_price
+        |  FROM lineitem WHERE l_orderkey = o.o_orderkey) a
+        |WHERE o.o_orderstatus = 'O'""".stripMargin,
   )
 }
