@@ -2429,6 +2429,44 @@ object SparkEntry {
         |""".stripMargin)
   }
 
+  /** q71 — last-touch marketing attribution: each purchase is credited
+    * to the user's most recent click/view within a 3-day lookback, else
+    * "none". The single-exchange shape (q48/AsOfJoin discipline): union
+    * touches+purchases, ONE (user_id) window pass carries the latest
+    * touch forward under the TOTAL (ts, event_id) order — no per-user
+    * event-history array, no touches⨯purchases join. The lookback is
+    * checked AFTER the carry-forward: the newest touch overall is the
+    * newest within the window whenever one exists, so the filter is
+    * equivalent to windowed argmax (the oracle re-derives it as the
+    * joined QUALIFY form to prove exactly that). At 100 TB this is the
+    * attribution shape that survives: state per user is one struct, not
+    * a history. */
+  private def q71(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val touchT = "struct<t_ts:timestamp,t_id:bigint,t_type:string>"
+    val u = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        struct(col("ts").as("t_ts"), col("event_id").as("t_id"),
+          col("event_type").as("t_type")).as("touch"),
+        lit(null).cast("double").as("value"), lit(false).as("is_p"))
+      .unionByName(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(null).cast(touchT).as("touch"),
+          col("value"), lit(true).as("is_p")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("last_touch", last(col("touch"), ignoreNulls = true).over(w))
+      .filter(col("is_p"))
+      .select(col("value"),
+        when(col("last_touch").isNotNull &&
+            col("last_touch.t_ts") >= col("ts") - expr("INTERVAL 3 DAYS"),
+          col("last_touch.t_type")).otherwise(lit("none")).as("attr_type"))
+      .groupBy(col("attr_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 4).as("sum_value"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_clean_project" -> (q01 _),
     "q02_dedup_latest" -> (q02 _),
@@ -2553,6 +2591,7 @@ object SparkEntry {
     "q68_twap" -> (q68 _),
     "q69_ohlc_bars" -> (q69 _),
     "q70_lateral" -> (q70 _),
+    "q71_attribution" -> (q71 _),
   )
 
   /** Bench-time substitutes for the contract-check queries: the checks
@@ -4345,5 +4384,29 @@ object SparkEntry {
         |  SELECT count(*) AS n_lines, max(l_extendedprice) AS max_price
         |  FROM lineitem WHERE l_orderkey = o.o_orderkey) a
         |WHERE o.o_orderstatus = 'O'""".stripMargin,
+    // attribution re-derived as the join+QUALIFY windowed-argmax form —
+    // structurally different from the Spark side's carry-forward, so a
+    // tie-handling or lookback bug in either cannot cancel out
+    "q71_attribution" ->
+      """WITH touches AS (
+        |  SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |purchases AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |best AS (
+        |  SELECT p.event_id AS pid, t.event_type AS t_type,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY t.ts DESC, t.event_id DESC) AS rn
+        |  FROM purchases p JOIN touches t
+        |    ON t.user_id = p.user_id
+        |   AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id))
+        |   AND t.ts >= p.ts - INTERVAL 3 DAY)
+        |SELECT coalesce(b.t_type, 'none') AS attr_type,
+        |  count(*) AS n_purchases, round(sum(p.value), 4) AS sum_value
+        |FROM purchases p
+        |LEFT JOIN (SELECT pid, t_type FROM best WHERE rn = 1) b
+        |  ON p.event_id = b.pid
+        |GROUP BY 1""".stripMargin,
   )
 }
