@@ -2302,7 +2302,7 @@ object SparkEntry {
       .groupBy(col("p_brand"))
       .agg(sum(when(col("cents") > col("hi"), 1L).otherwise(0L)).as("n_above"),
         sum(when(col("cents") < col("lo"), 1L).otherwise(0L)).as("n_below"))
-      .join(fences, Seq("p_brand"))
+      .join(broadcast(fences), Seq("p_brand"))
       .select(col("p_brand"), col("n_rows"),
         (col("q1") * 4).cast("long").as("q1_x4"),
         (col("q3") * 4).cast("long").as("q3_x4"),
@@ -2376,11 +2376,15 @@ object SparkEntry {
     * share ONE (suppkey, month) partitioning. Prices ride as exact
     * cents. */
   private def q69(s: SparkSession, d: String): DataFrame = {
-    val bar = Seq(col("l_suppkey"), date_trunc("month", col("l_shipdate")))
-    val asc = Window.partitionBy(bar: _*)
+    // bar_month is materialized as a COLUMN before the windows so both
+    // window passes and the bar agg key on the same (suppkey, bar_month)
+    // pair — Catalyst then plans exactly one hash exchange for all three
+    // (pinned in PlanShapeSpec); keying the agg on a fresh
+    // date_trunc expression instead would buy a second shuffle
+    val asc = Window.partitionBy(col("l_suppkey"), col("bar_month"))
       .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
         col("l_linenumber").asc, col("l_extendedprice").asc)
-    val desc = Window.partitionBy(bar: _*)
+    val desc = Window.partitionBy(col("l_suppkey"), col("bar_month"))
       .orderBy(col("l_shipdate").desc, col("l_orderkey").desc,
         col("l_linenumber").desc, col("l_extendedprice").desc)
     Tables.lineitem(s, d)
@@ -2398,6 +2402,54 @@ object SparkEntry {
         max(col("cents")).as("high_cents"),
         min(col("cents")).as("low_cents"),
         max(when(col("rn_d") === 1, col("cents"))).as("close_cents"))
+  }
+
+  /** q72 — trailing moving MEDIAN (7-row frame) per supplier: the
+    * robust sibling of q22's moving average (one planted outlier drags
+    * a mean for 7 rows; the median shrugs it off). Exact percentile as
+    * a WINDOW aggregate over integer cents — ≤7 values per frame, so
+    * the median is an element or a .5 midpoint; emitted ×2 as an
+    * integer so nothing is ever decimal-rounded. Same single
+    * (suppkey) exchange as q65/q68. */
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"))
+      .rowsBetween(-6, Window.currentRow)
+    Tables.lineitem(s, d)
+      .withColumn("cents",
+        round(col("l_extendedprice") * 100, 0).cast("long"))
+      .withColumn("med2",
+        (expr("percentile(cents, 0.5D)").over(w) * 2).cast("long"))
+      .select(col("l_suppkey").as("premise_code"),
+        col("l_orderkey").as("order_key"),
+        col("l_linenumber").as("line_no"),
+        col("cents"), col("med2"))
+  }
+
+  /** q73 — ABC / Pareto classification: parts ranked by revenue, class
+    * A = parts within the leading 80% of cumulative revenue, B to 95%,
+    * C the tail (the inventory-analytics standard). The global
+    * cumulative ranking runs over the PER-PART aggregate (dim-sized —
+    * |parts| rows, never the fact), which is the only way this op
+    * exists at 100 TB: aggregate first, rank the reduction. Integer
+    * cents end-to-end; class boundaries compare cum·100 ≤ 80·total in
+    * exact int64. Tie order (revenue DESC, partkey) is total. */
+  private def q73(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("l_partkey")).agg(sum(col("cents")).as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("l_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.withColumn("cum", sum(col("rev")).over(w))
+      .crossJoin(broadcast(rev.agg(sum(col("rev")).as("total"))))
+      .withColumn("abc_class",
+        when(col("cum") * 100 <= col("total") * 80, "A")
+          .when(col("cum") * 100 <= col("total") * 95, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("sum_rev"))
   }
 
   /** q70 — LATERAL join battery: the correlated-subquery-as-a-TABLE
@@ -2592,6 +2644,8 @@ object SparkEntry {
     "q69_ohlc_bars" -> (q69 _),
     "q70_lateral" -> (q70 _),
     "q71_attribution" -> (q71 _),
+    "q72_moving_median" -> (q72 _),
+    "q73_abc_pareto" -> (q73 _),
   )
 
   /** Bench-time substitutes for the contract-check queries: the checks
@@ -4408,5 +4462,38 @@ object SparkEntry {
         |LEFT JOIN (SELECT pid, t_type FROM best WHERE rn = 1) b
         |  ON p.event_id = b.pid
         |GROUP BY 1""".stripMargin,
+    // moving median over the same 7-row frame; quantile_cont on ≤7
+    // integers lands on an element or a .5 midpoint — ×2 is exact
+    "q72_moving_median" ->
+      """SELECT l_suppkey AS premise_code, l_orderkey AS order_key,
+        |  l_linenumber AS line_no,
+        |  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |  CAST(quantile_cont(
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.5)
+        |    OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |               l_extendedprice
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 2
+        |    AS BIGINT) AS med2
+        |FROM lineitem""".stripMargin,
+    // ABC classes re-derived over the same per-part reduction; all
+    // comparisons in exact int64
+    "q73_abc_pareto" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT rev,
+        |    sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    (SELECT sum(rev) FROM rev) AS total
+        |  FROM rev)
+        |SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+        |            WHEN cum * 100 <= total * 95 THEN 'B'
+        |            ELSE 'C' END AS abc_class,
+        |  count(*) AS n_parts, CAST(sum(rev) AS BIGINT) AS sum_rev
+        |FROM c GROUP BY 1""".stripMargin,
   )
 }

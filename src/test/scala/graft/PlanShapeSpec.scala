@@ -136,6 +136,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q65/q68/q72: the time-series family plans ONE suppkey exchange") {
+    // EWMA (8 lags), TWAP (lead + agg on the window key), and the
+    // moving median are all single-window-pass designs — a second
+    // Exchange would mean the agg or a lag re-partitioned
+    for (q <- Seq("q65_ewma", "q68_twap", "q72_moving_median")) {
+      val p = plan(q)
+      assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, s"$q:\n$p")
+    }
+  }
+
+  test("q69: both OHLC window passes and the bar agg share ONE exchange") {
+    val p = plan("q69_ohlc_bars")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q66: fences and the part dim broadcast; the fact never SMJs") {
+    val p = plan("q66_outlier_fences")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q73: the Pareto ranking runs over the per-part REDUCTION") {
+    // the window's input must be the aggregated (partkey, rev) rows —
+    // HashAggregate below the Window node, never the raw fact
+    val p = plan("q73_abc_pareto")
+    val wIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(wIdx >= 0 && aggIdx >= 0 && aggIdx < wIdx, p)
+  }
+
   test("no CartesianProduct exec anywhere in the registry") {
     // crossJoin appears only with broadcast-tiny sides (1-row aggregates,
     // query/centroid frames) and must plan as BroadcastNestedLoopJoin —
