@@ -2519,6 +2519,28 @@ object SparkEntry {
         round(sum(col("value")), 4).as("sum_value"))
   }
 
+  /** q74 — recursive CTE (SQL:1999 WITH RECURSIVE, new in Spark 4):
+    * transitive closure over a synthetic binary-halving hierarchy on
+    * part keys (parent(k) = k div 2 — every chain ends at 1, depth
+    * ~log₂ k). Seeds are the p_size=50 parts; the walk enumerates each
+    * seed's ancestor chain and aggregates exact integer facts per seed.
+    * Each recursion step is a self-union iteration the engine drives to
+    * fixpoint — the SQL-surface form of the iterative-join loop
+    * `operators.Graph` hand-rolls for connected components. All-integer
+    * output; DuckDB runs the same construct natively (its `//` is
+    * Spark's `DIV`). */
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).createOrReplaceTempView("p_q74")
+    s.sql(
+      """WITH RECURSIVE anc(seed, cur, depth) AS (
+        |  SELECT p_partkey, p_partkey, 0 FROM p_q74 WHERE p_size = 50
+        |  UNION ALL
+        |  SELECT seed, cur DIV 2, depth + 1 FROM anc WHERE cur > 1)
+        |SELECT seed, max(depth) AS max_depth, count(*) AS n_nodes,
+        |  sum(cur) AS sum_keys
+        |FROM anc GROUP BY seed""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_clean_project" -> (q01 _),
     "q02_dedup_latest" -> (q02 _),
@@ -2646,6 +2668,7 @@ object SparkEntry {
     "q71_attribution" -> (q71 _),
     "q72_moving_median" -> (q72 _),
     "q73_abc_pareto" -> (q73 _),
+    "q74_recursive_cte" -> (q74 _),
   )
 
   /** Bench-time substitutes for the contract-check queries: the checks
@@ -2685,6 +2708,27 @@ object SparkEntry {
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
+    }),
+    // the operator is sketch build + point probes on a fixed token
+    // list; the exact heavy-hitter groupBy is the contract harness
+    "q67_cms_freq" -> ((s: SparkSession, d: String) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(zipfTokens).as("token"))
+      val sk = toks.agg(count_min_sketch(col("token"),
+        lit(0.001d), lit(0.99d), lit(42)).as("sk"))
+      val probes = (1 to 10).map(r => s"zipf$r")
+      sk.select(probes.map(t => graft.plans.CmsFunctions
+        .cmsEstimate(col("sk"), lit(t)).as(s"est_$t")): _*)
+    }),
+    // the operator is the projection itself (write-time compression);
+    // exact full-dim cosines are the contract harness
+    "s07_jl_distortion" -> ((s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val (_, dim) = Similarity.corpusStats(emb)
+      emb.select(col("vec_id"),
+        graft.plans.ProjectVectorFunctions.projectVector(
+          col("embedding"), Similarity.hyperplanes(32, dim, 7L))
+          .as("proj"))
     }),
     "s03_ann_ivf" -> ((s: SparkSession, d: String) => {
       val emb = Tables.embeddings(s, d)
@@ -4495,5 +4539,14 @@ object SparkEntry {
         |            ELSE 'C' END AS abc_class,
         |  count(*) AS n_parts, CAST(sum(rev) AS BIGINT) AS sum_rev
         |FROM c GROUP BY 1""".stripMargin,
+    // the same recursive construct run natively by DuckDB (// is DIV)
+    "q74_recursive_cte" ->
+      """WITH RECURSIVE anc(seed, cur, depth) AS (
+        |  SELECT p_partkey, p_partkey, 0 FROM part WHERE p_size = 50
+        |  UNION ALL
+        |  SELECT seed, cur // 2, depth + 1 FROM anc WHERE cur > 1)
+        |SELECT seed, CAST(max(depth) AS INT) AS max_depth,
+        |  count(*) AS n_nodes, CAST(sum(cur) AS BIGINT) AS sum_keys
+        |FROM anc GROUP BY seed""".stripMargin,
   )
 }
