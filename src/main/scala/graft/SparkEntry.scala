@@ -2541,6 +2541,40 @@ object SparkEntry {
         |FROM anc GROUP BY seed""".stripMargin)
   }
 
+  /** s08 — hybrid retrieval: BM25 lexical ranks fused with dense cosine
+    * ranks by reciprocal-rank fusion (RRF, Cormack et al. SIGIR'09):
+    * score(d) = Σ_lists 1/(60 + rank_d). The fixture's vec_id indexes
+    * the same corpus as doc_id, so the two rankers disagree exactly the
+    * way real lexical/dense retrievers do and the fusion is observable.
+    * Cross-engine rank discipline: both branches rank over the ROUNDED
+    * (4dp) score with an id tie-break — a total order on emitted values
+    * — and the RRF sum is two fixed-order terms over small integers, so
+    * the doubles are bit-identical. Scale: each branch ends in a
+    * top-20 (TakeOrdered on the reduction); the fusion is a full-outer
+    * join of two 20-row frames — nothing fact-sized moves. */
+  private def s08(s: SparkSession, d: String): DataFrame = {
+    val lex = t14(s, d).select(col("doc_id"), col("rnk").as("lex_rank"))
+    val emb = Tables.embeddings(s, d)
+    val q0 = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val sims = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q0))
+      .select(col("vec_id").as("doc_id"),
+        round(graft.plans.VectorFunctions.cosine(col("embedding"),
+          col("qv")), 4).as("sim"))
+    val vec = sims.orderBy(col("sim").desc, col("doc_id").asc).limit(20)
+      .withColumn("vec_rank", row_number()
+        .over(Window.orderBy(col("sim").desc, col("doc_id").asc))
+        .cast("long"))
+      .select(col("doc_id"), col("vec_rank"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)), 6)
+          .as("rrf"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_clean_project" -> (q01 _),
     "q02_dedup_latest" -> (q02 _),
@@ -2669,6 +2703,7 @@ object SparkEntry {
     "q72_moving_median" -> (q72 _),
     "q73_abc_pareto" -> (q73 _),
     "q74_recursive_cte" -> (q74 _),
+    "s08_hybrid_rrf" -> (s08 _),
   )
 
   /** Bench-time substitutes for the contract-check queries: the checks
@@ -4548,5 +4583,42 @@ object SparkEntry {
         |SELECT seed, CAST(max(depth) AS INT) AS max_depth,
         |  count(*) AS n_nodes, CAST(sum(cur) AS BIGINT) AS sum_keys
         |FROM anc GROUP BY seed""".stripMargin,
+    // both branches re-derived from scratch (BM25 via the t14 formula,
+    // dense via list_cosine_similarity), ranked over the same rounded
+    // scores, fused with the same two-term RRF arithmetic
+    "s08_hybrid_rrf" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+        |       WHERE tok IN ('vector', 'stream', 'window') GROUP BY 1, 2),
+        |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (SELECT tf.doc_id,
+        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+        |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+        |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS contrib
+        |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats),
+        |agg AS (SELECT doc_id, round(sum(contrib), 4) AS bm25
+        |        FROM scored GROUP BY 1),
+        |lex AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+        |      AS lex_rank
+        |  FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20),
+        |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        |sims AS (SELECT vec_id AS doc_id,
+        |    round(list_cosine_similarity(embedding, q), 4) AS sim
+        |  FROM embeddings, qv WHERE vec_id <> 0),
+        |vec AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT)
+        |      AS vec_rank
+        |  FROM sims ORDER BY sim DESC, doc_id LIMIT 20)
+        |SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+        |  lex_rank, vec_rank,
+        |  round(coalesce(1.0 / (60 + lex_rank), 0.0) +
+        |        coalesce(1.0 / (60 + vec_rank), 0.0), 6) AS rrf
+        |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id""".stripMargin,
   )
 }
