@@ -2575,6 +2575,34 @@ object SparkEntry {
           .as("rrf"))
   }
 
+  /** q75 — window idiom battery: the standard tricks for per-partition
+    * facts no direct window function computes. (a) exact DISTINCT COUNT
+    * over a partition = max(dense_rank) — count_distinct is not a
+    * window function in either engine; (b) per-partition MEDIAN as a
+    * windowed exact percentile on integer cents (×2 integer); (c) share
+    * of partition total (ratio-to-report) from two exact integers,
+    * rounded at 6dp — one division, identical operands both engines.
+    * All three ride ONE (returnflag, linestatus) partitioning; the
+    * dense_rank pass adds a second sort, not a second exchange. */
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    val part = Seq(col("l_returnflag"), col("l_linestatus"))
+    val byPart = Window.partitionBy(part: _*)
+    val bySupp = Window.partitionBy(part: _*).orderBy(col("l_suppkey"))
+    Tables.lineitem(s, d)
+      .withColumn("cents",
+        round(col("l_extendedprice") * 100, 0).cast("long"))
+      .withColumn("dr", dense_rank().over(bySupp))
+      .withColumn("n_supp", max(col("dr")).over(byPart).cast("long"))
+      .withColumn("med2",
+        (expr("percentile(cents, 0.5D)").over(byPart) * 2).cast("long"))
+      .withColumn("share",
+        round(col("cents").cast("double") /
+          sum(col("cents")).over(byPart).cast("double"), 6))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_orderkey"), col("l_linenumber"), col("cents"),
+        col("n_supp"), col("med2"), col("share"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_clean_project" -> (q01 _),
     "q02_dedup_latest" -> (q02 _),
@@ -2704,6 +2732,7 @@ object SparkEntry {
     "q73_abc_pareto" -> (q73 _),
     "q74_recursive_cte" -> (q74 _),
     "s08_hybrid_rrf" -> (s08 _),
+    "q75_window_idioms" -> (q75 _),
   )
 
   /** Bench-time substitutes for the contract-check queries: the checks
@@ -4620,5 +4649,22 @@ object SparkEntry {
         |  round(coalesce(1.0 / (60 + lex_rank), 0.0) +
         |        coalesce(1.0 / (60 + vec_rank), 0.0), 6) AS rrf
         |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id""".stripMargin,
+    // the same three idioms restated: max(dense_rank) distinct count,
+    // windowed quantile_cont median, exact-integer ratio-to-report
+    "q75_window_idioms" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |    dense_rank() OVER (PARTITION BY l_returnflag, l_linestatus
+        |      ORDER BY l_suppkey) AS dr
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+        |  cents,
+        |  CAST(max(dr) OVER w AS BIGINT) AS n_supp,
+        |  CAST(quantile_cont(cents, 0.5) OVER w * 2 AS BIGINT) AS med2,
+        |  round(CAST(cents AS DOUBLE) /
+        |        CAST(sum(cents) OVER w AS DOUBLE), 6) AS share
+        |FROM t
+        |WINDOW w AS (PARTITION BY l_returnflag, l_linestatus)""".stripMargin,
   )
 }
