@@ -71,7 +71,11 @@ object Bench {
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // total over SUCCEEDED queries only: a -1 must not subtract from the
+    // headline (r5's 7 broken streaming drives silently shaved 7s off);
+    // failures are counted separately in n_failed
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val nFailed = results.count(_._2 < 0)
     // subtotals so rounds compare like-for-like: the headline total grew
     // across rounds mostly by ADDING queries (streaming drives, bench-only
     // extras), not by regressing the ones that existed
@@ -84,7 +88,7 @@ object Bench {
     val tBatch = subtotal(k =>
       !streamingNames.contains(k) && !extraNames.contains(k))
     val full =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","value_batch":${f(tBatch)},"value_streaming":${f(tStream)},"value_extras":${f(tExtras)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","value_batch":${f(tBatch)},"value_streaming":${f(tStream)},"value_extras":${f(tExtras)},"n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
     println(full)
     // persist the complete per-query map where a tail window can't lose
     // it (cwd = repo root under sbt), then end stdout with a compact
@@ -99,7 +103,7 @@ object Bench {
     // guaranteed to fit; the full map is the line above + BENCH_FULL.json
     val slow = results.sortBy(-_._2).take(15)
       .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","value_batch":${f(tBatch)},"value_streaming":${f(tStream)},"value_extras":${f(tExtras)},"n_queries":${results.size},"queries":$slow,"queries_full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","value_batch":${f(tBatch)},"value_streaming":${f(tStream)},"value_extras":${f(tExtras)},"n_queries":${results.size},"n_failed":$nFailed,"queries":$slow,"queries_full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

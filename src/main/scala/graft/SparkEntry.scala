@@ -1477,23 +1477,39 @@ object SparkEntry {
     * deterministic (md5-rank) order and cut fixed 2048-token training
     * bins from the running offset — the standard pre-training packing
     * step (bin = floor(offset/2048); a doc straddles bins when its span
-    * crosses a boundary, counted in n_bins). One token-count agg + one
-    * global running sum. The running sum is a single-partition window
-    * at the FINAL step over (doc, n_tok) rows only — fine up to ~10⁹
-    * docs on a driver-sized partition; past that the standard two-level
-    * trick (per-partition sums + broadcast prefix offsets) applies, but
-    * is not needed at this fixture's scale and would bury the
-    * semantics. Integer arithmetic only — exact oracle. */
+    * crosses a boundary, counted in n_bins). The global running sum is
+    * computed TWO-LEVEL so no single-partition window ever holds the
+    * per-doc rows: the md5 sort key's own 2-hex-char prefix is an
+    * order-preserving, deterministic bucketing (global order by (sk,
+    * doc_id) ≡ order by (bucket, sk, doc_id) because the bucket is a
+    * prefix of sk, and md5 uniformity balances the 256 buckets), so
+    * (1) a hash-partitioned window per bucket computes local running
+    * sums in parallel, (2) a 256-row per-bucket total → exclusive
+    * prefix forms the bucket base offsets (the only tiny single-
+    * partition step), (3) a broadcast join adds base + local. Scales to
+    * any doc count — the old global `Window.orderBy` bottleneck is
+    * gone; output is byte-identical to the one-window form. Integer
+    * arithmetic only — exact oracle. */
   private def t18(s: SparkSession, d: String): DataFrame = {
     val binSize = 2048L
     val toks = Tables.documents(s, d).select(col("doc_id"),
       size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
         .cast("long").as("n_tok"))
-    val w = Window.orderBy(
-      md5(concat(col("doc_id").cast("string"), lit(":pack"))).asc,
-      col("doc_id").asc)
-    toks
-      .withColumn("end_off", sum(col("n_tok")).over(w))
+      .withColumn("sk",
+        md5(concat(col("doc_id").cast("string"), lit(":pack"))))
+      .withColumn("bucket", substring(col("sk"), 1, 2))
+    val localW = Window.partitionBy(col("bucket"))
+      .orderBy(col("sk").asc, col("doc_id").asc)
+    val local = toks.withColumn("local_off", sum(col("n_tok")).over(localW))
+    // 256 rows max: the only unpartitioned window, over bucket totals
+    val baseW = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = toks.groupBy(col("bucket"))
+      .agg(sum(col("n_tok")).as("p_tot"))
+      .select(col("bucket"),
+        coalesce(sum(col("p_tot")).over(baseW), lit(0L)).as("base"))
+    local.join(broadcast(bases), "bucket")
+      .withColumn("end_off", col("base") + col("local_off"))
       .select(col("doc_id"), col("n_tok"),
         floor((col("end_off") - col("n_tok")) / lit(2048.0))
           .cast("long").as("bin"),
@@ -2865,22 +2881,32 @@ object SparkEntry {
         try {
           // FileStreamSource wants a DIRECTORY; the fixture is one file —
           // stage a byte-copy once per (sf, JVM) and reuse across runs so
-          // the copy cost lands in the warmup pass, not the measurement
+          // the copy cost lands in the warmup pass, not the measurement.
+          // Staleness guard: the stage dir is keyed on PATH only and
+          // survives JVMs, so a driver-regenerated fixture at the same
+          // path would otherwise silently keep serving old bytes —
+          // re-copy whenever size or mtime diverges from the source.
           val srcFile = java.nio.file.Paths.get(s"$d/events.parquet")
           val stage = java.nio.file.Paths
             .get(s"/tmp/graft_stream_src_${Integer.toHexString(d.hashCode)}")
-          if (!java.nio.file.Files.exists(stage.resolve("events.parquet"))) {
+          val staged = stage.resolve("events.parquet")
+          val stale = !java.nio.file.Files.exists(staged) ||
+            java.nio.file.Files.size(staged) !=
+              java.nio.file.Files.size(srcFile) ||
+            java.nio.file.Files.getLastModifiedTime(staged) !=
+              java.nio.file.Files.getLastModifiedTime(srcFile)
+          if (stale) {
             java.nio.file.Files.createDirectories(stage)
-            java.nio.file.Files.copy(srcFile, stage.resolve("events.parquet"))
+            java.nio.file.Files.copy(srcFile, staged,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
           }
           val path = stage.toString
           val rawSchema = s.read.parquet(path).schema
-          val src0 = s.readStream.schema(rawSchema).parquet(path)
-          val src =
-            if (rawSchema("ts").dataType ==
-                org.apache.spark.sql.types.LongType)
-              src0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-            else src0
+          // same ts normalization as every batch consumer (nanos-as-long
+          // AND ntz-era fixtures) — one conversion, defined in Tables
+          val src = Tables.normalizeTs(
+            s.readStream.schema(rawSchema).parquet(path))
           val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
           try {
             val q = f(s, d, src).writeStream.format("noop")
@@ -3813,7 +3839,7 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, n_tok,
         |  CAST(floor((end_off - n_tok) / 2048.0) AS BIGINT) AS bin,
-        |  (end_off - n_tok) % 2048 AS bin_off,
+        |  CAST((end_off - n_tok) % 2048 AS BIGINT) AS bin_off,
         |  CAST(floor((end_off - 1) / 2048.0)
         |    - floor((end_off - n_tok) / 2048.0) + 1 AS BIGINT) AS n_bins
         |FROM o""".stripMargin,

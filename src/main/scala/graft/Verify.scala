@@ -29,6 +29,18 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // sentinel: a query that throws must surface as a visible FAIL
+        // row in the driver's CORRECTNESS, not a silently absent key
+        // (r5 lost two regressions this way) — emit a one-row parquet
+        // whose schema can never match any oracle
+        try {
+          import spark.implicits._
+          Seq(s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}")
+            .toDF("_graft_query_failed")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name sentinel write failed: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -47,11 +47,19 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects outright. Read nanos as raw int64
-    * (legacy conf) and truncate to microsecond TimestampType with integer
-    * `div` — a true `/` would round-trip through double and lose
-    * precision above 2^53 ns. */
+  /** The events fixture has shipped `ts` in two physical forms across
+    * driver regenerations, and this accessor normalizes BOTH to
+    * session-zoned TimestampType — the engine-wide contract every
+    * consumer (window queries, `withWatermark`, `unix_micros`) relies
+    * on:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; read
+    *    nanos as raw int64 (legacy conf) and truncate to microseconds
+    *    with integer `div` — a true `/` would round-trip through double
+    *    and lose precision above 2^53 ns.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads it as
+    *    TIMESTAMP_NTZ, which `withWatermark`/`unix_micros` reject; cast
+    *    to TimestampType. Under the UTC session timezone this is
+    *    value-preserving (same instants as the nanos-era fixtures). */
   def events(spark: SparkSession, d: String): DataFrame =
     relCache.getOrElseUpdate((sessionKey(spark), s"$d/events.parquet#conv"),
       eventsUncached(spark, d))
@@ -67,12 +75,7 @@ object Tables {
     spark.conf.set(key, "true")
     try {
       val raw = load(spark, d, "events")
-      raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", org.apache.spark.sql.functions
-            .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
-        case _ => raw
-      }
+      normalizeTs(raw)
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
@@ -80,6 +83,26 @@ object Tables {
       }
     }
   }
+  /** Normalize an events frame's `ts` to session-zoned TimestampType,
+    * whatever physical form the fixture shipped it in (see `events`
+    * scaladoc). Exposed so any re-read of an events-shaped file — e.g.
+    * the bench's staged streaming source — applies the SAME conversion
+    * instead of re-implementing it. */
+  def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // value-preserving under the UTC session timezone: NTZ micros
+        // reinterpret as the same UTC instant the nanos-era fixture held
+        raw.withColumn("ts", col("ts").cast(
+          org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
+  }
+
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 

@@ -166,6 +166,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(wIdx >= 0 && aggIdx >= 0 && aggIdx < wIdx, p)
   }
 
+  test("t18: per-doc running sum is hash-partitioned (two-level packing)") {
+    val p = plan("t18_seq_pack")
+    // the window over per-doc rows must shuffle on the md5-prefix bucket,
+    // never into one partition
+    assert(p.contains("hashpartitioning(bucket"), p)
+    // the only single-partition step allowed is the ≤256-row bucket-total
+    // exclusive prefix; bases then broadcast back onto the doc rows
+    assert("SinglePartition".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("no CartesianProduct exec anywhere in the registry") {
     // crossJoin appears only with broadcast-tiny sides (1-row aggregates,
     // query/centroid frames) and must plan as BroadcastNestedLoopJoin —

@@ -29,4 +29,40 @@ class TablesSpec extends SparkSpec {
     assert(spark.conf.get(key) == "false")
     spark.conf.unset(key)
   }
+
+  test("the ACTUAL testdata fixture normalizes to TimestampType") {
+    // guards against the next silent fixture migration: whatever
+    // physical form the driver regenerates events.parquet in, every
+    // consumer must see session-zoned TimestampType (r5 broke 9
+    // components when the fixture moved NANOS → NTZ and only the
+    // MemoryStream-based specs stayed green)
+    for (dir <- Seq("sf0.001", "sf0.01")) {
+      val df = Tables.events(spark, sf(dir))
+      assert(df.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType, s"$dir fixture")
+    }
+  }
+
+  test("normalizeTs handles both historical physical forms identically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    // nanos-as-long era: 2021-01-01T00:00:00.123456789 UTC in raw nanos
+    val nanos = Seq(1609459200123456789L).toDF("ts")
+    val fromNanos = Tables.normalizeTs(nanos)
+    assert(fromNanos.schema("ts").dataType == TimestampType)
+    // NTZ era: same wall-clock micros, no zone
+    val ntz = Seq(1609459200123456L).toDF("us")
+      .select(org.apache.spark.sql.functions.timestamp_micros(col("us"))
+        .cast(TimestampNTZType).as("ts"))
+    val fromNtz = Tables.normalizeTs(ntz)
+    assert(fromNtz.schema("ts").dataType == TimestampType)
+    // under the UTC session tz both eras land on the same instant
+    // (truncated to micros)
+    val a = fromNanos.collect()(0).getTimestamp(0)
+    val b = fromNtz.collect()(0).getTimestamp(0)
+    assert(a == b, s"$a != $b")
+    // already-normalized frames pass through untouched
+    assert(Tables.normalizeTs(fromNtz).schema("ts").dataType == TimestampType)
+  }
 }
