@@ -1370,7 +1370,10 @@ object SparkEntry {
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
     graft.operators.Salt.saltedJoin(li, ord, "l_orderkey", factor = 4)
       .groupBy(col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice")), 4).as("revenue"),
+      // 2dp, not 4: the salt reassociates the sum one extra level (the
+      // q26 convention) — 4dp was bit-exact at sf0.01 but drifted ULPs
+      // at sf0.1
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -2619,6 +2622,155 @@ object SparkEntry {
         col("n_supp"), col("med2"), col("share"))
   }
 
+  /** t22 — duplicated-passage removal with document reassembly: the
+    * RefinedWeb/CCNet "line dedup" curation step, at 10-token chunk
+    * granularity (the synthetic corpus carries no newlines). Chunk
+    * every doc into non-overlapping passages, count DISTINCT docs per
+    * passage, drop passages appearing in >= 2 docs, reassemble the
+    * survivors in position order. The cross-doc frequency pass groups
+    * on xxhash64(chunk) so the shuffle key is 8 bytes, never passage
+    * text (d08 lemma: hash ≡ string modulo a 2⁻⁶⁴ collision that would
+    * fail the gate deterministically, not flake). Reassembly is
+    * sort_array(collect_list(struct(pos, chunk))) — order restored
+    * from the data, never from arrival order, so the result is
+    * partition-invariant. Oracle runs the passage STRINGS with
+    * string_agg(... ORDER BY pos). */
+  private def t22(s: SparkSession, d: String): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val len = 10
+    val nChunks =
+      greatest(ceil(size(toks) / lit(len.toDouble)), lit(1)).cast("int")
+    val chunks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(toks, i * len + 1, lit(len))))))
+      .select(col("doc_id"), col("pos").cast("int").as("pos"),
+        col("col").as("chunk"))
+      .filter(col("chunk") =!= "")
+      .withColumn("h", xxhash64(col("chunk")))
+    val dfTab = chunks.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("doc_df"))
+    chunks.join(dfTab, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("doc_df") < 2, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(when(col("doc_df") < 2,
+            struct(col("pos"), col("chunk"))))),
+          x => x.getField("chunk")), " ").as("clean_text"))
+  }
+
+  /** t23 — shingle novelty: per doc, how many of its DISTINCT 3-token
+    * shingles first appear in THIS doc (first = smallest owning
+    * doc_id) — the standard contribution metric for incremental corpus
+    * growth (a doc whose shingles all exist elsewhere adds nothing).
+    * Exact integer counts. First-owner is a min over a window keyed on
+    * the 8-byte shingle hash — one shuffle — and the per-doc rollup is
+    * the second; text never shuffles. */
+  private def t23(s: SparkSession, d: String): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val sh3 = when(size(col("toks")) < 3,
+        array(concat_ws(" ", col("toks"))))
+      .otherwise(transform(sequence(lit(0), size(col("toks")) - 3),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))
+    val se = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(array_distinct(sh3)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val w = Window.partitionBy(col("h"))
+    se.withColumn("first_doc", min(col("doc_id")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+  }
+
+  /** d11 — near-dup cluster canonicalization: the step AFTER d07's
+    * connected components — pick one representative per cluster (max
+    * n_chars, tie smallest doc_id: keep the richest copy) and report
+    * what the dedup drops. Completes the near-dedup story: pairs (d04)
+    * → clusters (d07) → keep/drop decision (here). The per-cluster
+    * argmax is a WindowGroupLimit-shaped top-1, partitioned by
+    * component — cluster sizes are bounded by the dup structure, never
+    * by corpus size. Oracle: independent recursive-CTE closure (d07's)
+    * + the same top-1 under a total order. */
+  private def d11(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = TextDedup.tokenJaccardPairs(docs, "doc_id", "text",
+      blockCol = "source", threshold = 0.5)
+    val clusters = graft.operators.Graph.dupClusters(
+        docs.select(col("doc_id")), pairs.select(col("id_a"), col("id_b")))
+      .select(col("node").as("doc_id"), col("component"), col("cluster_size"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    clusters.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("keep_id"),
+        col("cluster_size"), (col("cluster_size") - 1).as("n_dropped"))
+  }
+
+  /** c06 — UniMax-style budget waterfilling across language strata +
+    * exact stratified sampling: give every stratum its full doc count
+    * while the budget allows (ascending waterfill), split the
+    * remainder uniformly over the capped strata (floor share +
+    * deterministic distribution of the modulo to the smallest capped
+    * strata), then take exactly `alloc` docs per stratum by md5 rank.
+    * The waterfill is CLOSED-FORM over per-stratum counts (funded_i ⇔
+    * prefix_i + (S-i)·n_i ≤ T — no sequential recurrence), all integer
+    * arithmetic. The per-stratum rank reuses t18's two-level trick:
+    * the md5 key's 2-hex-char prefix hash-partitions the rank windows,
+    * a tiny (stratum × 256)-row exclusive prefix forms base offsets,
+    * and bases + allocations broadcast — no per-stratum single-
+    * partition window, so a language holding 40% of a 100 TB corpus
+    * still ranks in parallel. */
+  private def c06(s: SparkSession, d: String): DataFrame = {
+    // strata = lang (the skewed axis: en dominates) so the fixture
+    // exercises all three branches: fully-funded small langs, floor
+    // share for capped ones, modulo distribution (75% budget)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val n = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val tot = n.agg(sum(col("n")).as("nn"), count(lit(1)).as("sS"))
+      .select(expr("(nn * 3) div 4").as("t"), col("sS"))
+    val ordW = Window.orderBy(col("n").asc, col("lang").asc)
+    val idx = n.crossJoin(broadcast(tot))
+      .withColumn("i", row_number().over(ordW).cast("long"))
+      .withColumn("pre", sum(col("n")).over(
+        ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("funded",
+        col("pre") + (col("sS") - col("i")) * col("n") <= col("t"))
+    val fAgg = idx.agg(
+      sum(when(col("funded"), col("n")).otherwise(0L)).as("fsum"),
+      sum(when(col("funded"), 0L).otherwise(1L)).as("k"),
+      sum(when(col("funded"), 1L).otherwise(0L)).as("nf"))
+    val alloc = idx.crossJoin(broadcast(fAgg))
+      .withColumn("alloc",
+        when(col("funded"), col("n")).otherwise(
+          expr("(t - fsum) div k") +
+            when(col("i") - col("nf") <= expr("(t - fsum) % k"), 1L)
+              .otherwise(0L)))
+      .select(col("lang"), col("alloc"))
+    // two-level per-stratum rank (t18 pattern): no single-partition window
+    val keyed = docs
+      .withColumn("mk",
+        md5(concat(col("doc_id").cast("string"), lit(":unimax"))))
+      .withColumn("bucket", substring(col("mk"), 1, 2))
+    val localW = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("mk").asc, col("doc_id").asc)
+    val local = keyed.withColumn("lrn", row_number().over(localW).cast("long"))
+    val baseW = Window.partitionBy(col("lang")).orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = keyed.groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("bc"))
+      .select(col("lang"), col("bucket"),
+        coalesce(sum(col("bc")).over(baseW), lit(0L)).as("base"))
+    local.join(broadcast(bases), Seq("lang", "bucket"))
+      .withColumn("rn", col("base") + col("lrn"))
+      .join(broadcast(alloc), "lang")
+      .filter(col("rn") <= col("alloc"))
+      .select(col("doc_id"), col("lang"), col("rn"), col("alloc"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_clean_project" -> (q01 _),
     "q02_dedup_latest" -> (q02 _),
@@ -2749,6 +2901,10 @@ object SparkEntry {
     "q74_recursive_cte" -> (q74 _),
     "s08_hybrid_rrf" -> (s08 _),
     "q75_window_idioms" -> (q75 _),
+    "t22_chunk_dedup" -> (t22 _),
+    "t23_shingle_novelty" -> (t23 _),
+    "d11_cluster_keep_best" -> (d11 _),
+    "c06_unimax_mix" -> (c06 _),
   )
 
   /** Bench-time substitutes for the contract-check queries: the checks
@@ -3914,10 +4070,11 @@ object SparkEntry {
         |    z -> z[1] * z[2])) AS BIGINT) AS dot_rev
         |FROM l""".stripMargin,
     // the salted join IS a plain inner join — the oracle runs the plain
-    // form; single-level post-join sum rounds at 4dp (q27 precedent)
+    // form; the Spark side's salt reassociates the sum an extra level,
+    // so both sides round at 2dp (q26 precedent)
     "q42_salted_join" ->
       """SELECT o_orderpriority,
-        |  round(sum(l_extendedprice), 4) AS revenue,
+        |  round(sum(l_extendedprice), 2) AS revenue,
         |  CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
@@ -4692,5 +4849,118 @@ object SparkEntry {
         |        CAST(sum(cents) OVER w AS DOUBLE), 6) AS share
         |FROM t
         |WINDOW w AS (PARTITION BY l_returnflag, l_linestatus)""".stripMargin,
+    // passage dedup over the chunk STRINGS (the Spark side joins on
+    // xxhash64 — hash-join ≡ string-join modulo collisions, which
+    // would fail this gate deterministically); reassembly order pinned
+    // by ORDER BY pos inside string_agg
+    "t22_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |ch0 AS (SELECT doc_id, toks,
+        |    unnest(range(0, greatest(
+        |      CAST(ceil(len(toks) / 10.0) AS BIGINT), 1))) AS pos
+        |  FROM t),
+        |ch AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+        |    array_to_string(toks[pos*10+1 : pos*10+10], ' ') AS chunk
+        |  FROM ch0
+        |  WHERE array_to_string(toks[pos*10+1 : pos*10+10], ' ') <> ''),
+        |df AS (SELECT chunk, count(DISTINCT doc_id) AS doc_df
+        |  FROM ch GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN doc_df < 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  coalesce(string_agg(CASE WHEN doc_df < 2 THEN chunk END,
+        |    ' ' ORDER BY pos), '') AS clean_text
+        |FROM ch JOIN df USING (chunk)
+        |GROUP BY doc_id""".stripMargin,
+    // shingle novelty over the shingle STRINGS; first owner = min doc_id
+    "t23_shingle_novelty" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i+1:i+3], ' ')
+        |               FOR i IN range(0, len(toks)-2)] END AS shingles
+        |  FROM t),
+        |se AS (SELECT DISTINCT doc_id, sh FROM
+        |  (SELECT doc_id, unnest(shingles) AS sh FROM sh)),
+        |fo AS (SELECT sh, min(doc_id) AS first_doc FROM se GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel
+        |FROM se JOIN fo USING (sh)
+        |GROUP BY doc_id""".stripMargin,
+    // d07's independent recursive-CTE closure + top-1 per component
+    // under the total order (n_chars desc, doc_id asc)
+    "d11_cluster_keep_best" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM tok a JOIN tok b
+        |    ON a.t = b.t AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |e AS (
+        |  SELECT id_a AS a, id_b AS b FROM inter
+        |  JOIN cnt ca ON id_a = ca.doc_id
+        |  JOIN cnt cb ON id_b = cb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+        |sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+        |reach(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id),
+        |lab AS (SELECT id AS doc_id, min(comp) AS component
+        |        FROM reach GROUP BY 1),
+        |sized AS (SELECT doc_id, component,
+        |    CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+        |      AS cluster_size
+        |  FROM lab)
+        |SELECT component, doc_id AS keep_id, cluster_size,
+        |  cluster_size - 1 AS n_dropped
+        |FROM (SELECT s.doc_id, s.component, s.cluster_size,
+        |    row_number() OVER (PARTITION BY s.component
+        |      ORDER BY d.n_chars DESC, s.doc_id ASC) AS rn
+        |  FROM sized s JOIN documents d USING (doc_id))
+        |WHERE rn = 1""".stripMargin,
+    // integer waterfill: funded prefix in ascending (n, source) order,
+    // remainder floor-split over capped sources with the modulo going
+    // to the smallest; md5-rank stratified take of exactly alloc docs
+    "c06_unimax_mix" ->
+      """WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |b AS (SELECT CAST((sum(n) * 3) // 4 AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS s FROM n),
+        |idx AS (SELECT lang, n,
+        |    CAST(row_number() OVER (ORDER BY n, lang) AS BIGINT) AS i,
+        |    CAST(sum(n) OVER (ORDER BY n, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS pre
+        |  FROM n),
+        |f AS (SELECT idx.*, (pre + (s - i) * n <= t) AS funded
+        |  FROM idx CROSS JOIN b),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN funded THEN n ELSE 0 END) AS BIGINT) AS fsum,
+        |    CAST(sum(CASE WHEN funded THEN 0 ELSE 1 END) AS BIGINT) AS k,
+        |    CAST(sum(CASE WHEN funded THEN 1 ELSE 0 END) AS BIGINT) AS nf
+        |  FROM f),
+        |alloc AS (SELECT lang,
+        |    CASE WHEN funded THEN n ELSE (t - fsum) // k +
+        |      (CASE WHEN i - nf <= (t - fsum) % k THEN 1 ELSE 0 END) END
+        |      AS alloc
+        |  FROM f CROSS JOIN a CROSS JOIN b),
+        |r AS (SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':unimax'), doc_id)
+        |      AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, rn, alloc
+        |FROM r JOIN alloc USING (lang)
+        |WHERE rn <= alloc""".stripMargin,
   )
 }
