@@ -920,6 +920,15 @@ object SparkEntry {
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
   }
 
+  /** s09 — MMR diversity re-rank of the cosine top-20 pool, k=10 per
+    * query ([[Similarity.mmrRerank]]); full deterministic oracle — the
+    * DuckDB side replays the greedy with a recursive CTE carrying the
+    * selected set, and λ=1/2 keeps every score bit-identical. */
+  private def s09(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 10))
+  }
+
   /** s05 — int8-quantized brute-force top-10: integer scores are exact
     * both engines (QUANTIZATION CONTRACT, QuantizeExpressions.scaladoc),
     * so unlike s02/s03 this approximate-SEARCH-QUALITY operator still
@@ -2905,6 +2914,7 @@ object SparkEntry {
     "t23_shingle_novelty" -> (t23 _),
     "d11_cluster_keep_best" -> (d11 _),
     "c06_unimax_mix" -> (c06 _),
+    "s09_mmr_rerank" -> (s09 _),
   )
 
   /** Bench-time substitutes for the contract-check queries: the checks
@@ -4962,5 +4972,46 @@ object SparkEntry {
         |SELECT doc_id, lang, rn, alloc
         |FROM r JOIN alloc USING (lang)
         |WHERE rn <= alloc""".stripMargin,
+    // greedy MMR replayed with a recursive CTE carrying the selected
+    // set; λ=1/2 → 0.5·rel − 0.5·max(sim) is bit-identical to the
+    // Spark side (same doubles, same association, same argmax)
+    "s09_mmr_rerank" ->
+      """WITH RECURSIVE q AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |scored AS (SELECT q.query_id, e.vec_id AS cand_id,
+        |    list_cosine_similarity(
+        |      CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS rel
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |top20 AS (SELECT query_id, cand_id, rel FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, cand_id) AS rnk
+        |    FROM scored) WHERE rnk <= 20),
+        |pair AS (SELECT a.query_id, a.cand_id AS ia, b.cand_id AS ib,
+        |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |      CAST(eb.embedding AS DOUBLE[])) AS s
+        |  FROM top20 a JOIN top20 b USING (query_id)
+        |  JOIN embeddings ea ON ea.vec_id = a.cand_id
+        |  JOIN embeddings eb ON eb.vec_id = b.cand_id
+        |  WHERE a.cand_id <> b.cand_id),
+        |sel(query_id, step, cand_id, score, selected) AS (
+        |  SELECT query_id, 1, cand_id, rel, [cand_id] FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, cand_id) AS r
+        |    FROM top20) WHERE r = 1
+        |  UNION ALL
+        |  SELECT s.query_id, s.step + 1, c.cand_id, c.score,
+        |    list_append(s.selected, c.cand_id)
+        |  FROM sel s, LATERAL (
+        |    SELECT t.cand_id, 0.5*t.rel - 0.5*max(p.s) AS score
+        |    FROM top20 t JOIN pair p ON p.query_id = s.query_id
+        |      AND p.ia = t.cand_id AND list_contains(s.selected, p.ib)
+        |    WHERE t.query_id = s.query_id
+        |      AND NOT list_contains(s.selected, t.cand_id)
+        |    GROUP BY t.cand_id, t.rel
+        |    ORDER BY score DESC, t.cand_id
+        |    LIMIT 1) c
+        |  WHERE s.step < 10)
+        |SELECT query_id, step, cand_id, round(score, 4) AS mmr
+        |FROM sel""".stripMargin,
   )
 }

@@ -44,6 +44,75 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diversity re-rank: greedily pick k results balancing relevance to
+    * the query against similarity to the already-selected set —
+    * score = λ·rel − (1−λ)·max(sim to selected), λ = 1/2.
+    *
+    * Scale design: the candidate pool is the exact cosine top-`pool`
+    * per query in [[bruteForceTopK]]'s shape (queries broadcast,
+    * corpus never shuffled, WindowGroupLimit prunes map-side), so the
+    * greedy phase only ever touches pool-bounded frames — pool² pair
+    * sims per query, k unrolled selection rounds, per-round
+    * localCheckpoint to keep lineage linear (the
+    * [[Graph.connectedComponents]] discipline). λ = 1/2 makes the
+    * score two power-of-two products over doubles both engines derive
+    * identically from the same floats, so the greedy argmax — and
+    * therefore the whole selection sequence — is deterministic and the
+    * DuckDB recursive-CTE oracle hash-matches exactly. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                pool: Int = 20, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("cand_id").asc)
+    val top = c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("rel",
+        VectorFunctions.cosine(col("cand_vec"), col("query_vec")))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= pool)
+      .select(col("query_id"), col("cand_id"), col("cand_vec"), col("rel"))
+      .localCheckpoint(true)
+    val cand = top.select(col("query_id"), col("cand_id"), col("rel"))
+    val pair = top
+      .select(col("query_id"), col("cand_id").as("ia"), col("cand_vec").as("va"))
+      .join(top.select(col("query_id"), col("cand_id").as("ib"),
+        col("cand_vec").as("vb")), Seq("query_id"))
+      .filter(col("ia") =!= col("ib"))
+      .select(col("query_id"), col("ia"), col("ib"),
+        VectorFunctions.cosine(col("va"), col("vb")).as("s"))
+      .localCheckpoint(true)
+    val wSel = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    var acc = cand
+      .withColumn("score", col("rel"))
+      .withColumn("r", row_number().over(wSel))
+      .filter(col("r") === 1)
+      .select(col("query_id"), lit(1).as("step"), col("cand_id"), col("score"))
+      .localCheckpoint(true)
+    for (step <- 2 to k) {
+      val selSet = acc.select(col("query_id"), col("cand_id"))
+      val remaining = cand.join(selSet, Seq("query_id", "cand_id"), "left_anti")
+      val simToSel = pair
+        .join(selSet.withColumnRenamed("cand_id", "ib"), Seq("query_id", "ib"))
+        .groupBy(col("query_id"), col("ia"))
+        .agg(max(col("s")).as("maxsim"))
+        .withColumnRenamed("ia", "cand_id")
+      val next = remaining.join(simToSel, Seq("query_id", "cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          (lit(0.5) * col("rel") - lit(0.5) * col("maxsim")).as("score"))
+        .withColumn("r", row_number().over(wSel))
+        .filter(col("r") === 1)
+        .select(col("query_id"), lit(step).as("step"), col("cand_id"),
+          col("score"))
+      acc = acc.unionByName(next).localCheckpoint(true)
+    }
+    acc.select(col("query_id"), col("step"), col("cand_id"),
+      round(col("score"), 4).as("mmr"))
+  }
+
   /** Brute-force MIPS (maximum inner product search): rank by raw dot
     * product instead of cosine — the score embedding models are trained
     * on (a high-norm "hub" vector legitimately outranks a same-angle

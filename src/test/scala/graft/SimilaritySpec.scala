@@ -23,6 +23,27 @@ class SimilaritySpec extends SparkSpec {
     assert(q0.zip(q0.tail).forall { case (a, b) => a >= b })
   }
 
+  test("MMR demotes a redundant near-duplicate below a diverse result") {
+    // query q points at A; B is nearly identical to A (redundant);
+    // C is less relevant but diverse. Pure relevance ranks A, B, C;
+    // MMR must rank A, C, B (B's sim-to-selected-A penalty bites).
+    // A and C sit symmetrically (±0.1) around the query, so they are
+    // equally relevant but mutually diverse; B hugs A (near-dup)
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),       // the query itself
+      (1L, Array(1.0f, 0.1f, 0.0f)),       // A: top (wins rel tie on id)
+      (2L, Array(1.0f, 0.11f, 0.0f)),      // B: near-dup of A
+      (3L, Array(1.0f, -0.1f, 0.0f)))      // C: as relevant, diverse
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(rows, rows.filter($"vec_id" === 0L),
+      k = 3, pool = 3)
+    val order = out.orderBy($"step").select($"cand_id").as[Long].collect()
+    assert(order.toSeq == Seq(1L, 3L, 2L), order.toSeq)
+    // step-1 score is pure relevance, later steps are penalized
+    val scores = out.orderBy($"step").select($"mmr").as[Double].collect()
+    assert(scores.head > scores(1) && scores.head > scores(2))
+  }
+
   test("LSH finds a planted exact-duplicate vector as top neighbor") {
     val planted = emb.filter($"vec_id" === 7)
       .select(lit(99999L).as("vec_id"), $"embedding", $"label")
