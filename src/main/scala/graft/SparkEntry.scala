@@ -3117,6 +3117,14 @@ object SparkEntry {
       // on one file is a single micro-batch, so what's measured is the
       // per-key state-machine ingest (the dominant cost) — event-time
       // timeouts need a later batch to fire and emit nothing here
+      // stateless pass-through baseline: source ingest + codegen
+      // projection only, no state store — the throughput floor the
+      // stateful rows (st01-st07) are read against
+      "st08_stream_stateless" ->
+        drive((_, _, src) => src
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            (col("value") * 2).as("v2"))),
       "st06_stream_stateful_sessions" ->
         drive((s, _, src) => {
           implicit val sp: SparkSession = s

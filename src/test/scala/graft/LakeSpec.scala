@@ -32,6 +32,25 @@ class LakeSpec extends SparkSpec {
       "total changed only by the replaced month")
   }
 
+  test("partition predicate prunes at PLANNING time, not as a row filter") {
+    // the 100 TB contract of a partitioned lake: a month predicate must
+    // appear as a scan PartitionFilter (directories skipped before any
+    // byte is read), never as a post-scan Filter over all partitions
+    val lake = java.nio.file.Files.createTempDirectory("lake_prune").toString
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    PartitionedLake.writeByMonth(li, "l_shipdate", lake)
+    val q = spark.read.parquet(lake).filter($"month" === "1998-03")
+    val p = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("month")), p)
+    // row counts agree with the unpartitioned source
+    val expected = li.filter(date_format($"l_shipdate", "yyyy-MM") === "1998-03")
+      .count()
+    assert(q.count() == expected)
+  }
+
   test("compaction reduces file count, preserves rows") {
     val lake = java.nio.file.Files.createTempDirectory("lake_spec2").toString
     val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
