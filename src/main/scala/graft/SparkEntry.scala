@@ -2657,14 +2657,18 @@ object SparkEntry {
         col("col").as("chunk"))
       .filter(col("chunk") =!= "")
       .withColumn("h", xxhash64(col("chunk")))
-    val dfTab = chunks.select(col("doc_id"), col("h")).distinct()
+    // join ONLY the duplicated-hash set (df >= 2): the df==1 majority
+    // never enters the build side, so the join input is the duplicated-
+    // passage dictionary, not the corpus — AQE broadcasts it when small
+    val dupTab = chunks.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("doc_df"))
-    chunks.join(dfTab, "h")
+      .filter(col("doc_df") >= 2)
+    chunks.join(dupTab, Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("doc_df") < 2, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("doc_df").isNull, 1L).otherwise(0L)).as("n_kept"),
         array_join(transform(
-          sort_array(collect_list(when(col("doc_df") < 2,
+          sort_array(collect_list(when(col("doc_df").isNull,
             struct(col("pos"), col("chunk"))))),
           x => x.getField("chunk")), " ").as("clean_text"))
   }

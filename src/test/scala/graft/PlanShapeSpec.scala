@@ -177,6 +177,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("c06: per-stratum rank windows are hash-partitioned two-level") {
+    val p = plan("c06_unimax_mix")
+    // the doc-level rank window shuffles on (lang, md5-prefix bucket) —
+    // never one partition per stratum; SinglePartition exchanges exist
+    // only on the per-stratum COUNT branches (S rows each)
+    assert(p.contains("hashpartitioning(lang"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning(lang") && l.contains("bucket")), p)
+  }
+
   test("no CartesianProduct exec anywhere in the registry") {
     // crossJoin appears only with broadcast-tiny sides (1-row aggregates,
     // query/centroid frames) and must plan as BroadcastNestedLoopJoin —
