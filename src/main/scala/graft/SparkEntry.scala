@@ -2743,26 +2743,7 @@ object SparkEntry {
     // share for capped ones, modulo distribution (75% budget)
     val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
     val n = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-    val tot = n.agg(sum(col("n")).as("nn"), count(lit(1)).as("sS"))
-      .select(expr("(nn * 3) div 4").as("t"), col("sS"))
-    val ordW = Window.orderBy(col("n").asc, col("lang").asc)
-    val idx = n.crossJoin(broadcast(tot))
-      .withColumn("i", row_number().over(ordW).cast("long"))
-      .withColumn("pre", sum(col("n")).over(
-        ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("funded",
-        col("pre") + (col("sS") - col("i")) * col("n") <= col("t"))
-    val fAgg = idx.agg(
-      sum(when(col("funded"), col("n")).otherwise(0L)).as("fsum"),
-      sum(when(col("funded"), 0L).otherwise(1L)).as("k"),
-      sum(when(col("funded"), 1L).otherwise(0L)).as("nf"))
-    val alloc = idx.crossJoin(broadcast(fAgg))
-      .withColumn("alloc",
-        when(col("funded"), col("n")).otherwise(
-          expr("(t - fsum) div k") +
-            when(col("i") - col("nf") <= expr("(t - fsum) % k"), 1L)
-              .otherwise(0L)))
-      .select(col("lang"), col("alloc"))
+    val alloc = graft.operators.Curate.unimaxAlloc(n, "lang", 3L, 4L)
     // two-level per-stratum rank (t18 pattern): no single-partition window
     val keyed = docs
       .withColumn("mk",

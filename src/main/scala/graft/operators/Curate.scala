@@ -180,4 +180,46 @@ object Curate {
       .crossJoin(chunks(keptDocs, idCol, textCol)
         .agg(count(lit(1)).as("n_chunks")))
   }
+
+  /** UniMax-style budget waterfilling over per-stratum counts
+    * (`counts`: one row per stratum with a long `n` column): every
+    * stratum keeps its full count while the budget T =
+    * N·budgetNum/budgetDen allows, processed in ascending (n, key)
+    * order; the remainder splits uniformly over the capped strata —
+    * floor share plus one extra doc for the first (R mod k) of them.
+    *
+    * The waterfill is CLOSED-FORM, not a sequential recurrence: stratum
+    * i (ascending) is fully funded iff prefixᵢ + (S−i)·nᵢ ≤ T, because
+    * F(L) = Σ min(nⱼ, L) is nondecreasing, so the funded set is always
+    * an ascending prefix. All integer arithmetic → engine-exact. The
+    * windows here touch only the S-row counts frame; sampling docs
+    * against the returned allocations is the caller's job (see c06 —
+    * two-level md5 rank, never a per-stratum single-partition window).
+    *
+    * Invariants (property-tested in CurateSpec against a sequential
+    * reference): allocᵢ ≤ nᵢ, Σ alloc = min(T, N), and every funded
+    * stratum is no larger than every capped one. */
+  def unimaxAlloc(counts: DataFrame, keyCol: String,
+                  budgetNum: Long, budgetDen: Long): DataFrame = {
+    val tot = counts.agg(sum(col("n")).as("nn"), count(lit(1)).as("sS"))
+      .select(expr(s"(nn * $budgetNum) div $budgetDen").as("t"), col("sS"))
+    val ordW = Window.orderBy(col("n").asc, col(keyCol).asc)
+    val idx = counts.crossJoin(broadcast(tot))
+      .withColumn("i", row_number().over(ordW).cast("long"))
+      .withColumn("pre", sum(col("n")).over(
+        ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("funded",
+        col("pre") + (col("sS") - col("i")) * col("n") <= col("t"))
+    val fAgg = idx.agg(
+      sum(when(col("funded"), col("n")).otherwise(0L)).as("fsum"),
+      sum(when(col("funded"), 0L).otherwise(1L)).as("k"),
+      sum(when(col("funded"), 1L).otherwise(0L)).as("nf"))
+    idx.crossJoin(broadcast(fAgg))
+      .withColumn("alloc",
+        when(col("funded"), col("n")).otherwise(
+          expr("(t - fsum) div k") +
+            when(col("i") - col("nf") <= expr("(t - fsum) % k"), 1L)
+              .otherwise(0L)))
+      .select(col(keyCol), col("alloc"))
+  }
 }

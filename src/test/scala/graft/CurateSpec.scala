@@ -88,4 +88,50 @@ class CurateSpec extends SparkSpec {
       "near-dup is block-scoped; exact dup is corpus-global")
     assert(out.size == 4)
   }
+
+  /** Sequential reference waterfill: greedily fund ascending strata,
+    * then split what remains uniformly with the modulo going to the
+    * first capped strata in order — the definitionally-obvious O(S)
+    * loop the closed-form must agree with. */
+  private def refWaterfill(ns: Seq[(String, Long)], num: Long, den: Long)
+      : Map[String, Long] = {
+    val sorted = ns.sortBy { case (k, n) => (n, k) }
+    val total = ns.map(_._2).sum
+    var t = total * num / den
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    var remaining = sorted
+    while (remaining.nonEmpty) {
+      val share = t / remaining.size
+      val (k, n) = remaining.head
+      if (n <= share) { out(k) = n; t -= n; remaining = remaining.tail }
+      else {
+        // all remaining are capped: floor share + modulo to the first
+        val r = (t % remaining.size).toInt
+        remaining.zipWithIndex.foreach { case ((key, _), i) =>
+          out(key) = share + (if (i < r) 1L else 0L)
+        }
+        remaining = Nil
+      }
+    }
+    out.toMap
+  }
+
+  test("unimaxAlloc matches the sequential waterfill on random strata") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 25) {
+      val s = 1 + rnd.nextInt(8)
+      val ns = (0 until s).map(i => (f"s$i%02d", 1L + rnd.nextInt(1000)))
+      val (num, den) = Seq((1L, 2L), (3L, 4L), (9L, 10L), (1L, 10L))(
+        rnd.nextInt(4))
+      val counts = ns.toDF("lang", "n")
+      val got = Curate.unimaxAlloc(counts, "lang", num, den)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = refWaterfill(ns, num, den)
+      assert(got == want, s"trial $trial: ns=$ns budget=$num/$den")
+      // invariants: alloc <= n, sum == min(T, N)
+      val total = ns.map(_._2).sum
+      ns.foreach { case (k, n) => assert(got(k) <= n) }
+      assert(got.values.sum == math.min(total * num / den, total))
+    }
+  }
 }
