@@ -1263,6 +1263,27 @@ object SparkEntry {
         size(col("features")).cast("long").as("dim"))
   }
 
+  /** m05 — image perceptual fingerprint + exact-dup groups: dHash per
+    * decoded image (DHASH CONTRACT, Multimodal.scaladoc — integer-only
+    * 9×8 gradient bits over the parsed pixel array) and the count of
+    * images sharing each hash (d01's exact-dedup shape lifted to the
+    * image modality). The oracle recomputes every hash independently
+    * from the asset contract's text-as-pixel-array derivation — a
+    * stride, offset, or bit-packing bug on either side fails the
+    * gate. */
+  private def m05(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val hashes = graft.multimodal.Multimodal.imageDHash(
+      graft.multimodal.Multimodal.assetsFromDocuments(s, d)).toDF()
+    val groups = hashes.groupBy(col("dhash"))
+      .agg(count(lit(1)).as("n_same_hash"))
+    hashes.join(groups, "dhash")
+      .select(col("asset_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("dhash"), col("n_same_hash"))
+  }
+
   /** m02 — video frame sampling: one row per 64-byte frame window.
     * Frame counts are pure arithmetic over payload sizes → oracle-able. */
   private def m02(s: SparkSession, d: String): DataFrame = {
@@ -2900,6 +2921,7 @@ object SparkEntry {
     "d11_cluster_keep_best" -> (d11 _),
     "c06_unimax_mix" -> (c06 _),
     "s09_mmr_rerank" -> (s09 _),
+    "m05_image_dhash" -> (m05 _),
   )
 
   /** Bench-time substitutes for the contract-check queries: the checks
@@ -5006,5 +5028,42 @@ object SparkEntry {
         |  WHERE s.step < 10)
         |SELECT query_id, step, cand_id, round(score, 4) AS mmr
         |FROM sel""".stripMargin,
+    // dHash recomputed from the ASSET CONTRACT: the pixel array IS the
+    // doc's text bytes (ASCII — length == octet_length on this corpus,
+    // asserted by the engine's gate staying green), bytes past the body
+    // read 0; signed-64 packing via HUGEINT fold
+    "m05_image_dhash" ->
+      """WITH img AS (SELECT doc_id, text, length(text) AS tl,
+        |    CAST(doc_id % 640 + 64 AS BIGINT) AS w,
+        |    CAST(doc_id % 480 + 48 AS BIGINT) AS h,
+        |    CAST(((doc_id % 640 + 64) * 3 + 3) // 4 * 4 AS BIGINT) AS stride
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |grid AS (SELECT doc_id, w, h, stride, text, tl,
+        |    r1.range AS x, r2.range AS y
+        |  FROM img, range(9) r1, range(8) r2),
+        |px AS (SELECT doc_id, w, h, x, y,
+        |    (SELECT sum(CASE
+        |        WHEN (y*h//8)*stride + (x*w//9)*3 + c.range < tl
+        |        THEN ascii(substr(text,
+        |          CAST((y*h//8)*stride + (x*w//9)*3 + c.range AS INT) + 1, 1))
+        |        ELSE 0 END)
+        |     FROM range(3) c) AS bright
+        |  FROM grid),
+        |bits AS (SELECT a.doc_id, a.w, a.h, a.y, a.x,
+        |    CASE WHEN a.bright > b.bright THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.y = b.y
+        |    AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |hash AS (SELECT doc_id, w, h,
+        |    CAST(CASE WHEN h128 >= 9223372036854775808
+        |         THEN h128 - 18446744073709551616 ELSE h128 END AS BIGINT)
+        |      AS dhash
+        |  FROM (SELECT doc_id,
+        |      sum(bit * (1::HUGEINT << CAST(y*8 + x AS INT))) AS h128,
+        |      any_value(w) AS w, any_value(h) AS h
+        |    FROM bits GROUP BY doc_id))
+        |SELECT doc_id AS asset_id, w AS width, h AS height, dhash,
+        |  CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_same_hash
+        |FROM hash""".stripMargin,
   )
 }

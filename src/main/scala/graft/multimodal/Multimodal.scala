@@ -119,6 +119,59 @@ object Multimodal {
     }
   }
 
+  /** Perceptual image fingerprint row (see [[imageDHash]]). */
+  case class ImageHash(asset_id: Long, width: Int, height: Int, dhash: Long)
+
+  /** ======== DHASH CONTRACT ========
+    * Difference-hash perceptual fingerprint (the standard image-dedup
+    * primitive): nearest-neighbor sample the decoded pixels onto a 9×8
+    * brightness grid using the RESIZE CONTRACT's src mapping with
+    * out = (9, 8) —
+    *   bright(gx, gy) = Σ_{c<3} body[(gy·h/8)·stride + (gx·w/9)·3 + c]
+    * (integer division, bytes past the body read 0) — then one bit per
+    * horizontal gradient: bit(gy·8+gx) = bright(gx,gy) > bright(gx+1,gy),
+    * packed into a signed int64. Pure integer arithmetic end to end, so
+    * the m05 oracle recomputes the hash INDEPENDENTLY from the asset
+    * contract (text bytes as the pixel array) and hash-matches exactly.
+    * On this fixture the bodies are text bytes, so hashes cluster
+    * tightly (brightness ≈ mean ASCII everywhere) — the discrimination
+    * is a property of real images, not of the hash; exact-equal dhash
+    * still finds exactly the duplicate-body images. Runs in the same
+    * mapPartitions decode boundary as every other m-op. */
+  def imageDHash(assets: Dataset[Asset])
+                (implicit spark: SparkSession): Dataset[ImageHash] = {
+    import spark.implicits._
+    assets.flatMap { a =>
+      MediaCodec.decodeHeader(a.payload) match {
+        case Some(mi) if mi.kind == "image" =>
+          val stride = rowStride(mi.width)
+          def bright(gx: Int, gy: Int): Int = {
+            val sx = gx * mi.width / 9
+            val sy = gy * mi.height / 8
+            var s = 0; var c = 0
+            while (c < 3) {
+              s += pixelByte(a.payload, mi.bodyOffset, stride, sx, sy, c) & 0xff
+              c += 1
+            }
+            s
+          }
+          var hash = 0L
+          var gy = 0
+          while (gy < 8) {
+            var gx = 0
+            while (gx < 8) {
+              if (bright(gx, gy) > bright(gx + 1, gy))
+                hash |= 1L << (gy * 8 + gx)
+              gx += 1
+            }
+            gy += 1
+          }
+          Some(ImageHash(a.asset_id, mi.width, mi.height, hash))
+        case _ => None
+      }
+    }
+  }
+
   /** Resized-image row. `payload` is a real re-encoded BMP;
     * `roundtrip_ok` is the contract check (see [[resizeImages]]). */
   case class ResizedImage(asset_id: Long, in_width: Int, in_height: Int,

@@ -78,6 +78,36 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.features.forall(f => f >= -0.5f && f <= 0.5f))
   }
 
+  test("dHash: hand-computed bits on a tiny gradient image; dup texts collide") {
+    // 9x8 image whose pixel bytes make row brightness strictly
+    // increasing left-to-right: every horizontal gradient bit is 0
+    // (bright(x) > bright(x+1) never holds) -> dhash == 0
+    val w = 9; val h = 8
+    val stride = ((w * 3 + 3) & ~3)
+    val body = Array.tabulate(stride * h)(i => {
+      val x = (i % stride) / 3
+      (x * 10).toByte
+    })
+    val inc = Multimodal.Asset(0L, "image", w, h, 0L,
+      MediaCodec.encodeBmp(w, h, body))
+    // reversed: strictly decreasing -> all 64 bits set -> dhash == -1
+    val dec = Multimodal.Asset(1L, "image", w, h, 0L,
+      MediaCodec.encodeBmp(w, h, body.indices.map(i => {
+        val x = (i % stride) / 3
+        ((8 - x).max(0) * 10).toByte
+      }).toArray))
+    val ds = spark.createDataset(Seq(inc, dec))
+    val out = Multimodal.imageDHash(ds).collect().map(r => r.asset_id -> r.dhash).toMap
+    assert(out(0L) == 0L, s"increasing gradient: ${out(0L)}")
+    assert(out(1L) == -1L, s"decreasing gradient: ${out(1L)}")
+    // identical bodies + dims -> identical hash (the dedup property)
+    val twin = Multimodal.Asset(2L, "image", w, h, 0L,
+      MediaCodec.encodeBmp(w, h, body))
+    val out2 = Multimodal.imageDHash(spark.createDataset(Seq(inc, twin)))
+      .collect().map(_.dhash).toSet
+    assert(out2.size == 1)
+  }
+
   test("resize: real NN downscale with known pixels, truncation, pads") {
     // 4×2 source, full pixel array, row stride = (4*3+3)&~3 = 12 (no pad)
     val src = Array.tabulate(2, 12)((y, i) => (y * 100 + i).toByte)
