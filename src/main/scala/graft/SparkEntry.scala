@@ -3043,6 +3043,11 @@ object SparkEntry {
     import org.apache.spark.sql.streaming.Trigger
     def drive(f: (SparkSession, String, DataFrame) => DataFrame)
         : (SparkSession, String) => Unit =
+      driveWith((s, d, src) => f(s, d, src).writeStream.format("noop"))
+    def driveWith(mk: (SparkSession, String, DataFrame) =>
+          org.apache.spark.sql.streaming.DataStreamWriter[
+            org.apache.spark.sql.Row])
+        : (SparkSession, String) => Unit =
       (s: SparkSession, d: String) => {
         // the events fixture stores TIMESTAMP(NANOS), which the vectorized
         // reader rejects — same nanosAsLong treatment as Tables.events,
@@ -3082,7 +3087,7 @@ object SparkEntry {
             s.readStream.schema(rawSchema).parquet(path))
           val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
           try {
-            val q = f(s, d, src).writeStream.format("noop")
+            val q = mk(s, d, src)
               .trigger(Trigger.AvailableNow())
               .option("checkpointLocation", ckpt.toString)
               .start()
@@ -3132,6 +3137,24 @@ object SparkEntry {
           .filter(col("event_type") === "click")
           .select(col("event_id"), col("user_id"), col("ts"),
             (col("value") * 2).as("v2"))),
+      // real ingest: micro-batches upserted into a month-partitioned
+      // lake under (month, ingest_batch) — replay-idempotent
+      // (StreamingSpec gates the semantics); measures actual parquet
+      // write throughput, so it's the cost ceiling next to st08's floor
+      "st09_stream_lake_sink" ->
+        driveWith((s, d, src) => {
+          // fixed path, wiped at run start: each measured pass ingests
+          // into an empty lake and nothing accumulates across runs
+          val lake = java.nio.file.Paths.get(
+            s"/tmp/graft_stream_lake_${Integer.toHexString(d.hashCode)}")
+          if (java.nio.file.Files.exists(lake)) {
+            import java.nio.file.{Files, Path}
+            import java.util.Comparator
+            Files.walk(lake).sorted(Comparator.reverseOrder[Path]())
+              .forEach(p => Files.deleteIfExists(p))
+          }
+          graft.streaming.EventStreams.toLake(src, lake.toString)
+        }),
       "st06_stream_stateful_sessions" ->
         drive((s, _, src) => {
           implicit val sp: SparkSession = s

@@ -48,6 +48,26 @@ object PartitionedLake {
         .write.mode("overwrite").partitionBy("month").parquet(path)
     }
 
+  /** Streaming-ingest upsert: write one micro-batch partitioned by
+    * (month, ingest_batch). Dynamic overwrite replaces ONLY the
+    * (month, batch) combinations present in THIS batch — so replaying
+    * a batch after a failure rewrites exactly its own files
+    * byte-for-byte (idempotent), while different batches landing in
+    * the same month ACCUMULATE instead of clobbering each other (the
+    * trap in a plain per-month overwrite). This is the standard
+    * foreachBatch discipline that turns checkpointed at-least-once
+    * delivery into effectively-once lake state on a non-transactional
+    * store; readers still prune on `month`, and `ingest_batch` is
+    * compacted away by the maintenance path. */
+  def upsertBatch(df: DataFrame, tsCol: String, batchId: Long,
+                  path: String): Unit =
+    withDynamicOverwrite(df.sparkSession) {
+      df.withColumn("month", date_format(col(tsCol), "yyyy-MM"))
+        .withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite").partitionBy("month", "ingest_batch")
+        .parquet(path)
+    }
+
   /** Small-file compaction for one partition: rewrite a month's files
     * into ~`targetFiles` outputs.
     *

@@ -118,6 +118,22 @@ object EventStreams {
         col("click_id"), col("c_ts"), col("e_ts"))
   }
 
+  /** Streaming ingest into the month-partitioned lake
+    * ([[graft.sources.PartitionedLake.upsertBatch]]): each micro-batch
+    * writes its rows under (month, ingest_batch) with dynamic partition
+    * overwrite, so a replayed batch (restart from checkpoint,
+    * at-least-once delivery) rewrites exactly its own files and lake
+    * state stays effectively-once — while batches sharing a month
+    * accumulate instead of clobbering. Returns the DataStreamWriter;
+    * the caller picks trigger/checkpoint. */
+  def toLake(events: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.PartitionedLake.upsertBatch(
+          batch.toDF(), "ts", batchId, path)
+    }
+
   /** A closed session emitted by [[sessionizeStateful]]. */
   case class Session(user_id: Long, session_start: Timestamp,
                      session_end: Timestamp, n_events: Long)

@@ -207,4 +207,33 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Map("BUILDING" -> 2L, "MACHINERY" -> 1L))
     } finally q.stop()
   }
+
+  test("lake sink: batches sharing a month accumulate; replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val lake = java.nio.file.Files.createTempDirectory("stream_lake").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_lake_ck").toString
+    val mem = MemoryStream[Event]
+    val q = EventStreams.toLake(mem.toDF(), lake)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // two micro-batches landing in the SAME month must both survive
+      mem.addData(ev(1, "2024-01-01 00:01:00", 1), ev(2, "2024-01-02 00:02:00", 1))
+      q.processAllAvailable()
+      mem.addData(ev(3, "2024-01-03 00:03:00", 2), ev(4, "2024-02-01 00:04:00", 2))
+      q.processAllAvailable()
+      val lakeDf = spark.read.parquet(lake)
+      assert(lakeDf.count() == 4)
+      assert(lakeDf.select($"month").distinct().as[String].collect().toSet ==
+        Set("2024-01", "2024-02"))
+      // replaying a batch (restart-from-checkpoint semantics) rewrites
+      // exactly its own (month, ingest_batch) files — state unchanged
+      val replay = Seq(ev(3, "2024-01-03 00:03:00", 2),
+        ev(4, "2024-02-01 00:04:00", 2)).toDS().toDF()
+      graft.sources.PartitionedLake.upsertBatch(replay, "ts", 1L, lake)
+      val after = spark.read.parquet(lake)
+      assert(after.count() == 4)
+      assert(after.select($"event_id").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
 }
