@@ -1284,6 +1284,24 @@ object SparkEntry {
         col("dhash"), col("n_same_hash"))
   }
 
+  /** m06 — audio energy fingerprint + exact-dup groups: 7 gradient
+    * bits over the 8-window |PCM16| energy envelope (AUDIO FINGERPRINT
+    * CONTRACT, Multimodal.scaladoc) — the audio-modality dedup
+    * primitive next to m05's image dHash. Integer-only, so the oracle
+    * recomputes every fingerprint from the asset contract's
+    * text-as-PCM16 derivation. */
+  private def m06(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val fps = graft.multimodal.Multimodal.audioFingerprint(
+      graft.multimodal.Multimodal.assetsFromDocuments(s, d)).toDF()
+    val groups = fps.groupBy(col("afp"))
+      .agg(count(lit(1)).as("n_same_fp"))
+    fps.join(groups, "afp")
+      .select(col("asset_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_samples"), col("afp"), col("n_same_fp"))
+  }
+
   /** m02 — video frame sampling: one row per 64-byte frame window.
     * Frame counts are pure arithmetic over payload sizes → oracle-able. */
   private def m02(s: SparkSession, d: String): DataFrame = {
@@ -2922,6 +2940,7 @@ object SparkEntry {
     "c06_unimax_mix" -> (c06 _),
     "s09_mmr_rerank" -> (s09 _),
     "m05_image_dhash" -> (m05 _),
+    "m06_audio_fingerprint" -> (m06 _),
   )
 
   /** Bench-time substitutes for the contract-check queries: the checks
@@ -5088,5 +5107,41 @@ object SparkEntry {
         |SELECT doc_id AS asset_id, w AS width, h AS height, dhash,
         |  CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_same_hash
         |FROM hash""".stripMargin,
+    // audio fingerprint recomputed from the ASSET CONTRACT: PCM16 LE
+    // samples are consecutive text byte pairs (signed high byte),
+    // 8 integer-division windows, |energy| gradient bits
+    "m06_audio_fingerprint" ->
+      """WITH aud AS (SELECT doc_id, text, length(text) AS tl,
+        |    CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |sig AS (SELECT doc_id, sample_rate, tl // 2 AS n,
+        |    [CASE WHEN ascii(substr(text, 2*i+2, 1)) >= 128
+        |       THEN abs(ascii(substr(text, 2*i+1, 1))
+        |            + 256*ascii(substr(text, 2*i+2, 1)) - 65536)
+        |       ELSE ascii(substr(text, 2*i+1, 1))
+        |            + 256*ascii(substr(text, 2*i+2, 1)) END
+        |     FOR i IN range(0, tl // 2)] AS absamp
+        |  FROM aud),
+        |smp AS (SELECT doc_id, n, unnest(absamp) AS v,
+        |    unnest(range(n)) AS i
+        |  FROM sig WHERE n > 0),
+        |en0 AS (SELECT doc_id, (i*8)//n AS w, sum(v) AS e
+        |  FROM smp GROUP BY 1, 2),
+        |grid AS (SELECT doc_id, r.range AS w FROM sig, range(8) r),
+        |en AS (SELECT g.doc_id, g.w, coalesce(e, 0) AS e
+        |  FROM grid g LEFT JOIN en0 ON en0.doc_id = g.doc_id
+        |    AND en0.w = g.w),
+        |fp AS (SELECT a.doc_id,
+        |    CAST(sum(CASE WHEN a.e > b.e
+        |      THEN 1::BIGINT << CAST(a.w AS INT) ELSE 0 END) AS BIGINT)
+        |      AS afp
+        |  FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        |  WHERE a.w < 7 GROUP BY 1),
+        |base AS (SELECT s.doc_id, s.sample_rate,
+        |    CAST(s.n AS BIGINT) AS n_samples, coalesce(fp.afp, 0) AS afp
+        |  FROM sig s LEFT JOIN fp USING (doc_id))
+        |SELECT doc_id AS asset_id, sample_rate, n_samples, afp,
+        |  CAST(count(*) OVER (PARTITION BY afp) AS BIGINT) AS n_same_fp
+        |FROM base""".stripMargin,
   )
 }

@@ -172,6 +172,52 @@ object Multimodal {
     }
   }
 
+  /** Audio fingerprint row (see [[audioFingerprint]]). */
+  case class AudioFingerprint(asset_id: Long, sample_rate: Int,
+                              n_samples: Long, afp: Long)
+
+  /** ======== AUDIO FINGERPRINT CONTRACT ========
+    * Energy-profile fingerprint over the parsed PCM16 stream (the
+    * chromaprint-lite shape: coarse energy envelope → gradient bits,
+    * no FFT needed for dedup-grade matching):
+    *   sample(i) = signed LE int16 at body[2i, 2i+1], n = ⌊body/2⌋
+    *   window(i) = i·8 div n   (8 windows, integer division)
+    *   energy(w) = Σ |sample(i)| over window w  (0 when empty)
+    *   bit(w)    = energy(w) > energy(w+1), w < 7 → 7-bit `afp`
+    * Channels are deliberately NOT de-interleaved — for a fingerprint
+    * the mixed envelope is the point (and it keeps the contract one
+    * formula). Pure integer arithmetic: the m06 oracle recomputes every
+    * fingerprint from the asset contract (text bytes as PCM16) and
+    * hash-matches exactly. */
+  def audioFingerprint(assets: Dataset[Asset])
+                      (implicit spark: SparkSession): Dataset[AudioFingerprint] = {
+    import spark.implicits._
+    assets.flatMap { a =>
+      MediaCodec.decodeHeader(a.payload) match {
+        case Some(mi) if mi.kind == "audio" =>
+          val off = mi.bodyOffset
+          val n = (a.payload.length - off) / 2
+          val energy = Array.fill(8)(0L)
+          var i = 0
+          while (i < n) {
+            val lo = a.payload(off + 2 * i) & 0xff
+            val hi = a.payload(off + 2 * i + 1).toInt // sign-carrying byte
+            val s = (hi << 8) | lo
+            energy((i.toLong * 8 / n).toInt) += math.abs(s)
+            i += 1
+          }
+          var afp = 0L
+          var w = 0
+          while (w < 7) {
+            if (energy(w) > energy(w + 1)) afp |= 1L << w
+            w += 1
+          }
+          Some(AudioFingerprint(a.asset_id, mi.sampleRate, n.toLong, afp))
+        case _ => None
+      }
+    }
+  }
+
   /** Resized-image row. `payload` is a real re-encoded BMP;
     * `roundtrip_ok` is the contract check (see [[resizeImages]]). */
   case class ResizedImage(asset_id: Long, in_width: Int, in_height: Int,

@@ -108,6 +108,23 @@ class MultimodalSpec extends SparkSpec {
     assert(out2.size == 1)
   }
 
+  test("audio fingerprint: hand-built PCM16 with NEGATIVE samples") {
+    // the parquet fixture's bodies are ASCII (high byte < 0x80), so the
+    // sign path only runs here: per-window |energy| strictly decreasing
+    // -> all 7 gradient bits set; reversed -> none
+    def wav(vals: Seq[Int]) = MediaCodec.encodeWav(16000, 1,
+      vals.flatMap(v => Seq.fill(2)(v)).flatMap(s =>
+        Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray)
+    val dec = Seq(500, -450, 400, -350, 300, -250, 200, -150)
+    val a = Multimodal.Asset(0L, "audio", 0, 0, 0L, wav(dec))
+    val b = Multimodal.Asset(1L, "audio", 0, 0, 0L, wav(dec.reverse))
+    val out = Multimodal.audioFingerprint(spark.createDataset(Seq(a, b)))
+      .collect().map(r => r.asset_id -> r).toMap
+    assert(out(0L).n_samples == 16L && out(0L).sample_rate == 16000)
+    assert(out(0L).afp == 127L, s"decreasing energies: ${out(0L).afp}")
+    assert(out(1L).afp == 0L, s"increasing energies: ${out(1L).afp}")
+  }
+
   test("resize: real NN downscale with known pixels, truncation, pads") {
     // 4×2 source, full pixel array, row stride = (4*3+3)&~3 = 12 (no pad)
     val src = Array.tabulate(2, 12)((y, i) => (y * 100 + i).toByte)
