@@ -533,6 +533,29 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
            max(col("k")).as("max_k"))
 
+  /** q76 — Spark 4 native VARIANT battery: parse the JSON props column
+    * into the binary-encoded VARIANT type once and extract typed
+    * fields with variant_get — at scale this replaces per-access
+    * string re-parsing (q30's get_json_object path) with a single
+    * parse + O(1) binary field reads. Pins the TRY semantics the scan
+    * path needs: try_parse_json turns malformed input into NULL
+    * instead of failing the job, and a missing path extracts NULL.
+    * to_json(variant) canonicalizes (minified) — the oracle derives
+    * the same string from the known value-space (integer values: no
+    * spaces inside tokens). */
+  private def q76(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        expr("try_parse_json(props)").as("v"),
+        // leading '}' is malformed to every parser (Spark tolerates
+        // TRAILING garbage after a complete value)
+        expr("try_parse_json(concat('}', props))").as("bad"))
+      .select(col("event_id"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("variant_get(v, '$.missing', 'bigint')").as("missing_k"),
+        col("bad").isNull.as("malformed_null"),
+        expr("to_json(v)").as("roundtrip"))
+
   /** q31 — datetime function battery: extract/trunc/add/diff/format. */
   private def q31(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select(
@@ -2941,6 +2964,7 @@ object SparkEntry {
     "s09_mmr_rerank" -> (s09 _),
     "m05_image_dhash" -> (m05 _),
     "m06_audio_fingerprint" -> (m06 _),
+    "q76_variant_battery" -> (q76 _),
   )
 
   /** Bench-time substitutes for the contract-check queries: the checks
@@ -5143,5 +5167,16 @@ object SparkEntry {
         |SELECT doc_id AS asset_id, sample_rate, n_samples, afp,
         |  CAST(count(*) OVER (PARTITION BY afp) AS BIGINT) AS n_same_fp
         |FROM base""".stripMargin,
+    // VARIANT battery restated with DuckDB string-path JSON; the
+    // minified roundtrip is derivable because the value space is
+    // integers (no spaces inside tokens)
+    "q76_variant_battery" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract_string(props, '$.missing') AS BIGINT)
+        |    AS missing_k,
+        |  TRY_CAST(concat('}', props) AS JSON) IS NULL AS malformed_null,
+        |  replace(props, ' ', '') AS roundtrip
+        |FROM events""".stripMargin,
   )
 }
