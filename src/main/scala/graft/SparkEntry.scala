@@ -2806,25 +2806,31 @@ object SparkEntry {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
     val n = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
     val alloc = graft.operators.Curate.unimaxAlloc(n, "lang", 3L, 4L)
-    // two-level per-stratum rank (t18 pattern): no single-partition window
-    val keyed = docs
-      .withColumn("mk",
-        md5(concat(col("doc_id").cast("string"), lit(":unimax"))))
-      .withColumn("bucket", substring(col("mk"), 1, 2))
-    val localW = Window.partitionBy(col("lang"), col("bucket"))
-      .orderBy(col("mk").asc, col("doc_id").asc)
-    val local = keyed.withColumn("lrn", row_number().over(localW).cast("long"))
-    val baseW = Window.partitionBy(col("lang")).orderBy(col("bucket").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = keyed.groupBy(col("lang"), col("bucket"))
-      .agg(count(lit(1)).as("bc"))
-      .select(col("lang"), col("bucket"),
-        coalesce(sum(col("bc")).over(baseW), lit(0L)).as("base"))
-    local.join(broadcast(bases), Seq("lang", "bucket"))
-      .withColumn("rn", col("base") + col("lrn"))
+    graft.operators.Curate.md5RankByStratum(docs, "doc_id", "lang", "unimax")
       .join(broadcast(alloc), "lang")
       .filter(col("rn") <= col("alloc"))
       .select(col("doc_id"), col("lang"), col("rn"), col("alloc"))
+  }
+
+  /** c07 — balance-to-largest upsampling: the complement of c06's
+    * budgeted DOWN-sampling — every language stratum is oversampled to
+    * the largest stratum's count via integer repeat factors
+    * (epoch-style corpus weighting): base = N_max div n_s repeats for
+    * every doc, plus one extra epoch for the first (N_max mod n_s)
+    * docs by md5 rank, so Σ n_repeats = N_max exactly per stratum.
+    * Rank via the shared two-level [[Curate.md5RankByStratum]];
+    * integer arithmetic → exact oracle. */
+  private def c07(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val n = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val alloc = n.crossJoin(broadcast(n.agg(max(col("n")).as("nmax"))))
+      .select(col("lang"), expr("nmax div n").as("base_rep"),
+        expr("nmax % n").as("extra"))
+    graft.operators.Curate.md5RankByStratum(docs, "doc_id", "lang", "balance")
+      .join(broadcast(alloc), "lang")
+      .select(col("doc_id"), col("lang"), col("rn"),
+        (col("base_rep") +
+          when(col("rn") <= col("extra"), 1L).otherwise(0L)).as("n_repeats"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2965,6 +2971,7 @@ object SparkEntry {
     "m05_image_dhash" -> (m05 _),
     "m06_audio_fingerprint" -> (m06 _),
     "q76_variant_battery" -> (q76 _),
+    "c07_balance_upsample" -> (c07 _),
   )
 
   /** Bench-time substitutes for the contract-check queries: the checks
@@ -5178,5 +5185,21 @@ object SparkEntry {
         |  TRY_CAST(concat('}', props) AS JSON) IS NULL AS malformed_null,
         |  replace(props, ' ', '') AS roundtrip
         |FROM events""".stripMargin,
+    // balance-to-largest: integer epoch factors + md5-rank modulo spread
+    "c07_balance_upsample" ->
+      """WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |mx AS (SELECT CAST(max(n) AS BIGINT) AS nmax FROM n),
+        |alloc AS (SELECT lang, nmax // n AS base_rep, nmax % n AS extra
+        |  FROM n CROSS JOIN mx),
+        |r AS (SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':balance'), doc_id)
+        |      AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, rn,
+        |  base_rep + (CASE WHEN rn <= extra THEN 1 ELSE 0 END)
+        |    AS n_repeats
+        |FROM r JOIN alloc USING (lang)""".stripMargin,
   )
 }

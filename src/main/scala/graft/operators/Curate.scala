@@ -199,6 +199,35 @@ object Curate {
     * Invariants (property-tested in CurateSpec against a sequential
     * reference): allocᵢ ≤ nᵢ, Σ alloc = min(T, N), and every funded
     * stratum is no larger than every capped one. */
+  /** Deterministic per-stratum md5 rank, computed TWO-LEVEL (the t18
+    * pattern): the md5 key's 2-hex-char prefix hash-partitions the
+    * row_number windows, per-(stratum, bucket) counts form exclusive
+    * base offsets (≤ strata × 256 rows), and bases broadcast back — a
+    * stratum holding 40% of a 100 TB corpus still ranks in parallel.
+    * Appends `rn` (1-based within stratum, ordered by (md5(id:salt),
+    * id) — total, so partition-invariant). */
+  def md5RankByStratum(docs: DataFrame, idCol: String, stratumCol: String,
+                       salt: String): DataFrame = {
+    val keyed = docs
+      .withColumn("__mk",
+        md5(concat(col(idCol).cast("string"), lit(s":$salt"))))
+      .withColumn("__bucket", substring(col("__mk"), 1, 2))
+    val localW = Window.partitionBy(col(stratumCol), col("__bucket"))
+      .orderBy(col("__mk").asc, col(idCol).asc)
+    val local = keyed.withColumn("__lrn",
+      row_number().over(localW).cast("long"))
+    val baseW = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = keyed.groupBy(col(stratumCol), col("__bucket"))
+      .agg(count(lit(1)).as("__bc"))
+      .select(col(stratumCol), col("__bucket"),
+        coalesce(sum(col("__bc")).over(baseW), lit(0L)).as("__base"))
+    local.join(broadcast(bases), Seq(stratumCol, "__bucket"))
+      .withColumn("rn", col("__base") + col("__lrn"))
+      .drop("__mk", "__bucket", "__lrn", "__base")
+  }
+
   def unimaxAlloc(counts: DataFrame, keyCol: String,
                   budgetNum: Long, budgetDen: Long): DataFrame = {
     val tot = counts.agg(sum(col("n")).as("nn"), count(lit(1)).as("sS"))
