@@ -43,6 +43,61 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("every fixture table's schema matches the engine's expectations") {
+    // round-5 lesson: the driver regenerates fixtures between rounds
+    // and a silent physical-type migration broke 9 components. Pin
+    // column names (order-sensitive) and type families per table so
+    // the NEXT migration fails here, loudly, not in an oracle hash.
+    // Timestamps match as a family: the batch engine + DuckDB agree on
+    // wall-clock values for both TIMESTAMP and TIMESTAMP_NTZ under the
+    // UTC session (events.ts alone must normalize to TimestampType —
+    // pinned separately above).
+    import org.apache.spark.sql.types._
+    def fam(dt: DataType): String = dt match {
+      case LongType => "long"
+      case IntegerType => "int"
+      case DoubleType => "double"
+      case StringType => "string"
+      case TimestampType | TimestampNTZType => "ts"
+      case ArrayType(FloatType, _) => "vec"
+      case other => other.typeName
+    }
+    val expected = Map(
+      "region" -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+      "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "string",
+        "n_regionkey" -> "int"),
+      "customer" -> Seq("c_custkey" -> "long", "c_name" -> "string",
+        "c_nationkey" -> "int", "c_acctbal" -> "double",
+        "c_mktsegment" -> "string"),
+      "supplier" -> Seq("s_suppkey" -> "long", "s_name" -> "string",
+        "s_nationkey" -> "int", "s_acctbal" -> "double"),
+      "part" -> Seq("p_partkey" -> "long", "p_name" -> "string",
+        "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
+        "p_retailprice" -> "double"),
+      "orders" -> Seq("o_orderkey" -> "long", "o_custkey" -> "long",
+        "o_orderstatus" -> "string", "o_totalprice" -> "double",
+        "o_orderdate" -> "ts", "o_orderpriority" -> "string"),
+      "lineitem" -> Seq("l_orderkey" -> "long", "l_partkey" -> "long",
+        "l_suppkey" -> "long", "l_linenumber" -> "int",
+        "l_quantity" -> "double", "l_extendedprice" -> "double",
+        "l_discount" -> "double", "l_tax" -> "double",
+        "l_returnflag" -> "string", "l_linestatus" -> "string",
+        "l_shipdate" -> "ts"),
+      "events" -> Seq("event_id" -> "long", "ts" -> "ts",
+        "user_id" -> "long", "event_type" -> "string",
+        "value" -> "double", "props" -> "string"),
+      "documents" -> Seq("doc_id" -> "long", "text" -> "string",
+        "lang" -> "string", "source" -> "string", "n_chars" -> "long"),
+      "embeddings" -> Seq("vec_id" -> "long", "embedding" -> "vec",
+        "label" -> "int"))
+    for ((t, want) <- expected) {
+      val df = if (t == "events") Tables.events(spark, sf())
+               else Tables.load(spark, sf(), t)
+      val got = df.schema.fields.toSeq.map(f => f.name -> fam(f.dataType))
+      assert(got == want, s"$t schema drifted: $got")
+    }
+  }
+
   test("normalizeTs handles both historical physical forms identically") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
