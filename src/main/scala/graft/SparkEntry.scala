@@ -1593,6 +1593,57 @@ object SparkEntry {
           .cast("long").as("n_bins"))
   }
 
+  /** t24 — materialized sequence packing: the step AFTER t18's bin
+    * arithmetic — emit the actual fixed-2048-token training batches as
+    * id arrays. Tokens get global vocab ids (rank by count desc, token
+    * asc — t07's canonical order; the ranking window is VOCAB-bounded,
+    * not corpus-bounded), every token gets its global offset =
+    * doc start offset (t18's two-level prefix sum via
+    * [[graft.operators.Curate.md5RankByStratum]]-style buckets) + its
+    * in-doc position, and bins collect ids under the total (off) order
+    * — a doc straddling a bin boundary is genuinely split, exactly as
+    * a training loader would. One explode + one shuffle by bin; arrays
+    * bounded at 2048 ids. Integer-exact end to end. */
+  private def t24(s: SparkSession, d: String): DataFrame = {
+    val binSize = 2048L
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+        .as("toks"))
+    val vocab = docs.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("vid", row_number().over(
+        Window.orderBy(col("c").desc, col("tok").asc)).cast("long"))
+      .select(col("tok"), col("vid"))
+    // doc start offsets: t18's two-level md5-bucket prefix sum
+    val sized = docs
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("sk",
+        md5(concat(col("doc_id").cast("string"), lit(":pack"))))
+      .withColumn("bucket", substring(col("sk"), 1, 2))
+    val localW = Window.partitionBy(col("bucket"))
+      .orderBy(col("sk").asc, col("doc_id").asc)
+    val local = sized.withColumn("local_off", sum(col("n_tok")).over(localW))
+    val baseW = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = sized.groupBy(col("bucket"))
+      .agg(sum(col("n_tok")).as("p_tot"))
+      .select(col("bucket"),
+        coalesce(sum(col("p_tot")).over(baseW), lit(0L)).as("base"))
+    val offs = local.join(broadcast(bases), "bucket")
+      .withColumn("start_off",
+        col("base") + col("local_off") - col("n_tok"))
+      .select(col("doc_id"), col("toks"), col("start_off"))
+    offs.select(col("doc_id"), col("start_off"),
+        posexplode(col("toks")))
+      .join(vocab, col("col") === col("tok"))
+      .withColumn("off", col("start_off") + col("pos"))
+      .withColumn("bin", expr(s"off div $binSize"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_tok"),
+        transform(sort_array(collect_list(struct(col("off"), col("vid")))),
+          x => x.getField("vid")).as("ids"))
+  }
+
   /** q46 — null-safe equality join (`<=>` / IS NOT DISTINCT FROM):
     * NULL keys MATCH each other, unlike plain equi-join where they
     * match nothing. Exercised on a derived nullable key both sides.
@@ -2972,6 +3023,7 @@ object SparkEntry {
     "m06_audio_fingerprint" -> (m06 _),
     "q76_variant_battery" -> (q76 _),
     "c07_balance_upsample" -> (c07 _),
+    "t24_pack_materialize" -> (t24 _),
   )
 
   /** Bench-time substitutes for the contract-check queries: the checks
@@ -5201,5 +5253,32 @@ object SparkEntry {
         |  base_rep + (CASE WHEN rn <= extra THEN 1 ELSE 0 END)
         |    AS n_repeats
         |FROM r JOIN alloc USING (lang)""".stripMargin,
+    // materialized packing: vocab ranks, t18's md5 layout offsets,
+    // bins collect ids under the total (off) order
+    "t24_pack_materialize" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |cnt AS (SELECT unnest(toks) AS tok FROM t),
+        |cnt2 AS (SELECT tok, count(*) AS c FROM cnt GROUP BY 1),
+        |vocab AS (SELECT tok,
+        |    CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT)
+        |      AS vid
+        |  FROM cnt2),
+        |o AS (SELECT doc_id, toks, len(toks) AS n_tok,
+        |    sum(len(toks)) OVER (
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':pack'), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - len(toks) AS start_off
+        |  FROM t),
+        |flat AS (SELECT doc_id, start_off + i AS off, tok
+        |  FROM (SELECT doc_id, start_off,
+        |      unnest(range(len(toks))) AS i, unnest(toks) AS tok
+        |    FROM o)),
+        |ids AS (SELECT off, off // 2048 AS bin, vid
+        |  FROM flat JOIN vocab USING (tok))
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_tok,
+        |  array_agg(vid ORDER BY off) AS ids
+        |FROM ids GROUP BY bin""".stripMargin,
   )
 }
