@@ -187,6 +187,15 @@ class PlanShapeSpec extends SparkSpec {
       l.contains("hashpartitioning(lang") && l.contains("bucket")), p)
   }
 
+  test("t24: offset windows hash-partitioned; single-partition steps bounded") {
+    val p = plan("t24_pack_materialize")
+    // per-doc offset windows ride the md5-prefix buckets
+    assert(p.contains("hashpartitioning(bucket"), p)
+    // allowed single-partition steps: the VOCAB-bounded rank window and
+    // the 256-row bucket-total prefix — never the per-token rows
+    assert("SinglePartition".r.findAllIn(p).size <= 2, p)
+  }
+
   test("no CartesianProduct exec anywhere in the registry") {
     // crossJoin appears only with broadcast-tiny sides (1-row aggregates,
     // query/centroid frames) and must plan as BroadcastNestedLoopJoin —
