@@ -1644,6 +1644,26 @@ object SparkEntry {
           x => x.getField("vid")).as("ids"))
   }
 
+  /** t25 — vocabulary coverage under truncation: per-doc token counts
+    * inside/outside the top-64 corpus vocabulary (count desc, token
+    * asc — t07's canonical order). THE sizing metric for tokenizer
+    * vocab truncation: OOV mass by doc. The vocab is a TakeOrdered
+    * top-64 that broadcasts; tokens never shuffle for the membership
+    * test — only the per-doc rollup exchanges. Integer exact. */
+  private def t25(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(64)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("in_vocab"), 1L).otherwise(0L)).as("n_in_vocab"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+
   /** q46 — null-safe equality join (`<=>` / IS NOT DISTINCT FROM):
     * NULL keys MATCH each other, unlike plain equi-join where they
     * match nothing. Exercised on a derived nullable key both sides.
@@ -3024,6 +3044,7 @@ object SparkEntry {
     "q76_variant_battery" -> (q76 _),
     "c07_balance_upsample" -> (c07 _),
     "t24_pack_materialize" -> (t24 _),
+    "t25_vocab_coverage" -> (t25 _),
   )
 
   /** Bench-time substitutes for the contract-check queries: the checks
@@ -5280,5 +5301,21 @@ object SparkEntry {
         |SELECT bin, CAST(count(*) AS BIGINT) AS n_tok,
         |  array_agg(vid ORDER BY off) AS ids
         |FROM ids GROUP BY bin""".stripMargin,
+    // vocab coverage: top-64 under the (count desc, token asc) total
+    // order; OOV = no vocab match
+    "t25_vocab_coverage" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok AS vtok FROM (
+        |    SELECT tok, count(*) AS c FROM tok GROUP BY 1
+        |    ORDER BY c DESC, tok LIMIT 64))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(CASE WHEN vtok IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_in_vocab,
+        |  CAST(sum(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_oov
+        |FROM tok LEFT JOIN v ON tok.tok = v.vtok
+        |GROUP BY doc_id""".stripMargin,
   )
 }
