@@ -1257,12 +1257,39 @@ object SparkEntry {
     * gibberish). Ordering uses the 4dp-ROUNDED nll (the value the t13
     * gate already proves bit-equal cross-engine) ÷ exact token count,
     * with doc_id tie-break — so the tercile assignment is deterministic
-    * on both engines. The ntile window is (doc, score) rows only. */
+    * on both engines.
+    *
+    * NO global single-partition window: a bare ntile(3) over every doc
+    * funnels the whole corpus through one task. Instead the exact
+    * global rank is computed two-level (t18/t24's pattern): range-
+    * bucket on floor(score*16) — monotone in the sort key, so buckets
+    * ARE contiguous rank ranges — rank locally per bucket under a
+    * hash-partitioned window, broadcast the tiny per-bucket prefix
+    * sums, and derive the tercile arithmetically from the standard
+    * ntile identity tile(r) = (r-1)*k div N + 1 (first N mod k tiles
+    * get the extra row — SQL ntile semantics, both engines). */
   private def c04(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(
-      (col("nll") / col("n_toks")).asc, col("doc_id").asc)
-    t13(s, d)
-      .withColumn("bucket", ntile(3).over(w).cast("long"))
+    val scored = t13(s, d)
+      .withColumn("score", col("nll") / col("n_toks"))
+      .withColumn("rb", floor(col("score") * 16).cast("long"))
+    val localW = Window.partitionBy(col("rb"))
+      .orderBy(col("score").asc, col("doc_id").asc)
+    val local = scored
+      .withColumn("lr", row_number().over(localW).cast("long"))
+    // bucket counts derive from the RANKED rows, not from scored: the
+    // groupBy(rb) is already distributed by rb, so it rides the window
+    // exchange (reused) instead of re-scoring the corpus per branch
+    val bcounts = local.groupBy(col("rb")).agg(count(lit(1)).as("bc"))
+    val baseW = Window.orderBy(col("rb").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = bcounts.select(col("rb"),
+      coalesce(sum(col("bc")).over(baseW), lit(0L)).as("base"))
+    val total = bcounts.agg(sum(col("bc")).as("n_total"))
+    local.join(broadcast(bases), "rb")
+      .crossJoin(broadcast(total))
+      .withColumn("r", col("base") + col("lr"))
+      .withColumn("bucket",
+        (expr("((r - 1) * 3) div n_total") + 1).cast("long"))
       .select(col("doc_id"), col("nll"), col("n_toks"), col("bucket"))
   }
 
@@ -1640,8 +1667,12 @@ object SparkEntry {
       .withColumn("bin", expr(s"off div $binSize"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_tok"),
-        transform(sort_array(collect_list(struct(col("off"), col("vid")))),
-          x => x.getField("vid")).as("ids"))
+        // emitted as a space-joined string, not array<bigint>: the
+        // oracle harness sorts/hashes output columns and arrays are
+        // unhashable there — the canonical string is gate-stable
+        array_join(transform(
+          sort_array(collect_list(struct(col("off"), col("vid")))),
+          x => x.getField("vid").cast("string")), " ").as("ids"))
   }
 
   /** t25 — vocabulary coverage under truncation: per-doc token counts
@@ -5299,7 +5330,7 @@ object SparkEntry {
         |ids AS (SELECT off, off // 2048 AS bin, vid
         |  FROM flat JOIN vocab USING (tok))
         |SELECT bin, CAST(count(*) AS BIGINT) AS n_tok,
-        |  array_agg(vid ORDER BY off) AS ids
+        |  string_agg(CAST(vid AS VARCHAR), ' ' ORDER BY off) AS ids
         |FROM ids GROUP BY bin""".stripMargin,
     // vocab coverage: top-64 under the (count desc, token asc) total
     // order; OOV = no vocab match

@@ -196,6 +196,20 @@ class PlanShapeSpec extends SparkSpec {
     assert("SinglePartition".r.findAllIn(p).size <= 2, p)
   }
 
+  test("c04: doc-scoring rank window is hash-partitioned two-level") {
+    val p = plan("c04_ccnet_buckets")
+    // the per-doc rank window shuffles on the range bucket of the
+    // (monotone) score — never every document into one partition
+    assert(p.contains("hashpartitioning(rb"), p)
+    // bounded single-partition steps only: t13's 1-row corpus totals
+    // (one per branch before runtime ReuseExchange dedups them), the
+    // ≤O(score-range) bucket prefix-sum window, and the 1-row n_total —
+    // the doc rows themselves never coalesce (the rank Window rides the
+    // rb exchange asserted above)
+    assert("SinglePartition".r.findAllIn(p).size <= 5, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("no CartesianProduct exec anywhere in the registry") {
     // crossJoin appears only with broadcast-tiny sides (1-row aggregates,
     // query/centroid frames) and must plan as BroadcastNestedLoopJoin —
