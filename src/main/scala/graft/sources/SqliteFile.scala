@@ -16,10 +16,11 @@ import scala.collection.mutable.ArrayBuffer
   *    (leaf 0x0A + interior 0x02 with promoted divider entries, BINARY
   *    collation, NULL < numeric < text < blob class order) — the
   *    artifact carries the reference's indexes natively.
-  *  - no overflow pages: every row must fit the single-page payload
-  *    budget (usable - 35 bytes ≈ 4 KB for table leaves; the stricter
-  *    index-page bound for index entries). The packer's rows are short
-  *    strings/numbers; the writer fails loudly if a row would overflow.
+  *  - overflow-page chains for payloads past the single-page budget
+  *    (the spec's X/M/K local-size rule, fileformat2.html §"Cell
+  *    Payload Overflow Pages") — arbitrarily long VARCHARs round-trip,
+  *    matching real SQLite's handling of the reference's unbounded
+  *    `address`/`premise` strings (reference src/main.rs:197).
   *  - value domain: NULL, Long, Double, String, Array[Byte] — exactly
   *    the storage classes the reference schema uses.
   *
@@ -31,6 +32,54 @@ object SqliteFile {
   private val PageSize = 4096
   /** Max single-page cell payload for a table leaf (usable - 35). */
   private val MaxLocal = PageSize - 35
+
+  // ---- overflow-page payload split (spec §"Cell Payload Overflow") -----
+
+  /** Bytes of a P-byte payload stored ON the b-tree page under the
+    * spec rule: all of it if P <= X (X = the page-type budget passed as
+    * `maxLocal`); else K = M + ((P-M) mod (U-4)) if K <= X, else M —
+    * with M = ((U-12)*32/255) - 23 for every page type. */
+  private def localSize(p: Int, maxLocal: Int, pageSize: Int = PageSize): Int =
+    if (p <= maxLocal) p
+    else {
+      val m = ((pageSize - 12) * 32 / 255) - 23
+      val k = m + ((p - m) % (pageSize - 4))
+      if (k <= maxLocal) k else m
+    }
+
+  /** On-page image length of a payload cell body (local part + 4-byte
+    * first-overflow pointer when the payload spills). */
+  private def imageLen(p: Int, maxLocal: Int): Int = {
+    val nl = localSize(p, maxLocal)
+    nl + (if (nl < p) 4 else 0)
+  }
+
+  /** Local part of `payload`, emitting the overflow chain into `db`
+    * when it spills (each overflow page: u32 next-page-or-0, then up to
+    * U-4 payload bytes). Call EXACTLY ONCE per placed cell — emitting a
+    * chain for a cell that is then discarded would orphan its pages. */
+  private def splitPayload(db: Db, payload: Array[Byte],
+                           maxLocal: Int): Array[Byte] = {
+    val nLocal = localSize(payload.length, maxLocal)
+    if (nLocal == payload.length) payload
+    else {
+      val rest = payload.length - nLocal
+      val perPage = PageSize - 4
+      val nPages = (rest + perPage - 1) / perPage
+      val pageNos = (0 until nPages).map(_ => db.alloc())
+      var off = nLocal
+      pageNos.zipWithIndex.foreach { case (no, i) =>
+        val page = new Array[Byte](PageSize)
+        val next = if (i == nPages - 1) 0 else pageNos(i + 1)
+        System.arraycopy(u32(next), 0, page, 0, 4)
+        val n = math.min(perPage, payload.length - off)
+        System.arraycopy(payload, off, page, 4, n)
+        off += n
+        db.put(no, page)
+      }
+      java.util.Arrays.copyOf(payload, nLocal) ++ u32(pageNos.head)
+    }
+  }
 
   /** An index over `keyCols` (0-based positions into the row). */
   case class IndexDef(name: String, createSql: String, keyCols: Seq[Int])
@@ -205,9 +254,10 @@ object SqliteFile {
   private def buildTableBtree(db: Db, rows: Seq[(Long, Array[Byte])],
                               rootAtPage1: Boolean = false): Int = {
     val leafCells = rows.map { case (rowid, rec) =>
-      require(rec.length <= MaxLocal,
-        s"row payload ${rec.length} B exceeds single-page budget $MaxLocal")
-      varint(rec.length.toLong) ++ varint(rowid) ++ rec
+      // payloads past the X budget spill to an overflow chain; the
+      // on-page cell keeps the local prefix + first-overflow pointer
+      varint(rec.length.toLong) ++ varint(rowid) ++
+        splitPayload(db, rec, MaxLocal)
     }
     val rowidOf = rows.map(_._1)
 
@@ -287,7 +337,9 @@ object SqliteFile {
       } else {
         val (plen, n1) = readVarint(src, ptr)
         val (_, n2) = readVarint(src, ptr + n1)
-        java.util.Arrays.copyOfRange(src, ptr, ptr + n1 + n2 + plen.toInt)
+        // on-page image may be shorter than the payload (overflow)
+        java.util.Arrays.copyOfRange(src, ptr,
+          ptr + n1 + n2 + imageLen(plen.toInt, MaxLocal))
       }
     }
     val right = if (pageType == 0x05)
@@ -359,11 +411,21 @@ object SqliteFile {
     * a leaf fills, the next entry is PROMOTED as the divider that lives
     * in the parent (each entry stored exactly once). Returns root. */
   private def buildIndexBtree(db: Db, entries: Seq[Array[Byte]]): Int = {
-    entries.foreach(e => require(e.length <= MaxLocalIndex,
-      s"index entry ${e.length} B exceeds single-page budget $MaxLocalIndex"))
     if (entries.isEmpty) {
       val no = db.alloc(); db.put(no, buildPage(0x0A, Nil, 0, 0)); return no
     }
+    // Cell images are materialized ONLY when an entry is placed on a
+    // page: splitPayload emits the overflow chain as a side effect, and
+    // an entry that gets promoted (or re-homed by the last-entry split)
+    // must not leave an orphaned chain behind. Size decisions use the
+    // pure cellLen; page assembly calls makeCell/makeIntCell once.
+    def cellLen(e: Array[Byte]): Int =
+      varint(e.length.toLong).length + imageLen(e.length, MaxLocalIndex)
+    def makeCell(e: Array[Byte]): Array[Byte] =
+      varint(e.length.toLong) ++ splitPayload(db, e, MaxLocalIndex)
+    def makeIntCell(child: Int, e: Array[Byte]): Array[Byte] =
+      u32(child) ++ varint(e.length.toLong) ++
+        splitPayload(db, e, MaxLocalIndex)
 
     // leaves + promoted dividers. Invariant kept throughout: pages
     // alternate with dividers (pages.length == divs.length + 1 at the
@@ -371,64 +433,66 @@ object SqliteFile {
     var pages = ArrayBuffer[Int]()
     var divs = ArrayBuffer[Array[Byte]]()
     var cur = ArrayBuffer[Array[Byte]](); var used = 8
+    def closeLeaf(es: Seq[Array[Byte]]): Unit = {
+      val no = db.alloc()
+      db.put(no, buildPage(0x0A, es.map(makeCell), 0, 0))
+      pages += no
+    }
     var i = 0
     while (i < entries.length) {
-      val cell = varint(entries(i).length.toLong) ++ entries(i)
-      if (cur.nonEmpty && used + 2 + cell.length > PageSize) {
+      val cl = cellLen(entries(i))
+      if (cur.nonEmpty && used + 2 + cl > PageSize) {
         if (i < entries.length - 1) {
           // close this leaf; entry i is promoted: stored only in parent
-          val no = db.alloc(); db.put(no, buildPage(0x0A, cur.toSeq, 0, 0))
-          pages += no; divs += entries(i)
+          closeLeaf(cur.toSeq); divs += entries(i)
           i += 1
         } else {
           // the LAST entry cannot be promoted (a divider needs a right
           // sibling) — split one entry earlier: the previous entry goes
           // up, this one opens the final leaf. Two max-size cells always
           // fit one page, so cur.length >= 2 and the pop can't empty it.
-          cur.remove(cur.length - 1)
-          val no = db.alloc(); db.put(no, buildPage(0x0A, cur.toSeq, 0, 0))
-          pages += no; divs += entries(i - 1)
+          val prev = cur.remove(cur.length - 1)
+          closeLeaf(cur.toSeq); divs += prev
           // entry i restarts in the fresh leaf (do not advance i)
         }
         cur = ArrayBuffer[Array[Byte]](); used = 8
-      } else { cur += cell; used += 2 + cell.length; i += 1 }
+      } else { cur += entries(i); used += 2 + cl; i += 1 }
     }
     // the last entry always lands in cur (promotion is never taken on it)
-    val lastNo = db.alloc(); db.put(lastNo, buildPage(0x0A, cur.toSeq, 0, 0))
-    pages += lastNo
+    closeLeaf(cur.toSeq)
 
     // interior levels: pages.length == divs.length + 1 invariant
     while (pages.length > 1) {
       val outPages = ArrayBuffer[Int]()
       val outDivs = ArrayBuffer[Array[Byte]]()
-      var cells = ArrayBuffer[Array[Byte]](); var used2 = 12
+      var cells = ArrayBuffer[(Int, Array[Byte])](); var used2 = 12
+      def closeInterior(cs: Seq[(Int, Array[Byte])], right: Int): Unit = {
+        val no = db.alloc()
+        db.put(no, buildPage(0x02,
+          cs.map { case (c, e) => makeIntCell(c, e) }, right, 0))
+        outPages += no
+      }
       var j = 0
       while (j < divs.length) {
-        val cell = u32(pages(j)) ++ varint(divs(j).length.toLong) ++ divs(j)
-        if (cells.nonEmpty && used2 + 2 + cell.length > PageSize) {
+        val cl = 4 + cellLen(divs(j))
+        if (cells.nonEmpty && used2 + 2 + cl > PageSize) {
           if (j < divs.length - 1) {
             // close covering children ..pages(j); divs(j) goes up
-            val no = db.alloc()
-            db.put(no, buildPage(0x02, cells.toSeq, pages(j), 0))
-            outPages += no; outDivs += divs(j)
+            closeInterior(cells.toSeq, pages(j)); outDivs += divs(j)
             j += 1
           } else {
             // the LAST pair must land in the final page (a divider
             // needs a right subtree) — split one pair earlier. Two
             // max-size cells always fit one page, so cells.length >= 2
             // here and the pop cannot empty the page.
-            cells.remove(cells.length - 1)
-            val no = db.alloc()
-            db.put(no, buildPage(0x02, cells.toSeq, pages(j - 1), 0))
-            outPages += no; outDivs += divs(j - 1)
+            val prev = cells.remove(cells.length - 1)
+            closeInterior(cells.toSeq, prev._1); outDivs += prev._2
             // do not advance j: pair j restarts in the fresh page
           }
-          cells = ArrayBuffer[Array[Byte]](); used2 = 12
-        } else { cells += cell; used2 += 2 + cell.length; j += 1 }
+          cells = ArrayBuffer[(Int, Array[Byte])](); used2 = 12
+        } else { cells += ((pages(j), divs(j))); used2 += 2 + cl; j += 1 }
       }
-      val no = db.alloc()
-      db.put(no, buildPage(0x02, cells.toSeq, pages.last, 0))
-      outPages += no
+      closeInterior(cells.toSeq, pages.last)
       pages = outPages; divs = outDivs
     }
     pages.head
@@ -489,6 +553,33 @@ object SqliteFile {
 
   // ---- reader (round-trip tests) ---------------------------------------
 
+  private def u32At(b: Array[Byte], at: Int): Int =
+    ((b(at) & 0xff) << 24) | ((b(at + 1) & 0xff) << 16) |
+      ((b(at + 2) & 0xff) << 8) | (b(at + 3) & 0xff)
+
+  /** Reassemble a P-byte payload whose cell body starts at `at`,
+    * following the overflow chain when the local part is truncated. */
+  private def readPayload(bytes: Array[Byte], pageSize: Int, at: Int,
+                          p: Int, maxLocal: Int): Array[Byte] = {
+    val nLocal = localSize(p, maxLocal, pageSize)
+    if (nLocal == p) java.util.Arrays.copyOfRange(bytes, at, at + p)
+    else {
+      val out = new Array[Byte](p)
+      System.arraycopy(bytes, at, out, 0, nLocal)
+      var next = u32At(bytes, at + nLocal)
+      var off = nLocal
+      while (next != 0) {
+        val base = (next - 1) * pageSize
+        next = u32At(bytes, base)
+        val n = math.min(pageSize - 4, p - off)
+        System.arraycopy(bytes, base + 4, out, off, n)
+        off += n
+      }
+      require(off == p, s"overflow chain ended at $off of $p bytes")
+      out
+    }
+  }
+
   /** All rows of `table`, walking the b-tree left-to-right. */
   def read(path: Path, table: String): Seq[Seq[Any]] = {
     val bytes = Files.readAllBytes(path)
@@ -520,8 +611,8 @@ object SqliteFile {
             (bytes(at + headerLen + 2 * i + 1) & 0xff))
           val (plen, n1) = readVarint(bytes, ptr)
           val (rowid, n2) = readVarint(bytes, ptr + n1)
-          (rowid, java.util.Arrays.copyOfRange(
-            bytes, ptr + n1 + n2, ptr + n1 + n2 + plen.toInt))
+          (rowid, readPayload(bytes, pageSize, ptr + n1 + n2,
+            plen.toInt, pageSize - 35))
         }
       }
     }
@@ -552,27 +643,24 @@ object SqliteFile {
       def ptr(i: Int): Int = base + (
         ((bytes(base + headerLen + 2 * i) & 0xff) << 8) |
           (bytes(base + headerLen + 2 * i + 1) & 0xff))
+      val ixMaxLocal = ((pageSize - 12) * 64 / 255) - 23
       if (pageType == 0x02) {
         val parts = (0 until nCells).flatMap { i =>
           val p = ptr(i)
-          val child = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
-            ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+          val child = u32At(bytes, p)
           val (plen, n1) = readVarint(bytes, p + 4)
-          val entry = decodeRecord(java.util.Arrays.copyOfRange(
-            bytes, p + 4 + n1, p + 4 + n1 + plen.toInt))
+          val entry = decodeRecord(readPayload(bytes, pageSize,
+            p + 4 + n1, plen.toInt, ixMaxLocal))
           walkIx(child) :+ entry
         }
-        val right = ((bytes(base + 8) & 0xff) << 24) |
-          ((bytes(base + 9) & 0xff) << 16) |
-          ((bytes(base + 10) & 0xff) << 8) | (bytes(base + 11) & 0xff)
-        parts ++ walkIx(right)
+        parts ++ walkIx(u32At(bytes, base + 8))
       } else {
         require(pageType == 0x0A, s"unexpected index page type $pageType")
         (0 until nCells).map { i =>
           val p = ptr(i)
           val (plen, n1) = readVarint(bytes, p)
-          decodeRecord(java.util.Arrays.copyOfRange(
-            bytes, p + n1, p + n1 + plen.toInt))
+          decodeRecord(readPayload(bytes, pageSize, p + n1,
+            plen.toInt, ixMaxLocal))
         }
       }
     }
