@@ -434,11 +434,15 @@ object SparkEntry {
     * boolean carries a wide deterministic margin (raw rank errors:
     * `graft.RecallProbe`) — and asserts each approx value lands
     * between them. lo/hi are raw column values (no arithmetic), so
-    * they hash bit-exactly. The exact-rank harness global-sorts once
-    * for verification only; Bench measures the sketch agg alone
-    * (benchOverrides). At 100 TB the sketch is the only form that
-    * exists — exact percentiles (q25) need a global sort, GK partials
-    * merge map-side like any agg. */
+    * they hash bit-exactly. Even the verification side avoids a global
+    * sort: the 8 needed order statistics are located two-level — a
+    * map-side-combined count per value-range bucket, broadcast prefix
+    * sums to find which bucket holds each target rank, then a
+    * hash-partitioned row_number over ONLY those ≤8 buckets' rows
+    * (ties share the value, so the statistic is deterministic). Bench
+    * still measures the sketch agg alone (benchOverrides). At 100 TB
+    * the sketch is the only form that exists — exact percentiles (q25)
+    * need a global sort, GK partials merge map-side like any agg. */
   private def q40(s: SparkSession, d: String): DataFrame = {
     val slack = 0.01
     val qs = Seq(0.25, 0.5, 0.75, 0.99)
@@ -447,8 +451,6 @@ object SparkEntry {
       expr("approx_percentile(val, array(0.25D, 0.5D, 0.75D, 0.99D), 1000)")
         .as("ap"),
       count(lit(1)).as("n"))
-    val ranked = o.select(col("val"),
-      row_number().over(Window.orderBy(col("val"))).as("r"))
     val k = approx
       .select(col("ap"), col("n"), posexplode(array(qs.map(lit): _*)))
       .select(element_at(col("ap"), col("pos") + 1).as("av"),
@@ -457,8 +459,35 @@ object SparkEntry {
           .cast("long")).as("klo"),
         least(col("n"), ceil((col("col") + slack) * col("n"))
           .cast("long")).as("khi"))
-    k.join(ranked.select(col("r").as("klo"), col("val").as("lo")), "klo")
-      .join(ranked.select(col("r").as("khi"), col("val").as("hi")), "khi")
+    // bucket counts: the only full-table pass, and it shuffles counters
+    // (map-side partial agg), never rows
+    val bucketed = o.withColumn("rb", floor(col("val") / 1024d).cast("long"))
+    val bcounts = bucketed.groupBy(col("rb")).agg(count(lit(1)).as("bc"))
+    val baseW = Window.orderBy(col("rb").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = bcounts.select(col("rb").as("trb"), col("bc"),
+      coalesce(sum(col("bc")).over(baseW), lit(0L)).as("base"))
+    // 8 target ranks → the bucket containing each (base < rank ≤ base+bc)
+    val tb = k.select(col("quantile"), col("av"), explode(array(
+        struct(lit("lo").as("side"), col("klo").as("tr")),
+        struct(lit("hi").as("side"), col("khi").as("tr")))).as("t"))
+      .select(col("quantile"), col("av"), col("t.side").as("side"),
+        col("t.tr").as("tr"))
+      .join(broadcast(bases),
+        col("tr") > col("base") && col("tr") <= col("base") + col("bc"))
+      .select(col("quantile"), col("av"), col("side"), col("tr"),
+        col("base"), col("trb"))
+    // rank only rows inside a target bucket (≤8 buckets survive the semi)
+    val localW = Window.partitionBy(col("rb")).orderBy(col("val").asc)
+    val hit = bucketed
+      .join(broadcast(tb.select(col("trb")).distinct()),
+        col("rb") === col("trb"), "left_semi")
+      .withColumn("lr", row_number().over(localW).cast("long"))
+    hit.join(broadcast(tb),
+        col("rb") === col("trb") && col("lr") === col("tr") - col("base"))
+      .groupBy(col("quantile"), col("av")).agg(
+        max(when(col("side") === "lo", col("val"))).as("lo"),
+        max(when(col("side") === "hi", col("val"))).as("hi"))
       .select(col("quantile"), col("lo"), col("hi"),
         (col("av") >= col("lo") && col("av") <= col("hi"))
           .as("within_bounds"))
@@ -5226,16 +5255,17 @@ object SparkEntry {
       """WITH RECURSIVE q AS (SELECT vec_id AS query_id, embedding AS qv
         |  FROM embeddings WHERE vec_id < 10),
         |scored AS (SELECT q.query_id, e.vec_id AS cand_id,
-        |    list_cosine_similarity(
-        |      CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS rel
+        |    round(list_cosine_similarity(
+        |      CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 9)
+        |      AS rel
         |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
         |top20 AS (SELECT query_id, cand_id, rel FROM (
         |    SELECT *, row_number() OVER (PARTITION BY query_id
         |      ORDER BY rel DESC, cand_id) AS rnk
         |    FROM scored) WHERE rnk <= 20),
         |pair AS (SELECT a.query_id, a.cand_id AS ia, b.cand_id AS ib,
-        |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-        |      CAST(eb.embedding AS DOUBLE[])) AS s
+        |    round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |      CAST(eb.embedding AS DOUBLE[])), 9) AS s
         |  FROM top20 a JOIN top20 b USING (query_id)
         |  JOIN embeddings ea ON ea.vec_id = a.cand_id
         |  JOIN embeddings eb ON eb.vec_id = b.cand_id
@@ -5334,15 +5364,20 @@ object SparkEntry {
         |  CAST(count(*) OVER (PARTITION BY afp) AS BIGINT) AS n_same_fp
         |FROM base""".stripMargin,
     // VARIANT battery restated with DuckDB string-path JSON; the
-    // minified roundtrip is derivable because the value space is
-    // integers (no spaces inside tokens)
+    // minified roundtrip is REBUILT from the extracted value space
+    // ('{"k":<int>}') rather than whitespace-stripping the raw string —
+    // robust to any fixture reformatting that keeps the contract shape
+    // (single integer key k, pinned in TablesSpec) and canonically
+    // minified/key-sorted by construction, matching Variant to_json
     "q76_variant_battery" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  CAST(json_extract_string(props, '$.missing') AS BIGINT)
         |    AS missing_k,
         |  TRY_CAST(concat('}', props) AS JSON) IS NULL AS malformed_null,
-        |  replace(props, ' ', '') AS roundtrip
+        |  concat('{"k":',
+        |    CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |      AS VARCHAR), '}') AS roundtrip
         |FROM events""".stripMargin,
     // balance-to-largest: integer epoch factors + md5-rank modulo spread
     "c07_balance_upsample" ->

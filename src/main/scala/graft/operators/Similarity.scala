@@ -55,11 +55,14 @@ object Similarity {
     * greedy phase only ever touches pool-bounded frames — pool² pair
     * sims per query, k unrolled selection rounds, per-round
     * localCheckpoint to keep lineage linear (the
-    * [[Graph.connectedComponents]] discipline). λ = 1/2 makes the
-    * score two power-of-two products over doubles both engines derive
-    * identically from the same floats, so the greedy argmax — and
-    * therefore the whole selection sequence — is deterministic and the
-    * DuckDB recursive-CTE oracle hash-matches exactly. */
+    * [[Graph.connectedComponents]] discipline). Both cosine inputs
+    * (rel, pairwise s) are rounded at 9dp AT SOURCE on both engines —
+    * a 1-ULP cross-engine divergence then lands on the same 9dp value
+    * (or becomes an exact tie broken by cand_id), so the pool cut, the
+    * greedy argmax, and therefore the whole selection sequence are a
+    * total order both engines agree on (s08's rounded-score+id
+    * discipline; λ = 1/2 keeps the score arithmetic exact over those
+    * 9dp values) and the DuckDB recursive-CTE oracle hash-matches. */
   def mmrRerank(corpus: DataFrame, queries: DataFrame, k: Int = 10,
                 pool: Int = 20, idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
@@ -70,7 +73,7 @@ object Similarity {
     val top = c.crossJoin(broadcast(q))
       .filter(col("cand_id") =!= col("query_id"))
       .withColumn("rel",
-        VectorFunctions.cosine(col("cand_vec"), col("query_vec")))
+        round(VectorFunctions.cosine(col("cand_vec"), col("query_vec")), 9))
       .withColumn("rnk", row_number().over(wTop))
       .filter(col("rnk") <= pool)
       .select(col("query_id"), col("cand_id"), col("cand_vec"), col("rel"))
@@ -82,7 +85,7 @@ object Similarity {
         col("cand_vec").as("vb")), Seq("query_id"))
       .filter(col("ia") =!= col("ib"))
       .select(col("query_id"), col("ia"), col("ib"),
-        VectorFunctions.cosine(col("va"), col("vb")).as("s"))
+        round(VectorFunctions.cosine(col("va"), col("vb")), 9).as("s"))
       .localCheckpoint(true)
     val wSel = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id").asc)

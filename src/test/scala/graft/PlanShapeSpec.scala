@@ -210,6 +210,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q40: order statistics located two-level, no global row ranking") {
+    val p = plan("q40_approx_quantiles")
+    // the row-level rank window shuffles on the value-range bucket and
+    // ranks only the ≤8 target buckets (left_semi against the broadcast
+    // target set) — the full orders table contributes map-side-combined
+    // counts, never rows, to the single-partition steps
+    assert(p.contains("hashpartitioning(rb"), p)
+    assert(p.contains("LeftSemi"), p)
+    // bounded single-partition steps: the 1-row approx_percentile agg
+    // and the ≤O(value-range) bucket prefix-sum window, each printed
+    // twice (tb feeds two joins; runtime ReuseExchange dedups them)
+    assert("SinglePartition".r.findAllIn(p).size <= 4, p)
+  }
+
   test("no CartesianProduct exec anywhere in the registry") {
     // crossJoin appears only with broadcast-tiny sides (1-row aggregates,
     // query/centroid frames) and must plan as BroadcastNestedLoopJoin —

@@ -98,6 +98,32 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("events.props keeps the single-integer-key contract shape") {
+    // q76's oracle REBUILDS the minified Variant roundtrip as
+    // '{"k":<int>}' from the extracted value — valid only while every
+    // props row is a single-key integer object. A fixture regeneration
+    // that adds multi-key or string-valued props must fail HERE with a
+    // diagnosable message, not as an opaque q76 hash mismatch.
+    import org.apache.spark.sql.functions._
+    val bad = Tables.events(spark, sf())
+      .filter(!col("props").rlike("""^\{"k": -?\d+\}$"""))
+      .count()
+    assert(bad == 0L, s"$bad events.props rows broke the {\"k\": int} shape")
+  }
+
+  test("documents.text is pure ASCII (m05/m06 oracle byte≡char premise)") {
+    // the m05/m06 oracles read text with DuckDB CHARACTER semantics
+    // (length/substr/ascii) while the engine parses UTF-8 payload
+    // BYTES; the equivalence requires length == octet_length on every
+    // row. Pin it so a fixture migration to non-ASCII fails with this
+    // message instead of a hash mismatch.
+    import org.apache.spark.sql.functions._
+    val nonAscii = Tables.documents(spark, sf())
+      .filter(length(col("text")) =!= octet_length(col("text")))
+      .count()
+    assert(nonAscii == 0L, s"$nonAscii documents have non-ASCII text")
+  }
+
   test("normalizeTs handles both historical physical forms identically") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
