@@ -2964,6 +2964,64 @@ object SparkEntry {
           when(col("rn") <= col("extra"), 1L).otherwise(0L)).as("n_repeats"))
   }
 
+  /** c08 — DSIR importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every doc
+    * by how much more likely its tokens are under a TARGET unigram LM
+    * (the English stratum) than under the RAW corpus LM —
+    * w(doc) = Σ_tok [ ln p̂_T(tok) − ln p̂_R(tok) ], add-1 smoothed
+    * over the shared vocabulary. High weight ⇒ target-like text worth
+    * upweighting. t13's exact float discipline: both engines evaluate
+    * the identical ln-of-ratio terms (ULP drift ~1e-16/term), the sum
+    * rounds stably at 4dp, and the exact token count rides along so
+    * consumers can per-token normalize without a rounded avg. Scale
+    * shape: one vocabulary-sized aggregate carrying BOTH corpus counts
+    * (single pass; the lang predicate rides the count), AQE-broadcast
+    * against the token stream, then a map-side-combined per-doc sum —
+    * the corpus text itself never shuffles. */
+  private def c08(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
+        lit(0))).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val totals = counts.agg(
+      sum(col("cr")).cast("double").as("nr"),
+      sum(col("ct")).cast("double").as("nt"),
+      count(lit(1)).cast("double").as("v"))
+    val lam = counts.crossJoin(broadcast(totals)).select(col("tok"),
+      (log((col("ct") + 1).cast("double") / (col("nt") + col("v"))) -
+        log((col("cr") + 1).cast("double") / (col("nr") + col("v"))))
+        .as("lam"))
+    toks.join(lam, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("lam")), 4).as("dsir_weight"),
+        count(lit(1)).as("n_toks"))
+  }
+
+  /** g01 — integer PageRank centrality over the customer–supplier
+    * trade graph ([[graft.operators.Graph.pageRankInt]]): nodes are
+    * customers (2k) and suppliers (2k+1), one undirected edge per
+    * DISTINCT trading pair from orders ⋈ lineitem, encoded as both
+    * directions so every node owns an outdegree. 3 fixed iterations of
+    * the exact millionths-scaled floor-division recurrence — bit-equal
+    * on any engine, so the oracle replays the identical unrolled
+    * arithmetic. The edge derivation is the scale story: the fact-fact
+    * join shuffles on orderkey once, pairs dedup with a map-side
+    * partial distinct, and each PR round is one node-sized join
+    * against the checkpointed edge frame. */
+  private def g01(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.orders(s, d)
+      .select(col("o_orderkey").as("ok"), (col("o_custkey") * 2).as("c"))
+      .join(Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), (col("l_suppkey") * 2 + 1).as("sp")),
+        "ok")
+      .select(col("c"), col("sp")).distinct()
+    val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
+      .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
+    graft.operators.Graph.pageRankInt(edges, iters = 3)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_clean_project" -> (q01 _),
     "q02_dedup_latest" -> (q02 _),
@@ -3105,6 +3163,8 @@ object SparkEntry {
     "c07_balance_upsample" -> (c07 _),
     "t24_pack_materialize" -> (t24 _),
     "t25_vocab_coverage" -> (t25 _),
+    "c08_dsir_weights" -> (c08 _),
+    "g01_pagerank" -> (g01 _),
   )
 
   /** Bench-time substitutes for the contract-check queries: the checks
@@ -5438,5 +5498,53 @@ object SparkEntry {
         |    AS BIGINT) AS n_oov
         |FROM tok LEFT JOIN v ON tok.tok = v.vtok
         |GROUP BY doc_id""".stripMargin,
+    // DSIR: identical ln-of-smoothed-ratio terms (t13 discipline),
+    // summed per doc and rounded at 4dp; target LM = the en stratum
+    "c08_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS cr,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+        |  FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS nr,
+        |    CAST(sum(ct) AS DOUBLE) AS nt,
+        |    CAST(count(*) AS DOUBLE) AS v FROM cnt),
+        |lam AS (SELECT tok,
+        |    ln(CAST(ct + 1 AS DOUBLE) / (nt + v)) -
+        |    ln(CAST(cr + 1 AS DOUBLE) / (nr + v)) AS lam
+        |  FROM cnt CROSS JOIN tot)
+        |SELECT doc_id, round(sum(lam), 4) AS dsir_weight,
+        |  count(*) AS n_toks
+        |FROM tok JOIN lam USING (tok)
+        |GROUP BY 1""".stripMargin,
+    // integer PageRank: the identical unrolled floor-division
+    // recurrence (damping 1/2, millionths scale) — exact on any engine
+    "g01_pagerank" ->
+      """WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS c,
+        |    l.l_suppkey * 2 + 1 AS sp
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |edges AS (SELECT c AS src, sp AS dst FROM pairs
+        |  UNION ALL SELECT sp AS src, c AS dst FROM pairs),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+        |  FROM edges GROUP BY 1),
+        |pr0 AS (SELECT DISTINCT src AS node,
+        |    CAST(1000000 AS BIGINT) AS pr FROM edges),
+        |pr1 AS (SELECT e.dst AS node,
+        |    CAST(500000 + CAST(sum(p.pr // d.deg) AS BIGINT) // 2
+        |      AS BIGINT) AS pr
+        |  FROM edges e JOIN deg d ON d.src = e.src
+        |  JOIN pr0 p ON p.node = e.src GROUP BY e.dst),
+        |pr2 AS (SELECT e.dst AS node,
+        |    CAST(500000 + CAST(sum(p.pr // d.deg) AS BIGINT) // 2
+        |      AS BIGINT) AS pr
+        |  FROM edges e JOIN deg d ON d.src = e.src
+        |  JOIN pr1 p ON p.node = e.src GROUP BY e.dst),
+        |pr3 AS (SELECT e.dst AS node,
+        |    CAST(500000 + CAST(sum(p.pr // d.deg) AS BIGINT) // 2
+        |      AS BIGINT) AS pr
+        |  FROM edges e JOIN deg d ON d.src = e.src
+        |  JOIN pr2 p ON p.node = e.src GROUP BY e.dst)
+        |SELECT node, pr FROM pr3""".stripMargin,
   )
 }

@@ -64,6 +64,37 @@ class GraphSpec extends SparkSpec {
     assert(labels.values.forall(_ == 0L))
   }
 
+  test("pageRankInt matches the hand-computed star recurrence") {
+    // undirected star 1–2, 1–3 encoded both directions; 3 iterations of
+    // pr'(v) = 500000 + (Σ pr(u) div deg(u)) div 2 by hand:
+    // iter1: (1.5e6, 750k, 750k); iter2: (1.25e6, 875k, 875k);
+    // iter3: (1.375e6, 812.5k, 812.5k)
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val got = Graph.pageRankInt(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1375000L, 2L -> 812500L, 3L -> 812500L))
+  }
+
+  test("pageRankInt agrees with a sequential reference on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 60
+    val und = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val edges = und ++ und.map(_.swap)
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var pr = edges.map(_._1).distinct.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => pr(u) / deg(u) }.sum
+      }
+      pr = pr.keys.map(v => v -> (500000L + in.getOrElse(v, 0L) / 2)).toMap
+    }
+    val got = Graph.pageRankInt(edges.toDF("src", "dst"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == pr)
+  }
+
   test("dupClusters labels every node, singletons included, with sizes") {
     val nodes = (1L to 8L).toDF("doc_id")
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
