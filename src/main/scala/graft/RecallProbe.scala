@@ -85,6 +85,7 @@ object RecallProbe {
     // nProbe=7 matches the REGISTERED s03 contract (SparkEntry) — the
     // operator default is 6, which under-reports the shipped margin
     annRecall("s03_ivf", Similarity.ivfTopK(emb, q, 10, nProbe = 7))
+    annRecall("s10_pq", Similarity.pqTopK(emb, q, 10))
 
     // q40: actual rank error of each approx quantile vs the contract's
     // 0.01*n allowance (sketch guarantee is n/1000 — want >= 10x slack)

@@ -1039,6 +1039,23 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, q, k = 10), minHits = 4)
   }
 
+  /** s10 — product-quantization ANN ([[Similarity.pqTopK]]: per-
+    * subspace sub-quantizer codebooks + ADC lookup-table scoring +
+    * exact re-rank of the top-250 shortlist), checked as recall@10 >=
+    * 0.5 per query vs the brute-force truth. Measured min hits = 6 at
+    * sf0.1 and 10 at sf0.01 (RecallProbe), so 5 is the contract with
+    * one hit of margin — the fixture's near-random 64-dim embeddings
+    * are PQ's hardest case (no cluster structure for codebooks to
+    * exploit), which is exactly why the wide-shortlist dial is the
+    * honest production shape. */
+  private def s10(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+    annRecallCheck(
+      Similarity.pqTopK(emb, q, k = 10),
+      Similarity.bruteForceTopK(emb, q, k = 10), minHits = 5)
+  }
+
   /** t06 — stopword filtering: token counts before/after removing the
     * English stopword set (a standard cleaning stage ahead of
     * shingling/dedup). */
@@ -3165,6 +3182,7 @@ object SparkEntry {
     "t25_vocab_coverage" -> (t25 _),
     "c08_dsir_weights" -> (c08 _),
     "g01_pagerank" -> (g01 _),
+    "s10_ann_pq" -> (s10 _),
   )
 
   /** Bench-time substitutes for the contract-check queries: the checks
@@ -3230,6 +3248,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 10,
         nProbe = 7)
+    }),
+    "s10_ann_pq" -> ((s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
     }),
     // the user-facing funnel runs the MinHash near-dup route (c01's
     // split); the exact-pairs route exists for the oracle's benefit
@@ -5518,6 +5540,11 @@ object SparkEntry {
         |  count(*) AS n_toks
         |FROM tok JOIN lam USING (tok)
         |GROUP BY 1""".stripMargin,
+    // PQ-ANN recall contract (s02/s03 shape): the boolean is computed
+    // Spark-side vs the exact in-Spark brute-force truth
+    "s10_ann_pq" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
     // integer PageRank: the identical unrolled floor-division
     // recurrence (damping 1/2, millionths scale) — exact on any engine
     "g01_pagerank" ->

@@ -537,6 +537,108 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("cand_id"), col("iscore"))
   }
 
+  /** Product-quantization ANN (Jégou, Douze & Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search", public literature):
+    * split each dim-D vector into `m` subvectors, fit a `codeK`-
+    * centroid sub-quantizer per subspace (seeded k-means over the
+    * hash-ranked training sample — the [[clusterAssign]] determinism
+    * discipline), store every corpus vector as m small codes, and
+    * score queries with the ADC (asymmetric distance computation)
+    * table: the query's dot product with all m·codeK sub-centroids is
+    * computed ONCE per query, and each candidate's approximate cosine
+    * is m table lookups over its codes —
+    *   cos(q, ĉ) ∝ Σⱼ dot(qⱼ, cen[j,codeⱼ]) / √(Σⱼ |cen[j,codeⱼ]|²)
+    * (ĉ = the reconstruction; |q| is per-query constant and drops out
+    * of the ranking). Exact cosine re-ranks the top-`rerank` ADC
+    * shortlist; recall vs brute force is the s10 contract.
+    *
+    * Scale shape: the corpus is touched by exactly two passes — the
+    * encode (join against the broadcast m·codeK codebook, argmin as a
+    * partial-combining min-struct aggregation: no window, no neighbor
+    * lists) and the LUT-join scoring whose shuffle rows are (query,
+    * cand, partials), 4+8 bytes of code payload instead of the 256-
+    * byte float vector — the PQ memory story. Training reads only
+    * `trainCap` rows. Rankings order by 9dp-rounded keys + id
+    * (the s09 discipline) so shortlist membership is reproducible.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, codeK: Int = 16, rerank: Int = 250,
+             seed: Long = 42L, trainCap: Int = 4096,
+             idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (_, dim) = corpusStats(corpus, vecCol)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    def slices(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId), posexplode(transform(
+          sequence(lit(0), lit(m - 1)),
+          j => slice(col(vecCol), j * lit(sub) + 1, lit(sub)))))
+        .select(col(outId), col("pos").cast("int").as("j"),
+          col("col").as("sv"))
+    // single-partition hash-ranked sample: content AND order are
+    // total-order-determined, so every seeded fit below is identical
+    // across partitionings (clusterAssign scaladoc)
+    val train = corpus
+      .sort(xxhash64(col(idCol)), col(idCol)).limit(trainCap)
+      .select(col(idCol), col(vecCol))
+    val trainSl = slices(train, "tid")
+      .withColumn("features",
+        array_to_vector(col("sv").cast("array<double>")))
+      .localCheckpoint(true)
+    val codebook = (0 until m).flatMap { j =>
+      val model = new KMeans().setK(codeK).setSeed(seed + j)
+        .setMaxIter(5).fit(trainSl.filter(col("j") === j))
+      model.clusterCenters.zipWithIndex.map { case (cvec, code) =>
+        val arr = cvec.toArray.map(_.toFloat)
+        (j, code, arr, arr.map(x => x.toDouble * x).sum)
+      }
+    }.toSeq.toDF("j", "code", "cen", "cnorm2")
+    // encode: argmin over |sv−cen|² = cnorm2 − 2·dot + |sv|²; |sv|² is
+    // constant within the group, so the 9dp-rounded key + code break
+    // is a deterministic min
+    val codes = slices(corpus, "cand_id")
+      .join(broadcast(codebook), Seq("j"))
+      .groupBy(col("cand_id"), col("j"))
+      .agg(min(struct(
+        round(col("cnorm2") -
+          lit(2.0) * VectorFunctions.dot(col("sv"), col("cen")), 9)
+          .as("dk"),
+        col("code").as("code"))).as("best"))
+      .select(col("cand_id"), col("j"), col("best.code").as("code"))
+    val lut = slices(queries, "query_id")
+      .join(broadcast(codebook), Seq("j"))
+      .select(col("query_id"), col("j"), col("code"),
+        VectorFunctions.dot(col("sv"), col("cen")).as("dq"),
+        col("cnorm2"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adck").desc, col("cand_id").asc)
+    val shortlist = codes.join(broadcast(lut), Seq("j", "code"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("dq")).as("sdot"), sum(col("cnorm2")).as("sn2"))
+      .withColumn("adck", round(col("sdot") / sqrt(col("sn2")), 9))
+      .withColumn("arnk", row_number().over(wA))
+      .filter(col("arnk") <= rerank)
+      .select(col("query_id"), col("cand_id"))
+    val wR = Window.partitionBy(col("query_id"))
+      .orderBy(col("rsim").desc, col("cand_id").asc)
+    shortlist
+      .join(corpus.select(col(idCol).as("cand_id"),
+        col(vecCol).as("cand_vec")), Seq("cand_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("query_vec"))), Seq("query_id"))
+      .withColumn("rsim",
+        round(VectorFunctions.cosine(col("cand_vec"), col("query_vec")), 9))
+      .withColumn("rnk", row_number().over(wR))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("cand_id"), round(col("rsim"), 4).as("sim"))
+  }
+
   /** Exact all-pairs cosine >= threshold — the O(N²) ground truth the
     * LSH recall checks compare against. Deliberately quadratic: this is
     * the verification oracle for [[nearDupPairs]], not a scale path

@@ -86,6 +86,9 @@ class RecallMarginSpec extends SparkSpec {
 
       val s03Min = minHits(Similarity.ivfTopK(emb, q, 10, nProbe = 7))
       assert(s03Min >= 5, s"s03 margin gone: min hits $s03Min, contract 4")
+
+      val s10Min = minHits(Similarity.pqTopK(emb, q, 10))
+      assert(s10Min >= 6, s"s10 margin gone: min hits $s10Min, contract 5")
     }
 
     test(s"q52 HLL estimates stay under HALF the 5pct allowance at $sfDir") {
