@@ -3016,6 +3016,45 @@ object SparkEntry {
         count(lit(1)).as("n_toks"))
   }
 
+  /** c09 — temperature-based mixture allocation (the multilingual-LM
+    * α-sampling scheme, α = 1/2: sampling weights ∝ n^α renormalized,
+    * upweighting small language strata relative to their natural
+    * share) with LARGEST-REMAINDER integer apportionment: budget
+    * T = N div 4 docs, wᵢ = floor(√nᵢ·10⁶), base allocation
+    * (T·wᵢ) div Σw, and the T − Σbase leftover seats go to the largest
+    * integer remainders (T·wᵢ) mod Σw (ties by lang) — Σalloc = T
+    * exactly, no float shares to drift (√ is IEEE-correctly-rounded,
+    * identical cross-engine; everything after the floor is integer).
+    * Selection reuses the two-level [[graft.operators.Curate
+    * .md5RankByStratum]], so no stratum ranks on one partition. The
+    * S-row allocation table is the only driver-size state and
+    * broadcasts. (At corpus sizes where T·wᵢ nears 2⁶³, drop the 10⁶
+    * weight scale — the apportionment only needs w's RATIOS.) */
+  private def c09(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val n = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val w = n.withColumn("w",
+      floor(sqrt(col("n").cast("double")) * 1e6).cast("long"))
+    val tot = w.agg(sum(col("w")).as("bw"), expr("sum(n) div 4").as("t"))
+    val a0 = w.crossJoin(broadcast(tot))
+      .withColumn("base", expr("(t * w) div bw"))
+      .withColumn("rem", expr("(t * w) % bw"))
+    val short = a0.agg((max(col("t")) - sum(col("base"))).as("r"))
+    // S-row frame: the global remainder-rank window is stratum-sized,
+    // not data-sized (the c06 allocation-table class)
+    val rw = Window.orderBy(col("rem").desc, col("lang").asc)
+    val alloc = a0
+      .withColumn("ri", row_number().over(rw).cast("long"))
+      .crossJoin(broadcast(short))
+      .withColumn("alloc",
+        col("base") + when(col("ri") <= col("r"), 1L).otherwise(0L))
+      .select(col("lang"), col("alloc"))
+    graft.operators.Curate.md5RankByStratum(docs, "doc_id", "lang", "temper")
+      .join(broadcast(alloc), "lang")
+      .filter(col("rn") <= col("alloc"))
+      .select(col("doc_id"), col("lang"), col("rn"), col("alloc"))
+  }
+
   /** g01 — integer PageRank centrality over the customer–supplier
     * trade graph ([[graft.operators.Graph.pageRankInt]]): nodes are
     * customers (2k) and suppliers (2k+1), one undirected edge per
@@ -3181,6 +3220,7 @@ object SparkEntry {
     "t24_pack_materialize" -> (t24 _),
     "t25_vocab_coverage" -> (t25 _),
     "c08_dsir_weights" -> (c08 _),
+    "c09_temperature_mix" -> (c09 _),
     "g01_pagerank" -> (g01 _),
     "s10_ann_pq" -> (s10 _),
   )
@@ -5540,6 +5580,31 @@ object SparkEntry {
         |  count(*) AS n_toks
         |FROM tok JOIN lam USING (tok)
         |GROUP BY 1""".stripMargin,
+    // temperature mixing: integer largest-remainder apportionment over
+    // floor(sqrt·1e6) weights — exact on both engines
+    "c09_temperature_mix" ->
+      """WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS w FROM n),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS bw,
+        |    CAST(sum(n) AS BIGINT) // 4 AS t FROM w),
+        |a0 AS (SELECT lang, (t * w) // bw AS base, (t * w) % bw AS rem,
+        |    t FROM w CROSS JOIN tot),
+        |sh AS (SELECT CAST(max(t) AS BIGINT) - CAST(sum(base) AS BIGINT)
+        |    AS r FROM a0),
+        |a AS (SELECT lang, base +
+        |    (CASE WHEN row_number() OVER (ORDER BY rem DESC, lang) <= r
+        |      THEN 1 ELSE 0 END) AS alloc
+        |  FROM a0 CROSS JOIN sh),
+        |rk AS (SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':temper'), doc_id)
+        |      AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, rn, alloc
+        |FROM rk JOIN a USING (lang) WHERE rn <= alloc""".stripMargin,
     // PQ-ANN recall contract (s02/s03 shape): the boolean is computed
     // Spark-side vs the exact in-Spark brute-force truth
     "s10_ann_pq" ->
