@@ -540,9 +540,11 @@ object Similarity {
   /** Product-quantization ANN (Jégou, Douze & Schmid 2011, "Product
     * Quantization for Nearest Neighbor Search", public literature):
     * split each dim-D vector into `m` subvectors, fit a `codeK`-
-    * centroid sub-quantizer per subspace (seeded k-means over the
-    * hash-ranked training sample — the [[clusterAssign]] determinism
-    * discipline), store every corpus vector as m small codes, and
+    * centroid sub-quantizer per subspace (driver-side deterministic
+    * Lloyd over the bounded hash-ranked training sample — at 100 TB
+    * the codebook must come from O(trainCap) rows anyway, and a
+    * bounded sample is exactly what a driver may hold), store every
+    * corpus vector as m small codes, and
     * score queries with the ADC (asymmetric distance computation)
     * table: the query's dot product with all m·codeK sub-centroids is
     * computed ONCE per query, and each candidate's approximate cosine
@@ -566,8 +568,6 @@ object Similarity {
              seed: Long = 42L, trainCap: Int = 4096,
              idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
     val (_, dim) = corpusStats(corpus, vecCol)
@@ -579,21 +579,51 @@ object Similarity {
           j => slice(col(vecCol), j * lit(sub) + 1, lit(sub)))))
         .select(col(outId), col("pos").cast("int").as("j"),
           col("col").as("sv"))
-    // single-partition hash-ranked sample: content AND order are
-    // total-order-determined, so every seeded fit below is identical
-    // across partitionings (clusterAssign scaladoc)
+    // codebook training is DRIVER-SIDE Lloyd over the bounded
+    // hash-ranked sample (trainCap·m subvectors of D/m floats — KBs):
+    // one collect, zero per-fit job overhead, and full determinism —
+    // the sample set is total-order-selected, the per-subspace pool is
+    // lex-sorted before the evenly-spaced init, assignment ties break
+    // to the lowest code, and empty cells keep their centroid, so the
+    // codebook is a pure function of the corpus content
     val train = corpus
       .sort(xxhash64(col(idCol)), col(idCol)).limit(trainCap)
       .select(col(idCol), col(vecCol))
-    val trainSl = slices(train, "tid")
-      .withColumn("features",
-        array_to_vector(col("sv").cast("array<double>")))
-      .localCheckpoint(true)
+    val sampleRows = slices(train, "tid")
+      .select(col("j"), col("sv")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val ordD = math.Ordering.Double.TotalOrdering
     val codebook = (0 until m).flatMap { j =>
-      val model = new KMeans().setK(codeK).setSeed(seed + j)
-        .setMaxIter(5).fit(trainSl.filter(col("j") === j))
-      model.clusterCenters.zipWithIndex.map { case (cvec, code) =>
-        val arr = cvec.toArray.map(_.toFloat)
+      val pool = sampleRows.iterator.filter(_._1 == j).map(_._2).toArray
+      scala.util.Sorting.stableSort(pool,
+        (a: Array[Double], b: Array[Double]) =>
+          a.lazyZip(b).collectFirst {
+            case (x, y) if x != y => ordD.lt(x, y) }.getOrElse(false))
+      val k = math.min(codeK, math.max(1, pool.length))
+      var cen = Array.tabulate(k)(i =>
+        pool(((i.toLong * pool.length) / k).toInt).clone())
+      for (_ <- 1 to 5) {
+        val sums = Array.fill(k)(new Array[Double](sub))
+        val cnt = new Array[Long](k)
+        pool.foreach { p =>
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var d2 = 0.0; var i = 0
+            while (i < sub) { val t = p(i) - cen(c)(i); d2 += t * t; i += 1 }
+            if (d2 < bd) { bd = d2; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < sub) { sums(best)(i) += p(i); i += 1 }
+          cnt(best) += 1
+        }
+        cen = Array.tabulate(k)(c =>
+          if (cnt(c) == 0) cen(c)
+          else Array.tabulate(sub)(i => sums(c)(i) / cnt(c)))
+      }
+      cen.zipWithIndex.map { case (cv, code) =>
+        val arr = cv.map(_.toFloat)
         (j, code, arr, arr.map(x => x.toDouble * x).sum)
       }
     }.toSeq.toDF("j", "code", "cen", "cnorm2")
