@@ -3078,6 +3078,28 @@ object SparkEntry {
     graft.operators.Graph.pageRankInt(edges, iters = 3)
   }
 
+  /** g02 — WEIGHTED integer PageRank: g01's exact recurrence with mass
+    * flowing proportionally to integer edge weights (trade intensity —
+    * the distinct-order count each customer–supplier pair shares),
+    * floor((pr·w) div Σw_out) per edge. Same bit-deterministic
+    * arithmetic, same per-round node-sized join; the weight aggregation
+    * replaces g01's pair-distinct with one partial-combined groupBy, so
+    * the edge build costs the same single orderkey shuffle. */
+  private def g02(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.orders(s, d)
+      .select(col("o_orderkey").as("ok"), (col("o_custkey") * 2).as("c"))
+      .join(Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), (col("l_suppkey") * 2 + 1).as("sp")),
+        "ok")
+      .groupBy(col("c"), col("sp"))
+      .agg(countDistinct(col("ok")).as("w"))
+    val edges = pairs
+      .select(col("c").as("src"), col("sp").as("dst"), col("w"))
+      .unionByName(pairs
+        .select(col("sp").as("src"), col("c").as("dst"), col("w")))
+    graft.operators.Graph.pageRankInt(edges, iters = 3)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_clean_project" -> (q01 _),
     "q02_dedup_latest" -> (q02 _),
@@ -3222,6 +3244,7 @@ object SparkEntry {
     "c08_dsir_weights" -> (c08 _),
     "c09_temperature_mix" -> (c09 _),
     "g01_pagerank" -> (g01 _),
+    "g02_pagerank_weighted" -> (g02 _),
     "s10_ann_pq" -> (s10 _),
   )
 
@@ -5635,6 +5658,36 @@ object SparkEntry {
         |pr3 AS (SELECT e.dst AS node,
         |    CAST(500000 + CAST(sum(p.pr // d.deg) AS BIGINT) // 2
         |      AS BIGINT) AS pr
+        |  FROM edges e JOIN deg d ON d.src = e.src
+        |  JOIN pr2 p ON p.node = e.src GROUP BY e.dst)
+        |SELECT node, pr FROM pr3""".stripMargin,
+    // weighted PageRank: identical unrolled arithmetic with
+    // floor((pr*w) div wsum) edge contributions
+    "g02_pagerank_weighted" ->
+      """WITH pairs AS (SELECT o.o_custkey * 2 AS c,
+        |    l.l_suppkey * 2 + 1 AS sp,
+        |    CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS w
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT c AS src, sp AS dst, w FROM pairs
+        |  UNION ALL SELECT sp AS src, c AS dst, w FROM pairs),
+        |deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum
+        |  FROM edges GROUP BY 1),
+        |pr0 AS (SELECT DISTINCT src AS node,
+        |    CAST(1000000 AS BIGINT) AS pr FROM edges),
+        |pr1 AS (SELECT e.dst AS node,
+        |    CAST(500000 + CAST(sum((p.pr * e.w) // d.wsum) AS BIGINT)
+        |      // 2 AS BIGINT) AS pr
+        |  FROM edges e JOIN deg d ON d.src = e.src
+        |  JOIN pr0 p ON p.node = e.src GROUP BY e.dst),
+        |pr2 AS (SELECT e.dst AS node,
+        |    CAST(500000 + CAST(sum((p.pr * e.w) // d.wsum) AS BIGINT)
+        |      // 2 AS BIGINT) AS pr
+        |  FROM edges e JOIN deg d ON d.src = e.src
+        |  JOIN pr1 p ON p.node = e.src GROUP BY e.dst),
+        |pr3 AS (SELECT e.dst AS node,
+        |    CAST(500000 + CAST(sum((p.pr * e.w) // d.wsum) AS BIGINT)
+        |      // 2 AS BIGINT) AS pr
         |  FROM edges e JOIN deg d ON d.src = e.src
         |  JOIN pr2 p ON p.node = e.src GROUP BY e.dst)
         |SELECT node, pr FROM pr3""".stripMargin,

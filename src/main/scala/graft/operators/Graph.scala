@@ -172,9 +172,12 @@ object Graph {
     * discipline); per-round localCheckpoint keeps the Catalyst tree
     * flat (swap for reliable checkpoint on a real cluster).
     *
-    * @param edges two-column (src, dst) long-typed directed edges;
+    * @param edges two-column (src, dst) long-typed directed edges —
+    *              or three-column (src, dst, w) for a WEIGHTED graph,
+    *              where each step distributes pr(u) proportionally to
+    *              integer edge weights, floor((pr·w) div Σw_out) —
     *              every node must appear as a src at least once for
-    *              its outdegree to exist (an undirected graph encoded
+    *              its out-weight to exist (an undirected graph encoded
     *              as both directions satisfies this by construction)
     * @param iters fixed iteration count (no convergence probe: a fixed
     *              budget is the reproducible form)
@@ -182,17 +185,20 @@ object Graph {
     */
   def pageRankInt(edges: DataFrame, iters: Int = 3,
                   scale: Long = 1000000L): DataFrame = {
+    val wCol = if (edges.columns.length >= 3)
+      col(edges.columns(2)).cast("long") else lit(1L)
     val e = edges.select(
       col(edges.columns(0)).cast("long").as("src"),
-      col(edges.columns(1)).cast("long").as("dst"))
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      col(edges.columns(1)).cast("long").as("dst"),
+      wCol.as("w"))
+    val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
     val ed = e.join(deg, "src").localCheckpoint(true)
     var pr = ed.select(col("src").as("node")).distinct()
       .withColumn("pr", lit(scale))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       pr = ed.join(pr.withColumnRenamed("node", "src"), "src")
-        .select(col("dst"), expr("pr div deg").as("contrib"))
+        .select(col("dst"), expr("(pr * w) div wsum").as("contrib"))
         .groupBy(col("dst"))
         .agg((lit(scale / 2) + expr("sum(contrib) div 2")).as("pr"))
         .select(col("dst").as("node"), col("pr"))

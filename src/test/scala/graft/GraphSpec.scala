@@ -76,6 +76,17 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 1375000L, 2L -> 812500L, 3L -> 812500L))
   }
 
+  test("pageRankInt distributes mass by integer edge weights") {
+    // star 1-2 (w=3), 1-3 (w=1), both directions; wsum: 1->4, 2->3, 3->1
+    // iter1: (1.5e6, 875k, 625k); iter2: (1.25e6, 1062.5k, 687.5k);
+    // iter3: (1.375e6, 968.75k, 656.25k) by hand
+    val edges = Seq((1L, 2L, 3L), (2L, 1L, 3L), (1L, 3L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.pageRankInt(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1375000L, 2L -> 968750L, 3L -> 656250L))
+  }
+
   test("pageRankInt agrees with a sequential reference on a random graph") {
     val rnd = new scala.util.Random(7)
     val n = 60
