@@ -3505,6 +3505,11 @@ object SparkEntry {
       },
       "st07_stream_sliding" ->
         drive((_, _, src) => graft.streaming.EventStreams.slidingAgg(src)),
+      // the sketch family in the stream: windowed HLL distinct-users —
+      // KBs of state per window vs an exact distinct's every-user-id
+      "st10_stream_approx_distinct" ->
+        drive((_, _, src) =>
+          graft.streaming.EventStreams.tumblingApproxDistinct(src)),
       "st05_stream_dim_join" ->
         drive((s, d, src) => graft.streaming.EventStreams
           .enrichedTumblingAgg(src, Tables.customer(s, d))),

@@ -49,6 +49,24 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Windowed approximate-distinct: per tumbling window, the HLL
+    * approx_count_distinct of active users — the q17/q52 mergeable-
+    * sketch family lifted into the stream. State per window is KBs of
+    * sketch buffer regardless of user cardinality; an exact windowed
+    * distinct would hold every user id in the store, which is exactly
+    * what a 100 TB event stream cannot afford. Append mode, same
+    * emit-once discipline as [[tumblingAgg]]. */
+  def tumblingApproxDistinct(events: DataFrame,
+                             windowLen: String = "5 minutes",
+                             watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("approx_users"),
+        col("n"))
+
   /** Built-in session windows: gap-based (30 min), watermark-bounded. */
   def sessionWindowAgg(events: DataFrame,
                        gap: String = "30 minutes",

@@ -38,6 +38,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed approx-distinct estimates per-window users within band") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.tumblingApproxDistinct(mem.toDF(), "5 minutes",
+        "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("approx_out").start()
+    try {
+      // window 00:00: users 1..40 (some repeated); window 00:05: users 1..5
+      val w1 = (1L to 40L).map(u =>
+        ev(u, "2024-01-01 00:01:00", u)) ++ (41L to 60L).map(i =>
+        ev(i, "2024-01-01 00:02:00", i % 40 + 1))
+      val w2 = (61L to 65L).map(i => ev(i, "2024-01-01 00:06:00", i - 60))
+      mem.addData(w1 ++ w2: _*)
+      q.processAllAvailable()
+      mem.addData(ev(99, "2024-01-01 01:00:00", 1))
+      q.processAllAvailable()
+      val rows = spark.table("approx_out")
+        .select($"window_start".cast("string"), $"approx_users", $"n")
+        .as[(String, Long, Long)].collect()
+        .map { case (w, a, n) => w -> ((a, n)) }.toMap
+      val (a1, n1) = rows("2024-01-01 00:00:00")
+      val (a2, n2) = rows("2024-01-01 00:05:00")
+      assert(n1 == 60L && n2 == 5L)
+      // rsd 0.02 ⇒ generous ±20% acceptance band on 40/5 true users
+      assert(a1 >= 32 && a1 <= 48, s"approx 40 users as $a1")
+      assert(a2 >= 4 && a2 <= 6, s"approx 5 users as $a2")
+    } finally q.stop()
+  }
+
   test("watermark DROPS late rows once their window is finalized") {
     // the semantics the batch twins cannot express: a row arriving
     // behind the watermark is discarded, exactly once, silently — and
