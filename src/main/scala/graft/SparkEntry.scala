@@ -1056,6 +1056,16 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, q, k = 10), minHits = 5)
   }
 
+  /** s11 — hard-negative mining ([[Similarity.hardNegatives]]): per
+    * anchor (vec_id < 10), the 5 most similar vectors with a DIFFERENT
+    * label — the contrastive-training batch-builder. Full
+    * deterministic oracle: both engines rank the identical
+    * 9dp-rounded cosine + cand_id total order. */
+  private def s11(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
   /** t06 — stopword filtering: token counts before/after removing the
     * English stopword set (a standard cleaning stage ahead of
     * shingling/dedup). */
@@ -3246,6 +3256,7 @@ object SparkEntry {
     "g01_pagerank" -> (g01 _),
     "g02_pagerank_weighted" -> (g02 _),
     "s10_ann_pq" -> (s10 _),
+    "s11_hard_negatives" -> (s11 _),
   )
 
   /** Bench-time substitutes for the contract-check queries: the checks
@@ -5608,6 +5619,23 @@ object SparkEntry {
         |  count(*) AS n_toks
         |FROM tok JOIN lam USING (tok)
         |GROUP BY 1""".stripMargin,
+    // hard negatives: identical 9dp-rounded cosine + id total order on
+    // both engines (s09 discipline)
+    "s11_hard_negatives" ->
+      """WITH a AS (SELECT vec_id AS anchor_id, embedding AS av,
+        |    label AS al FROM embeddings WHERE vec_id < 10),
+        |scored AS (SELECT a.anchor_id, e.vec_id AS cand_id,
+        |    e.label AS cand_label,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(a.av AS DOUBLE[])), 9) AS simk
+        |  FROM embeddings e, a
+        |  WHERE e.vec_id <> a.anchor_id AND e.label <> a.al),
+        |ranked AS (SELECT anchor_id, cand_id, cand_label, simk,
+        |    CAST(row_number() OVER (PARTITION BY anchor_id
+        |      ORDER BY simk DESC, cand_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT anchor_id, rnk, cand_id, cand_label, round(simk, 4) AS sim
+        |FROM ranked WHERE rnk <= 5""".stripMargin,
     // temperature mixing: integer largest-remainder apportionment over
     // floor(sqrt·1e6) weights — exact on both engines
     "c09_temperature_mix" ->

@@ -669,6 +669,37 @@ object Similarity {
         col("cand_id"), round(col("rsim"), 4).as("sim"))
   }
 
+  /** Hard-negative mining (the triplet/contrastive-loss batch-builder
+    * from the metric-learning literature — FaceNet, Sentence-BERT):
+    * for each anchor, the k most SIMILAR candidates carrying a
+    * DIFFERENT label — the negatives that actually move a contrastive
+    * loss (random negatives are trivially separated and teach
+    * nothing). Same scale shape as [[bruteForceTopK]]: anchors
+    * broadcast, corpus never shuffles, WindowGroupLimit prunes
+    * map-side; the label anti-filter composes with any shortlist
+    * scorer (swap in [[lshTopK]]/[[ivfTopK]]/[[pqTopK]] when the
+    * anchor set is corpus-sized). Ranking keys are 9dp-rounded + id
+    * (s09 discipline) so the cutoff is engine-agnostic. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).as("cand_vec"), col(labelCol).as("cand_label"))
+    val a = anchors.select(col(idCol).as("anchor_id"),
+      col(vecCol).as("anchor_vec"), col(labelCol).as("anchor_label"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("simk").desc, col("cand_id").asc)
+    c.crossJoin(broadcast(a))
+      .filter(col("cand_id") =!= col("anchor_id") &&
+        col("cand_label") =!= col("anchor_label"))
+      .withColumn("simk",
+        round(VectorFunctions.cosine(col("cand_vec"), col("anchor_vec")), 9))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("anchor_id"), col("rnk").cast("long").as("rnk"),
+        col("cand_id"), col("cand_label"), round(col("simk"), 4).as("sim"))
+  }
+
   /** Exact all-pairs cosine >= threshold — the O(N²) ground truth the
     * LSH recall checks compare against. Deliberately quadratic: this is
     * the verification oracle for [[nearDupPairs]], not a scale path
