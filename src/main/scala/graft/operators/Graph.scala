@@ -165,12 +165,17 @@ object Graph {
     * read — is preserved.
     *
     * Scale design: the per-iteration work is one equi-join of the
-    * (edge ⋈ outdeg) frame — checkpointed once, reused every round —
-    * against the node-sized rank frame, then a map-side-combined sum
-    * by dst. Nothing is ever collected to the driver and no neighbor
-    * lists materialize (hub-proof, the [[connectedComponents]]
-    * discipline); per-round localCheckpoint keeps the Catalyst tree
-    * flat (swap for reliable checkpoint on a real cluster).
+    * (edge ⋈ outdeg) frame against the node-sized rank frame, then a
+    * map-side-combined sum by dst. The edge frame is IMMUTABLE across
+    * rounds, so it is repartitioned + sorted on src ONCE and cached —
+    * the InMemoryRelation keeps its outputPartitioning/ordering
+    * (unlike a localCheckpoint, which reports UnknownPartitioning and
+    * would re-shuffle the edges every round), so each round's join
+    * moves only the rank frame (GraphX's own Pregel practice). Nothing
+    * is ever collected to the driver and no neighbor lists materialize
+    * (hub-proof, the [[connectedComponents]] discipline); the rank
+    * frame's per-round localCheckpoint keeps the Catalyst tree flat
+    * (swap for reliable checkpoint on a real cluster).
     *
     * @param edges two-column (src, dst) long-typed directed edges —
     *              or three-column (src, dst, w) for a WEIGHTED graph,
@@ -192,7 +197,9 @@ object Graph {
       col(edges.columns(1)).cast("long").as("dst"),
       wCol.as("w"))
     val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
-    val ed = e.join(deg, "src").localCheckpoint(true)
+    val ed = e.join(deg, "src")
+      .repartition(col("src")).sortWithinPartitions(col("src"))
+      .persist()
     var pr = ed.select(col("src").as("node")).distinct()
       .withColumn("pr", lit(scale))
       .localCheckpoint(true)
@@ -204,6 +211,9 @@ object Graph {
         .select(col("dst").as("node"), col("pr"))
         .localCheckpoint(true)
     }
+    // every round's ranks are eagerly materialized, so the edge cache
+    // can drop before the result is consumed
+    ed.unpersist(false)
     pr
   }
 }
