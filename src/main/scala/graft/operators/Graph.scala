@@ -101,6 +101,10 @@ object Graph {
     var liveIds: Set[Int] = Set.empty
     def checkpointSwapping(df: DataFrame): DataFrame = {
       val before = sc.getPersistentRDDs.keySet
+      // EAGER on purpose: the previous round's blocks are unpersisted
+      // right below, and this round's lineage (truncated by the
+      // checkpoint) can only be recomputed from those blocks — the
+      // new round must be materialized BEFORE its ancestor drops
       val out = df.localCheckpoint()
       val created = (sc.getPersistentRDDs.keySet -- before).toSet
       liveIds.foreach(id =>
