@@ -3029,36 +3029,16 @@ object SparkEntry {
   /** c09 — temperature-based mixture allocation (the multilingual-LM
     * α-sampling scheme, α = 1/2: sampling weights ∝ n^α renormalized,
     * upweighting small language strata relative to their natural
-    * share) with LARGEST-REMAINDER integer apportionment: budget
-    * T = N div 4 docs, wᵢ = floor(√nᵢ·10⁶), base allocation
-    * (T·wᵢ) div Σw, and the T − Σbase leftover seats go to the largest
-    * integer remainders (T·wᵢ) mod Σw (ties by lang) — Σalloc = T
-    * exactly, no float shares to drift (√ is IEEE-correctly-rounded,
-    * identical cross-engine; everything after the floor is integer).
-    * Selection reuses the two-level [[graft.operators.Curate
-    * .md5RankByStratum]], so no stratum ranks on one partition. The
-    * S-row allocation table is the only driver-size state and
-    * broadcasts. (At corpus sizes where T·wᵢ nears 2⁶³, drop the 10⁶
-    * weight scale — the apportionment only needs w's RATIOS.) */
+    * share) via [[graft.operators.Curate.temperatureAlloc]]'s
+    * largest-remainder integer apportionment (Σalloc = T exactly;
+    * property-tested vs a sequential BigInt Hamilton reference in
+    * CurateSpec). Selection reuses the two-level
+    * [[graft.operators.Curate.md5RankByStratum]], so no stratum ranks
+    * on one partition; the S-row allocation table broadcasts. */
   private def c09(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
     val n = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-    val w = n.withColumn("w",
-      floor(sqrt(col("n").cast("double")) * 1e6).cast("long"))
-    val tot = w.agg(sum(col("w")).as("bw"), expr("sum(n) div 4").as("t"))
-    val a0 = w.crossJoin(broadcast(tot))
-      .withColumn("base", expr("(t * w) div bw"))
-      .withColumn("rem", expr("(t * w) % bw"))
-    val short = a0.agg((max(col("t")) - sum(col("base"))).as("r"))
-    // S-row frame: the global remainder-rank window is stratum-sized,
-    // not data-sized (the c06 allocation-table class)
-    val rw = Window.orderBy(col("rem").desc, col("lang").asc)
-    val alloc = a0
-      .withColumn("ri", row_number().over(rw).cast("long"))
-      .crossJoin(broadcast(short))
-      .withColumn("alloc",
-        col("base") + when(col("ri") <= col("r"), 1L).otherwise(0L))
-      .select(col("lang"), col("alloc"))
+    val alloc = graft.operators.Curate.temperatureAlloc(n, "lang")
     graft.operators.Curate.md5RankByStratum(docs, "doc_id", "lang", "temper")
       .join(broadcast(alloc), "lang")
       .filter(col("rn") <= col("alloc"))

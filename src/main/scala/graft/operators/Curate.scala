@@ -251,4 +251,40 @@ object Curate {
               .otherwise(0L)))
       .select(col(keyCol), col("alloc"))
   }
+
+  /** Temperature-based (α = 1/2) mixture allocation with LARGEST-
+    * REMAINDER (Hamilton) integer apportionment: weights wᵢ =
+    * floor(√nᵢ·10⁶), budget T = (Σn·budgetNum) div budgetDen, base
+    * seats (T·wᵢ) div Σw, and the T − Σbase leftovers go to the
+    * largest integer remainders (T·wᵢ) mod Σw (key tie-break) —
+    * Σalloc = T EXACTLY (CurateSpec property-tests this against a
+    * sequential BigInt reference) and every step after the
+    * IEEE-exact √ is integer, so the allocation is engine- and
+    * partitioning-agnostic. The S-row table broadcasts. (At corpus
+    * sizes where T·wᵢ nears 2⁶³, drop the 10⁶ weight scale — the
+    * apportionment only needs w's RATIOS.)
+    *
+    * @param counts (keyCol, n) stratum sizes
+    * @return (keyCol, alloc)
+    */
+  def temperatureAlloc(counts: DataFrame, keyCol: String,
+                       budgetNum: Long = 1L, budgetDen: Long = 4L)
+      : DataFrame = {
+    val w = counts.withColumn("w",
+      floor(sqrt(col("n").cast("double")) * 1e6).cast("long"))
+    val tot = w.agg(sum(col("w")).as("bw"),
+      expr(s"(sum(n) * $budgetNum) div $budgetDen").as("t"))
+    val a0 = w.crossJoin(broadcast(tot))
+      .withColumn("base", expr("(t * w) div bw"))
+      .withColumn("rem", expr("(t * w) % bw"))
+    val short = a0.agg((max(col("t")) - sum(col("base"))).as("r"))
+    // S-row frame: the global remainder-rank window is stratum-sized,
+    // not data-sized (the unimaxAlloc allocation-table class)
+    val rw = Window.orderBy(col("rem").desc, col(keyCol).asc)
+    a0.withColumn("ri", row_number().over(rw).cast("long"))
+      .crossJoin(broadcast(short))
+      .withColumn("alloc",
+        col("base") + when(col("ri") <= col("r"), 1L).otherwise(0L))
+      .select(col(keyCol), col("alloc"))
+  }
 }

@@ -134,4 +134,30 @@ class CurateSpec extends SparkSpec {
       assert(got.values.sum == math.min(total * num / den, total))
     }
   }
+
+  test("temperatureAlloc matches a sequential Hamilton reference") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 25) {
+      val s = 1 + rnd.nextInt(8)
+      val ns = (0 until s).map(i => (f"s$i%02d", 1L + rnd.nextInt(5000)))
+      val counts = ns.toDF("lang", "n")
+      val got = Curate.temperatureAlloc(counts, "lang")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // sequential largest-remainder reference over BigInt arithmetic
+      val t = BigInt(ns.map(_._2).sum) / 4
+      val ws = ns.map { case (k, n) =>
+        k -> BigInt(math.floor(math.sqrt(n.toDouble) * 1e6).toLong) }
+      val bw = ws.map(_._2).sum
+      val base = ws.map { case (k, w) => k -> (t * w / bw) }.toMap
+      val rem = ws.map { case (k, w) => k -> (t * w % bw) }
+      val leftover = (t - base.values.sum).toInt
+      val extra = rem.sortBy { case (k, r) => (-r, k) }
+        .take(leftover).map(_._1).toSet
+      val want = ns.map { case (k, _) =>
+        k -> (base(k) + (if (extra(k)) 1 else 0)).toLong }.toMap
+      assert(got == want, s"trial $trial: ns=$ns")
+      // the defining Hamilton invariant: allocations sum to T exactly
+      assert(got.values.sum == t.toLong, s"trial $trial sum != T")
+    }
+  }
 }
