@@ -3045,6 +3045,46 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("rn"), col("alloc"))
   }
 
+  /** c10 — DSIR-select + temperature-mix, composed: the modern
+    * data-selection pipeline in one statement. Keep documents whose
+    * 4dp-rounded DSIR weight (c08's signal) is POSITIVE — i.e. more
+    * target-like than the raw corpus; a thresholdless, rank-free gate
+    * both engines decide identically on the rounded value — then
+    * allocate the survivors across languages with
+    * [[graft.operators.Curate.temperatureAlloc]] (c09's α-sampling)
+    * and select by the shared two-level md5 rank. Proves c08's weight,
+    * the Hamilton allocation, and the stratified rank COMPOSE with
+    * every stage keeping its scale shape (vocab-sized broadcast,
+    * S-row allocation, no data-sized global window). The oracle
+    * re-derives the full chain independently. */
+  private def c10(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
+        lit(0))).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val totals = counts.agg(
+      sum(col("cr")).cast("double").as("nr"),
+      sum(col("ct")).cast("double").as("nt"),
+      count(lit(1)).cast("double").as("v"))
+    val lam = counts.crossJoin(broadcast(totals)).select(col("tok"),
+      (log((col("ct") + 1).cast("double") / (col("nt") + col("v"))) -
+        log((col("cr") + 1).cast("double") / (col("nr") + col("v"))))
+        .as("lam"))
+    val kept = toks.join(lam, Seq("tok"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(sum(col("lam")), 4).as("dw"))
+      .filter(col("dw") > 0)
+    val n = kept.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val alloc = graft.operators.Curate.temperatureAlloc(n, "lang")
+    graft.operators.Curate.md5RankByStratum(kept, "doc_id", "lang", "dsirmix")
+      .join(broadcast(alloc), "lang")
+      .filter(col("rn") <= col("alloc"))
+      .select(col("doc_id"), col("lang"), col("dw"), col("rn"),
+        col("alloc"))
+  }
+
   /** g01 — integer PageRank centrality over the customer–supplier
     * trade graph ([[graft.operators.Graph.pageRankInt]]): nodes are
     * customers (2k) and suppliers (2k+1), one undirected edge per
@@ -3233,6 +3273,7 @@ object SparkEntry {
     "t25_vocab_coverage" -> (t25 _),
     "c08_dsir_weights" -> (c08 _),
     "c09_temperature_mix" -> (c09 _),
+    "c10_dsir_select_mix" -> (c10 _),
     "g01_pagerank" -> (g01 _),
     "g02_pagerank_weighted" -> (g02 _),
     "s10_ann_pq" -> (s10 _),
@@ -5599,6 +5640,48 @@ object SparkEntry {
         |  count(*) AS n_toks
         |FROM tok JOIN lam USING (tok)
         |GROUP BY 1""".stripMargin,
+    // composed DSIR-positive gate + Hamilton temperature allocation +
+    // md5 stratified rank, re-derived end to end
+    "c10_dsir_select_mix" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS cr,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+        |  FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS nr,
+        |    CAST(sum(ct) AS DOUBLE) AS nt,
+        |    CAST(count(*) AS DOUBLE) AS v FROM cnt),
+        |lam AS (SELECT tok,
+        |    ln(CAST(ct + 1 AS DOUBLE) / (nt + v)) -
+        |    ln(CAST(cr + 1 AS DOUBLE) / (nr + v)) AS lam
+        |  FROM cnt CROSS JOIN tot),
+        |kept AS (SELECT doc_id, any_value(lang) AS lang,
+        |    round(sum(lam), 4) AS dw
+        |  FROM tok JOIN lam USING (tok)
+        |  GROUP BY doc_id HAVING round(sum(lam), 4) > 0),
+        |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM kept GROUP BY 1),
+        |w AS (SELECT lang, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS w FROM n),
+        |tt AS (SELECT CAST(sum(w) AS BIGINT) AS bw,
+        |    CAST(sum(n) AS BIGINT) // 4 AS t FROM w),
+        |a0 AS (SELECT lang, (t * w) // bw AS base, (t * w) % bw AS rem,
+        |    t FROM w CROSS JOIN tt),
+        |sh AS (SELECT CAST(max(t) AS BIGINT) - CAST(sum(base) AS BIGINT)
+        |    AS r FROM a0),
+        |a AS (SELECT lang, base +
+        |    (CASE WHEN row_number() OVER (ORDER BY rem DESC, lang) <= r
+        |      THEN 1 ELSE 0 END) AS alloc
+        |  FROM a0 CROSS JOIN sh),
+        |rk AS (SELECT doc_id, lang, dw,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':dsirmix'), doc_id)
+        |      AS BIGINT) AS rn
+        |  FROM kept)
+        |SELECT doc_id, lang, dw, rn, alloc
+        |FROM rk JOIN a USING (lang) WHERE rn <= alloc""".stripMargin,
     // hard negatives: identical 9dp-rounded cosine + id total order on
     // both engines (s09 discipline)
     "s11_hard_negatives" ->
