@@ -1280,6 +1280,34 @@ object SparkEntry {
           (col("n_true") - est) * (k + 1) <= col("n_stream")).as("est_ok"))
   }
 
+  /** t26 — built-in approx_top_k heavy hitters (Spark 4's DataSketches
+    * frequent-items aggregate) over t12's deterministic Zipfian
+    * stream — the NATIVE-sketch twin of t12's hand-built Misra–Gries,
+    * registered so both the custom and the built-in paths stay gated.
+    * Sketch estimates are merge-order-dependent, so the emitted rows
+    * are the exact truth counts for the frequent head (n_true·17 >
+    * n_stream, t12's criterion) plus contract booleans: membership in
+    * the sketch and the estimate inside the documented ±3.5·N/M
+    * frequent-items band (M = 64 tracked items; measured estimates
+    * are EXACT at both SFs — head items never evict — so the margin
+    * is the whole band). */
+  private def t26(s: SparkSession, d: String): DataFrame = {
+    val k = 16
+    val toks = Tables.documents(s, d).select(explode(zipfTokens).as("token"))
+    val totals = toks.agg(count(lit(1)).as("n_stream"))
+    val sketch = toks.agg(
+      expr(s"map_from_entries(approx_top_k(token, $k, 64))").as("sk"))
+    val est = coalesce(element_at(col("sk"), col("token")), lit(0L))
+    toks.groupBy("token").agg(count(lit(1)).as("n_true"))
+      .crossJoin(totals).crossJoin(sketch)
+      .filter(col("n_true") * (k + 1) > col("n_stream"))
+      .select(col("token"), col("n_true"),
+        element_at(col("sk"), col("token")).isNotNull.as("in_sketch"),
+        (est >= col("n_true") - expr("(7 * n_stream) div 128") &&
+          est <= col("n_true") + expr("(7 * n_stream) div 128"))
+          .as("est_ok"))
+  }
+
   /** t13 — unigram language-model score (the CCNet-style quality
     * signal): fit a unigram LM on the corpus (token → count, one
     * vocabulary-sized aggregate), then score each document by its
@@ -3274,6 +3302,7 @@ object SparkEntry {
     "c08_dsir_weights" -> (c08 _),
     "c09_temperature_mix" -> (c09 _),
     "c10_dsir_select_mix" -> (c10 _),
+    "t26_approx_topk" -> (t26 _),
     "g01_pagerank" -> (g01 _),
     "g02_pagerank_weighted" -> (g02 _),
     "s10_ann_pq" -> (s10 _),
@@ -5640,6 +5669,21 @@ object SparkEntry {
         |  count(*) AS n_toks
         |FROM tok JOIN lam USING (tok)
         |GROUP BY 1""".stripMargin,
+    // native-sketch heavy hitters: t12's oracle shape (exact head
+    // truth + TRUE contract booleans)
+    "t26_approx_topk" ->
+      """WITH slots AS (SELECT doc_id, unnest(range(1, 31)) AS i
+        |               FROM documents),
+        |tok AS (SELECT concat('zipf', CAST(CAST(least(floor(1000000.0 /
+        |    (CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
+        |       CAST(i AS VARCHAR))), 1, 6)) AS BIGINT) % 1000000 + 1)),
+        |    20000.0) AS BIGINT) AS VARCHAR)) AS token
+        |  FROM slots),
+        |tot AS (SELECT count(*) AS n_stream FROM tok),
+        |heavy AS (SELECT token, count(*) AS n_true FROM tok GROUP BY 1)
+        |SELECT token, CAST(n_true AS BIGINT) AS n_true,
+        |  TRUE AS in_sketch, TRUE AS est_ok
+        |FROM heavy, tot WHERE n_true * 17 > n_stream""".stripMargin,
     // composed DSIR-positive gate + Hamilton temperature allocation +
     // md5 stratified rank, re-derived end to end
     "c10_dsir_select_mix" ->
