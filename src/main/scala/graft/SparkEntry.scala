@@ -1308,6 +1308,34 @@ object SparkEntry {
           .as("est_ok"))
   }
 
+  /** q77 — approx_top_k sketch LIFECYCLE (accumulate → combine →
+    * estimate): per-source partial sketches merged into one corpus
+    * estimate — the incremental composition q52 proves for HLL, here
+    * for the frequent-items family: a new source's data never
+    * re-reads history, per-source states persist and union in KBs.
+    * Same contract shape as t26 (exact head truth + membership +
+    * band booleans). */
+  private def q77(s: SparkSession, d: String): DataFrame = {
+    val k = 16
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(zipfTokens).as("token"))
+    val perSrc = toks.groupBy(col("source"))
+      .agg(expr("approx_top_k_accumulate(token, 64)").as("st"))
+    val combined = perSrc.agg(expr(
+      s"map_from_entries(approx_top_k_estimate(" +
+        s"approx_top_k_combine(st, 64), $k))").as("sk"))
+    val totals = toks.agg(count(lit(1)).as("n_stream"))
+    val est = coalesce(element_at(col("sk"), col("token")), lit(0L))
+    toks.groupBy("token").agg(count(lit(1)).as("n_true"))
+      .crossJoin(totals).crossJoin(broadcast(combined))
+      .filter(col("n_true") * (k + 1) > col("n_stream"))
+      .select(col("token"), col("n_true"),
+        element_at(col("sk"), col("token")).isNotNull.as("in_estimate"),
+        (est >= col("n_true") - expr("(7 * n_stream) div 128") &&
+          est <= col("n_true") + expr("(7 * n_stream) div 128"))
+          .as("est_ok"))
+  }
+
   /** t13 — unigram language-model score (the CCNet-style quality
     * signal): fit a unigram LM on the corpus (token → count, one
     * vocabulary-sized aggregate), then score each document by its
@@ -3303,6 +3331,7 @@ object SparkEntry {
     "c09_temperature_mix" -> (c09 _),
     "c10_dsir_select_mix" -> (c10 _),
     "t26_approx_topk" -> (t26 _),
+    "q77_topk_lifecycle" -> (q77 _),
     "g01_pagerank" -> (g01 _),
     "g02_pagerank_weighted" -> (g02 _),
     "s10_ann_pq" -> (s10 _),
@@ -5669,6 +5698,20 @@ object SparkEntry {
         |  count(*) AS n_toks
         |FROM tok JOIN lam USING (tok)
         |GROUP BY 1""".stripMargin,
+    // sketch lifecycle: same exact-head contract shape as t26
+    "q77_topk_lifecycle" ->
+      """WITH slots AS (SELECT doc_id, unnest(range(1, 31)) AS i
+        |               FROM documents),
+        |tok AS (SELECT concat('zipf', CAST(CAST(least(floor(1000000.0 /
+        |    (CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
+        |       CAST(i AS VARCHAR))), 1, 6)) AS BIGINT) % 1000000 + 1)),
+        |    20000.0) AS BIGINT) AS VARCHAR)) AS token
+        |  FROM slots),
+        |tot AS (SELECT count(*) AS n_stream FROM tok),
+        |heavy AS (SELECT token, count(*) AS n_true FROM tok GROUP BY 1)
+        |SELECT token, CAST(n_true AS BIGINT) AS n_true,
+        |  TRUE AS in_estimate, TRUE AS est_ok
+        |FROM heavy, tot WHERE n_true * 17 > n_stream""".stripMargin,
     // native-sketch heavy hitters: t12's oracle shape (exact head
     // truth + TRUE contract booleans)
     "t26_approx_topk" ->
