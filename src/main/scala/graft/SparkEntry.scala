@@ -445,20 +445,35 @@ object SparkEntry {
     * need a global sort, GK partials merge map-side like any agg. */
   private def q40(s: SparkSession, d: String): DataFrame = {
     val slack = 0.01
-    val qs = Seq(0.25, 0.5, 0.75, 0.99)
     val o = Tables.orders(s, d).select(col("o_totalprice").as("val"))
     val approx = o.agg(
       expr("approx_percentile(val, array(0.25D, 0.5D, 0.75D, 0.99D), 1000)")
         .as("ap"),
       count(lit(1)).as("n"))
-    val k = approx
-      .select(col("ap"), col("n"), posexplode(array(qs.map(lit): _*)))
+    rankBoundCheck(o, quantileBounds(approx, slack))
+  }
+
+  /** (quantile, av, klo, khi) frame from a 1-row (ap array, n) approx
+    * result: target ranks at (q ± slack)·n, clamped to [1, n]. */
+  private def quantileBounds(approx: DataFrame, slack: Double): DataFrame =
+    approx
+      .select(col("ap"), col("n"),
+        posexplode(array(Seq(0.25, 0.5, 0.75, 0.99).map(lit): _*)))
       .select(element_at(col("ap"), col("pos") + 1).as("av"),
         col("col").as("quantile"),
         greatest(lit(1L), floor((col("col") - slack) * col("n"))
           .cast("long")).as("klo"),
         least(col("n"), ceil((col("col") + slack) * col("n"))
           .cast("long")).as("khi"))
+
+  /** Shared rank-bound verifier (q40/q78): locate the exact order
+    * statistics at each target rank two-level — map-side-combined
+    * counts per value-range bucket, broadcast prefix sums to find the
+    * bucket holding each rank, then a hash-partitioned row_number over
+    * ONLY the ≤8 target buckets' rows — and assert each approx value
+    * lands between its lo/hi exact values. The full table contributes
+    * counters, never rows, to any single-partition step. */
+  private def rankBoundCheck(o: DataFrame, k: DataFrame): DataFrame = {
     // bucket counts: the only full-table pass, and it shuffles counters
     // (map-side partial agg), never rows
     val bucketed = o.withColumn("rb", floor(col("val") / 1024d).cast("long"))
@@ -491,6 +506,60 @@ object SparkEntry {
       .select(col("quantile"), col("lo"), col("hi"),
         (col("av") >= col("lo") && col("av") <= col("hi"))
           .as("within_bounds"))
+  }
+
+  /** q78 — KLL quantile-sketch LIFECYCLE (per-year sketch_agg →
+    * merge_agg → get_quantile): the mergeable-quantile story next to
+    * q40's one-shot GK — per-slice partial sketches persist and a new
+    * year's data never re-reads history, exactly q52's incremental
+    * composition for the quantile family. Checked with the SAME
+    * two-level rank-bound harness as q40 ([[rankBoundCheck]]): each
+    * merged-sketch quantile must land between the exact values at
+    * ranks (q ± 0.03)·n — beyond KLL k=200's ~1.33% two-sided
+    * normalized rank-error guarantee, so the boolean carries real
+    * margin. */
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_totalprice").as("val"),
+      year(col("o_orderdate")).as("yr"))
+    val perYr = o.groupBy(col("yr"))
+      .agg(expr("kll_sketch_agg_double(val, 200)").as("sk"))
+    val approx = perYr.agg(expr("kll_merge_agg_double(sk)").as("msk"))
+      .select(expr("kll_sketch_get_quantile_double(msk, " +
+          "array(0.25D, 0.5D, 0.75D, 0.99D))").as("ap"),
+        expr("kll_sketch_get_n_double(msk)").as("n"))
+    rankBoundCheck(o.select(col("val")), quantileBounds(approx, 0.03))
+  }
+
+  /** q79 — theta-sketch SET OPERATIONS: distinct-user estimates for
+    * pairwise event-type INTERSECTIONS — the question HLL cannot
+    * answer (HLL unions only; theta sketches keep a hash sample, so
+    * A∩B and A\B estimate directly). Per-type sketches build in one
+    * partial-combined pass; the |types|² pairing is vocabulary-sized.
+    * Contract oracle: DuckDB recomputes every exact intersection; the
+    * boolean asserts the estimate within 10% (at fixture scale the
+    * sketches run in exact mode — every user hash retained below
+    * lgK=12 capacity — so the margin is the full band). */
+  private def q79(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("user_id")).distinct()
+    val sks = ev.groupBy(col("event_type"))
+      .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+    val est = sks.select(col("event_type").as("ta"), col("sk").as("ska"))
+      .join(sks.select(col("event_type").as("tb"), col("sk").as("skb")),
+        col("ta") < col("tb"))
+      .select(col("ta"), col("tb"),
+        expr("theta_sketch_estimate(theta_intersection(ska, skb))")
+          .as("est"))
+    val exact = ev.select(col("event_type").as("ta"), col("user_id"))
+      .join(ev.select(col("event_type").as("tb"), col("user_id")),
+        "user_id")
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    est.join(exact, Seq("ta", "tb"))
+      .select(col("ta"), col("tb"), col("n_exact"),
+        (abs(col("est") - col("n_exact")).cast("double")
+          <= col("n_exact").cast("double") * 0.10).as("within_10pct"))
   }
 
   /** l01 — JSONL export/reimport parity: writes the documents table as
@@ -3332,6 +3401,8 @@ object SparkEntry {
     "c10_dsir_select_mix" -> (c10 _),
     "t26_approx_topk" -> (t26 _),
     "q77_topk_lifecycle" -> (q77 _),
+    "q78_kll_quantiles" -> (q78 _),
+    "q79_theta_setops" -> (q79 _),
     "g01_pagerank" -> (g01 _),
     "g02_pagerank_weighted" -> (g02 _),
     "s10_ann_pq" -> (s10 _),
@@ -4046,12 +4117,15 @@ object SparkEntry {
         |v AS (SELECT o_totalprice AS val,
         |        row_number() OVER (ORDER BY o_totalprice) AS r
         |      FROM orders),
-        |qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.99]) AS quantile),
+        |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.99]) AS DOUBLE)
+        |          AS quantile),
+        |-- DOUBLE on purpose — mirror the engine's IEEE rank product
+        |-- (see the q78 oracle note)
         |k AS (SELECT quantile,
-        |        greatest(1, CAST(floor((quantile - 0.01) * n) AS BIGINT))
-        |          AS klo,
-        |        least(n, CAST(ceil((quantile + 0.01) * n) AS BIGINT))
-        |          AS khi
+        |        greatest(1, CAST(floor((quantile - CAST(0.01 AS DOUBLE))
+        |          * n) AS BIGINT)) AS klo,
+        |        least(n, CAST(ceil((quantile + CAST(0.01 AS DOUBLE))
+        |          * n) AS BIGINT)) AS khi
         |      FROM qs, nn)
         |SELECT k.quantile, vlo.val AS lo, vhi.val AS hi,
         |  TRUE AS within_bounds
@@ -5698,6 +5772,36 @@ object SparkEntry {
         |  count(*) AS n_toks
         |FROM tok JOIN lam USING (tok)
         |GROUP BY 1""".stripMargin,
+    // KLL lifecycle: q40's rank-bound oracle with the wider 3% slack
+    "q78_kll_quantiles" ->
+      """WITH nn AS (SELECT count(*) AS n FROM orders),
+        |v AS (SELECT o_totalprice AS val,
+        |        row_number() OVER (ORDER BY o_totalprice) AS r
+        |      FROM orders),
+        |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.99]) AS DOUBLE)
+        |          AS quantile),
+        |-- DOUBLE arithmetic on purpose: DECIMAL would compute the rank
+        |-- exactly where the engine's IEEE product can land 1 ULP past
+        |-- an integer and ceil one rank higher (bit at sf0.1, q=0.75)
+        |k AS (SELECT quantile,
+        |        greatest(1, CAST(floor((quantile - CAST(0.03 AS DOUBLE))
+        |          * n) AS BIGINT)) AS klo,
+        |        least(n, CAST(ceil((quantile + CAST(0.03 AS DOUBLE))
+        |          * n) AS BIGINT)) AS khi
+        |      FROM qs, nn)
+        |SELECT k.quantile, vlo.val AS lo, vhi.val AS hi,
+        |  TRUE AS within_bounds
+        |FROM k JOIN v vlo ON vlo.r = k.klo
+        |JOIN v vhi ON vhi.r = k.khi""".stripMargin,
+    // theta set ops: exact pairwise intersections + contract boolean
+    "q79_theta_setops" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT a.event_type AS ta, b.event_type AS tb,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS within_10pct
+        |FROM u a JOIN u b ON a.user_id = b.user_id
+        |  AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin,
     // sketch lifecycle: same exact-head contract shape as t26
     "q77_topk_lifecycle" ->
       """WITH slots AS (SELECT doc_id, unnest(range(1, 31)) AS i
