@@ -2340,6 +2340,24 @@ object SparkEntry {
         col("dist").cast("int").as("dist"))
   }
 
+  /** q80 — entity resolution END TO END (record linkage composed from
+    * this engine's own operators): q57's blocked fuzzy-match pairs
+    * (prefix block + Levenshtein ≤ 1 verify, never all-pairs) unioned
+    * into entities via [[graft.operators.Graph.dupClusters]]'s
+    * alternating-star connected components — every customer labeled
+    * with its entity's minimum id and the entity size, singletons
+    * included. The d07 story lifted from near-dup documents to master
+    * data. Oracle re-derives the closure INDEPENDENTLY of the star
+    * algorithm: recursive-CTE min-label propagation over the same
+    * pair SQL. */
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    val ids = Tables.customer(s, d).select(col("c_custkey").as("id"))
+    graft.operators.Graph.dupClusters(
+        ids, q57(s, d).select(col("id_a"), col("id_b")))
+      .select(col("node").as("id"), col("component").as("entity_id"),
+        col("cluster_size").as("entity_size"))
+  }
+
   /** t20 — BPE merge-pair statistics (the inner loop of byte-pair-
     * encoding tokenizer training): count adjacent CHARACTER pairs
     * within corpus words, emit the top 20 merge candidates under a
@@ -3403,6 +3421,7 @@ object SparkEntry {
     "q77_topk_lifecycle" -> (q77 _),
     "q78_kll_quantiles" -> (q78 _),
     "q79_theta_setops" -> (q79 _),
+    "q80_entity_resolution" -> (q80 _),
     "g01_pagerank" -> (g01 _),
     "g02_pagerank_weighted" -> (g02 _),
     "s10_ann_pq" -> (s10 _),
@@ -5772,6 +5791,28 @@ object SparkEntry {
         |  count(*) AS n_toks
         |FROM tok JOIN lam USING (tok)
         |GROUP BY 1""".stripMargin,
+    // entity resolution: d07's independent recursive-CTE closure over
+    // the q57 pair SQL
+    "q80_entity_resolution" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT c_custkey AS id, c_name AS name,
+        |         substring(c_name, 1, 16) AS blk
+        |  FROM customer),
+        |e AS (
+        |  SELECT a.id AS ia, b.id AS ib
+        |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.name, b.name) <= 1),
+        |sym AS (SELECT ia AS a, ib AS b FROM e
+        |  UNION SELECT ib AS a, ia AS b FROM e),
+        |reach(id, comp) AS (
+        |  SELECT c_custkey, c_custkey FROM customer
+        |  UNION
+        |  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id),
+        |lab AS (SELECT id, min(comp) AS entity_id FROM reach GROUP BY 1)
+        |SELECT id, entity_id,
+        |  CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT)
+        |    AS entity_size
+        |FROM lab""".stripMargin,
     // KLL lifecycle: q40's rank-bound oracle with the wider 3% slack
     "q78_kll_quantiles" ->
       """WITH nn AS (SELECT count(*) AS n FROM orders),
