@@ -204,19 +204,87 @@ object Graph {
     val ed = e.join(deg, "src")
       .repartition(col("src")).sortWithinPartitions(col("src"))
       .persist()
-    var pr = ed.select(col("src").as("node")).distinct()
-      .withColumn("pr", lit(scale))
+    // The node universe is pinned once (every node owns out-edges per
+    // the @param contract). Each round LEFT-joins the contribution
+    // sums back against it: a zero-in-degree node of a general
+    // directed graph keeps its scale/2 floor and keeps pushing mass to
+    // its out-neighbors, instead of silently vanishing from a
+    // groupBy(dst)-rebuilt rank frame after round 1.
+    val nodes = ed.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
+    var pr = nodes.withColumn("pr", lit(scale))
     for (_ <- 1 to iters) {
-      pr = ed.join(pr.withColumnRenamed("node", "src"), "src")
+      val contrib = ed.join(pr.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), expr("(pr * w) div wsum").as("contrib"))
         .groupBy(col("dst"))
-        .agg((lit(scale / 2) + expr("sum(contrib) div 2")).as("pr"))
-        .select(col("dst").as("node"), col("pr"))
+        .agg(expr("sum(contrib)").as("csum"))
+        .select(col("dst").as("node"), col("csum"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(scale / 2) + expr("coalesce(csum, 0L) div 2")).as("pr"))
         .localCheckpoint(true)
     }
     // every round's ranks are eagerly materialized, so the edge cache
     // can drop before the result is consumed
+    ed.unpersist(false)
+    pr
+  }
+
+  /** PERSONALIZED integer PageRank: [[pageRankInt]]'s exact recurrence
+    * with the teleport mass restricted to a seed set — "centrality as
+    * seen from HERE" (topic-sensitive PageRank, Haveliwala 2002; the
+    * corpus-curation use is ranking entities by proximity to a trusted
+    * seed list). Same bit-deterministic arithmetic, with the uniform
+    * scale/2 floor replaced by a per-node floor:
+    *   pr₀(v)  = seed(v) ? scale : 0
+    *   pr'(v) = (seed(v) ? scale/2 : 0)
+    *          + (Σ_{u→v} (pr(u)·w) div wsum(u)) div 2
+    * Non-seed nodes hold rank ONLY through paths from seeds, so the
+    * result is a proximity field, not global centrality.
+    *
+    * Scale shape is identical to [[pageRankInt]] (one node-sized join
+    * per round against the cached edge frame); the seed flag rides the
+    * pinned node-universe frame, so zero-in-degree seeds keep emitting
+    * and zero-in-degree non-seeds hold rank 0.
+    *
+    * @param seeds one-column frame of seed node ids; ids outside the
+    *              edge frame's src universe are ignored (they own no
+    *              out-edges, see the [[pageRankInt]] @param contract)
+    */
+  def pageRankIntPersonalized(edges: DataFrame, seeds: DataFrame,
+                              iters: Int = 3,
+                              scale: Long = 1000000L): DataFrame = {
+    val wCol = if (edges.columns.length >= 3)
+      col(edges.columns(2)).cast("long") else lit(1L)
+    val e = edges.select(
+      col(edges.columns(0)).cast("long").as("src"),
+      col(edges.columns(1)).cast("long").as("dst"),
+      wCol.as("w"))
+    val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val ed = e.join(deg, "src")
+      .repartition(col("src")).sortWithinPartitions(col("src"))
+      .persist()
+    val seedSet = seeds
+      .select(col(seeds.columns(0)).cast("long").as("node")).distinct()
+      .withColumn("__seed", lit(true))
+    val nodes = ed.select(col("src").as("node")).distinct()
+      .join(seedSet, Seq("node"), "left")
+      .select(col("node"),
+        when(col("__seed"), lit(scale / 2)).otherwise(lit(0L))
+          .as("floor0"))
+      .localCheckpoint(true)
+    var pr = nodes.select(col("node"), (col("floor0") * 2).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(pr.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("(pr * w) div wsum").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(expr("sum(contrib)").as("csum"))
+        .select(col("dst").as("node"), col("csum"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (col("floor0") + expr("coalesce(csum, 0L) div 2")).as("pr"))
+        .localCheckpoint(true)
+    }
     ed.unpersist(false)
     pr
   }

@@ -87,6 +87,42 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 1375000L, 2L -> 968750L, 3L -> 656250L))
   }
 
+  test("pageRankInt keeps zero-in-degree nodes of a directed graph") {
+    // directed 1→2, 2→3, 3→2: node 1 has no in-edge, so a naive
+    // groupBy(dst)-rebuilt rank frame drops it after round 1 and its
+    // mass stops flowing to node 2. Hand-computed with the full node
+    // universe: iter1 (500k, 1.5e6, 1e6); iter2 (500k, 1.25e6,
+    // 1.25e6); iter3 (500k, 1.375e6, 1.125e6).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val got = Graph.pageRankInt(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 500000L, 2L -> 1375000L, 3L -> 1125000L))
+  }
+
+  test("pageRankInt agrees with a first-principles reference on a " +
+      "random DIRECTED graph") {
+    // independent derivation (ADVICE r7): every src node persists with
+    // the scale/2 floor even with zero in-degree, and keeps emitting
+    val rnd = new scala.util.Random(11)
+    val n = 50
+    val edges = Seq.fill(90)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val nodes = edges.map(_._1).distinct
+    var pr = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val in = edges
+        .filter { case (u, _) => pr.contains(u) }
+        .groupBy(_._2).map { case (v, es) =>
+          v -> es.map { case (u, _) => pr(u) / deg(u) }.sum
+        }
+      pr = nodes.map(v => v -> (500000L + in.getOrElse(v, 0L) / 2)).toMap
+    }
+    val got = Graph.pageRankInt(edges.toDF("src", "dst"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == pr)
+  }
+
   test("pageRankInt agrees with a sequential reference on a random graph") {
     val rnd = new scala.util.Random(7)
     val n = 60
@@ -102,6 +138,41 @@ class GraphSpec extends SparkSpec {
       pr = pr.keys.map(v => v -> (500000L + in.getOrElse(v, 0L) / 2)).toMap
     }
     val got = Graph.pageRankInt(edges.toDF("src", "dst"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == pr)
+  }
+
+  test("pageRankIntPersonalized matches the hand-computed seeded star") {
+    // undirected star 1–2, 1–3, seeds={2}: pr0 (0, 1e6, 0);
+    // iter1 (500k, 500k, 0); iter2 (250k, 625k, 125k);
+    // iter3 (375k, 562.5k, 62.5k) by hand — non-seeds hold rank only
+    // through paths from the seed
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val got = Graph.pageRankIntPersonalized(edges, Seq(2L).toDF("node"),
+      iters = 3).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 375000L, 2L -> 562500L, 3L -> 62500L))
+  }
+
+  test("pageRankIntPersonalized agrees with a first-principles reference " +
+      "on a random directed graph") {
+    val rnd = new scala.util.Random(23)
+    val n = 40
+    val edges = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val nodes = edges.map(_._1).distinct
+    val seeds = nodes.filter(_ % 5 == 0)
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    def floor0(v: Long) = if (seeds.contains(v)) 500000L else 0L
+    var pr = nodes.map(v => v -> floor0(v) * 2).toMap
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => pr(u) / deg(u) }.sum
+      }
+      pr = nodes.map(v => v -> (floor0(v) + in.getOrElse(v, 0L) / 2)).toMap
+    }
+    val got = Graph.pageRankIntPersonalized(edges.toDF("src", "dst"),
+      seeds.toDF("node"), iters = 3)
       .as[(Long, Long)].collect().toMap
     assert(got == pr)
   }
