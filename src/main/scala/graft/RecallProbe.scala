@@ -87,6 +87,23 @@ object RecallProbe {
     annRecall("s03_ivf", Similarity.ivfTopK(emb, q, 10, nProbe = 7))
     annRecall("s10_pq", Similarity.pqTopK(emb, q, 10))
 
+    // s12: filtered ANN recall is vs the LABEL-FILTERED exact truth
+    {
+      val exactF = Similarity.bruteForceTopKFiltered(emb, q, 10)
+        .select(col("query_id"), col("cand_id"))
+      val approx = Similarity.ivfTopKFiltered(emb, q, 10, nProbe = 10)
+      val hits = exactF
+        .join(approx.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+        .orderBy(col("query_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val perQ = (0L until 10L).map(i => hits.getOrElse(i, 0L))
+      println(s"RECALL s12_filtered per-query hits@10 = " +
+        s"${perQ.mkString(",")} min=${perQ.min} " +
+        f"mean=${perQ.sum / 10.0}%.1f")
+    }
+
     // q40: actual rank error of each approx quantile vs the contract's
     // 0.01*n allowance (sketch guarantee is n/1000 — want >= 10x slack)
     val ord = Tables.orders(spark, sfDir).select(col("o_totalprice").as("val"))

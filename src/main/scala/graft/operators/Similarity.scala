@@ -353,14 +353,16 @@ object Similarity {
     */
   private[graft] def clusterAssign(corpus: DataFrame, nLists: Int,
                                    seed: Long, trainCap: Int,
-                                   idCol: String, vecCol: String)
+                                   idCol: String, vecCol: String,
+                                   carryCols: Seq[String] = Nil)
       : (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val featurized = corpus.select(col(idCol).as("cand_id"),
-      col(vecCol).as("cand_vec"),
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val featurized = corpus.select(col(idCol).as("cand_id") +:
+      col(vecCol).as("cand_vec") +:
+      array_to_vector(col(vecCol).cast("array<double>")).as("features") +:
+      carryCols.map(col): _*)
     val trainSet = featurized
       .sort(xxhash64(col("cand_id")), col("cand_id"))
       .limit(trainCap)
@@ -369,7 +371,8 @@ object Similarity {
       .fit(trainSet)
 
     val assigned = model.transform(featurized)
-      .select(col("cand_id"), col("cand_vec"), col("prediction").as("cell"))
+      .select(col("cand_id") +: col("cand_vec") +:
+        col("prediction").as("cell") +: carryCols.map(col): _*)
 
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -451,6 +454,74 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id").asc)
     assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("sim", VectorFunctions.cosine(col("cand_vec"), col("query_vec")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** Exact FILTERED top-k: for each query, the k nearest corpus vectors
+    * SHARING the query's `labelCol` value (metadata-constrained vector
+    * search — "similar docs in MY language/domain"). The predicate is
+    * an equi-join key, not a post-filter: non-matching candidates never
+    * reach the cosine kernel, and the corpus partitions by label only
+    * logically (broadcast queries ride the scan exactly like
+    * [[bruteForceTopK]]). The exact ground truth for
+    * [[ivfTopKFiltered]]'s recall contract. */
+  def bruteForceTopKFiltered(corpus: DataFrame, queries: DataFrame,
+                             k: Int, idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             labelCol: String = "label"): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).as("cand_vec"), col(labelCol).as("lbl"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("query_vec"), col(labelCol).as("lbl"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    c.join(broadcast(q), Seq("lbl"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("sim", VectorFunctions.cosine(col("cand_vec"), col("query_vec")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** Filtered IVF ANN — the known-hard regime of approximate vector
+    * search (every production vector store's "metadata filtering"
+    * problem): a selective predicate thins each probed cell, so at a
+    * fixed nProbe the candidate pool shrinks by the filter's
+    * selectivity and recall collapses unless the probe width grows.
+    * The filter composes BEFORE scoring: candidate labels ride
+    * [[clusterAssign]]'s carry columns and the probe join's key is
+    * (cell, label) — a non-matching candidate is never scored, never
+    * shuffled past its cell. Default nProbe is wider than [[ivfTopK]]'s
+    * for exactly this reason (the s12 contract measures the recall that
+    * buys). */
+  def ivfTopKFiltered(corpus: DataFrame, queries: DataFrame, k: Int,
+                      nLists: Int = 16, nProbe: Int = 10, seed: Long = 42L,
+                      trainCap: Int = 4096, idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      labelCol: String = "label"): DataFrame = {
+    val labeled = corpus.withColumn("lbl", col(labelCol))
+    val (assigned, centroids) =
+      clusterAssign(labeled, nLists, seed, trainCap, idCol, vecCol,
+        carryCols = Seq("lbl"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+        col(labelCol).as("lbl"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", VectorFunctions.cosine(col("query_vec"), col("centroid")))
+      .withColumn("prnk", row_number().over(probeW))
+      .filter(col("prnk") <= nProbe)
+      .select("query_id", "query_vec", "cell", "lbl")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    assigned.join(broadcast(probes), Seq("cell", "lbl"))
       .filter(col("cand_id") =!= col("query_id"))
       .withColumn("sim", VectorFunctions.cosine(col("cand_vec"), col("query_vec")))
       .withColumn("rnk", row_number().over(w))
@@ -595,10 +666,14 @@ object Similarity {
     val ordD = math.Ordering.Double.TotalOrdering
     val codebook = (0 until m).flatMap { j =>
       val pool = sampleRows.iterator.filter(_._1 == j).map(_._2).toArray
+      // element comparison via Double.compare (a TOTAL order): an
+      // `x != y` guard would treat -0.0 and 0.0 as equal and fall
+      // back to nondeterministic collect() order for such pairs
       scala.util.Sorting.stableSort(pool,
         (a: Array[Double], b: Array[Double]) =>
           a.lazyZip(b).collectFirst {
-            case (x, y) if x != y => ordD.lt(x, y) }.getOrElse(false))
+            case (x, y) if ordD.compare(x, y) != 0 => ordD.lt(x, y)
+          }.getOrElse(false))
       val k = math.min(codeK, math.max(1, pool.length))
       var cen = Array.tabulate(k)(i =>
         pool(((i.toLong * pool.length) / k).toInt).clone())

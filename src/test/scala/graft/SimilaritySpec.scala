@@ -23,6 +23,31 @@ class SimilaritySpec extends SparkSpec {
     assert(q0.zip(q0.tail).forall { case (a, b) => a >= b })
   }
 
+  test("filtered search: every neighbor shares the query's label, and " +
+      "the exact filtered truth equals brute force over the label slice") {
+    val q = emb.filter($"vec_id" < 5)
+    val labels = emb.select($"vec_id".as("query_id"),
+      $"label".as("qlbl"))
+    // IVF-filtered results never cross a label boundary
+    val ivf = Similarity.ivfTopKFiltered(emb, q, k = 5)
+      .join(labels, "query_id")
+      .join(emb.select($"vec_id".as("cand_id"), $"label".as("clbl")),
+        "cand_id")
+    assert(ivf.count() > 0)
+    assert(ivf.filter($"qlbl" =!= $"clbl").count() == 0)
+    // the exact filtered truth for one query == plain brute force run
+    // over only that query's label slice
+    val q0 = emb.filter($"vec_id" === 0L)
+    val lbl0 = q0.select($"label").as[Int].head()
+    val viaFiltered = Similarity.bruteForceTopKFiltered(emb, q0, k = 5)
+      .select($"query_id", $"rnk", $"cand_id", $"sim")
+      .collect().toSet
+    val viaSlice = Similarity.bruteForceTopK(
+        emb.filter($"label" === lbl0), q0, k = 5)
+      .collect().toSet
+    assert(viaFiltered == viaSlice)
+  }
+
   test("MMR demotes a redundant near-duplicate below a diverse result") {
     // query q points at A; B is nearly identical to A (redundant);
     // C is less relevant but diverse. Pure relevance ranks A, B, C;
