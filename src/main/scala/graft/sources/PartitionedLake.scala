@@ -68,6 +68,18 @@ object PartitionedLake {
         .parquet(path)
     }
 
+  /** Batch-keyed upsert for sources WITHOUT a time column (document
+    * ingest): one micro-batch lands under `ingest_batch=<id>` and a
+    * replayed batch rewrites exactly its own partition — the same
+    * effectively-once discipline as [[upsertBatch]], minus the month
+    * dimension. */
+  def upsertBatchKeyed(df: DataFrame, batchId: Long, path: String): Unit =
+    withDynamicOverwrite(df.sparkSession) {
+      df.withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite").partitionBy("ingest_batch")
+        .parquet(path)
+    }
+
   /** Small-file compaction for one partition: rewrite a month's files
     * into ~`targetFiles` outputs.
     *

@@ -238,6 +238,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental dedup ingest: dups vs the ACCUMULATED corpus drop; " +
+      "replay is idempotent") {
+    import graft.model.Rows.Document
+    implicit val sqlCtx = spark.sqlContext
+    def doc(id: Long, text: String) =
+      Document(id, text, "en", "web", text.length.toLong)
+    val corpus = java.nio.file.Files
+      .createTempDirectory("stream_dedup_corpus").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("stream_dedup_ck").toString
+    val mem = MemoryStream[Document]
+    val q = graft.streaming.DocStreams
+      .incrementalDedupIngest(mem.toDF(), corpus)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // batch 0: empty corpus — everything is kept
+      mem.addData(doc(1, "alpha beta gamma delta epsilon"),
+        doc(2, "one two three four five six"))
+      q.processAllAvailable()
+      // batch 1: exact dup of doc 1, near dup of doc 2 (Jaccard 5/7),
+      // and a novel doc — only the novel one survives, proving the
+      // probe runs against the ACCUMULATED corpus, not this batch
+      mem.addData(doc(3, "alpha beta gamma delta epsilon"),
+        doc(4, "one two three four five seven"),
+        doc(5, "totally novel content here now"))
+      q.processAllAvailable()
+      val store = spark.read.parquet(corpus)
+      assert(store.select($"doc_id").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 5L))
+      assert(store.select($"ingest_batch".cast("long")).distinct()
+        .as[Long].collect().sorted.toSeq == Seq(0L, 1L))
+      // replaying batch 1 (restart-from-checkpoint semantics) probes
+      // only batches < 1, recomputes identical verdicts, and rewrites
+      // exactly its own partition — corpus state unchanged
+      graft.streaming.DocStreams.ingestBatch(
+        Seq(doc(3, "alpha beta gamma delta epsilon"),
+          doc(4, "one two three four five seven"),
+          doc(5, "totally novel content here now")).toDS().toDF(),
+        1L, corpus)
+      val after = spark.read.parquet(corpus)
+      assert(after.select($"doc_id").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 5L))
+    } finally q.stop()
+  }
+
   test("lake sink: batches sharing a month accumulate; replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val lake = java.nio.file.Files.createTempDirectory("stream_lake").toString
