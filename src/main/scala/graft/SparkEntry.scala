@@ -1135,6 +1135,24 @@ object SparkEntry {
     Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 5)
   }
 
+  /** s12 — FILTERED vector search ([[Similarity.ivfTopKFiltered]]):
+    * IVF ANN under a metadata predicate (candidates must share the
+    * query's label — every production vector store's "metadata
+    * filtering" problem). The ~10%-selective label filter is the
+    * known-hard regime: it thins every probed cell, so the operator
+    * widens nProbe to 10 (vs s03's 7) and the contract measures what
+    * that buys — recall@10 >= 0.5 per query vs the exact label-
+    * filtered brute-force truth. Measured min hits = 6 at BOTH sf0.01
+    * and sf0.1 (RecallProbe, mean 8.0/7.8), so 5 is the contract with
+    * one hit of margin. */
+  private def s12(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+    annRecallCheck(
+      Similarity.ivfTopKFiltered(emb, q, k = 10, nProbe = 10),
+      Similarity.bruteForceTopKFiltered(emb, q, k = 10), minHits = 5)
+  }
+
   /** t06 — stopword filtering: token counts before/after removing the
     * English stopword set (a standard cleaning stage ahead of
     * shingling/dedup). */
@@ -1375,6 +1393,30 @@ object SparkEntry {
         (est >= col("n_true") - expr("(7 * n_stream) div 128") &&
           est <= col("n_true") + expr("(7 * n_stream) div 128"))
           .as("est_ok"))
+  }
+
+  /** t27 — BPE merge statistics: the first iteration of byte-pair-
+    * encoding tokenizer training — adjacent character-pair frequencies
+    * over the corpus, counted the way real BPE trainers do it: on the
+    * DISTINCT-WORD frame weighted by word frequency, never on the raw
+    * text. The corpus contributes ONE map-side-combined word count;
+    * pair expansion runs over vocab-bounded rows (Σ word lengths of
+    * the vocabulary, not the corpus), the pair rollup shuffles
+    * pair-counter rows, and top-50 under the (count desc, pair asc)
+    * total order is a TakeOrderedAndProject — no window anywhere.
+    * Integer exact. */
+  private def t27(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    words.filter(length(col("w")) >= 2)
+      .select(col("wc"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("c"))
+      .orderBy(col("c").desc, col("pair").asc)
+      .limit(50)
   }
 
   /** q77 — approx_top_k sketch LIFECYCLE (accumulate → combine →
@@ -1804,8 +1846,11 @@ object SparkEntry {
   /** t24 — materialized sequence packing: the step AFTER t18's bin
     * arithmetic — emit the actual fixed-2048-token training batches as
     * id arrays. Tokens get global vocab ids (rank by count desc, token
-    * asc — t07's canonical order; the ranking window is VOCAB-bounded,
-    * not corpus-bounded), every token gets its global offset =
+    * asc — t07's canonical order; computed fully two-level by
+    * [[graft.operators.Ranks.rankByCountDesc]] — a 10⁸-token web-corpus
+    * vocabulary never funnels into one window partition, and the plan
+    * carries ZERO SinglePartition exchanges, pinned in PlanShapeSpec),
+    * every token gets its global offset =
     * doc start offset (t18's two-level prefix sum via
     * [[graft.operators.Curate.md5RankByStratum]]-style buckets) + its
     * in-doc position, and bins collect ids under the total (off) order
@@ -1817,10 +1862,10 @@ object SparkEntry {
     val docs = Tables.documents(s, d).select(col("doc_id"),
       regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
         .as("toks"))
-    val vocab = docs.select(explode(col("toks")).as("tok"))
+    val tf = docs.select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .withColumn("vid", row_number().over(
-        Window.orderBy(col("c").desc, col("tok").asc)).cast("long"))
+    val vocab = graft.operators.Ranks
+      .rankByCountDesc(tf, "c", "tok", "vid")
       .select(col("tok"), col("vid"))
     // doc start offsets: t18's two-level md5-bucket prefix sum
     val sized = docs
@@ -1831,12 +1876,11 @@ object SparkEntry {
     val localW = Window.partitionBy(col("bucket"))
       .orderBy(col("sk").asc, col("doc_id").asc)
     val local = sized.withColumn("local_off", sum(col("n_tok")).over(localW))
-    val baseW = Window.orderBy(col("bucket").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = sized.groupBy(col("bucket"))
-      .agg(sum(col("n_tok")).as("p_tot"))
-      .select(col("bucket"),
-        coalesce(sum(col("p_tot")).over(baseW), lit(0L)).as("base"))
+    // ≤256-row bucket totals → exclusive prefix via broadcast self-join
+    // (no unpartitioned window anywhere in t24's plan)
+    val bases = graft.operators.Ranks.exclusivePrefixTotals(
+      sized.groupBy(col("bucket")).agg(sum(col("n_tok")).as("p_tot")),
+      "bucket", "p_tot")
     val offs = local.join(broadcast(bases), "bucket")
       .withColumn("start_off",
         col("base") + col("local_off") - col("n_tok"))
@@ -3273,6 +3317,31 @@ object SparkEntry {
     graft.operators.Graph.pageRankInt(edges, iters = 3)
   }
 
+  /** g03 — PERSONALIZED integer PageRank
+    * ([[graft.operators.Graph.pageRankIntPersonalized]]): g01's graph
+    * and exact recurrence, but teleport mass restricted to a seed set
+    * (nation-1 customers) — proximity-to-trusted-seeds ranking, the
+    * curation form of topic-sensitive PageRank. Non-seed nodes hold
+    * rank only through trade paths from the seeds; the per-node floor
+    * rides the pinned node-universe frame, so the oracle's unrolled
+    * replay must LEFT-join the same universe (zero-in-degree handling
+    * is part of the contract, cross-checked by GraphSpec's directed
+    * first-principles references). */
+  private def g03(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.orders(s, d)
+      .select(col("o_orderkey").as("ok"), (col("o_custkey") * 2).as("c"))
+      .join(Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), (col("l_suppkey") * 2 + 1).as("sp")),
+        "ok")
+      .select(col("c"), col("sp")).distinct()
+    val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
+      .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
+    val seeds = Tables.customer(s, d)
+      .filter(col("c_nationkey") === 1)
+      .select((col("c_custkey") * 2).as("node"))
+    graft.operators.Graph.pageRankIntPersonalized(edges, seeds, iters = 3)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_clean_project" -> (q01 _),
     "q02_dedup_latest" -> (q02 _),
@@ -3424,8 +3493,11 @@ object SparkEntry {
     "q80_entity_resolution" -> (q80 _),
     "g01_pagerank" -> (g01 _),
     "g02_pagerank_weighted" -> (g02 _),
+    "g03_pagerank_personalized" -> (g03 _),
     "s10_ann_pq" -> (s10 _),
     "s11_hard_negatives" -> (s11 _),
+    "s12_ann_filtered" -> (s12 _),
+    "t27_bpe_pairs" -> (t27 _),
   )
 
   /** Bench-time substitutes for the contract-check queries: the checks
@@ -3495,6 +3567,11 @@ object SparkEntry {
     "s10_ann_pq" -> ((s: SparkSession, d: String) => {
       val emb = Tables.embeddings(s, d)
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
+    }),
+    "s12_ann_filtered" -> ((s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopKFiltered(emb, emb.filter(col("vec_id") < 10),
+        k = 10, nProbe = 10)
     }),
     // the user-facing funnel runs the MinHash near-dup route (c01's
     // split); the exact-pairs route exists for the oracle's benefit
@@ -3569,13 +3646,36 @@ object SparkEntry {
       Tables.documents(s, d).withColumn("text",
         concat_ws(" ", col("text"), array_join(extra, " ")))
     }
+    // q02's two dedup-latest plans measured on the grouping shape each
+    // is FOR (r7 verdict item 4): the registered q02/q02b pair runs on
+    // lineitem's near-distinct (suppkey, partkey) groups — the window
+    // form's best case and the agg form's worst. This pair runs the
+    // same contest on FAT groups ((returnflag, linestatus): 6 groups ×
+    // ~100k rows): map-side max_by combine shuffles one row per
+    // group-per-partition, while the window form shuffles every row
+    // into 6 skewed partitions. The crossover numbers are cited in
+    // Dedup.scala's scaladoc.
+    def liSlim(s: SparkSession, d: String): DataFrame =
+      Tables.lineitem(s, d).select(
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"),
+        col("l_orderkey"), col("l_linenumber"))
+    val fatKeys = Seq("l_returnflag", "l_linestatus")
+    val fatOrd = struct(col("l_shipdate"), col("l_orderkey"),
+      col("l_linenumber"))
     Map(
       "d04z_jaccard_zipf" -> ((s: SparkSession, d: String) =>
         TextDedup.tokenJaccardPairs(zipfDocs(s, d), "doc_id", "text",
           blockCol = "source", threshold = 0.5)),
       "d04bz_jaccard_zipf_capped" -> ((s: SparkSession, d: String) =>
         TextDedup.tokenJaccardPairs(zipfDocs(s, d), "doc_id", "text",
-          blockCol = "source", threshold = 0.5, maxDfRatio = 0.8)))
+          blockCol = "source", threshold = 0.5, maxDfRatio = 0.8)),
+      "q02z_dedup_fat_agg" -> ((s: SparkSession, d: String) =>
+        Dedup.latestPerGroupAgg(liSlim(s, d), fatKeys, fatOrd,
+          payload = Seq("l_shipdate", "l_orderkey", "l_linenumber"))),
+      "q02zw_dedup_fat_window" -> ((s: SparkSession, d: String) =>
+        Dedup.latestPerGroup(liSlim(s, d), fatKeys,
+          Seq(col("l_shipdate").desc, col("l_orderkey").desc,
+            col("l_linenumber").desc))))
   }
 
   /** Bench-only streaming drives: the events table replayed as a file-
@@ -3655,6 +3755,57 @@ object SparkEntry {
         }
       }
     Map(
+      // the production per-ingest curation shape end to end: documents
+      // replayed as 4 micro-batches (maxFilesPerTrigger=1 over a
+      // 4-file staging), each batch probed against the corpus the
+      // PREVIOUS batches accumulated (Curate.incremental — cost ∝
+      // delta) and its survivors appended replay-idempotently
+      // (PartitionedLake.upsertBatchKeyed). StreamingSpec gates the
+      // accumulate/replay semantics; this row benches it.
+      "st11_stream_incremental_dedup" ->
+        ((s: SparkSession, d: String) => {
+          import java.nio.file.{Files, Path, Paths}
+          import java.util.Comparator
+          def wipe(p: Path): Unit =
+            if (Files.exists(p))
+              Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+                .forEach(f => { Files.deleteIfExists(f); () })
+          // stage once per (sf, JVM); range-split so file contents are
+          // deterministic; staleness-guarded on the fixture's mtime
+          val srcFile = Paths.get(s"$d/documents.parquet")
+          val stage = Paths.get(
+            s"/tmp/graft_stream_docs_${Integer.toHexString(d.hashCode)}")
+          val marker = stage.resolve("_SUCCESS")
+          val stale = !Files.exists(marker) ||
+            Files.getLastModifiedTime(marker)
+              .compareTo(Files.getLastModifiedTime(srcFile)) < 0
+          if (stale) {
+            wipe(stage)
+            Tables.documents(s, d)
+              .repartitionByRange(4, col("doc_id"))
+              .write.mode("overwrite").parquet(stage.toString)
+          }
+          // fresh corpus + checkpoint per run: the measurement is the
+          // whole 4-batch ingest against a growing store
+          val corpus = Paths.get(
+            s"/tmp/graft_stream_corpus_${Integer.toHexString(d.hashCode)}")
+          wipe(corpus)
+          val ckpt = Files.createTempDirectory("graft_ckpt")
+          try {
+            val schema = s.read.parquet(stage.toString).schema
+            val src = s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+            val q = graft.streaming.DocStreams
+              .incrementalDedupIngest(src, corpus.toString)
+              .trigger(Trigger.AvailableNow())
+              .option("checkpointLocation", ckpt.toString)
+              .start()
+            q.awaitTermination()
+          } finally {
+            org.apache.spark.sql.graftglue.GraftGlue.unloadStateStores()
+            wipe(ckpt)
+          }
+        }),
       "st01_stream_tumbling" ->
         drive((_, _, src) => graft.streaming.EventStreams.tumblingAgg(src)),
       "st02_stream_sessions" ->
@@ -4329,6 +4480,11 @@ object SparkEntry {
       """SELECT vec_id AS query_id, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "s03_ann_ivf" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // filtered ANN: same contract shape — the recall bound vs the
+    // exact label-filtered truth is asserted in-Spark (annRecallCheck)
+    "s12_ann_filtered" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "d04_token_jaccard" ->
@@ -5750,7 +5906,7 @@ object SparkEntry {
         |  FROM (SELECT doc_id, start_off,
         |      unnest(range(len(toks))) AS i, unnest(toks) AS tok
         |    FROM o)),
-        |ids AS (SELECT off, off // 2048 AS bin, vid
+        |ids AS (SELECT off, CAST(off // 2048 AS BIGINT) AS bin, vid
         |  FROM flat JOIN vocab USING (tok))
         |SELECT bin, CAST(count(*) AS BIGINT) AS n_tok,
         |  string_agg(CAST(vid AS VARCHAR), ' ' ORDER BY off) AS ids
@@ -6019,5 +6175,58 @@ object SparkEntry {
         |  FROM edges e JOIN deg d ON d.src = e.src
         |  JOIN pr2 p ON p.node = e.src GROUP BY e.dst)
         |SELECT node, pr FROM pr3""".stripMargin,
+    // personalized PageRank: identical unrolled arithmetic with the
+    // seed-restricted floor, LEFT-joined against the full src-node
+    // universe (zero-in-degree handling is part of the contract)
+    "g03_pagerank_personalized" ->
+      """WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS c,
+        |    l.l_suppkey * 2 + 1 AS sp
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |edges AS (SELECT c AS src, sp AS dst FROM pairs
+        |  UNION ALL SELECT sp AS src, c AS dst FROM pairs),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+        |  FROM edges GROUP BY 1),
+        |n0 AS (SELECT n.node,
+        |    CASE WHEN s.node IS NOT NULL THEN CAST(500000 AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS fl
+        |  FROM (SELECT DISTINCT src AS node FROM edges) n
+        |  LEFT JOIN (SELECT DISTINCT c_custkey * 2 AS node
+        |    FROM customer WHERE c_nationkey = 1) s ON s.node = n.node),
+        |pr0 AS (SELECT node, fl * 2 AS pr FROM n0),
+        |pr1 AS (SELECT n0.node,
+        |    n0.fl + coalesce(c.sm, CAST(0 AS BIGINT)) // 2 AS pr
+        |  FROM n0 LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(p.pr // d.deg) AS BIGINT) AS sm
+        |    FROM edges e JOIN deg d ON d.src = e.src
+        |    JOIN pr0 p ON p.node = e.src GROUP BY e.dst) c
+        |    ON c.node = n0.node),
+        |pr2 AS (SELECT n0.node,
+        |    n0.fl + coalesce(c.sm, CAST(0 AS BIGINT)) // 2 AS pr
+        |  FROM n0 LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(p.pr // d.deg) AS BIGINT) AS sm
+        |    FROM edges e JOIN deg d ON d.src = e.src
+        |    JOIN pr1 p ON p.node = e.src GROUP BY e.dst) c
+        |    ON c.node = n0.node),
+        |pr3 AS (SELECT n0.node,
+        |    n0.fl + coalesce(c.sm, CAST(0 AS BIGINT)) // 2 AS pr
+        |  FROM n0 LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(p.pr // d.deg) AS BIGINT) AS sm
+        |    FROM edges e JOIN deg d ON d.src = e.src
+        |    JOIN pr2 p ON p.node = e.src GROUP BY e.dst) c
+        |    ON c.node = n0.node)
+        |SELECT node, pr FROM pr3""".stripMargin,
+    // BPE merge statistics: pair counts re-derived on the distinct-
+    // word frame weighted by word frequency — independently of the
+    // Spark-side transform/substr path
+    "t27_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(regexp_extract_all(lower(text),
+        |    '[a-z0-9]+')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS wc FROM w GROUP BY 1),
+        |px AS (SELECT w, wc, unnest(range(1, length(w))) AS i
+        |  FROM wc WHERE length(w) >= 2),
+        |p AS (SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, wc
+        |  FROM px)
+        |SELECT pair, CAST(sum(wc) AS BIGINT) AS c
+        |FROM p GROUP BY 1 ORDER BY c DESC, pair ASC LIMIT 50""".stripMargin,
   )
 }

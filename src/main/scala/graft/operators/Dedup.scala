@@ -25,6 +25,18 @@ import org.apache.spark.sql.functions._
   *    group-per-input-partition instead of every row. Prefer it when
   *    groups are large or skewed; prefer the window form when the full
   *    row (many columns) must survive and groups are small.
+  *  - Measured crossover (sf0.1, local[32], min-of-2 — the
+  *    q02z/q02zw bench extras): on FAT groups (lineitem deduped on
+  *    (returnflag, linestatus): 6 groups × ~100k rows) the agg form
+  *    wins 2× (0.74 s vs the window form's 1.48 s) because map-side
+  *    combine collapses each input partition to ≤6 rows while the
+  *    window form shuffles every row into 6 skewed partitions. On the
+  *    registered q02/q02b near-distinct (suppkey, partkey) groups the
+  *    two forms tie at this scale (1.90 s vs 1.94 s isolated) —
+  *    map-side combine buys nothing when groups are ~1 row, and the
+  *    window form additionally wins on wide payloads (2.7 s vs 1.2 s
+  *    carrying 16 columns, see below). Both stay registered: the
+  *    oracle gates both plans; pick by the group-cardinality shape.
   */
 object Dedup {
 

@@ -187,13 +187,19 @@ class PlanShapeSpec extends SparkSpec {
       l.contains("hashpartitioning(lang") && l.contains("bucket")), p)
   }
 
-  test("t24: offset windows hash-partitioned; single-partition steps bounded") {
+  test("t24: offset windows hash-partitioned; NO single-partition step") {
     val p = plan("t24_pack_materialize")
     // per-doc offset windows ride the md5-prefix buckets
     assert(p.contains("hashpartitioning(bucket"), p)
-    // allowed single-partition steps: the VOCAB-bounded rank window and
-    // the 256-row bucket-total prefix — never the per-token rows
-    assert("SinglePartition".r.findAllIn(p).size <= 2, p)
+    // round-8: the vocab rank went two-level (Ranks.rankByCountDesc)
+    // and the bucket-total prefix became a broadcast self-join, so the
+    // whole plan carries ZERO SinglePartition exchanges — a 10⁸-token
+    // vocabulary never funnels into one window partition
+    assert(!p.contains("SinglePartition"), p)
+    // every rank window is partitioned: (count, prefix) for the vocab
+    // tie-break, (count) for its bases
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning(c#") || l.contains("hashpartitioning(c,")), p)
   }
 
   test("c04: doc-scoring rank window is hash-partitioned two-level") {
@@ -222,6 +228,17 @@ class PlanShapeSpec extends SparkSpec {
     // and the ≤O(value-range) bucket prefix-sum window, each printed
     // twice (tb feeds two joins; runtime ReuseExchange dedups them)
     assert("SinglePartition".r.findAllIn(p).size <= 4, p)
+  }
+
+  test("t27: pair top-50 is TakeOrderedAndProject over vocab-bounded rows") {
+    val p = plan("t27_bpe_pairs")
+    // top-50 under the total order is per-partition heaps + merge,
+    // never a global sort or a rank window; the corpus contributes one
+    // map-side-combined word count and the pair expansion runs on the
+    // distinct-word frame
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("WindowExec") && !p.contains("Window ("), p)
+    assert(!p.contains("SinglePartition"), p)
   }
 
   test("no CartesianProduct exec anywhere in the registry") {
