@@ -67,6 +67,34 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("approx_users"),
         col("n"))
 
+  /** Tumbling-window frequent items: per-window approx_top_k heavy
+    * hitters over the user stream — the t26/q77 mergeable
+    * frequent-items sketch riding the watermarked window state, KBs
+    * per window regardless of key cardinality (an exact per-key count
+    * would hold every key in the store; at 100 TB-of-events scale the
+    * sketch IS the only windowed-top-k state that fits). Emits the
+    * top items as a canonical "item:count" string under the
+    * (count desc, item asc) total order so downstream consumers (and
+    * the spec) read a deterministic rendering. */
+  def tumblingTopK(events: DataFrame, k: Int = 5,
+                   windowLen: String = "5 minutes",
+                   watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(expr(s"approx_top_k(user_id, $k, 64)").as("top"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("n"),
+        array_join(transform(
+          array_sort(col("top"), (a, b) =>
+            when(a.getField("count") > b.getField("count"), -1)
+              .when(a.getField("count") < b.getField("count"), 1)
+              .when(a.getField("item") < b.getField("item"), -1)
+              .when(a.getField("item") > b.getField("item"), 1)
+              .otherwise(0)),
+          x => concat(x.getField("item").cast("string"), lit(":"),
+            x.getField("count").cast("string"))), " ").as("top_items"))
+
   /** Built-in session windows: gap-based (30 min), watermark-bounded. */
   def sessionWindowAgg(events: DataFrame,
                        gap: String = "30 minutes",
