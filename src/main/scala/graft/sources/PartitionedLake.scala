@@ -80,6 +80,17 @@ object PartitionedLake {
         .parquet(path)
     }
 
+  /** Rewrite ONLY the `partCol` partitions present in `df` (dynamic
+    * overwrite), leaving every other partition's files untouched — the
+    * partition-pruned MERGE write for keyed-store maintenance
+    * ([[graft.streaming.SnapshotCdc]]). The caller must materialize
+    * `df` first if it was derived from the same path. */
+  def overwriteBuckets(df: DataFrame, partCol: String,
+                       path: String): Unit =
+    withDynamicOverwrite(df.sparkSession) {
+      df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    }
+
   /** Small-file compaction for one partition: rewrite a month's files
     * into ~`targetFiles` outputs.
     *

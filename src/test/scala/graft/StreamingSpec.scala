@@ -283,6 +283,99 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed top-k emits the planted heavy hitter first") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = EventStreams.tumblingTopK(mem.toDF(), k = 3)
+    val q = out.writeStream.format("memory").queryName("topk")
+      .outputMode("append").start()
+    try {
+      // window [00:00, 00:05): user 42 five times, 7/8/9 once each;
+      // a later event moves the watermark past the window to close it
+      mem.addData(
+        ev(1, "2024-01-01 00:00:10", 42), ev(2, "2024-01-01 00:00:20", 42),
+        ev(3, "2024-01-01 00:00:30", 42), ev(4, "2024-01-01 00:00:40", 42),
+        ev(5, "2024-01-01 00:01:00", 42), ev(6, "2024-01-01 00:02:00", 7),
+        ev(7, "2024-01-01 00:03:00", 8), ev(8, "2024-01-01 00:04:00", 9))
+      q.processAllAvailable()
+      mem.addData(ev(9, "2024-01-01 00:30:00", 1))
+      q.processAllAvailable()
+      val rows = spark.table("topk")
+        .select($"window_start".cast("string"), $"n", $"top_items")
+        .as[(String, Long, String)].collect()
+      val w0 = rows.filter(_._1.startsWith("2024-01-01 00:00"))
+      assert(w0.length == 1)
+      assert(w0.head._2 == 8L)
+      // the heavy hitter leads the canonical (count desc, item asc)
+      // rendering with its exact count (8 keys <= 64 sketch slots)
+      assert(w0.head._3.startsWith("42:5"), w0.head._3)
+    } finally q.stop()
+  }
+
+  test("snapshot CDC: upsert/guarded-insert/tombstone across batches; " +
+      "only affected buckets rewrite; replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("stream_snap").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("stream_snap_ck").toString
+    def e(id: Long, t: String, user: Long, typ: String, v: Double) =
+      Event(id, Timestamp.valueOf(t), user, typ, v, "{}")
+    val mem = MemoryStream[Event]
+    val q = graft.streaming.SnapshotCdc
+      .userSnapshotSink(mem.toDF(), store, nBuckets = 4)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // batch 0: purchases create 1 and 2; click on unknown 3 ignored;
+      // within-batch, user 1's LATER purchase supersedes the earlier
+      mem.addData(
+        e(1, "2024-01-01 00:01:00", 1, "purchase", 10.0),
+        e(2, "2024-01-01 00:02:00", 1, "purchase", 11.0),
+        e(3, "2024-01-01 00:03:00", 2, "purchase", 20.0),
+        e(4, "2024-01-01 00:04:00", 3, "click", 99.0),
+        e(8, "2024-01-01 00:05:00", 7, "purchase", 70.0))
+      q.processAllAvailable()
+      val s0 = spark.read.parquet(store)
+      assert(s0.select($"user_id", $"balance", $"alive")
+        .as[(Long, Double, Boolean)].collect().toSet ==
+        Set((1L, 11.0, true), (2L, 20.0, true), (7L, 70.0, true)))
+      def partFiles(bucket: Int): Set[String] = {
+        val dir = new java.io.File(s"$store/bucket=$bucket")
+        Option(dir.listFiles()).map(_.map(_.getName)
+          .filter(_.startsWith("part-")).toSet).getOrElse(Set.empty)
+      }
+      val b3Before = partFiles(3)
+      assert(b3Before.nonEmpty) // user 7 → bucket 3
+      // batch 1: click updates 1; error tombstones 2; signup creates 5
+      // (bucket 1); bucket 3 is untouched and must NOT rewrite
+      mem.addData(
+        e(5, "2024-01-02 00:01:00", 1, "click", 12.5),
+        e(6, "2024-01-02 00:02:00", 2, "error", 0.0),
+        e(7, "2024-01-02 00:03:00", 5, "signup", 50.0))
+      q.processAllAvailable()
+      val s1 = spark.read.parquet(store)
+        .select($"user_id", $"balance", $"alive")
+        .as[(Long, Double, Boolean)].collect().toSet
+      assert(s1 == Set((1L, 12.5, true), (2L, 20.0, false),
+        (5L, 50.0, true), (7L, 70.0, true)))
+      // partition-pruned write: the untouched bucket kept its exact
+      // files (a rewrite would mint new part-* names)
+      assert(partFiles(3) == b3Before)
+      // replaying batch 1 (restart-from-checkpoint semantics) against
+      // the post-batch store: absolute updates, guarded insert, stable
+      // tombstone — byte-identical state
+      graft.streaming.SnapshotCdc.applyBatchToStore(
+        Seq(e(5, "2024-01-02 00:01:00", 1, "click", 12.5),
+          e(6, "2024-01-02 00:02:00", 2, "error", 0.0),
+          e(7, "2024-01-02 00:03:00", 5, "signup", 50.0))
+          .toDS().toDF(), store, nBuckets = 4)
+      val s2 = spark.read.parquet(store)
+        .select($"user_id", $"balance", $"alive")
+        .as[(Long, Double, Boolean)].collect().toSet
+      assert(s2 == s1)
+    } finally q.stop()
+  }
+
   test("lake sink: batches sharing a month accumulate; replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val lake = java.nio.file.Files.createTempDirectory("stream_lake").toString
