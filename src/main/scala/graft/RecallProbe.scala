@@ -67,6 +67,18 @@ object RecallProbe {
         f"n_unjustified=$extra%d recall=${if (t == 0) 1.0 else h.toDouble / t}%.4f")
     }
 
+    // d12: measured MinHash estimator error behind the est_ok bound
+    {
+      val chk = TextDedup.minhashEstimateCheck(docs, "doc_id", "text",
+        bound = 1.0, emitEst = true)
+      val r = chk.agg(count(lit(1)).as("n"),
+        max(abs(col("est") - col("jaccard"))).as("maxerr"),
+        avg(abs(col("est") - col("jaccard"))).as("mae")).collect().head
+      println(f"EST d12_minhash n_pairs=${r.getLong(0)} " +
+        f"max|est-J|=${r.getDouble(1)}%.4f (bound 0.25) " +
+        f"mae=${r.getDouble(2)}%.4f")
+    }
+
     annRecall("s02_lsh", Similarity.lshTopK(emb, q, 10))
 
     // s07: JL distortion stats behind the mae/frac contract booleans

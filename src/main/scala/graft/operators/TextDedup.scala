@@ -135,6 +135,56 @@ object TextDedup {
       .select("id_a", "id_b")
   }
 
+  /** Broder's MinHash Jaccard ESTIMATOR, measured (public literature:
+    * Broder 1997, "On the resemblance and containment of documents"):
+    * over the exact truth pairs ([[shingleJaccardPairs]] — the
+    * SQL-recomputable set), the fraction of agreeing signature
+    * components est = |{i : sig_a[i] = sig_b[i]}| / k estimates the
+    * shingle-set Jaccard the signature was built from (each component
+    * agrees with probability exactly J). d02 gates the LSH pipeline's
+    * RECALL; this gates the ESTIMATE's accuracy — the quantity a
+    * dedup pipeline thresholds on when it skips exact verification at
+    * scale and trusts signatures alone (k is the precision dial:
+    * stderr = √(J(1−J)/k) ≤ 0.0625 at k=64).
+    *
+    * Scale shape: signatures are k longs per doc computed in one
+    * codegen pass; the estimate join touches only the truth/candidate
+    * pairs, with per-pair cost k — no shingle strings move.
+    *
+    * @param bound   |est − J| tolerance the `est_ok` boolean asserts
+    *                (RecallProbe prints the measured max behind it)
+    * @param emitEst include the rounded estimate column (diagnostics;
+    *                the oracle-gated form omits it — DuckDB cannot
+    *                recompute hash-family internals) */
+  def minhashEstimateCheck(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 64, shingleN: Int = 3,
+                           threshold: Double = 0.6, bound: Double = 0.25,
+                           emitEst: Boolean = false): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokenSet(col(textCol)).as("toks"))
+      .withColumn("sh", TextFunctions.shingles(col("toks"), shingleN))
+      .withColumn("sig", graft.plans.MinHashShingleFunctions
+        .minhashShingleSignature(col("toks"), shingleN, k))
+    val sides = base.select(col("doc_id"), col("sh"), col("sig"))
+    val paired = shingleJaccardPairs(docs, idCol, textCol, shingleN, threshold)
+      .join(sides.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+        col("sig").as("sig_a")), "id_a")
+      .join(sides.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+        col("sig").as("sig_b")), "id_b")
+      .withColumn("si",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jac", col("si") /
+        (size(col("sh_a")) + size(col("sh_b")).cast("double") - col("si")))
+      .withColumn("est",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(k.toDouble))
+    paired.select(Seq(col("id_a"), col("id_b"),
+      round(col("jac"), 4).as("jaccard"),
+      (abs(col("est") - col("jac")) <= bound).as("est_ok")) ++
+      (if (emitEst) Seq(round(col("est"), 4).as("est")) else Nil): _*)
+  }
+
   /** Exact token-set Jaccard as a Column expression. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

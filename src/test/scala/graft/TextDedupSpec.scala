@@ -188,4 +188,28 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L)),
       s"expected only the (quote → source) direction, got $got")
   }
+
+  test("minhash estimator: identical docs estimate exactly 1.0; " +
+      "planted partial overlap lands within the bound") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"))
+      .toDF("doc_id", "text")
+    // bound 0.0: only an exact estimate can set est_ok
+    val out = TextDedup.minhashEstimateCheck(docs, "doc_id", "text",
+      bound = 0.0, emitEst = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getBoolean(3), r.getDouble(4))).toMap
+    // identical docs: every signature component agrees — est exactly 1
+    val (j12, ok12, e12) = out((1L, 2L))
+    assert(j12 == 1.0 && e12 == 1.0 && ok12)
+    // 8-token docs differing in the last token: 5 shared of 7 distinct
+    // shingles → J = 5/7; the k=64 estimate must land within 0.25
+    val (j13, _, e13) = out((1L, 3L))
+    assert(math.abs(j13 - 5.0 / 7.0) < 1e-3)
+    assert(math.abs(e13 - j13) <= 0.25,
+      s"estimator off by ${math.abs(e13 - j13)}")
+  }
 }
