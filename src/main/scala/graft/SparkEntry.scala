@@ -924,6 +924,20 @@ object SparkEntry {
       (col("n_hit") >= col("n_true") * lit(0.9)).as("recall_ok"))
   }
 
+  /** d12 — MinHash Jaccard ESTIMATOR accuracy
+    * ([[TextDedup.minhashEstimateCheck]], Broder's estimator): per
+    * truth pair, the k=64 signature-agreement fraction must land
+    * within 0.25 of the exact shingle Jaccard — the bound a pipeline
+    * relies on when it thresholds on signatures alone and skips exact
+    * verification at scale. d02 gates the LSH pipeline's recall; this
+    * gates the estimate itself. Pair set + exact Jaccard are
+    * DuckDB-recomputable (the d02 truth CTEs, per-pair form); the
+    * boolean's measured max error is 0.0764 at sf0.01 / 0.0966 at
+    * sf0.1 (RecallProbe, mae ≈ 0.022) — 2.5× margin under 0.25
+    * (stderr √(J(1−J)/64) ≤ 0.0625; the bound is 4σ). */
+  private def d12(s: SparkSession, d: String): DataFrame =
+    TextDedup.minhashEstimateCheck(Tables.documents(s, d), "doc_id", "text")
+
   /** d03 — SimHash near-dup pairs. The chunk blocking is pigeonhole-
     * EXACT (any pair at Hamming <= 3 shares one of the four 16-bit
     * chunks), so the check cross-validates the blocked operator against
@@ -1395,16 +1409,18 @@ object SparkEntry {
           .as("est_ok"))
   }
 
-  /** t27 — BPE merge statistics: the first iteration of byte-pair-
-    * encoding tokenizer training — adjacent character-pair frequencies
-    * over the corpus, counted the way real BPE trainers do it: on the
-    * DISTINCT-WORD frame weighted by word frequency, never on the raw
-    * text. The corpus contributes ONE map-side-combined word count;
-    * pair expansion runs over vocab-bounded rows (Σ word lengths of
-    * the vocabulary, not the corpus), the pair rollup shuffles
-    * pair-counter rows, and top-50 under the (count desc, pair asc)
-    * total order is a TakeOrderedAndProject — no window anywhere.
-    * Integer exact. */
+  /** t27 — BPE merge statistics, VOCABULARY-WEIGHTED form: the same
+    * pair-frequency statistic as t20, re-planned the way real BPE
+    * trainers run it — on the DISTINCT-WORD frame weighted by word
+    * frequency, never on the raw occurrence stream. t20's pair
+    * expansion costs Σ word lengths over the CORPUS (every occurrence
+    * re-derives its pairs before the map-side combine); here the
+    * corpus contributes ONE word-count aggregate and pair expansion
+    * runs over Σ word lengths of the VOCABULARY — the form that
+    * survives when the corpus is 10⁶× its vocabulary (the gated
+    * alternate-plan pair discipline of q02/q02b). Top-50 under the
+    * (count desc, pair asc) total order is a TakeOrderedAndProject —
+    * no window anywhere. Integer exact. */
   private def t27(s: SparkSession, d: String): DataFrame = {
     val words = Tables.documents(s, d)
       .select(explode(regexp_extract_all(lower(col("text")),
@@ -2402,12 +2418,36 @@ object SparkEntry {
         col("cluster_size").as("entity_size"))
   }
 
+  /** q81 — keyed-snapshot maintenance from the event stream, the batch
+    * twin of st12 ([[graft.streaming.SnapshotCdc.applyUserBatch]]):
+    * events split into two deterministic "ingest batches" (day ≤ 15 /
+    * rest), each batch's per-user LATEST event normalized into a
+    * strict I/U/D changeset against the state the previous batch left
+    * and applied through the q51 [[graft.operators.Cdc]] kernel —
+    * upsert (purchase), guarded insert (signup), alive-only update
+    * (click), tombstone (error). Balance is the raw event value
+    * (byte-exact parquet pass-through, q51's no-rearithmetic
+    * discipline). The oracle re-derives the two-step state machine
+    * independently as a FULL OUTER join CASE table. */
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val empty = ev.select(col("user_id"), col("value").as("balance"))
+      .limit(0).withColumn("alive", lit(true))
+    graft.streaming.SnapshotCdc.applyUserBatch(
+      graft.streaming.SnapshotCdc.applyUserBatch(
+        empty, ev.filter(dayofmonth(col("ts")) <= 15)),
+      ev.filter(dayofmonth(col("ts")) > 15))
+  }
+
   /** t20 — BPE merge-pair statistics (the inner loop of byte-pair-
     * encoding tokenizer training): count adjacent CHARACTER pairs
     * within corpus words, emit the top 20 merge candidates under a
     * total (count desc, pair) order. Pairs come straight off the char
     * split in the projection (t15's bigram idiom one level down); one
-    * partial-combined count shuffle over a ≤ |alphabet|² key space. */
+    * partial-combined count shuffle over a ≤ |alphabet|² key space.
+    * Pair expansion here runs per word OCCURRENCE — see t27 for the
+    * vocabulary-weighted re-plan whose expansion cost is bounded by
+    * the vocabulary instead of the corpus. */
   private def t20(s: SparkSession, d: String): DataFrame = {
     val words = Tables.documents(s, d)
       .select(explode(
@@ -3475,6 +3515,7 @@ object SparkEntry {
     "t22_chunk_dedup" -> (t22 _),
     "t23_shingle_novelty" -> (t23 _),
     "d11_cluster_keep_best" -> (d11 _),
+    "d12_minhash_estimate" -> (d12 _),
     "c06_unimax_mix" -> (c06 _),
     "s09_mmr_rerank" -> (s09 _),
     "m05_image_dhash" -> (m05 _),
@@ -3494,6 +3535,7 @@ object SparkEntry {
     "g01_pagerank" -> (g01 _),
     "g02_pagerank_weighted" -> (g02 _),
     "g03_pagerank_personalized" -> (g03 _),
+    "q81_snapshot_maintain" -> (q81 _),
     "s10_ann_pq" -> (s10 _),
     "s11_hard_negatives" -> (s11 _),
     "s12_ann_filtered" -> (s12 _),
@@ -3841,6 +3883,11 @@ object SparkEntry {
       "st10_stream_approx_distinct" ->
         drive((_, _, src) =>
           graft.streaming.EventStreams.tumblingApproxDistinct(src)),
+      // frequent-items sketch in the stream: windowed approx_top_k
+      // heavy hitters (t26/q77's mergeable sketch as window state)
+      "st13_stream_topk" ->
+        drive((_, _, src) =>
+          graft.streaming.EventStreams.tumblingTopK(src)),
       "st05_stream_dim_join" ->
         drive((s, d, src) => graft.streaming.EventStreams
           .enrichedTumblingAgg(src, Tables.customer(s, d))),
@@ -3873,6 +3920,22 @@ object SparkEntry {
               .forEach(p => Files.deleteIfExists(p))
           }
           graft.streaming.EventStreams.toLake(src, lake.toString)
+        }),
+      // keyed-store maintenance: each micro-batch's changes MERGE into
+      // a bucket-partitioned snapshot, rewriting only affected buckets
+      // (q81 is the oracle-gated batch twin of the normalization +
+      // apply kernel; StreamingSpec drives accumulate + replay)
+      "st12_stream_snapshot_cdc" ->
+        driveWith((s, d, src) => {
+          val store = java.nio.file.Paths.get(
+            s"/tmp/graft_stream_snap_${Integer.toHexString(d.hashCode)}")
+          if (java.nio.file.Files.exists(store)) {
+            import java.nio.file.{Files, Path}
+            import java.util.Comparator
+            Files.walk(store).sorted(Comparator.reverseOrder[Path]())
+              .forEach(p => Files.deleteIfExists(p))
+          }
+          graft.streaming.SnapshotCdc.userSnapshotSink(src, store.toString)
         }),
       "st06_stream_stateful_sessions" ->
         drive((s, _, src) => {
@@ -4457,6 +4520,33 @@ object SparkEntry {
     // brute-force cross-validation (pigeonhole blocking is exact).
     "d03_dedup_simhash" ->
       "SELECT TRUE AS blocking_exact, TRUE AS pairs_nonzero",
+    // d12: the d02 truth CTEs in PER-PAIR form with the exact shingle
+    // Jaccard; est_ok is the in-Spark estimator-accuracy boolean
+    // (signature internals have no SQL equivalent)
+    "d12_minhash_estimate" ->
+      """WITH raw AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+        |t AS (SELECT doc_id,
+        |    list_filter(tk, (x,i) -> list_position(tk, x) = i) AS toks FROM raw),
+        |sh AS (SELECT doc_id, toks,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i+1:i+3], ' ')
+        |               FOR i IN range(0, len(toks)-2)] END AS shingles
+        |    FROM t),
+        |cnt AS (SELECT doc_id, len(shingles) AS ns, len(toks) AS nt FROM sh),
+        |se AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |si AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS i FROM se a
+        |       JOIN se b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |te AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+        |ti AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS i FROM te a
+        |       JOIN te b ON a.tk = b.tk AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT si.ia AS id_a, si.ib AS id_b,
+        |  round(CAST(si.i AS DOUBLE) / (ca.ns + cb.ns - si.i), 4) AS jaccard,
+        |  TRUE AS est_ok
+        |FROM si JOIN ti ON si.ia = ti.ia AND si.ib = ti.ib
+        |JOIN cnt ca ON si.ia = ca.doc_id JOIN cnt cb ON si.ib = cb.doc_id
+        |WHERE CAST(si.i AS DOUBLE) / (ca.ns + cb.ns - si.i) >= 0.6
+        |  AND CAST(ti.i AS DOUBLE) / (ca.nt + cb.nt - ti.i) >= 0.6""".stripMargin,
     "d05_embed_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
@@ -6215,6 +6305,39 @@ object SparkEntry {
         |    JOIN pr2 p ON p.node = e.src GROUP BY e.dst) c
         |    ON c.node = n0.node)
         |SELECT node, pr FROM pr3""".stripMargin,
+    // snapshot maintenance: the two-batch I/U/D state machine
+    // re-derived INDEPENDENTLY as a full-outer-join CASE table over
+    // each batch's latest-per-user event (never the Cdc kernel's
+    // join-then-union shape)
+    "q81_snapshot_maintain" ->
+      """WITH e AS (SELECT user_id, event_type, value, ts, event_id,
+        |    CASE WHEN day(ts) <= 15 THEN 1 ELSE 2 END AS b
+        |  FROM events),
+        |l AS (SELECT *, row_number() OVER (PARTITION BY user_id, b
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM e),
+        |l1 AS (SELECT user_id, event_type, value FROM l
+        |  WHERE b = 1 AND rn = 1),
+        |l2 AS (SELECT user_id, event_type, value FROM l
+        |  WHERE b = 2 AND rn = 1),
+        |s1 AS (SELECT user_id, value AS balance, TRUE AS alive FROM l1
+        |  WHERE event_type IN ('purchase', 'signup')),
+        |f AS (SELECT coalesce(s1.user_id, l2.user_id) AS user_id,
+        |    CASE
+        |      WHEN l2.user_id IS NULL THEN s1.balance
+        |      WHEN l2.event_type = 'purchase' THEN l2.value
+        |      WHEN l2.event_type = 'signup'
+        |        THEN coalesce(s1.balance, l2.value)
+        |      WHEN l2.event_type = 'click' AND s1.user_id IS NOT NULL
+        |        THEN l2.value
+        |      ELSE s1.balance END AS balance,
+        |    CASE WHEN l2.event_type = 'error' AND s1.user_id IS NOT NULL
+        |      THEN FALSE ELSE TRUE END AS alive,
+        |    CASE
+        |      WHEN s1.user_id IS NOT NULL THEN TRUE
+        |      WHEN l2.event_type IN ('purchase', 'signup') THEN TRUE
+        |      ELSE FALSE END AS has_row
+        |  FROM s1 FULL OUTER JOIN l2 ON l2.user_id = s1.user_id)
+        |SELECT user_id, balance, alive FROM f WHERE has_row""".stripMargin,
     // BPE merge statistics: pair counts re-derived on the distinct-
     // word frame weighted by word frequency — independently of the
     // Spark-side transform/substr path
