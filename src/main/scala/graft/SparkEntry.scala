@@ -995,6 +995,25 @@ object SparkEntry {
       .select(col("node").as("doc_id"), col("component"), col("cluster_size"))
   }
 
+  /** c11 — soft dedup: duplicate-aware LOSS WEIGHTS instead of hard
+    * removal (the SoftDeDup idea — down-weight duplicated content in
+    * the training objective rather than dropping it): every document
+    * keeps w = 1/|its near-dup cluster| so each distinct content unit
+    * contributes total weight ~1 regardless of how many copies
+    * crawled. Composes d07's clusters; emitted as the exact integer
+    * micro-weight 10⁶ div n (float division never crosses the gate)
+    * plus the cluster size. Scale shape = d07's (the weight is one
+    * broadcast-sized arithmetic column on top of the CC labels). */
+  private def c11(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = TextDedup.tokenJaccardPairs(docs, "doc_id", "text",
+      blockCol = "source", threshold = 0.5)
+    graft.operators.Graph.dupClusters(
+        docs.select(col("doc_id")), pairs.select(col("id_a"), col("id_b")))
+      .select(col("node").as("doc_id"), col("cluster_size"),
+        expr("1000000L div cluster_size").as("w_micro"))
+  }
+
   /** d06 — exact n-gram (3-shingle) Jaccard dedup pairs: the
     * order-sensitive cousin of d04's token-set Jaccard (a doc pair must
     * share word SEQUENCES, not just vocabulary). Same operator that
@@ -1589,6 +1608,24 @@ object SparkEntry {
       .select(col("asset_id"),
         col("sample_rate").cast("long").as("sample_rate"),
         col("n_samples"), col("afp"), col("n_same_fp"))
+  }
+
+  /** m07 — video perceptual fingerprint + exact-dup groups (VIDEO
+    * FINGERPRINT CONTRACT, Multimodal.scaladoc): 7 energy-gradient
+    * bits over the first 8 sampled frames — the video-modality dedup
+    * primitive completing m05 (image) / m06 (audio). width/height come
+    * from the PARSED GVF header while the oracle predicts them from
+    * the asset contract, so a header-offset bug fails the gate.
+    * Integer-only throughout. */
+  private def m07(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val fps = graft.multimodal.Multimodal.videoFingerprint(
+      graft.multimodal.Multimodal.assetsFromDocuments(s, d)).toDF()
+    val groups = fps.groupBy(col("vfp"))
+      .agg(count(lit(1)).as("n_same_fp"))
+    fps.join(groups, "vfp")
+      .select(col("asset_id"), col("width"), col("height"),
+        col("n_frames"), col("vfp"), col("n_same_fp"))
   }
 
   /** m02 — video frame sampling: one row per 64-byte frame window.
@@ -2394,8 +2431,13 @@ object SparkEntry {
         substring(col("c_name"), 1, 16).as("blk"))
     c.alias("a").join(c.alias("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("dist", levenshtein(col("a.name"), col("b.name")))
-      .filter(col("dist") <= 1)
+      // THRESHOLDED edit distance (Spark 3.5+): the banded DP verifies
+      // dist <= 1 in O(len) per pair instead of the full O(len²) matrix
+      // — the verify stage is the whole cost of a blocked fuzzy join,
+      // so the bound is the lever (returns -1 past the threshold;
+      // kept-row values are identical to the unbounded form)
+      .withColumn("dist", levenshtein(col("a.name"), col("b.name"), 1))
+      .filter(col("dist") >= 0 && col("dist") <= 1)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("dist").cast("int").as("dist"))
   }
@@ -2416,6 +2458,27 @@ object SparkEntry {
         ids, q57(s, d).select(col("id_a"), col("id_b")))
       .select(col("node").as("id"), col("component").as("entity_id"),
         col("cluster_size").as("entity_size"))
+  }
+
+  /** g04 — triangle counting over the co-purchase graph
+    * ([[graft.operators.Graph.triangleCount]]): parts bought together
+    * in an order are edges (one deterministic part family, l_partkey %
+    * 4 = 0, keeps the fixture graph bounded — the operator itself is
+    * general); triangles measure clustering/community structure, the
+    * classic graph-shape signal. The scale story is the DEGREE-ORDERED
+    * orientation: the wedge join is capped at O(m^1.5) regardless of
+    * hub degree (Graph.triangleCount scaladoc). The oracle counts the
+    * same triangles via the id-ordered 3-way self-join — a completely
+    * different formulation whose count must agree exactly. */
+  private def g04(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    graft.operators.Graph.triangleCount(edges)
   }
 
   /** q81 — keyed-snapshot maintenance from the event stream, the batch
@@ -3520,6 +3583,7 @@ object SparkEntry {
     "s09_mmr_rerank" -> (s09 _),
     "m05_image_dhash" -> (m05 _),
     "m06_audio_fingerprint" -> (m06 _),
+    "m07_video_fingerprint" -> (m07 _),
     "q76_variant_battery" -> (q76 _),
     "c07_balance_upsample" -> (c07 _),
     "t24_pack_materialize" -> (t24 _),
@@ -3527,6 +3591,7 @@ object SparkEntry {
     "c08_dsir_weights" -> (c08 _),
     "c09_temperature_mix" -> (c09 _),
     "c10_dsir_select_mix" -> (c10 _),
+    "c11_soft_dedup_weights" -> (c11 _),
     "t26_approx_topk" -> (t26 _),
     "q77_topk_lifecycle" -> (q77 _),
     "q78_kll_quantiles" -> (q78 _),
@@ -3535,6 +3600,7 @@ object SparkEntry {
     "g01_pagerank" -> (g01 _),
     "g02_pagerank_weighted" -> (g02 _),
     "g03_pagerank_personalized" -> (g03 _),
+    "g04_triangle_count" -> (g04 _),
     "q81_snapshot_maintain" -> (q81 _),
     "s10_ann_pq" -> (s10 _),
     "s11_hard_negatives" -> (s11 _),
@@ -3633,6 +3699,11 @@ object SparkEntry {
     // d11 (selection) consume that one result; the registered query
     // recomputes the clustering only so its oracle stays
     // self-contained. d07 itself stays benched as the full pipeline.
+    // the weight column on top of the SHARED persisted clustering —
+    // like d11, a production pipeline computes the clusters once
+    "c11_soft_dedup_weights" -> ((s: SparkSession, d: String) =>
+      cachedClusters(s, d).select(col("doc_id"), col("cluster_size"),
+        expr("1000000L div cluster_size").as("w_micro"))),
     "d11_cluster_keep_best" -> ((s: SparkSession, d: String) => {
       val docs = Tables.documents(s, d)
       val clusters = cachedClusters(s, d)
@@ -4644,6 +4715,38 @@ object SparkEntry {
         |SELECT doc_id, component,
         |  CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
         |    AS cluster_size
+        |FROM lab""".stripMargin,
+    // c11: the d07 closure with the exact micro-weight column — the
+    // oracle re-derives components via the same independent
+    // recursive-CTE min-label closure, never the star algorithm
+    "c11_soft_dedup_weights" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM tok a JOIN tok b
+        |    ON a.t = b.t AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |e AS (
+        |  SELECT id_a AS a, id_b AS b FROM inter
+        |  JOIN cnt ca ON id_a = ca.doc_id
+        |  JOIN cnt cb ON id_b = cb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+        |sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+        |reach(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id),
+        |lab AS (SELECT id AS doc_id, min(comp) AS component
+        |        FROM reach GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+        |    AS cluster_size,
+        |  CAST(1000000 // count(*) OVER (PARTITION BY component)
+        |    AS BIGINT) AS w_micro
         |FROM lab""".stripMargin,
     // Independent restatement of the QUANTIZATION CONTRACT
     // (QuantizeExpressions.scaladoc): per-dim max-abs scales, codes =
@@ -5942,6 +6045,38 @@ object SparkEntry {
         |SELECT doc_id AS asset_id, sample_rate, n_samples, afp,
         |  CAST(count(*) OVER (PARTITION BY afp) AS BIGINT) AS n_same_fp
         |FROM base""".stripMargin,
+    // m07: every video fingerprint recomputed from the asset
+    // contract's text-as-frame-bytes derivation (the m06 byte-fold
+    // technique at frame granularity); width/height predicted from the
+    // contract vs the engine's header parse
+    "m07_video_fingerprint" ->
+      """WITH vid AS (SELECT doc_id, text, length(text) AS tl,
+        |    CAST(doc_id % 640 + 64 AS INT) AS width,
+        |    CAST(doc_id % 480 + 48 AS INT) AS height
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |ch AS (SELECT doc_id, text, unnest(range(least(tl, 512))) AS i
+        |  FROM vid WHERE tl > 0),
+        |en0 AS (SELECT doc_id, i // 64 AS w,
+        |    CAST(sum(ascii(substr(text, CAST(i AS INT) + 1, 1)))
+        |      AS BIGINT) AS e
+        |  FROM ch GROUP BY 1, 2),
+        |grid AS (SELECT v.doc_id, r.range AS w FROM vid v, range(8) r),
+        |en AS (SELECT g.doc_id, g.w, coalesce(e, 0) AS e
+        |  FROM grid g LEFT JOIN en0 ON en0.doc_id = g.doc_id
+        |    AND en0.w = g.w),
+        |fp AS (SELECT a.doc_id,
+        |    CAST(sum(CASE WHEN a.e > b.e
+        |      THEN 1::BIGINT << CAST(a.w AS INT) ELSE 0 END) AS BIGINT)
+        |      AS vfp
+        |  FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        |  WHERE a.w < 7 GROUP BY 1),
+        |base AS (SELECT v.doc_id, v.width, v.height,
+        |    CAST((v.tl + 63) // 64 AS BIGINT) AS n_frames,
+        |    coalesce(fp.vfp, 0) AS vfp
+        |  FROM vid v LEFT JOIN fp USING (doc_id))
+        |SELECT doc_id AS asset_id, width, height, n_frames, vfp,
+        |  CAST(count(*) OVER (PARTITION BY vfp) AS BIGINT) AS n_same_fp
+        |FROM base""".stripMargin,
     // VARIANT battery restated with DuckDB string-path JSON; the
     // minified roundtrip is REBUILT from the extracted value space
     // ('{"k":<int>}') rather than whitespace-stripping the raw string —
@@ -5987,10 +6122,10 @@ object SparkEntry {
         |      AS vid
         |  FROM cnt2),
         |o AS (SELECT doc_id, toks, len(toks) AS n_tok,
-        |    sum(len(toks)) OVER (
+        |    CAST(sum(len(toks)) OVER (
         |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':pack'), doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      - len(toks) AS start_off
+        |      AS BIGINT) - len(toks) AS start_off
         |  FROM t),
         |flat AS (SELECT doc_id, start_off + i AS off, tok
         |  FROM (SELECT doc_id, start_off,
@@ -6305,6 +6440,18 @@ object SparkEntry {
         |    JOIN pr2 p ON p.node = e.src GROUP BY e.dst) c
         |    ON c.node = n0.node)
         |SELECT node, pr FROM pr3""".stripMargin,
+    // g04: the id-ordered 3-way self-join count — a different
+    // formulation from the engine's degree-ordered forward algorithm;
+    // the exact integer counts must agree
+    "g04_triangle_count" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 4 = 0),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e e1
+        |   JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |   JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles""".stripMargin,
     // snapshot maintenance: the two-batch I/U/D state machine
     // re-derived INDEPENDENTLY as a full-outer-join CASE table over
     // each batch's latest-per-user event (never the Cdc kernel's

@@ -218,6 +218,50 @@ object Multimodal {
     }
   }
 
+  /** Video fingerprint row ([[videoFingerprint]]). */
+  case class VideoFingerprint(asset_id: Long, width: Int, height: Int,
+                              n_frames: Long, vfp: Long)
+
+  /** ======== VIDEO FINGERPRINT CONTRACT ========
+    * Video perceptual fingerprint + exact-dup key — the m05/m06 dedup
+    * primitive lifted to the VIDEO modality, completing the
+    * image/audio/video triad: per-FRAME byte energy over the first 8
+    * sampled frames ([[sampleFrames]]' 64-byte windows), then 7
+    * energy-gradient bits (bit w set iff e_w > e_{w+1}) — m06's
+    * chromaprint-lite discipline at frame granularity. Frames absent
+    * past the body contribute energy 0; n_frames = ceil(bodyLen/64).
+    * Integer-only, so the oracle recomputes every fingerprint from the
+    * asset contract's text-as-frame-bytes derivation while this decode
+    * path reads the real GVF container (width/height from the parsed
+    * header, never the metadata claim). */
+  def videoFingerprint(assets: Dataset[Asset])
+                      (implicit spark: SparkSession): Dataset[VideoFingerprint] = {
+    import spark.implicits._
+    assets.flatMap { a =>
+      MediaCodec.decodeHeader(a.payload) match {
+        case Some(mi) if mi.kind == "video" =>
+          val off = mi.bodyOffset
+          val bodyLen = a.payload.length - off
+          val nFrames = (bodyLen + 63) / 64
+          val energy = Array.fill(8)(0L)
+          var i = 0
+          while (i < bodyLen && i < 512) {
+            energy(i / 64) += a.payload(off + i) & 0xff
+            i += 1
+          }
+          var vfp = 0L
+          var w = 0
+          while (w < 7) {
+            if (energy(w) > energy(w + 1)) vfp |= 1L << w
+            w += 1
+          }
+          Some(VideoFingerprint(a.asset_id, mi.width, mi.height,
+            nFrames.toLong, vfp))
+        case _ => None
+      }
+    }
+  }
+
   /** Resized-image row. `payload` is a real re-encoded BMP;
     * `roundtrip_ok` is the contract check (see [[resizeImages]]). */
   case class ResizedImage(asset_id: Long, in_width: Int, in_height: Int,

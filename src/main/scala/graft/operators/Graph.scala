@@ -230,6 +230,57 @@ object Graph {
     pr
   }
 
+  /** Distributed triangle counting with DEGREE-ORDERED orientation
+    * (Schank's forward algorithm; Suri & Vassilvitskii 2011's
+    * node-iterator++ in MapReduce form): every edge is oriented from
+    * its lower-(degree, id) endpoint to the higher, so every node's
+    * OUT-degree is O(√m) on any graph — the wedge self-join (the
+    * quadratic step) is Σ out-degree², which orientation caps at
+    * O(m^1.5) total. Without it the join explodes on the highest-
+    * degree hub (deg² wedges from one node); this is THE skew fix for
+    * triangle counting at 100 TB, where a popular entity would
+    * otherwise hold a partition hostage.
+    *
+    * Each triangle is counted exactly once: its apex is the minimum
+    * node under the (degree, id) total order, the wedge pair is
+    * ordered by the same total order, and the closing edge carries the
+    * same orientation — plain-id ordering would double- or zero-count
+    * triangles whose id order disagrees with the degree order.
+    *
+    * @param edges undirected (u, v) pairs, u != v in any order;
+    *              duplicates tolerated (canonicalized + distinct here)
+    * @return one row: (n_edges, n_triangles) */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(
+      least(col(edges.columns(0)), col(edges.columns(1)))
+        .cast("long").as("u"),
+      greatest(col(edges.columns(0)), col(edges.columns(1)))
+        .cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = e0.select(col("u").as("n"))
+      .unionAll(e0.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    val ed = e0
+      .join(deg.select(col("n").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("dg").as("dv")), "v")
+      .select(when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+        .otherwise(
+          struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
+        .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+    val wedges = ed.as("a").join(ed.as("b"),
+        col("a.s") === col("b.s") &&
+          (col("a.dt") < col("b.dt") ||
+            (col("a.dt") === col("b.dt") && col("a.t") < col("b.t"))))
+      .select(col("a.t").as("x"), col("b.t").as("y"))
+    val closed = wedges
+      .join(ed.select(col("s").as("x"), col("t").as("y")), Seq("x", "y"))
+    e0.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+  }
+
   /** PERSONALIZED integer PageRank: [[pageRankInt]]'s exact recurrence
     * with the teleport mass restricted to a seed set — "centrality as
     * seen from HERE" (topic-sensitive PageRank, Haveliwala 2002; the

@@ -177,6 +177,31 @@ class GraphSpec extends SparkSpec {
     assert(got == pr)
   }
 
+  test("triangleCount: K4, hub star, and a random graph vs sequential") {
+    import graft.operators.Graph.triangleCount
+    // K4 = 4 triangles; duplicate/reversed edges are canonicalized
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 3L), (1L, 2L)).toDF("u", "v")
+    assert(triangleCount(k4).as[(Long, Long)].head() == ((6L, 4L)))
+    // a pure hub star has zero triangles — the orientation's worst
+    // unoriented case (deg² wedges at the hub) yields no closures
+    val star = (1L to 20L).map(i => (0L, i)).toDF("u", "v")
+    assert(triangleCount(star).as[(Long, Long)].head() == ((20L, 0L)))
+    // random graph vs a sequential triple scan
+    val rnd = new scala.util.Random(31)
+    val n = 30
+    val es = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val eset = es.toSet
+    var want = 0L
+    for (a <- 0 until n; b <- a + 1 until n; c <- b + 1 until n)
+      if (eset((a.toLong, b.toLong)) && eset((a.toLong, c.toLong)) &&
+          eset((b.toLong, c.toLong))) want += 1
+    val got = triangleCount(es.toDF("u", "v")).as[(Long, Long)].head()
+    assert(got == ((es.size.toLong, want)))
+  }
+
   test("dupClusters labels every node, singletons included, with sizes") {
     val nodes = (1L to 8L).toDF("doc_id")
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")

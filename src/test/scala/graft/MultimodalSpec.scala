@@ -125,6 +125,31 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L).afp == 0L, s"increasing energies: ${out(1L).afp}")
   }
 
+  test("video fingerprint: hand-built GVF with known frame energies") {
+    // frame w's body = 64 copies of byte (8 - w) * 10 for 4 full frames
+    // -> energies strictly decreasing -> bits 0..2 set of the first 3
+    // comparisons; frames 4..7 are ABSENT (energy 0), so bit 3
+    // (e3 > e4 = 0) is set and bits 4..6 (0 > 0) are not: vfp = 0b1111
+    val body = (0 until 4).flatMap(w =>
+      Seq.fill(64)(((8 - w) * 10).toByte)).toArray
+    val gvf = MediaCodec.encodeGvf(320, 240, 24, body)
+    val a = Multimodal.Asset(2L, "video", 320, 240, gvf.length, gvf)
+    // a 70-byte body: frame 0 full, frame 1 truncated (6 bytes) — the
+    // truncated tail still counts as a frame
+    val short = MediaCodec.encodeGvf(64, 48, 24, Array.fill(70)(1.toByte))
+    val b = Multimodal.Asset(5L, "video", 64, 48, short.length, short)
+    val out = Multimodal
+      .videoFingerprint(spark.createDataset(Seq(a, b)))
+      .collect().map(r => r.asset_id -> r).toMap
+    assert(out(2L).width == 320 && out(2L).height == 240)
+    assert(out(2L).n_frames == 4L)
+    assert(out(2L).vfp == 15L, s"vfp = ${out(2L).vfp}")
+    assert(out(5L).n_frames == 2L)
+    // frame0 energy 64 > frame1 energy 6 (bit0), and the truncated
+    // frame1 still beats the absent frame2's 0 (bit1)
+    assert(out(5L).vfp == 3L, s"vfp = ${out(5L).vfp}")
+  }
+
   test("resize: real NN downscale with known pixels, truncation, pads") {
     // 4×2 source, full pixel array, row stride = (4*3+3)&~3 = 12 (no pad)
     val src = Array.tabulate(2, 12)((y, i) => (y * 100 + i).toByte)
