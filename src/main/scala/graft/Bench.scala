@@ -51,9 +51,16 @@ object Bench {
     // single-run timings vary >5x under machine load (BENCH_r02 recorded
     // a 1.8x phantom regression on byte-identical code), and min is the
     // noise-robust statistic for a deterministic workload
+    // heap quiesce OUTSIDE the timed region: a neighbor's garbage
+    // (r7 measured d04b 2x slower inside the suite than alone on
+    // byte-identical code — GC debt from the preceding queries taxed
+    // the measured runs) must not bill to this query
+    def quiesce(): Unit = { System.gc(); System.gc() }
     val results = runners.map { case (name, fn) =>
+      quiesce()
       try fn(spark, sfDir) catch { case _: Throwable => () } // warmup
       val times = (1 to measuredRuns).map { _ =>
+        quiesce()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir); true }
                  catch { case _: Throwable => false }
