@@ -1186,6 +1186,19 @@ object SparkEntry {
       Similarity.bruteForceTopKFiltered(emb, q, k = 10), minHits = 5)
   }
 
+  /** s13 — distributed Lloyd k-means refinement (LLOYD K-MEANS
+    * CONTRACT, KMeansLloyd.scaladoc): k=8, 2 full-corpus iterations on
+    * the int8-quantized embeddings — hash-ranked deterministic seeds,
+    * assignment as a closure-broadcast codegen projection, update as
+    * ONE map-side-combined (sums[], n) aggregation per round, floor-div
+    * integer centroids. Integer-exact end to end, so the oracle
+    * replays both unrolled iterations in SQL and every (cid, dist,
+    * cluster_n) cell must hash-match — a FULL oracle where the
+    * sampling-based IVF fit (s03) can only contract recall. */
+  private def s13(s: SparkSession, d: String): DataFrame =
+    graft.operators.KMeansLloyd.fitPredict(
+      Tables.embeddings(s, d), k = 8, iters = 2)
+
   /** t06 — stopword filtering: token counts before/after removing the
     * English stopword set (a standard cleaning stage ahead of
     * shingling/dedup). */
@@ -1453,6 +1466,29 @@ object SparkEntry {
       .orderBy(col("c").desc, col("pair").asc)
       .limit(50)
   }
+
+  /** t28 — frozen quality-classifier inference (LINEAR SCORE CONTRACT,
+    * LinearScoreExpression.scaladoc): the model-based quality-filter
+    * stage of an LLM data pipeline — a hashed-feature (unigram +
+    * adjacent-bigram) linear scorer applied per document, keep
+    * decision at score >= 0. The 4096-weight "model" ships inside the
+    * codegen expression (addReferenceObj — never a literal tree, never
+    * a join), so the whole query is a shuffle-free projection: the
+    * shape that scans 100 TB at IO speed. n_feat = 2n-1 features for
+    * n >= 1 tokens (unigrams + bigrams, with multiplicity). The oracle
+    * re-derives every index from the md5 HEX STRING via substr/ascii
+    * arithmetic — an independent route to the same 12 bits as the
+    * expression's byte-nibble extraction. Integer-exact end to end. */
+  private def t28(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+          .as("toks"))
+      .select(col("doc_id"),
+        greatest(size(col("toks")) * 2 - 1, lit(0)).cast("long")
+          .as("n_feat"),
+        graft.plans.LinearScore.linearScore(col("toks")).as("score"))
+      .withColumn("keep", col("score") >= 0)
 
   /** q77 — approx_top_k sketch LIFECYCLE (accumulate → combine →
     * estimate): per-source partial sketches merged into one corpus
@@ -3593,6 +3629,7 @@ object SparkEntry {
     "c10_dsir_select_mix" -> (c10 _),
     "c11_soft_dedup_weights" -> (c11 _),
     "t26_approx_topk" -> (t26 _),
+    "t28_quality_classifier" -> (t28 _),
     "q77_topk_lifecycle" -> (q77 _),
     "q78_kll_quantiles" -> (q78 _),
     "q79_theta_setops" -> (q79 _),
@@ -3605,6 +3642,7 @@ object SparkEntry {
     "s10_ann_pq" -> (s10 _),
     "s11_hard_negatives" -> (s11 _),
     "s12_ann_filtered" -> (s12 _),
+    "s13_kmeans_lloyd" -> (s13 _),
     "t27_bpe_pairs" -> (t27 _),
   )
 
@@ -4776,6 +4814,69 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rnk, cand_id, iscore FROM ranked
         |WHERE rnk <= 10""".stripMargin,
+    // Lloyd k-means: both unrolled iterations replayed in SQL — the
+    // same QUANTIZATION CONTRACT codes as s05, hash-ranked seeds,
+    // row_number argmin per vector (tie to smallest cid), per-dim
+    // HUGEINT-cast sums, and the pmod floor-division
+    // (s - ((s % n) + n) % n) // n which equals Math.floorDiv on a
+    // divisible numerator regardless of the engine's // semantics.
+    // Empty clusters keep their previous centroid via LEFT JOIN.
+    "s13_kmeans_lloyd" ->
+      """WITH dims AS (SELECT unnest(range(1,
+        |    (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
+        |sc AS (SELECT i, max(abs(CAST(embedding[i] AS DOUBLE))) AS s
+        |       FROM embeddings, dims GROUP BY i),
+        |sv AS (SELECT list(s ORDER BY i) AS s FROM sc),
+        |qz AS (SELECT vec_id,
+        |  [CASE WHEN sv.s[i] = 0 THEN 0
+        |        ELSE CAST(least(127, greatest(-127,
+        |          floor(CAST(embedding[i] AS DOUBLE) * 127 / sv.s[i] + 0.5)))
+        |          AS BIGINT) END
+        |   FOR i IN range(1, len(embedding) + 1)] AS q
+        |  FROM embeddings, sv),
+        |c0 AS (SELECT CAST(rn - 1 AS INT) AS cid, q AS cen FROM (
+        |    SELECT q, row_number() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR) || ':km'), vec_id) AS rn
+        |    FROM qz) WHERE rn <= 8),
+        |a1 AS (SELECT vec_id, q, cid FROM (
+        |    SELECT z.vec_id, z.q, c.cid, row_number() OVER (
+        |        PARTITION BY z.vec_id ORDER BY
+        |        list_sum([(z.q[i] - c.cen[i]) * (z.q[i] - c.cen[i])
+        |          FOR i IN range(1, len(z.q) + 1)]), c.cid) AS rn
+        |    FROM qz z, c0 c) WHERE rn = 1),
+        |u1 AS (SELECT cid, i AS d, CAST(sum(q[i]) AS BIGINT) AS s,
+        |    count(*) AS n
+        |  FROM a1, dims GROUP BY cid, i),
+        |c1 AS (SELECT c0.cid, coalesce(nu.cen, c0.cen) AS cen
+        |  FROM c0 LEFT JOIN (
+        |    SELECT cid, list((s - ((s % n) + n) % n) // n ORDER BY d)
+        |      AS cen
+        |    FROM u1 GROUP BY cid) nu ON nu.cid = c0.cid),
+        |a2 AS (SELECT vec_id, q, cid FROM (
+        |    SELECT z.vec_id, z.q, c.cid, row_number() OVER (
+        |        PARTITION BY z.vec_id ORDER BY
+        |        list_sum([(z.q[i] - c.cen[i]) * (z.q[i] - c.cen[i])
+        |          FOR i IN range(1, len(z.q) + 1)]), c.cid) AS rn
+        |    FROM qz z, c1 c) WHERE rn = 1),
+        |u2 AS (SELECT cid, i AS d, CAST(sum(q[i]) AS BIGINT) AS s,
+        |    count(*) AS n
+        |  FROM a2, dims GROUP BY cid, i),
+        |c2 AS (SELECT c1.cid, coalesce(nu.cen, c1.cen) AS cen
+        |  FROM c1 LEFT JOIN (
+        |    SELECT cid, list((s - ((s % n) + n) % n) // n ORDER BY d)
+        |      AS cen
+        |    FROM u2 GROUP BY cid) nu ON nu.cid = c1.cid),
+        |a3 AS (SELECT vec_id, cid, dist FROM (
+        |    SELECT z.vec_id, c.cid,
+        |      CAST(list_sum([(z.q[i] - c.cen[i]) * (z.q[i] - c.cen[i])
+        |        FOR i IN range(1, len(z.q) + 1)]) AS BIGINT) AS dist,
+        |      row_number() OVER (PARTITION BY z.vec_id ORDER BY
+        |        list_sum([(z.q[i] - c.cen[i]) * (z.q[i] - c.cen[i])
+        |          FOR i IN range(1, len(z.q) + 1)]), c.cid) AS rn
+        |    FROM qz z, c2 c) WHERE rn = 1)
+        |SELECT vec_id, cid, dist,
+        |  CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS cluster_n
+        |FROM a3""".stripMargin,
     "s01_ann_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |           FROM embeddings WHERE vec_id < 10),
@@ -6152,6 +6253,35 @@ object SparkEntry {
         |    AS BIGINT) AS n_oov
         |FROM tok LEFT JOIN v ON tok.tok = v.vtok
         |GROUP BY doc_id""".stripMargin,
+    // quality classifier: every hashed-feature index re-derived from
+    // the md5 HEX STRING (substr/ascii digit arithmetic) where the
+    // engine extracts nibbles from the digest BYTES; the weight
+    // formula (j * 2654435761) % 17 - 8 recomputed inline
+    "t28_quality_classifier" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(toks) AS f FROM t),
+        |b AS (SELECT doc_id,
+        |    toks[CAST(i AS INT)] || '_' || toks[CAST(i AS INT) + 1] AS f
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |        FROM t)),
+        |feats AS (SELECT doc_id, md5(f) AS m FROM u
+        |  UNION ALL SELECT doc_id, md5(f) FROM b),
+        |idx AS (SELECT doc_id,
+        |    (ascii(substr(m, 1, 1)) - CASE WHEN ascii(substr(m, 1, 1))
+        |       >= 97 THEN 87 ELSE 48 END) * 256
+        |  + (ascii(substr(m, 2, 1)) - CASE WHEN ascii(substr(m, 2, 1))
+        |       >= 97 THEN 87 ELSE 48 END) * 16
+        |  + (ascii(substr(m, 3, 1)) - CASE WHEN ascii(substr(m, 3, 1))
+        |       >= 97 THEN 87 ELSE 48 END) AS j
+        |  FROM feats),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+        |    CAST(sum((j * 2654435761) % 17 - 8) AS BIGINT) AS score
+        |  FROM idx GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_feat, 0) AS n_feat,
+        |  coalesce(score, 0) AS score, coalesce(score, 0) >= 0 AS keep
+        |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin,
     // DSIR: identical ln-of-smoothed-ratio terms (t13 discipline),
     // summed per doc and rounded at 4dp; target LM = the en stratum
     "c08_dsir_weights" ->

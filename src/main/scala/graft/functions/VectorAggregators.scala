@@ -142,3 +142,58 @@ object MaxAbsVector {
   def maxAbsVector(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.udaf(new MaxAbsVector).apply(c)
 }
+
+/** Element-wise int64 sum + count over an `array<int>` codes column —
+  * the UPDATE-step accumulator of distributed Lloyd k-means
+  * ([[graft.operators.KMeansLloyd]]): one (sums[], n) buffer per
+  * cluster per partition, map-side combined, so the update shuffle
+  * carries k × dim longs per partition regardless of corpus size.
+  * Integer addition is associative-commutative → the buffer is exact
+  * and partition-order independent (the float-mean problem
+  * [[MeanVector]] documents does not exist here). Null/empty vectors
+  * are skipped (not counted into n); ragged dimensions are an error,
+  * matching [[MeanVector]]. */
+class SumIntVector extends Aggregator[Array[Int], SumIntVector.Buf, SumIntVector.Buf] {
+  import SumIntVector.Buf
+
+  override def zero: Buf = Buf(Array.emptyLongArray, 0L)
+
+  override def reduce(b: Buf, a: Array[Int]): Buf = {
+    if (a == null || a.isEmpty) return b
+    if (b.sums.isEmpty) {
+      val sums = new Array[Long](a.length)
+      var i = 0
+      while (i < a.length) { sums(i) = a(i).toLong; i += 1 }
+      Buf(sums, 1L)
+    } else {
+      require(a.length == b.sums.length,
+        s"SumIntVector: mixed dimensions ${a.length} vs ${b.sums.length}")
+      var i = 0
+      while (i < a.length) { b.sums(i) += a(i); i += 1 }
+      Buf(b.sums, b.n + 1)
+    }
+  }
+
+  override def merge(x: Buf, y: Buf): Buf =
+    if (x.sums.isEmpty) y
+    else if (y.sums.isEmpty) x
+    else {
+      require(x.sums.length == y.sums.length,
+        s"SumIntVector: mixed dimensions ${x.sums.length} vs ${y.sums.length}")
+      var i = 0
+      while (i < x.sums.length) { x.sums(i) += y.sums(i); i += 1 }
+      Buf(x.sums, x.n + y.n)
+    }
+
+  override def finish(b: Buf): Buf = b
+  override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+  override def outputEncoder: Encoder[Buf] = Encoders.product[Buf]
+}
+
+object SumIntVector {
+  case class Buf(sums: Array[Long], n: Long)
+
+  /** Column form: yields a struct<sums: array<bigint>, n: bigint>. */
+  def sumIntVector(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.udaf(new SumIntVector).apply(c)
+}
