@@ -2538,6 +2538,25 @@ object SparkEntry {
       ev.filter(dayofmonth(col("ts")) > 15))
   }
 
+  /** q82 — per-user ingestion quota, the batch twin of st14
+    * ([[graft.streaming.Quota]]): per user, the first 3 events in
+    * (ts, event_id) order are accepted; every event keeps a verdict
+    * with n_before = accepted count before it (capped at the quota).
+    * The window form is per-user partitioned (scale = sessionization's)
+    * and equals the streaming transformWithState result whenever
+    * batches respect per-key event-time order — the equivalence
+    * StreamingSpec drives both ways. */
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    val quota = 3
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .select(col("user_id"), col("event_id"),
+        least(col("rn") - 1, lit(quota)).cast("long").as("n_before"),
+        (col("rn") <= quota).as("accepted"))
+  }
+
   /** t20 — BPE merge-pair statistics (the inner loop of byte-pair-
     * encoding tokenizer training): count adjacent CHARACTER pairs
     * within corpus words, emit the top 20 merge candidates under a
@@ -3639,6 +3658,7 @@ object SparkEntry {
     "g03_pagerank_personalized" -> (g03 _),
     "g04_triangle_count" -> (g04 _),
     "q81_snapshot_maintain" -> (q81 _),
+    "q82_quota_cap" -> (q82 _),
     "s10_ann_pq" -> (s10 _),
     "s11_hard_negatives" -> (s11 _),
     "s12_ann_filtered" -> (s12 _),
@@ -4054,7 +4074,26 @@ object SparkEntry {
             src.select(col("event_id"), col("ts"), col("user_id"),
               col("event_type"), col("value"), col("props"))
               .as[graft.model.Rows.Event]).toDF()
-        }))
+        }),
+      // transformWithState (arbitrary-state v2) quota enforcement —
+      // requires the RocksDB provider, same conf wrap as st04z
+      "st14_stream_quota_tws" -> { (s: SparkSession, d: String) =>
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        try drive((ss, _, src) => {
+          import ss.implicits._
+          graft.streaming.Quota.enforce(
+            src.select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value"), col("props"))
+              .as[graft.model.Rows.Event]).toDF()
+        })(s, d)
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      })
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -6584,6 +6623,16 @@ object SparkEntry {
         |   JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles""".stripMargin,
     // snapshot maintenance: the two-batch I/U/D state machine
     // re-derived INDEPENDENTLY as a full-outer-join CASE table over
+    // quota cap: first-3-per-user rank re-derived directly
+    "q82_quota_cap" ->
+      """WITH r AS (SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(least(rn - 1, 3) AS BIGINT) AS n_before,
+        |  rn <= 3 AS accepted
+        |FROM r""".stripMargin,
     // each batch's latest-per-user event (never the Cdc kernel's
     // join-then-union shape)
     "q81_snapshot_maintain" ->

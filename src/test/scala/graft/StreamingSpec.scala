@@ -155,6 +155,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState quota: first-3-per-user across batches; " +
+      "equals the q82 window twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      val q = graft.streaming.Quota.enforce(mem.toDS(), quota = 3)
+        .toDF().writeStream.outputMode("append")
+        .format("memory").queryName("quota_out").start()
+      try {
+        // batch 1: user 1's events arrive OUT of ts order (the in-batch
+        // sort must pin the verdicts), user 2 gets one
+        mem.addData(
+          ev(2, "2024-01-01 00:02:00", 1), ev(1, "2024-01-01 00:01:00", 1),
+          ev(3, "2024-01-01 00:01:00", 2))
+        q.processAllAvailable()
+        // batch 2: user 1's count crosses the quota — state persisted
+        mem.addData(
+          ev(4, "2024-01-01 00:03:00", 1), ev(5, "2024-01-01 00:04:00", 1))
+        q.processAllAvailable()
+        val got = spark.table("quota_out")
+          .as[graft.streaming.Quota.Verdict].collect()
+        val byId = got.map(v => v.event_id -> ((v.n_before, v.accepted)))
+          .toMap
+        assert(byId(1L) == ((0L, true)) && byId(2L) == ((1L, true)))
+        assert(byId(3L) == ((0L, true)))
+        assert(byId(4L) == ((2L, true)))
+        assert(byId(5L) == ((3L, false)), "4th event rejected")
+        // batches respected per-key ts order -> equals the q82 window
+        // form computed in batch over the same five events
+        val all = Seq(ev(1, "2024-01-01 00:01:00", 1),
+          ev(2, "2024-01-01 00:02:00", 1), ev(3, "2024-01-01 00:01:00", 2),
+          ev(4, "2024-01-01 00:03:00", 1), ev(5, "2024-01-01 00:04:00", 1))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+        val twin = all.toDF()
+          .withColumn("rn", row_number().over(w))
+          .select($"event_id",
+            least($"rn" - 1, lit(3)).cast("long").as("n_before"),
+            ($"rn" <= 3).as("accepted"))
+          .as[(Long, Long, Boolean)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        assert(byId == twin)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("dedupWithinWatermark drops repeated event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
