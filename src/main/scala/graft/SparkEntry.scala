@@ -1490,6 +1490,55 @@ object SparkEntry {
         graft.plans.LinearScore.linearScore(col("toks")).as("score"))
       .withColumn("keep", col("score") >= 0)
 
+  /** t29 — the BPE TRAINER LOOP itself: 3 full merge rounds, each =
+    * count pairs → pick argmax → APPLY the merge to every word —
+    * where t20/t27 measure one round's statistics, this runs the
+    * actual iteration a tokenizer trainer runs. Per round: pair
+    * counting on the distinct-word frame weighted by word frequency
+    * (t27's vocabulary-bounded re-plan — the corpus contributes ONE
+    * word-count aggregate, ever), argmax as a 1-row
+    * TakeOrderedAndProject under the (count desc, l, r) total order,
+    * and the merge applied by [[graft.plans.MergePair]] (greedy
+    * left-to-right non-overlapping — codegen, no lambda fold). The
+    * driver holds exactly one (l, r) pair per round — the same O(1)
+    * trainer state every production BPE implementation keeps; rounds
+    * are sequential by nature. Output: (round, l, r, c). The oracle
+    * replays all 3 rounds on a DIFFERENT representation — words as
+    * double-space-joined token strings, merges as string replace()
+    * (the separator doubling is what makes replace()'s non-overlapping
+    * scan equal the token-wise greedy scan on chained pairs like
+    * "a a a"). Integer-exact. */
+  private def t29(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rounds = 3
+    var cur = Tables.documents(s, d)
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(split(col("w"), "").as("toks"), col("wc"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (round <- 1 to rounds) {
+      val win = cur.filter(size(col("toks")) >= 2)
+        .select(col("wc"), explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("l"),
+            element_at(col("toks"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      require(win.nonEmpty, "corpus exhausted before merge rounds done")
+      val (l, r, c) =
+        (win(0).getString(0), win(0).getString(1), win(0).getLong(2))
+      merges += ((round, l, r, c))
+      cur = cur.withColumn("toks",
+          graft.plans.MergePairFunctions.mergePair(col("toks"), l, r))
+        .localCheckpoint(true)
+    }
+    merges.toSeq.toDF("round", "l", "r", "c")
+  }
+
   /** q77 — approx_top_k sketch LIFECYCLE (accumulate → combine →
     * estimate): per-source partial sketches merged into one corpus
     * estimate — the incremental composition q52 proves for HLL, here
@@ -3649,6 +3698,7 @@ object SparkEntry {
     "c11_soft_dedup_weights" -> (c11 _),
     "t26_approx_topk" -> (t26 _),
     "t28_quality_classifier" -> (t28 _),
+    "t29_bpe_train" -> (t29 _),
     "q77_topk_lifecycle" -> (q77 _),
     "q78_kll_quantiles" -> (q78 _),
     "q79_theta_setops" -> (q79 _),
@@ -6292,6 +6342,43 @@ object SparkEntry {
         |    AS BIGINT) AS n_oov
         |FROM tok LEFT JOIN v ON tok.tok = v.vtok
         |GROUP BY doc_id""".stripMargin,
+    // BPE trainer: all 3 rounds replayed on the double-space string
+    // representation — merges as replace() over ' l  r ' patterns (the
+    // doubled separator makes the non-overlapping scan equal the
+    // engine's token-wise greedy scan), pair counts via string_split
+    "t29_bpe_train" ->
+      """WITH w AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS w
+        |    FROM documents) GROUP BY 1),
+        |s0 AS (SELECT '  ' || array_to_string(
+        |    [w[i] FOR i IN range(1, len(w) + 1)], '  ') || '  ' AS s, wc
+        |  FROM w),
+        |x1 AS (SELECT string_split(trim(s), '  ') AS t, wc FROM s0),
+        |e1 AS (SELECT t, wc, unnest(range(1, len(t))) AS i FROM x1),
+        |p1 AS (SELECT t[CAST(i AS INT)] AS l, t[CAST(i AS INT) + 1] AS r,
+        |    CAST(sum(wc) AS BIGINT) AS c
+        |  FROM e1 GROUP BY 1, 2),
+        |m1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l, r LIMIT 1),
+        |s1 AS (SELECT replace(s, ' ' || m1.l || '  ' || m1.r || ' ',
+        |    ' ' || m1.l || m1.r || ' ') AS s, wc FROM s0, m1),
+        |x2 AS (SELECT string_split(trim(s), '  ') AS t, wc FROM s1),
+        |e2 AS (SELECT t, wc, unnest(range(1, len(t))) AS i FROM x2),
+        |p2 AS (SELECT t[CAST(i AS INT)] AS l, t[CAST(i AS INT) + 1] AS r,
+        |    CAST(sum(wc) AS BIGINT) AS c
+        |  FROM e2 GROUP BY 1, 2),
+        |m2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l, r LIMIT 1),
+        |s2 AS (SELECT replace(s, ' ' || m2.l || '  ' || m2.r || ' ',
+        |    ' ' || m2.l || m2.r || ' ') AS s, wc FROM s1, m2),
+        |x3 AS (SELECT string_split(trim(s), '  ') AS t, wc FROM s2),
+        |e3 AS (SELECT t, wc, unnest(range(1, len(t))) AS i FROM x3),
+        |p3 AS (SELECT t[CAST(i AS INT)] AS l, t[CAST(i AS INT) + 1] AS r,
+        |    CAST(sum(wc) AS BIGINT) AS c
+        |  FROM e3 GROUP BY 1, 2),
+        |m3 AS (SELECT l, r, c FROM p3 ORDER BY c DESC, l, r LIMIT 1)
+        |SELECT CAST(1 AS INT) AS round, l, r, c FROM m1
+        |UNION ALL SELECT CAST(2 AS INT), l, r, c FROM m2
+        |UNION ALL SELECT CAST(3 AS INT), l, r, c FROM m3""".stripMargin,
     // quality classifier: every hashed-feature index re-derived from
     // the md5 HEX STRING (substr/ascii digit arithmetic) where the
     // engine extracts nibbles from the digest BYTES; the weight
