@@ -2566,6 +2566,29 @@ object SparkEntry {
     graft.operators.Graph.triangleCount(edges)
   }
 
+  /** g05 — k-core peeling over the sparse co-purchase graph
+    * ([[graft.operators.Graph.kCore]]): the graph-density filter (who
+    * survives when every member must have >= 5 surviving neighbors) —
+    * community cores / bot-ring detection. The l_partkey % 16 family
+    * keeps the fixture graph sparse enough to ACTUALLY peel (measured
+    * depth 7 at sf0.01, 6 at sf0.1 — the % 4 graph of g04 is already a
+    * 3-core); rounds = 9 carries two rounds of margin and the emitted
+    * `converged` flag proves the budget reached the fixpoint (both
+    * engines replay the same 9 rounds either way, so the gate is exact
+    * regardless). Oracle: the identical peeling unrolled as generated
+    * SQL CTE rounds; the from-first-principles while-loop reference
+    * lives in GraphSpec. */
+  private def g05(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 16 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    graft.operators.Graph.kCore(edges, k = 5, rounds = 9)
+  }
+
   /** q81 — keyed-snapshot maintenance from the event stream, the batch
     * twin of st12 ([[graft.streaming.SnapshotCdc.applyUserBatch]]):
     * events split into two deterministic "ingest batches" (day ≤ 15 /
@@ -3707,6 +3730,7 @@ object SparkEntry {
     "g02_pagerank_weighted" -> (g02 _),
     "g03_pagerank_personalized" -> (g03 _),
     "g04_triangle_count" -> (g04 _),
+    "g05_kcore" -> (g05 _),
     "q81_snapshot_maintain" -> (q81 _),
     "q82_quota_cap" -> (q82 _),
     "s10_ann_pq" -> (s10 _),
@@ -6696,6 +6720,40 @@ object SparkEntry {
         |    JOIN pr2 p ON p.node = e.src GROUP BY e.dst) c
         |    ON c.node = n0.node)
         |SELECT node, pr FROM pr3""".stripMargin,
+    // g05: the same 9 peeling rounds unrolled as GENERATED CTE SQL
+    // (each round: degree count -> keep list -> edge semi-filter); the
+    // independent while-loop reference lives in GraphSpec. Every
+    // round's edge CTE is AS MATERIALIZED: e_i references e_{i-1} three
+    // times, and DuckDB's default CTE INLINING would expand the chain
+    // to 3^rounds copies of the base scan (observed as a too-many-open-
+    // files explosion on the lineitem parquet).
+    "g05_kcore" -> {
+      val k = 5; val rounds = 9
+      val sb = new StringBuilder
+      sb ++= """WITH op AS (SELECT DISTINCT l_orderkey AS ok,
+               |    l_partkey AS p
+               |  FROM lineitem WHERE l_partkey % 16 = 0),
+               |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+               |  FROM op a JOIN op b
+               |  ON a.ok = b.ok AND a.p < b.p)""".stripMargin
+      for (i <- 1 to rounds) sb ++= s""",
+                |d$i AS (SELECT n, count(*) AS c FROM (
+                |    SELECT u AS n FROM e${i - 1}
+                |    UNION ALL SELECT v FROM e${i - 1}) GROUP BY 1),
+                |k$i AS (SELECT n FROM d$i WHERE c >= $k),
+                |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+                |  WHERE u IN (SELECT n FROM k$i)
+                |    AND v IN (SELECT n FROM k$i))""".stripMargin
+      sb ++= s""",
+               |df AS (SELECT n, count(*) AS c FROM (
+               |    SELECT u AS n FROM e$rounds
+               |    UNION ALL SELECT v FROM e$rounds) GROUP BY 1)
+               |SELECT n AS node, CAST(c AS BIGINT) AS deg,
+               |  (SELECT coalesce(min(c), ${Long.MaxValue}) FROM df)
+               |    >= $k AS converged
+               |FROM df""".stripMargin
+      sb.toString
+    },
     // g04: the id-ordered 3-way self-join count — a different
     // formulation from the engine's degree-ordered forward algorithm;
     // the exact integer counts must agree

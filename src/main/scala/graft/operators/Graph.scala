@@ -339,4 +339,55 @@ object Graph {
     ed.unpersist(false)
     pr
   }
+
+  /** k-core PEELING: iteratively delete every node of degree < k (and
+    * its edges) until the survivors all have degree >= k inside the
+    * survivor set — the standard graph-density filter (spam/bot
+    * subgraph detection, community cores, curation by structural
+    * support). Fixed `rounds` budget for the same reason as
+    * [[pageRankInt]]'s fixed iterations — a reproducible, engine-
+    * replayable form; the emitted `converged` flag states whether the
+    * budget REACHED the fixpoint (true ⇒ the output IS the exact
+    * k-core), so an unconverged run is visible, never silent.
+    * Production form: same loop under a while-changed driver check.
+    *
+    * Scale shape: each round is one degree aggregation (map-side
+    * combined counts) plus two semi-joins of the shrinking edge frame
+    * against the broadcast-or-shuffled survivor list — no neighbor
+    * lists, no driver graph state; every round's frame is eagerly
+    * localCheckpointed (at cluster scale: reliable checkpoint) so
+    * lineage stays O(1). Rounds needed = the peeling depth, typically
+    * tiny on power-law graphs.
+    *
+    * @param edges undirected (u, v) pairs in any order; duplicates and
+    *              self-loops tolerated (canonicalized + dropped here)
+    * @return (node, deg, converged) for nodes of the surviving core —
+    *         deg counted inside the core; converged identical on every
+    *         row */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k >= 1, rounds >= 1")
+    val e0 = edges.select(
+      least(col(edges.columns(0)), col(edges.columns(1)))
+        .cast("long").as("u"),
+      greatest(col(edges.columns(0)), col(edges.columns(1)))
+        .cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("c"))
+    var alive = e0.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = degrees(alive).filter(col("c") >= k).select(col("n"))
+      alive = alive
+        .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+    }
+    val fin = degrees(alive)
+    fin.crossJoin(broadcast(
+        fin.agg(coalesce(min(col("c")), lit(Long.MaxValue))
+          .as("mindeg"))))
+      .select(col("n").as("node"), col("c").as("deg"),
+        (col("mindeg") >= k).as("converged"))
+  }
 }

@@ -202,6 +202,47 @@ class GraphSpec extends SparkSpec {
     assert(got == ((es.size.toLong, want)))
   }
 
+  test("kCore: K4+tail peels the tail; unconverged budget is flagged; " +
+      "random graph vs a while-loop reference") {
+    import graft.operators.Graph.kCore
+    // K4 on 1..4 plus a tail 4-5-6-7: at k=2 the tail peels end-first
+    // over 3 rounds, K4 survives with in-core degree 3
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L)).toDF("u", "v")
+    val core = kCore(g, k = 2, rounds = 5)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(core.toSeq == Seq((1L, 3L, true), (2L, 3L, true),
+      (3L, 3L, true), (4L, 3L, true)))
+    // one round is not enough: node 6 still has degree 1 afterwards,
+    // and the flag must SAY so while the rows stay deterministic
+    val short = kCore(g, k = 2, rounds = 1)
+      .as[(Long, Long, Boolean)].collect()
+    assert(short.exists(r => r._1 == 6L && r._2 == 1L))
+    assert(short.forall(!_._3), "unconverged budget flagged")
+    // random graph: full fixpoint vs a sequential while-loop peel
+    val rnd = new scala.util.Random(47)
+    val n = 40
+    val es = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    var eset = es.toSet
+    var done = false
+    while (!done) {
+      val deg = eset.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (x, g2) => x -> g2.size.toLong }
+      val bad = deg.collect { case (x, c) if c < 3 => x }.toSet
+      if (bad.isEmpty) done = true
+      else eset = eset.filter { case (a, b) =>
+        !bad.contains(a) && !bad.contains(b) }
+    }
+    val refDeg = eset.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (x, g2) => x -> g2.size.toLong }
+    val got = kCore(es.toDF("u", "v"), k = 3, rounds = 20)
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.map(r => r._1 -> r._2).toMap == refDeg)
+    assert(got.forall(_._3))
+  }
+
   test("dupClusters labels every node, singletons included, with sizes") {
     val nodes = (1L to 8L).toDF("doc_id")
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
