@@ -2589,6 +2589,27 @@ object SparkEntry {
     graft.operators.Graph.kCore(edges, k = 5, rounds = 9)
   }
 
+  /** g06 — deterministic label-propagation community detection over
+    * the co-purchase graph ([[graft.operators.Graph.labelPropagation]]):
+    * 4 synchronous rounds of "adopt the most frequent neighbor label"
+    * under the (count desc, label asc) total order, with a `converged`
+    * flag honest about the fixed budget. The % 8 graph sits between
+    * g04's dense % 4 and g05's sparse % 16. Oracle: the identical 4
+    * rounds unrolled as generated CTE SQL, argmax INDEPENDENTLY
+    * formulated as a row_number window (vs the engine's
+    * min(struct(-c, lab)) aggregate); the from-first-principles
+    * sequential reference lives in GraphSpec. */
+  private def g06(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 8 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    graft.operators.Graph.labelPropagation(edges, rounds = 4)
+  }
+
   /** q81 — keyed-snapshot maintenance from the event stream, the batch
     * twin of st12 ([[graft.streaming.SnapshotCdc.applyUserBatch]]):
     * events split into two deterministic "ingest batches" (day ≤ 15 /
@@ -3731,6 +3752,7 @@ object SparkEntry {
     "g03_pagerank_personalized" -> (g03 _),
     "g04_triangle_count" -> (g04 _),
     "g05_kcore" -> (g05 _),
+    "g06_label_prop" -> (g06 _),
     "q81_snapshot_maintain" -> (q81 _),
     "q82_quota_cap" -> (q82 _),
     "s10_ann_pq" -> (s10 _),
@@ -6752,6 +6774,42 @@ object SparkEntry {
                |  (SELECT coalesce(min(c), ${Long.MaxValue}) FROM df)
                |    >= $k AS converged
                |FROM df""".stripMargin
+      sb.toString
+    },
+    // g06: the same 4 synchronous LPA rounds unrolled as generated CTE
+    // SQL, with the per-node argmax formulated INDEPENDENTLY as a
+    // row_number window over (count desc, label asc) — a shared
+    // argmax-semantics bug cannot pass both forms. Every label table is
+    // AS MATERIALIZED (referenced by the next round once and by the
+    // convergence probe twice; DuckDB CTE inlining would re-expand the
+    // chain per reference, the g05 lesson).
+    "g06_label_prop" -> {
+      val rounds = 4
+      val sb = new StringBuilder
+      sb ++= """WITH op AS (SELECT DISTINCT l_orderkey AS ok,
+               |    l_partkey AS p
+               |  FROM lineitem WHERE l_partkey % 8 = 0),
+               |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+               |  FROM op a JOIN op b
+               |  ON a.ok = b.ok AND a.p < b.p),
+               |nbr AS MATERIALIZED (SELECT u AS node, v AS nb FROM e0
+               |  UNION ALL SELECT v, u FROM e0),
+               |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lab
+               |  FROM nbr)""".stripMargin
+      for (i <- 1 to rounds) sb ++= s""",
+                |c$i AS (SELECT n.node, l.lab, count(*) AS c
+                |  FROM nbr n JOIN l${i - 1} l ON l.node = n.nb
+                |  GROUP BY 1, 2),
+                |l$i AS MATERIALIZED (SELECT node, lab FROM (
+                |    SELECT node, lab, row_number() OVER (
+                |      PARTITION BY node ORDER BY c DESC, lab) AS r
+                |    FROM c$i) WHERE r = 1)""".stripMargin
+      sb ++= s"""
+               |SELECT f.node, f.lab,
+               |  (SELECT count(*) FROM l$rounds x
+               |     JOIN l${rounds - 1} y ON x.node = y.node
+               |     AND x.lab <> y.lab) = 0 AS converged
+               |FROM l$rounds f""".stripMargin
       sb.toString
     },
     // g04: the id-ordered 3-way self-join count — a different

@@ -390,4 +390,62 @@ object Graph {
       .select(col("n").as("node"), col("c").as("deg"),
         (col("mindeg") >= k).as("converged"))
   }
+
+  /** Synchronous LABEL PROPAGATION community detection (Raghavan et
+    * al. 2007, made deterministic): labels init to node ids; each
+    * round every node adopts its neighbors' MOST FREQUENT label, ties
+    * broken by the smallest label — the (count desc, label asc) total
+    * order replaces the original's random tie-break, so the result is
+    * a pure function of the graph (partitioning-, retry- and
+    * run-independent). Fixed `rounds` budget (the [[pageRankInt]] /
+    * [[kCore]] reproducibility discipline); the emitted `converged`
+    * flag states whether the LAST round changed zero labels, so a
+    * budget that stopped short is visible, never silent. Synchronous
+    * updates can 2-cycle on bipartite structures — the flag reports
+    * exactly that, which is the honest contract for a replayable form.
+    *
+    * Scale shape: each round is one equi-join of the (static, cached)
+    * symmetric adjacency frame against the label frame on the neighbor
+    * key, then two map-side-combinable aggregations — per-(node,label)
+    * counts, then a per-node min(struct(-count, label)) argmax that
+    * never materializes a neighbor list (hub-proof: a 10⁸-degree node
+    * contributes counters, not rows). Label frames localCheckpoint per
+    * round (reliable checkpoint on a cluster) so lineage stays O(1).
+    *
+    * @param edges  undirected (u, v) pairs in any order; duplicates and
+    *               self-loops tolerated (canonicalized + dropped here)
+    * @param rounds fixed synchronous update count, >= 1
+    * @return (node, lab, converged) — lab = the community label after
+    *         `rounds` updates; converged identical on every row */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds >= 1")
+    val e0 = edges.select(
+      least(col(edges.columns(0)), col(edges.columns(1)))
+        .cast("long").as("u"),
+      greatest(col(edges.columns(0)), col(edges.columns(1)))
+        .cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val nbrs = e0.select(col("u").as("node"), col("v").as("nb"))
+      .unionAll(e0.select(col("v").as("node"), col("u").as("nb")))
+      .localCheckpoint(true)
+    def step(lbl: DataFrame): DataFrame =
+      nbrs.join(lbl.withColumnRenamed("node", "nb"), "nb")
+        .groupBy(col("node"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("negc"), col("lab").as("lab")))
+          .as("best"))
+        .select(col("node"), col("best.lab").as("lab"))
+        .localCheckpoint(true)
+    var prev = nbrs.select(col("node")).distinct()
+      .withColumn("lab", col("node")).localCheckpoint(true)
+    var cur = prev
+    for (_ <- 1 to rounds) { prev = cur; cur = step(cur) }
+    val changed = cur.join(prev.withColumnRenamed("lab", "plab"), "node")
+      .filter(col("lab") =!= col("plab"))
+      .agg(count(lit(1)).as("n_changed"))
+    cur.crossJoin(broadcast(changed))
+      .select(col("node"), col("lab"),
+        (col("n_changed") === 0L).as("converged"))
+  }
 }

@@ -243,6 +243,56 @@ class GraphSpec extends SparkSpec {
     assert(got.forall(_._3))
   }
 
+  test("labelPropagation: two cliques + bridge, bipartite 2-cycle flag, " +
+      "random graph vs a sequential reference") {
+    import graft.operators.Graph.labelPropagation
+    // two triangles {1,2,3} and {4,5,6} joined by one bridge 3-4.
+    // Hand-computed synchronous rounds (count desc, label asc):
+    //   r1: (2,1,1,3,4,4)  r2: (1,1,1,4,3,3)  r3: (1,1,1,3,3,3)
+    //   r4: (1,1,1,3,3,3)  — fixpoint: clique A keeps min label 1,
+    // clique B settles on 3 (the label node 4 imported across the
+    // bridge in r1 and re-exported), and r4 == r3 ⇒ converged
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("u", "v")
+    val got = labelPropagation(g, rounds = 4)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.map(r => r._1 -> r._2).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+    assert(got.forall(_._3), "fixpoint reached within budget")
+    // bipartite edge 1-2: synchronous updates swap labels forever —
+    // the budget must report unconverged, never a silent wrong answer
+    val bip = Seq((1L, 2L)).toDF("u", "v")
+    val flagged = labelPropagation(bip, rounds = 3)
+      .as[(Long, Long, Boolean)].collect()
+    assert(flagged.forall(!_._3), "2-cycle flagged as unconverged")
+    // random graph: engine vs a from-first-principles sequential replay
+    // of the same deterministic recurrence
+    val rnd = new scala.util.Random(59)
+    val n = 30
+    val es = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    val nodes = adj.keySet.toSeq.sorted
+    var lab = nodes.map(v => v -> v).toMap
+    val rounds = 4
+    var prevLab = lab
+    for (_ <- 1 to rounds) {
+      prevLab = lab
+      lab = nodes.map { v =>
+        val hist = adj(v).map(prevLab).groupBy(identity)
+          .map { case (l, g2) => l -> g2.size }
+        v -> hist.toSeq.map { case (l, c) => (-c, l) }.min._2
+      }.toMap
+    }
+    val conv = nodes.forall(v => lab(v) == prevLab(v))
+    val gotR = labelPropagation(es.toDF("u", "v"), rounds)
+      .as[(Long, Long, Boolean)].collect()
+    assert(gotR.map(r => r._1 -> r._2).toMap == lab)
+    assert(gotR.forall(_._3 == conv))
+  }
+
   test("dupClusters labels every node, singletons included, with sizes") {
     val nodes = (1L to 8L).toDF("doc_id")
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
