@@ -1713,6 +1713,28 @@ object SparkEntry {
         col("n_frames"), col("vfp"), col("n_same_fp"))
   }
 
+  /** m08 — perceptual image NEAR-dup pairs: m05's dHashes through the
+    * shared banded Hamming index ([[graft.operators.TextDedup
+    * .hammingPairs]] — the d03 SimHash machinery applied to the image
+    * modality), Hamming <= 2. Candidate generation is pigeonhole-
+    * LOSSLESS at this cutoff (<= 2 flipped bits can touch at most 2 of
+    * the four 16-bit chunks), so the banded plan's output is exactly
+    * the O(N²) scan's — the oracle recomputes every dHash from the
+    * asset contract and runs the quadratic join directly. On this
+    * fixture text-byte "images" cluster tightly (most pairs land
+    * within Hamming 6 — same density artifact as d06's 31-word vocab),
+    * so the cutoff 2 keeps the verified set meaningful; on real images
+    * the same index prunes candidates to near-linear. */
+  private def m08(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val hashes = graft.multimodal.Multimodal.imageDHash(
+      graft.multimodal.Multimodal.assetsFromDocuments(s, d)).toDF()
+    graft.operators.TextDedup
+      .hammingPairs(hashes, "asset_id", "dhash", maxHamming = 2)
+      .select(col("id_a").as("asset_a"), col("id_b").as("asset_b"),
+        col("hamming").cast("long").as("hamming"))
+  }
+
   /** m02 — video frame sampling: one row per 64-byte frame window.
     * Frame counts are pure arithmetic over payload sizes → oracle-able. */
   private def m02(s: SparkSession, d: String): DataFrame = {
@@ -3732,6 +3754,7 @@ object SparkEntry {
     "m05_image_dhash" -> (m05 _),
     "m06_audio_fingerprint" -> (m06 _),
     "m07_video_fingerprint" -> (m07 _),
+    "m08_image_neardup" -> (m08 _),
     "q76_variant_battery" -> (q76 _),
     "c07_balance_upsample" -> (c07 _),
     "t24_pack_materialize" -> (t24 _),
@@ -6313,6 +6336,43 @@ object SparkEntry {
         |SELECT doc_id AS asset_id, width, height, n_frames, vfp,
         |  CAST(count(*) OVER (PARTITION BY vfp) AS BIGINT) AS n_same_fp
         |FROM base""".stripMargin,
+    // m08: every dHash recomputed from the asset contract (the m05
+    // derivation), then the DIRECT quadratic Hamming join — the
+    // engine's banded multi-index must reproduce it exactly because
+    // the 4x16-bit pigeonhole is lossless at cutoff 2
+    "m08_image_neardup" ->
+      """WITH img AS (SELECT doc_id, text, length(text) AS tl,
+        |    CAST(doc_id % 640 + 64 AS BIGINT) AS w,
+        |    CAST(doc_id % 480 + 48 AS BIGINT) AS h,
+        |    CAST(((doc_id % 640 + 64) * 3 + 3) // 4 * 4 AS BIGINT) AS stride
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |grid AS (SELECT doc_id, w, h, stride, text, tl,
+        |    r1.range AS x, r2.range AS y
+        |  FROM img, range(9) r1, range(8) r2),
+        |px AS (SELECT doc_id, x, y,
+        |    (SELECT sum(CASE
+        |        WHEN (y*h//8)*stride + (x*w//9)*3 + c.range < tl
+        |        THEN ascii(substr(text,
+        |          CAST((y*h//8)*stride + (x*w//9)*3 + c.range AS INT) + 1, 1))
+        |        ELSE 0 END)
+        |     FROM range(3) c) AS bright
+        |  FROM grid),
+        |bits AS (SELECT a.doc_id, a.y, a.x,
+        |    CASE WHEN a.bright > b.bright THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.y = b.y
+        |    AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |hash AS (SELECT doc_id,
+        |    CAST(CASE WHEN h128 >= 9223372036854775808
+        |         THEN h128 - 18446744073709551616 ELSE h128 END AS BIGINT)
+        |      AS dhash
+        |  FROM (SELECT doc_id,
+        |      sum(bit * (1::HUGEINT << CAST(y*8 + x AS INT))) AS h128
+        |    FROM bits GROUP BY doc_id))
+        |SELECT a.doc_id AS asset_a, b.doc_id AS asset_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        |FROM hash a JOIN hash b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 2""".stripMargin,
     // VARIANT battery restated with DuckDB string-path JSON; the
     // minified roundtrip is REBUILT from the extracted value space
     // ('{"k":<int>}') rather than whitespace-stripping the raw string —

@@ -427,21 +427,34 @@ object TextDedup {
     agg.select(col("doc_id"), sim.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: block on the four 16-bit chunks (pigeonhole:
-    * any pair within Hamming distance 3 shares at least one chunk), then
-    * verify exact Hamming <= maxHamming via bit_count(xor). */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sigs = simhash(docs, idCol, textCol)
-    val chunked = sigs.select(col("doc_id"), col("simhash"),
+  /** Generic banded Hamming-ball self-join over 64-bit signatures —
+    * the multi-index blocking shared by SimHash text dedup (d03) and
+    * perceptual image-hash dedup (m08): block on the four 16-bit
+    * chunks (pigeonhole: any pair within Hamming distance 3 shares at
+    * least one intact chunk, so candidate generation is LOSSLESS for
+    * maxHamming <= 3), then verify exact Hamming via bit_count(xor) on
+    * candidates only. The corpus never self-joins unblocked; shuffle
+    * keys are 2-byte chunks, candidates are distinct'd before the
+    * popcount so a pair sharing k chunks verifies once.
+    *
+    * @param sigs   (id, signature) frame, signature a packed int64
+    * @param maxHamming inclusive distance cutoff, must be <= 3 for the
+    *               4-chunk index to be lossless (asserted)
+    * @return (id_a, id_b, hamming) with id_a < id_b, hamming long */
+  def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
+                   maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      "4-chunk pigeonhole index is lossless only for maxHamming <= 3")
+    val chunked = sigs.select(col(idCol).as("doc_id"),
+      col(sigCol).as("sig"),
       posexplode(array((0 until 4).map(j =>
-        shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        shiftrightunsigned(col(sigCol), j * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
 
     val l = chunked.select(col("chunk_idx"), col("chunk"),
-      col("doc_id").as("id_a"), col("simhash").as("sim_a"))
+      col("doc_id").as("id_a"), col("sig").as("sim_a"))
     val r = chunked.select(col("chunk_idx"), col("chunk"),
-      col("doc_id").as("id_b"), col("simhash").as("sim_b"))
+      col("doc_id").as("id_b"), col("sig").as("sim_b"))
 
     l.join(r, Seq("chunk_idx", "chunk"))
       .filter(col("id_a") < col("id_b"))
@@ -450,4 +463,11 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** SimHash near-dup pairs: [[simhash]] signatures through the shared
+    * [[hammingPairs]] banded index. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs(simhash(docs, idCol, textCol), "doc_id", "simhash",
+      maxHamming)
 }
