@@ -1510,12 +1510,20 @@ object SparkEntry {
     * "a a a"). Integer-exact. */
   private def t29(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val rounds = 3
+    bpeTrain(s, d, rounds = 3)._1.toDF("round", "l", "r", "c")
+  }
+
+  /** Shared BPE trainer loop (t29 documents the algorithm): returns
+    * the merge table AND the final (w, toks, wc) word frame — the
+    * trained segmentation t30 applies corpus-wide. Driver state is the
+    * O(1) merge list, the word frame stays distributed. */
+  private def bpeTrain(s: SparkSession, d: String, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     var cur = Tables.documents(s, d)
       .select(explode(regexp_extract_all(lower(col("text")),
         lit("[a-z0-9]+"), lit(0))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
-      .select(split(col("w"), "").as("toks"), col("wc"))
+      .select(col("w"), split(col("w"), "").as("toks"), col("wc"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     for (round <- 1 to rounds) {
@@ -1536,7 +1544,39 @@ object SparkEntry {
           graft.plans.MergePairFunctions.mergePair(col("toks"), l, r))
         .localCheckpoint(true)
     }
-    merges.toSeq.toDF("round", "l", "r", "c")
+    (merges.toSeq, cur)
+  }
+
+  /** t30 — BPE ENCODE: apply the t29-trained merges corpus-wide and
+    * measure per-document compression — the tokenizer-application
+    * step between training (t29) and packing (t18/t24). The encode
+    * rides the trainer's final word frame: segmentation is a function
+    * of the WORD, so the corpus-sized doc frame joins the vocabulary-
+    * sized (w -> n_units) map instead of re-running merges per
+    * occurrence — at 100 TB the merge loop touches the distinct-word
+    * frame only, and the per-doc reduction is one broadcast-joined
+    * aggregation. Docs with zero [a-z0-9]+ tokens stay in the output
+    * with zero counts (left join + coalesce, matching t03's universe).
+    * Integer-exact. Oracle: the full t29 replay on the double-space
+    * string representation, extended one step — the final per-word
+    * string's split length IS n_units — then the same per-doc join. */
+  private def t30(s: SparkSession, d: String): DataFrame = {
+    val (_, words) = bpeTrain(s, d, rounds = 3)
+    val wn = words.select(col("w"),
+      length(col("w")).cast("long").as("n_chars"),
+      size(col("toks")).cast("long").as("n_units"))
+    val dw = Tables.documents(s, d).select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0))).as("w"))
+    val agg = dw.join(wn, "w").groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chars")).as("n_char_units"),
+        sum(col("n_units")).as("n_bpe_units"))
+    Tables.documents(s, d).select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_char_units"), lit(0L)).as("n_char_units"),
+        coalesce(col("n_bpe_units"), lit(0L)).as("n_bpe_units"))
   }
 
   /** q77 — approx_top_k sketch LIFECYCLE (accumulate → combine →
@@ -3766,6 +3806,7 @@ object SparkEntry {
     "t26_approx_topk" -> (t26 _),
     "t28_quality_classifier" -> (t28 _),
     "t29_bpe_train" -> (t29 _),
+    "t30_bpe_encode" -> (t30 _),
     "q77_topk_lifecycle" -> (q77 _),
     "q78_kll_quantiles" -> (q78 _),
     "q79_theta_setops" -> (q79 _),
@@ -6485,6 +6526,56 @@ object SparkEntry {
         |SELECT CAST(1 AS INT) AS round, l, r, c FROM m1
         |UNION ALL SELECT CAST(2 AS INT), l, r, c FROM m2
         |UNION ALL SELECT CAST(3 AS INT), l, r, c FROM m3""".stripMargin,
+    // t30: the full t29 double-space replay, carrying the word through
+    // the merge rounds, extended one step (apply m3 -> s3): the final
+    // string's '  '-split length IS the word's BPE unit count; then
+    // the identical per-doc reduction over the doc-word frame
+    "t30_bpe_encode" ->
+      """WITH w AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS w
+        |    FROM documents) GROUP BY 1),
+        |s0 AS (SELECT w, '  ' || array_to_string(
+        |    [w[i] FOR i IN range(1, len(w) + 1)], '  ') || '  ' AS s, wc
+        |  FROM w),
+        |x1 AS (SELECT string_split(trim(s), '  ') AS t, wc FROM s0),
+        |e1 AS (SELECT t, wc, unnest(range(1, len(t))) AS i FROM x1),
+        |p1 AS (SELECT t[CAST(i AS INT)] AS l, t[CAST(i AS INT) + 1] AS r,
+        |    CAST(sum(wc) AS BIGINT) AS c
+        |  FROM e1 GROUP BY 1, 2),
+        |m1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l, r LIMIT 1),
+        |s1 AS (SELECT w, replace(s, ' ' || m1.l || '  ' || m1.r || ' ',
+        |    ' ' || m1.l || m1.r || ' ') AS s, wc FROM s0, m1),
+        |x2 AS (SELECT string_split(trim(s), '  ') AS t, wc FROM s1),
+        |e2 AS (SELECT t, wc, unnest(range(1, len(t))) AS i FROM x2),
+        |p2 AS (SELECT t[CAST(i AS INT)] AS l, t[CAST(i AS INT) + 1] AS r,
+        |    CAST(sum(wc) AS BIGINT) AS c
+        |  FROM e2 GROUP BY 1, 2),
+        |m2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l, r LIMIT 1),
+        |s2 AS (SELECT w, replace(s, ' ' || m2.l || '  ' || m2.r || ' ',
+        |    ' ' || m2.l || m2.r || ' ') AS s, wc FROM s1, m2),
+        |x3 AS (SELECT string_split(trim(s), '  ') AS t, wc FROM s2),
+        |e3 AS (SELECT t, wc, unnest(range(1, len(t))) AS i FROM x3),
+        |p3 AS (SELECT t[CAST(i AS INT)] AS l, t[CAST(i AS INT) + 1] AS r,
+        |    CAST(sum(wc) AS BIGINT) AS c
+        |  FROM e3 GROUP BY 1, 2),
+        |m3 AS (SELECT l, r, c FROM p3 ORDER BY c DESC, l, r LIMIT 1),
+        |s3 AS (SELECT w, replace(s, ' ' || m3.l || '  ' || m3.r || ' ',
+        |    ' ' || m3.l || m3.r || ' ') AS s, wc FROM s2, m3),
+        |wn AS (SELECT w,
+        |    CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_units
+        |  FROM s3),
+        |dw AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(length(dw.w)) AS BIGINT) AS n_char_units,
+        |    CAST(sum(n_units) AS BIGINT) AS n_bpe_units
+        |  FROM dw JOIN wn USING (w) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+        |  coalesce(n_char_units, 0) AS n_char_units,
+        |  coalesce(n_bpe_units, 0) AS n_bpe_units
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
     // quality classifier: every hashed-feature index re-derived from
     // the md5 HEX STRING (substr/ascii digit arithmetic) where the
     // engine extracts nibbles from the digest BYTES; the weight
