@@ -2712,6 +2712,36 @@ object SparkEntry {
         (col("rn") <= quota).as("accepted"))
   }
 
+  /** q83 — key-skew profiler: the diagnostic that DECIDES when q26's
+    * salted aggregation / q42's salted join are worth their extra
+    * shuffle stage. Per-key counts (one map-side-combined aggregation
+    * — the full table contributes counters, never rows), then the
+    * top-5 hot keys with exact integer skew metrics: share_bp =
+    * cnt·10⁴ div total (basis points of all rows on this key),
+    * skew_x100 = cnt·n_keys·100 div total (100 ⇔ perfectly uniform;
+    * a key at 3200 holds 32× its fair share), and salt = the
+    * suggested per-key salt fan-out max(1, cnt·n_keys div total) —
+    * exactly the factor that would re-level the hot reducer. The
+    * events fixture is near-uniform (skew ≈ 130), which the profiler
+    * must REPORT, not assume: the honest "don't salt" verdict is the
+    * common case. Integer-exact end to end; the only window is over
+    * the 5-row top-k. */
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    val cnts = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = cnts.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"))
+    cnts.orderBy(col("cnt").desc, col("user_id").asc).limit(5)
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("user_id").asc))
+        .cast("long"))
+      .crossJoin(broadcast(tot))
+      .select(col("rnk"), col("user_id"), col("cnt"),
+        expr("cnt * 10000 div total").as("share_bp"),
+        expr("cnt * n_keys * 100 div total").as("skew_x100"),
+        greatest(lit(1L), expr("cnt * n_keys div total")).as("salt"))
+  }
+
   /** t20 — BPE merge-pair statistics (the inner loop of byte-pair-
     * encoding tokenizer training): count adjacent CHARACTER pairs
     * within corpus words, emit the top 20 merge candidates under a
@@ -3819,6 +3849,7 @@ object SparkEntry {
     "g06_label_prop" -> (g06 _),
     "q81_snapshot_maintain" -> (q81 _),
     "q82_quota_cap" -> (q82 _),
+    "q83_skew_profile" -> (q83 _),
     "s10_ann_pq" -> (s10 _),
     "s11_hard_negatives" -> (s11 _),
     "s12_ann_filtered" -> (s12 _),
@@ -6987,6 +7018,20 @@ object SparkEntry {
         |  CAST(least(rn - 1, 3) AS BIGINT) AS n_before,
         |  rn <= 3 AS accepted
         |FROM r""".stripMargin,
+    "q83_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |    count(*) AS n_keys FROM c),
+        |top5 AS (SELECT user_id, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, user_id)
+        |      AS BIGINT) AS rnk
+        |  FROM c ORDER BY cnt DESC, user_id LIMIT 5)
+        |SELECT rnk, user_id, cnt,
+        |  cnt * 10000 // total AS share_bp,
+        |  cnt * n_keys * 100 // total AS skew_x100,
+        |  greatest(CAST(1 AS BIGINT), cnt * n_keys // total) AS salt
+        |FROM top5, t""".stripMargin,
     // each batch's latest-per-user event (never the Cdc kernel's
     // join-then-union shape)
     "q81_snapshot_maintain" ->
