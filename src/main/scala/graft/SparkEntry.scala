@@ -2742,6 +2742,20 @@ object SparkEntry {
         greatest(lit(1L), expr("cnt * n_keys div total")).as("salt"))
   }
 
+  /** q84 — batch twin of st15 ([[graft.streaming.EventStreams
+    * .clickErrorJoinLeftOuter]]): the LEFT OUTER interval join run as
+    * a batch plan — the SAME code path the st15 drive runs as a
+    * watermarked stream-stream join (the st05/q39 discipline: one
+    * implementation, oracle-gated here, benched there). Unmatched
+    * errors survive with NULL click columns — the rows the inner st04
+    * shape silently drops, and exactly the ones an alerting consumer
+    * wants. */
+  private def q84(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStreams
+      .clickErrorJoinLeftOuter(Tables.events(s, d))
+      .select(col("user_id"), col("error_id"), col("click_id"),
+        col("matched"))
+
   /** t20 — BPE merge-pair statistics (the inner loop of byte-pair-
     * encoding tokenizer training): count adjacent CHARACTER pairs
     * within corpus words, emit the top 20 merge candidates under a
@@ -3850,6 +3864,7 @@ object SparkEntry {
     "q81_snapshot_maintain" -> (q81 _),
     "q82_quota_cap" -> (q82 _),
     "q83_skew_profile" -> (q83 _),
+    "q84_outer_interval_join" -> (q84 _),
     "s10_ann_pq" -> (s10 _),
     "s11_hard_negatives" -> (s11 _),
     "s12_ann_filtered" -> (s12 _),
@@ -4178,6 +4193,9 @@ object SparkEntry {
           graft.streaming.EventStreams.dedupWithinWatermark(src)),
       "st04_stream_interval_join" ->
         drive((_, _, src) => graft.streaming.EventStreams.clickErrorJoin(src)),
+      "st15_stream_outer_interval_join" ->
+        drive((_, _, src) =>
+          graft.streaming.EventStreams.clickErrorJoinLeftOuter(src)),
       // RocksDB twin of st04 — the scale-correct backend for large
       // stream-stream join state (HDFSBacked keeps every key on-heap;
       // RocksDB spills to local disk and bounds executor memory at
@@ -7032,6 +7050,17 @@ object SparkEntry {
         |  cnt * n_keys * 100 // total AS skew_x100,
         |  greatest(CAST(1 AS BIGINT), cnt * n_keys // total) AS salt
         |FROM top5, t""".stripMargin,
+    "q84_outer_interval_join" ->
+      """WITH c AS (SELECT user_id AS cu, ts AS c_ts,
+        |    event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |e AS (SELECT user_id, ts AS e_ts, event_id AS error_id
+        |  FROM events WHERE event_type = 'error')
+        |SELECT e.user_id, error_id, click_id,
+        |  click_id IS NOT NULL AS matched
+        |FROM e LEFT JOIN c ON cu = e.user_id
+        |  AND c_ts <= e_ts
+        |  AND c_ts >= e_ts - INTERVAL '10 minutes'""".stripMargin,
     // each batch's latest-per-user event (never the Cdc kernel's
     // join-then-union shape)
     "q81_snapshot_maintain" ->

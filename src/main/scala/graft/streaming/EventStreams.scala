@@ -164,6 +164,39 @@ object EventStreams {
         col("click_id"), col("c_ts"), col("e_ts"))
   }
 
+  /** LEFT OUTER stream-stream interval join — [[clickErrorJoin]] with
+    * the unmatched side kept: every error emits, paired with each
+    * same-user click in the preceding `window`, or exactly once with
+    * NULL click columns (the "error with no recent interaction"
+    * alerting shape, which an inner join silently drops). The outer
+    * row is emitted only once the watermark PROVES no matching click
+    * can still arrive — that is what makes the result append-only and
+    * the join state bounded: both sides are watermarked and the join
+    * condition carries the time range, so Spark evicts buffered rows
+    * at the watermark + interval horizon. In batch execution the
+    * watermark is a no-op and the same plan is a plain left outer
+    * range join — q84 oracle-gates that single code path. */
+  def clickErrorJoinLeftOuter(events: DataFrame,
+                              window: String = "10 minutes",
+                              watermark: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("error_id"))
+      .withWatermark("e_ts", watermark)
+    errors.join(clicks,
+      col("c_user") === col("e_user")
+        && col("c_ts") <= col("e_ts")
+        && col("c_ts") >= col("e_ts") - expr(s"INTERVAL $window"),
+      "left_outer")
+      .select(col("e_user").as("user_id"), col("error_id"),
+        col("click_id"), col("c_ts"), col("e_ts"),
+        col("click_id").isNotNull.as("matched"))
+  }
+
   /** Streaming ingest into the month-partitioned lake
     * ([[graft.sources.PartitionedLake.upsertBatch]]): each micro-batch
     * writes its rows under (month, ingest_batch) with dynamic partition

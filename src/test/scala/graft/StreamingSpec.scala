@@ -248,6 +248,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits NULL rows for unmatched errors " +
+      "once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams
+      .clickErrorJoinLeftOuter(mem.toDF(), "10 minutes", "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ojoin_out").start()
+    try {
+      mem.addData(
+        ev(1, "2024-01-01 00:00:00", 1, "click"),
+        ev(2, "2024-01-01 00:05:00", 1, "error"),   // pairs with click 1
+        ev(3, "2024-01-01 00:20:00", 1, "error"),   // >10min after click 1
+        ev(4, "2024-01-01 00:04:00", 2, "click"))   // other user, no error
+      q.processAllAvailable()
+      // advance the watermark on BOTH sides (the global watermark is
+      // the min over all event-time columns — a quiet errors side
+      // would hold eviction back forever), then push one more batch:
+      // the null-padded row emits in the batch AFTER the advance
+      // commits (watermark is computed from the PREVIOUS batch's data)
+      mem.addData(ev(9, "2024-01-01 02:00:00", 3, "click"),
+        ev(20, "2024-01-01 02:10:00", 4, "error"))
+      q.processAllAvailable()
+      mem.addData(ev(10, "2024-01-01 03:00:00", 3, "click"),
+        ev(21, "2024-01-01 03:10:00", 4, "error"))
+      q.processAllAvailable()
+      val rows = spark.table("ojoin_out")
+        .filter($"error_id".isin(2L, 3L))
+        .select($"error_id", $"click_id", $"matched")
+        .as[(Long, Option[Long], Boolean)].collect().toSet
+      assert(rows == Set((2L, Some(1L), true), (3L, None, false)))
+    } finally q.stop()
+  }
+
   test("built-in session_window groups by gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
