@@ -1014,6 +1014,31 @@ object SparkEntry {
         expr("1000000L div cluster_size").as("w_micro"))
   }
 
+  /** c12 — deterministic stratified train/val/test SPLIT (98/1/1 per
+    * language): the holdout-carving step every training pipeline runs
+    * before packing. Assignment by PER-STRATUM md5 RANK, not hash
+    * bucketing — rank boundaries make the proportions EXACT per
+    * stratum (a hash-modulo split is only approximate, and its skew
+    * grows on small strata), the salt (':split') decorrelates the
+    * order from every other md5-ranked stage (c03/c06/c07 sampling —
+    * a doc's sample rank never predicts its split), and membership is
+    * integer arithmetic (rn·100 vs n·98/99 — no float shares). Ranks
+    * via the shared two-level [[Curate.md5RankByStratum]]: no stratum
+    * ranks on a single partition at any corpus size. Content-level
+    * eval leakage across the split is d08's decontamination job,
+    * composable downstream. */
+  private def c12(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val ranked = graft.operators.Curate
+      .md5RankByStratum(docs, "doc_id", "lang", "split")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(counts), "lang")
+      .select(col("doc_id"), col("lang"), col("rn"),
+        when(col("rn") * 100 <= col("n") * 98, "train")
+          .when(col("rn") * 100 <= col("n") * 99, "val")
+          .otherwise("test").as("split"))
+  }
+
   /** d06 — exact n-gram (3-shingle) Jaccard dedup pairs: the
     * order-sensitive cousin of d04's token-set Jaccard (a doc pair must
     * share word SEQUENCES, not just vocabulary). Same operator that
@@ -2756,6 +2781,30 @@ object SparkEntry {
       .select(col("user_id"), col("error_id"), col("click_id"),
         col("matched"))
 
+  /** q85 — batch twin of st16 ([[graft.streaming.EventStreams
+    * .dedupedTumblingAgg]]): exact dedup on event_id feeding the q15
+    * tumbling aggregation — the chained-stateful-operator semantics
+    * as one batch plan. The batch dedup picks a DETERMINISTIC
+    * representative (min over the (ts, event_type, value) struct — a
+    * total order over the payload, so duplicate ids resolve
+    * identically on any engine/partitioning; the streaming form's
+    * first-arrival-wins is gated separately in StreamingSpec where
+    * arrival order is controlled). On the fixture event_id is unique,
+    * so q85 ≡ q15 row-for-row — the dedup stage must be a no-op, which
+    * IS the assertion. */
+  private def q85(s: SparkSession, d: String): DataFrame = {
+    val dedup = Tables.events(s, d)
+      .groupBy(col("event_id"))
+      .agg(min(struct(col("ts"), col("event_type"), col("value"))).as("e"))
+      .select(col("e.ts").as("ts"), col("e.event_type").as("event_type"),
+        col("e.value").as("value"))
+    dedup
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
   /** t20 — BPE merge-pair statistics (the inner loop of byte-pair-
     * encoding tokenizer training): count adjacent CHARACTER pairs
     * within corpus words, emit the top 20 merge candidates under a
@@ -3847,6 +3896,7 @@ object SparkEntry {
     "c09_temperature_mix" -> (c09 _),
     "c10_dsir_select_mix" -> (c10 _),
     "c11_soft_dedup_weights" -> (c11 _),
+    "c12_split_holdout" -> (c12 _),
     "t26_approx_topk" -> (t26 _),
     "t28_quality_classifier" -> (t28 _),
     "t29_bpe_train" -> (t29 _),
@@ -3865,6 +3915,7 @@ object SparkEntry {
     "q82_quota_cap" -> (q82 _),
     "q83_skew_profile" -> (q83 _),
     "q84_outer_interval_join" -> (q84 _),
+    "q85_dedup_tumbling" -> (q85 _),
     "s10_ann_pq" -> (s10 _),
     "s11_hard_negatives" -> (s11 _),
     "s12_ann_filtered" -> (s12 _),
@@ -4196,6 +4247,9 @@ object SparkEntry {
       "st15_stream_outer_interval_join" ->
         drive((_, _, src) =>
           graft.streaming.EventStreams.clickErrorJoinLeftOuter(src)),
+      "st16_stream_dedup_tumbling" ->
+        drive((_, _, src) =>
+          graft.streaming.EventStreams.dedupedTumblingAgg(src)),
       // RocksDB twin of st04 — the scale-correct backend for large
       // stream-stream join state (HDFSBacked keeps every key on-heap;
       // RocksDB spills to local disk and bounds executor memory at
@@ -4417,6 +4471,19 @@ object SparkEntry {
         |event_type, CAST(count(*) AS BIGINT) AS n,
         |round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // q85: per-id deterministic representative via a row_number window
+    // (an independent formulation of the engine's min-struct agg),
+    // then the q15 reduction
+    "q85_dedup_tumbling" ->
+      """WITH d AS (SELECT ts, event_type, value FROM (
+        |    SELECT ts, event_type, value, row_number() OVER (
+        |      PARTITION BY event_id ORDER BY ts, event_type, value)
+        |      AS rn
+        |    FROM events) WHERE rn = 1)
+        |SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+        |event_type, CAST(count(*) AS BIGINT) AS n,
+        |round(sum(value), 4) AS sum_value
+        |FROM d GROUP BY 1, 2""".stripMargin,
     "q39_events_dim_join" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
         |c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n,
@@ -5005,6 +5072,18 @@ object SparkEntry {
     // c11: the d07 closure with the exact micro-weight column — the
     // oracle re-derives components via the same independent
     // recursive-CTE min-label closure, never the star algorithm
+    "c12_split_holdout" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':split'), doc_id)
+        |      AS BIGINT) AS rn
+        |  FROM documents),
+        |n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1)
+        |SELECT doc_id, r.lang, rn,
+        |  CASE WHEN rn * 100 <= n * 98 THEN 'train'
+        |       WHEN rn * 100 <= n * 99 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r JOIN n ON r.lang = n.lang""".stripMargin,
     "c11_soft_dedup_weights" ->
       """WITH RECURSIVE tok AS (
         |  SELECT doc_id, source,

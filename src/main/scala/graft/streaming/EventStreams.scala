@@ -33,6 +33,28 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** CHAINED stateful operators in ONE streaming query (Spark's
+    * multiple-stateful-operator support): watermarked exact dedup
+    * (dropDuplicatesWithinWatermark on event_id) feeding a tumbling
+    * event-time aggregation downstream — an at-least-once source
+    * counted effectively-once in windowed metrics without the
+    * dedup-materialize-reread hop between two jobs that pipelines ran
+    * before chaining existed. One watermark bounds BOTH state stores:
+    * dedup keys evict at the horizon, windows finalize at it. Output
+    * shape = [[tumblingAgg]]'s; the q85 batch twin oracle-gates the
+    * combined semantics with a deterministic-representative batch
+    * dedup. */
+  def dedupedTumblingAgg(events: DataFrame,
+                         windowLen: String = "5 minutes",
+                         watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Sliding windows: each event lands in windowLen/slide overlapping
     * windows — state is per (window, event_type), so the store carries
     * overlap-factor × the tumbling cardinality; the watermark bounds it

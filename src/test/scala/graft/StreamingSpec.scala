@@ -282,6 +282,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chained stateful operators: dedup feeds the windowed agg, " +
+      "duplicates count once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams
+      .dedupedTumblingAgg(mem.toDF(), "5 minutes", "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ddt_out").start()
+    try {
+      // event 1 delivered 3x (at-least-once source), event 2 once —
+      // the window must count 2 events, not 4
+      mem.addData(
+        ev(1, "2024-01-01 00:00:10", 1), ev(1, "2024-01-01 00:00:10", 1),
+        ev(2, "2024-01-01 00:01:00", 2))
+      q.processAllAvailable()
+      mem.addData(ev(1, "2024-01-01 00:02:00", 1)) // replay, same id
+      q.processAllAvailable()
+      mem.addData(ev(9, "2024-01-01 02:00:00", 3)) // advance watermark
+      q.processAllAvailable()
+      mem.addData(ev(10, "2024-01-01 03:00:00", 3)) // finalize windows
+      q.processAllAvailable()
+      val n = spark.table("ddt_out")
+        .filter($"window_start" === java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+        .select($"n").as[Long].collect()
+      assert(n.sameElements(Array(2L)))
+    } finally q.stop()
+  }
+
   test("built-in session_window groups by gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
