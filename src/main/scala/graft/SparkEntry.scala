@@ -2274,16 +2274,21 @@ object SparkEntry {
     * One window shuffle on o_custkey, reused by both window passes and
     * the final aggregation (same partitioning key — Catalyst plans one
     * Exchange). valid_to is NULL on the open (current) run. */
-  private def q48(s: SparkSession, d: String): DataFrame = {
+  private def q48(s: SparkSession, d: String): DataFrame =
+    scd2Build(Tables.orders(s, d))
+
+  /** q48's SCD2 derivation over an arbitrary orders frame (q86 reuses
+    * it on the history/delta partitions). All-window formulation:
+    * change rows ARE the runs. Every window below partitions by
+    * o_custkey, so the whole derivation — lag change detection,
+    * running version, per-customer total, and the lead lookups among
+    * run starts — shares ONE hash exchange (PlanShapeSpec pins exactly
+    * one); a groupBy(custkey, version) would re-shuffle on the widened
+    * key for nothing. */
+  private def scd2Build(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
-    // all-window formulation: change rows ARE the runs. Every window
-    // below partitions by o_custkey, so the whole derivation — lag
-    // change detection, running version, per-customer total, and the
-    // lead lookups among run starts — shares ONE hash exchange
-    // (PlanShapeSpec pins exactly one); a groupBy(custkey, version)
-    // would re-shuffle on the widened key for nothing.
-    val marked = Tables.orders(s, d)
+    val marked = orders
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
         col("o_orderstatus"))
       .withColumn("chg",
@@ -2306,6 +2311,64 @@ object SparkEntry {
           .as("valid_to"),
         (coalesce(lead(col("rn"), 1).over(ws), col("n_total") + 1)
           - col("rn")).cast("long").as("n_orders"))
+  }
+
+  /** q86 — INCREMENTAL SCD2 merge (the warehouse MERGE-INTO for
+    * type-2 dimensions): history rows built once (orders ≤ 1996-12-31
+    * — ~70% of the fixture), then the delta batch merged WITHOUT
+    * rebuilding — closed history rows are untouched (at scale: their
+    * files never rewrite, the q51/st12 bucket discipline), each
+    * customer's OPEN row either absorbs the delta's first run (same
+    * status at the boundary: run extends, n_orders grows, valid_to
+    * moves) or closes at it (status changed: valid_to = first delta
+    * run's start), and the remaining delta runs append with shifted
+    * versions. Cost ∝ delta + open rows, never history. The boundary
+    * is clean because the split predicate is a prefix of the run
+    * window's (o_orderdate, o_orderkey) order.
+    *
+    * Oracle: the FULL REBUILD over all orders (q48's independent
+    * min/groupBy-runs SQL, verbatim) — the merge is correct iff it is
+    * indistinguishable from rebuilding from scratch, which is the
+    * strongest available statement of MERGE semantics and shares no
+    * structure with the incremental plan. */
+  private def q86(s: SparkSession, d: String): DataFrame = {
+    val cut = "1996-12-31"
+    val all = Tables.orders(s, d)
+    val hist = scd2Build(all.filter(col("o_orderdate") <= lit(cut)))
+    val delta = scd2Build(all.filter(col("o_orderdate") > lit(cut)))
+    val closed = hist.filter(col("valid_to").isNotNull)
+    val open = hist.filter(col("valid_to").isNull)
+    val firstD = delta.filter(col("version") === 1)
+      .select(col("custkey"), col("status").as("d_status"),
+        col("valid_from").as("d_from"), col("valid_to").as("d_to"),
+        col("n_orders").as("d_n"))
+    // open rows: absorb (same status) / close (changed) / keep (no delta)
+    val openMerged = open.join(firstD, Seq("custkey"), "left")
+      .select(col("custkey"), col("version"), col("status"),
+        col("valid_from"),
+        when(col("d_status").isNull, lit(null).cast("string"))
+          .when(col("status") === col("d_status"), col("d_to"))
+          .otherwise(col("d_from")).as("valid_to"),
+        (col("n_orders") + when(col("status") === col("d_status"),
+          coalesce(col("d_n"), lit(0L))).otherwise(lit(0L)))
+          .as("n_orders"))
+    // delta runs: drop the absorbed first run, shift versions past the
+    // open row's; customers with no history keep their numbering
+    val bridge = open
+      .select(col("custkey"), col("version").as("base_v"),
+        col("status").as("open_status"))
+      .join(firstD.select(col("custkey"), col("d_status")), "custkey")
+      .select(col("custkey"), col("base_v"),
+        (col("open_status") === col("d_status")).as("same"))
+    val deltaKept = delta.join(bridge, Seq("custkey"), "left")
+      .filter(col("base_v").isNull || !col("same") || col("version") >= 2)
+      .select(col("custkey"),
+        when(col("base_v").isNull, col("version"))
+          .when(col("same"), col("base_v") + col("version") - 1)
+          .otherwise(col("base_v") + col("version")).as("version"),
+        col("status"), col("valid_from"), col("valid_to"),
+        col("n_orders"))
+    closed.unionAll(openMerged).unionAll(deltaKept)
   }
 
   /** q49 — matched-model Laspeyres price index over lineitem: per
@@ -3916,6 +3979,7 @@ object SparkEntry {
     "q83_skew_profile" -> (q83 _),
     "q84_outer_interval_join" -> (q84 _),
     "q85_dedup_tumbling" -> (q85 _),
+    "q86_scd2_merge" -> (q86 _),
     "s10_ann_pq" -> (s10 _),
     "s11_hard_negatives" -> (s11 _),
     "s12_ann_filtered" -> (s12 _),
@@ -4359,7 +4423,39 @@ object SparkEntry {
       })
   }
 
+  /** The independent SCD2 full-rebuild derivation (min/groupBy runs —
+    * not the engine's all-window form). Shared by q48 (direct) and q86
+    * (the incremental merge must be indistinguishable from it). */
+  private val scd2RebuildSql: String =
+    """WITH marked AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+      |    CASE WHEN lag(o_orderstatus) OVER w IS NULL
+      |           OR lag(o_orderstatus) OVER w <> o_orderstatus
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey
+      |               ORDER BY o_orderdate, o_orderkey)),
+      |versioned AS (
+      |  SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS version
+      |  FROM marked),
+      |runs AS (
+      |  SELECT o_custkey, version, min(o_orderstatus) AS status,
+      |         min(o_orderdate) AS from_ts,
+      |         count(*) AS n_orders
+      |  FROM versioned GROUP BY o_custkey, version)
+      |SELECT o_custkey AS custkey, version, status,
+      |  strftime(from_ts, '%Y-%m-%d') AS valid_from,
+      |  strftime(lead(from_ts) OVER (PARTITION BY o_custkey
+      |    ORDER BY version), '%Y-%m-%d') AS valid_to,
+      |  CAST(n_orders AS BIGINT) AS n_orders
+      |FROM runs""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // the incremental merge is gated against the FULL REBUILD
+    "q86_scd2_merge" -> scd2RebuildSql,
     "q01_clean_project" ->
       """SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
         |CAST(l_suppkey AS BIGINT) AS premise_code,
@@ -5670,32 +5766,7 @@ object SparkEntry {
         |            + sum(((l_partkey >> t.i) & 1) << (2 * t.i + 1))
         |        FROM generate_series(0, 31) t(i)) AS BIGINT) AS zkey
         |FROM lineitem""".stripMargin,
-    "q48_scd2_history" ->
-      """WITH marked AS (
-        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
-        |    CASE WHEN lag(o_orderstatus) OVER w IS NULL
-        |           OR lag(o_orderstatus) OVER w <> o_orderstatus
-        |         THEN 1 ELSE 0 END AS chg
-        |  FROM orders
-        |  WINDOW w AS (PARTITION BY o_custkey
-        |               ORDER BY o_orderdate, o_orderkey)),
-        |versioned AS (
-        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |    AS version
-        |  FROM marked),
-        |runs AS (
-        |  SELECT o_custkey, version, min(o_orderstatus) AS status,
-        |         min(o_orderdate) AS from_ts,
-        |         count(*) AS n_orders
-        |  FROM versioned GROUP BY o_custkey, version)
-        |SELECT o_custkey AS custkey, version, status,
-        |  strftime(from_ts, '%Y-%m-%d') AS valid_from,
-        |  strftime(lead(from_ts) OVER (PARTITION BY o_custkey
-        |    ORDER BY version), '%Y-%m-%d') AS valid_to,
-        |  CAST(n_orders AS BIGINT) AS n_orders
-        |FROM runs""".stripMargin,
+    "q48_scd2_history" -> scd2RebuildSql,
     "q49_price_index" ->
       """WITH mp AS (
         |  SELECT strftime(l_shipdate, '%Y-%m') AS month, l_partkey,
