@@ -425,9 +425,14 @@ object Graph {
       greatest(col(edges.columns(0)), col(edges.columns(1)))
         .cast("long").as("v"))
       .filter(col("u") =!= col("v")).distinct()
+    // the adjacency frame is the STATIC side of every round's join —
+    // pre-partition it on the join key once and persist (the
+    // pageRankInt edge-frame discipline: persist keeps the
+    // partitioning metadata, so each round's join reuses this exchange
+    // and the label frame is the only per-round mover)
     val nbrs = e0.select(col("u").as("node"), col("v").as("nb"))
       .unionAll(e0.select(col("v").as("node"), col("u").as("nb")))
-      .localCheckpoint(true)
+      .repartition(col("nb")).persist()
     def step(lbl: DataFrame): DataFrame =
       nbrs.join(lbl.withColumnRenamed("node", "nb"), "nb")
         .groupBy(col("node"), col("lab"))
@@ -441,6 +446,9 @@ object Graph {
       .withColumn("lab", col("node")).localCheckpoint(true)
     var cur = prev
     for (_ <- 1 to rounds) { prev = cur; cur = step(cur) }
+    // every round's labels are eagerly materialized, so the adjacency
+    // cache can drop before the result is consumed
+    nbrs.unpersist(false)
     val changed = cur.join(prev.withColumnRenamed("lab", "plab"), "node")
       .filter(col("lab") =!= col("plab"))
       .agg(count(lit(1)).as("n_changed"))
