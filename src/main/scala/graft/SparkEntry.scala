@@ -2371,6 +2371,30 @@ object SparkEntry {
     closed.unionAll(openMerged).unionAll(deltaKept)
   }
 
+  /** q87 — self-join size profiler: the CANDIDATE-EXPLOSION estimator
+    * a pipeline consults before running any key-blocked self-join
+    * (d04's prefix filter, d02's bands, m08's chunks — all of them
+    * blow up as Σ c_k² over block-key counts). One map-side-combined
+    * per-key count, then three scalar aggregates: the predicted
+    * self-join row count Σ c², the row count, and the hottest key —
+    * plus amp_x100 = Σc²·100 div n_rows, the read-amplification the
+    * blocking key implies (100 ⇔ each row meets one partner on
+    * average). Everything the q83 salt advisor is to the shuffle, this
+    * is to the blocked join. Integer-exact; counters only — the fact
+    * table never shuffles rows. */
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    val cnts = Tables.lineitem(s, d).groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("c"))
+    cnts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        sum(col("c") * col("c")).as("self_join_rows"),
+        max(struct(col("c"), col("l_partkey"))).as("top"))
+      .select(col("n_keys"), col("n_rows"), col("self_join_rows"),
+        col("top.l_partkey").as("top_key"), col("top.c").as("top_c"),
+        expr("self_join_rows * 100 div n_rows").as("amp_x100"))
+  }
+
   /** q49 — matched-model Laspeyres price index over lineitem: per
     * (month, item) representative price = min observed (min, not avg —
     * deterministic under duplicates and engine-order-independent), base
@@ -2758,6 +2782,39 @@ object SparkEntry {
         col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
     graft.operators.Graph.labelPropagation(edges, rounds = 4)
+  }
+
+  /** g07 — two-hop reach per node over the sparse co-purchase graph:
+    * deg (direct neighbors) and n_reach2 (distinct nodes within 2
+    * hops, self excluded) — the local-density / influence-radius
+    * metric next to g04's triangles. One self-join of the symmetric
+    * adjacency frame on the middle node, union with the 1-hop frame,
+    * distinct, count. The wedge join is the Σ deg² step; at a 100 TB
+    * graph the exact distinct swaps for a per-node HLL
+    * (approx_count_distinct over the same wedge frame — mergeable,
+    * counter-sized shuffle) — the exact form is registered because it
+    * is oracle-able and the fixture graph is wedge-bounded by g05's
+    * % 16 sparsity. Integer-exact. */
+  private def g07(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 16 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val e = op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    val nbr = e.select(col("u").as("node"), col("v").as("nb"))
+      .unionAll(e.select(col("v").as("node"), col("u").as("nb")))
+    val two = nbr.as("x").join(
+        nbr.select(col("node").as("nb"), col("nb").as("nb2")).as("y"), "nb")
+      .select(col("node"), col("nb2"))
+      .filter(col("node") =!= col("nb2"))
+    val reach = nbr.select(col("node"), col("nb").as("r"))
+      .unionAll(two.select(col("node"), col("nb2").as("r")))
+      .distinct()
+      .groupBy(col("node")).agg(count(lit(1)).as("n_reach2"))
+    nbr.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .join(reach, "node")
   }
 
   /** q81 — keyed-snapshot maintenance from the event stream, the batch
@@ -3974,6 +4031,8 @@ object SparkEntry {
     "g04_triangle_count" -> (g04 _),
     "g05_kcore" -> (g05 _),
     "g06_label_prop" -> (g06 _),
+    "g07_two_hop" -> (g07 _),
+    "q87_join_size_profile" -> (q87 _),
     "q81_snapshot_maintain" -> (q81 _),
     "q82_quota_cap" -> (q82 _),
     "q83_skew_profile" -> (q83 _),
@@ -4456,6 +4515,33 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // the incremental merge is gated against the FULL REBUILD
     "q86_scd2_merge" -> scd2RebuildSql,
+    "g07_two_hop" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 16 = 0),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM op a JOIN op b
+        |  ON a.ok = b.ok AND a.p < b.p),
+        |nbr AS (SELECT u AS node, v AS nb FROM e
+        |  UNION ALL SELECT v, u FROM e),
+        |two AS (SELECT x.node, y.nb AS nb2 FROM nbr x
+        |  JOIN nbr y ON y.node = x.nb WHERE y.nb <> x.node),
+        |reach AS (SELECT node, count(*) AS n_reach2 FROM (
+        |    SELECT DISTINCT node, r FROM (
+        |      SELECT node, nb AS r FROM nbr
+        |      UNION ALL SELECT node, nb2 FROM two)) GROUP BY 1),
+        |deg AS (SELECT node, count(*) AS deg FROM nbr GROUP BY 1)
+        |SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+        |  CAST(n_reach2 AS BIGINT) AS n_reach2
+        |FROM deg d JOIN reach USING (node)""".stripMargin,
+    "q87_join_size_profile" ->
+      """WITH c AS (SELECT l_partkey, count(*) AS c
+        |  FROM lineitem GROUP BY 1),
+        |a AS (SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(sum(c * c) AS BIGINT) AS self_join_rows FROM c),
+        |t AS (SELECT l_partkey AS top_key, c AS top_c FROM c
+        |  ORDER BY c DESC, l_partkey DESC LIMIT 1)
+        |SELECT n_keys, n_rows, self_join_rows, top_key, top_c,
+        |  self_join_rows * 100 // n_rows AS amp_x100
+        |FROM a, t""".stripMargin,
     "q01_clean_project" ->
       """SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
         |CAST(l_suppkey AS BIGINT) AS premise_code,
