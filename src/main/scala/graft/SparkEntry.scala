@@ -2395,6 +2395,73 @@ object SparkEntry {
         expr("self_join_rows * 100 div n_rows").as("amp_x100"))
   }
 
+  /** q88 — incremental view maintenance for an aggregate (the
+    * materialized-view twin of q86's row-level SCD2 merge): the view is
+    * SUM/COUNT per (returnflag, linestatus, ship month), its stored
+    * state the (n, qty, price_cents) partials. A CDC delta arrives as
+    * inserts (shipdate > cut) and retractions (a deterministic
+    * suppkey%13 slice of the base, standing in for a delete feed), and
+    * the view is maintained ALGEBRAICALLY: delta partials aggregate
+    * map-side, unionAll with the stored state frame, one re-combine
+    * groupBy, HAVING n > 0 so fully-retracted keys vanish — the
+    * classic counting/Z-relation IVM subtlety. Cost ∝ delta + view
+    * size; the base facts are never re-read (at 100 TB the state frame
+    * is key-count-sized and the only thing that moves). Integer-exact
+    * (cents, unit quantities).
+    *
+    * Oracle: the FULL RECOMPUTE over (base ∖ deletes) ∪ inserts —
+    * maintenance is correct iff indistinguishable from rebuilding,
+    * sharing no structure with the incremental plan. */
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    val cut = "1995-12-31"
+    val li = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("flag"), col("l_linestatus").as("status"),
+      date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+      col("l_shipdate"), col("l_suppkey"),
+      round(col("l_quantity"), 0).cast("long").as("qty1"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("cents1"))
+    def partials(df: DataFrame, w: Int): DataFrame =
+      df.groupBy(col("flag"), col("status"), col("month"))
+        .agg((count(lit(1)) * w).as("n"), (sum(col("qty1")) * w).as("qty"),
+          (sum(col("cents1")) * w).as("price_cents"))
+    val base = li.filter(col("l_shipdate") <= lit(cut))
+    val state = partials(base, 1)                  // the stored view
+    val ins = partials(li.filter(col("l_shipdate") > lit(cut)), 1)
+    val del = partials(base.filter(col("l_suppkey") % 13 === 0), -1)
+    state.unionAll(ins).unionAll(del)
+      .groupBy(col("flag"), col("status"), col("month"))
+      .agg(sum(col("n")).as("n"), sum(col("qty")).as("qty"),
+        sum(col("price_cents")).as("price_cents"))
+      .filter(col("n") > 0)
+  }
+
+  /** q89 — one-pass pipeline health metrics via `Dataset.observe`
+    * (the Observation API): rows-in / rows-kept / null-prop /
+    * filtered-revenue counters ride the SAME scan as accumulator-style
+    * observed metrics — no second pass over the facts, the way a 100 TB
+    * ingest audits itself without doubling its read. The scan is driven
+    * once by a noop-format write; the output IS the metrics row
+    * (driver-side O(1), like the PQ codebook fit). Integer-exact. */
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    val obs = new org.apache.spark.sql.Observation("q89")
+    val kept = col("l_quantity") >= 25
+    Tables.lineitem(s, d)
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .observe(obs,
+        count(lit(1)).as("rows_in"),
+        count(when(kept, 1)).as("rows_kept"),
+        count(when(col("l_discount") === 0, 1)).as("zero_discount"),
+        sum(when(kept, round(col("l_extendedprice") * 100, 0).cast("long"))
+          .otherwise(0L)).as("kept_cents"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    val s2 = s
+    import s2.implicits._
+    Seq((m("rows_in").asInstanceOf[Long], m("rows_kept").asInstanceOf[Long],
+      m("zero_discount").asInstanceOf[Long], m("kept_cents").asInstanceOf[Long]))
+      .toDF("rows_in", "rows_kept", "zero_discount", "kept_cents")
+  }
+
   /** q49 — matched-model Laspeyres price index over lineitem: per
     * (month, item) representative price = min observed (min, not avg —
     * deterministic under duplicates and engine-order-independent), base
@@ -2815,6 +2882,69 @@ object SparkEntry {
       .groupBy(col("node")).agg(count(lit(1)).as("n_reach2"))
     nbr.groupBy(col("node")).agg(count(lit(1)).as("deg"))
       .join(reach, "node")
+  }
+
+  /** g08 — multi-source BFS hop distances over the co-purchase graph
+    * ([[graft.operators.Graph.bfsDistances]]): distance from the
+    * nearest seed (nodes ≡ 0 mod 64), 4 hop budget — the
+    * proximity-to-trusted-set metric in its exact-hop form (g03's
+    * personalized PageRank is the same question as a mass diffusion).
+    * Frontier-only propagation against the pre-partitioned adjacency
+    * frame; integer-exact.
+    *
+    * Oracle: structurally DIFFERENT formulation — re-propagates the
+    * FULL distance frame every round (d_r = min(d_{r-1}, nbr+1))
+    * instead of the frontier delta, so the classic BFS frontier
+    * invariant itself is what the gate cross-checks. */
+  private def g08(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 16 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val e = op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    val nodes = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node"))).distinct()
+    graft.operators.Graph.bfsDistances(
+      e, nodes.filter(col("node") % 64 === 0), rounds = 4)
+  }
+
+  /** d13 — cross-source contamination matrix: for every source pair,
+    * the number of distinct 3-token shingles they share plus an exact
+    * integer Jaccard (×10⁴) — d08's train-vs-eval decontamination
+    * generalized to ALL corpus-source pairs, the "which crawl slice
+    * copies which" audit that decides source-level dedup priorities.
+    * Scale shape: the self-join key is the 8-byte xxhash64 shingle
+    * (d08's discipline — text never shuffles) over the DISTINCT
+    * (source, shingle) frame, so per-shingle fanout is bounded by the
+    * source count, output by source-pairs — counters end to end. The
+    * oracle joins shingle STRINGS (hash-collision divergence would
+    * fail deterministically). */
+  private def d13(s: SparkSession, d: String): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val sh = Tables.documents(s, d)
+      .select(col("source"), toks.as("toks"))
+      .select(col("source"),
+        explode(when(size(col("toks")) >= 3,
+          transform(sequence(lit(0), size(col("toks")) - 3),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))
+          .otherwise(array().cast("array<string>"))).as("sh"))
+      .select(col("source"), xxhash64(col("sh")).as("h"))
+      .distinct()
+    val counts = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(counts.select(col("source").as("src_a"),
+        col("n").as("n_a"))), "src_a")
+      .join(broadcast(counts.select(col("source").as("src_b"),
+        col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        expr("n_shared * 10000 div (n_a + n_b - n_shared)")
+          .as("jaccard_x10k"))
   }
 
   /** q81 — keyed-snapshot maintenance from the event stream, the batch
@@ -4032,6 +4162,8 @@ object SparkEntry {
     "g05_kcore" -> (g05 _),
     "g06_label_prop" -> (g06 _),
     "g07_two_hop" -> (g07 _),
+    "g08_bfs_distance" -> (g08 _),
+    "d13_source_overlap" -> (d13 _),
     "q87_join_size_profile" -> (q87 _),
     "q81_snapshot_maintain" -> (q81 _),
     "q82_quota_cap" -> (q82 _),
@@ -4039,6 +4171,8 @@ object SparkEntry {
     "q84_outer_interval_join" -> (q84 _),
     "q85_dedup_tumbling" -> (q85 _),
     "q86_scd2_merge" -> (q86 _),
+    "q88_ivm_agg" -> (q88 _),
+    "q89_observe_metrics" -> (q89 _),
     "s10_ann_pq" -> (s10 _),
     "s11_hard_negatives" -> (s11 _),
     "s12_ann_filtered" -> (s12 _),
@@ -4542,6 +4676,30 @@ object SparkEntry {
         |SELECT n_keys, n_rows, self_join_rows, top_key, top_c,
         |  self_join_rows * 100 // n_rows AS amp_x100
         |FROM a, t""".stripMargin,
+    // q88 oracle = FULL RECOMPUTE over (base minus deletes) plus
+    // inserts — deliberately shares no structure with the incremental
+    // state-merge plan (the q86 MERGE-vs-rebuild discipline).
+    "q88_ivm_agg" ->
+      """SELECT l_returnflag AS flag, l_linestatus AS status,
+        |  strftime(l_shipdate, '%Y-%m') AS month,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS price_cents
+        |FROM lineitem
+        |WHERE (l_shipdate <= '1995-12-31' AND l_suppkey % 13 <> 0)
+        |   OR l_shipdate > '1995-12-31'
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q89_observe_metrics" ->
+      """SELECT CAST(count(*) AS BIGINT) AS rows_in,
+        |  CAST(count(CASE WHEN l_quantity >= 25 THEN 1 END) AS BIGINT)
+        |    AS rows_kept,
+        |  CAST(count(CASE WHEN l_discount = 0 THEN 1 END) AS BIGINT)
+        |    AS zero_discount,
+        |  CAST(sum(CASE WHEN l_quantity >= 25
+        |    THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS kept_cents
+        |FROM lineitem""".stripMargin,
     "q01_clean_project" ->
       """SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
         |CAST(l_suppkey AS BIGINT) AS premise_code,
@@ -7248,6 +7406,64 @@ object SparkEntry {
                |FROM l$rounds f""".stripMargin
       sb.toString
     },
+    // g08: the same 4 BFS rounds with the propagation formulated
+    // INDEPENDENTLY — the oracle min-merges the FULL distance frame
+    // every round (d_r = min over d_{r-1} ∪ {nbr dist+1}) where the
+    // engine joins only the frontier delta; the two agree exactly iff
+    // the BFS frontier invariant holds. Distance tables MATERIALIZED
+    // (g05 lesson: each is referenced by the next round and d3/d4
+    // twice by the settled probe).
+    "g08_bfs_distance" -> {
+      val rounds = 4
+      val sb = new StringBuilder
+      sb ++= """WITH op AS (SELECT DISTINCT l_orderkey AS ok,
+               |    l_partkey AS p
+               |  FROM lineitem WHERE l_partkey % 16 = 0),
+               |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+               |  FROM op a JOIN op b
+               |  ON a.ok = b.ok AND a.p < b.p),
+               |nbr AS MATERIALIZED (SELECT u AS node, v AS nb FROM e
+               |  UNION ALL SELECT v, u FROM e),
+               |d0 AS MATERIALIZED (SELECT DISTINCT node, 0 AS dist
+               |  FROM nbr WHERE node % 64 = 0)""".stripMargin
+      for (i <- 1 to rounds) sb ++= s""",
+                |d$i AS MATERIALIZED (SELECT node, min(dist) AS dist
+                |  FROM (SELECT node, dist FROM d${i - 1}
+                |    UNION ALL
+                |    SELECT n.node, d.dist + 1
+                |    FROM nbr n JOIN d${i - 1} d ON n.nb = d.node)
+                |  GROUP BY 1)""".stripMargin
+      sb ++= s"""
+               |SELECT node, CAST(dist AS BIGINT) AS dist,
+               |  (SELECT count(*) FROM d$rounds)
+               |    = (SELECT count(*) FROM d${rounds - 1}) AS settled
+               |FROM d$rounds""".stripMargin
+      sb.toString
+    },
+    // d13: shingle-STRING joins vs the engine's xxhash64 keys (d08
+    // discipline — a hash collision would fail deterministically)
+    "d13_source_overlap" ->
+      """WITH t AS (SELECT source,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |sh AS MATERIALIZED (SELECT DISTINCT source, s FROM (
+        |    SELECT source, unnest(
+        |      CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+        |           ELSE [array_to_string(toks[i+1:i+3], ' ')
+        |                 FOR i IN range(0, len(toks)-2)] END) AS s
+        |    FROM t)),
+        |c AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    count(*) AS n_shared
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+        |  CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+        |  CAST(n_shared AS BIGINT) * 10000
+        |    // (ca.n + cb.n - n_shared) AS jaccard_x10k
+        |FROM p
+        |JOIN c ca ON p.src_a = ca.source
+        |JOIN c cb ON p.src_b = cb.source""".stripMargin,
     // g04: the id-ordered 3-way self-join count — a different
     // formulation from the engine's degree-ordered forward algorithm;
     // the exact integer counts must agree

@@ -456,4 +456,58 @@ object Graph {
       .select(col("node"), col("lab"),
         (col("n_changed") === 0L).as("converged"))
   }
+
+  /** Multi-source BFS: exact hop distance from the nearest seed, up to
+    * `rounds` hops (nodes further than `rounds` are absent — the
+    * honest bounded-budget contract, like [[kCore]]'s `converged`).
+    *
+    * Each round joins the STATIC pre-partitioned adjacency frame
+    * against the FRONTIER only (nodes first reached last round) — the
+    * classic BFS invariant that frontier-only propagation reaches the
+    * same fixpoint as re-propagating every settled node: a node
+    * settled at hop k already pushed k+1 to its neighbors in round
+    * k+1. So each round's join input shrinks with the frontier while
+    * the settled set only accretes (min-merge, localCheckpoint per
+    * round for O(1) lineage). Hub-proof: distances are scalars, never
+    * neighbor lists. `settled` (same on every row) reports whether the
+    * last frontier was empty — i.e. whether the distances are FINAL,
+    * not merely budget-truncated.
+    *
+    * @param edges  undirected (u, v) pairs; duplicates + self-loops
+    *               tolerated (canonicalized + dropped here)
+    * @param seeds  one column of seed node ids (dist 0); rows outside
+    *               the graph's node set are reported at dist 0 too —
+    *               callers pass graph nodes
+    * @param rounds max hops, >= 1
+    * @return (node, dist, settled) for every node within `rounds` hops
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+                   rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds >= 1")
+    val e0 = edges.select(
+      least(col(edges.columns(0)), col(edges.columns(1)))
+        .cast("long").as("u"),
+      greatest(col(edges.columns(0)), col(edges.columns(1)))
+        .cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val nbrs = e0.select(col("u").as("node"), col("v").as("nb"))
+      .unionAll(e0.select(col("v").as("node"), col("u").as("nb")))
+      .repartition(col("nb")).persist()
+    var dist = seeds.select(col(seeds.columns(0)).cast("long").as("node"))
+      .distinct().withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = dist
+    for (r <- 1 to rounds if !frontier.isEmpty) {
+      // nb-side = frontier: reuses the adjacency frame's partitioning
+      val cand = nbrs
+        .join(frontier.select(col("node").as("nb")), "nb")
+        .select(col("node")).distinct()
+      frontier = cand.join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(r.toLong)).localCheckpoint(true)
+      dist = dist.unionAll(frontier).localCheckpoint(true)
+    }
+    nbrs.unpersist(false)
+    val open = frontier.agg(count(lit(1)).as("n_open"))
+    dist.crossJoin(broadcast(open))
+      .select(col("node"), col("dist"), (col("n_open") === 0L).as("settled"))
+  }
 }

@@ -293,6 +293,49 @@ class GraphSpec extends SparkSpec {
     assert(gotR.forall(_._3 == conv))
   }
 
+  test("bfsDistances: chain distances, budget truncation flag, " +
+      "multi-source min, random graph vs sequential BFS") {
+    import graft.operators.Graph.bfsDistances
+    // chain 0-1-2-3-4-5, seed {0}: dist = index; budget 3 cuts at 3
+    val chain = (0L to 4L).map(i => (i, i + 1)).toDF("u", "v")
+    val cut = bfsDistances(chain, Seq(0L).toDF("n"), rounds = 3)
+      .as[(Long, Long, Boolean)].collect()
+    assert(cut.map(r => r._1 -> r._2).toMap ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    assert(cut.forall(!_._3), "advancing frontier at budget => not settled")
+    val full = bfsDistances(chain, Seq(0L).toDF("n"), rounds = 6)
+      .as[(Long, Long, Boolean)].collect()
+    assert(full.map(r => r._1 -> r._2).toMap ==
+      (0L to 5L).map(i => i -> i).toMap)
+    assert(full.forall(_._3), "exhausted reachable set => settled")
+    // multi-source: seeds at both chain ends meet in the middle
+    val two = bfsDistances(chain, Seq(0L, 5L).toDF("n"), rounds = 6)
+      .as[(Long, Long, Boolean)].collect()
+    assert(two.map(r => r._1 -> r._2).toMap ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+    // random graph vs a from-first-principles sequential BFS
+    val rnd = new scala.util.Random(61)
+    val n = 40
+    val es = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val seeds = adj.keySet.filter(_ % 5 == 0)
+    val rounds = 4
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    for (r <- 1 to rounds if frontier.nonEmpty) {
+      val nf = frontier.flatMap(adj).diff(dist.keySet)
+      nf.foreach(v => dist += v -> r.toLong)
+      frontier = nf
+    }
+    val got = bfsDistances(es.toDF("u", "v"), seeds.toSeq.toDF("n"), rounds)
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.map(r => r._1 -> r._2).toMap == dist)
+    assert(got.forall(_._3 == frontier.isEmpty))
+  }
+
   test("dupClusters labels every node, singletons included, with sizes") {
     val nodes = (1L to 8L).toDF("doc_id")
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
