@@ -1515,6 +1515,78 @@ object SparkEntry {
         graft.plans.LinearScore.linearScore(col("toks")).as("score"))
       .withColumn("keep", col("score") >= 0)
 
+  /** t31 — classifier CALIBRATION for t28's frozen quality scorer: the
+    * threshold sweep a pipeline runs before picking the keep cutoff —
+    * confusion counts (tp/fp/fn/tn) plus exact integer precision/recall
+    * (×10⁴) at 5 candidate thresholds, against a rule-derived reference
+    * label (n_toks ∈ [25, 60] — the kind of heuristic label quality
+    * classifiers are bootstrapped from, cf. CCNet/Gopher rules). Scale
+    * shape: one corpus scan scores every doc (shuffle-free projection,
+    * t28's plan), the explode is 5 counter rows per doc consumed by a
+    * map-side-combined agg — output is 5 rows however big the corpus.
+    * Integer-exact (the score itself is integer by the LINEAR SCORE
+    * CONTRACT); zero-able denominators nullif'd BOTH sides. */
+  private def t31(s: SparkSession, d: String): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(size(col("toks")).cast("long").as("n_toks"),
+        graft.plans.LinearScore.linearScore(col("toks")).as("score"))
+      .withColumn("truth", col("n_toks") >= 25 && col("n_toks") <= 60)
+    scored.select(col("score"), col("truth"),
+        explode(array(Seq(-40L, -20L, 0L, 20L, 40L).map(lit): _*)).as("thr"))
+      .groupBy(col("thr"))
+      .agg(
+        count(when(col("score") >= col("thr") && col("truth"), 1)).as("tp"),
+        count(when(col("score") >= col("thr") && !col("truth"), 1)).as("fp"),
+        count(when(col("score") < col("thr") && col("truth"), 1)).as("fn"),
+        count(when(col("score") < col("thr") && !col("truth"), 1)).as("tn"))
+      .select(col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("tp * 10000 div nullif(tp + fp, 0)").as("prec_x10k"),
+        expr("tp * 10000 div nullif(tp + fn, 0)").as("rec_x10k"))
+  }
+
+  /** t32 — padding-waste profiler: the batching-efficiency question a
+    * training/inference scheduler asks — how many pad tokens does a
+    * fixed batch-of-32 layout burn under ARRIVAL order (docs batched
+    * by salted md5 — i.i.d. shuffle) vs LENGTH-SORTED order (the
+    * bucketed-batching fix)? Per batch: padding = max_len·n_docs −
+    * Σ len. Both global orders rank WITHOUT an unpartitioned window:
+    * arrival via the shared two-level `Curate.md5RankByStratum`
+    * (constant stratum), sorted via per-LENGTH partitioned row_number
+    * + broadcast `Ranks.exclusivePrefixTotals` over the (bounded-
+    * domain) length histogram — the same decomposition, bucketed by
+    * the value itself. Integer-exact. */
+  private def t32(s: SparkSession, d: String): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), size(toks).cast("long").as("len"))
+    // arrival order: salted-md5 rank (two-level inside)
+    val arrival = graft.operators.Curate.md5RankByStratum(
+        docs.withColumn("all", lit("all")), "doc_id", "all", "pad")
+      .select(col("doc_id"), col("len"), col("rn"))
+    // sorted order: rank under (len, md5, doc_id) = broadcast prefix
+    // counts over the length histogram + a len-partitioned local rank
+    val lenCounts = docs.groupBy(col("len")).agg(count(lit(1)).as("c"))
+    val bases = graft.operators.Ranks.exclusivePrefixTotals(
+      lenCounts, "len", "c")
+    val wLen = Window.partitionBy(col("len")).orderBy(
+      md5(concat(col("doc_id").cast("string"), lit(":pads"))).asc,
+      col("doc_id").asc)
+    val sorted = docs
+      .withColumn("lrn", row_number().over(wLen).cast("long"))
+      .join(broadcast(bases), "len")
+      .select(col("doc_id"), col("len"), (col("base") + col("lrn")).as("rn"))
+    def batches(ranked: DataFrame, strategy: String): DataFrame =
+      ranked.groupBy(expr("(rn - 1) div 32").as("batch_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("len")).as("max_len"),
+          sum(col("len")).as("tok_sum"))
+        .select(lit(strategy).as("strategy"), col("batch_id"),
+          col("n_docs"), col("max_len"), col("tok_sum"),
+          (col("max_len") * col("n_docs") - col("tok_sum")).as("padding"))
+    batches(arrival, "arrival").unionAll(batches(sorted, "sorted"))
+  }
+
   /** t29 — the BPE TRAINER LOOP itself: 3 full merge rounds, each =
     * count pairs → pick argmax → APPLY the merge to every word —
     * where t20/t27 measure one round's statistics, this runs the
@@ -4151,6 +4223,8 @@ object SparkEntry {
     "t28_quality_classifier" -> (t28 _),
     "t29_bpe_train" -> (t29 _),
     "t30_bpe_encode" -> (t30 _),
+    "t31_calibration" -> (t31 _),
+    "t32_padding_waste" -> (t32 _),
     "q77_topk_lifecycle" -> (q77 _),
     "q78_kll_quantiles" -> (q78 _),
     "q79_theta_setops" -> (q79 _),
@@ -7048,6 +7122,76 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(n_feat, 0) AS n_feat,
         |  coalesce(score, 0) AS score, coalesce(score, 0) >= 0 AS keep
         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin,
+    // t31: t28's score CTE chain (the model is FROZEN and shared — the
+    // derivation route via substr/ascii stays the independent one);
+    // the confusion/precision/recall arithmetic is t31's own
+    "t31_calibration" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(toks) AS f FROM t),
+        |b AS (SELECT doc_id,
+        |    toks[CAST(i AS INT)] || '_' || toks[CAST(i AS INT) + 1] AS f
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |        FROM t)),
+        |feats AS (SELECT doc_id, md5(f) AS m FROM u
+        |  UNION ALL SELECT doc_id, md5(f) FROM b),
+        |idx AS (SELECT doc_id,
+        |    (ascii(substr(m, 1, 1)) - CASE WHEN ascii(substr(m, 1, 1))
+        |       >= 97 THEN 87 ELSE 48 END) * 256
+        |  + (ascii(substr(m, 2, 1)) - CASE WHEN ascii(substr(m, 2, 1))
+        |       >= 97 THEN 87 ELSE 48 END) * 16
+        |  + (ascii(substr(m, 3, 1)) - CASE WHEN ascii(substr(m, 3, 1))
+        |       >= 97 THEN 87 ELSE 48 END) AS j
+        |  FROM feats),
+        |sc AS (SELECT doc_id,
+        |    CAST(sum((j * 2654435761) % 17 - 8) AS BIGINT) AS score
+        |  FROM idx GROUP BY 1),
+        |lab AS (SELECT d.doc_id, coalesce(score, 0) AS score,
+        |    len(toks) BETWEEN 25 AND 60 AS truth
+        |  FROM t d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+        |cf AS (SELECT thr,
+        |    CAST(count(CASE WHEN score >= thr AND truth THEN 1 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(count(CASE WHEN score >= thr AND NOT truth THEN 1 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(count(CASE WHEN score < thr AND truth THEN 1 END)
+        |      AS BIGINT) AS fn,
+        |    CAST(count(CASE WHEN score < thr AND NOT truth THEN 1 END)
+        |      AS BIGINT) AS tn
+        |  FROM lab CROSS JOIN (SELECT CAST(unnest([-40, -20, 0, 20, 40])
+        |    AS BIGINT) AS thr) GROUP BY 1)
+        |SELECT thr, tp, fp, fn, tn,
+        |  tp * 10000 // nullif(tp + fp, 0) AS prec_x10k,
+        |  tp * 10000 // nullif(tp + fn, 0) AS rec_x10k
+        |FROM cf""".stripMargin,
+    // t32: both global orders as plain single-node windows — the
+    // engine's two-level rank decompositions must land on identical
+    // batch layouts
+    "t32_padding_waste" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS BIGINT) AS len
+        |  FROM documents),
+        |a AS (SELECT len, row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':pad'), doc_id) AS rn
+        |  FROM d),
+        |s AS (SELECT len, row_number() OVER (
+        |    ORDER BY len, md5(CAST(doc_id AS VARCHAR) || ':pads'), doc_id)
+        |    AS rn
+        |  FROM d),
+        |ab AS (SELECT 'arrival' AS strategy, (rn - 1) // 32 AS batch_id,
+        |    CAST(count(*) AS BIGINT) AS n_docs, max(len) AS max_len,
+        |    CAST(sum(len) AS BIGINT) AS tok_sum
+        |  FROM a GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'sorted', (rn - 1) // 32, CAST(count(*) AS BIGINT),
+        |    max(len), CAST(sum(len) AS BIGINT)
+        |  FROM s GROUP BY 1, 2)
+        |SELECT strategy, CAST(batch_id AS BIGINT) AS batch_id, n_docs,
+        |  max_len, tok_sum,
+        |  max_len * n_docs - tok_sum AS padding
+        |FROM ab""".stripMargin,
     // DSIR: identical ln-of-smoothed-ratio terms (t13 discipline),
     // summed per doc and rounded at 4dp; target LM = the en stratum
     "c08_dsir_weights" ->
