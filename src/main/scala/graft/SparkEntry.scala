@@ -3004,6 +3004,9 @@ object SparkEntry {
           .otherwise(array().cast("array<string>"))).as("sh"))
       .select(col("source"), xxhash64(col("sh")).as("h"))
       .distinct()
+      // consumed three times (both join sides + the per-source counts):
+      // materialize once so the corpus scan+shingle explode runs once
+      .localCheckpoint(true)
     val counts = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
     sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))
