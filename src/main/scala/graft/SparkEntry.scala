@@ -4584,6 +4584,12 @@ object SparkEntry {
       "st16_stream_dedup_tumbling" ->
         drive((_, _, src) =>
           graft.streaming.EventStreams.dedupedTumblingAgg(src)),
+      // observed ingest metrics riding the tumbling-agg scan (q89's
+      // one-pass observability contract in streaming form; per-batch
+      // counter semantics gated in StreamingSpec)
+      "st17_stream_observed" ->
+        drive((_, _, src) =>
+          graft.streaming.EventStreams.observedTumblingAgg(src)),
       // RocksDB twin of st04 — the scale-correct backend for large
       // stream-stream join state (HDFSBacked keeps every key on-heap;
       // RocksDB spills to local disk and bounds executor memory at

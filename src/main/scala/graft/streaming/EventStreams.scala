@@ -55,6 +55,32 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** In-flight pipeline OBSERVABILITY (st17): ingest health counters —
+    * rows, clicks, null-prop rows, value cents — ride every micro-batch
+    * as OBSERVED METRICS (`Dataset.observe`) on the same scan that
+    * feeds the tumbling aggregate. No second pass over the stream, no
+    * extra state: the counters are accumulator-style aggregates
+    * surfaced per batch through
+    * `StreamingQueryProgress.observedMetrics("ingest")` — how a 100 TB
+    * ingest audits itself (q89 is the batch form of the same contract).
+    * Output rows are [[tumblingAgg]]'s; StreamingSpec asserts the
+    * per-batch observed counters sum to the directly-computed batch
+    * totals. */
+  def observedTumblingAgg(events: DataFrame,
+                          windowLen: String = "5 minutes",
+                          watermark: String = "10 minutes"): DataFrame =
+    events
+      .observe("ingest",
+        count(lit(1)).as("rows_in"),
+        count(when(col("event_type") === "click", 1)).as("clicks"),
+        count(when(col("props").isNull, 1)).as("null_props"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Sliding windows: each event lands in windowLen/slide overlapping
     * windows — state is per (window, event_type), so the store carries
     * overlap-factor × the tumbling cardinality; the watermark bounds it

@@ -38,6 +38,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("observed ingest metrics: per-batch counters sum to the direct " +
+      "batch totals; no second scan") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.observedTumblingAgg(mem.toDF(), "5 minutes",
+        "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("observed_out").start()
+    try {
+      mem.addData(
+        ev(1, "2024-01-01 00:01:00", 1), ev(2, "2024-01-01 00:02:00", 1),
+        ev(3, "2024-01-01 00:06:00", 2, typ = "error"))
+      q.processAllAvailable()
+      mem.addData(ev(4, "2024-01-01 01:00:00", 1))
+      q.processAllAvailable()
+      val metrics = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("ingest")))
+      // batches with no data report no observed row; the ones that do
+      // must sum to the directly-computed totals over all 4 events
+      assert(metrics.nonEmpty)
+      assert(metrics.map(_.getAs[Long]("rows_in")).sum == 4L)
+      assert(metrics.map(_.getAs[Long]("clicks")).sum == 3L)
+      assert(metrics.map(_.getAs[Long]("null_props")).sum == 0L)
+      // every ev() carries value 1.0 => 100 cents each
+      assert(metrics.map(_.getAs[Long]("value_cents")).sum == 400L)
+    } finally q.stop()
+  }
+
   test("windowed approx-distinct estimates per-window users within band") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
