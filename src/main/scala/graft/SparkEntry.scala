@@ -586,6 +586,32 @@ object SparkEntry {
           .as("roundtrip_ok"))
   }
 
+  /** l03 — ORC interchange roundtrip: the columnar format a
+    * mixed-engine lake speaks alongside parquet (Hive/Trino/Presto
+    * lineage) — completes the format battery next to l01's JSONL and
+    * the parquet scans. Writes documents as zlib ORC, reads back, and
+    * asserts exact content parity via the l01 order-insensitive
+    * bit_xor(xxhash64) signature; the per-lang aggregate is computed
+    * FROM THE ORC COPY (vectorized ORC reader + pushdown, same scan
+    * discipline as parquet) so the oracle's parquet-derived numbers
+    * gate the whole write→read→aggregate path. */
+  private def l03(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val out = s"/tmp/graft_orc_${Integer.toHexString(d.hashCode)}"
+    docs.write.mode("overwrite").option("compression", "zlib").orc(out)
+    val back = s.read.schema(docs.schema).orc(out)
+    def sig(df: DataFrame, n: String, g: String) = df.agg(
+      count(lit(1)).as(n),
+      expr("bit_xor(xxhash64(doc_id, text, lang, source, n_chars))").as(g))
+    val langAgg = back.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang"), sum(col("n_chars")).as("sum_chars"))
+    langAgg.crossJoin(
+        sig(docs, "n_docs", "sig_a").crossJoin(sig(back, "n_back", "sig_b"))
+          .select((col("n_docs") === col("n_back") &&
+            col("sig_a") === col("sig_b")).as("roundtrip_ok")))
+  }
+
   /** l02 — dirty CSV ingest with quarantine: the lake-level form of the
     * reference's P4 tolerance asymmetry. The reference either skips a
     * dirty dimension row or fails the whole fact load; a 100 TB ingest
@@ -1223,6 +1249,44 @@ object SparkEntry {
   private def s13(s: SparkSession, d: String): DataFrame =
     graft.operators.KMeansLloyd.fitPredict(
       Tables.embeddings(s, d), k = 8, iters = 2)
+
+  /** s14 — embedding DRIFT monitor: the train/serve-skew check a
+    * production retrieval/curation pipeline runs between two corpus
+    * snapshots (here the deterministic vec_id-parity halves standing
+    * in for "last month" vs "this month"): per label — snapshot sizes,
+    * per-side squared-norm masses, and the max per-dimension centroid
+    * displacement. Everything INTEGER: embeddings quantize to 1e-4
+    * grid scalars AFTER posexplode (scalar codegen arithmetic — no
+    * per-element lambda), and the centroid difference clears its
+    * denominators as d_i = n_cand·Σref_i − n_ref·Σcand_i, so no float
+    * division ever happens and the gate hash-matches exactly. Scale
+    * shape: two map-side-combined counter aggregations (per (label,
+    * dim) and per label), label-count-sized output; the vector frame
+    * never self-joins. */
+  private def s14(s: SparkSession, d: String): DataFrame = {
+    val ex = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        (col("vec_id") % 2 === 1).as("cand"),
+        posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), col("cand"), col("pos"),
+        floor(col("col").cast("double") * 10000 + 0.5).cast("long").as("q"))
+    val byDim = ex.groupBy(col("label"), col("pos"))
+      .agg(coalesce(sum(when(!col("cand"), col("q"))), lit(0L)).as("sr"),
+        coalesce(sum(when(col("cand"), col("q"))), lit(0L)).as("sc"))
+    val byLabel = ex.groupBy(col("label"))
+      .agg(
+        count(when(!col("cand") && col("pos") === 0, 1)).as("n_ref"),
+        count(when(col("cand") && col("pos") === 0, 1)).as("n_cand"),
+        coalesce(sum(when(!col("cand"), col("q") * col("q"))), lit(0L))
+          .as("norm2_ref"),
+        coalesce(sum(when(col("cand"), col("q") * col("q"))), lit(0L))
+          .as("norm2_cand"))
+    byDim.join(byLabel, "label")
+      .groupBy(col("label"), col("n_ref"), col("n_cand"),
+        col("norm2_ref"), col("norm2_cand"))
+      .agg(max(abs(col("n_cand") * col("sr") - col("n_ref") * col("sc")))
+        .as("shift_max"))
+  }
 
   /** t06 — stopword filtering: token counts before/after removing the
     * English stopword set (a standard cleaning stage ahead of
@@ -4118,6 +4182,7 @@ object SparkEntry {
     "q39_events_dim_join" -> (q39 _),
     "q40_approx_quantiles" -> (q40 _),
     "l01_jsonl_roundtrip" -> (l01 _),
+    "l03_orc_roundtrip" -> (l03 _),
     "c01_curation_pipeline" -> (c01 _),
     "c02_incremental_dedup" -> (c02 _),
     "t05_chunking" -> (t05 _),
@@ -4254,6 +4319,7 @@ object SparkEntry {
     "s11_hard_negatives" -> (s11 _),
     "s12_ann_filtered" -> (s12 _),
     "s13_kmeans_lloyd" -> (s13 _),
+    "s14_embedding_drift" -> (s14 _),
     "t27_bpe_pairs" -> (t27 _),
   )
 
@@ -5216,6 +5282,13 @@ object SparkEntry {
     "l01_jsonl_roundtrip" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS roundtrip_ok
         |FROM documents""".stripMargin,
+    // l03: the per-lang numbers are recomputed from PARQUET — they gate
+    // the ORC write→read→aggregate path; content equality is the
+    // Spark-side signature boolean (l01 discipline)
+    "l03_orc_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_lang,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, TRUE AS roundtrip_ok
+        |FROM documents GROUP BY 1""".stripMargin,
     // the Bloom prune is output-invisible by construction (false
     // positives die in the exact join), so the oracle is the PLAIN join
     "q38_bloom_join" ->
@@ -5564,6 +5637,39 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rnk, cand_id, iscore FROM ranked
         |WHERE rnk <= 10""".stripMargin,
+    // s14: same 1e-4 quantization grid re-derived per element; the
+    // denominator-free centroid displacement n_cand·Σref − n_ref·Σcand
+    // keeps every cell integer
+    "s14_embedding_drift" ->
+      """WITH qz AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    vec_id % 2 = 1 AS cand,
+        |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5)
+        |       AS BIGINT) FOR i IN range(1, len(embedding) + 1)] AS q
+        |  FROM embeddings),
+        |ex AS (SELECT label, cand, i, q[i] AS qi
+        |  FROM qz, (SELECT unnest(range(1,
+        |    (SELECT max(len(q)) FROM qz) + 1)) AS i)
+        |  WHERE i <= len(q)),
+        |dim AS (SELECT label, i,
+        |    CAST(sum(CASE WHEN NOT cand THEN qi ELSE 0 END) AS BIGINT)
+        |      AS sr,
+        |    CAST(sum(CASE WHEN cand THEN qi ELSE 0 END) AS BIGINT) AS sc
+        |  FROM ex GROUP BY 1, 2),
+        |lab AS (SELECT label,
+        |    CAST(count(CASE WHEN NOT cand THEN 1 END) AS BIGINT) AS n_ref,
+        |    CAST(count(CASE WHEN cand THEN 1 END) AS BIGINT) AS n_cand
+        |  FROM qz GROUP BY 1),
+        |n2 AS (SELECT label,
+        |    CAST(sum(CASE WHEN NOT cand THEN qi * qi ELSE 0 END)
+        |      AS BIGINT) AS norm2_ref,
+        |    CAST(sum(CASE WHEN cand THEN qi * qi ELSE 0 END) AS BIGINT)
+        |      AS norm2_cand
+        |  FROM ex GROUP BY 1)
+        |SELECT l.label, n_ref, n_cand, norm2_ref, norm2_cand,
+        |  CAST(max(abs(n_cand * sr - n_ref * sc)) AS BIGINT) AS shift_max
+        |FROM dim d JOIN lab l ON d.label = l.label
+        |JOIN n2 ON n2.label = l.label
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
     // Lloyd k-means: both unrolled iterations replayed in SQL — the
     // same QUANTIZATION CONTRACT codes as s05, hash-ranked seeds,
     // row_number argmin per vector (tie to smallest cid), per-dim
