@@ -644,6 +644,34 @@ object SparkEntry {
       sum(when(col("_bad").isNull, col("n_chars"))).as("sum_chars_good"))
   }
 
+  /** l04 — SCHEMA EVOLUTION ingest: a lake's files never share one
+    * schema for long — old batches lack columns later batches carry.
+    * Batch A lands (doc_id, lang, n_chars), batch B adds a `quality`
+    * column; the union read uses parquet `mergeSchema` so old rows
+    * surface the new column as NULL (no rewrite of historical files —
+    * at 100 TB, rewriting history for a column-add is the thing this
+    * exists to avoid), and the aggregate handles the NULL era
+    * explicitly. Footer-merge cost only; the scan stays vectorized +
+    * pruned. Oracle: predicts every number from the documents table
+    * and the batch-split rule, never touching the staged files. */
+  private def l04(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val out = s"/tmp/graft_evo_${Integer.toHexString(d.hashCode)}"
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/batch=a")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (col("n_chars") % 100).as("quality"))
+      .write.mode("overwrite").parquet(s"$out/batch=b")
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        count(col("quality")).as("n_with_quality"),
+        coalesce(sum(col("quality")), lit(0L)).as("sum_quality"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
   /** q30 — semi-structured JSON column: extract + filter + aggregate on
     * a JSON field inside the events.props string column. */
   private def q30(s: SparkSession, d: String): DataFrame =
@@ -1063,6 +1091,54 @@ object SparkEntry {
         when(col("rn") * 100 <= col("n") * 98, "train")
           .when(col("rn") * 100 <= col("n") * 99, "val")
           .otherwise("test").as("split"))
+  }
+
+  /** c13 — SPLIT HYGIENE audit (c12 ∘ d08 composition): after the
+    * stratified train/test split, how much n-gram leakage crosses the
+    * boundary, and does decontamination actually clear it? Emits the
+    * one-row audit a pipeline records per release: split sizes, train
+    * docs sharing any 3-shingle with test, distinct shared shingles
+    * BEFORE and AFTER dropping those docs — the AFTER is computed by
+    * re-joining the pruned train set, never assumed zero. Scale shape:
+    * the test side of every probe is a ~1% shingle-hash set
+    * (broadcast); train text never shuffles; output is one row of
+    * counters. Integer-exact. */
+  private def c13(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val ranked = graft.operators.Curate
+      .md5RankByStratum(docs, "doc_id", "lang", "split")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val split = ranked.join(broadcast(counts), "lang")
+      .select(col("doc_id"), col("text"),
+        when(col("rn") * 100 <= col("n") * 98, "train")
+          .when(col("rn") * 100 <= col("n") * 99, "val")
+          .otherwise("test").as("split"))
+      .filter(col("split") =!= "val")
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val sh = split
+      .select(col("doc_id"), col("split"), toks.as("toks"))
+      .select(col("doc_id"), col("split"),
+        explode(when(size(col("toks")) >= 3,
+          transform(sequence(lit(0), size(col("toks")) - 3),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))
+          .otherwise(array().cast("array<string>"))).as("sg"))
+      .select(col("doc_id"), col("split"), xxhash64(col("sg")).as("h"))
+    val testH = sh.filter(col("split") === "test").select("h").distinct()
+    val trainSh = sh.filter(col("split") === "train")
+      .select("doc_id", "h").localCheckpoint(true)
+    val leaky = trainSh.join(broadcast(testH), Seq("h"))
+      .select("doc_id").distinct().localCheckpoint(true)
+    val kept = trainSh.join(leaky, Seq("doc_id"), "left_anti")
+    val sizes = split.groupBy()
+      .agg(count(when(col("split") === "train", 1)).as("n_train"),
+        count(when(col("split") === "test", 1)).as("n_test"))
+    sizes
+      .crossJoin(broadcast(leaky.agg(count(lit(1)).as("n_leaky_train"))))
+      .crossJoin(broadcast(trainSh.join(broadcast(testH), Seq("h"))
+        .agg(countDistinct(col("h")).as("shared_before"))))
+      .crossJoin(broadcast(kept.join(broadcast(testH), Seq("h"))
+        .agg(countDistinct(col("h")).as("shared_after"))))
   }
 
   /** d06 — exact n-gram (3-shingle) Jaccard dedup pairs: the
@@ -4183,6 +4259,8 @@ object SparkEntry {
     "q40_approx_quantiles" -> (q40 _),
     "l01_jsonl_roundtrip" -> (l01 _),
     "l03_orc_roundtrip" -> (l03 _),
+    "l04_schema_evolution" -> (l04 _),
+    "c13_split_decontam" -> (c13 _),
     "c01_curation_pipeline" -> (c01 _),
     "c02_incremental_dedup" -> (c02 _),
     "t05_chunking" -> (t05 _),
@@ -5282,6 +5360,56 @@ object SparkEntry {
     "l01_jsonl_roundtrip" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS roundtrip_ok
         |FROM documents""".stripMargin,
+    // c13: c12's split windows + d08's string-shingle joins, with the
+    // AFTER-decontamination count recomputed from the pruned set
+    "c13_split_decontam" ->
+      """WITH r AS (SELECT doc_id, lang, text,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':split'), doc_id)
+        |      AS BIGINT) AS rn
+        |  FROM documents),
+        |n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |sp AS MATERIALIZED (SELECT doc_id, text,
+        |    CASE WHEN rn * 100 <= n.n * 98 THEN 'train'
+        |         WHEN rn * 100 <= n.n * 99 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM r JOIN n ON r.lang = n.lang),
+        |t AS (SELECT doc_id, split,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM sp WHERE split <> 'val'),
+        |sh AS MATERIALIZED (SELECT doc_id, split, s FROM (
+        |    SELECT doc_id, split, unnest(
+        |      CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+        |           ELSE [array_to_string(toks[i+1:i+3], ' ')
+        |                 FOR i IN range(0, len(toks)-2)] END) AS s
+        |    FROM t)),
+        |te AS MATERIALIZED (SELECT DISTINCT s FROM sh
+        |  WHERE split = 'test'),
+        |tr AS MATERIALIZED (SELECT doc_id, s FROM sh
+        |  WHERE split = 'train'),
+        |leaky AS MATERIALIZED (SELECT DISTINCT doc_id
+        |  FROM tr JOIN te USING (s))
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sp WHERE split = 'train')
+        |    AS n_train,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sp WHERE split = 'test')
+        |    AS n_test,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM leaky) AS n_leaky_train,
+        |  (SELECT CAST(count(DISTINCT s) AS BIGINT)
+        |   FROM tr JOIN te USING (s)) AS shared_before,
+        |  (SELECT CAST(count(DISTINCT s) AS BIGINT) FROM tr JOIN te USING (s)
+        |   WHERE tr.doc_id NOT IN (SELECT doc_id FROM leaky))
+        |    AS shared_after""".stripMargin,
+    // l04: every number predicted from documents + the parity split
+    // rule — the staged evolving-schema files are never read here
+    "l04_schema_evolution" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+        |    AS n_with_quality,
+        |  CAST(coalesce(sum(CASE WHEN doc_id % 2 = 1
+        |    THEN n_chars % 100 END), 0) AS BIGINT) AS sum_quality,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     // l03: the per-lang numbers are recomputed from PARQUET — they gate
     // the ORC write→read→aggregate path; content equality is the
     // Spark-side signature boolean (l01 discipline)

@@ -202,6 +202,21 @@ class PlanShapeSpec extends SparkSpec {
       l.contains("hashpartitioning(c#") || l.contains("hashpartitioning(c,")), p)
   }
 
+  test("t32: both batching ranks hash-partitioned; doc rows never " +
+      "coalesce") {
+    val p = plan("t32_padding_waste")
+    // arrival rank: md5RankByStratum windows ride (stratum, md5-prefix
+    // bucket); sorted rank: the doc-level window rides the LENGTH
+    // partition with its prefix bases arriving by broadcast join
+    assert(p.contains("hashpartitioning(all"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning(len")), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // bounded single-partition steps only: the ≤256-row bucket-total
+    // prefix window on each side of the union (counter-sized)
+    assert("SinglePartition".r.findAllIn(p).size <= 2, p)
+  }
+
   test("c04: doc-scoring rank window is hash-partitioned two-level") {
     val p = plan("c04_ccnet_buckets")
     // the per-doc rank window shuffles on the range bucket of the
