@@ -3162,6 +3162,31 @@ object SparkEntry {
           .as("jaccard_x10k"))
   }
 
+  /** g09 — INCREMENTAL connected components
+    * ([[graft.operators.Graph.incrementalComponents]]): the standing
+    * co-purchase graph's CC labeling folded forward by a delta edge
+    * batch (orders ≡ 0 mod 7 arriving after the base build) — the
+    * per-ingest form of d07's clustering, cost ∝ delta + touched
+    * components, the base edges never re-read. Oracle: the FULL
+    * REBUILD over base ∪ delta as an independent recursive-CTE
+    * min-label closure — the merge must be indistinguishable from
+    * rebuilding (q86/q88 discipline). */
+  private def g09(s: SparkSession, d: String): DataFrame = {
+    def edges(f: Column): DataFrame = {
+      val op = Tables.lineitem(s, d)
+        .filter(col("l_partkey") % 16 === 0 && f)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      op.as("a").join(op.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    }
+    val base = graft.operators.Graph.connectedComponents(
+      edges(col("l_orderkey") % 7 =!= 0))
+    graft.operators.Graph.incrementalComponents(
+      base, edges(col("l_orderkey") % 7 === 0))
+  }
+
   /** q81 — keyed-snapshot maintenance from the event stream, the batch
     * twin of st12 ([[graft.streaming.SnapshotCdc.applyUserBatch]]):
     * events split into two deterministic "ingest batches" (day ≤ 15 /
@@ -3951,6 +3976,50 @@ object SparkEntry {
           x => x.getField("chunk")), " ").as("clean_text"))
   }
 
+  /** t33 — CONTENT-DEFINED chunking (the LBFS/FastCDC family): chunk
+    * boundaries cut where a rolling 3-token window's hash satisfies a
+    * modulus rule — cut AFTER token p iff md5(t[p-2] t[p-1] t[p])
+    * starts with '0' (expected chunk ≈ 16 tokens) — so boundaries are
+    * a function of LOCAL content: an insertion re-chunks only its
+    * neighborhood, where t05/t22's fixed-size grid shifts every
+    * downstream chunk. That stability is why CDC is the storage-dedup
+    * standard; the emitted n_shared_chunks (chunks also present in
+    * ANOTHER doc) is the dedup potential it exposes. The md5-prefix
+    * rule (not xxhash64) keeps the boundary CONTRACT recomputable by
+    * the oracle. Scale shape: per-token rows ride ONE per-doc exchange
+    * (the lag and running-sum windows share it, q48 discipline); the
+    * chunk-df probe joins only the duplicated-hash dictionary (t22's
+    * df>=2 prune). Integer-exact. */
+  private def t33(s: SparkSession, d: String): DataFrame = {
+    val toksC = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val rows = Tables.documents(s, d)
+      .select(col("doc_id"), toksC.as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val flagged = rows.withColumn("flag",
+      when(col("pos") >= 2 && substring(md5(concat_ws(" ",
+        lag(col("tok"), 2).over(wd), lag(col("tok"), 1).over(wd),
+        col("tok"))), 1, 1) === "0", 1L).otherwise(0L))
+    val withChunk = flagged.withColumn("chunk_id",
+      coalesce(sum(col("flag")).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val chunks = withChunk.groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("clen"),
+        md5(array_join(transform(sort_array(collect_list(
+          struct(col("pos"), col("tok")))), x => x.getField("tok")), " "))
+          .as("ch"))
+    val dup = chunks.select(col("doc_id"), col("ch")).distinct()
+      .groupBy(col("ch")).agg(count(lit(1)).as("ddf"))
+      .filter(col("ddf") >= 2)
+    chunks.join(dup, Seq("ch"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), max(col("clen")).as("max_chunk"),
+        sum(col("clen")).as("n_toks"),
+        count(when(col("ddf").isNotNull, 1)).as("n_shared_chunks"))
+  }
+
   /** t23 — shingle novelty: per doc, how many of its DISTINCT 3-token
     * shingles first appear in THIS doc (first = smallest owning
     * doc_id) — the standard contribution metric for incremental corpus
@@ -4261,6 +4330,8 @@ object SparkEntry {
     "l03_orc_roundtrip" -> (l03 _),
     "l04_schema_evolution" -> (l04 _),
     "c13_split_decontam" -> (c13 _),
+    "t33_cdc_chunking" -> (t33 _),
+    "g09_incremental_cc" -> (g09 _),
     "c01_curation_pipeline" -> (c01 _),
     "c02_incremental_dedup" -> (c02 _),
     "t05_chunking" -> (t05 _),
@@ -5360,6 +5431,55 @@ object SparkEntry {
     "l01_jsonl_roundtrip" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS roundtrip_ok
         |FROM documents""".stripMargin,
+    // g09: FULL REBUILD over base ∪ delta via the independent
+    // recursive-CTE min-label closure (d07's oracle form) — the
+    // incremental merge must be indistinguishable from it
+    "g09_incremental_cc" ->
+      """WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS ok,
+        |    l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 16 = 0),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p),
+        |sym AS (SELECT u AS a, v AS b FROM e
+        |  UNION SELECT v, u FROM e),
+        |nodes AS (SELECT DISTINCT a AS n FROM sym),
+        |reach(id, comp) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id)
+        |SELECT id AS node, CAST(min(comp) AS BIGINT) AS component
+        |FROM reach GROUP BY 1""".stripMargin,
+    // t33: same md5-prefix boundary CONTRACT (that is why it is md5,
+    // not xxhash64 — the oracle must recompute it); segmentation
+    // arithmetic re-derived with DuckDB's own window/string_agg forms
+    "t33_cdc_chunking" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 1),
+        |r AS (SELECT doc_id, i, toks[CAST(i AS INT)] AS tok,
+        |    CASE WHEN i >= 3 AND substr(md5(
+        |      toks[CAST(i AS INT) - 2] || ' ' ||
+        |      toks[CAST(i AS INT) - 1] || ' ' ||
+        |      toks[CAST(i AS INT)]), 1, 1) = '0' THEN 1 ELSE 0 END AS flag
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(1, len(toks) + 1)) AS i FROM t)),
+        |c AS (SELECT doc_id, i, tok,
+        |    coalesce(sum(flag) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chunk_id
+        |  FROM r),
+        |ch AS MATERIALIZED (SELECT doc_id, chunk_id, count(*) AS clen,
+        |    md5(string_agg(tok, ' ' ORDER BY i)) AS ch
+        |  FROM c GROUP BY 1, 2),
+        |dup AS (SELECT ch FROM (SELECT DISTINCT doc_id, ch FROM ch)
+        |  GROUP BY ch HAVING count(*) >= 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(max(clen) AS BIGINT) AS max_chunk,
+        |  CAST(sum(clen) AS BIGINT) AS n_toks,
+        |  CAST(count(CASE WHEN ch.ch IN (SELECT ch FROM dup) THEN 1 END)
+        |    AS BIGINT) AS n_shared_chunks
+        |FROM ch GROUP BY 1""".stripMargin,
     // c13: c12's split windows + d08's string-shingle joins, with the
     // AFTER-decontamination count recomputed from the pruned set
     "c13_split_decontam" ->

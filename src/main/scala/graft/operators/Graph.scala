@@ -457,6 +457,60 @@ object Graph {
         (col("n_changed") === 0L).as("converged"))
   }
 
+  /** INCREMENTAL connected components: fold a DELTA edge batch into an
+    * existing `(node, component)` labeling without re-reading the base
+    * graph — the per-ingest form of [[connectedComponents]], the same
+    * cost-∝-delta discipline as `Curate.incremental`/q86/q88.
+    *
+    *  1. Delta endpoints map into label space (left join against the
+    *     labeling; endpoints the labeling has never seen label
+    *     themselves).
+    *  2. The distinct cross-component pairs form a MERGE graph sized by
+    *     touched components — not by the graph — and the alternating-
+    *     star CC runs on that.
+    *  3. Relabel: one pass over the label frame with the (old → new)
+    *     map joined broadcast-scale; untouched components pass through.
+    *
+    * The merged label is the min node id of the merged component
+    * (old labels are component minima; new nodes carry their own id),
+    * so the result is INDISTINGUISHABLE from a full rebuild over
+    * base ∪ delta — which is exactly what the g09 oracle asserts.
+    *
+    * @param labels     (node, component) from a prior run — component =
+    *                   min member id (the [[connectedComponents]] form)
+    * @param deltaEdges new undirected (u, v) pairs; duplicates,
+    *                   self-loops, already-internal edges all tolerated
+    * @return the full updated (node, component), new nodes included
+    */
+  def incrementalComponents(labels: DataFrame,
+                            deltaEdges: DataFrame): DataFrame = {
+    val e = deltaEdges.select(
+      col(deltaEdges.columns(0)).cast("long").as("u"),
+      col(deltaEdges.columns(1)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val lab = labels.select(col(labels.columns(0)).cast("long").as("node"),
+      col(labels.columns(1)).cast("long").as("component"))
+    val inLabelSpace = e
+      .join(lab.select(col("node").as("u"), col("component").as("cu")),
+        Seq("u"), "left")
+      .join(lab.select(col("node").as("v"), col("component").as("cv")),
+        Seq("v"), "left")
+      .select(coalesce(col("cu"), col("u")).as("cu"),
+        coalesce(col("cv"), col("v")).as("cv"))
+      .filter(col("cu") =!= col("cv"))
+    val newNodes = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node"))).distinct()
+      .join(lab.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"))
+    // (old component/new-node id → merged min) — touched components only
+    val merged = connectedComponents(inLabelSpace)
+      .select(col("node").as("component"), col("component").as("newc"))
+    lab.unionAll(newNodes)
+      .join(broadcast(merged), Seq("component"), "left")
+      .select(col("node"),
+        coalesce(col("newc"), col("component")).as("component"))
+  }
+
   /** Multi-source BFS: exact hop distance from the nearest seed, up to
     * `rounds` hops (nodes further than `rounds` are absent — the
     * honest bounded-budget contract, like [[kCore]]'s `converged`).
