@@ -209,9 +209,17 @@ object Graph {
     // sums back against it: a zero-in-degree node of a general
     // directed graph keeps its scale/2 floor and keeps pushing mass to
     // its out-neighbors, instead of silently vanishing from a
-    // groupBy(dst)-rebuilt rank frame after round 1.
+    // groupBy(dst)-rebuilt rank frame after round 1. Partitioned on
+    // node ONCE and cached (the edge-frame discipline above — an
+    // InMemoryRelation keeps its outputPartitioning where a
+    // localCheckpoint reports Unknown and would re-shuffle the node
+    // frame every round): the per-round left join then aligns with the
+    // contribution agg's hash(node) output for free, so each round
+    // moves only the freshly-aggregated contrib frame.
     val nodes = ed.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
+      .repartition(col("node"))
+      .persist()
+    nodes.count()
     var pr = nodes.withColumn("pr", lit(scale))
     for (_ <- 1 to iters) {
       val contrib = ed.join(pr.withColumnRenamed("node", "src"), "src")
@@ -224,9 +232,10 @@ object Graph {
           (lit(scale / 2) + expr("coalesce(csum, 0L) div 2")).as("pr"))
         .localCheckpoint(true)
     }
-    // every round's ranks are eagerly materialized, so the edge cache
-    // can drop before the result is consumed
+    // every round's ranks are eagerly materialized, so the edge and
+    // node caches can drop before the result is consumed
     ed.unpersist(false)
+    nodes.unpersist(false)
     pr
   }
 
@@ -318,12 +327,16 @@ object Graph {
     val seedSet = seeds
       .select(col(seeds.columns(0)).cast("long").as("node")).distinct()
       .withColumn("__seed", lit(true))
+    // node-partitioned cache, same rationale as [[pageRankInt]]'s node
+    // universe: the per-round left join reuses this partitioning
     val nodes = ed.select(col("src").as("node")).distinct()
       .join(seedSet, Seq("node"), "left")
       .select(col("node"),
         when(col("__seed"), lit(scale / 2)).otherwise(lit(0L))
           .as("floor0"))
-      .localCheckpoint(true)
+      .repartition(col("node"))
+      .persist()
+    nodes.count()
     var pr = nodes.select(col("node"), (col("floor0") * 2).as("pr"))
     for (_ <- 1 to iters) {
       val contrib = ed.join(pr.withColumnRenamed("node", "src"), "src")
@@ -337,6 +350,7 @@ object Graph {
         .localCheckpoint(true)
     }
     ed.unpersist(false)
+    nodes.unpersist(false)
     pr
   }
 

@@ -789,4 +789,72 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"))
   }
+
+  // ---- persisted-LSH incremental embedding dedup (d14 / st18) ----
+
+  /** The seeded sign-LSH table set [[nearDupPairs]] would auto-tune for
+    * a corpus of `n` rows at `threshold` — exposed so an INCREMENTAL
+    * index can persist exactly the geometry a full rebuild uses.
+    * Equivalence by construction: band rows computed against these
+    * tables last month collide with band rows computed this month
+    * exactly as one all-at-once bucketing would (hyperplanes are pure
+    * functions of (seed, dim)). */
+  def nearDupTables(n: Long, dim: Int, threshold: Double, seed: Long = 42L,
+                    targetRecall: Double = 0.95, targetBucket: Int = 64)
+      : Seq[Array[Array[Float]]] = {
+    val (nT, nP) = tuneSignLsh(n, threshold, targetRecall, targetBucket)
+    (0 until nT).map(t => hyperplanes(nP, dim, seed + t))
+  }
+
+  /** One (id, table, bucket) row per LSH table per vector — the BAND
+    * TABLE a continuous embedding-dedup pipeline stores in the lake so
+    * each ingest probes only its delta instead of re-bucketing the
+    * corpus ([[nearDupPairs]] rebuilds this frame from scratch per
+    * run; the incremental form writes it once per vector, ever).
+    * Lake-layout note: partition/bucket the persisted copy on
+    * (table, bucket) so a delta probe co-locates with its collision
+    * candidates and prunes untouched buckets. */
+  def bandTable(corpus: DataFrame, tables: Seq[Array[Array[Float]]],
+                idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame =
+    allBuckets(corpus, idCol, "id", vecCol, tables)
+
+  /** Probe a DELTA batch against a PERSISTED band table: candidates =
+    * delta band rows colliding with stored-or-intra-delta band rows in
+    * any table, then exact cosine verify against the vectors. Returns
+    * exactly `nearDupPairs(base ∪ delta)` RESTRICTED to pairs touching
+    * the delta (same tables ⇒ same collisions ⇒ same verified pairs) —
+    * at a cost ∝ delta bands × bucket occupancy, never corpus².
+    *
+    * @param baseBands persisted (id, table, bucket) rows for the
+    *                  already-indexed corpus ([[bandTable]] output)
+    * @param baseVecs  (idCol, vecCol) for the indexed corpus — only
+    *                  candidate ids' vectors are fetched via equi-join
+    */
+  def probeNearDupDelta(delta: DataFrame, baseBands: DataFrame,
+                        baseVecs: DataFrame, threshold: Double,
+                        tables: Seq[Array[Array[Float]]],
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val dBands = allBuckets(delta, idCol, "id", vecCol, tables)
+    val allBands = baseBands.select(col("id"), col("table"), col("bucket"))
+      .unionByName(dBands)
+    // candidate dedup over bare id pairs (the nearDupPairs discipline —
+    // no vectors move until after distinct)
+    val cand = dBands.select(col("table"), col("bucket"), col("id").as("id_p"))
+      .join(allBands.select(col("table"), col("bucket"), col("id").as("id_q")),
+        Seq("table", "bucket"))
+      .filter(col("id_p") =!= col("id_q"))
+      .select(least(col("id_p"), col("id_q")).as("id_a"),
+        greatest(col("id_p"), col("id_q")).as("id_b"))
+      .distinct()
+    val vecs = baseVecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .unionByName(delta.select(col(idCol).as("id"), col(vecCol).as("vec")))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .withColumn("sim", VectorFunctions.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
 }

@@ -185,6 +185,33 @@ object TextDedup {
       (if (emitEst) Seq(round(col("est"), 4).as("est")) else Nil): _*)
   }
 
+  /** Operator form of the MinHash estimate: signature computation plus
+    * the k-component agreement join over an ALREADY-MATERIALIZED pair
+    * frame (id_a, id_b) — what a pipeline that trusts signatures
+    * actually executes per run (the candidate/truth pairs come from a
+    * persisted upstream stage, computed once). [[minhashEstimateCheck]]
+    * wraps this in a from-scratch exact shingle-Jaccard derivation so
+    * the ORACLE can assert the error bound; Bench measures THIS form
+    * (the benchOverrides rule — the verification harness is not the
+    * operator). */
+  def minhashEstimateOverPairs(docs: DataFrame, pairs: DataFrame,
+                               idCol: String, textCol: String,
+                               k: Int = 64, shingleN: Int = 3): DataFrame = {
+    val sides = docs.select(col(idCol).as("doc_id"),
+      graft.plans.MinHashShingleFunctions.minhashShingleSignature(
+        TextFunctions.tokenSet(col(textCol)), shingleN, k).as("sig"))
+    pairs
+      .join(sides.select(col("doc_id").as("id_a"), col("sig").as("sig_a")),
+        "id_a")
+      .join(sides.select(col("doc_id").as("id_b"), col("sig").as("sig_b")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(k.toDouble), 4)
+          .as("est"))
+  }
+
   /** Exact token-set Jaccard as a Column expression. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

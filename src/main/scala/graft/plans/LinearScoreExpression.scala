@@ -53,10 +53,13 @@ case class LinearScore(child: Expression) extends UnaryExpression {
       s"$prettyName expects array<string>, got ${t.simpleString}")
   }
 
-  @transient private lazy val md =
-    java.security.MessageDigest.getInstance("MD5")
-
   override def nullSafeEval(input: Any): Any = {
+    // ThreadLocal, not an instance field: the same expression instance can
+    // be evaluated concurrently (driver-side local eval, interpreted
+    // fallback with subexpression reuse), and MessageDigest is stateful —
+    // sharing one would silently corrupt scores. The codegen path holds a
+    // per-generated-class mutable instance, which is inherently per-task.
+    val md = LinearScore.localMd.get()
     val toks = input.asInstanceOf[ArrayData]
     val n = toks.numElements()
     val w = LinearScore.weights
@@ -128,6 +131,12 @@ object LinearScore {
     * re-derivation — is the production plumbing. */
   val weights: Array[Long] =
     Array.tabulate(4096)(j => (j.toLong * 2654435761L) % 17L - 8L)
+
+  /** Per-thread digest for the interpreted path (see nullSafeEval). */
+  private[plans] val localMd = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 
   /** First 12 bits of an md5 digest (the 3 leading hex digits). */
   private[plans] def idx12(h: Array[Byte]): Int =

@@ -17,8 +17,12 @@ import org.apache.spark.sql.types._
   * tight primitive loop inside whole-stage codegen, and NO join or
   * shuffle touches the corpus to assign it.
   *
-  * dist(q, c_j) = Σ_d (q_d - c_jd)²  over d < min(len(q), len(c_j)),
-  * all in int64 (codes are int8-scale, dims bounded — no overflow);
+  * dist(q, c_j) = Σ_d (q_d - c_jd)² over the full dimension; a ragged
+  * or truncated vector is an ERROR (same loud-failure contract as
+  * [[graft.functions.VectorAggregators]]'s SumIntVector in the same
+  * k-means loop — a silent min-length truncation would hand a
+  * plausible assignment to a corrupt vector). All arithmetic in int64
+  * (codes are int8-scale, dims bounded — no overflow);
   * ties break to the SMALLEST centroid id, making the argmin a total
   * function of the inputs (partition- and engine-independent).
   *
@@ -50,7 +54,9 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Long]])
     var j = 0
     while (j < centroids.length) {
       val c = centroids(j)
-      val n = math.min(q.numElements(), c.length)
+      if (q.numElements() != c.length) throw new IllegalArgumentException(
+        s"NearestCentroid: mixed dimensions ${q.numElements()} vs ${c.length}")
+      val n = c.length
       var dist = 0L
       var d = 0
       while (d < n) {
@@ -79,7 +85,12 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Long]])
          |long $bestDist = Long.MAX_VALUE;
          |for (int $j = 0; $j < $cen.length && !${ev.isNull}; $j++) {
          |  long[] $c = $cen[$j];
-         |  int $n = Math.min($a.numElements(), $c.length);
+         |  if ($a.numElements() != $c.length) {
+         |    throw new IllegalArgumentException(
+         |      "NearestCentroid: mixed dimensions " + $a.numElements()
+         |        + " vs " + $c.length);
+         |  }
+         |  int $n = $c.length;
          |  long $dist = 0L;
          |  for (int $d = 0; $d < $n; $d++) {
          |    if ($a.isNullAt($d)) { ${ev.isNull} = true; break; }

@@ -49,7 +49,12 @@ object Quota {
     override def handleInputRows(key: Long, rows: Iterator[Event],
                                  timers: TimerValues): Iterator[Verdict] = {
       var n = if (nState.exists()) nState.get() else 0L
-      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+      // Full Timestamp ordering (compareTo includes nanos) — getTime is
+      // millisecond-precision while Spark timestamps carry microseconds,
+      // and the gated batch twin (q82) orders by the full ts.
+      implicit val tsOrd: Ordering[java.sql.Timestamp] =
+        (a: java.sql.Timestamp, b: java.sql.Timestamp) => a.compareTo(b)
+      val out = rows.toSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
         val accepted = n < quota
         val v = Verdict(key, e.event_id, n, accepted)
         if (accepted) n += 1

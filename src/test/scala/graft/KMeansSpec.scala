@@ -107,4 +107,16 @@ class KMeansSpec extends SparkSpec {
       finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
     assert(whole.map(_.toString).toSeq == interp.map(_.toString).toSeq)
   }
+
+  test("NearestCentroid: ragged vector fails loudly, never truncates") {
+    import graft.plans.NearestCentroidFunctions.nearestCentroid
+    val cents = Array(Array(0L, 0L), Array(5L, 5L))
+    val df = Seq((1L, Seq(1, 2, 3))).toDF("id", "q")
+      .select(col("id"), nearestCentroid(col("q"), cents).as("nn"))
+    val e = intercept[Exception] { df.collect() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("mixed dimensions")))
+  }
 }

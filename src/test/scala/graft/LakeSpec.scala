@@ -92,6 +92,33 @@ class LakeSpec extends SparkSpec {
     assert(out.getBoolean(1), "documents jsonl roundtrip_ok")
   }
 
+  test("avro roundtrip is exact on newlines, quotes, unicode; parallel files") {
+    // the l05 sink/source on adversarial content: Avro strings are
+    // length-prefixed UTF-8 (no escaping layer to get wrong), so every
+    // byte must come back; multiple partitions must land as multiple
+    // container files and the read must union them all
+    val dir = java.nio.file.Files.createTempDirectory("avro_spec").toString
+    val rows = Seq(
+      graft.sources.AvroLake.Doc(1L, "line one\nline two\ttabbed", "en", "web", 24L),
+      graft.sources.AvroLake.Doc(2L, "quotes \" and \\ backslash ☃ 😀", "zh", "book", 29L),
+      graft.sources.AvroLake.Doc(3L, "", "de", "web", 0L),
+      graft.sources.AvroLake.Doc(4L, "trailing space ", "es", "wiki", 15L)
+    ).toDF().repartition(3)
+    graft.sources.AvroLake.write(rows, dir)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".avro")) >= 2, "one file per partition")
+    val back = graft.sources.AvroLake.read(spark, dir)
+    assert(back.collect().toSet ==
+      rows.as[graft.sources.AvroLake.Doc].collect().toSet)
+    // stale parts from a previous write must not survive an overwrite
+    graft.sources.AvroLake.write(rows.limit(1).coalesce(1), dir)
+    assert(graft.sources.AvroLake.read(spark, dir).count() == 1L)
+    // and the registered query's contract holds on the real table
+    val out = SparkEntry.queries("l05_avro_roundtrip")(spark, sf())
+      .select("roundtrip_ok").distinct().collect()
+    assert(out.length == 1 && out.head.getBoolean(0), "avro roundtrip_ok")
+  }
+
   test("schema evolution: mergeSchema unions column sets, nulls backfill") {
     // the 100 TB lake reality: a column added in month N must not force
     // a rewrite of months 1..N-1 — old files stay, readers merge
