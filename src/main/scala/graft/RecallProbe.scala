@@ -41,6 +41,29 @@ object RecallProbe {
       Similarity.bruteForcePairs(emb, 0.4),
       Similarity.nearDupPairs(emb, 0.4).select("id_a", "id_b"))
 
+    // d14: incremental-probe recall vs the exact DELTA-TOUCHING truth,
+    // plus the incremental==rebuild equivalence the oracle boolean pins
+    {
+      val (n, dim) = Similarity.corpusStats(emb)
+      val tables = Similarity.nearDupTables(n, dim, 0.4)
+      val base = emb.filter(col("vec_id") % 4 =!= 3)
+      val delta = emb.filter(col("vec_id") % 4 === 3)
+      val inc = Similarity.probeNearDupDelta(delta,
+        Similarity.bandTable(base, tables), base, 0.4, tables)
+        .select("id_a", "id_b")
+      pairRecall("d14_incr_lsh",
+        Similarity.bruteForcePairs(emb, 0.4)
+          .filter(col("id_a") % 4 === 3 || col("id_b") % 4 === 3),
+        inc)
+      val reb = Similarity.nearDupPairs(emb, 0.4,
+          nTables = tables.size, planesPerTable = tables.head.length)
+        .filter(col("id_a") % 4 === 3 || col("id_b") % 4 === 3)
+        .select("id_a", "id_b")
+      println(s"EQ d14 inc==rebuild: " +
+        s"${inc.unionByName(reb).distinct().count() == inc.count() &&
+          inc.count() == reb.count()}")
+    }
+
     val exact = Similarity.bruteForceTopK(emb, q, 10)
       .select(col("query_id"), col("cand_id"))
     def annRecall(name: String, approx: org.apache.spark.sql.DataFrame): Unit = {

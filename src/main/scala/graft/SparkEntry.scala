@@ -1232,6 +1232,53 @@ object SparkEntry {
       (col("n_unjust") === 0).as("drops_justified"))
   }
 
+  /** d14 — PERSISTED-LSH incremental embedding dedup: the per-ingest
+    * form of d05 (the c02/st11 cost-∝-delta discipline lifted to the
+    * embedding modality). The base corpus's sign-LSH band table is
+    * written to the lake ONCE ([[Similarity.bandTable]] → parquet);
+    * the delta batch (vec_id % 4 == 3, ~25%) probes only the stored
+    * bands plus itself and exact-verifies candidates
+    * ([[Similarity.probeNearDupDelta]]). Contract: (1) the
+    * incremental pairs EQUAL a full nearDupPairs rebuild restricted to
+    * delta-touching pairs — a theorem of seeded tables, COMPUTED here
+    * (set equality via counts + union cardinality), never assumed;
+    * (2) d05's recall bound vs the exact delta-touching truth that
+    * DuckDB recomputes (measured: 0.909 at sf0.01 [20/22 hits, bound
+    * needs 18], 0.965 at sf0.1 [390/404, needs 324] — RecallProbe d14
+    * row; bound 0.8 keeps >=2 hits of margin at both SFs).
+    * st18 is the streaming form ([[graft.streaming.EmbedStreams]]). */
+  private def d14(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val (n, dim) = Similarity.corpusStats(emb)
+    val tables = Similarity.nearDupTables(n, dim, 0.4)
+    val base = emb.filter(col("vec_id") % 4 =!= 3)
+    val delta = emb.filter(col("vec_id") % 4 === 3)
+    val idx = s"/tmp/graft_lshidx_${Integer.toHexString(d.hashCode)}"
+    Similarity.bandTable(base, tables).write.mode("overwrite").parquet(idx)
+    val inc = Similarity
+      .probeNearDupDelta(delta, s.read.parquet(idx), base, 0.4, tables)
+      .select("id_a", "id_b").localCheckpoint(true)
+    val rebuild = Similarity.nearDupPairs(emb, 0.4,
+        nTables = tables.size, planesPerTable = tables.head.length)
+      .filter(col("id_a") % 4 === 3 || col("id_b") % 4 === 3)
+      .select("id_a", "id_b").localCheckpoint(true)
+    val truth = Similarity.bruteForcePairs(emb, 0.4)
+      .filter(col("id_a") % 4 === 3 || col("id_b") % 4 === 3)
+      .select("id_a", "id_b").localCheckpoint(true)
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val nHit = truth.join(inc, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val nInc = inc.agg(count(lit(1)).as("n_inc"))
+    val nReb = rebuild.agg(count(lit(1)).as("n_rebuild"))
+    val nUnion = inc.unionByName(rebuild).distinct()
+      .agg(count(lit(1)).as("n_union"))
+    nTrue.crossJoin(nHit).crossJoin(nInc).crossJoin(nReb).crossJoin(nUnion)
+      .select(col("n_true"),
+        (col("n_hit") >= col("n_true") * lit(0.8)).as("recall_ok"),
+        (col("n_inc") === col("n_rebuild") &&
+          col("n_union") === col("n_inc")).as("inc_eq_rebuild"))
+  }
+
   /** s01 — brute-force exact cosine top-10 for query vectors vec_id<10
     * (codegen'd CosineSimilarity kernel, broadcast queries). */
   private def s01(s: SparkSession, d: String): DataFrame = {
@@ -4500,6 +4547,7 @@ object SparkEntry {
     "g07_two_hop" -> (g07 _),
     "g08_bfs_distance" -> (g08 _),
     "d13_source_overlap" -> (d13 _),
+    "d14_incremental_lsh" -> (d14 _),
     "q87_join_size_profile" -> (q87 _),
     "q81_snapshot_maintain" -> (q81 _),
     "q82_quota_cap" -> (q82 _),
@@ -4613,6 +4661,17 @@ object SparkEntry {
     "c11_soft_dedup_weights" -> ((s: SparkSession, d: String) =>
       cachedClusters(s, d).select(col("doc_id"), col("cluster_size"),
         expr("1000000L div cluster_size").as("w_micro"))),
+    // d14's operator is the delta probe against the PERSISTED lake
+    // index (built once, ever); the registered query additionally runs
+    // the full rebuild + exact brute-force truth — the equivalence and
+    // recall harness the oracle gates
+    "d14_incremental_lsh" -> ((s: SparkSession, d: String) => {
+      val (tables, idx) = cachedLshIndex(s, d)
+      val emb = Tables.embeddings(s, d)
+      Similarity.probeNearDupDelta(emb.filter(col("vec_id") % 4 === 3),
+        s.read.parquet(idx), emb.filter(col("vec_id") % 4 =!= 3),
+        0.4, tables)
+    }),
     // d12's operator is signatures + the agreement join over a
     // persisted truth-pair frame; the registered query re-derives d06's
     // exact shingle-Jaccard truth from scratch only so its oracle is
@@ -4652,6 +4711,23 @@ object SparkEntry {
         Tables.documents(s, d), "doc_id", "text").persist()
       p.count()
       p
+    })
+
+  /** d14's persisted base-corpus LSH index, built once per sf dir —
+    * exactly what the lake holds in the continuous-ingest shape (st18);
+    * the bench then measures only the delta probe. */
+  private val lshIndexCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[Array[Array[Float]]], String)]
+  private def cachedLshIndex(s: SparkSession, d: String)
+      : (Seq[Array[Array[Float]]], String) =
+    lshIndexCache.getOrElseUpdate(d, {
+      val emb = Tables.embeddings(s, d)
+      val (n, dim) = Similarity.corpusStats(emb)
+      val tables = Similarity.nearDupTables(n, dim, 0.4)
+      val idx = s"/tmp/graft_lshidx_bench_${Integer.toHexString(d.hashCode)}"
+      Similarity.bandTable(emb.filter(col("vec_id") % 4 =!= 3), tables)
+        .write.mode("overwrite").parquet(idx)
+      (tables, idx)
     })
 
   private def cachedClusters(s: SparkSession, d: String): DataFrame =
@@ -4841,6 +4917,57 @@ object SparkEntry {
               .option("maxFilesPerTrigger", 1).parquet(stage.toString)
             val q = graft.streaming.DocStreams
               .incrementalDedupIngest(src, corpus.toString)
+              .trigger(Trigger.AvailableNow())
+              .option("checkpointLocation", ckpt.toString)
+              .start()
+            q.awaitTermination()
+          } finally {
+            org.apache.spark.sql.graftglue.GraftGlue.unloadStateStores()
+            wipe(ckpt)
+          }
+        }),
+      // the embedding-modality twin of st11: 4 micro-batches of
+      // vectors, each probed against the PERSISTED LSH band table the
+      // previous batches accumulated (EmbedStreams — cost ∝ delta),
+      // pairs + index rows appended replay-idempotently. d14 gates the
+      // full-rebuild equivalence in batch form; StreamingSpec gates
+      // the replay semantics; this row benches the whole ingest.
+      "st18_stream_embed_dedup" ->
+        ((s: SparkSession, d: String) => {
+          import java.nio.file.{Files, Path, Paths}
+          import java.util.Comparator
+          def wipe(p: Path): Unit =
+            if (Files.exists(p))
+              Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+                .forEach(f => { Files.deleteIfExists(f); () })
+          val srcFile = Paths.get(s"$d/embeddings.parquet")
+          val stage = Paths.get(
+            s"/tmp/graft_stream_emb_${Integer.toHexString(d.hashCode)}")
+          val marker = stage.resolve("_SUCCESS")
+          val stale = !Files.exists(marker) ||
+            Files.getLastModifiedTime(marker)
+              .compareTo(Files.getLastModifiedTime(srcFile)) < 0
+          if (stale) {
+            wipe(stage)
+            Tables.embeddings(s, d)
+              .repartitionByRange(4, col("vec_id"))
+              .write.mode("overwrite").parquet(stage.toString)
+          }
+          val emb = Tables.embeddings(s, d)
+          val (n, dim) = Similarity.corpusStats(emb)
+          val tables = Similarity.nearDupTables(n, dim, 0.4)
+          // fresh index + checkpoint per run: the measurement is the
+          // whole 4-batch ingest against a growing lake index
+          val idx = Paths.get(
+            s"/tmp/graft_stream_lshidx_${Integer.toHexString(d.hashCode)}")
+          wipe(idx)
+          val ckpt = Files.createTempDirectory("graft_ckpt")
+          try {
+            val schema = s.read.parquet(stage.toString).schema
+            val src = s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+            val q = graft.streaming.EmbedStreams
+              .incrementalEmbedDedup(src, idx.toString, tables, 0.4)
               .trigger(Trigger.AvailableNow())
               .option("checkpointLocation", ckpt.toString)
               .start()
@@ -5797,6 +5924,18 @@ object SparkEntry {
         |p AS (SELECT list_cosine_similarity(a.v, b.v) AS s
         |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok
+        |FROM p WHERE s >= 0.4""".stripMargin,
+    // d14: n_true = d05's exact all-pairs truth RESTRICTED to pairs
+    // touching the delta quarter; the two booleans are the Spark-side
+    // incremental==rebuild equality and the recall bound, pinned
+    "d14_incremental_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |p AS (SELECT list_cosine_similarity(a.v, b.v) AS s
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |      WHERE a.vec_id % 4 = 3 OR b.vec_id % 4 = 3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok,
+        |  TRUE AS inc_eq_rebuild
         |FROM p WHERE s >= 0.4""".stripMargin,
     // d09: n_ideal = distinct higher ids over the SAME all-pairs cosine
     // truth d05 recomputes; the two booleans are the Spark-side checks,

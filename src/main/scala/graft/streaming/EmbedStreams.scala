@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.Similarity
+import graft.sources.PartitionedLake
+
+/** Streaming embedding-ingest dedup: the PERSISTED-LSH-INDEX form of
+  * [[graft.operators.Similarity.nearDupPairs]] — the embedding-modality
+  * analog of [[DocStreams]]' text ingest. The lake keeps two stores
+  * under `indexPath`:
+  *
+  *   bands/ — the sign-LSH band table (id, table, bucket), appended
+  *            per ingest batch: each vector is bucketed ONCE, EVER
+  *            (a full rebuild re-buckets the corpus per run)
+  *   vecs/  — the raw vectors, for the exact-verify stage
+  *
+  * Each micro-batch probes ONLY its delta against the stored bands
+  * (plus intra-delta), exact-verifies candidates, and appends its own
+  * band/vector rows — cost ∝ delta × bucket occupancy, never corpus².
+  * Because the hyperplane tables are seeded pure functions, the pairs
+  * accumulated over any replay order equal a full
+  * `nearDupPairs(everything)` — d14 gates that equivalence in batch
+  * form; StreamingSpec drives the replay semantics.
+  *
+  * Replay safety (the [[DocStreams.ingestBatch]] discipline): every
+  * probe filters the stores to `ingest_batch < batchId`, so a replayed
+  * batch never collides with its own previous write; all three writes
+  * are dynamic-partition overwrites of exactly the batch's own
+  * partition — effectively-once state.
+  */
+object EmbedStreams {
+
+  private def storeOrEmpty(spark: SparkSession, path: String,
+                           empty: => DataFrame): DataFrame = {
+    val dir = new java.io.File(path)
+    val hasData = dir.isDirectory && Option(dir.listFiles())
+      .exists(_.exists(_.getName.startsWith("ingest_batch=")))
+    if (hasData) spark.read.parquet(path)
+    else empty.withColumn("ingest_batch", lit(-1L))
+  }
+
+  /** One micro-batch: probe `delta` against the index accumulated by
+    * batches BEFORE `batchId`, write the found near-dup pairs under
+    * `pairs/ingest_batch=<batchId>`, and append the delta's band and
+    * vector rows to the index. Public so replay idempotence is
+    * directly testable. */
+  def ingestBatch(delta: DataFrame, batchId: Long, indexPath: String,
+                  tables: Seq[Array[Array[Float]]], threshold: Double,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): Unit = {
+    val s = delta.sparkSession
+    val d = delta.select(col(idCol), col(vecCol))
+    val baseBands = storeOrEmpty(s, s"$indexPath/bands",
+        Similarity.bandTable(d.limit(0), tables, idCol, vecCol))
+      .filter(col("ingest_batch") < batchId)
+    val baseVecs = storeOrEmpty(s, s"$indexPath/vecs", d.limit(0))
+      .filter(col("ingest_batch") < batchId)
+      .select(col(idCol), col(vecCol))
+    val pairs = Similarity.probeNearDupDelta(d, baseBands, baseVecs,
+      threshold, tables, idCol, vecCol)
+    PartitionedLake.upsertBatchKeyed(pairs, batchId, s"$indexPath/pairs")
+    PartitionedLake.upsertBatchKeyed(
+      Similarity.bandTable(d, tables, idCol, vecCol), batchId,
+      s"$indexPath/bands")
+    PartitionedLake.upsertBatchKeyed(d, batchId, s"$indexPath/vecs")
+  }
+
+  /** Streaming form: per micro-batch of new vectors, maintain the
+    * persisted LSH index and emit the batch's near-dup pairs. The
+    * caller picks trigger/checkpoint. */
+  def incrementalEmbedDedup(vectors: DataFrame, indexPath: String,
+                            tables: Seq[Array[Array[Float]]],
+                            threshold: Double)
+      : DataStreamWriter[Row] =
+    vectors.writeStream.foreachBatch {
+      (batch: Dataset[Row], batchId: Long) =>
+        ingestBatch(batch.toDF(), batchId, indexPath, tables, threshold)
+    }
+}

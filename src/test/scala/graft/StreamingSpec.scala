@@ -426,6 +426,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embed ingest dedup: delta probes the ACCUMULATED lake index; " +
+      "replay idempotent; accumulated pairs == full rebuild") {
+    import graft.model.Rows.Embedding
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    def v(id: Long, x: Float, y: Float, z: Float, w: Float) =
+      Embedding(id, Array(x, y, z, w), 0)
+    val tables = Similarity.nearDupTables(8L, 4, 0.9)
+    val idx = java.nio.file.Files
+      .createTempDirectory("stream_embed_idx").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("stream_embed_ck").toString
+    val mem = MemoryStream[Embedding]
+    val q = graft.streaming.EmbedStreams
+      .incrementalEmbedDedup(mem.toDF(), idx, tables, threshold = 0.9)
+      .option("checkpointLocation", ckpt).start()
+    val b0 = Seq(v(1, 1f, 0f, 0f, 0f), v(3, 0f, 1f, 0f, 0f))
+    val b1 = Seq(v(2, 1f, 0.01f, 0f, 0f), v(4, 0f, 1f, 0.01f, 0f),
+      v(5, 0f, 0f, 1f, 0f))
+    try {
+      mem.addData(b0: _*) // batch 0: empty index — no pairs
+      q.processAllAvailable()
+      mem.addData(b1: _*) // batch 1: 2 near-dups of STORED vectors
+      q.processAllAvailable()
+      val pairs = spark.read.parquet(s"$idx/pairs")
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 2L), (3L, 4L)),
+        "batch-1 delta must collide with batch-0 index rows")
+      assert(spark.read.parquet(s"$idx/vecs").count() == 5L)
+      // replaying batch 1 probes only ingest_batch < 1 and rewrites
+      // exactly its own partitions — stores unchanged
+      graft.streaming.EmbedStreams.ingestBatch(
+        b1.toDS().toDF(), 1L, idx, tables, threshold = 0.9)
+      assert(spark.read.parquet(s"$idx/pairs")
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet == pairs)
+      assert(spark.read.parquet(s"$idx/vecs").count() == 5L)
+      // every pair lands in the batch of its LATER member, so the
+      // accumulated pairs equal one all-at-once rebuild (the d14
+      // equivalence, streaming form)
+      val rebuild = Similarity.nearDupPairs(
+          (b0 ++ b1).toDS().toDF(), threshold = 0.9,
+          nTables = tables.size, planesPerTable = tables.head.length)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(pairs == rebuild)
+    } finally q.stop()
+  }
+
   test("windowed top-k emits the planted heavy hitter first") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
