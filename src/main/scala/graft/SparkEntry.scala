@@ -5007,14 +5007,29 @@ object SparkEntry {
       // it directly after st04 in the deterministic drive order).
       "st04z_interval_join_rocksdb" -> { (s: SparkSession, d: String) =>
         val key = "spark.sql.streaming.stateStore.providerClass"
+        // changelog checkpointing (SPARK-43421): commit uploads the
+        // per-batch delta instead of snapshotting the full RocksDB
+        // instance — the production setting for large join state,
+        // which shaves the per-batch commit overhead this drive
+        // documents vs st04's default provider
+        val ckKey = "spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled"
         val prev = s.conf.getOption(key)
+        val prevCk = s.conf.getOption(ckKey)
         s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
           "state.RocksDBStateStoreProvider")
+        s.conf.set(ckKey, "true")
         try drive((_, _, src) =>
           graft.streaming.EventStreams.clickErrorJoin(src))(s, d)
-        finally prev match {
-          case Some(v) => s.conf.set(key, v)
-          case None => s.conf.unset(key)
+        finally {
+          prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None => s.conf.unset(key)
+          }
+          prevCk match {
+            case Some(v) => s.conf.set(ckKey, v)
+            case None => s.conf.unset(ckKey)
+          }
         }
       },
       "st07_stream_sliding" ->
