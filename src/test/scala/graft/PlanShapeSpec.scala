@@ -256,6 +256,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("d14 probe: band collisions are equi-joins; no nested-loop path") {
+    // the operator form (benchOverrides) — delta bands against the
+    // persisted index must plan as hash/sort-merge equi-joins on
+    // (table, bucket) and id; any nested-loop join means the candidate
+    // generation degenerated to all-pairs — the exact failure mode the
+    // banded index exists to prevent
+    val df = SparkEntry.benchOverrides("d14_incremental_lsh")(
+      spark, sf("sf0.001"))
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("no CartesianProduct exec anywhere in the registry") {
     // crossJoin appears only with broadcast-tiny sides (1-row aggregates,
     // query/centroid frames) and must plan as BroadcastNestedLoopJoin —
