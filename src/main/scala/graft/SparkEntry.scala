@@ -1398,6 +1398,40 @@ object SparkEntry {
       Similarity.bruteForceTopKFiltered(emb, q, k = 10), minHits = 5)
   }
 
+  /** s15 — ANN search over the PERSISTED LSH index: s02's lshTopK
+    * without re-bucketing the corpus per query batch — the search-side
+    * use of d14's lake-resident band table
+    * ([[Similarity.lshTopKOverIndex]]). A production vector store
+    * builds the index once per corpus version and every retrieval
+    * batch probes it; rebuilding per run is the thing this exists to
+    * stop. Contract: (1) s02's recall bound vs the brute-force truth
+    * (identical seeded tables ⇒ the candidates — hence recall — are
+    * s02's: measured min hits 8 at both SFs vs bound 6, RecallProbe
+    * s02 row); (2) result EQUALS the rebuild form lshTopK — computed
+    * set equality, the d14 discipline. */
+  private def s15(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val (n, dim) = Similarity.corpusStats(emb)
+    // the SAME tuning lshTopK auto-derives (simFloor .25, recall .9)
+    val tables = Similarity.nearDupTables(n, dim, 0.25, targetRecall = 0.9)
+    val idx = s"/tmp/graft_lshsearch_${Integer.toHexString(d.hashCode)}"
+    Similarity.bandTable(emb, tables).write.mode("overwrite").parquet(idx)
+    val q = emb.filter(col("vec_id") < 10)
+    val approx = Similarity
+      .lshTopKOverIndex(emb, s.read.parquet(idx), q, k = 10, tables)
+      .localCheckpoint(true)
+    val direct = Similarity.lshTopK(emb, q, k = 10)
+    val eq = approx.unionByName(direct).distinct()
+      .agg(count(lit(1)).as("n_u"))
+      .crossJoin(approx.agg(count(lit(1)).as("n_a")))
+      .crossJoin(direct.agg(count(lit(1)).as("n_d")))
+      .select((col("n_u") === col("n_a") && col("n_a") === col("n_d"))
+        .as("idx_eq_rebuild"))
+    annRecallCheck(approx, Similarity.bruteForceTopK(emb, q, k = 10),
+        minHits = 6)
+      .crossJoin(broadcast(eq))
+  }
+
   /** s13 — distributed Lloyd k-means refinement (LLOYD K-MEANS
     * CONTRACT, KMeansLloyd.scaladoc): k=8, 2 full-corpus iterations on
     * the int8-quantized embeddings — hash-ranked deterministic seeds,
@@ -4562,6 +4596,7 @@ object SparkEntry {
     "s12_ann_filtered" -> (s12 _),
     "s13_kmeans_lloyd" -> (s13 _),
     "s14_embedding_drift" -> (s14 _),
+    "s15_ann_persisted" -> (s15 _),
     "t27_bpe_pairs" -> (t27 _),
   )
 
@@ -4672,6 +4707,15 @@ object SparkEntry {
         s.read.parquet(idx), emb.filter(col("vec_id") % 4 =!= 3),
         0.4, tables)
     }),
+    // s15's operator is the query probe against the PERSISTED search
+    // index; the registered query also runs the rebuild-form lshTopK +
+    // brute-force truth (the equivalence/recall harness)
+    "s15_ann_persisted" -> ((s: SparkSession, d: String) => {
+      val (tables, idx) = cachedLshSearchIndex(s, d)
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopKOverIndex(emb, s.read.parquet(idx),
+        emb.filter(col("vec_id") < 10), k = 10, tables)
+    }),
     // d12's operator is signatures + the agreement join over a
     // persisted truth-pair frame; the registered query re-derives d06's
     // exact shingle-Jaccard truth from scratch only so its oracle is
@@ -4727,6 +4771,23 @@ object SparkEntry {
       val idx = s"/tmp/graft_lshidx_bench_${Integer.toHexString(d.hashCode)}"
       Similarity.bandTable(emb.filter(col("vec_id") % 4 =!= 3), tables)
         .write.mode("overwrite").parquet(idx)
+      (tables, idx)
+    })
+
+  /** s15's full-corpus SEARCH index (s02 tuning), built once per sf
+    * dir — distinct from d14's dedup index (different simFloor/recall
+    * dials and a base-only corpus). */
+  private val lshSearchIndexCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[Array[Array[Float]]], String)]
+  private def cachedLshSearchIndex(s: SparkSession, d: String)
+      : (Seq[Array[Array[Float]]], String) =
+    lshSearchIndexCache.getOrElseUpdate(d, {
+      val emb = Tables.embeddings(s, d)
+      val (n, dim) = Similarity.corpusStats(emb)
+      val tables = Similarity.nearDupTables(n, dim, 0.25, targetRecall = 0.9)
+      val idx =
+        s"/tmp/graft_lshsearch_bench_${Integer.toHexString(d.hashCode)}"
+      Similarity.bandTable(emb, tables).write.mode("overwrite").parquet(idx)
       (tables, idx)
     })
 
@@ -5969,6 +6030,11 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "s03_ann_ivf" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // s15: s02's recall contract + the computed index==rebuild equality
+    "s15_ann_persisted" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok,
+        |  TRUE AS idx_eq_rebuild
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     // filtered ANN: same contract shape — the recall bound vs the
     // exact label-filtered truth is asserted in-Spark (annRecallCheck)

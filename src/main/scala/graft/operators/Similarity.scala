@@ -819,6 +819,40 @@ object Similarity {
       : DataFrame =
     allBuckets(corpus, idCol, "id", vecCol, tables)
 
+  /** Approximate top-k for `queries` against an ALREADY-INDEXED corpus:
+    * [[lshTopK]] without re-bucketing the corpus — the search-side
+    * counterpart of [[probeNearDupDelta]] over the same persisted
+    * [[bandTable]]. Identical seeded tables ⇒ identical bucket
+    * collisions ⇒ results EQUAL lshTopK's (s15 computes that equality
+    * as an oracle boolean); the corpus-side cost per query batch drops
+    * from a full re-bucketing scan to one equi-join against the stored
+    * band rows plus the candidate vector fetch. */
+  def lshTopKOverIndex(corpusVecs: DataFrame, bands: DataFrame,
+                       queries: DataFrame, k: Int,
+                       tables: Seq[Array[Array[Float]]],
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val qBands = allBuckets(queries, idCol, "query_id", vecCol, tables)
+    val candidates = bands
+      .select(col("table"), col("bucket"), col("id").as("cand_id"))
+      .join(broadcast(qBands), Seq("table", "bucket"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select("query_id", "cand_id").distinct()
+    val withVecs = candidates
+      .join(corpusVecs.select(col(idCol).as("cand_id"),
+        col(vecCol).as("cand_vec")), "cand_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("query_vec"))), "query_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    withVecs
+      .withColumn("sim", VectorFunctions.cosine(col("cand_vec"), col("query_vec")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** Probe a DELTA batch against a PERSISTED band table: candidates =
     * delta band rows colliding with stored-or-intra-delta band rows in
     * any table, then exact cosine verify against the vectors. Returns
