@@ -1279,6 +1279,78 @@ object SparkEntry {
           col("n_union") === col("n_inc")).as("inc_eq_rebuild"))
   }
 
+  /** d15 — index TAKEDOWN (right-to-be-forgotten / licensing
+    * retraction on d14's persisted LSH index): withdrawn ids' vectors,
+    * band rows, and every near-dup pair referencing them physically
+    * leave the lake, rewriting ONLY the ingest_batch partitions they
+    * landed in ([[graft.streaming.EmbedStreams.retractIds]]). The
+    * audit row a pipeline records per takedown: exact before/after/
+    * takedown counts (DuckDB-recomputable), `purge_complete` (no
+    * retracted id survives in ANY store — computed by re-scanning all
+    * three), and `stores_eq_rebuild` (every store byte-equals an index
+    * built from scratch without the retracted ids, same batch split —
+    * order-insensitive bit_xor(xxhash64) signatures per store). The
+    * rebuild + re-scan harness is the audit; the OPERATOR a pipeline
+    * executes per takedown is one `retractIds` call — Bench measures
+    * that form against a prebuilt index (benchOverrides rule). */
+  private def d15(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Path, Paths}
+    def wipe(p: Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => { Files.deleteIfExists(f); () })
+    val emb = Tables.embeddings(s, d)
+    val (n, dim) = Similarity.corpusStats(emb)
+    val tables = Similarity.nearDupTables(n, dim, 0.4)
+    val hex = Integer.toHexString(d.hashCode)
+    val idxA = s"/tmp/graft_takedown_a_$hex"
+    val idxB = s"/tmp/graft_takedown_b_$hex"
+    wipe(Paths.get(idxA)); wipe(Paths.get(idxB))
+    val b0 = emb.filter(col("vec_id") % 4 =!= 3)
+    val b1 = emb.filter(col("vec_id") % 4 === 3)
+    graft.streaming.EmbedStreams.ingestBatch(b0, 0L, idxA, tables, 0.4)
+    graft.streaming.EmbedStreams.ingestBatch(b1, 1L, idxA, tables, 0.4)
+    val takedown = emb.filter(col("vec_id") % 10 === 7).select("vec_id")
+    graft.streaming.EmbedStreams.retractIds(takedown, idxA)
+    graft.streaming.EmbedStreams.ingestBatch(
+      b0.join(takedown, Seq("vec_id"), "left_anti"), 0L, idxB, tables, 0.4)
+    graft.streaming.EmbedStreams.ingestBatch(
+      b1.join(takedown, Seq("vec_id"), "left_anti"), 1L, idxB, tables, 0.4)
+    def sig(idx: String, store: String, cols: Seq[String]): DataFrame =
+      s.read.parquet(s"$idx/$store")
+        .select(xxhash64((col("ingest_batch").cast("long").cast("string") +:
+          cols.map(c => col(c).cast("string"))): _*).as("h"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("g"))
+    val stores = Seq(
+      ("bands", Seq("id", "table", "bucket")),
+      ("vecs", Seq("vec_id", "embedding")),
+      ("pairs", Seq("id_a", "id_b", "sim")))
+    val eq = stores.map { case (st, cols) =>
+      sig(idxA, st, cols).crossJoin(
+          sig(idxB, st, cols).withColumnRenamed("n", "n2")
+            .withColumnRenamed("g", "g2"))
+        .select((col("n") === col("n2") && col("g") === col("g2"))
+          .as(s"eq_$st"))
+    }.reduce(_.crossJoin(_))
+      .select((col("eq_bands") && col("eq_vecs") && col("eq_pairs"))
+        .as("stores_eq_rebuild"))
+    val leftover = stores.map { case (st, cols) =>
+      val keys = if (st == "pairs") Seq("id_a", "id_b")
+        else Seq(cols.head)
+      val df = s.read.parquet(s"$idxA/$st")
+      keys.map(k => df.join(takedown,
+          df(k) === takedown("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("c"))).reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_)).agg(sum(col("c")).as("n_leftover"))
+    emb.agg(count(lit(1)).as("n_vecs_before"))
+      .crossJoin(broadcast(s.read.parquet(s"$idxA/vecs")
+        .agg(count(lit(1)).as("n_vecs_after"))))
+      .crossJoin(broadcast(takedown.agg(count(lit(1)).as("n_takedown"))))
+      .crossJoin(broadcast(leftover
+        .select((col("n_leftover") === 0).as("purge_complete"))))
+      .crossJoin(broadcast(eq))
+  }
+
   /** s01 — brute-force exact cosine top-10 for query vectors vec_id<10
     * (codegen'd CosineSimilarity kernel, broadcast queries). */
   private def s01(s: SparkSession, d: String): DataFrame = {
@@ -4582,6 +4654,7 @@ object SparkEntry {
     "g08_bfs_distance" -> (g08 _),
     "d13_source_overlap" -> (d13 _),
     "d14_incremental_lsh" -> (d14 _),
+    "d15_index_takedown" -> (d15 _),
     "q87_join_size_profile" -> (q87 _),
     "q81_snapshot_maintain" -> (q81 _),
     "q82_quota_cap" -> (q82 _),
@@ -4707,6 +4780,21 @@ object SparkEntry {
         s.read.parquet(idx), emb.filter(col("vec_id") % 4 =!= 3),
         0.4, tables)
     }),
+    // d15's operator is ONE retraction against an existing index; the
+    // registered query also builds two indexes and re-scans all six
+    // stores for the equivalence/purge booleans (the audit harness).
+    // Each measured run restores the pristine index by file copy
+    // (MB-scale) then retracts — what a pipeline executes per takedown.
+    "d15_index_takedown" -> ((s: SparkSession, d: String) => {
+      val (tables, pristine) = cachedTakedownIndex(s, d)
+      val work = s"${pristine}_work"
+      copyDir(pristine, work)
+      val emb = Tables.embeddings(s, d)
+      graft.streaming.EmbedStreams.retractIds(
+        emb.filter(col("vec_id") % 10 === 7).select("vec_id"), work)
+      // report the post-takedown store size (forces the work to finish)
+      s.read.parquet(s"$work/vecs").agg(count(lit(1)).as("n_vecs_after"))
+    }),
     // s15's operator is the query probe against the PERSISTED search
     // index; the registered query also runs the rebuild-form lshTopK +
     // brute-force truth (the equivalence/recall harness)
@@ -4773,6 +4861,44 @@ object SparkEntry {
         .write.mode("overwrite").parquet(idx)
       (tables, idx)
     })
+
+  /** d15's pristine two-batch index, built once per sf dir; each bench
+    * run file-copies it and retracts against the copy. */
+  private val takedownIndexCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[Array[Array[Float]]], String)]
+  private def cachedTakedownIndex(s: SparkSession, d: String)
+      : (Seq[Array[Array[Float]]], String) =
+    takedownIndexCache.getOrElseUpdate(d, {
+      val emb = Tables.embeddings(s, d)
+      val (n, dim) = Similarity.corpusStats(emb)
+      val tables = Similarity.nearDupTables(n, dim, 0.4)
+      val idx =
+        s"/tmp/graft_takedown_bench_${Integer.toHexString(d.hashCode)}"
+      val p = java.nio.file.Paths.get(idx)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      graft.streaming.EmbedStreams.ingestBatch(
+        emb.filter(col("vec_id") % 4 =!= 3), 0L, idx, tables, 0.4)
+      graft.streaming.EmbedStreams.ingestBatch(
+        emb.filter(col("vec_id") % 4 === 3), 1L, idx, tables, 0.4)
+      (tables, idx)
+    })
+
+  private def copyDir(src: String, dst: String): Unit = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    val s0 = Paths.get(src); val d0 = Paths.get(dst)
+    if (Files.exists(d0))
+      Files.walk(d0).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => { Files.deleteIfExists(f); () })
+    Files.walk(s0).forEach { p =>
+      val t = d0.resolve(s0.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+  }
 
   /** s15's full-corpus SEARCH index (s02 tuning), built once per sf
     * dir — distinct from d14's dedup index (different simFloor/recall
@@ -6001,6 +6127,17 @@ object SparkEntry {
         |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok
         |FROM p WHERE s >= 0.4""".stripMargin,
+    // d15: exact takedown arithmetic recomputed from embeddings; the
+    // two booleans are the computed purge-completeness and the
+    // store-signature equality vs the from-scratch rebuild, pinned
+    "d15_index_takedown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs_before,
+        |  CAST(count(CASE WHEN vec_id % 10 <> 7 THEN 1 END) AS BIGINT)
+        |    AS n_vecs_after,
+        |  CAST(count(CASE WHEN vec_id % 10 = 7 THEN 1 END) AS BIGINT)
+        |    AS n_takedown,
+        |  TRUE AS purge_complete, TRUE AS stores_eq_rebuild
+        |FROM embeddings""".stripMargin,
     // d14: n_true = d05's exact all-pairs truth RESTRICTED to pairs
     // touching the delta quarter; the two booleans are the Spark-side
     // incremental==rebuild equality and the recall bound, pinned

@@ -68,6 +68,73 @@ object EmbedStreams {
     PartitionedLake.upsertBatchKeyed(d, batchId, s"$indexPath/vecs")
   }
 
+  /** TAKEDOWN: purge a set of vector ids from every index store —
+    * the right-to-be-forgotten / licensing-retraction path a training
+    * pipeline must support: when content is withdrawn, its vectors,
+    * its band rows, AND every near-dup pair that references it must
+    * physically leave the lake (a pair row is evidence the withdrawn
+    * content existed). Afterward the index is indistinguishable from
+    * one built without those ids (d15 computes that equivalence).
+    *
+    * Scale shape: the takedown list broadcasts; only partitions that
+    * actually CONTAIN a retracted id are rewritten (dynamic-partition
+    * overwrite over the touched `ingest_batch` values — a takedown of
+    * 0.01% of ids rewrites ~the batches they landed in, not the
+    * index); a partition whose every row is retracted is physically
+    * removed (dynamic overwrite can't write an empty partition, and a
+    * takedown is a physical delete by definition). Rewritten frames
+    * are materialized BEFORE the overwrite (the
+    * [[PartitionedLake.overwriteBuckets]] read-then-overwrite rule).
+    */
+  def retractIds(ids: DataFrame, indexPath: String,
+                 idCol: String = "vec_id"): Unit = {
+    val s = ids.sparkSession
+    val rid = ids.select(col(ids.columns(0)).cast("long").as("__r"))
+      .distinct()
+    def purge(store: String, keyCols: Seq[String]): Unit = {
+      val path = s"$indexPath/$store"
+      val dir = new java.io.File(path)
+      val hasData = dir.isDirectory && Option(dir.listFiles())
+        .exists(_.exists(_.getName.startsWith("ingest_batch=")))
+      if (hasData) {
+        val df = s.read.parquet(path)
+        val marked = keyCols.foldLeft(df.withColumn("__hit", lit(false))) {
+          (acc, k) =>
+            acc.join(broadcast(rid), acc(k) === col("__r"), "left")
+              .withColumn("__hit", col("__hit") || col("__r").isNotNull)
+              .drop("__r")
+        }
+        val touched = marked.filter(col("__hit"))
+          .select(col("ingest_batch").cast("long").as("ingest_batch"))
+          .distinct().localCheckpoint(true)
+        if (touched.limit(1).count() > 0) {
+          val kept = marked
+            .join(broadcast(touched), Seq("ingest_batch"), "left_semi")
+            .filter(!col("__hit")).drop("__hit")
+            .localCheckpoint(true)
+          PartitionedLake.overwriteBuckets(kept, "ingest_batch", path)
+          // fully-emptied partitions: nothing remains to dynamic-
+          // overwrite them with — remove the partition dirs outright
+          val emptied = touched.join(
+              kept.select(col("ingest_batch").cast("long")
+                .as("ingest_batch")).distinct(),
+              Seq("ingest_batch"), "left_anti")
+            .collect().map(_.getLong(0)) // takedown-list-sized
+          emptied.foreach { b =>
+            val p = java.nio.file.Paths.get(path, s"ingest_batch=$b")
+            if (java.nio.file.Files.exists(p))
+              java.nio.file.Files.walk(p)
+                .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+          }
+        }
+      }
+    }
+    purge("bands", Seq("id"))
+    purge("vecs", Seq(idCol))
+    purge("pairs", Seq("id_a", "id_b"))
+  }
+
   /** Streaming form: per micro-batch of new vectors, maintain the
     * persisted LSH index and emit the batch's near-dup pairs. The
     * caller picks trigger/checkpoint. */

@@ -473,6 +473,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("index takedown: retracted ids leave every store; pairs that " +
+      "reference them go too; emptied partitions are removed") {
+    import graft.model.Rows.Embedding
+    import graft.operators.Similarity
+    def v(id: Long, x: Float, y: Float, z: Float, w: Float) =
+      Embedding(id, Array(x, y, z, w), 0)
+    val tables = Similarity.nearDupTables(8L, 4, 0.9)
+    val idx = java.nio.file.Files
+      .createTempDirectory("embed_takedown").toString
+    val b0 = Seq(v(1, 1f, 0f, 0f, 0f), v(3, 0f, 1f, 0f, 0f))
+    val b1 = Seq(v(2, 1f, 0.01f, 0f, 0f), v(4, 0f, 1f, 0.01f, 0f),
+      v(5, 0f, 0f, 1f, 0f))
+    graft.streaming.EmbedStreams.ingestBatch(
+      b0.toDS().toDF(), 0L, idx, tables, threshold = 0.9)
+    graft.streaming.EmbedStreams.ingestBatch(
+      b1.toDS().toDF(), 1L, idx, tables, threshold = 0.9)
+    def pairSet = spark.read.parquet(s"$idx/pairs")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairSet == Set((1L, 2L), (3L, 4L)))
+
+    graft.streaming.EmbedStreams.retractIds(Seq(2L).toDF("vec_id"), idx)
+    assert(spark.read.parquet(s"$idx/vecs").select($"vec_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L, 5L))
+    assert(spark.read.parquet(s"$idx/bands")
+      .filter($"id" === 2L).count() == 0L)
+    // the (1,2) pair references withdrawn content — it must be gone
+    assert(pairSet == Set((3L, 4L)))
+
+    // retracting 1 and 3 empties batch 0's vec/band partitions AND
+    // batch 1's pairs partition — all three dirs physically removed
+    graft.streaming.EmbedStreams.retractIds(
+      Seq(1L, 3L).toDF("vec_id"), idx)
+    assert(!new java.io.File(s"$idx/vecs/ingest_batch=0").exists())
+    assert(!new java.io.File(s"$idx/bands/ingest_batch=0").exists())
+    assert(!new java.io.File(s"$idx/pairs/ingest_batch=1").exists())
+    assert(spark.read.parquet(s"$idx/vecs").select($"vec_id")
+      .as[Long].collect().sorted.toSeq == Seq(4L, 5L))
+  }
+
   test("windowed top-k emits the planted heavy hitter first") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
