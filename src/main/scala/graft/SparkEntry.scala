@@ -640,6 +640,70 @@ object SparkEntry {
             col("sig_a") === col("sig_b")).as("roundtrip_ok")))
   }
 
+  /** l06 — DYNAMIC PARTITION PRUNING over the month-partitioned lake:
+    * the reason [[graft.sources.PartitionedLake]] partitions by month
+    * at all. The filter that decides WHICH months matter lives on a
+    * dimension (here: the order-calendar dim, filtered on year+quarter
+    * — columns the fact's partition key only determines indirectly, so
+    * no static prune is possible); Spark's DPP rule turns the joined
+    * dim into a runtime IN-subquery on the fact scan's PartitionFilters
+    * (pinned in PlanShapeSpec), so a 100 TB decade-deep lake opens
+    * exactly the 3 matching months' files instead of scanning
+    * everything into the join. The dim broadcasts; DPP reuses that
+    * same broadcast exchange as the pruning subquery — the prune is
+    * free. Oracle: recomputes the whole join+aggregate from the
+    * original parquet, gating the write→prune→join→agg path. */
+  private def l06(s: SparkSession, d: String): DataFrame = {
+    val lake = s"/tmp/graft_dpp_${Integer.toHexString(d.hashCode)}"
+    graft.sources.PartitionedLake.writeByMonth(
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity", "l_shipdate"),
+      "l_shipdate", lake)
+    val dim = Tables.orders(s, d)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"))
+      .filter(col("yr") === 1997 && col("qtr") === 1)
+      .select("month").distinct()
+    s.read.parquet(lake).join(dim, Seq("month"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
+
+  /** l07 — small-file COMPACTION maintenance
+    * ([[graft.sources.PartitionedLake.compactAll]]): streaming ingest
+    * (st09/st11's upsert-per-batch discipline) leaves each partition
+    * holding one file per micro-batch; every later scan pays a task +
+    * a parquet footer per file, which at 100 TB is the difference
+    * between a manifest read and a namenode meltdown. The fixture
+    * stages the documents lake pre-fragmented (8 hash buckets × one
+    * file per lang each), compacts to one file per lang, and emits the
+    * per-lang aggregate FROM THE COMPACTED LAKE — the oracle's
+    * parquet-derived numbers gate that re-layout moved no rows — plus
+    * the FS-measured before/after file-count booleans. */
+  private def l07(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.PartitionedLake
+    val lake = s"/tmp/graft_compact_${Integer.toHexString(d.hashCode)}"
+    Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      .repartition(8, col("doc_id"))
+      .write.mode("overwrite").partitionBy("lang").parquet(lake)
+    val before = PartitionedLake.partitionFileCounts(s, lake, "lang")
+    PartitionedLake.compactAll(s, lake, "lang")
+    val after = PartitionedLake.partitionFileCounts(s, lake, "lang")
+    val sp = s
+    import sp.implicits._
+    val counts = before.keys.toSeq.sorted
+      .map(l => (l, before(l), after.getOrElse(l, 0)))
+      .toDF("lang", "files_before", "files_after")
+    s.read.parquet(lake)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .join(broadcast(counts), Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("sum_chars"),
+        (col("files_before") >= 4).as("had_small_files"),
+        (col("files_after") === 1).as("compacted_ok"))
+  }
+
   /** l02 — dirty CSV ingest with quarantine: the lake-level form of the
     * reference's P4 tolerance asymmetry. The reference either skips a
     * dirty dimension row or fails the whole fact load; a 100 TB ingest
@@ -4527,6 +4591,8 @@ object SparkEntry {
     "l03_orc_roundtrip" -> (l03 _),
     "l04_schema_evolution" -> (l04 _),
     "l05_avro_roundtrip" -> (l05 _),
+    "l06_dpp_prune" -> (l06 _),
+    "l07_compaction" -> (l07 _),
     "c13_split_decontam" -> (c13 _),
     "t33_cdc_chunking" -> (t33 _),
     "g09_incremental_cc" -> (g09 _),
@@ -5941,6 +6007,26 @@ object SparkEntry {
     "l05_avro_roundtrip" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_lang,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, TRUE AS roundtrip_ok
+        |FROM documents GROUP BY 1""".stripMargin,
+    // l06: the join+aggregate recomputed from the ORIGINAL parquet —
+    // gates the partitioned write, the runtime prune, and the join; the
+    // dim month-set is re-derived independently as an IN-subquery
+    "l06_dpp_prune" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |  count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE strftime(l_shipdate, '%Y-%m') IN (
+        |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m')
+        |  FROM orders
+        |  WHERE year(o_orderdate) = 1997 AND quarter(o_orderdate) = 1)
+        |GROUP BY 1""".stripMargin,
+    // l07: per-lang numbers recomputed from parquet gate that the
+    // compaction re-layout moved no rows; the file-count booleans are
+    // Spark-side FS measurements (8 hash buckets staged -> 1 compacted)
+    "l07_compaction" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  TRUE AS had_small_files, TRUE AS compacted_ok
         |FROM documents GROUP BY 1""".stripMargin,
     // the Bloom prune is output-invisible by construction (false
     // positives die in the exact join), so the oracle is the PLAIN join

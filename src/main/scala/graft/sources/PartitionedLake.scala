@@ -100,6 +100,60 @@ object PartitionedLake {
     * same files in one job (even behind cache()) is not safe — cached
     * blocks can be evicted or lost mid-write and recomputation would
     * read half-deleted source files. */
+  /** Data-file count per `partCol` partition — the small-file health
+    * metric a compaction decision reads. Driver-side FS listing:
+    * metadata-scale (one directory listing per partition value), never
+    * row data; at lake scale this is the manifest read every table
+    *-maintenance service performs. */
+  def partitionFileCounts(spark: SparkSession, path: String,
+                          partCol: String): Map[String, Int] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Map.empty
+    else fs.listStatus(root).iterator
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(partCol + "="))
+      .map { dir =>
+        val value = dir.getPath.getName.stripPrefix(partCol + "=")
+        val n = fs.listStatus(dir.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        value -> n
+      }.toMap
+  }
+
+  /** Whole-lake small-file compaction: rewrite every `partCol`
+    * partition into ONE file each. Streaming ingest leaves a partition
+    * holding as many files as micro-batches that touched it; every
+    * later scan pays one task + one footer per file, so periodic
+    * compaction is what keeps a 100 TB lake readable. One shuffle
+    * clusters each partition's rows into a single task (hash
+    * repartition on the partition column), the partitioned write then
+    * emits exactly one file per value; rows never cross partition
+    * values, so the rewrite is pure re-layout. [[compactMonth]]'s
+    * durable-copy rule applies — the compacted data is persisted to a
+    * sibling temp dir FIRST (outside `path`: the swap overwrites
+    * `path`'s partition dirs while reading the copy), because reading
+    * and overwriting the same files in one job is unsafe. A partition
+    * too large for one task takes a salt column next to `partCol` in
+    * the repartition (the q26/q42 discipline) to land `targetFiles`
+    * instead of 1 — single-file is the fixture-scale shape. */
+  def compactAll(spark: SparkSession, path: String, partCol: String): Unit = {
+    val tmp = s"${path.stripSuffix("/")}__compact_tmp"
+    spark.read.parquet(path)
+      .repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+    try
+      withDynamicOverwrite(spark) {
+        spark.read.parquet(tmp)
+          .write.mode("overwrite").partitionBy(partCol).parquet(path)
+      }
+    finally {
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+  }
+
   def compactMonth(spark: SparkSession, path: String, month: String,
                    targetFiles: Int = 1): Unit = {
     val tmp = s"$path/.compact_tmp_$month"

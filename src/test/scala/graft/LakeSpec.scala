@@ -69,6 +69,31 @@ class LakeSpec extends SparkSpec {
     assert(PartitionedLake.readMonth(spark, lake, "1998-03").count() == rowsBefore)
   }
 
+  test("compactAll rewrites every partition to one file, same content") {
+    val lake = java.nio.file.Files.createTempDirectory("lake_spec3").toString
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select($"doc_id", $"lang", $"n_chars")
+    docs.repartition(6, $"doc_id")
+      .write.mode("overwrite").partitionBy("lang").parquet(lake)
+    val before = PartitionedLake.partitionFileCounts(spark, lake, "lang")
+    assert(before.nonEmpty && before.values.exists(_ > 1), before.toString)
+    val sigBefore = spark.read.parquet(lake)
+      .agg(expr("bit_xor(xxhash64(doc_id, lang, n_chars))"), count(lit(1)))
+      .collect().head
+
+    PartitionedLake.compactAll(spark, lake, "lang")
+
+    val after = PartitionedLake.partitionFileCounts(spark, lake, "lang")
+    assert(after.keySet == before.keySet, "no partition value lost")
+    assert(after.values.forall(_ == 1), after.toString)
+    val sigAfter = spark.read.parquet(lake)
+      .agg(expr("bit_xor(xxhash64(doc_id, lang, n_chars))"), count(lit(1)))
+      .collect().head
+    assert(sigBefore == sigAfter, "compaction is pure re-layout")
+    // the temp staging dir must not survive
+    assert(!new java.io.File(s"${lake}__compact_tmp").exists())
+  }
+
   test("jsonl roundtrip is exact on newlines, quotes, unicode, nulls") {
     // the l01 sink/source pattern on adversarial content: JSON string
     // escaping must carry every byte back (a newline inside a field is

@@ -58,6 +58,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("l06: the dim join prunes the lake scan at RUNTIME (DPP)") {
+    // the month list is only known after filtering the dim, so the
+    // prune must be a dynamicpruning expression in PartitionFilters —
+    // a post-scan row filter here means a decade-deep lake is read
+    val p = plan("l06_dpp_prune")
+    assert(p.contains("dynamicpruningexpression"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q37: range join is a bucket equi-join, not a nested loop") {
     val p = plan("q37_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
