@@ -1243,6 +1243,34 @@ object SparkEntry {
         .agg(countDistinct(col("h")).as("shared_after"))))
   }
 
+  /** c14 — deterministic WEIGHTED sampling without replacement (order
+    * sampling with priorities: Ohlsson's sequential Poisson sampling /
+    * Duffield–Lund–Thorup priority sampling, public literature): each
+    * doc draws a reproducible uniform from md5(doc_id:salt) (52-bit
+    * hex prefix — the t12/c06 md5-arithmetic discipline) and the k
+    * docs with the SMALLEST priority u/w form the sample, so a doc's
+    * inclusion odds scale with its weight (w = n_chars: char-budget-
+    * proportional corpus draws). The draw is a pure function of corpus
+    * content — re-running the pipeline reproduces the SAME sample (the
+    * training-data lineage requirement rand() can never meet), and
+    * membership depends on nothing but the k-th priority. Scale shape:
+    * one scan computes priorities, the global smallest-k is
+    * TakeOrderedAndProject (per-partition top-k, k·P-row driver merge
+    * — never a global sort), weights never shuffle. Oracle: identical
+    * integer-hash arithmetic — u is exact in both engines and u/w is
+    * one correctly-rounded IEEE division, so even the emitted double
+    * priority is bit-identical. */
+  private def c14(s: SparkSession, d: String): DataFrame = {
+    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":ws42"))), 1, 13), 16, 10).cast("long") + lit(1L)
+    val w = greatest(col("n_chars"), lit(1L))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (u.cast("double") / w.cast("double")).as("priority"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+      .limit(100)
+  }
+
   /** d06 — exact n-gram (3-shingle) Jaccard dedup pairs: the
     * order-sensitive cousin of d04's token-set Jaccard (a doc pair must
     * share word SEQUENCES, not just vocabulary). Same operator that
@@ -2935,6 +2963,47 @@ object SparkEntry {
       .toDF("rows_in", "rows_kept", "zero_discount", "kept_cents")
   }
 
+  /** q90 — data-quality ASSERTION SUITE (the Deequ-style constraint
+    * battery, public literature: Schelter et al. 2018, "Automating
+    * Large-Scale Data Quality Verification"): one report row per
+    * declared constraint — row-count floor, completeness, key
+    * uniqueness, value range, accepted value set, referential
+    * integrity — each with its measured metric and a pass boolean.
+    * This is the gate a 100 TB ingest runs BEFORE publishing a
+    * snapshot: assertions over aggregates, never row-by-row rules.
+    * Scale shape: the five single-table constraints ride ONE
+    * aggregation pass over orders (conditional counts fuse into the
+    * same partial agg); referential integrity is one left-anti count
+    * against the customer dim (broadcast — dim-sized by star-schema
+    * construction). The report is 6 fixed rows; nothing data-sized
+    * reaches the driver. Integer-exact end to end. */
+  private def q90(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val base = o.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+        .as("n_null_cust"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_dup_key"),
+      sum(when(col("o_totalprice").isNull || col("o_totalprice") <= 0, 1L)
+        .otherwise(0L)).as("n_bad_price"),
+      sum(when(col("o_orderstatus").isNull ||
+          !col("o_orderstatus").isin("O", "F", "P"), 1L)
+        .otherwise(0L)).as("n_bad_status"))
+    val orphans = o.join(
+        Tables.customer(s, d).select(col("c_custkey").as("o_custkey")),
+        Seq("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan"))
+    base.crossJoin(orphans).select(expr(
+      """stack(6,
+        |  'row_count_min',          n_rows,       n_rows >= 1000,
+        |  'complete_o_custkey',     n_null_cust,  n_null_cust = 0,
+        |  'unique_o_orderkey',      n_dup_key,    n_dup_key = 0,
+        |  'range_o_totalprice_pos', n_bad_price,  n_bad_price = 0,
+        |  'values_o_orderstatus',   n_bad_status, n_bad_status = 0,
+        |  'ref_orders_customer',    n_orphan,     n_orphan = 0
+        |) AS (check_name, metric, pass)""".stripMargin))
+  }
+
   /** q49 — matched-model Laspeyres price index over lineitem: per
     * (month, item) representative price = min observed (min, not avg —
     * deterministic under duplicates and engine-order-independent), base
@@ -4594,6 +4663,7 @@ object SparkEntry {
     "l06_dpp_prune" -> (l06 _),
     "l07_compaction" -> (l07 _),
     "c13_split_decontam" -> (c13 _),
+    "c14_weighted_sample" -> (c14 _),
     "t33_cdc_chunking" -> (t33 _),
     "g09_incremental_cc" -> (g09 _),
     "c01_curation_pipeline" -> (c01 _),
@@ -4730,6 +4800,7 @@ object SparkEntry {
     "q86_scd2_merge" -> (q86 _),
     "q88_ivm_agg" -> (q88 _),
     "q89_observe_metrics" -> (q89 _),
+    "q90_dq_suite" -> (q90 _),
     "s10_ann_pq" -> (s10 _),
     "s11_hard_negatives" -> (s11 _),
     "s12_ann_filtered" -> (s12 _),
@@ -5460,6 +5531,36 @@ object SparkEntry {
         |    THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT)
         |    ELSE 0 END) AS BIGINT) AS kept_cents
         |FROM lineitem""".stripMargin,
+    // q90: every metric re-derived as plain SQL aggregates; the pass
+    // booleans repeat the same integer comparisons
+    "q90_dq_suite" ->
+      """WITH b AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_null_cust,
+        |    count(*) - count(DISTINCT o_orderkey) AS n_dup_key,
+        |    CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_price,
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL
+        |      OR o_orderstatus NOT IN ('O', 'F', 'P')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_status
+        |  FROM orders),
+        |orph AS (
+        |  SELECT count(*) AS n_orphan FROM orders o
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |SELECT 'row_count_min' AS check_name, n_rows AS metric,
+        |  n_rows >= 1000 AS pass FROM b
+        |UNION ALL SELECT 'complete_o_custkey', n_null_cust,
+        |  n_null_cust = 0 FROM b
+        |UNION ALL SELECT 'unique_o_orderkey', n_dup_key,
+        |  n_dup_key = 0 FROM b
+        |UNION ALL SELECT 'range_o_totalprice_pos', n_bad_price,
+        |  n_bad_price = 0 FROM b
+        |UNION ALL SELECT 'values_o_orderstatus', n_bad_status,
+        |  n_bad_status = 0 FROM b
+        |UNION ALL SELECT 'ref_orders_customer', n_orphan,
+        |  n_orphan = 0 FROM orph""".stripMargin,
     "q01_clean_project" ->
       """SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
         |CAST(l_suppkey AS BIGINT) AS premise_code,
@@ -5984,6 +6085,18 @@ object SparkEntry {
         |  (SELECT CAST(count(DISTINCT s) AS BIGINT) FROM tr JOIN te USING (s)
         |   WHERE tr.doc_id NOT IN (SELECT doc_id FROM pruned))
         |    AS shared_after""".stripMargin,
+    // c14: the identical integer-hash priority arithmetic — u is an
+    // exact 52-bit integer both engines derive from the same md5 hex,
+    // u/w is one correctly-rounded IEEE division, so even the double
+    // `priority` column is bit-identical
+    "c14_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars,
+        |  (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws42'),
+        |      1, 13))::BIGINT + 1)::DOUBLE
+        |    / greatest(n_chars, 1) AS priority
+        |FROM documents
+        |ORDER BY priority, doc_id
+        |LIMIT 100""".stripMargin,
     // l04: every number predicted from documents + the parity split
     // rule — the staged evolving-schema files are never read here
     "l04_schema_evolution" ->
