@@ -121,6 +121,11 @@ object RecallProbe {
     // operator default is 6, which under-reports the shipped margin
     annRecall("s03_ivf", Similarity.ivfTopK(emb, q, 10, nProbe = 7))
     annRecall("s10_pq", Similarity.pqTopK(emb, q, 10))
+    // m=16/rerank=500 match the REGISTERED s16 contract: measured min
+    // hits 5 at both SFs — the coarse quantizer's cell-residency
+    // ceiling (s03's row), i.e. the residual-PQ stage loses nothing
+    annRecall("s16_ivfadc",
+      Similarity.ivfAdcTopK(emb, q, 10, m = 16, rerank = 500))
 
     // s12: filtered ANN recall is vs the LABEL-FILTERED exact truth
     {

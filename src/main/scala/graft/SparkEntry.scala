@@ -1596,6 +1596,27 @@ object SparkEntry {
       .crossJoin(broadcast(eq))
   }
 
+  /** s16 — IVFADC, the composed production ANN index
+    * ([[Similarity.ivfAdcTopK]]: IVF coarse cells + product-quantized
+    * RESIDUALS + per-(query, cell) ADC lookup tables + exact rerank —
+    * Jégou, Douze & Schmid 2011 §IV, the faiss IndexIVFPQ shape),
+    * checked as recall@10 >= 0.4 per query vs the brute-force truth.
+    * Measured min hits = 5 at BOTH SFs with m=16 subspaces and the
+    * 500-wide ADC shortlist (RecallProbe) — exactly the coarse
+    * quantizer's cell-residency ceiling (s03's measured min), i.e.
+    * the residual-PQ stage recovers every true neighbor the cell
+    * routing kept; 4 is the contract with one hit of margin. The
+    * composite is the 100 TB memory story: a scanned candidate costs
+    * m one-byte codes + its cell id, not the float vector, and only
+    * nProbe/nLists of the corpus is scanned at all. */
+  private def s16(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+    annRecallCheck(
+      Similarity.ivfAdcTopK(emb, q, k = 10, m = 16, rerank = 500),
+      Similarity.bruteForceTopK(emb, q, k = 10), minHits = 4)
+  }
+
   /** s13 — distributed Lloyd k-means refinement (LLOYD K-MEANS
     * CONTRACT, KMeansLloyd.scaladoc): k=8, 2 full-corpus iterations on
     * the int8-quantized embeddings — hash-ranked deterministic seeds,
@@ -4807,6 +4828,7 @@ object SparkEntry {
     "s13_kmeans_lloyd" -> (s13 _),
     "s14_embedding_drift" -> (s14 _),
     "s15_ann_persisted" -> (s15 _),
+    "s16_ann_ivfadc" -> (s16 _),
     "t27_bpe_pairs" -> (t27 _),
   )
 
@@ -4877,6 +4899,11 @@ object SparkEntry {
     "s10_ann_pq" -> ((s: SparkSession, d: String) => {
       val emb = Tables.embeddings(s, d)
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
+    }),
+    "s16_ann_ivfadc" -> ((s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfAdcTopK(emb, emb.filter(col("vec_id") < 10), k = 10,
+        m = 16, rerank = 500)
     }),
     "s12_ann_filtered" -> ((s: SparkSession, d: String) => {
       val emb = Tables.embeddings(s, d)
@@ -6365,6 +6392,11 @@ object SparkEntry {
       """SELECT vec_id AS query_id, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "s03_ann_ivf" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // s16: same contract shape as s03/s10 — the recall bound vs the
+    // exact truth is asserted in-Spark (annRecallCheck)
+    "s16_ann_ivfadc" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     // s15: s02's recall contract + the computed index==rebuild equality

@@ -639,32 +639,92 @@ object Similarity {
              seed: Long = 42L, trainCap: Int = 4096,
              idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val (_, dim) = corpusStats(corpus, vecCol)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     def slices(df: DataFrame, outId: String): DataFrame =
-      df.select(col(idCol).as(outId), posexplode(transform(
+      sliceFrame(df, outId, m, sub, idCol, vecCol)
+    val codebook = trainPqCodebook(corpus, m, sub, codeK, trainCap,
+      idCol, vecCol)
+    // encode: argmin over |sv−cen|² = cnorm2 − 2·dot + |sv|²; |sv|² is
+    // constant within the group, so the 9dp-rounded key + code break
+    // is a deterministic min
+    val codes = slices(corpus, "cand_id")
+      .join(broadcast(codebook), Seq("j"))
+      .groupBy(col("cand_id"), col("j"))
+      .agg(min(struct(
+        round(col("cnorm2") -
+          lit(2.0) * VectorFunctions.dot(col("sv"), col("cen")), 9)
+          .as("dk"),
+        col("code").as("code"))).as("best"))
+      .select(col("cand_id"), col("j"), col("best.code").as("code"))
+    val lut = slices(queries, "query_id")
+      .join(broadcast(codebook), Seq("j"))
+      .select(col("query_id"), col("j"), col("code"),
+        VectorFunctions.dot(col("sv"), col("cen")).as("dq"),
+        col("cnorm2"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adck").desc, col("cand_id").asc)
+    val shortlist = codes.join(broadcast(lut), Seq("j", "code"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("dq")).as("sdot"), sum(col("cnorm2")).as("sn2"))
+      .withColumn("adck", round(col("sdot") / sqrt(col("sn2")), 9))
+      .withColumn("arnk", row_number().over(wA))
+      .filter(col("arnk") <= rerank)
+      .select(col("query_id"), col("cand_id"))
+    val wR = Window.partitionBy(col("query_id"))
+      .orderBy(col("rsim").desc, col("cand_id").asc)
+    shortlist
+      .join(corpus.select(col(idCol).as("cand_id"),
+        col(vecCol).as("cand_vec")), Seq("cand_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("query_vec"))), Seq("query_id"))
+      .withColumn("rsim",
+        round(VectorFunctions.cosine(col("cand_vec"), col("query_vec")), 9))
+      .withColumn("rnk", row_number().over(wR))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("cand_id"), round(col("rsim"), 4).as("sim"))
+  }
+
+  /** Explode `df`'s `vecCol` into its m contiguous `sub`-dim
+    * subvectors: one row per (id, j, sv), plus `carryCols` repeated on
+    * every row — the shared slicing step of the PQ family. */
+  private def sliceFrame(df: DataFrame, outId: String, m: Int, sub: Int,
+                         idCol: String, vecCol: String,
+                         carryCols: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol).as(outId) +: carryCols.map(col) :+
+        posexplode(transform(
           sequence(lit(0), lit(m - 1)),
-          j => slice(col(vecCol), j * lit(sub) + 1, lit(sub)))))
-        .select(col(outId), col("pos").cast("int").as("j"),
-          col("col").as("sv"))
-    // codebook training is DRIVER-SIDE Lloyd over the bounded
-    // hash-ranked sample (trainCap·m subvectors of D/m floats — KBs):
-    // one collect, zero per-fit job overhead, and full determinism —
-    // the sample set is total-order-selected, the per-subspace pool is
-    // lex-sorted before the evenly-spaced init, assignment ties break
-    // to the lowest code, and empty cells keep their centroid, so the
-    // codebook is a pure function of the corpus content
-    val train = corpus
+          j => slice(col(vecCol), j * lit(sub) + 1, lit(sub)))): _*)
+      .select(col(outId) +: carryCols.map(col) :+
+        col("pos").cast("int").as("j") :+ col("col").as("sv"): _*)
+
+  /** Per-subspace sub-quantizer codebooks — DRIVER-SIDE Lloyd over the
+    * bounded hash-ranked sample (trainCap·m subvectors of D/m floats —
+    * KBs): one collect, zero per-fit job overhead, and full
+    * determinism — the sample set is total-order-selected, the
+    * per-subspace pool is lex-sorted before the evenly-spaced init,
+    * assignment ties break to the lowest code, and empty cells keep
+    * their centroid, so the codebook is a pure function of the input
+    * content. Shared by [[pqTopK]] (raw vectors) and [[ivfAdcTopK]]
+    * (coarse-cell residuals).
+    * @return (j, code, cen: array<float>, cnorm2: double) */
+  private[graft] def trainPqCodebook(vecs: DataFrame, m: Int, sub: Int,
+                                     codeK: Int, trainCap: Int,
+                                     idCol: String, vecCol: String)
+      : DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val train = vecs
       .sort(xxhash64(col(idCol)), col(idCol)).limit(trainCap)
       .select(col(idCol), col(vecCol))
-    val sampleRows = slices(train, "tid")
+    val sampleRows = sliceFrame(train, "tid", m, sub, idCol, vecCol)
       .select(col("j"), col("sv")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
     val ordD = math.Ordering.Double.TotalOrdering
-    val codebook = (0 until m).flatMap { j =>
+    (0 until m).flatMap { j =>
       val pool = sampleRows.iterator.filter(_._1 == j).map(_._2).toArray
       // element comparison via Double.compare (a TOTAL order): an
       // `x != y` guard would treat -0.0 and 0.0 as equal and fall
@@ -702,39 +762,113 @@ object Similarity {
         (j, code, arr, arr.map(x => x.toDouble * x).sum)
       }
     }.toSeq.toDF("j", "code", "cen", "cnorm2")
-    // encode: argmin over |sv−cen|² = cnorm2 − 2·dot + |sv|²; |sv|² is
-    // constant within the group, so the 9dp-rounded key + code break
-    // is a deterministic min
-    val codes = slices(corpus, "cand_id")
+  }
+
+  /** IVFADC — the composed production ANN index (Jégou, Douze &
+    * Schmid 2011 §IV: inverted file + asymmetric distance computation):
+    * [[ivfTopK]]'s coarse quantizer routes each vector to a cell, PQ
+    * codes ([[trainPqCodebook]]) quantize the RESIDUAL vector − its
+    * cell centroid (residuals concentrate near 0, so the same code
+    * budget spends its resolution where the data actually is — the
+    * reason the composite beats flat PQ), and each query scans only
+    * its nProbe closest cells with per-(query, cell) ADC lookup
+    * tables over the residual codebook:
+    *   ‖q − (c + r̂)‖² = ‖(q−c) − r̂‖² = Σⱼ |（q−c)ⱼ|² − 2·dot((q−c)ⱼ,
+    *   cen[j,codeⱼ]) + |cen[j,codeⱼ]|²
+    * — m table lookups per candidate. Exact cosine re-ranks the
+    * top-`rerank` shortlist; recall vs brute force is the s16
+    * contract. Vectors are unit-normalized up front so the ADC's L2
+    * ordering IS the cosine ordering (the standard cosine-on-IVFADC
+    * reduction).
+    *
+    * Scale shape: corpus passes are the assignment (broadcast
+    * centroids), the residual encode (broadcast m·codeK codebook,
+    * argmin as a partial-combining min-struct aggregation), and the
+    * LUT-join scan in which a candidate row carries m (4+8)-byte
+    * codes instead of the float vector; the probe filter is the
+    * (cell, j, code) equi-join itself — un-probed cells never leave
+    * the scan. Queries, centroids, codebooks, and LUTs broadcast;
+    * the corpus never shuffles on anything but its own aggregations.
+    * Rankings order by 9dp-rounded keys + id so shortlist membership
+    * is engine- and partitioning-reproducible. */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 nLists: Int = 16, nProbe: Int = 7, m: Int = 8,
+                 codeK: Int = 16, rerank: Int = 250, seed: Long = 42L,
+                 trainCap: Int = 4096, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val (_, dim) = corpusStats(corpus, vecCol)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    def unit(df: DataFrame): DataFrame = {
+      val nrm = sqrt(VectorFunctions.dot(col(vecCol), col(vecCol)))
+      df.select(col(idCol),
+        transform(col(vecCol), x => (x / nrm).cast("float")).as(vecCol))
+    }
+    val uCorpus = unit(corpus)
+    val (assigned, centroids) =
+      clusterAssign(uCorpus, nLists, seed, trainCap, idCol, vecCol)
+    val resid = assigned.join(broadcast(centroids), Seq("cell"))
+      .select(col("cand_id"), col("cell"),
+        zip_with(col("cand_vec"), col("centroid"),
+          (a, b) => a - b).as("rvec"))
+    val codebook =
+      trainPqCodebook(resid, m, sub, codeK, trainCap, "cand_id", "rvec")
+    // residual encode: argmin_code |rvⱼ−cen|² (the pqTopK discipline —
+    // |rvⱼ|² is constant within the group, 9dp-rounded key + code
+    // tie-break make the min deterministic); `cell` rides along so the
+    // scoring join needs no second corpus-sized join
+    val codes = sliceFrame(resid, "cand_id", m, sub, "cand_id", "rvec",
+        carryCols = Seq("cell"))
       .join(broadcast(codebook), Seq("j"))
-      .groupBy(col("cand_id"), col("j"))
+      .groupBy(col("cand_id"), col("cell"), col("j"))
       .agg(min(struct(
         round(col("cnorm2") -
           lit(2.0) * VectorFunctions.dot(col("sv"), col("cen")), 9)
           .as("dk"),
         col("code").as("code"))).as("best"))
-      .select(col("cand_id"), col("j"), col("best.code").as("code"))
-    val lut = slices(queries, "query_id")
+      .select(col("cand_id"), col("cell"), col("j"),
+        col("best.code").as("code"))
+    val uQueries = unit(queries)
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell").asc)
+    val qres = uQueries
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim",
+        VectorFunctions.cosine(col("query_vec"), col("centroid")))
+      .withColumn("prnk", row_number().over(probeW))
+      .filter(col("prnk") <= nProbe)
+      .select(col("query_id"), col("cell"),
+        zip_with(col("query_vec"), col("centroid"),
+          (a, b) => a - b).as("qrv"))
+    val lut = sliceFrame(qres, "query_id", m, sub, "query_id", "qrv",
+        carryCols = Seq("cell"))
       .join(broadcast(codebook), Seq("j"))
-      .select(col("query_id"), col("j"), col("code"),
+      .select(col("query_id"), col("cell"), col("j"), col("code"),
         VectorFunctions.dot(col("sv"), col("cen")).as("dq"),
-        col("cnorm2"))
+        col("cnorm2"),
+        VectorFunctions.dot(col("sv"), col("sv")).as("qc2"))
+    // a candidate's m code rows match exactly its own cell's LUT rows,
+    // so the equi-join IS the probe filter; each (query, cand) group
+    // sums m lookups
     val wA = Window.partitionBy(col("query_id"))
-      .orderBy(col("adck").desc, col("cand_id").asc)
-    val shortlist = codes.join(broadcast(lut), Seq("j", "code"))
+      .orderBy(col("adist").asc, col("cand_id").asc)
+    val shortlist = codes.join(broadcast(lut), Seq("cell", "j", "code"))
       .filter(col("cand_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("cand_id"))
-      .agg(sum(col("dq")).as("sdot"), sum(col("cnorm2")).as("sn2"))
-      .withColumn("adck", round(col("sdot") / sqrt(col("sn2")), 9))
+      .agg(sum(col("qc2")).as("sq2"), sum(col("dq")).as("sdot"),
+        sum(col("cnorm2")).as("sn2"))
+      .withColumn("adist",
+        round(col("sq2") - lit(2.0) * col("sdot") + col("sn2"), 9))
       .withColumn("arnk", row_number().over(wA))
       .filter(col("arnk") <= rerank)
       .select(col("query_id"), col("cand_id"))
     val wR = Window.partitionBy(col("query_id"))
       .orderBy(col("rsim").desc, col("cand_id").asc)
     shortlist
-      .join(corpus.select(col(idCol).as("cand_id"),
+      .join(uCorpus.select(col(idCol).as("cand_id"),
         col(vecCol).as("cand_vec")), Seq("cand_id"))
-      .join(broadcast(queries.select(col(idCol).as("query_id"),
+      .join(broadcast(uQueries.select(col(idCol).as("query_id"),
         col(vecCol).as("query_vec"))), Seq("query_id"))
       .withColumn("rsim",
         round(VectorFunctions.cosine(col("cand_vec"), col("query_vec")), 9))

@@ -89,6 +89,10 @@ class RecallMarginSpec extends SparkSpec {
 
       val s10Min = minHits(Similarity.pqTopK(emb, q, 10))
       assert(s10Min >= 6, s"s10 margin gone: min hits $s10Min, contract 5")
+
+      val s16Min = minHits(
+        Similarity.ivfAdcTopK(emb, q, 10, m = 16, rerank = 500))
+      assert(s16Min >= 5, s"s16 margin gone: min hits $s16Min, contract 4")
     }
 
     test(s"q52 HLL estimates stay under HALF the 5pct allowance at $sfDir") {
