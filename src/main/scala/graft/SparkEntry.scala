@@ -3538,6 +3538,28 @@ object SparkEntry {
       base, edges(col("l_orderkey") % 7 === 0))
   }
 
+  /** g10 — common-neighbor LINK PREDICTION over the sparse co-purchase
+    * graph ([[graft.operators.Graph.linkPrediction]]): the top-100
+    * NON-adjacent pairs ranked by shared-neighbor count, with both
+    * degrees — the entity-resolution candidate generator (surface the
+    * pairs a pairwise matcher never compared) and the classic
+    * missing-edge signal. Same %16 edge family as g05. Oracle: the
+    * identical wedge/anti-join/top-k formulated as independent SQL
+    * CTEs — integer-exact, and the (n_common desc, u, v) cutoff is a
+    * total order so the top-100 set is engine-agnostic; a
+    * from-first-principles reference on handcrafted graphs lives in
+    * GraphSpec. */
+  private def g10(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 16 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    graft.operators.Graph.linkPrediction(edges, topK = 100)
+  }
+
   /** q81 — keyed-snapshot maintenance from the event stream, the batch
     * twin of st12 ([[graft.streaming.SnapshotCdc.applyUserBatch]]):
     * events split into two deterministic "ingest batches" (day ≤ 15 /
@@ -4687,6 +4709,7 @@ object SparkEntry {
     "c14_weighted_sample" -> (c14 _),
     "t33_cdc_chunking" -> (t33 _),
     "g09_incremental_cc" -> (g09 _),
+    "g10_link_prediction" -> (g10 _),
     "c01_curation_pipeline" -> (c01 _),
     "c02_incremental_dedup" -> (c02 _),
     "t05_chunking" -> (t05 _),
@@ -6039,6 +6062,31 @@ object SparkEntry {
         |  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id)
         |SELECT id AS node, CAST(min(comp) AS BIGINT) AS component
         |FROM reach GROUP BY 1""".stripMargin,
+    // g10: the identical wedge/anti-join/top-k re-formulated as SQL
+    // CTEs; integer-exact, (n_common desc, u, v) is a total order so
+    // the top-100 cutoff is engine-agnostic
+    "g10_link_prediction" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok,
+        |    l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 16 = 0),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p),
+        |adj AS (SELECT u AS a, v AS b FROM e
+        |  UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT a, count(*) AS deg FROM adj GROUP BY 1),
+        |wed AS (SELECT x.b AS u, y.b AS v, count(*) AS n_common
+        |  FROM adj x JOIN adj y ON x.a = y.a AND x.b < y.b
+        |  GROUP BY 1, 2),
+        |cand AS (SELECT w.u, w.v, w.n_common FROM wed w
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM e WHERE e.u = w.u AND e.v = w.v))
+        |SELECT c.u, c.v, c.n_common,
+        |  du.deg AS deg_u, dv.deg AS deg_v
+        |FROM cand c
+        |JOIN deg du ON du.a = c.u
+        |JOIN deg dv ON dv.a = c.v
+        |ORDER BY c.n_common DESC, c.u, c.v
+        |LIMIT 100""".stripMargin,
     // t33: same md5-prefix boundary CONTRACT (that is why it is md5,
     // not xxhash64 — the oracle must recompute it); segmentation
     // arithmetic re-derived with DuckDB's own window/string_agg forms

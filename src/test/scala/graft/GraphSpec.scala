@@ -336,6 +336,32 @@ class GraphSpec extends SparkSpec {
     assert(got.forall(_._3 == frontier.isEmpty))
   }
 
+  test("linkPrediction scores non-adjacent pairs by shared neighbors") {
+    // square 1-2-3-4-1: the two diagonals (1,3) and (2,4) are the only
+    // predictions, each sharing BOTH its endpoints' neighbors; plus a
+    // pendant 5 on node 1 → (2,5) and (4,5) share exactly {1}, and
+    // (3,5) shares nothing (no wedge) so it must NOT appear
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 5L))
+      .toDF("u", "v")
+    val got = Graph.linkPrediction(edges, topK = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 3L, 2L, 3L, 2L), // via 2 and 4; deg(1)=3, deg(3)=2
+      (2L, 4L, 2L, 2L, 2L), // via 1 and 3
+      (2L, 5L, 1L, 2L, 1L), // via 1
+      (4L, 5L, 1L, 2L, 1L)  // via 1
+    ), got.toString)
+    // existing edges never surface, reversed/duplicate input tolerated
+    val noisy = edges.unionAll(Seq((2L, 1L), (1L, 2L)).toDF("u", "v"))
+    val got2 = Graph.linkPrediction(noisy, topK = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got2 == got, got2.toString)
+    // topK truncates under the (n_common desc, u, v) total order
+    val top2 = Graph.linkPrediction(edges, topK = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(top2 == got.filter(_._3 == 2L), top2.toString)
+  }
+
   test("dupClusters labels every node, singletons included, with sizes") {
     val nodes = (1L to 8L).toDF("doc_id")
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
