@@ -704,6 +704,54 @@ object SparkEntry {
         (col("files_after") === 1).as("compacted_ok"))
   }
 
+  /** l08 — file-level ZONE-MAP skipping (the min/max data-skipping
+    * primitive every table format ships — Iceberg manifests, Delta
+    * file stats, parquet row-group pruning writ large): the lake is
+    * written RANGE-CLUSTERED on the key (repartitionByRange +
+    * sortWithinPartitions — q47's z-order discipline in one
+    * dimension), one scan builds the per-file (min, max, rows)
+    * manifest, and a key-range query consults the MANIFEST first —
+    * only files whose [min, max] intersects the predicate are passed
+    * to the reader at all; the rest are never opened. At 100 TB the
+    * manifest is file-count-sized metadata (a production table format
+    * reads it from footers/manifest files instead of the bootstrap
+    * scan staged here) and the skip turns a full-lake scan into a
+    * few-file read — clustering is what makes the zones tight. The
+    * query's bounds derive from the manifest's own global min/max
+    * (integer arithmetic the oracle re-derives from the table), the
+    * aggregate is computed from the PRUNED read, and `skip_effective`
+    * asserts the manifest actually dropped at least half the files —
+    * a pruning regression fails the gate, a row-loss regression fails
+    * the oracle numbers. */
+  private def l08(s: SparkSession, d: String): DataFrame = {
+    val lake = s"/tmp/graft_zonemap_${Integer.toHexString(d.hashCode)}"
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .repartitionByRange(16, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(lake)
+    val manifest = s.read.parquet(lake)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"))
+      .collect()
+    val gmin = manifest.map(_.getLong(1)).min
+    val gmax = manifest.map(_.getLong(2)).max
+    val lo = gmin + (gmax - gmin) / 2
+    val hi = gmin + (gmax - gmin) * 5 / 8
+    val matched = manifest
+      .filter(r => r.getLong(2) >= lo && r.getLong(1) <= hi)
+      .map(_.getString(0)).sorted
+    require(matched.nonEmpty, "zone-map prune emptied the file list")
+    s.read.parquet(matched.toIndexedSeq: _*)
+      .filter(col("l_orderkey").between(lo, hi))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_quantity"), 0).cast("long")).as("qty"),
+        sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("price_cents"))
+      .withColumn("skip_effective",
+        lit(matched.length * 2 <= manifest.length))
+  }
+
   /** l02 — dirty CSV ingest with quarantine: the lake-level form of the
     * reference's P4 tolerance asymmetry. The reference either skips a
     * dirty dimension row or fails the whole fact load; a 100 TB ingest
@@ -4705,6 +4753,7 @@ object SparkEntry {
     "l05_avro_roundtrip" -> (l05 _),
     "l06_dpp_prune" -> (l06 _),
     "l07_compaction" -> (l07 _),
+    "l08_zonemap_skip" -> (l08 _),
     "c13_split_decontam" -> (c13 _),
     "c14_weighted_sample" -> (c14 _),
     "t33_cdc_chunking" -> (t33 _),
@@ -6216,6 +6265,22 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  TRUE AS had_small_files, TRUE AS compacted_ok
         |FROM documents GROUP BY 1""".stripMargin,
+    // l08: the key-range bounds re-derived from the table's own
+    // min/max with the same integer arithmetic, the aggregate from the
+    // FULL table — if the manifest prune dropped a row, the numbers
+    // diverge; skip_effective is the Spark-side file-count measurement
+    "l08_zonemap_skip" ->
+      """WITH b AS (SELECT min(l_orderkey) AS gmin,
+        |    max(l_orderkey) AS gmax FROM lineitem)
+        |SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+        |    AS qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS price_cents,
+        |  TRUE AS skip_effective
+        |FROM lineitem, b
+        |WHERE l_orderkey BETWEEN gmin + (gmax - gmin) // 2
+        |  AND gmin + (gmax - gmin) * 5 // 8""".stripMargin,
     // the Bloom prune is output-invisible by construction (false
     // positives die in the exact join), so the oracle is the PLAIN join
     "q38_bloom_join" ->
