@@ -2370,6 +2370,40 @@ object SparkEntry {
         col("hamming").cast("long").as("hamming"))
   }
 
+  /** m09 — CROSS-MODAL dedup audit ("same image, different caption"):
+    * m08's perceptual image near-dup pairs joined against the TEXT
+    * modality's token-Jaccard — a pair whose images collide (Hamming
+    * <= 2) but whose captions disagree (J < 0.5) is the
+    * `caption_conflict` a multimodal training pipeline must surface
+    * before deduplicating: dropping one side silently discards a
+    * distinct caption for a shared image (the alt-text diversity that
+    * image-text training needs), while keeping both without the flag
+    * double-weights the image. Composes m05/m08 (image fingerprints,
+    * banded Hamming index) with d04's token-set convention
+    * ([[graft.functions.TextFunctions.tokenSet]]). Scale shape: the
+    * pair frame is candidate-bounded by the banded index; token sets
+    * join only the pair-touching docs (two hash joins), intersect/
+    * union are per-pair array kernels — the corpus is never
+    * all-paired on text. Integer-exact oracle: dHashes, Hamming, and
+    * the token set sizes are all re-derived in SQL. */
+  private def m09(s: SparkSession, d: String): DataFrame = {
+    val pairs = m08(s, d)
+    val toks = Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenSet(col("text")).as("toks"))
+    pairs
+      .join(toks.select(col("doc_id").as("asset_a"), col("toks").as("ta")),
+        Seq("asset_a"))
+      .join(toks.select(col("doc_id").as("asset_b"), col("toks").as("tb")),
+        Seq("asset_b"))
+      .select(col("asset_a"), col("asset_b"), col("hamming"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long")
+          .as("n_inter"),
+        size(array_union(col("ta"), col("tb"))).cast("long")
+          .as("n_union"))
+      .withColumn("caption_conflict", col("n_inter") * 2 < col("n_union"))
+  }
+
   /** m02 — video frame sampling: one row per 64-byte frame window.
     * Frame counts are pure arithmetic over payload sizes → oracle-able. */
   private def m02(s: SparkSession, d: String): DataFrame = {
@@ -4854,6 +4888,7 @@ object SparkEntry {
     "m06_audio_fingerprint" -> (m06 _),
     "m07_video_fingerprint" -> (m07 _),
     "m08_image_neardup" -> (m08 _),
+    "m09_caption_conflict" -> (m09 _),
     "q76_variant_battery" -> (q76 _),
     "c07_balance_upsample" -> (c07 _),
     "t24_pack_materialize" -> (t24 _),
@@ -8071,6 +8106,62 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
         |FROM hash a JOIN hash b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 2""".stripMargin,
+    // m09: m08's full dHash recomputation + the d04 token convention,
+    // composed; token-set sizes from documents directly (len of the
+    // distinct list) so a zero-token doc cannot drop the pair
+    "m09_caption_conflict" ->
+      """WITH img AS (SELECT doc_id, text, length(text) AS tl,
+        |    CAST(doc_id % 640 + 64 AS BIGINT) AS w,
+        |    CAST(doc_id % 480 + 48 AS BIGINT) AS h,
+        |    CAST(((doc_id % 640 + 64) * 3 + 3) // 4 * 4 AS BIGINT) AS stride
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |grid AS (SELECT doc_id, w, h, stride, text, tl,
+        |    r1.range AS x, r2.range AS y
+        |  FROM img, range(9) r1, range(8) r2),
+        |px AS (SELECT doc_id, x, y,
+        |    (SELECT sum(CASE
+        |        WHEN (y*h//8)*stride + (x*w//9)*3 + c.range < tl
+        |        THEN ascii(substr(text,
+        |          CAST((y*h//8)*stride + (x*w//9)*3 + c.range AS INT) + 1, 1))
+        |        ELSE 0 END)
+        |     FROM range(3) c) AS bright
+        |  FROM grid),
+        |bits AS (SELECT a.doc_id, a.y, a.x,
+        |    CASE WHEN a.bright > b.bright THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.y = b.y
+        |    AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |hash AS (SELECT doc_id,
+        |    CAST(CASE WHEN h128 >= 9223372036854775808
+        |         THEN h128 - 18446744073709551616 ELSE h128 END AS BIGINT)
+        |      AS dhash
+        |  FROM (SELECT doc_id,
+        |      sum(bit * (1::HUGEINT << CAST(y*8 + x AS INT))) AS h128
+        |    FROM bits GROUP BY doc_id)),
+        |hp AS (SELECT a.doc_id AS asset_a, b.doc_id AS asset_b,
+        |    CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        |  FROM hash a JOIN hash b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 2),
+        |tk AS (SELECT doc_id, unnest(list_distinct(
+        |    regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |sz AS (SELECT doc_id, CAST(len(list_distinct(
+        |    regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |inter AS (SELECT p.asset_a, p.asset_b, count(*) AS n_inter
+        |  FROM hp p JOIN tk a ON a.doc_id = p.asset_a
+        |            JOIN tk b ON b.doc_id = p.asset_b AND a.tok = b.tok
+        |  GROUP BY 1, 2)
+        |SELECT p.asset_a, p.asset_b, p.hamming,
+        |  CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+        |  CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS BIGINT) AS n_union,
+        |  coalesce(i.n_inter, 0) * 2
+        |    < sa.n + sb.n - coalesce(i.n_inter, 0) AS caption_conflict
+        |FROM hp p
+        |JOIN sz sa ON sa.doc_id = p.asset_a
+        |JOIN sz sb ON sb.doc_id = p.asset_b
+        |LEFT JOIN inter i ON i.asset_a = p.asset_a
+        |  AND i.asset_b = p.asset_b""".stripMargin,
     // VARIANT battery restated with DuckDB string-path JSON; the
     // minified roundtrip is REBUILT from the extracted value space
     // ('{"k":<int>}') rather than whitespace-stripping the raw string —
