@@ -5578,6 +5578,38 @@ object SparkEntry {
           case Some(v) => s.conf.set(key, v)
           case None => s.conf.unset(key)
         }
+      },
+      // ingest + MAINTENANCE in one drive: st09's per-batch upsert
+      // leaves one (month, ingest_batch) dir per micro-batch — the
+      // small-file debt a continuous ingest accrues; compactAll then
+      // folds each month to ONE file, retiring the ingest_batch
+      // partition level into a plain column (exactly the "compacted
+      // away by the maintenance path" step PartitionedLake.upsertBatch
+      // promises). The measured row is the full ingest+compact cycle;
+      // a content change aborts the drive loudly (count +
+      // order-insensitive signature re-read from the lake either side
+      // of the rewrite; layout semantics gated in StreamingSpec).
+      "st19_stream_lake_compact" -> { (s: SparkSession, d: String) =>
+        val lake = java.nio.file.Paths.get(
+          s"/tmp/graft_stream_lakec_${Integer.toHexString(d.hashCode)}")
+        if (java.nio.file.Files.exists(lake)) {
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          Files.walk(lake).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+        }
+        driveWith((_, _, src) =>
+          graft.streaming.EventStreams.toLake(src, lake.toString))(s, d)
+        def sig() = s.read.parquet(lake.toString)
+          .agg(count(lit(1)).as("n"), expr(
+            "bit_xor(xxhash64(event_id, user_id, month, ingest_batch))")
+            .as("sig"))
+          .collect().head
+        val before = sig()
+        graft.sources.PartitionedLake.compactAll(s, lake.toString, "month")
+        val after = sig()
+        require(before == after,
+          s"st19 compaction changed lake content: $before vs $after")
       })
   }
 

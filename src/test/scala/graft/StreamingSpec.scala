@@ -633,4 +633,45 @@ class StreamingSpec extends SparkSpec {
         Seq(1L, 2L, 3L, 4L))
     } finally q.stop()
   }
+
+  test("lake maintenance: compactAll retires ingest_batch dirs, " +
+      "one file per month, content intact (the st19 drive's contract)") {
+    implicit val sqlCtx = spark.sqlContext
+    val lake = java.nio.file.Files.createTempDirectory("stream_lakec").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_lakec_ck").toString
+    val mem = MemoryStream[Event]
+    val q = EventStreams.toLake(mem.toDF(), lake)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // three micro-batches, two sharing a month -> 2024-01 holds TWO
+      // ingest_batch dirs (the small-file debt the maintenance retires)
+      mem.addData(ev(1, "2024-01-01 00:01:00", 1), ev(2, "2024-02-01 00:02:00", 1))
+      q.processAllAvailable()
+      mem.addData(ev(3, "2024-01-03 00:03:00", 2))
+      q.processAllAvailable()
+      mem.addData(ev(4, "2024-02-02 00:04:00", 3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val before = spark.read.parquet(lake)
+      .select($"event_id", $"user_id", $"month", $"ingest_batch")
+      .as[(Long, Long, String, Int)].collect().toSet
+    assert(before.size == 4)
+    assert(new java.io.File(s"$lake/month=2024-01").listFiles()
+      .count(_.getName.startsWith("ingest_batch=")) == 2,
+      "precondition: two ingest_batch dirs in the shared month")
+
+    graft.sources.PartitionedLake.compactAll(spark, lake, "month")
+
+    // every month is now exactly ONE file; ingest_batch survives as a
+    // plain column (provenance kept), its partition level retired
+    for (m <- Seq("2024-01", "2024-02")) {
+      val files = new java.io.File(s"$lake/month=$m").listFiles()
+      assert(files.count(_.getName.endsWith(".parquet")) == 1, m)
+      assert(!files.exists(_.getName.startsWith("ingest_batch=")), m)
+    }
+    val after = spark.read.parquet(lake)
+      .select($"event_id", $"user_id", $"month", $"ingest_batch")
+      .as[(Long, Long, String, Int)].collect().toSet
+    assert(after == before, "compaction is pure re-layout")
+  }
 }
