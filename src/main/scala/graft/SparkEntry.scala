@@ -3107,6 +3107,44 @@ object SparkEntry {
         |) AS (check_name, metric, pass)""".stripMargin))
   }
 
+  /** q91 — deterministic POISSON BOOTSTRAP (the distributed bootstrap
+    * for massive data — Chamandy, Muralidharan, Najmi & Naidu 2012,
+    * "Estimating Uncertainty for Massive Data Streams", public
+    * literature): error bars for a pipeline metric without resampling
+    * passes. The classic bootstrap draws n-of-n with replacement —
+    * impossible distributed (a row can't know the other draws); the
+    * Poisson approximation gives every (row, replicate) an independent
+    * Poisson(1) weight, so 32 resample aggregates ride ONE scan as 32
+    * weighted counters. Weights here are a pure function of content:
+    * u = 52-bit md5(o_orderkey:bs<b>) prefix, inverse-CDF'd through
+    * PRE-COMPUTED INTEGER thresholds floor(F_Poisson(1)(k)·2^52) — no
+    * float CDF arithmetic anywhere, so both engines draw bit-identical
+    * weights and the whole query is integer-exact. Replicate b=0 is
+    * the unweighted point estimate. Output: 33 (b, n_eff, sum_cents)
+    * rows — the replicate spread IS the uncertainty; downstream
+    * derives CI bounds from these integer sums. Scale shape: a 33×
+    * row-explode into map-side-combined counters; 33 rows out at any
+    * corpus size, nothing data-sized at the driver. */
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    // floor(F_Poisson(1)(k) * 2^52) for k = 0..5; weight 6 past the tail
+    val ts = Seq(1656781714176974L, 3313563428353948L, 4141954285442435L,
+      4418084571138597L, 4487117142562638L, 4500923656847446L)
+    val k = conv(substring(md5(concat(col("o_orderkey").cast("string"),
+      lit(":bs"), col("b").cast("string"))), 1, 13), 16, 10).cast("long")
+    val w = when(col("b") === 0, lit(1L)).otherwise(
+      ts.zipWithIndex.foldRight(lit(6L): Column) { case ((t, i), rest) =>
+        when(k < t, i.toLong).otherwise(rest)
+      })
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .withColumn("b", explode(sequence(lit(0), lit(32))))
+      .select(col("b").cast("long").as("b"), w.as("w"), col("cents"))
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * col("cents")).as("sum_cents"))
+  }
+
   /** q49 — matched-model Laspeyres price index over lineitem: per
     * (month, item) representative price = min observed (min, not avg —
     * deterministic under duplicates and engine-order-independent), base
@@ -4929,6 +4967,7 @@ object SparkEntry {
     "q88_ivm_agg" -> (q88 _),
     "q89_observe_metrics" -> (q89 _),
     "q90_dq_suite" -> (q90 _),
+    "q91_poisson_bootstrap" -> (q91 _),
     "s10_ann_pq" -> (s10 _),
     "s11_hard_negatives" -> (s11 _),
     "s12_ann_filtered" -> (s12 _),
@@ -5727,6 +5766,29 @@ object SparkEntry {
         |  n_bad_status = 0 FROM b
         |UNION ALL SELECT 'ref_orders_customer', n_orphan,
         |  n_orphan = 0 FROM orph""".stripMargin,
+    // q91: identical integer-hash draw — the 52-bit md5 prefix compares
+    // against the SAME pre-computed integer thresholds, so weights and
+    // both sums are bit-identical integers in both engines
+    "q91_poisson_bootstrap" ->
+      """WITH reps AS (SELECT range AS b FROM range(0, 33)),
+        |k AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |    AS cents, b,
+        |    ('0x' || substr(md5(o_orderkey || ':bs' || b), 1, 13))::BIGINT
+        |      AS k
+        |  FROM orders, reps),
+        |r AS (SELECT cents, b,
+        |    CASE WHEN b = 0 THEN 1
+        |      WHEN k < 1656781714176974 THEN 0
+        |      WHEN k < 3313563428353948 THEN 1
+        |      WHEN k < 4141954285442435 THEN 2
+        |      WHEN k < 4418084571138597 THEN 3
+        |      WHEN k < 4487117142562638 THEN 4
+        |      WHEN k < 4500923656847446 THEN 5
+        |      ELSE 6 END AS w
+        |  FROM k)
+        |SELECT CAST(b AS BIGINT) AS b, CAST(sum(w) AS BIGINT) AS n_eff,
+        |  CAST(sum(w * cents) AS BIGINT) AS sum_cents
+        |FROM r GROUP BY 1""".stripMargin,
     "q01_clean_project" ->
       """SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
         |CAST(l_suppkey AS BIGINT) AS premise_code,
