@@ -3129,17 +3129,22 @@ object SparkEntry {
     // floor(F_Poisson(1)(k) * 2^52) for k = 0..5; weight 6 past the tail
     val ts = Seq(1656781714176974L, 3313563428353948L, 4141954285442435L,
       4418084571138597L, 4487117142562638L, 4500923656847446L)
+    // the 52-bit draw lands in its OWN projection: referenced by all
+    // six CDF branches, and conditional branches don't share
+    // subexpressions in codegen — inlined, the md5 would run up to 6×
+    // per row (measured 9.5 s vs 3.0 s at sf0.1)
     val k = conv(substring(md5(concat(col("o_orderkey").cast("string"),
       lit(":bs"), col("b").cast("string"))), 1, 13), 16, 10).cast("long")
     val w = when(col("b") === 0, lit(1L)).otherwise(
       ts.zipWithIndex.foldRight(lit(6L): Column) { case ((t, i), rest) =>
-        when(k < t, i.toLong).otherwise(rest)
+        when(col("k") < t, i.toLong).otherwise(rest)
       })
     Tables.orders(s, d)
       .select(col("o_orderkey"),
         round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
       .withColumn("b", explode(sequence(lit(0), lit(32))))
-      .select(col("b").cast("long").as("b"), w.as("w"), col("cents"))
+      .select(col("b").cast("long").as("b"), col("cents"), k.as("k"))
+      .select(col("b"), w.as("w"), col("cents"))
       .groupBy(col("b"))
       .agg(sum(col("w")).as("n_eff"),
         sum(col("w") * col("cents")).as("sum_cents"))
