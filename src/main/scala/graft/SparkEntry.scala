@@ -1665,6 +1665,48 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, q, k = 10), minHits = 4)
   }
 
+  /** s18 — ANN search over the PERSISTED IVFADC index: s16's two
+    * halves with the index written to — and re-read from — the lake in
+    * between ([[Similarity.buildIvfAdcIndex]] → parquet →
+    * [[Similarity.ivfAdcSearch]]): the s15 discipline on the IVFADC
+    * modality. A production vector store trains the quantizers and
+    * encodes the corpus once per version; every retrieval batch loads
+    * three metadata-to-codes-sized tables and probes them — retraining
+    * k-means + codebooks per query batch is the thing this exists to
+    * stop. Contract: (1) s16's recall bound vs the brute-force truth
+    * (same build, hence same measured min hits 5 at both SFs, bound
+    * 4); (2) the persisted-index results EQUAL the in-memory rebuild
+    * form — computed set equality over the full (query, rnk, cand,
+    * sim) rows, the d14/s15 discipline, which also proves the parquet
+    * roundtrip of centroids/codebook/codes is bit-faithful. */
+  private def s18(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+    val root = s"/tmp/graft_ivfadc_${Integer.toHexString(d.hashCode)}"
+    val built = Similarity.buildIvfAdcIndex(emb, m = 16)
+    built.centroids.write.mode("overwrite").parquet(s"$root/centroids")
+    built.codebook.write.mode("overwrite").parquet(s"$root/codebook")
+    built.codes.write.mode("overwrite").parquet(s"$root/codes")
+    val persisted = Similarity.IvfAdcIndex(
+      s.read.parquet(s"$root/centroids"),
+      s.read.parquet(s"$root/codebook"),
+      s.read.parquet(s"$root/codes"))
+    val approx = Similarity
+      .ivfAdcSearch(emb, persisted, q, k = 10, m = 16, rerank = 500)
+      .localCheckpoint(true)
+    val direct = Similarity.ivfAdcTopK(emb, q, k = 10, m = 16,
+      rerank = 500)
+    val eq = approx.unionByName(direct).distinct()
+      .agg(count(lit(1)).as("n_u"))
+      .crossJoin(approx.agg(count(lit(1)).as("n_a")))
+      .crossJoin(direct.agg(count(lit(1)).as("n_d")))
+      .select((col("n_u") === col("n_a") && col("n_a") === col("n_d"))
+        .as("idx_eq_rebuild"))
+    annRecallCheck(approx, Similarity.bruteForceTopK(emb, q, k = 10),
+        minHits = 4)
+      .crossJoin(broadcast(eq))
+  }
+
   /** s13 — distributed Lloyd k-means refinement (LLOYD K-MEANS
     * CONTRACT, KMeansLloyd.scaladoc): k=8, 2 full-corpus iterations on
     * the int8-quantized embeddings — hash-ranked deterministic seeds,
@@ -4980,6 +5022,7 @@ object SparkEntry {
     "s14_embedding_drift" -> (s14 _),
     "s15_ann_persisted" -> (s15 _),
     "s16_ann_ivfadc" -> (s16 _),
+    "s18_ann_ivfadc_persisted" -> (s18 _),
     "t27_bpe_pairs" -> (t27 _),
   )
 
@@ -5119,6 +5162,15 @@ object SparkEntry {
       Similarity.lshTopKOverIndex(emb, s.read.parquet(idx),
         emb.filter(col("vec_id") < 10), k = 10, tables)
     }),
+    // s18's operator is the query probe against the PERSISTED IVFADC
+    // index; the registered query also builds the index and runs the
+    // rebuild-form + brute-force truth (the equivalence/recall harness)
+    "s18_ann_ivfadc_persisted" -> ((s: SparkSession, d: String) => {
+      val idx = cachedIvfAdcIndex(s, d)
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfAdcSearch(emb, idx, emb.filter(col("vec_id") < 10),
+        k = 10, m = 16, rerank = 500)
+    }),
     // d12's operator is signatures + the agreement join over a
     // persisted truth-pair frame; the registered query re-derives d06's
     // exact shingle-Jaccard truth from scratch only so its oracle is
@@ -5230,6 +5282,26 @@ object SparkEntry {
         s"/tmp/graft_lshsearch_bench_${Integer.toHexString(d.hashCode)}"
       Similarity.bandTable(emb, tables).write.mode("overwrite").parquet(idx)
       (tables, idx)
+    })
+
+  /** s18's full-corpus IVFADC index, built + persisted once per sf
+    * dir — the bench then measures ONLY the search probe (the
+    * production per-retrieval-batch cost), per the s15 discipline. */
+  private val ivfAdcIndexCache = scala.collection.concurrent.TrieMap
+    .empty[String, graft.operators.Similarity.IvfAdcIndex]
+  private def cachedIvfAdcIndex(s: SparkSession, d: String)
+      : graft.operators.Similarity.IvfAdcIndex =
+    ivfAdcIndexCache.getOrElseUpdate(d, {
+      val emb = Tables.embeddings(s, d)
+      val root = s"/tmp/graft_ivfadc_bench_${Integer.toHexString(d.hashCode)}"
+      val built = Similarity.buildIvfAdcIndex(emb, m = 16)
+      built.centroids.write.mode("overwrite").parquet(s"$root/centroids")
+      built.codebook.write.mode("overwrite").parquet(s"$root/codebook")
+      built.codes.write.mode("overwrite").parquet(s"$root/codes")
+      Similarity.IvfAdcIndex(
+        s.read.parquet(s"$root/centroids"),
+        s.read.parquet(s"$root/codebook"),
+        s.read.parquet(s"$root/codes"))
     })
 
   private def cachedClusters(s: SparkSession, d: String): DataFrame =
@@ -6645,6 +6717,12 @@ object SparkEntry {
     // exact truth is asserted in-Spark (annRecallCheck)
     "s16_ann_ivfadc" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // s18: s16's recall contract + the computed persisted==rebuild
+    // set equality (the s15 discipline on the IVFADC modality)
+    "s18_ann_ivfadc_persisted" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok,
+        |  TRUE AS idx_eq_rebuild
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     // s15: s02's recall contract + the computed index==rebuild equality
     "s15_ann_persisted" ->

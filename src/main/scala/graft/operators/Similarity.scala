@@ -764,47 +764,39 @@ object Similarity {
     }.toSeq.toDF("j", "code", "cen", "cnorm2")
   }
 
-  /** IVFADC — the composed production ANN index (Jégou, Douze &
-    * Schmid 2011 §IV: inverted file + asymmetric distance computation):
-    * [[ivfTopK]]'s coarse quantizer routes each vector to a cell, PQ
-    * codes ([[trainPqCodebook]]) quantize the RESIDUAL vector − its
-    * cell centroid (residuals concentrate near 0, so the same code
-    * budget spends its resolution where the data actually is — the
-    * reason the composite beats flat PQ), and each query scans only
-    * its nProbe closest cells with per-(query, cell) ADC lookup
-    * tables over the residual codebook:
-    *   ‖q − (c + r̂)‖² = ‖(q−c) − r̂‖² = Σⱼ |（q−c)ⱼ|² − 2·dot((q−c)ⱼ,
-    *   cen[j,codeⱼ]) + |cen[j,codeⱼ]|²
-    * — m table lookups per candidate. Exact cosine re-ranks the
-    * top-`rerank` shortlist; recall vs brute force is the s16
-    * contract. Vectors are unit-normalized up front so the ADC's L2
-    * ordering IS the cosine ordering (the standard cosine-on-IVFADC
-    * reduction).
-    *
-    * Scale shape: corpus passes are the assignment (broadcast
-    * centroids), the residual encode (broadcast m·codeK codebook,
-    * argmin as a partial-combining min-struct aggregation), and the
-    * LUT-join scan in which a candidate row carries m (4+8)-byte
-    * codes instead of the float vector; the probe filter is the
-    * (cell, j, code) equi-join itself — un-probed cells never leave
-    * the scan. Queries, centroids, codebooks, and LUTs broadcast;
-    * the corpus never shuffles on anything but its own aggregations.
-    * Rankings order by 9dp-rounded keys + id so shortlist membership
-    * is engine- and partitioning-reproducible. */
-  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                 nLists: Int = 16, nProbe: Int = 7, m: Int = 8,
-                 codeK: Int = 16, rerank: Int = 250, seed: Long = 42L,
-                 trainCap: Int = 4096, idCol: String = "vec_id",
-                 vecCol: String = "embedding"): DataFrame = {
+  /** The persisted form of the IVFADC index: three lake-writable
+    * frames — `centroids` (cell, centroid), `codebook` (j, code, cen,
+    * cnorm2), `codes` (cand_id, cell, j, code). A production store
+    * builds these once per corpus version ([[buildIvfAdcIndex]]),
+    * persists them next to the vectors, and every retrieval batch
+    * probes them ([[ivfAdcSearch]]) — retraining the quantizers per
+    * query batch is the thing this exists to stop (the d14/s15
+    * discipline on the IVFADC modality). */
+  case class IvfAdcIndex(centroids: DataFrame, codebook: DataFrame,
+                         codes: DataFrame)
+
+  /** Unit-normalize the vector column (shared by the IVFADC build and
+    * search paths so the ADC's L2 ordering IS the cosine ordering). */
+  private def unitNorm(df: DataFrame, idCol: String,
+                       vecCol: String): DataFrame = {
+    val nrm = sqrt(VectorFunctions.dot(col(vecCol), col(vecCol)))
+    df.select(col(idCol),
+      transform(col(vecCol), x => (x / nrm).cast("float")).as(vecCol))
+  }
+
+  /** Build the IVFADC index frames: coarse quantizer (seeded k-means),
+    * residual PQ codebook, and every corpus vector's m byte-codes.
+    * Deterministic for a fixed (corpus, seed): persisted-then-searched
+    * results are computed-equal to an in-memory rebuild (the s18
+    * contract). */
+  def buildIvfAdcIndex(corpus: DataFrame, nLists: Int = 16, m: Int = 8,
+                       codeK: Int = 16, seed: Long = 42L,
+                       trainCap: Int = 4096, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): IvfAdcIndex = {
     val (_, dim) = corpusStats(corpus, vecCol)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    def unit(df: DataFrame): DataFrame = {
-      val nrm = sqrt(VectorFunctions.dot(col(vecCol), col(vecCol)))
-      df.select(col(idCol),
-        transform(col(vecCol), x => (x / nrm).cast("float")).as(vecCol))
-    }
-    val uCorpus = unit(corpus)
+    val uCorpus = unitNorm(corpus, idCol, vecCol)
     val (assigned, centroids) =
       clusterAssign(uCorpus, nLists, seed, trainCap, idCol, vecCol)
     val resid = assigned.join(broadcast(centroids), Seq("cell"))
@@ -828,7 +820,26 @@ object Similarity {
         col("code").as("code"))).as("best"))
       .select(col("cand_id"), col("cell"), col("j"),
         col("best.code").as("code"))
-    val uQueries = unit(queries)
+    IvfAdcIndex(centroids, codebook, codes)
+  }
+
+  /** Search a (possibly lake-loaded) IVFADC index: per-(query, cell)
+    * ADC lookup tables over the stored codebook, the (cell, j, code)
+    * equi-join as the probe filter, exact rerank from the corpus
+    * vectors. `m` must match the build. */
+  def ivfAdcSearch(corpus: DataFrame, index: IvfAdcIndex,
+                   queries: DataFrame, k: Int, nProbe: Int = 7,
+                   m: Int = 8, rerank: Int = 250,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val (_, dim) = corpusStats(corpus, vecCol)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val centroids = index.centroids
+    val codebook = index.codebook
+    val codes = index.codes
+    val uCorpus = unitNorm(corpus, idCol, vecCol)
+    val uQueries = unitNorm(queries, idCol, vecCol)
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("cell").asc)
     val qres = uQueries
@@ -877,6 +888,45 @@ object Similarity {
       .select(col("query_id"), col("rnk").cast("long").as("rnk"),
         col("cand_id"), round(col("rsim"), 4).as("sim"))
   }
+
+  /** IVFADC — the composed production ANN index (Jégou, Douze &
+    * Schmid 2011 §IV: inverted file + asymmetric distance computation):
+    * [[ivfTopK]]'s coarse quantizer routes each vector to a cell, PQ
+    * codes ([[trainPqCodebook]]) quantize the RESIDUAL vector − its
+    * cell centroid (residuals concentrate near 0, so the same code
+    * budget spends its resolution where the data actually is — the
+    * reason the composite beats flat PQ), and each query scans only
+    * its nProbe closest cells with per-(query, cell) ADC lookup
+    * tables over the residual codebook:
+    *   ‖q − (c + r̂)‖² = ‖(q−c) − r̂‖² = Σⱼ |（q−c)ⱼ|² − 2·dot((q−c)ⱼ,
+    *   cen[j,codeⱼ]) + |cen[j,codeⱼ]|²
+    * — m table lookups per candidate. Exact cosine re-ranks the
+    * top-`rerank` shortlist; recall vs brute force is the s16
+    * contract. Vectors are unit-normalized up front so the ADC's L2
+    * ordering IS the cosine ordering (the standard cosine-on-IVFADC
+    * reduction). The one-shot composition of [[buildIvfAdcIndex]] and
+    * [[ivfAdcSearch]]; s18 runs the same two halves with the index
+    * persisted to — and re-read from — the lake in between.
+    *
+    * Scale shape: corpus passes are the assignment (broadcast
+    * centroids), the residual encode (broadcast m·codeK codebook,
+    * argmin as a partial-combining min-struct aggregation), and the
+    * LUT-join scan in which a candidate row carries m (4+8)-byte
+    * codes instead of the float vector; the probe filter is the
+    * (cell, j, code) equi-join itself — un-probed cells never leave
+    * the scan. Queries, centroids, codebooks, and LUTs broadcast;
+    * the corpus never shuffles on anything but its own aggregations.
+    * Rankings order by 9dp-rounded keys + id so shortlist membership
+    * is engine- and partitioning-reproducible. */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 nLists: Int = 16, nProbe: Int = 7, m: Int = 8,
+                 codeK: Int = 16, rerank: Int = 250, seed: Long = 42L,
+                 trainCap: Int = 4096, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame =
+    ivfAdcSearch(corpus,
+      buildIvfAdcIndex(corpus, nLists, m, codeK, seed, trainCap,
+        idCol, vecCol),
+      queries, k, nProbe, m, rerank, idCol, vecCol)
 
   /** Hard-negative mining (the triplet/contrastive-loss batch-builder
     * from the metric-learning literature — FaceNet, Sentence-BERT):
