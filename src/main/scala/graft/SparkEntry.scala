@@ -676,17 +676,27 @@ object SparkEntry {
     * holding one file per micro-batch; every later scan pays a task +
     * a parquet footer per file, which at 100 TB is the difference
     * between a manifest read and a namenode meltdown. The fixture
-    * stages the documents lake pre-fragmented (8 hash buckets × one
-    * file per lang each), compacts to one file per lang, and emits the
-    * per-lang aggregate FROM THE COMPACTED LAKE — the oracle's
-    * parquet-derived numbers gate that re-layout moved no rows — plus
-    * the FS-measured before/after file-count booleans. */
+    * stages the documents lake pre-fragmented by FOUR sequential
+    * single-task writes (one per doc_id % 4 residue) — each write
+    * lands exactly one file in every lang it touches, so the
+    * FS-MEASURED files_before per lang EQUALS the data-derivable
+    * count(DISTINCT doc_id % 4), which the oracle recomputes from the
+    * table at any SF (the r9-advice fix: the old 8-hash-bucket staging
+    * asserted files_before >= 4, a threshold the fixture's hash
+    * residues happened to satisfy, not a property of the data) —
+    * compacts to one file per lang, and emits the per-lang aggregate
+    * FROM THE COMPACTED LAKE, gating that re-layout moved no rows.
+    * The coalesce(1) staging writes are the FRAGMENTER (simulating
+    * many tiny ingests), not the operator under test. */
   private def l07(s: SparkSession, d: String): DataFrame = {
     import graft.sources.PartitionedLake
     val lake = s"/tmp/graft_compact_${Integer.toHexString(d.hashCode)}"
-    Tables.documents(s, d).select("doc_id", "lang", "n_chars")
-      .repartition(8, col("doc_id"))
-      .write.mode("overwrite").partitionBy("lang").parquet(lake)
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+    (0 to 3).foreach { r =>
+      docs.filter(pmod(col("doc_id"), lit(4)) === r).coalesce(1)
+        .write.mode(if (r == 0) "overwrite" else "append")
+        .partitionBy("lang").parquet(lake)
+    }
     val before = PartitionedLake.partitionFileCounts(s, lake, "lang")
     PartitionedLake.compactAll(s, lake, "lang")
     val after = PartitionedLake.partitionFileCounts(s, lake, "lang")
@@ -700,7 +710,7 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .join(broadcast(counts), Seq("lang"))
       .select(col("lang"), col("n_docs"), col("sum_chars"),
-        (col("files_before") >= 4).as("had_small_files"),
+        col("files_before").cast("long").as("files_before"),
         (col("files_after") === 1).as("compacted_ok"))
   }
 
@@ -3715,7 +3725,11 @@ object SparkEntry {
     * CTEs — integer-exact, and the (n_common desc, u, v) cutoff is a
     * total order so the top-100 set is engine-agnostic; a
     * from-first-principles reference on handcrafted graphs lives in
-    * GraphSpec. */
+    * GraphSpec. The wedge join runs with the hub cap IN THE PLAN
+    * (maxWedgeDeg = 64 — the 100× skew bound, r9 verdict item 1),
+    * chosen lossless here: the fixture graph's max degree is 15 at
+    * sf0.01 / 18 at sf0.1 (measured), so the capped plan returns the
+    * exact answer and the unchanged full oracle keeps gating it. */
   private def g10(s: SparkSession, d: String): DataFrame = {
     val op = Tables.lineitem(s, d)
       .filter(col("l_partkey") % 16 === 0)
@@ -3724,7 +3738,8 @@ object SparkEntry {
     val edges = op.as("a").join(op.as("b"),
         col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-    graft.operators.Graph.linkPrediction(edges, topK = 100)
+    graft.operators.Graph.linkPrediction(edges, topK = 100,
+      maxWedgeDeg = 64)
   }
 
   /** q81 — keyed-snapshot maintenance from the event stream, the batch
@@ -5382,20 +5397,38 @@ object SparkEntry {
       // (at production month sizes the un-pruned form reads 28x the
       // bytes); the 3-of-84 PartitionFilters plan shape pinned in
       // PlanShapeSpec is the contract, these rows keep the overhead
-      // visible. Conf-wrapped like st04z so the suite default
-      // persists.
+      // visible. DPP is an OPTIMIZER-TIME rule applied when the action
+      // runs, so the conf toggle must wrap the EXECUTION, not the plan
+      // construction (r9 advice: returning the lazy frame and restoring
+      // the conf in `finally` made the toggle a no-op — both rows
+      // measured with DPP on). Both rows therefore materialize INSIDE
+      // the function via executedNow (l06y too, so the pair stays
+      // like-for-like) and hand Bench a 3-row local frame whose
+      // noop-write costs nothing.
       "l06y_dpp_query" -> ((s: SparkSession, d: String) =>
-        dppLakeQuery(s, d)),
+        executedNow(s, dppLakeQuery(s, d))),
       "l06z_dpp_off" -> { (s: SparkSession, d: String) =>
         val key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
         val prev = s.conf.getOption(key)
         s.conf.set(key, "false")
-        try dppLakeQuery(s, d)
+        try executedNow(s, dppLakeQuery(s, d))
         finally prev match {
           case Some(v) => s.conf.set(key, v)
           case None => s.conf.unset(key)
         }
       })
+  }
+
+  /** Execute `df` NOW (inside the caller's conf window — optimizer
+    * toggles like DPP bind at action time, not plan-construction time)
+    * and return its rows as a LOCAL frame, so a downstream consumer's
+    * action re-executes nothing under restored confs. Result-sized
+    * collect: callers are small-aggregate queries (l06y/l06z: 3 rows). */
+  private def executedNow(s: SparkSession, df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(rows: _*)), df.schema)
   }
 
   /** The l06 join+aggregate over a once-per-JVM staged lake — the
@@ -6515,12 +6548,16 @@ object SparkEntry {
         |  WHERE year(o_orderdate) = 1997 AND quarter(o_orderdate) = 1)
         |GROUP BY 1""".stripMargin,
     // l07: per-lang numbers recomputed from parquet gate that the
-    // compaction re-layout moved no rows; the file-count booleans are
-    // Spark-side FS measurements (8 hash buckets staged -> 1 compacted)
+    // compaction re-layout moved no rows; files_before is the
+    // FS-MEASURED pre-compaction file count, which the deterministic
+    // residue-staged fragmenter makes equal to the data-derivable
+    // count(DISTINCT doc_id % 4) at any SF; compacted_ok is the
+    // FS-measured one-file-per-lang boolean
     "l07_compaction" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  TRUE AS had_small_files, TRUE AS compacted_ok
+        |  CAST(count(DISTINCT doc_id % 4) AS BIGINT) AS files_before,
+        |  TRUE AS compacted_ok
         |FROM documents GROUP BY 1""".stripMargin,
     // l08: the key-range bounds re-derived from the table's own
     // min/max with the same integer arithmetic, the aggregate from the

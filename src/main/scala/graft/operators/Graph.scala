@@ -594,17 +594,33 @@ object Graph {
     * aggregation, one anti-join against the edge set (only candidate
     * pairs, never the wedge stream, reach it), two node-sized degree
     * joins on the k-bounded result side, and TakeOrderedAndProject for
-    * the global top-k (never a global sort). At a hub-heavy 100 TB
-    * graph the wedge join is the term to bound: cap the middle's
-    * degree (drop middles with deg > cap — the documented-recall-loss
-    * mitigation from the triangle literature) or pre-cluster with LSH;
-    * the fixture graph is the sparse %16 family, so the exact form is
-    * the registered contract.
+    * the global top-k (never a global sort).
+    *
+    * The wedge join is the term to bound at a hub-heavy 100 TB graph:
+    * a middle node of degree d emits d² wedge rows ON ONE KEY, so one
+    * celebrity node is a quadratic single-task blowup — the classic
+    * skew scale-killer. `maxWedgeDeg` caps it: middles with
+    * deg > maxWedgeDeg are dropped BEFORE the self-join, bounding the
+    * exchange at Σ min(deg, cap)² ≤ cap·m. The cost is DOCUMENTED
+    * RECALL LOSS in the capped regime: common neighbors that are hubs
+    * stop contributing to n_common, so pairs whose shared neighbors
+    * are ALL hubs disappear and counts for the rest are lower bounds —
+    * the same trade the heavy-hitter mitigation in the triangle
+    * literature makes (and [[triangleCount]]'s degree-ordered
+    * orientation achieves losslessly for the closed-triangle case;
+    * open wedges have no orientation trick because the endpoints are
+    * NOT adjacent). Pick the cap above the graph's max degree for the
+    * exact answer (the registered g10 contract: cap 64 vs fixture max
+    * degree 15/18 at sf0.01/sf0.1), or at the skew knee (q83's
+    * profile) when hubs must be bounded.
     *
     * @param edges (u, v) long node ids, normalized u < v per row
+    * @param maxWedgeDeg drop middle nodes with degree above this
+    *        before the wedge join (default unbounded = exact)
     * @return top-k (u, v, n_common, deg_u, deg_v)
     */
-  def linkPrediction(edges: DataFrame, topK: Int): DataFrame = {
+  def linkPrediction(edges: DataFrame, topK: Int,
+                     maxWedgeDeg: Int = Int.MaxValue): DataFrame = {
     val e0 = edges.select(
       least(col(edges.columns(0)), col(edges.columns(1)))
         .cast("long").as("u"),
@@ -614,7 +630,14 @@ object Graph {
     val adj = e0.select(col("u").as("a"), col("v").as("b"))
       .unionAll(e0.select(col("v").as("a"), col("u").as("b")))
     val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("deg"))
-    val wedges = adj.as("x").join(adj.as("y"),
+    // the cap filter: deg is node-sized and re-used for the output
+    // columns below, so the bound costs one broadcast-or-shuffle join
+    // on the middle key the wedge join shuffles on anyway
+    val mids =
+      if (maxWedgeDeg == Int.MaxValue) adj
+      else adj.join(deg.filter(col("deg") <= maxWedgeDeg).select("a"),
+        Seq("a"), "left_semi")
+    val wedges = mids.as("x").join(mids.as("y"),
         col("x.a") === col("y.a") && col("x.b") < col("y.b"))
       .select(col("x.b").as("u"), col("y.b").as("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_common"))

@@ -776,10 +776,17 @@ object Similarity {
                          codes: DataFrame)
 
   /** Unit-normalize the vector column (shared by the IVFADC build and
-    * search paths so the ADC's L2 ordering IS the cosine ordering). */
+    * search paths so the ADC's L2 ordering IS the cosine ordering).
+    * An all-zero vector has no direction: dividing by its 0 norm would
+    * emit NaN components that silently poison cell assignment and the
+    * residual PQ (r9 advice), so the zero vector is KEPT AS ZEROS —
+    * cosine against it is 0 everywhere, i.e. it ranks last under every
+    * query, the same treatment [[VectorFunctions.cosine]]-based exact
+    * paths give it. */
   private def unitNorm(df: DataFrame, idCol: String,
                        vecCol: String): DataFrame = {
-    val nrm = sqrt(VectorFunctions.dot(col(vecCol), col(vecCol)))
+    val n2 = VectorFunctions.dot(col(vecCol), col(vecCol))
+    val nrm = when(n2 === 0d, lit(1.0)).otherwise(sqrt(n2))
     df.select(col(idCol),
       transform(col(vecCol), x => (x / nrm).cast("float")).as(vecCol))
   }
@@ -826,15 +833,28 @@ object Similarity {
   /** Search a (possibly lake-loaded) IVFADC index: per-(query, cell)
     * ADC lookup tables over the stored codebook, the (cell, j, code)
     * equi-join as the probe filter, exact rerank from the corpus
-    * vectors. `m` must match the build. */
+    * vectors.
+    *
+    * The subspace count is a BUILD-time property, so it is DERIVED
+    * from the stored codebook (max(j) + 1 — one aggregate over the
+    * m·codeK-row broadcastable frame) rather than trusted from the
+    * caller: a mismatched `m` used to slip past the divisibility check
+    * and silently sum a subset of subspaces in the ADC join, degrading
+    * recall with no error (r9 advice). A caller-supplied `m` now
+    * must MATCH the index or the search fails loudly; pass the
+    * default -1 to just use the index's own. */
   def ivfAdcSearch(corpus: DataFrame, index: IvfAdcIndex,
                    queries: DataFrame, k: Int, nProbe: Int = 7,
-                   m: Int = 8, rerank: Int = 250,
+                   m: Int = -1, rerank: Int = 250,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
     val (_, dim) = corpusStats(corpus, vecCol)
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val sub = dim / m
+    val mIdx = index.codebook.agg(max(col("j"))).head.getInt(0) + 1
+    require(m == -1 || m == mIdx,
+      s"search m=$m does not match the index's $mIdx subspaces")
+    require(dim % mIdx == 0,
+      s"dim $dim not divisible into $mIdx subspaces")
+    val sub = dim / mIdx
     val centroids = index.centroids
     val codebook = index.codebook
     val codes = index.codes
@@ -852,7 +872,7 @@ object Similarity {
       .select(col("query_id"), col("cell"),
         zip_with(col("query_vec"), col("centroid"),
           (a, b) => a - b).as("qrv"))
-    val lut = sliceFrame(qres, "query_id", m, sub, "query_id", "qrv",
+    val lut = sliceFrame(qres, "query_id", mIdx, sub, "query_id", "qrv",
         carryCols = Seq("cell"))
       .join(broadcast(codebook), Seq("j"))
       .select(col("query_id"), col("cell"), col("j"), col("code"),

@@ -362,6 +362,40 @@ class GraphSpec extends SparkSpec {
     assert(top2 == got.filter(_._3 == 2L), top2.toString)
   }
 
+  test("linkPrediction maxWedgeDeg bounds the hub's wedge blowup") {
+    // hub 100 joined to leaves 1..20 (deg 20), plus a sparse path
+    // 1-2, 2-3: the hub as a MIDDLE would emit C(20,2)=190 wedge
+    // rows on one key — the quadratic single-key blowup the cap
+    // exists to stop
+    val star = (1L to 20L).map(l => (100L, l))
+    val edges = (star ++ Seq((1L, 2L), (2L, 3L))).toDF("u", "v")
+
+    // uncapped = exact: every non-adjacent leaf pair shares the hub
+    // (C(20,2) = 190 minus the 2 adjacent pairs); (1,3) additionally
+    // shares middle 2 → n_common 2. Every pair INVOLVING the hub is an
+    // existing edge, so the hub never surfaces as an endpoint.
+    val exact = Graph.linkPrediction(edges, topK = 500)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(exact.size == 20 * 19 / 2 - 2, exact.size.toString)
+    assert(exact.contains((1L, 3L, 2L, 2L, 2L))) // via hub AND node 2
+    assert(exact.forall(r => r._1 != 100L && r._2 != 100L))
+
+    // cap below the hub's degree: the hub is dropped AS A MIDDLE —
+    // its C(20,2) = 190 wedge rows on one key never materialize. Only
+    // the sparse middles contribute wedges now, and their hub-touching
+    // wedges land on existing edges — the documented recall loss
+    // (every hub-mediated pair gone, (1,3) drops from 2 shared to 1).
+    val capped = Graph.linkPrediction(edges, topK = 500,
+        maxWedgeDeg = 19).as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(capped == Set((1L, 3L, 1L, 2L, 2L)), capped.toString)
+
+    // cap at/above the max degree is lossless — the registered g10
+    // regime (cap 64 vs fixture max degree 18)
+    val lossless = Graph.linkPrediction(edges, topK = 500,
+        maxWedgeDeg = 20).as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(lossless == exact)
+  }
+
   test("dupClusters labels every node, singletons included, with sizes") {
     val nodes = (1L to 8L).toDF("doc_id")
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
