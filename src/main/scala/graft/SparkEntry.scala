@@ -714,52 +714,107 @@ object SparkEntry {
         (col("files_after") === 1).as("compacted_ok"))
   }
 
-  /** l08 — file-level ZONE-MAP skipping (the min/max data-skipping
-    * primitive every table format ships — Iceberg manifests, Delta
-    * file stats, parquet row-group pruning writ large): the lake is
-    * written RANGE-CLUSTERED on the key (repartitionByRange +
-    * sortWithinPartitions — q47's z-order discipline in one
-    * dimension), one scan builds the per-file (min, max, rows)
-    * manifest, and a key-range query consults the MANIFEST first —
-    * only files whose [min, max] intersects the predicate are passed
-    * to the reader at all; the rest are never opened. At 100 TB the
-    * manifest is file-count-sized metadata (a production table format
-    * reads it from footers/manifest files instead of the bootstrap
-    * scan staged here) and the skip turns a full-lake scan into a
-    * few-file read — clustering is what makes the zones tight. The
-    * query's bounds derive from the manifest's own global min/max
-    * (integer arithmetic the oracle re-derives from the table), the
-    * aggregate is computed from the PRUNED read, and `skip_effective`
-    * asserts the manifest actually dropped at least half the files —
-    * a pruning regression fails the gate, a row-loss regression fails
-    * the oracle numbers. */
+  /** l08 — file-level ZONE-MAP skipping over a PERSISTED manifest
+    * table ([[graft.sources.ZoneMapLake]]): the lake is written
+    * range-clustered on the key with its per-file (lo, hi, n_rows)
+    * manifest persisted ONCE at write time as a parquet table in the
+    * lake (`_zonemap/` — the Iceberg manifest / Delta file-stats
+    * shape; r9 verdict item 3: no per-query manifest rebuild, no
+    * whole-manifest driver array). The registered query is the
+    * RETRIEVAL path a production reader runs: global bounds come from
+    * ONE aggregate row over the manifest table, the key-range
+    * predicate filters the manifest table, and only the MATCHED file
+    * paths — planning metadata, match-sized — reach the driver for
+    * the pruned scan; unmatched files are never opened. The query's
+    * bounds derive from the manifest's own global min/max (integer
+    * arithmetic the oracle re-derives from the table), the aggregate
+    * is computed from the PRUNED read, and `skip_effective` asserts
+    * the manifest actually dropped at least half the files — a
+    * pruning regression fails the gate, a row-loss regression fails
+    * the oracle numbers. Staged once per JVM: write+manifest-build is
+    * the l06-pair discipline, the measured row is the query. */
+  private val zoneMapLakeCache = scala.collection.concurrent.TrieMap
+    .empty[String, String]
   private def l08(s: SparkSession, d: String): DataFrame = {
-    val lake = s"/tmp/graft_zonemap_${Integer.toHexString(d.hashCode)}"
-    Tables.lineitem(s, d)
-      .select("l_orderkey", "l_quantity", "l_extendedprice")
-      .repartitionByRange(16, col("l_orderkey"))
-      .sortWithinPartitions(col("l_orderkey"))
-      .write.mode("overwrite").parquet(lake)
-    val manifest = s.read.parquet(lake)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"))
-      .collect()
-    val gmin = manifest.map(_.getLong(1)).min
-    val gmax = manifest.map(_.getLong(2)).max
+    import graft.sources.ZoneMapLake
+    val lake = zoneMapLakeCache.getOrElseUpdate(d, {
+      val p = s"/tmp/graft_zonemap_${Integer.toHexString(d.hashCode)}"
+      ZoneMapLake.write(
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_quantity", "l_extendedprice"),
+        "l_orderkey", p, nFiles = 16)
+      p
+    })
+    val b = ZoneMapLake.manifest(s, lake)
+      .agg(min(col("lo")).as("gmin"), max(col("hi")).as("gmax")).head()
+    val (gmin, gmax) = (b.getLong(0), b.getLong(1))
     val lo = gmin + (gmax - gmin) / 2
     val hi = gmin + (gmax - gmin) * 5 / 8
-    val matched = manifest
-      .filter(r => r.getLong(2) >= lo && r.getLong(1) <= hi)
-      .map(_.getString(0)).sorted
-    require(matched.nonEmpty, "zone-map prune emptied the file list")
-    s.read.parquet(matched.toIndexedSeq: _*)
+    val (pruned, nMatched, nTotal) = ZoneMapLake.prunedRead(s, lake, lo, hi)
+    pruned
       .filter(col("l_orderkey").between(lo, hi))
       .agg(count(lit(1)).as("n_items"),
         sum(round(col("l_quantity"), 0).cast("long")).as("qty"),
         sum(round(col("l_extendedprice") * 100, 0).cast("long"))
           .as("price_cents"))
-      .withColumn("skip_effective",
-        lit(matched.length * 2 <= manifest.length))
+      .withColumn("skip_effective", lit(nMatched * 2 <= nTotal))
+  }
+
+  /** l09 — snapshot VERSIONING / TIME TRAVEL
+    * ([[graft.sources.VersionedLake]]): the capstone of the l06–l08
+    * lake family (r9 verdict item 2). The in-place dynamic-overwrite
+    * lake loses history the moment an upsert lands; a versioned lake
+    * (immutable data files + per-version manifests, the Delta/Iceberg
+    * commit-log shape) keeps every snapshot readable — restatements
+    * become auditable instead of destructive. The fixture drives the
+    * canonical restatement story on ONE lake: version 1 commits
+    * 1997 Q1, version 2 upserts a February correction (lines ≤ 4
+    * kept, quantity + 1 — January/March carry forward BY POINTER,
+    * never rewritten), then both versions are time-travel read from
+    * the same lake and q56's snapshot-diff discipline runs BETWEEN
+    * them (one full-outer join on the key, counts ∝ churn). The
+    * oracle re-derives both snapshots and the diff from the original
+    * parquet — a row lost or duplicated by the manifest machinery
+    * fails n_rows/key_sig; a stale-version read fails the v1 row;
+    * diff-count drift fails the v2 row. LakeSpec additionally pins
+    * the concurrent-reader-sees-old-version guarantee. */
+  private def l09(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedLake
+    val lake = s"/tmp/graft_ttlake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake) // deterministic two-commit history
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .filter(col("month").between("1997-01", "1997-03"))
+    VersionedLake.commitOverwrite(li, "month", lake)
+    val feb = li.filter(col("month") === "1997-02")
+      .filter(col("l_linenumber") <= 4)
+      .withColumn("l_quantity", col("l_quantity") + 1)
+    VersionedLake.commitUpsert(feb, "month", lake)
+    val v1 = VersionedLake.readVersion(s, lake, 1)
+    val v2 = VersionedLake.readLatest(s, lake)
+    def summary(df: DataFrame, v: Int): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          sum(col("l_orderkey") * 7 + col("l_linenumber")).as("key_sig"))
+        .withColumn("version", lit(v))
+    val key = Seq("l_orderkey", "l_linenumber")
+    val diff = v1.select((key.map(col) :+ col("l_quantity").as("q1")): _*)
+      .join(v2.select((key.map(col) :+ col("l_quantity").as("q2")): _*),
+        key, "full_outer")
+      .agg(
+        sum(when(col("q1").isNotNull && col("q2").isNotNull
+          && col("q1") =!= col("q2"), 1L).otherwise(0L))
+          .as("n_changed_vs_prev"),
+        sum(when(col("q2").isNull, 1L).otherwise(0L))
+          .as("n_removed_vs_prev"),
+        sum(when(col("q1").isNull, 1L).otherwise(0L))
+          .as("n_added_vs_prev"))
+    summary(v1, 1)
+      .withColumn("n_changed_vs_prev", lit(0L))
+      .withColumn("n_removed_vs_prev", lit(0L))
+      .withColumn("n_added_vs_prev", lit(0L))
+      .unionByName(summary(v2, 2).crossJoin(diff))
   }
 
   /** l02 — dirty CSV ingest with quarantine: the lake-level form of the
@@ -4888,6 +4943,7 @@ object SparkEntry {
     "l06_dpp_prune" -> (l06 _),
     "l07_compaction" -> (l07 _),
     "l08_zonemap_skip" -> (l08 _),
+    "l09_time_travel" -> (l09 _),
     "c13_split_decontam" -> (c13 _),
     "c14_weighted_sample" -> (c14 _),
     "t33_cdc_chunking" -> (t33 _),
@@ -6575,6 +6631,54 @@ object SparkEntry {
         |FROM lineitem, b
         |WHERE l_orderkey BETWEEN gmin + (gmax - gmin) // 2
         |  AND gmin + (gmax - gmin) * 5 // 8""".stripMargin,
+    // l09: both snapshots and the between-version diff re-derived from
+    // the original parquet — the versioned lake's two time-travel
+    // reads must reproduce them exactly (v1 from the version-1
+    // manifest AFTER version 2 landed, v2 with January/March carried
+    // forward by pointer)
+    "l09_time_travel" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    strftime(l_shipdate, '%Y-%m') AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'),
+        |v2 AS (
+        |  SELECT * FROM li WHERE month <> '1997-02'
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 1, month
+        |  FROM li WHERE month = '1997-02' AND l_linenumber <= 4),
+        |s1 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM li),
+        |s2 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM v2),
+        |d AS (SELECT
+        |    CAST(sum(CASE WHEN a.l_orderkey IS NOT NULL
+        |      AND b.l_orderkey IS NOT NULL
+        |      AND a.l_quantity <> b.l_quantity THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_changed_vs_prev,
+        |    CAST(sum(CASE WHEN b.l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_removed_vs_prev,
+        |    CAST(sum(CASE WHEN a.l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_added_vs_prev
+        |  FROM li a FULL OUTER JOIN v2 b
+        |    ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_linenumber = b.l_linenumber)
+        |SELECT CAST(1 AS INTEGER) AS version, s1.n_rows, s1.sum_qty,
+        |  s1.key_sig, CAST(0 AS BIGINT) AS n_changed_vs_prev,
+        |  CAST(0 AS BIGINT) AS n_removed_vs_prev,
+        |  CAST(0 AS BIGINT) AS n_added_vs_prev
+        |FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), s2.n_rows, s2.sum_qty, s2.key_sig,
+        |  d.n_changed_vs_prev, d.n_removed_vs_prev, d.n_added_vs_prev
+        |FROM s2, d""".stripMargin,
     // the Bloom prune is output-invisible by construction (false
     // positives die in the exact join), so the oracle is the PLAIN join
     "q38_bloom_join" ->

@@ -1,0 +1,186 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-versioned parquet lake: immutable data files + a per-version
+  * manifest listing the files that ARE the table at that version — the
+  * Delta/Iceberg commit-log shape reduced to its load-bearing core,
+  * giving [[PartitionedLake]]'s upsert pattern what every production
+  * table format has and a bare parquet directory cannot: READ AT
+  * VERSION (time travel), snapshot isolation for concurrent readers,
+  * and an auditable commit history.
+  *
+  * Layout:
+  * {{{
+  *   path/data/c000001/__part=<v>/part-*.parquet   commit 1's files
+  *   path/data/c000002/__part=<v>/part-*.parquet   commit 2's files
+  *   path/_log/000001.manifest                      version 1 file list
+  *   path/_log/000002.manifest                      version 2 file list
+  * }}}
+  *
+  * Every commit only ADDS data files (under its own `c<k>` directory)
+  * and writes ONE new manifest; nothing is ever mutated or deleted, so
+  * a reader holding version k's file list is immune to any later
+  * commit — the concurrent-reader-sees-old-version guarantee LakeSpec
+  * pins, and the property [[PartitionedLake]]'s in-place dynamic
+  * overwrite cannot offer (its upsert physically replaces partition
+  * files under a running reader).
+  *
+  * A manifest is a text file: header line `version=<k> op=<op>`, then
+  * one `<part>\t<relpath>` line per live data file. Manifest IO is
+  * driver-side metadata — file-count-sized, the same scale as every
+  * table format's log — while row data only ever moves through
+  * executor parquet scans. An upsert commit's manifest carries
+  * FORWARD the previous version's entries for untouched partitions
+  * (pointers, not data: unchanged partitions are never rewritten —
+  * cost ∝ the delta, the c02/st11 discipline applied to versioning).
+  *
+  * The partition column stays a REGULAR column in the data files (the
+  * physical write partitions on a `__part` duplicate), so reading a
+  * manifest's file list needs no partition-dir discovery — and
+  * [[readVersion]]'s optional `parts` filter prunes at the MANIFEST,
+  * the versioned form of partition pruning: pruned files never reach
+  * the reader at all.
+  */
+object VersionedLake {
+
+  private val PartDir = "__part"
+
+  private def logDir(path: String) = new Path(s"${path.stripSuffix("/")}/_log")
+  private def dataDir(path: String, k: Int) =
+    s"${path.stripSuffix("/")}/data/c${"%06d".format(k)}"
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** All committed versions, ascending (empty for a fresh lake). */
+  def versions(spark: SparkSession, path: String): Seq[Int] = {
+    val dir = logDir(path)
+    val f = fs(spark, path)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(_.endsWith(".manifest"))
+      .map(_.stripSuffix(".manifest").toInt).toSeq.sorted
+  }
+
+  /** The newest committed version (0 for a fresh lake). */
+  def latestVersion(spark: SparkSession, path: String): Int =
+    versions(spark, path).lastOption.getOrElse(0)
+
+  /** (part, relpath) entries of version `v`'s manifest. */
+  private def manifestEntries(spark: SparkSession, path: String,
+                              v: Int): Seq[(String, String)] = {
+    val mf = new Path(logDir(path), s"${"%06d".format(v)}.manifest")
+    val f = fs(spark, path)
+    require(f.exists(mf), s"no manifest for version $v at $path")
+    val in = f.open(mf)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.linesIterator.drop(1).filter(_.nonEmpty).map { line =>
+      val Array(part, rel) = line.split('\t')
+      (part, rel)
+    }.toSeq
+  }
+
+  private def writeManifest(spark: SparkSession, path: String, v: Int,
+                            op: String,
+                            entries: Seq[(String, String)]): Unit = {
+    val f = fs(spark, path)
+    f.mkdirs(logDir(path))
+    val mf = new Path(logDir(path), s"${"%06d".format(v)}.manifest")
+    val body = (s"version=$v op=$op" +:
+      entries.sorted.map { case (p, r) => s"$p\t$r" }).mkString("\n")
+    val out = f.create(mf, true)
+    try out.write((body + "\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** List commit k's data files as (part, relpath) from the FS —
+    * metadata-scale, one listing per written partition dir. */
+  private def commitEntries(spark: SparkSession, path: String,
+                            k: Int): Seq[(String, String)] = {
+    val root = new Path(dataDir(path, k))
+    val f = fs(spark, path)
+    f.listStatus(root).iterator
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(PartDir + "="))
+      .flatMap { dir =>
+        val part = dir.getPath.getName.stripPrefix(PartDir + "=")
+        f.listStatus(dir.getPath).iterator
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(s => (part,
+            s"data/c${"%06d".format(k)}/${dir.getPath.getName}/" +
+              s.getPath.getName))
+      }.toSeq
+  }
+
+  private def writeCommitData(df: DataFrame, partCol: String,
+                              path: String, k: Int): Unit =
+    // the physical layout partitions on a DUPLICATE of the partition
+    // column so the original survives IN the data files — a manifest
+    // file list then reads back complete with no partition-dir
+    // discovery or basePath gymnastics
+    df.withColumn(PartDir, col(partCol))
+      .write.mode("overwrite").partitionBy(PartDir)
+      .parquet(dataDir(path, k))
+
+  /** Commit a FULL snapshot: the new version's manifest lists only
+    * this commit's files. Returns the new version number. */
+  def commitOverwrite(df: DataFrame, partCol: String,
+                      path: String): Int = {
+    val spark = df.sparkSession
+    val k = latestVersion(spark, path) + 1
+    writeCommitData(df, partCol, path, k)
+    writeManifest(spark, path, k, "overwrite", commitEntries(spark, path, k))
+    k
+  }
+
+  /** Commit an UPSERT: partitions present in `df` are replaced (their
+    * old files stay on disk for older versions but leave the
+    * manifest), untouched partitions carry forward by pointer.
+    * Returns the new version number. */
+  def commitUpsert(df: DataFrame, partCol: String, path: String): Int = {
+    val spark = df.sparkSession
+    val prev = latestVersion(spark, path)
+    val k = prev + 1
+    writeCommitData(df, partCol, path, k)
+    val fresh = commitEntries(spark, path, k)
+    val replaced = fresh.map(_._1).toSet
+    val kept =
+      if (prev == 0) Seq.empty
+      else manifestEntries(spark, path, prev)
+        .filterNot { case (p, _) => replaced.contains(p) }
+    writeManifest(spark, path, k, "upsert", kept ++ fresh)
+    k
+  }
+
+  /** Read the lake AS OF version `v` — the time-travel read. `parts`
+    * non-empty prunes at the manifest: only the named partitions'
+    * files reach the reader. */
+  def readVersion(spark: SparkSession, path: String, v: Int,
+                  parts: Seq[String] = Seq.empty): DataFrame = {
+    val entries = manifestEntries(spark, path, v)
+    val wanted =
+      if (parts.isEmpty) entries
+      else entries.filter { case (p, _) => parts.contains(p) }
+    val base = path.stripSuffix("/")
+    val files = wanted.map { case (_, rel) => s"$base/$rel" }
+    require(files.nonEmpty, s"version $v has no files for parts $parts")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Read the newest version. */
+  def readLatest(spark: SparkSession, path: String,
+                 parts: Seq[String] = Seq.empty): DataFrame =
+    readVersion(spark, path, latestVersion(spark, path), parts)
+
+  /** Drop every version's state — a fresh-lake reset for fixtures. */
+  def reset(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val f = fs(spark, path)
+    if (f.exists(p)) f.delete(p, true)
+    ()
+  }
+}

@@ -160,6 +160,53 @@ class LakeSpec extends SparkSpec {
       "pre-evolution files read the new column as NULL")
   }
 
+  test("versioned lake: upsert carries untouched partitions forward " +
+      "and every version stays readable") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_tt").toString
+    VersionedLake.reset(spark, lake)
+    val v1data = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+      .toDF("id", "part", "x")
+    assert(VersionedLake.commitOverwrite(v1data, "part", lake) == 1)
+    // upsert replaces ONLY part b; part a carries forward by pointer
+    val v2data = Seq((4L, "b", 99.0)).toDF("id", "part", "x")
+    assert(VersionedLake.commitUpsert(v2data, "part", lake) == 2)
+    assert(VersionedLake.versions(spark, lake) == Seq(1, 2))
+
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id").as[Long].collect().toSet
+    assert(ids(VersionedLake.readVersion(spark, lake, 1)) ==
+      Set(1L, 2L, 3L))
+    assert(ids(VersionedLake.readLatest(spark, lake)) == Set(1L, 2L, 4L))
+    // manifest-level partition pruning on the versioned read
+    assert(ids(VersionedLake.readVersion(spark, lake, 2, Seq("a"))) ==
+      Set(1L, 2L))
+    // the partition column survives as a data column
+    assert(VersionedLake.readLatest(spark, lake).columns.toSet ==
+      Set("id", "part", "x"))
+  }
+
+  test("versioned lake: a concurrent reader holding an old version " +
+      "is immune to later commits") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_iso").toString
+    VersionedLake.reset(spark, lake)
+    VersionedLake.commitOverwrite(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "part", "x"),
+      "part", lake)
+    // the reader plans against version 1 BEFORE the next commit...
+    val reader = VersionedLake.readVersion(spark, lake, 1)
+    // ...which replaces part b and adds part c
+    VersionedLake.commitUpsert(
+      Seq((9L, "b", 9.0), (5L, "c", 5.0)).toDF("id", "part", "x"),
+      "part", lake)
+    // executing the old plan AFTER the commit still sees version 1:
+    // commits only ADD files, nothing it references was touched
+    assert(reader.select($"id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(VersionedLake.readLatest(spark, lake)
+      .select($"id").as[Long].collect().toSet == Set(1L, 9L, 5L))
+  }
+
   test("unionByName with allowMissingColumns aligns evolved batches") {
     val v1 = Seq((1L, "alpha")).toDF("doc_id", "text")
     val v2 = Seq((2L, "en", "beta")).toDF("doc_id", "lang", "text") // reordered
