@@ -127,6 +127,32 @@ object RecallProbe {
     annRecall("s16_ivfadc",
       Similarity.ivfAdcTopK(emb, q, 10, m = 16, rerank = 500))
 
+    // s19: cross-modal (text query -> image corpus) recall through the
+    // IVFADC index; the truth is the exact cross-modal brute force, so
+    // this needs its own per-query hit table (text ids are +100000).
+    // nProbe=9 is the REGISTERED dial (min 6 at both SFs, contract 5);
+    // the 7/11 rows show the dial's slope for future tuning
+    {
+      val tq = SparkEntry.crossModalQueries(spark, sfDir)
+      val exactX = Similarity.bruteForceTopK(emb, tq, 10)
+        .select(col("query_id"), col("cand_id")).localCheckpoint(true)
+      val idx = Similarity.buildIvfAdcIndex(emb, m = 16)
+      for (np <- Seq(7, 9, 11)) {
+        val approx = Similarity.ivfAdcSearch(emb, idx, tq, 10,
+          nProbe = np, rerank = 500)
+        val hits = exactX
+          .join(approx.select(col("query_id"), col("cand_id")),
+            Seq("query_id", "cand_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+          .orderBy(col("query_id")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val perQ = (100000L until 100010L).map(i => hits.getOrElse(i, 0L))
+        println(s"RECALL s19_crossmodal nProbe=$np per-query hits@10 = " +
+          s"${perQ.mkString(",")} min=${perQ.min} " +
+          f"mean=${perQ.sum / 10.0}%.1f")
+      }
+    }
+
     // s12: filtered ANN recall is vs the LABEL-FILTERED exact truth
     {
       val exactF = Similarity.bruteForceTopKFiltered(emb, q, 10)

@@ -1772,6 +1772,51 @@ object SparkEntry {
       .crossJoin(broadcast(eq))
   }
 
+  /** Deterministic TEXT-side query vectors for the cross-modal search
+    * (s19): a paired-encoder (CLIP-style) training setup puts both
+    * modalities in ONE space, with a caption's vector NEAR — never
+    * equal to — its image's. The container has no encoder models (the
+    * m-family decode discipline), so the text encoder is a
+    * deterministic fake: each image embedding for vec_id < 10 gets a
+    * per-coordinate hash-derived perturbation (±0.20, xxhash64 of
+    * (vec_id, coordinate) — reproducible on any partitioning) and a
+    * +100000 id offset so the two modalities' key spaces never
+    * collide. The Spark-side plumbing — id spaces, shared-space
+    * probing, index reuse — is the real thing; only the encoder is
+    * faked, exactly like the multimodal codec stubs. */
+  private[graft] def crossModalQueries(s: SparkSession,
+                                       d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + (pmod(xxhash64(col("vec_id"), i), lit(41L)) - lit(20L))
+            .cast("double") / lit(100.0)).cast("float")).as("embedding"))
+
+  /** s19 — CROSS-MODAL retrieval (text → image) through the PERSISTED
+    * image-side IVFADC index: the composition the s18 index exists
+    * for — the image corpus is indexed ONCE (coarse cells + residual
+    * PQ codes in the lake, [[cachedIvfAdcIndex]]), and query batches
+    * from the OTHER modality probe it; nothing about IVFADC is
+    * image-specific because both encoders target the same space, so
+    * the probe is [[Similarity.ivfAdcSearch]] unchanged — no rebuild,
+    * no modality-specific index. Contract: recall@10 per text query
+    * vs the exact cross-modal brute force (text query × image corpus
+    * cosine), at nProbe = 9 — a cross-modal query sits BETWEEN cells
+    * (its perturbation moves it off the image's centroid), so it
+    * buys two more probes than the same-modality s16/s18 dial; the
+    * honest cross-encoder trade, scan 9/16 of the cells instead of
+    * 7/16. Measured min hits 6 at BOTH SFs (RecallProbe: nProbe 7
+    * gives min 4, 9 gives 6, 11 gives 8); bound 5 keeps 1 unit of
+    * margin at both SFs (RecallMarginSpec). */
+  private def s19(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val tq = crossModalQueries(s, d)
+    val approx = Similarity.ivfAdcSearch(emb, cachedIvfAdcIndex(s, d),
+      tq, k = 10, nProbe = 9, rerank = 500)
+    annRecallCheck(approx, Similarity.bruteForceTopK(emb, tq, k = 10),
+      minHits = 5)
+  }
+
   /** s13 — distributed Lloyd k-means refinement (LLOYD K-MEANS
     * CONTRACT, KMeansLloyd.scaladoc): k=8, 2 full-corpus iterations on
     * the int8-quantized embeddings — hash-ranked deterministic seeds,
@@ -5094,6 +5139,7 @@ object SparkEntry {
     "s15_ann_persisted" -> (s15 _),
     "s16_ann_ivfadc" -> (s16 _),
     "s18_ann_ivfadc_persisted" -> (s18 _),
+    "s19_crossmodal_search" -> (s19 _),
     "t27_bpe_pairs" -> (t27 _),
   )
 
@@ -5242,6 +5288,13 @@ object SparkEntry {
       Similarity.ivfAdcSearch(emb, idx, emb.filter(col("vec_id") < 10),
         k = 10, m = 16, rerank = 500)
     }),
+    // s19's operator is the text-batch probe of the SAME persisted
+    // image index; the brute-force cross-modal truth in the registered
+    // query is the recall harness
+    "s19_crossmodal_search" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfAdcSearch(Tables.embeddings(s, d),
+        cachedIvfAdcIndex(s, d), crossModalQueries(s, d),
+        k = 10, nProbe = 9, rerank = 500)),
     // d12's operator is signatures + the agreement join over a
     // persisted truth-pair frame; the registered query re-derives d06's
     // exact shingle-Jaccard truth from scratch only so its oracle is
@@ -6915,6 +6968,12 @@ object SparkEntry {
     "s18_ann_ivfadc_persisted" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok,
         |  TRUE AS idx_eq_rebuild
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // s19: cross-modal recall contract — the bound vs the exact
+    // text-query × image-corpus brute force is asserted in-Spark
+    // (annRecallCheck); text query ids are the +100000-offset space
+    "s19_crossmodal_search" ->
+      """SELECT vec_id + 100000 AS query_id, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     // s15: s02's recall contract + the computed index==rebuild equality
     "s15_ann_persisted" ->

@@ -93,6 +93,23 @@ class RecallMarginSpec extends SparkSpec {
       val s16Min = minHits(
         Similarity.ivfAdcTopK(emb, q, 10, m = 16, rerank = 500))
       assert(s16Min >= 5, s"s16 margin gone: min hits $s16Min, contract 4")
+
+      // s19 cross-modal: its truth is the text-query x image-corpus
+      // brute force, so it needs its own hit table (text ids +100000)
+      val tq = SparkEntry.crossModalQueries(spark, sfDir)
+      val exactX = Similarity.bruteForceTopK(emb, tq, 10)
+        .select(col("query_id"), col("cand_id"))
+      val s19Hits = exactX
+        .join(Similarity.ivfAdcSearch(emb,
+            Similarity.buildIvfAdcIndex(emb, m = 16), tq, 10,
+            nProbe = 9, rerank = 500)
+          .select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val s19Min =
+        (100000L until 100010L).map(i => s19Hits.getOrElse(i, 0L)).min
+      assert(s19Min >= 6, s"s19 margin gone: min hits $s19Min, contract 5")
     }
 
     test(s"q52 HLL estimates stay under HALF the 5pct allowance at $sfDir") {
