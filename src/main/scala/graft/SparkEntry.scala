@@ -817,6 +817,59 @@ object SparkEntry {
       .unionByName(summary(v2, 2).crossJoin(diff))
   }
 
+  /** l10 — retention VACUUM on the versioned lake
+    * ([[graft.sources.VersionedLake.vacuum]]): l09's append-only
+    * commit log completes the lifecycle here — without vacuum a
+    * versioned lake only ever grows. Three commits land on one lake
+    * (Q1 snapshot; a February restatement; a March restatement), then
+    * vacuum retains the newest TWO versions: version 1's manifest is
+    * dropped and the only data files no retained manifest references —
+    * commit 1's replaced February files; its January files are STILL
+    * LIVE through the carried-forward pointers in v2/v3 — are
+    * physically deleted. The emitted rows are the two retained
+    * versions' full summaries read AFTER the vacuum (deleting a live
+    * file fails these numbers), plus computed booleans: v1 both
+    * dropped from the log and unreadable, zero unreferenced files
+    * left, and at least one file physically deleted (the exact count
+    * is layout-dependent — task-count-sized — so the gate pins the
+    * boolean, not the number). Oracle re-derives both retained
+    * snapshots from the original parquet. */
+  private def l10(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedLake
+    val lake = s"/tmp/graft_vaclake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .filter(col("month").between("1997-01", "1997-03"))
+    VersionedLake.commitOverwrite(li, "month", lake)
+    VersionedLake.commitUpsert(
+      li.filter(col("month") === "1997-02")
+        .filter(col("l_linenumber") <= 4)
+        .withColumn("l_quantity", col("l_quantity") + 1),
+      "month", lake)
+    VersionedLake.commitUpsert(
+      li.filter(col("month") === "1997-03")
+        .filter(col("l_linenumber") <= 3)
+        .withColumn("l_quantity", col("l_quantity") + 2),
+      "month", lake)
+    val (nDropped, nDeleted) = VersionedLake.vacuum(s, lake, retain = 2)
+    val v1Gone =
+      try { VersionedLake.readVersion(s, lake, 1); false }
+      catch { case _: IllegalArgumentException => true }
+    val noOrphans = VersionedLake.unreferencedDataFiles(s, lake).isEmpty
+    def summary(v: Int): DataFrame =
+      VersionedLake.readVersion(s, lake, v)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          sum(col("l_orderkey") * 7 + col("l_linenumber")).as("key_sig"))
+        .withColumn("version", lit(v))
+    summary(2).unionByName(summary(3))
+      .withColumn("v1_vacuumed", lit(nDropped == 1 && v1Gone))
+      .withColumn("no_orphans", lit(noOrphans))
+      .withColumn("files_deleted", lit(nDeleted > 0))
+  }
+
   /** l02 — dirty CSV ingest with quarantine: the lake-level form of the
     * reference's P4 tolerance asymmetry. The reference either skips a
     * dirty dimension row or fails the whole fact load; a 100 TB ingest
@@ -4989,6 +5042,7 @@ object SparkEntry {
     "l07_compaction" -> (l07 _),
     "l08_zonemap_skip" -> (l08 _),
     "l09_time_travel" -> (l09 _),
+    "l10_vacuum" -> (l10 _),
     "c13_split_decontam" -> (c13 _),
     "c14_weighted_sample" -> (c14 _),
     "t33_cdc_chunking" -> (t33 _),
@@ -5919,6 +5973,72 @@ object SparkEntry {
         val after = sig()
         require(before == after,
           s"st19 compaction changed lake content: $before vs $after")
+      },
+      // streaming ingest into the VERSIONED lake (st19's cycle on the
+      // l09/l10 commit log): 4 micro-batches, each an exactly-once
+      // txn-deduped APPEND commit — every batch a readable snapshot,
+      // replay skipped at the commit. The drive asserts the whole
+      // contract: one version per batch, latest content == source
+      // (count + order-insensitive signature), and a replayed last
+      // batch neither forks history nor changes content.
+      "st20_stream_versioned_ingest" -> { (s: SparkSession, d: String) =>
+        import java.nio.file.{Files, Path, Paths}
+        import java.util.Comparator
+        import graft.sources.VersionedLake
+        def wipe(p: Path): Unit =
+          if (Files.exists(p))
+            Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+              .forEach(f => { Files.deleteIfExists(f); () })
+        // stage once per (sf, JVM); range-split on event_id so the 4
+        // batch payloads are deterministic; staleness-guarded
+        val srcFile = Paths.get(s"$d/events.parquet")
+        val stage = Paths.get(
+          s"/tmp/graft_stream_vev_${Integer.toHexString(d.hashCode)}")
+        val marker = stage.resolve("_SUCCESS")
+        val stale = !Files.exists(marker) ||
+          Files.getLastModifiedTime(marker)
+            .compareTo(Files.getLastModifiedTime(srcFile)) < 0
+        if (stale) {
+          wipe(stage)
+          Tables.events(s, d)
+            .repartitionByRange(4, col("event_id"))
+            .write.mode("overwrite").parquet(stage.toString)
+        }
+        val lake =
+          s"/tmp/graft_stream_vlake_${Integer.toHexString(d.hashCode)}"
+        VersionedLake.reset(s, lake)
+        val ckpt = Files.createTempDirectory("graft_ckpt")
+        try {
+          val schema = s.read.parquet(stage.toString).schema
+          val src = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+          val q = graft.streaming.EventStreams
+            .toVersionedLake(src, lake)
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt.toString)
+            .start()
+          q.awaitTermination()
+        } finally {
+          org.apache.spark.sql.graftglue.GraftGlue.unloadStateStores()
+          wipe(ckpt)
+        }
+        val vs = VersionedLake.versions(s, lake)
+        require(vs == Seq(1, 2, 3, 4),
+          s"st20 expected one version per batch, got $vs")
+        def sig(df: DataFrame) = df
+          .agg(count(lit(1)).as("n"),
+            expr("bit_xor(xxhash64(event_id, user_id))").as("sig"))
+          .collect().head
+        val srcSig = sig(s.read.parquet(stage.toString))
+        require(sig(VersionedLake.readLatest(s, lake)) == srcSig,
+          "st20 latest version diverges from the ingested source")
+        // checkpoint replay of the last batch: same txn -> no-op
+        val replay = s.read.parquet(stage.toString).limit(5)
+          .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+        require(VersionedLake.commitBatchUpsert(replay, "month", lake,
+            txn = 3L) == 4, "st20 replayed txn forked history")
+        require(sig(VersionedLake.readLatest(s, lake)) == srcSig,
+          "st20 replayed txn changed content")
       })
   }
 
@@ -6732,6 +6852,38 @@ object SparkEntry {
         |SELECT CAST(2 AS INTEGER), s2.n_rows, s2.sum_qty, s2.key_sig,
         |  d.n_changed_vs_prev, d.n_removed_vs_prev, d.n_added_vs_prev
         |FROM s2, d""".stripMargin,
+    // l10: the two RETAINED snapshots re-derived from the original
+    // parquet — read AFTER the vacuum, so a deleted live file fails
+    // the numbers; the vacuum/orphan/readability outcomes are computed
+    // Spark-side booleans
+    "l10_vacuum" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    strftime(l_shipdate, '%Y-%m') AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'),
+        |v2 AS (
+        |  SELECT * FROM li WHERE month <> '1997-02'
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 1, month
+        |  FROM li WHERE month = '1997-02' AND l_linenumber <= 4),
+        |v3 AS (
+        |  SELECT * FROM v2 WHERE month <> '1997-03'
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 2, month
+        |  FROM li WHERE month = '1997-03' AND l_linenumber <= 3)
+        |SELECT CAST(2 AS INTEGER) AS version, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  TRUE AS v1_vacuumed, TRUE AS no_orphans,
+        |  TRUE AS files_deleted
+        |FROM v2
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), count(*), round(sum(l_quantity), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  TRUE, TRUE, TRUE
+        |FROM v3""".stripMargin,
     // the Bloom prune is output-invisible by construction (false
     // positives die in the exact join), so the oracle is the PLAIN join
     "q38_bloom_join" ->

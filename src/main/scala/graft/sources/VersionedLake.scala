@@ -86,15 +86,35 @@ object VersionedLake {
   }
 
   private def writeManifest(spark: SparkSession, path: String, v: Int,
-                            op: String,
-                            entries: Seq[(String, String)]): Unit = {
+                            op: String, entries: Seq[(String, String)],
+                            txn: Option[Long] = None): Unit = {
     val f = fs(spark, path)
     f.mkdirs(logDir(path))
     val mf = new Path(logDir(path), s"${"%06d".format(v)}.manifest")
-    val body = (s"version=$v op=$op" +:
+    val head = s"version=$v op=$op" +
+      txn.map(t => s" txn=$t").getOrElse("")
+    val body = (head +:
       entries.sorted.map { case (p, r) => s"$p\t$r" }).mkString("\n")
     val out = f.create(mf, true)
     try out.write((body + "\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Transaction ids already recorded in the log — header-only reads,
+    * version-count-sized. */
+  private def committedTxns(spark: SparkSession,
+                            path: String): Set[Long] = {
+    val f = fs(spark, path)
+    versions(spark, path).flatMap { v =>
+      val mf = new Path(logDir(path), s"${"%06d".format(v)}.manifest")
+      val in = f.open(mf)
+      val header =
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().nextOption().getOrElse("")
+        finally in.close()
+      header.split(' ').collectFirst {
+        case kv if kv.startsWith("txn=") => kv.stripPrefix("txn=").toLong
+      }
+    }.toSet
   }
 
   /** List commit k's data files as (part, relpath) from the FS —
@@ -141,7 +161,18 @@ object VersionedLake {
     * old files stay on disk for older versions but leave the
     * manifest), untouched partitions carry forward by pointer.
     * Returns the new version number. */
-  def commitUpsert(df: DataFrame, partCol: String, path: String): Int = {
+  def commitUpsert(df: DataFrame, partCol: String, path: String): Int =
+    doCommit(df, partCol, path, None, replace = true)
+
+  /** Commit an APPEND: this commit's files JOIN the table next to
+    * every previous file — no partition is replaced. The streaming-
+    * ingest commit (new rows accumulate within their partitions);
+    * restatements use [[commitUpsert]]. Returns the new version. */
+  def commitAppend(df: DataFrame, partCol: String, path: String): Int =
+    doCommit(df, partCol, path, None, replace = false)
+
+  private def doCommit(df: DataFrame, partCol: String, path: String,
+                       txn: Option[Long], replace: Boolean): Int = {
     val spark = df.sparkSession
     val prev = latestVersion(spark, path)
     val k = prev + 1
@@ -150,10 +181,97 @@ object VersionedLake {
     val replaced = fresh.map(_._1).toSet
     val kept =
       if (prev == 0) Seq.empty
-      else manifestEntries(spark, path, prev)
+      else if (replace) manifestEntries(spark, path, prev)
         .filterNot { case (p, _) => replaced.contains(p) }
-    writeManifest(spark, path, k, "upsert", kept ++ fresh)
+      else manifestEntries(spark, path, prev)
+    writeManifest(spark, path, k, if (replace) "upsert" else "append",
+      kept ++ fresh, txn)
     k
+  }
+
+  /** Exactly-once STREAMING commit (the Delta `txnAppId`/`txnVersion`
+    * protocol reduced to its core): `txn` identifies the micro-batch —
+    * foreachBatch's batchId. If the log already records `txn`, the
+    * commit is a NO-OP returning the current version: checkpointed
+    * at-least-once replay after a sink failure must not fork history
+    * or double-apply the batch. This is the versioned-lake form of
+    * [[PartitionedLake.upsertBatch]]'s rewrite-your-own-partition
+    * idempotence — here the dedup is at the COMMIT, so replayed work
+    * is skipped entirely rather than rewritten byte-identically. */
+  def commitBatchUpsert(df: DataFrame, partCol: String, path: String,
+                        txn: Long): Int = {
+    val spark = df.sparkSession
+    if (committedTxns(spark, path).contains(txn))
+      latestVersion(spark, path)
+    else doCommit(df, partCol, path, Some(txn), replace = true)
+  }
+
+  /** [[commitAppend]] with [[commitBatchUpsert]]'s txn dedup — the
+    * streaming-ingest commit: batches sharing a partition ACCUMULATE,
+    * a replayed batch is skipped at the commit. A crash between data
+    * write and manifest write leaves only an unreferenced c-dir,
+    * which [[vacuum]] reclaims — never a torn version. */
+  def commitBatchAppend(df: DataFrame, partCol: String, path: String,
+                        txn: Long): Int = {
+    val spark = df.sparkSession
+    if (committedTxns(spark, path).contains(txn))
+      latestVersion(spark, path)
+    else doCommit(df, partCol, path, Some(txn), replace = false)
+  }
+
+  /** Data files under `path/data` referenced by NO retained manifest —
+    * what [[vacuum]] deletes; exposed so callers can assert a clean
+    * lake (zero orphans) after maintenance. Returns relpaths. */
+  def unreferencedDataFiles(spark: SparkSession,
+                            path: String): Seq[String] = {
+    val f = fs(spark, path)
+    val base = path.stripSuffix("/")
+    val live = versions(spark, path)
+      .flatMap(v => manifestEntries(spark, path, v)).map(_._2).toSet
+    val dataRoot = new Path(s"$base/data")
+    if (!f.exists(dataRoot)) Seq.empty
+    else {
+      val qualBase = f.makeQualified(new Path(base)).toString
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = f.listFiles(dataRoot, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+          val rel = st.getPath.toString.stripPrefix(qualBase + "/")
+          if (!live.contains(rel)) out += rel
+        }
+      }
+      out.toSeq
+    }
+  }
+
+  /** Retention VACUUM: drop every version but the newest `retain`,
+    * then physically delete the data files no retained manifest
+    * references. Completes the lifecycle — without it a versioned
+    * lake only ever grows. The trade is explicit: a vacuumed version
+    * is gone (its readVersion fails loudly on the missing manifest),
+    * and `retain` is the concurrent-reader grace window — size it to
+    * the longest-running query, exactly Delta/Iceberg's retention
+    * rule. Driver-side metadata throughout (manifest reads + one
+    * recursive listing); row data never moves. Returns
+    * (versionsDropped, filesDeleted). */
+  def vacuum(spark: SparkSession, path: String,
+             retain: Int): (Int, Int) = {
+    require(retain >= 1, "vacuum must retain at least one version")
+    val f = fs(spark, path)
+    val vs = versions(spark, path)
+    val dropped = vs.dropRight(retain)
+    // drop the manifests FIRST: a crash between the two phases then
+    // leaves only unreferenced-but-present files (re-vacuumable),
+    // never a manifest pointing at deleted files
+    dropped.foreach { v =>
+      f.delete(new Path(logDir(path), s"${"%06d".format(v)}.manifest"),
+        false)
+    }
+    val base = path.stripSuffix("/")
+    val orphans = unreferencedDataFiles(spark, path)
+    orphans.foreach(rel => f.delete(new Path(s"$base/$rel"), false))
+    (dropped.size, orphans.size)
   }
 
   /** Read the lake AS OF version `v` — the time-travel read. `parts`

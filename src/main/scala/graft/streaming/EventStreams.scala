@@ -261,6 +261,27 @@ object EventStreams {
           batch.toDF(), "ts", batchId, path)
     }
 
+  /** Streaming ingest into the VERSIONED lake
+    * ([[graft.sources.VersionedLake]]): each micro-batch commits one
+    * month-partitioned APPEND with batchId as the transaction id —
+    * batches sharing a month accumulate, and a checkpoint replay
+    * after a sink failure is SKIPPED at the commit (exactly-once lake
+    * versions from at-least-once delivery — the Delta txn protocol;
+    * [[toLake]] gets the same guarantee by byte-identical rewrite,
+    * this one by commit dedup). Every batch is a readable snapshot:
+    * the lake's version history IS the ingest audit log, and a reader
+    * pinned to version k is immune to the batches still landing. */
+  def toVersionedLake(events: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.VersionedLake.commitBatchAppend(
+          batch.toDF().withColumn("month",
+            date_format(col("ts"), "yyyy-MM")),
+          "month", path, txn = batchId)
+        ()
+    }
+
   /** A closed session emitted by [[sessionizeStateful]]. */
   case class Session(user_id: Long, session_start: Timestamp,
                      session_end: Timestamp, n_events: Long)

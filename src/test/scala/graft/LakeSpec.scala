@@ -207,6 +207,60 @@ class LakeSpec extends SparkSpec {
       .select($"id").as[Long].collect().toSet == Set(1L, 9L, 5L))
   }
 
+  test("versioned lake: commitBatchUpsert is replay-idempotent " +
+      "(same txn never forks history)") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_txn").toString
+    VersionedLake.reset(spark, lake)
+    val b0 = Seq((1L, "a", 1.0)).toDF("id", "part", "x")
+    assert(VersionedLake.commitBatchUpsert(b0, "part", lake, txn = 0L) == 1)
+    val b1 = Seq((2L, "b", 2.0)).toDF("id", "part", "x")
+    assert(VersionedLake.commitBatchUpsert(b1, "part", lake, txn = 1L) == 2)
+    // a checkpoint replay re-delivers batch 1: the commit must be a
+    // no-op — same latest version, same content, no new manifest
+    assert(VersionedLake.commitBatchUpsert(b1, "part", lake, txn = 1L) == 2)
+    assert(VersionedLake.versions(spark, lake) == Seq(1, 2))
+    assert(VersionedLake.readLatest(spark, lake)
+      .select($"id").as[Long].collect().toSet == Set(1L, 2L))
+    // a NEW txn still commits
+    assert(VersionedLake.commitBatchUpsert(
+      Seq((3L, "c", 3.0)).toDF("id", "part", "x"), "part", lake,
+      txn = 2L) == 3)
+  }
+
+  test("versioned lake: vacuum deletes only files no retained " +
+      "manifest references, and vacuumed versions fail loudly") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_vac").toString
+    VersionedLake.reset(spark, lake)
+    VersionedLake.commitOverwrite(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "part", "x"),
+      "part", lake)
+    VersionedLake.commitUpsert( // v2 replaces part b
+      Seq((9L, "b", 9.0)).toDF("id", "part", "x"), "part", lake)
+    VersionedLake.commitUpsert( // v3 replaces part a
+      Seq((8L, "a", 8.0)).toDF("id", "part", "x"), "part", lake)
+
+    val (dropped, deleted) = VersionedLake.vacuum(spark, lake, retain = 2)
+    assert(dropped == 1, s"dropped $dropped")
+    // v1's part-b files were replaced in v2 AND v1's manifest is gone,
+    // so they are the only unreferenced files... but v1's part-a files
+    // are STILL referenced by v2's carry-forward pointer — they must
+    // survive for v2 to stay readable
+    assert(deleted > 0, "commit 1's replaced part-b files should go")
+    assert(VersionedLake.unreferencedDataFiles(spark, lake).isEmpty)
+    assert(VersionedLake.versions(spark, lake) == Seq(2, 3))
+    assert(VersionedLake.readVersion(spark, lake, 2)
+      .select($"id").as[Long].collect().toSet == Set(1L, 9L))
+    assert(VersionedLake.readVersion(spark, lake, 3)
+      .select($"id").as[Long].collect().toSet == Set(8L, 9L))
+    intercept[IllegalArgumentException] {
+      VersionedLake.readVersion(spark, lake, 1)
+    }
+    // vacuum is re-runnable (crash-recovery: phase 2 resumable)
+    assert(VersionedLake.vacuum(spark, lake, retain = 2) == ((0, 0)))
+  }
+
   test("unionByName with allowMissingColumns aligns evolved batches") {
     val v1 = Seq((1L, "alpha")).toDF("doc_id", "text")
     val v2 = Seq((2L, "en", "beta")).toDF("doc_id", "lang", "text") // reordered
