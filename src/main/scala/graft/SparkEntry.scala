@@ -870,6 +870,73 @@ object SparkEntry {
       .withColumn("files_deleted", lit(nDeleted > 0))
   }
 
+  /** l11 — keyed MERGE INTO the versioned lake
+    * ([[graft.sources.VersionedLake.commitMerge]]): the Delta/Iceberg
+    * MERGE on l09's commit log — q86/q81's changeset discipline
+    * applied AT the table layer instead of above it. The delta mixes
+    * UPDATES (February lines ≤ 2 restated, quantity + 5 — full new
+    * payload for existing keys) and INSERTS (new +10000000-offset
+    * keys derived from February's line 7), and the merge is
+    * partition-pruned: only February is read (through the manifest,
+    * never a month it doesn't touch), ONE anti-join drops the matched
+    * keys' old rows, and the commit replaces February while
+    * January/March carry forward by pointer — cost ∝ touched
+    * partitions + delta. Both versions then time-travel read from the
+    * one lake with the l09 diff between them; the oracle re-derives
+    * the merged snapshot and the changed/added counts from the
+    * original parquet (a dropped unmatched row, a surviving matched
+    * row, or a lost carried-forward month each fail a different
+    * number). The staged frame is one-row-per-key (a min-aggregate
+    * over the fixture's duplicate (orderkey, linenumber) plantings):
+    * MERGE is keyed semantics, so the fixture must provide an actual
+    * key — with duplicates, "update the matched row" is ill-posed
+    * (Delta errors on multiple source matches for the same reason). */
+  private def l11(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedLake
+    val lake = s"/tmp/graft_mergelake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .filter(col("month").between("1997-01", "1997-03"))
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(min(col("l_quantity")).as("l_quantity"),
+        min(col("month")).as("month"))
+    VersionedLake.commitOverwrite(li, "month", lake)
+    val feb = li.filter(col("month") === "1997-02")
+    val delta = feb.filter(col("l_linenumber") <= 2)
+      .withColumn("l_quantity", col("l_quantity") + 5)
+      .unionByName(feb.filter(col("l_linenumber") === 7)
+        .withColumn("l_orderkey", col("l_orderkey") + 10000000L)
+        .withColumn("l_quantity", col("l_quantity") + 3))
+    VersionedLake.commitMerge(delta,
+      Seq("l_orderkey", "l_linenumber"), "month", lake)
+    val v1 = VersionedLake.readVersion(s, lake, 1)
+    val v2 = VersionedLake.readLatest(s, lake)
+    def summary(df: DataFrame, v: Int): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          sum(col("l_orderkey") * 7 + col("l_linenumber")).as("key_sig"))
+        .withColumn("version", lit(v))
+    val key = Seq("l_orderkey", "l_linenumber")
+    val diff = v1.select((key.map(col) :+ col("l_quantity").as("q1")): _*)
+      .join(v2.select((key.map(col) :+ col("l_quantity").as("q2")): _*),
+        key, "full_outer")
+      .agg(
+        sum(when(col("q1").isNotNull && col("q2").isNotNull
+          && col("q1") =!= col("q2"), 1L).otherwise(0L))
+          .as("n_changed_vs_prev"),
+        sum(when(col("q2").isNull, 1L).otherwise(0L))
+          .as("n_removed_vs_prev"),
+        sum(when(col("q1").isNull, 1L).otherwise(0L))
+          .as("n_added_vs_prev"))
+    summary(v1, 1)
+      .withColumn("n_changed_vs_prev", lit(0L))
+      .withColumn("n_removed_vs_prev", lit(0L))
+      .withColumn("n_added_vs_prev", lit(0L))
+      .unionByName(summary(v2, 2).crossJoin(diff))
+  }
+
   /** l02 — dirty CSV ingest with quarantine: the lake-level form of the
     * reference's P4 tolerance asymmetry. The reference either skips a
     * dirty dimension row or fails the whole fact load; a 100 TB ingest
@@ -5043,6 +5110,7 @@ object SparkEntry {
     "l08_zonemap_skip" -> (l08 _),
     "l09_time_travel" -> (l09 _),
     "l10_vacuum" -> (l10 _),
+    "l11_merge_into" -> (l11 _),
     "c13_split_decontam" -> (c13 _),
     "c14_weighted_sample" -> (c14 _),
     "t33_cdc_chunking" -> (t33 _),
@@ -6884,6 +6952,55 @@ object SparkEntry {
         |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
         |  TRUE, TRUE, TRUE
         |FROM v3""".stripMargin,
+    // l11: the MERGEd snapshot re-derived from the original parquet —
+    // updates as a CASE over the key predicate, inserts appended; the
+    // diff counts follow from the construction (every update changes
+    // the quantity, nothing is removed)
+    "l11_merge_into" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity,
+        |    min(strftime(l_shipdate, '%Y-%m')) AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'
+        |  GROUP BY 1, 2),
+        |v2 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN month = '1997-02' AND l_linenumber <= 2
+        |         THEN l_quantity + 5 ELSE l_quantity END AS l_quantity,
+        |    month
+        |  FROM li
+        |  UNION ALL
+        |  SELECT l_orderkey + 10000000, l_linenumber, l_quantity + 3,
+        |    month
+        |  FROM li WHERE month = '1997-02' AND l_linenumber = 7),
+        |s1 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM li),
+        |s2 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM v2),
+        |d AS (SELECT
+        |    CAST(count(CASE WHEN month = '1997-02' AND l_linenumber <= 2
+        |      THEN 1 END) AS BIGINT) AS n_changed_vs_prev,
+        |    CAST(0 AS BIGINT) AS n_removed_vs_prev,
+        |    CAST(count(CASE WHEN month = '1997-02' AND l_linenumber = 7
+        |      THEN 1 END) AS BIGINT) AS n_added_vs_prev
+        |  FROM li)
+        |SELECT CAST(1 AS INTEGER) AS version, s1.n_rows, s1.sum_qty,
+        |  s1.key_sig, CAST(0 AS BIGINT) AS n_changed_vs_prev,
+        |  CAST(0 AS BIGINT) AS n_removed_vs_prev,
+        |  CAST(0 AS BIGINT) AS n_added_vs_prev
+        |FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), s2.n_rows, s2.sum_qty, s2.key_sig,
+        |  d.n_changed_vs_prev, d.n_removed_vs_prev, d.n_added_vs_prev
+        |FROM s2, d""".stripMargin,
     // the Bloom prune is output-invisible by construction (false
     // positives die in the exact join), so the oracle is the PLAIN join
     "q38_bloom_join" ->

@@ -219,6 +219,46 @@ object VersionedLake {
     else doCommit(df, partCol, path, Some(txn), replace = false)
   }
 
+  /** Keyed MERGE INTO the latest version (the Delta/Iceberg MERGE
+    * reduced to its upsert core: update matched keys' payload, insert
+    * unmatched keys), executed PARTITION-PRUNED: only the partitions
+    * present in the delta are read (through the manifest), merged
+    * with one anti-join, and committed — untouched partitions carry
+    * forward by pointer, so cost ∝ touched partitions + delta, never
+    * table size. Because the layout is append-only, the rewrite reads
+    * old files while writing NEW ones — no durable-copy staging step
+    * ([[PartitionedLake.overwriteBuckets]]'s materialize-first rule
+    * exists because in-place overwrite deletes what it reads; a
+    * versioned commit structurally cannot).
+    *
+    * Invariant the caller owns (as in every partition-pruned MERGE):
+    * a key's partition value is stable — a delta row whose partition
+    * differs from its stored row's lands as a duplicate key in the
+    * new partition, because the old partition is never opened.
+    *
+    * @param delta full-payload rows: updates carry the new payload for
+    *        existing keys, inserts carry new keys
+    * @return the new version number */
+  def commitMerge(delta: DataFrame, keyCols: Seq[String],
+                  partCol: String, path: String): Int = {
+    val spark = delta.sparkSession
+    val v = latestVersion(spark, path)
+    require(v > 0, "commitMerge needs an existing version to merge into")
+    // partition-count-sized collect: the touched-partition list is
+    // planning metadata, the same scale as the manifest itself
+    val parts = delta.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val touched = manifestEntries(spark, path, v)
+      .exists { case (p, _) => parts.contains(p) }
+    val current =
+      if (touched) readVersion(spark, path, v, parts)
+      else delta.limit(0) // delta opens a brand-new partition
+    val merged = current
+      .join(delta.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(delta)
+    doCommit(merged, partCol, path, None, replace = true)
+  }
+
   /** Data files under `path/data` referenced by NO retained manifest —
     * what [[vacuum]] deletes; exposed so callers can assert a clean
     * lake (zero orphans) after maintenance. Returns relpaths. */

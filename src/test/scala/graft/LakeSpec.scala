@@ -228,6 +228,38 @@ class LakeSpec extends SparkSpec {
       txn = 2L) == 3)
   }
 
+  test("versioned lake: commitMerge updates matched keys, inserts " +
+      "unmatched, and never opens untouched partitions") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_mrg").toString
+    VersionedLake.reset(spark, lake)
+    VersionedLake.commitOverwrite(
+      Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+        .toDF("id", "part", "x"),
+      "part", lake)
+    // delta touches ONLY part a: update id 1, insert id 9
+    val delta = Seq((1L, "a", 100.0), (9L, "a", 9.0))
+      .toDF("id", "part", "x")
+    assert(VersionedLake.commitMerge(delta, Seq("id"), "part", lake) == 2)
+    val got = VersionedLake.readLatest(spark, lake)
+      .select($"id", $"x").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 100.0, 2L -> 2.0, 3L -> 3.0, 9L -> 9.0))
+    // part b carried forward BY POINTER: v2's manifest references v1's
+    // b files (nothing for b was rewritten), and v1 stays readable
+    assert(VersionedLake.readVersion(spark, lake, 1)
+      .select($"id", $"x").as[(Long, Double)].collect().toMap ==
+      Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+    assert(VersionedLake.readVersion(spark, lake, 2, Seq("b"))
+      .select($"id").as[Long].collect().toSet == Set(3L))
+
+    // a merge whose delta opens a BRAND-NEW partition inserts only
+    assert(VersionedLake.commitMerge(
+      Seq((7L, "c", 7.0)).toDF("id", "part", "x"),
+      Seq("id"), "part", lake) == 3)
+    assert(VersionedLake.readLatest(spark, lake)
+      .select($"id").as[Long].collect().toSet == Set(1L, 2L, 3L, 9L, 7L))
+  }
+
   test("versioned lake: vacuum deletes only files no retained " +
       "manifest references, and vacuumed versions fail loudly") {
     import graft.sources.VersionedLake
