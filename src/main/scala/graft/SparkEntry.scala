@@ -936,6 +936,58 @@ object SparkEntry {
       .withColumn("n_added_vs_prev", lit(0L))
       .unionByName(summary(v2, 2).crossJoin(diff))
   }
+  /** l12 — zone-map-pruned TIME-TRAVEL range query: l08's per-file
+    * (lo, hi) skipping stats carried IN l09's version manifests
+    * ([[graft.sources.VersionedLake.FileEntry]] — the Iceberg
+    * manifest-row shape, where the commit log IS the skipping index),
+    * so a range query against an OLD snapshot prunes files exactly
+    * like one against the latest. Two commits land range-clustered on
+    * the key with statsCol recorded (version 2 restates February;
+    * January/March carry forward by pointer WITH their stats), then
+    * the same key window is read from BOTH versions via
+    * [[graft.sources.VersionedLake.readVersionRange]] — only
+    * stats-intersecting files reach either reader. Bounds derive from
+    * version 1's own manifest stats (driver-side planning metadata,
+    * integer arithmetic the oracle re-derives from the table's
+    * min/max); aggregates come from the pruned reads with the
+    * row-level predicate applied (zones prune files, rows still
+    * filter), so a wrongly-skipped file fails the numbers;
+    * skip_effective asserts >= half the files never opened. */
+  private def l12(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedLake
+    val lake = s"/tmp/graft_zvlake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .filter(col("month").between("1997-01", "1997-03"))
+    def clustered(df: DataFrame, n: Int): DataFrame =
+      df.repartitionByRange(n, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+    VersionedLake.commitOverwrite(clustered(li, 8), "month", lake,
+      statsCol = Some("l_orderkey"))
+    VersionedLake.commitUpsert(
+      clustered(li.filter(col("month") === "1997-02")
+        .filter(col("l_linenumber") <= 4)
+        .withColumn("l_quantity", col("l_quantity") + 1), 4),
+      "month", lake, statsCol = Some("l_orderkey"))
+    val stats = VersionedLake.manifestFiles(s, lake, 1)
+    val gmin = stats.flatMap(_.lo).min
+    val gmax = stats.flatMap(_.hi).max
+    val lo = gmin + (gmax - gmin) * 3 / 8
+    val hi = gmin + (gmax - gmin) / 2
+    def rangeSummary(v: Int): DataFrame = {
+      val (pruned, nMatch, nTotal) =
+        VersionedLake.readVersionRange(s, lake, v, lo, hi)
+      pruned.filter(col("l_orderkey").between(lo, hi))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          sum(col("l_orderkey") * 7 + col("l_linenumber")).as("key_sig"))
+        .withColumn("version", lit(v))
+        .withColumn("skip_effective", lit(nMatch * 2 <= nTotal))
+    }
+    rangeSummary(1).unionByName(rangeSummary(2))
+  }
 
   /** l02 — dirty CSV ingest with quarantine: the lake-level form of the
     * reference's P4 tolerance asymmetry. The reference either skips a
@@ -5111,6 +5163,7 @@ object SparkEntry {
     "l09_time_travel" -> (l09 _),
     "l10_vacuum" -> (l10 _),
     "l11_merge_into" -> (l11 _),
+    "l12_versioned_zonemap" -> (l12 _),
     "c13_split_decontam" -> (c13 _),
     "c14_weighted_sample" -> (c14 _),
     "t33_cdc_chunking" -> (t33 _),
@@ -7001,6 +7054,36 @@ object SparkEntry {
         |SELECT CAST(2 AS INTEGER), s2.n_rows, s2.sum_qty, s2.key_sig,
         |  d.n_changed_vs_prev, d.n_removed_vs_prev, d.n_added_vs_prev
         |FROM s2, d""".stripMargin,
+    // l12: both versions' range aggregates re-derived from the
+    // original parquet with the bounds recomputed from the table's own
+    // min/max (== the manifest stats' global bounds by construction);
+    // a wrongly-skipped file diverges the numbers, skip_effective is
+    // the Spark-side file-count measurement
+    "l12_versioned_zonemap" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    strftime(l_shipdate, '%Y-%m') AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'),
+        |v2 AS (
+        |  SELECT * FROM li WHERE month <> '1997-02'
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 1, month
+        |  FROM li WHERE month = '1997-02' AND l_linenumber <= 4),
+        |r AS (SELECT gmin + (gmax - gmin) * 3 // 8 AS lo,
+        |    gmin + (gmax - gmin) // 2 AS hi
+        |  FROM (SELECT min(l_orderkey) AS gmin,
+        |    max(l_orderkey) AS gmax FROM li))
+        |SELECT CAST(1 AS INTEGER) AS version, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  TRUE AS skip_effective
+        |FROM li, r WHERE l_orderkey BETWEEN lo AND hi
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), count(*), round(sum(l_quantity), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT), TRUE
+        |FROM v2, r WHERE l_orderkey BETWEEN lo AND hi""".stripMargin,
     // the Bloom prune is output-invisible by construction (false
     // positives die in the exact join), so the oracle is the PLAIN join
     "q38_bloom_join" ->

@@ -69,9 +69,18 @@ object VersionedLake {
   def latestVersion(spark: SparkSession, path: String): Int =
     versions(spark, path).lastOption.getOrElse(0)
 
-  /** (part, relpath) entries of version `v`'s manifest. */
+  /** One live data file in a version: partition value, lake-relative
+    * path, and optional (lo, hi) key-range ZONE-MAP stats on the
+    * commit's stats column — the Iceberg manifest-row shape: the
+    * version log and the data-skipping index are ONE structure, so a
+    * time-travel read prunes files the same way a latest read does. */
+  final case class FileEntry(part: String, rel: String,
+                             lo: Option[Long] = None,
+                             hi: Option[Long] = None)
+
+  /** File entries of version `v`'s manifest. */
   private def manifestEntries(spark: SparkSession, path: String,
-                              v: Int): Seq[(String, String)] = {
+                              v: Int): Seq[FileEntry] = {
     val mf = new Path(logDir(path), s"${"%06d".format(v)}.manifest")
     val f = fs(spark, path)
     require(f.exists(mf), s"no manifest for version $v at $path")
@@ -80,13 +89,18 @@ object VersionedLake {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     text.linesIterator.drop(1).filter(_.nonEmpty).map { line =>
-      val Array(part, rel) = line.split('\t')
-      (part, rel)
+      line.split('\t') match {
+        case Array(part, rel) => FileEntry(part, rel)
+        case Array(part, rel, lo, hi) =>
+          FileEntry(part, rel, Some(lo.toLong), Some(hi.toLong))
+        case other => throw new IllegalArgumentException(
+          s"malformed manifest line: ${other.mkString("\\t")}")
+      }
     }.toSeq
   }
 
   private def writeManifest(spark: SparkSession, path: String, v: Int,
-                            op: String, entries: Seq[(String, String)],
+                            op: String, entries: Seq[FileEntry],
                             txn: Option[Long] = None): Unit = {
     val f = fs(spark, path)
     f.mkdirs(logDir(path))
@@ -94,7 +108,12 @@ object VersionedLake {
     val head = s"version=$v op=$op" +
       txn.map(t => s" txn=$t").getOrElse("")
     val body = (head +:
-      entries.sorted.map { case (p, r) => s"$p\t$r" }).mkString("\n")
+      entries.sortBy(e => (e.part, e.rel)).map { e =>
+        s"${e.part}\t${e.rel}" + ((e.lo, e.hi) match {
+          case (Some(l), Some(h)) => s"\t$l\t$h"
+          case _ => ""
+        })
+      }).mkString("\n")
     val out = f.create(mf, true)
     try out.write((body + "\n").getBytes("UTF-8")) finally out.close()
   }
@@ -117,10 +136,10 @@ object VersionedLake {
     }.toSet
   }
 
-  /** List commit k's data files as (part, relpath) from the FS —
-    * metadata-scale, one listing per written partition dir. */
+  /** List commit k's data files from the FS — metadata-scale, one
+    * listing per written partition dir. */
   private def commitEntries(spark: SparkSession, path: String,
-                            k: Int): Seq[(String, String)] = {
+                            k: Int): Seq[FileEntry] = {
     val root = new Path(dataDir(path, k))
     val f = fs(spark, path)
     f.listStatus(root).iterator
@@ -130,10 +149,32 @@ object VersionedLake {
         val part = dir.getPath.getName.stripPrefix(PartDir + "=")
         f.listStatus(dir.getPath).iterator
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map(s => (part,
+          .map(s => FileEntry(part,
             s"data/c${"%06d".format(k)}/${dir.getPath.getName}/" +
               s.getPath.getName))
       }.toSeq
+  }
+
+  /** Per-file (lo, hi) of `statsCol` for a fresh commit's files — the
+    * zone-map stats a production format lifts from the parquet footers
+    * it just wrote (one bootstrap aggregate here; identical content).
+    * File-count-sized collect: planning metadata, never row data. */
+  private def enrichStats(spark: SparkSession, path: String, k: Int,
+                          entries: Seq[FileEntry],
+                          statsCol: String): Seq[FileEntry] = {
+    val byRel = spark.read.parquet(dataDir(path, k))
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(statsCol).cast("long")).as("lo"),
+        max(col(statsCol).cast("long")).as("hi"))
+      .collect().map { r =>
+        val u = r.getString(0)
+        // normalize the URI to the lake-relative form the manifest
+        // stores, independent of filesystem qualification quirks
+        val i = u.lastIndexOf("/data/c")
+        (u.substring(i + 1), (r.getLong(1), r.getLong(2)))
+      }.toMap
+    entries.map(e => byRel.get(e.rel)
+      .fold(e)(s => e.copy(lo = Some(s._1), hi = Some(s._2))))
   }
 
   private def writeCommitData(df: DataFrame, partCol: String,
@@ -147,44 +188,50 @@ object VersionedLake {
       .parquet(dataDir(path, k))
 
   /** Commit a FULL snapshot: the new version's manifest lists only
-    * this commit's files. Returns the new version number. */
-  def commitOverwrite(df: DataFrame, partCol: String,
-                      path: String): Int = {
-    val spark = df.sparkSession
-    val k = latestVersion(spark, path) + 1
-    writeCommitData(df, partCol, path, k)
-    writeManifest(spark, path, k, "overwrite", commitEntries(spark, path, k))
-    k
-  }
+    * this commit's files. `statsCol` records per-file (lo, hi)
+    * zone-map stats in the manifest — [[readVersionRange]]'s prune
+    * index. Returns the new version number. */
+  def commitOverwrite(df: DataFrame, partCol: String, path: String,
+                      statsCol: Option[String] = None): Int =
+    doCommit(df, partCol, path, None, Mode.Overwrite, statsCol)
 
   /** Commit an UPSERT: partitions present in `df` are replaced (their
     * old files stay on disk for older versions but leave the
-    * manifest), untouched partitions carry forward by pointer.
-    * Returns the new version number. */
-  def commitUpsert(df: DataFrame, partCol: String, path: String): Int =
-    doCommit(df, partCol, path, None, replace = true)
+    * manifest), untouched partitions carry forward by pointer —
+    * stats and all. Returns the new version number. */
+  def commitUpsert(df: DataFrame, partCol: String, path: String,
+                   statsCol: Option[String] = None): Int =
+    doCommit(df, partCol, path, None, Mode.Upsert, statsCol)
 
   /** Commit an APPEND: this commit's files JOIN the table next to
     * every previous file — no partition is replaced. The streaming-
     * ingest commit (new rows accumulate within their partitions);
     * restatements use [[commitUpsert]]. Returns the new version. */
-  def commitAppend(df: DataFrame, partCol: String, path: String): Int =
-    doCommit(df, partCol, path, None, replace = false)
+  def commitAppend(df: DataFrame, partCol: String, path: String,
+                   statsCol: Option[String] = None): Int =
+    doCommit(df, partCol, path, None, Mode.Append, statsCol)
+
+  private object Mode extends Enumeration {
+    val Overwrite, Upsert, Append = Value
+  }
 
   private def doCommit(df: DataFrame, partCol: String, path: String,
-                       txn: Option[Long], replace: Boolean): Int = {
+                       txn: Option[Long], mode: Mode.Value,
+                       statsCol: Option[String] = None): Int = {
     val spark = df.sparkSession
     val prev = latestVersion(spark, path)
     val k = prev + 1
     writeCommitData(df, partCol, path, k)
-    val fresh = commitEntries(spark, path, k)
-    val replaced = fresh.map(_._1).toSet
+    val fresh0 = commitEntries(spark, path, k)
+    val fresh =
+      statsCol.fold(fresh0)(sc => enrichStats(spark, path, k, fresh0, sc))
+    val replaced = fresh.map(_.part).toSet
     val kept =
-      if (prev == 0) Seq.empty
-      else if (replace) manifestEntries(spark, path, prev)
-        .filterNot { case (p, _) => replaced.contains(p) }
+      if (prev == 0 || mode == Mode.Overwrite) Seq.empty
+      else if (mode == Mode.Upsert) manifestEntries(spark, path, prev)
+        .filterNot(e => replaced.contains(e.part))
       else manifestEntries(spark, path, prev)
-    writeManifest(spark, path, k, if (replace) "upsert" else "append",
+    writeManifest(spark, path, k, mode.toString.toLowerCase,
       kept ++ fresh, txn)
     k
   }
@@ -203,7 +250,7 @@ object VersionedLake {
     val spark = df.sparkSession
     if (committedTxns(spark, path).contains(txn))
       latestVersion(spark, path)
-    else doCommit(df, partCol, path, Some(txn), replace = true)
+    else doCommit(df, partCol, path, Some(txn), Mode.Upsert)
   }
 
   /** [[commitAppend]] with [[commitBatchUpsert]]'s txn dedup — the
@@ -216,7 +263,7 @@ object VersionedLake {
     val spark = df.sparkSession
     if (committedTxns(spark, path).contains(txn))
       latestVersion(spark, path)
-    else doCommit(df, partCol, path, Some(txn), replace = false)
+    else doCommit(df, partCol, path, Some(txn), Mode.Append)
   }
 
   /** Keyed MERGE INTO the latest version (the Delta/Iceberg MERGE
@@ -240,7 +287,8 @@ object VersionedLake {
     *        existing keys, inserts carry new keys
     * @return the new version number */
   def commitMerge(delta: DataFrame, keyCols: Seq[String],
-                  partCol: String, path: String): Int = {
+                  partCol: String, path: String,
+                  statsCol: Option[String] = None): Int = {
     val spark = delta.sparkSession
     val v = latestVersion(spark, path)
     require(v > 0, "commitMerge needs an existing version to merge into")
@@ -249,14 +297,14 @@ object VersionedLake {
     val parts = delta.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq
     val touched = manifestEntries(spark, path, v)
-      .exists { case (p, _) => parts.contains(p) }
+      .exists(e => parts.contains(e.part))
     val current =
       if (touched) readVersion(spark, path, v, parts)
       else delta.limit(0) // delta opens a brand-new partition
     val merged = current
       .join(delta.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(delta)
-    doCommit(merged, partCol, path, None, replace = true)
+    doCommit(merged, partCol, path, None, Mode.Upsert, statsCol)
   }
 
   /** Data files under `path/data` referenced by NO retained manifest —
@@ -267,7 +315,7 @@ object VersionedLake {
     val f = fs(spark, path)
     val base = path.stripSuffix("/")
     val live = versions(spark, path)
-      .flatMap(v => manifestEntries(spark, path, v)).map(_._2).toSet
+      .flatMap(v => manifestEntries(spark, path, v)).map(_.rel).toSet
     val dataRoot = new Path(s"$base/data")
     if (!f.exists(dataRoot)) Seq.empty
     else {
@@ -314,6 +362,13 @@ object VersionedLake {
     (dropped.size, orphans.size)
   }
 
+  /** Version `v`'s manifest as public metadata (the Iceberg `.files`
+    * metadata-view shape) — partition values, file pointers, and any
+    * zone-map stats, for planning-side inspection. */
+  def manifestFiles(spark: SparkSession, path: String,
+                    v: Int): Seq[FileEntry] =
+    manifestEntries(spark, path, v)
+
   /** Read the lake AS OF version `v` — the time-travel read. `parts`
     * non-empty prunes at the manifest: only the named partitions'
     * files reach the reader. */
@@ -322,11 +377,36 @@ object VersionedLake {
     val entries = manifestEntries(spark, path, v)
     val wanted =
       if (parts.isEmpty) entries
-      else entries.filter { case (p, _) => parts.contains(p) }
+      else entries.filter(e => parts.contains(e.part))
     val base = path.stripSuffix("/")
-    val files = wanted.map { case (_, rel) => s"$base/$rel" }
+    val files = wanted.map(e => s"$base/${e.rel}")
     require(files.nonEmpty, s"version $v has no files for parts $parts")
     spark.read.parquet(files: _*)
+  }
+
+  /** Zone-map-pruned time-travel read: only the files of version `v`
+    * whose manifest [lo, hi] stats intersect [qLo, qHi] reach the
+    * reader — the Iceberg planning shape, where the commit log IS the
+    * skipping index, so a range query against LAST YEAR's snapshot
+    * prunes exactly like one against today's. Files without stats
+    * (committed with no statsCol) are conservatively kept: zones
+    * prune, they never lie. The caller still applies the row-level
+    * predicate. Returns (reader, matchedFiles, totalFiles). */
+  def readVersionRange(spark: SparkSession, path: String, v: Int,
+                       qLo: Long, qHi: Long,
+                       parts: Seq[String] = Seq.empty)
+      : (DataFrame, Long, Long) = {
+    val entries = manifestEntries(spark, path, v)
+      .filter(e => parts.isEmpty || parts.contains(e.part))
+    val wanted = entries.filter(e => (e.lo, e.hi) match {
+      case (Some(l), Some(h)) => h >= qLo && l <= qHi
+      case _ => true
+    })
+    val base = path.stripSuffix("/")
+    val files = wanted.map(e => s"$base/${e.rel}")
+    require(files.nonEmpty, s"version $v: range prune emptied the file list")
+    (spark.read.parquet(files: _*), wanted.size.toLong,
+      entries.size.toLong)
   }
 
   /** Read the newest version. */

@@ -260,6 +260,42 @@ class LakeSpec extends SparkSpec {
       .select($"id").as[Long].collect().toSet == Set(1L, 2L, 3L, 9L, 7L))
   }
 
+  test("versioned lake: manifest zone-map stats prune versioned range " +
+      "reads; stats carry forward; stat-less files are kept") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_zm").toString
+    VersionedLake.reset(spark, lake)
+    def frame(ids: Range) =
+      ids.map(i => (i.toLong, "a", i * 1.0)).toDF("id", "part", "x")
+        .coalesce(1) // one file -> one manifest stats row, deterministic
+    VersionedLake.commitOverwrite(frame(1 to 10), "part", lake,
+      statsCol = Some("id"))
+    VersionedLake.commitAppend(frame(100 to 110), "part", lake,
+      statsCol = Some("id"))
+    // v2 carries v1's file forward WITH its stats
+    val m2 = VersionedLake.manifestFiles(spark, lake, 2)
+    assert(m2.size == 2 && m2.forall(e => e.lo.isDefined && e.hi.isDefined),
+      m2.toString)
+    assert(m2.map(e => (e.lo.get, e.hi.get)).toSet ==
+      Set((1L, 10L), (100L, 110L)))
+    // the pruned read opens ONLY the intersecting file
+    val (r1, m, t) = VersionedLake.readVersionRange(spark, lake, 2, 1L, 10L)
+    assert((m, t) == ((1L, 2L)))
+    assert(r1.select($"id").as[Long].collect().toSet == (1L to 10L).toSet)
+    // a commit WITHOUT stats is conservatively kept by every range read
+    VersionedLake.commitAppend(frame(200 to 210), "part", lake)
+    val (r2, m2n, t2) =
+      VersionedLake.readVersionRange(spark, lake, 3, 1L, 10L)
+    assert((m2n, t2) == ((2L, 3L)), s"$m2n of $t2")
+    assert(r2.filter($"id" <= 10).select($"id").as[Long].collect().toSet ==
+      (1L to 10L).toSet)
+    // the OLD version prunes with its OWN manifest: v1 never saw the
+    // 100-110 file, so that range empties its list and fails loudly
+    intercept[IllegalArgumentException] {
+      VersionedLake.readVersionRange(spark, lake, 1, 100L, 110L)
+    }
+  }
+
   test("versioned lake: vacuum deletes only files no retained " +
       "manifest references, and vacuumed versions fail loudly") {
     import graft.sources.VersionedLake
