@@ -989,6 +989,50 @@ object SparkEntry {
     rangeSummary(1).unionByName(rangeSummary(2))
   }
 
+  /** l13 — CHANGE-DATA-FEED read between versions
+    * ([[graft.sources.VersionedLake.changesBetween]]): Delta's
+    * `table_changes`, computed from the commit log — the manifest
+    * diff names the churned partitions (identical file pointers ⇒
+    * provably identical content, NEVER read), a full-outer join on
+    * the key over just those partitions classifies each row, and the
+    * feed drives downstream incrementals without re-diffing the
+    * table (q56's audit executed AT the table layer, cost ∝ churn).
+    * The fixture restates February against a deduped-key Q1 snapshot
+    * with all three kinds present: lines ≤ 4 updated (quantity + 1),
+    * lines > 4 dropped, +10000000-offset keys inserted (quantity
+    * + 3). Output is the per-kind count and payload sums — the oracle
+    * re-derives every number from the original parquet by the
+    * restatement's construction. */
+  private def l13(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedLake
+    val lake = s"/tmp/graft_cdflake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .filter(col("month").between("1997-01", "1997-03"))
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(min(col("l_quantity")).as("l_quantity"),
+        min(col("month")).as("month"))
+    VersionedLake.commitOverwrite(li, "month", lake)
+    val feb = li.filter(col("month") === "1997-02")
+    VersionedLake.commitUpsert(
+      feb.filter(col("l_linenumber") <= 4)
+        .withColumn("l_quantity", col("l_quantity") + 1)
+        .unionByName(feb.filter(col("l_linenumber") === 7)
+          .withColumn("l_orderkey", col("l_orderkey") + 10000000L)
+          .withColumn("l_quantity", col("l_quantity") + 3)),
+      "month", lake)
+    VersionedLake.changesBetween(s, lake, 1, 2,
+        Seq("l_orderkey", "l_linenumber"), "l_quantity")
+      .groupBy(col("change_kind"))
+      .agg(count(lit(1)).as("n"),
+        round(coalesce(sum(col("l_quantity_before")), lit(0.0)), 2)
+          .as("sum_before"),
+        round(coalesce(sum(col("l_quantity_after")), lit(0.0)), 2)
+          .as("sum_after"))
+  }
+
   /** l02 — dirty CSV ingest with quarantine: the lake-level form of the
     * reference's P4 tolerance asymmetry. The reference either skips a
     * dirty dimension row or fails the whole fact load; a 100 TB ingest
@@ -5164,6 +5208,7 @@ object SparkEntry {
     "l10_vacuum" -> (l10 _),
     "l11_merge_into" -> (l11 _),
     "l12_versioned_zonemap" -> (l12 _),
+    "l13_table_changes" -> (l13 _),
     "c13_split_decontam" -> (c13 _),
     "c14_weighted_sample" -> (c14 _),
     "t33_cdc_chunking" -> (t33 _),
@@ -7084,6 +7129,32 @@ object SparkEntry {
         |SELECT CAST(2 AS INTEGER), count(*), round(sum(l_quantity), 2),
         |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT), TRUE
         |FROM v2, r WHERE l_orderkey BETWEEN lo AND hi""".stripMargin,
+    // l13: every change-feed number re-derived from the original
+    // parquet by the restatement's construction — updates are the
+    // deduped February lines <= 4 (before = original, after = +1),
+    // removals the lines > 4, inserts the offset copies of line 7
+    "l13_table_changes" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity,
+        |    min(strftime(l_shipdate, '%Y-%m')) AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'
+        |  GROUP BY 1, 2),
+        |feb AS (SELECT * FROM li WHERE month = '1997-02')
+        |SELECT 'added' AS change_kind, count(*) AS n,
+        |  round(0.0, 2) AS sum_before,
+        |  round(sum(l_quantity + 3), 2) AS sum_after
+        |FROM feb WHERE l_linenumber = 7
+        |UNION ALL
+        |SELECT 'changed', count(*), round(sum(l_quantity), 2),
+        |  round(sum(l_quantity + 1), 2)
+        |FROM feb WHERE l_linenumber <= 4
+        |UNION ALL
+        |SELECT 'removed', count(*), round(sum(l_quantity), 2),
+        |  round(0.0, 2)
+        |FROM feb WHERE l_linenumber > 4""".stripMargin,
     // the Bloom prune is output-invisible by construction (false
     // positives die in the exact join), so the oracle is the PLAIN join
     "q38_bloom_join" ->

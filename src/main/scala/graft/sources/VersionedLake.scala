@@ -307,6 +307,68 @@ object VersionedLake {
     doCommit(merged, partCol, path, None, Mode.Upsert, statsCol)
   }
 
+  /** CHANGE-DATA-FEED read between two committed versions (Delta's
+    * `table_changes` shape, computed rather than stored): the MANIFEST
+    * diff names the partitions whose file sets differ — untouched
+    * partitions are provably identical (same file pointers) and are
+    * NEVER READ — then one full-outer join on the key over just those
+    * partitions classifies every row as added / removed / changed.
+    * Cost ∝ churned partitions + their rows, not table size: the
+    * q56 snapshot-diff discipline executed AT the table layer, where
+    * the commit log already knows what moved. Requires `keyCols`
+    * unique per row (the MERGE key discipline).
+    *
+    * @return keyCols ++ (change_kind, <valueCol>_before,
+    *         <valueCol>_after), unchanged rows dropped */
+  def changesBetween(spark: SparkSession, path: String, vFrom: Int,
+                     vTo: Int, keyCols: Seq[String],
+                     valueCol: String): DataFrame = {
+    val base = path.stripSuffix("/")
+    def byPart(v: Int): Map[String, Set[String]] =
+      manifestEntries(spark, path, v).groupBy(_.part)
+        .map { case (p, es) => p -> es.map(_.rel).toSet }
+    val (a, b) = (byPart(vFrom), byPart(vTo))
+    val churned = (a.keySet ++ b.keySet)
+      .filter(p => a.get(p) != b.get(p))
+    def readSide(m: Map[String, Set[String]], alias: String)
+        : Option[DataFrame] = {
+      val files = churned.toSeq.sorted
+        .flatMap(p => m.getOrElse(p, Set.empty).toSeq.sorted)
+        .map(rel => s"$base/$rel")
+      if (files.isEmpty) None
+      else Some(spark.read.parquet(files: _*)
+        .select((keyCols.map(col) :+
+          col(valueCol).as(s"${valueCol}_$alias")): _*))
+    }
+    val (bf, af) = (readSide(a, "before"), readSide(b, "after"))
+    val joined = (bf, af) match {
+      case (Some(x), Some(y)) => x.join(y, keyCols, "full_outer")
+      case (Some(x), None) =>
+        x.withColumn(s"${valueCol}_after",
+          lit(null).cast(x.schema(s"${valueCol}_before").dataType))
+      case (None, Some(y)) =>
+        y.withColumn(s"${valueCol}_before",
+          lit(null).cast(y.schema(s"${valueCol}_after").dataType))
+      case (None, None) =>
+        // zero churned partitions: an empty change feed with the
+        // declared schema, derived from the target version's data
+        val empty = readVersion(spark, path, vTo).limit(0)
+        empty.select((keyCols.map(col) :+
+            col(valueCol).as(s"${valueCol}_before")): _*)
+          .withColumn(s"${valueCol}_after", col(s"${valueCol}_before"))
+    }
+    val vb = col(s"${valueCol}_before")
+    val va = col(s"${valueCol}_after")
+    joined
+      .withColumn("change_kind",
+        when(vb.isNull, "added")
+          .when(va.isNull, "removed")
+          .when(vb =!= va, "changed")
+          .otherwise("unchanged"))
+      .filter(col("change_kind") =!= "unchanged")
+      .select((keyCols.map(col) :+ col("change_kind") :+ vb :+ va): _*)
+  }
+
   /** Data files under `path/data` referenced by NO retained manifest —
     * what [[vacuum]] deletes; exposed so callers can assert a clean
     * lake (zero orphans) after maintenance. Returns relpaths. */

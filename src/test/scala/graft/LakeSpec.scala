@@ -260,6 +260,41 @@ class LakeSpec extends SparkSpec {
       .select($"id").as[Long].collect().toSet == Set(1L, 2L, 3L, 9L, 7L))
   }
 
+  test("versioned lake: changesBetween classifies added/removed/" +
+      "changed from the manifest diff") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_cdf").toString
+    VersionedLake.reset(spark, lake)
+    VersionedLake.commitOverwrite(
+      Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+        .toDF("id", "part", "x"),
+      "part", lake)
+    // v2 replaces part a: id 1 updated, id 2 dropped, id 9 added;
+    // part b untouched (identical file pointers -> never read)
+    VersionedLake.commitUpsert(
+      Seq((1L, "a", 100.0), (9L, "a", 9.0)).toDF("id", "part", "x"),
+      "part", lake)
+    val got = VersionedLake
+      .changesBetween(spark, lake, 1, 2, Seq("id"), "x")
+      .as[(Long, String, Option[Double], Option[Double])]
+      .collect().toSet
+    assert(got == Set(
+      (1L, "changed", Some(1.0), Some(100.0)),
+      (2L, "removed", Some(2.0), None),
+      (9L, "added", None, Some(9.0))), got.toString)
+    // an APPEND commit feeds only adds (old rows join as unchanged)
+    VersionedLake.commitAppend(
+      Seq((7L, "b", 7.0)).toDF("id", "part", "x"), "part", lake)
+    val adds = VersionedLake
+      .changesBetween(spark, lake, 2, 3, Seq("id"), "x")
+      .as[(Long, String, Option[Double], Option[Double])]
+      .collect().toSet
+    assert(adds == Set((7L, "added", None, Some(7.0))), adds.toString)
+    // zero churned partitions -> an empty feed, not an error
+    assert(VersionedLake
+      .changesBetween(spark, lake, 3, 3, Seq("id"), "x").count() == 0)
+  }
+
   test("versioned lake: manifest zone-map stats prune versioned range " +
       "reads; stats carry forward; stat-less files are kept") {
     import graft.sources.VersionedLake
