@@ -989,6 +989,59 @@ object SparkEntry {
     rangeSummary(1).unionByName(rangeSummary(2))
   }
 
+  /** l14 — OPTIMIZE as a commit ([[graft.sources.VersionedLake
+    * .commitOptimize]]): l07/st19's small-file compaction lifted onto
+    * the commit log — the last table-format verb, closing the
+    * versioned lifecycle (ingest → optimize → vacuum). Three
+    * single-file streaming appends fragment February to exactly 3
+    * files (January/March stay at 1 — the deterministic staging
+    * counts the oracle re-derives as a CASE); OPTIMIZE then compacts
+    * every >1-file partition into one file AS A NEW VERSION — pure
+    * re-layout, content computed-equal through the oracle's
+    * count/sum/signature over the post-optimize read; already-compact
+    * partitions carry forward by pointer, untouched. Unlike the
+    * in-place compactAll (durable sibling-copy swap, l07), the
+    * versioned form needs no staging copy and never yanks fragments
+    * from a pinned reader — vacuum reclaims them later, on the
+    * retention window. */
+  private def l14(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedLake
+    val lake = s"/tmp/graft_optlake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .filter(col("month").between("1997-01", "1997-03"))
+    VersionedLake.commitOverwrite(
+      li.filter(col("month") =!= "1997-02").coalesce(1), "month", lake)
+    (0 to 2).foreach { r =>
+      VersionedLake.commitBatchAppend(
+        li.filter(col("month") === "1997-02")
+          .filter(pmod(col("l_linenumber"), lit(3)) === r).coalesce(1),
+        "month", lake, txn = r.toLong)
+    }
+    val pre = VersionedLake.latestVersion(s, lake)
+    val before = VersionedLake.manifestFiles(s, lake, pre)
+      .groupBy(_.part).map { case (p, es) => p -> es.size }
+    val post = VersionedLake.commitOptimize(s, lake, "month")
+    val after = VersionedLake.manifestFiles(s, lake, post)
+      .groupBy(_.part).map { case (p, es) => p -> es.size }
+    val sp = s
+    import sp.implicits._
+    val counts = before.keys.toSeq.sorted
+      .map(m => (m, before(m), after.getOrElse(m, 0)))
+      .toDF("month", "files_before", "files_after")
+    VersionedLake.readLatest(s, lake)
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        sum(col("l_orderkey") * 7 + col("l_linenumber")).as("key_sig"))
+      .join(broadcast(counts), Seq("month"))
+      .select(col("month"), col("n_rows"), col("sum_qty"), col("key_sig"),
+        col("files_before").cast("long").as("files_before"),
+        (col("files_after") === 1).as("compacted_ok"))
+  }
+
   /** l13 — CHANGE-DATA-FEED read between versions
     * ([[graft.sources.VersionedLake.changesBetween]]): Delta's
     * `table_changes`, computed from the commit log — the manifest
@@ -5209,6 +5262,7 @@ object SparkEntry {
     "l11_merge_into" -> (l11 _),
     "l12_versioned_zonemap" -> (l12 _),
     "l13_table_changes" -> (l13 _),
+    "l14_versioned_optimize" -> (l14 _),
     "c13_split_decontam" -> (c13 _),
     "c14_weighted_sample" -> (c14 _),
     "t33_cdc_chunking" -> (t33 _),
@@ -7155,6 +7209,21 @@ object SparkEntry {
         |SELECT 'removed', count(*), round(sum(l_quantity), 2),
         |  round(0.0, 2)
         |FROM feb WHERE l_linenumber > 4""".stripMargin,
+    // l14: per-month numbers from the original parquet gate that the
+    // OPTIMIZE re-layout moved no rows; files_before is the
+    // FS-measured manifest count, equal by the deterministic staging
+    // to 3 for the thrice-appended February and 1 elsewhere
+    "l14_versioned_optimize" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |  count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  CAST(CASE WHEN strftime(l_shipdate, '%Y-%m') = '1997-02'
+        |    THEN 3 ELSE 1 END AS BIGINT) AS files_before,
+        |  TRUE AS compacted_ok
+        |FROM lineitem
+        |WHERE strftime(l_shipdate, '%Y-%m')
+        |  BETWEEN '1997-01' AND '1997-03'
+        |GROUP BY 1""".stripMargin,
     // the Bloom prune is output-invisible by construction (false
     // positives die in the exact join), so the oracle is the PLAIN join
     "q38_bloom_join" ->

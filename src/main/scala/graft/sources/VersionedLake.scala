@@ -307,6 +307,47 @@ object VersionedLake {
     doCommit(merged, partCol, path, None, Mode.Upsert, statsCol)
   }
 
+  /** OPTIMIZE: compact every partition of the LATEST version holding
+    * more than one file into a single file, as a normal COMMIT —
+    * Delta's OPTIMIZE verb on this log. Content is unchanged (pure
+    * re-layout: the new version reads equal); already-single-file
+    * partitions carry forward by pointer, untouched. The streaming
+    * counterpart of [[PartitionedLake.compactAll]] for the versioned
+    * layout, with two structural upgrades: no durable-copy staging
+    * step (the rewrite reads old immutable files while writing new
+    * ones), and readers pinned to any pre-optimize version are
+    * unaffected — the fragments they reference are reclaimed later by
+    * [[vacuum]], never yanked mid-query. `statsCol` re-records
+    * zone-map stats for the compacted files. A partition too large
+    * for one task takes a salt alongside `partCol` at production
+    * sizes (the compactAll note); single-file is the fixture shape.
+    * Returns the new version, or the current one if nothing needed
+    * compacting.
+    *
+    * @param partCol the lake's partition column (a data column in
+    *        every file by construction — [[writeCommitData]]) */
+  def commitOptimize(spark: SparkSession, path: String, partCol: String,
+                     statsCol: Option[String] = None): Int = {
+    val v = latestVersion(spark, path)
+    require(v > 0, "commitOptimize needs an existing version")
+    val fragmented = manifestEntries(spark, path, v)
+      .groupBy(_.part).filter(_._2.size > 1).keys.toSeq.sorted
+    if (fragmented.isEmpty) v
+    else {
+      // one single-partition frame per fragmented value: the
+      // partitioned write then lands exactly one file each — the
+      // l07/compactAll one-task-per-value discipline on this log
+      val base = path.stripSuffix("/")
+      val byPart = manifestEntries(spark, path, v)
+        .groupBy(_.part).filter(_._2.size > 1)
+      val merged = byPart.toSeq.sortBy(_._1).map { case (_, es) =>
+        spark.read.parquet(es.map(e => s"$base/${e.rel}"): _*)
+          .coalesce(1)
+      }.reduce(_.unionByName(_))
+      doCommit(merged, partCol, path, None, Mode.Upsert, statsCol)
+    }
+  }
+
   /** CHANGE-DATA-FEED read between two committed versions (Delta's
     * `table_changes` shape, computed rather than stored): the MANIFEST
     * diff names the partitions whose file sets differ — untouched

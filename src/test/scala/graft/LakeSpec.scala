@@ -260,6 +260,44 @@ class LakeSpec extends SparkSpec {
       .select($"id").as[Long].collect().toSet == Set(1L, 2L, 3L, 9L, 7L))
   }
 
+  test("versioned lake: commitOptimize compacts fragmented partitions " +
+      "as a commit; pinned readers and compact partitions untouched") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_opt").toString
+    VersionedLake.reset(spark, lake)
+    def one(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("id", "part", "x").coalesce(1)
+    VersionedLake.commitOverwrite(one(Seq((1L, "a", 1.0))), "part", lake)
+    VersionedLake.commitAppend(one(Seq((2L, "b", 2.0))), "part", lake)
+    VersionedLake.commitAppend(one(Seq((3L, "b", 3.0))), "part", lake)
+    val m3 = VersionedLake.manifestFiles(spark, lake, 3)
+    assert(m3.count(_.part == "b") == 2 && m3.count(_.part == "a") == 1)
+    val aFile = m3.find(_.part == "a").get.rel
+
+    val v4 = VersionedLake.commitOptimize(spark, lake, "part",
+      statsCol = Some("id"))
+    assert(v4 == 4)
+    val m4 = VersionedLake.manifestFiles(spark, lake, 4)
+    // b compacted to ONE file with fresh stats; a carried by POINTER
+    assert(m4.count(_.part == "b") == 1)
+    val b4 = m4.find(_.part == "b").get
+    assert((b4.lo, b4.hi) == ((Some(2L), Some(3L))))
+    assert(m4.find(_.part == "a").get.rel == aFile)
+    // pure re-layout: content unchanged, pre-optimize version intact
+    assert(VersionedLake.readLatest(spark, lake)
+      .select($"id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(VersionedLake.readVersion(spark, lake, 3)
+      .select($"id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // idempotent: nothing fragmented -> same version back, no commit
+    assert(VersionedLake.commitOptimize(spark, lake, "part") == 4)
+    // vacuum then reclaims the fragments the optimize superseded
+    val (_, deleted) = VersionedLake.vacuum(spark, lake, retain = 1)
+    assert(deleted >= 2, s"deleted $deleted")
+    assert(VersionedLake.unreferencedDataFiles(spark, lake).isEmpty)
+    assert(VersionedLake.readLatest(spark, lake)
+      .select($"id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("versioned lake: changesBetween classifies added/removed/" +
       "changed from the manifest diff") {
     import graft.sources.VersionedLake
