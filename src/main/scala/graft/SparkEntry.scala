@@ -760,6 +760,53 @@ object SparkEntry {
       .withColumn("skip_effective", lit(nMatched * 2 <= nTotal))
   }
 
+  /** The versioned-lake family's shared staging frame: 1997 Q1
+    * lineitem slimmed to (key, payload, month). `dedupKeys` collapses
+    * the fixture's planted duplicate (orderkey, linenumber) rows to
+    * one per key — required wherever keyed semantics (MERGE l11, CDF
+    * l13) make "the matched row" ill-posed under duplicates. */
+  private def ttSlimLineitem(s: SparkSession, d: String,
+                             dedupKeys: Boolean = false): DataFrame = {
+    val base = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .filter(col("month").between("1997-01", "1997-03"))
+    if (!dedupKeys) base
+    else base.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(min(col("l_quantity")).as("l_quantity"),
+        min(col("month")).as("month"))
+  }
+
+  /** One (n_rows, sum_qty, key_sig, version) summary row per frame. */
+  private def ttVersionSummary(df: DataFrame, v: Int): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        sum(col("l_orderkey") * 7 + col("l_linenumber")).as("key_sig"))
+      .withColumn("version", lit(v))
+
+  /** l09/l11's shared output shape: both versions' summaries plus the
+    * q56-style full-outer diff counts between them on the v2 row. */
+  private def ttSummariesWithDiff(v1: DataFrame,
+                                  v2: DataFrame): DataFrame = {
+    val key = Seq("l_orderkey", "l_linenumber")
+    val diff = v1.select((key.map(col) :+ col("l_quantity").as("q1")): _*)
+      .join(v2.select((key.map(col) :+ col("l_quantity").as("q2")): _*),
+        key, "full_outer")
+      .agg(
+        sum(when(col("q1").isNotNull && col("q2").isNotNull
+          && col("q1") =!= col("q2"), 1L).otherwise(0L))
+          .as("n_changed_vs_prev"),
+        sum(when(col("q2").isNull, 1L).otherwise(0L))
+          .as("n_removed_vs_prev"),
+        sum(when(col("q1").isNull, 1L).otherwise(0L))
+          .as("n_added_vs_prev"))
+    ttVersionSummary(v1, 1)
+      .withColumn("n_changed_vs_prev", lit(0L))
+      .withColumn("n_removed_vs_prev", lit(0L))
+      .withColumn("n_added_vs_prev", lit(0L))
+      .unionByName(ttVersionSummary(v2, 2).crossJoin(diff))
+  }
+
   /** l09 — snapshot VERSIONING / TIME TRAVEL
     * ([[graft.sources.VersionedLake]]): the capstone of the l06–l08
     * lake family (r9 verdict item 2). The in-place dynamic-overwrite
@@ -782,39 +829,14 @@ object SparkEntry {
     import graft.sources.VersionedLake
     val lake = s"/tmp/graft_ttlake_${Integer.toHexString(d.hashCode)}"
     VersionedLake.reset(s, lake) // deterministic two-commit history
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        date_format(col("l_shipdate"), "yyyy-MM").as("month"))
-      .filter(col("month").between("1997-01", "1997-03"))
+    val li = ttSlimLineitem(s, d)
     VersionedLake.commitOverwrite(li, "month", lake)
     val feb = li.filter(col("month") === "1997-02")
       .filter(col("l_linenumber") <= 4)
       .withColumn("l_quantity", col("l_quantity") + 1)
     VersionedLake.commitUpsert(feb, "month", lake)
-    val v1 = VersionedLake.readVersion(s, lake, 1)
-    val v2 = VersionedLake.readLatest(s, lake)
-    def summary(df: DataFrame, v: Int): DataFrame =
-      df.agg(count(lit(1)).as("n_rows"),
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          sum(col("l_orderkey") * 7 + col("l_linenumber")).as("key_sig"))
-        .withColumn("version", lit(v))
-    val key = Seq("l_orderkey", "l_linenumber")
-    val diff = v1.select((key.map(col) :+ col("l_quantity").as("q1")): _*)
-      .join(v2.select((key.map(col) :+ col("l_quantity").as("q2")): _*),
-        key, "full_outer")
-      .agg(
-        sum(when(col("q1").isNotNull && col("q2").isNotNull
-          && col("q1") =!= col("q2"), 1L).otherwise(0L))
-          .as("n_changed_vs_prev"),
-        sum(when(col("q2").isNull, 1L).otherwise(0L))
-          .as("n_removed_vs_prev"),
-        sum(when(col("q1").isNull, 1L).otherwise(0L))
-          .as("n_added_vs_prev"))
-    summary(v1, 1)
-      .withColumn("n_changed_vs_prev", lit(0L))
-      .withColumn("n_removed_vs_prev", lit(0L))
-      .withColumn("n_added_vs_prev", lit(0L))
-      .unionByName(summary(v2, 2).crossJoin(diff))
+    ttSummariesWithDiff(VersionedLake.readVersion(s, lake, 1),
+      VersionedLake.readLatest(s, lake))
   }
 
   /** l10 — retention VACUUM on the versioned lake
@@ -838,10 +860,7 @@ object SparkEntry {
     import graft.sources.VersionedLake
     val lake = s"/tmp/graft_vaclake_${Integer.toHexString(d.hashCode)}"
     VersionedLake.reset(s, lake)
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        date_format(col("l_shipdate"), "yyyy-MM").as("month"))
-      .filter(col("month").between("1997-01", "1997-03"))
+    val li = ttSlimLineitem(s, d)
     VersionedLake.commitOverwrite(li, "month", lake)
     VersionedLake.commitUpsert(
       li.filter(col("month") === "1997-02")
@@ -859,11 +878,7 @@ object SparkEntry {
       catch { case _: IllegalArgumentException => true }
     val noOrphans = VersionedLake.unreferencedDataFiles(s, lake).isEmpty
     def summary(v: Int): DataFrame =
-      VersionedLake.readVersion(s, lake, v)
-        .agg(count(lit(1)).as("n_rows"),
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          sum(col("l_orderkey") * 7 + col("l_linenumber")).as("key_sig"))
-        .withColumn("version", lit(v))
+      ttVersionSummary(VersionedLake.readVersion(s, lake, v), v)
     summary(2).unionByName(summary(3))
       .withColumn("v1_vacuumed", lit(nDropped == 1 && v1Gone))
       .withColumn("no_orphans", lit(noOrphans))
@@ -895,13 +910,7 @@ object SparkEntry {
     import graft.sources.VersionedLake
     val lake = s"/tmp/graft_mergelake_${Integer.toHexString(d.hashCode)}"
     VersionedLake.reset(s, lake)
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        date_format(col("l_shipdate"), "yyyy-MM").as("month"))
-      .filter(col("month").between("1997-01", "1997-03"))
-      .groupBy(col("l_orderkey"), col("l_linenumber"))
-      .agg(min(col("l_quantity")).as("l_quantity"),
-        min(col("month")).as("month"))
+    val li = ttSlimLineitem(s, d, dedupKeys = true)
     VersionedLake.commitOverwrite(li, "month", lake)
     val feb = li.filter(col("month") === "1997-02")
     val delta = feb.filter(col("l_linenumber") <= 2)
@@ -911,30 +920,8 @@ object SparkEntry {
         .withColumn("l_quantity", col("l_quantity") + 3))
     VersionedLake.commitMerge(delta,
       Seq("l_orderkey", "l_linenumber"), "month", lake)
-    val v1 = VersionedLake.readVersion(s, lake, 1)
-    val v2 = VersionedLake.readLatest(s, lake)
-    def summary(df: DataFrame, v: Int): DataFrame =
-      df.agg(count(lit(1)).as("n_rows"),
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          sum(col("l_orderkey") * 7 + col("l_linenumber")).as("key_sig"))
-        .withColumn("version", lit(v))
-    val key = Seq("l_orderkey", "l_linenumber")
-    val diff = v1.select((key.map(col) :+ col("l_quantity").as("q1")): _*)
-      .join(v2.select((key.map(col) :+ col("l_quantity").as("q2")): _*),
-        key, "full_outer")
-      .agg(
-        sum(when(col("q1").isNotNull && col("q2").isNotNull
-          && col("q1") =!= col("q2"), 1L).otherwise(0L))
-          .as("n_changed_vs_prev"),
-        sum(when(col("q2").isNull, 1L).otherwise(0L))
-          .as("n_removed_vs_prev"),
-        sum(when(col("q1").isNull, 1L).otherwise(0L))
-          .as("n_added_vs_prev"))
-    summary(v1, 1)
-      .withColumn("n_changed_vs_prev", lit(0L))
-      .withColumn("n_removed_vs_prev", lit(0L))
-      .withColumn("n_added_vs_prev", lit(0L))
-      .unionByName(summary(v2, 2).crossJoin(diff))
+    ttSummariesWithDiff(VersionedLake.readVersion(s, lake, 1),
+      VersionedLake.readLatest(s, lake))
   }
   /** l12 — zone-map-pruned TIME-TRAVEL range query: l08's per-file
     * (lo, hi) skipping stats carried IN l09's version manifests
@@ -957,10 +944,7 @@ object SparkEntry {
     import graft.sources.VersionedLake
     val lake = s"/tmp/graft_zvlake_${Integer.toHexString(d.hashCode)}"
     VersionedLake.reset(s, lake)
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        date_format(col("l_shipdate"), "yyyy-MM").as("month"))
-      .filter(col("month").between("1997-01", "1997-03"))
+    val li = ttSlimLineitem(s, d)
     def clustered(df: DataFrame, n: Int): DataFrame =
       df.repartitionByRange(n, col("l_orderkey"))
         .sortWithinPartitions(col("l_orderkey"))
@@ -979,11 +963,8 @@ object SparkEntry {
     def rangeSummary(v: Int): DataFrame = {
       val (pruned, nMatch, nTotal) =
         VersionedLake.readVersionRange(s, lake, v, lo, hi)
-      pruned.filter(col("l_orderkey").between(lo, hi))
-        .agg(count(lit(1)).as("n_rows"),
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          sum(col("l_orderkey") * 7 + col("l_linenumber")).as("key_sig"))
-        .withColumn("version", lit(v))
+      ttVersionSummary(
+          pruned.filter(col("l_orderkey").between(lo, hi)), v)
         .withColumn("skip_effective", lit(nMatch * 2 <= nTotal))
     }
     rangeSummary(1).unionByName(rangeSummary(2))
@@ -1008,10 +989,7 @@ object SparkEntry {
     import graft.sources.VersionedLake
     val lake = s"/tmp/graft_optlake_${Integer.toHexString(d.hashCode)}"
     VersionedLake.reset(s, lake)
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        date_format(col("l_shipdate"), "yyyy-MM").as("month"))
-      .filter(col("month").between("1997-01", "1997-03"))
+    val li = ttSlimLineitem(s, d)
     VersionedLake.commitOverwrite(
       li.filter(col("month") =!= "1997-02").coalesce(1), "month", lake)
     (0 to 2).foreach { r =>
@@ -1060,13 +1038,7 @@ object SparkEntry {
     import graft.sources.VersionedLake
     val lake = s"/tmp/graft_cdflake_${Integer.toHexString(d.hashCode)}"
     VersionedLake.reset(s, lake)
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        date_format(col("l_shipdate"), "yyyy-MM").as("month"))
-      .filter(col("month").between("1997-01", "1997-03"))
-      .groupBy(col("l_orderkey"), col("l_linenumber"))
-      .agg(min(col("l_quantity")).as("l_quantity"),
-        min(col("month")).as("month"))
+    val li = ttSlimLineitem(s, d, dedupKeys = true)
     VersionedLake.commitOverwrite(li, "month", lake)
     val feb = li.filter(col("month") === "1997-02")
     VersionedLake.commitUpsert(

@@ -101,12 +101,15 @@ object VersionedLake {
 
   private def writeManifest(spark: SparkSession, path: String, v: Int,
                             op: String, entries: Seq[FileEntry],
-                            txn: Option[Long] = None): Unit = {
+                            txn: Option[Long] = None,
+                            carriedTxns: Set[Long] = Set.empty): Unit = {
     val f = fs(spark, path)
     f.mkdirs(logDir(path))
     val mf = new Path(logDir(path), s"${"%06d".format(v)}.manifest")
     val head = s"version=$v op=$op" +
-      txn.map(t => s" txn=$t").getOrElse("")
+      txn.map(t => s" txn=$t").getOrElse("") +
+      (if (carriedTxns.isEmpty) ""
+       else s" txns=${carriedTxns.toSeq.sorted.mkString(",")}")
     val body = (head +:
       entries.sortBy(e => (e.part, e.rel)).map { e =>
         s"${e.part}\t${e.rel}" + ((e.lo, e.hi) match {
@@ -114,26 +117,87 @@ object VersionedLake {
           case _ => ""
         })
       }).mkString("\n")
-    val out = f.create(mf, true)
+    // write-temp-then-RENAME: a crash mid-write must never leave a
+    // torn manifest that parses as a valid shorter file list (a later
+    // vacuum would then delete the "unreferenced" tail files — silent
+    // permanent loss); rename is the atomic commit point, the same
+    // protocol every log-structured table format uses (r10 review)
+    val tmp = new Path(logDir(path), s"${"%06d".format(v)}.manifest.tmp")
+    val out = f.create(tmp, true)
     try out.write((body + "\n").getBytes("UTF-8")) finally out.close()
+    if (f.exists(mf)) f.delete(mf, false)
+    require(f.rename(tmp, mf), s"manifest rename failed for version $v")
+    txnCache.get(path.stripSuffix("/")).foreach { c =>
+      txn.foreach(t => c.add(Long.box(t)))
+      carriedTxns.foreach(t => c.add(Long.box(t)))
+    }
   }
 
-  /** Transaction ids already recorded in the log — header-only reads,
-    * version-count-sized. */
-  private def committedTxns(spark: SparkSession,
-                            path: String): Set[Long] = {
+  /** Per-JVM txn-set cache, appended on every commit: without it a
+    * streaming ingest pays O(versions) manifest-header reads per
+    * micro-batch just to decide a commit is new (r10 review). Single-
+    * writer-per-table is the assumed discipline, as in every log-
+    * structured format without an external lock service; a fresh JVM
+    * (or a vacuumed log) repopulates from disk on first use. */
+  private val txnCache = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.ConcurrentHashMap.KeySetView[
+      java.lang.Long, java.lang.Boolean]]
+
+  private def headerTxns(header: String): Seq[Long] =
+    header.split(' ').toSeq.flatMap {
+      case kv if kv.startsWith("txn=") =>
+        Seq(kv.stripPrefix("txn=").toLong)
+      case kv if kv.startsWith("txns=") =>
+        kv.stripPrefix("txns=").split(',').toSeq
+          .filter(_.nonEmpty).map(_.toLong)
+      case _ => Seq.empty
+    }
+
+  private def readManifestHeader(spark: SparkSession, path: String,
+                                 v: Int): String = {
     val f = fs(spark, path)
-    versions(spark, path).flatMap { v =>
-      val mf = new Path(logDir(path), s"${"%06d".format(v)}.manifest")
-      val in = f.open(mf)
-      val header =
-        try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().nextOption().getOrElse("")
-        finally in.close()
-      header.split(' ').collectFirst {
-        case kv if kv.startsWith("txn=") => kv.stripPrefix("txn=").toLong
-      }
-    }.toSet
+    val mf = new Path(logDir(path), s"${"%06d".format(v)}.manifest")
+    val in = f.open(mf)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().nextOption().getOrElse("")
+    finally in.close()
+  }
+
+  /** Transaction ids recorded in the log — served from the per-JVM
+    * cache after one initial header scan. Includes txns preserved by
+    * [[vacuum]] through the `txns=` carry-forward attribute. */
+  private def committedTxns(spark: SparkSession,
+                            path: String): scala.collection.Set[Long] = {
+    val key = path.stripSuffix("/")
+    import scala.jdk.CollectionConverters._
+    txnCache.getOrElseUpdate(key, {
+      val set = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[java.lang.Long]()
+      versions(spark, path)
+        .flatMap(v => headerTxns(readManifestHeader(spark, path, v)))
+        .foreach(t => set.add(t))
+      set
+    }).asScala.map(_.longValue)
+  }
+
+  /** Decode Hive path-escaping (%XX) in a partition DIR name back to
+    * the raw partition value: the physical write escapes characters
+    * like ':', '/', '%' into `__part=2024-01-01 00%3A00` form, but the
+    * manifest stores — and every API compares against — RAW values
+    * (r10 review: the escaped form silently missed `parts` filters and
+    * commitMerge's anti-join for values needing escapes). */
+  private def unescapePathName(name: String): String = {
+    val sb = new StringBuilder(name.length)
+    var i = 0
+    while (i < name.length) {
+      val c = name.charAt(i)
+      if (c == '%' && i + 2 < name.length) {
+        val hex = name.substring(i + 1, i + 3)
+        try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** List commit k's data files from the FS — metadata-scale, one
@@ -146,7 +210,8 @@ object VersionedLake {
       .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith(PartDir + "="))
       .flatMap { dir =>
-        val part = dir.getPath.getName.stripPrefix(PartDir + "=")
+        val part =
+          unescapePathName(dir.getPath.getName.stripPrefix(PartDir + "="))
         f.listStatus(dir.getPath).iterator
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .map(s => FileEntry(part,
@@ -166,12 +231,18 @@ object VersionedLake {
       .groupBy(input_file_name().as("f"))
       .agg(min(col(statsCol).cast("long")).as("lo"),
         max(col(statsCol).cast("long")).as("hi"))
-      .collect().map { r =>
-        val u = r.getString(0)
-        // normalize the URI to the lake-relative form the manifest
-        // stores, independent of filesystem qualification quirks
-        val i = u.lastIndexOf("/data/c")
-        (u.substring(i + 1), (r.getLong(1), r.getLong(2)))
+      .collect().flatMap { r =>
+        // a file whose statsCol is all NULL has no zone — leave the
+        // entry stat-less (the conservative-keep path) instead of
+        // NPEing the commit after its data already landed (r10 review)
+        if (r.isNullAt(1) || r.isNullAt(2)) None
+        else {
+          val u = r.getString(0)
+          // normalize the URI to the lake-relative form the manifest
+          // stores, independent of filesystem qualification quirks
+          val i = u.lastIndexOf("/data/c")
+          Some((u.substring(i + 1), (r.getLong(1), r.getLong(2))))
+        }
       }.toMap
     entries.map(e => byRel.get(e.rel)
       .fold(e)(s => e.copy(lo = Some(s._1), hi = Some(s._2))))
@@ -330,16 +401,14 @@ object VersionedLake {
                      statsCol: Option[String] = None): Int = {
     val v = latestVersion(spark, path)
     require(v > 0, "commitOptimize needs an existing version")
-    val fragmented = manifestEntries(spark, path, v)
-      .groupBy(_.part).filter(_._2.size > 1).keys.toSeq.sorted
-    if (fragmented.isEmpty) v
+    val byPart = manifestEntries(spark, path, v)
+      .groupBy(_.part).filter(_._2.size > 1)
+    if (byPart.isEmpty) v
     else {
       // one single-partition frame per fragmented value: the
       // partitioned write then lands exactly one file each — the
       // l07/compactAll one-task-per-value discipline on this log
       val base = path.stripSuffix("/")
-      val byPart = manifestEntries(spark, path, v)
-        .groupBy(_.part).filter(_._2.size > 1)
       val merged = byPart.toSeq.sortBy(_._1).map { case (_, es) =>
         spark.read.parquet(es.map(e => s"$base/${e.rel}"): _*)
           .coalesce(1)
@@ -371,6 +440,10 @@ object VersionedLake {
     val (a, b) = (byPart(vFrom), byPart(vTo))
     val churned = (a.keySet ++ b.keySet)
       .filter(p => a.get(p) != b.get(p))
+    // row presence is tracked by an explicit per-side flag, never by
+    // the VALUE column's nullness: a legitimately-NULL value must not
+    // masquerade as a missing row (r10 review — NULL->5 is a change,
+    // not an add; 5->NULL a change, not a removal)
     def readSide(m: Map[String, Set[String]], alias: String)
         : Option[DataFrame] = {
       val files = churned.toSeq.sorted
@@ -379,17 +452,20 @@ object VersionedLake {
       if (files.isEmpty) None
       else Some(spark.read.parquet(files: _*)
         .select((keyCols.map(col) :+
-          col(valueCol).as(s"${valueCol}_$alias")): _*))
+          col(valueCol).as(s"${valueCol}_$alias") :+
+          lit(true).as(s"__in_$alias")): _*))
     }
     val (bf, af) = (readSide(a, "before"), readSide(b, "after"))
+    def absent(df: DataFrame, alias: String): DataFrame = {
+      val other = if (alias == "before") "after" else "before"
+      df.withColumn(s"${valueCol}_$alias",
+          lit(null).cast(df.schema(s"${valueCol}_$other").dataType))
+        .withColumn(s"__in_$alias", lit(false))
+    }
     val joined = (bf, af) match {
       case (Some(x), Some(y)) => x.join(y, keyCols, "full_outer")
-      case (Some(x), None) =>
-        x.withColumn(s"${valueCol}_after",
-          lit(null).cast(x.schema(s"${valueCol}_before").dataType))
-      case (None, Some(y)) =>
-        y.withColumn(s"${valueCol}_before",
-          lit(null).cast(y.schema(s"${valueCol}_after").dataType))
+      case (Some(x), None) => absent(x, "after")
+      case (None, Some(y)) => absent(y, "before")
       case (None, None) =>
         // zero churned partitions: an empty change feed with the
         // declared schema, derived from the target version's data
@@ -397,14 +473,19 @@ object VersionedLake {
         empty.select((keyCols.map(col) :+
             col(valueCol).as(s"${valueCol}_before")): _*)
           .withColumn(s"${valueCol}_after", col(s"${valueCol}_before"))
+          .withColumn("__in_before", lit(true))
+          .withColumn("__in_after", lit(true))
     }
     val vb = col(s"${valueCol}_before")
     val va = col(s"${valueCol}_after")
+    val inB = coalesce(col("__in_before"), lit(false))
+    val inA = coalesce(col("__in_after"), lit(false))
     joined
       .withColumn("change_kind",
-        when(vb.isNull, "added")
-          .when(va.isNull, "removed")
-          .when(vb =!= va, "changed")
+        when(!inB, "added")
+          .when(!inA, "removed")
+          .when(vb.isNull =!= va.isNull, "changed")
+          .when(vb.isNotNull && va.isNotNull && vb =!= va, "changed")
           .otherwise("unchanged"))
       .filter(col("change_kind") =!= "unchanged")
       .select((keyCols.map(col) :+ col("change_kind") :+ vb :+ va): _*)
@@ -452,9 +533,30 @@ object VersionedLake {
     val f = fs(spark, path)
     val vs = versions(spark, path)
     val dropped = vs.dropRight(retain)
-    // drop the manifests FIRST: a crash between the two phases then
+    // PRESERVE the dropped manifests' txn ids by folding them into the
+    // newest retained manifest's `txns=` attribute BEFORE deleting:
+    // otherwise a checkpoint replay of a batch older than the
+    // retention window would re-apply it as a fresh commit — exactly
+    // the fork commitBatch* promises cannot happen (r10 review; the
+    // Delta analogue carries txn state forward in the latest snapshot)
+    val droppedTxns = dropped
+      .flatMap(v => headerTxns(readManifestHeader(spark, path, v))).toSet
+    if (droppedTxns.nonEmpty) {
+      val newest = vs.last
+      val header = readManifestHeader(spark, path, newest)
+      val op = header.split(' ').collectFirst {
+        case kv if kv.startsWith("op=") => kv.stripPrefix("op=")
+      }.getOrElse("upsert")
+      val ownTxn = header.split(' ').collectFirst {
+        case kv if kv.startsWith("txn=") => kv.stripPrefix("txn=").toLong
+      }
+      val carried = headerTxns(header).toSet -- ownTxn ++ droppedTxns
+      writeManifest(spark, path, newest, op,
+        manifestEntries(spark, path, newest), ownTxn, carried)
+    }
+    // drop the manifests after: a crash between the phases then
     // leaves only unreferenced-but-present files (re-vacuumable),
-    // never a manifest pointing at deleted files
+    // never a manifest pointing at deleted files or a lost txn
     dropped.foreach { v =>
       f.delete(new Path(logDir(path), s"${"%06d".format(v)}.manifest"),
         false)
@@ -517,11 +619,14 @@ object VersionedLake {
                  parts: Seq[String] = Seq.empty): DataFrame =
     readVersion(spark, path, latestVersion(spark, path), parts)
 
-  /** Drop every version's state — a fresh-lake reset for fixtures. */
+  /** Drop every version's state — a fresh-lake reset for fixtures.
+    * Also drops the path's txn cache: a reborn lake must not inherit
+    * the old history's replay-dedup set. */
   def reset(spark: SparkSession, path: String): Unit = {
     val p = new Path(path)
     val f = fs(spark, path)
     if (f.exists(p)) f.delete(p, true)
+    txnCache.remove(path.stripSuffix("/"))
     ()
   }
 }

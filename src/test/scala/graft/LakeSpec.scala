@@ -260,6 +260,84 @@ class LakeSpec extends SparkSpec {
       .select($"id").as[Long].collect().toSet == Set(1L, 2L, 3L, 9L, 7L))
   }
 
+  test("versioned lake: partition values needing Hive path-escaping " +
+      "round-trip through merge, parts filters, and the manifest") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_esc").toString
+    VersionedLake.reset(spark, lake)
+    val hot = "2024-01-01 00:00" // ':' and ' ' escape to %XX dir form
+    VersionedLake.commitOverwrite(
+      Seq((1L, hot, 1.0), (2L, "plain", 2.0)).toDF("id", "part", "x"),
+      "part", lake)
+    assert(VersionedLake.manifestFiles(spark, lake, 1)
+      .map(_.part).toSet == Set(hot, "plain"))
+    assert(VersionedLake.readVersion(spark, lake, 1, Seq(hot))
+      .select($"id").as[Long].collect().toSet == Set(1L))
+    // merge must SEE the existing escaped partition: update, not dup
+    VersionedLake.commitMerge(
+      Seq((1L, hot, 100.0)).toDF("id", "part", "x"), Seq("id"),
+      "part", lake)
+    val got = VersionedLake.readLatest(spark, lake)
+      .select($"id", $"x").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 100.0, 2L -> 2.0), got.toString)
+  }
+
+  test("versioned lake: changesBetween keys presence on the row, not " +
+      "the value column's nullness") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_nul").toString
+    VersionedLake.reset(spark, lake)
+    VersionedLake.commitOverwrite(
+      Seq((1L, "a", Option.empty[Double]), (2L, "a", Some(2.0)),
+        (3L, "a", Some(3.0))).toDF("id", "part", "x"),
+      "part", lake)
+    // v2: NULL->5 (changed), 2.0->NULL (changed), 3.0 dropped (removed)
+    VersionedLake.commitUpsert(
+      Seq((1L, "a", Some(5.0)), (2L, "a", Option.empty[Double]))
+        .toDF("id", "part", "x"),
+      "part", lake)
+    val got = VersionedLake
+      .changesBetween(spark, lake, 1, 2, Seq("id"), "x")
+      .as[(Long, String, Option[Double], Option[Double])]
+      .collect().toSet
+    assert(got == Set(
+      (1L, "changed", None, Some(5.0)),
+      (2L, "changed", Some(2.0), None),
+      (3L, "removed", Some(3.0), None)), got.toString)
+  }
+
+  test("versioned lake: vacuum preserves dropped versions' txn ids, " +
+      "and all-NULL stats columns commit stat-less") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_txv").toString
+    VersionedLake.reset(spark, lake)
+    VersionedLake.commitBatchAppend(
+      Seq((1L, "a", 1.0)).toDF("id", "part", "x"), "part", lake, txn = 0L)
+    VersionedLake.commitBatchAppend(
+      Seq((2L, "a", 2.0)).toDF("id", "part", "x"), "part", lake, txn = 1L)
+    VersionedLake.vacuum(spark, lake, retain = 1)
+    // the dropped version 1's txn must survive in the retained log ON
+    // DISK (header txns= attribute), not just in this JVM's cache
+    val header = scala.io.Source.fromFile(
+      s"$lake/_log/000002.manifest").getLines().next()
+    assert(header.contains("txns=0"), header)
+    // a replay of the vacuumed batch is still a no-op
+    assert(VersionedLake.commitBatchAppend(
+      Seq((9L, "a", 9.0)).toDF("id", "part", "x"), "part", lake,
+      txn = 0L) == 2)
+    assert(VersionedLake.readLatest(spark, lake)
+      .select($"id").as[Long].collect().toSet == Set(1L, 2L))
+
+    // all-NULL stats column: commit succeeds, entry just has no zone
+    VersionedLake.commitAppend(
+      Seq((5L, "a", Option.empty[Double])).toDF("id", "part", "x")
+        .withColumn("k", lit(null).cast("long")),
+      "part", lake, statsCol = Some("k"))
+    val last = VersionedLake
+      .manifestFiles(spark, lake, VersionedLake.latestVersion(spark, lake))
+    assert(last.exists(e => e.lo.isEmpty && e.hi.isEmpty))
+  }
+
   test("versioned lake: commitOptimize compacts fragmented partitions " +
       "as a commit; pinned readers and compact partitions untouched") {
     import graft.sources.VersionedLake
