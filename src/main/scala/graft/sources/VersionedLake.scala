@@ -1,8 +1,9 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Snapshot-versioned parquet lake: immutable data files + a per-version
   * manifest listing the files that ARE the table at that version — the
@@ -10,32 +11,51 @@ import org.apache.spark.sql.functions._
   * giving [[PartitionedLake]]'s upsert pattern what every production
   * table format has and a bare parquet directory cannot: READ AT
   * VERSION (time travel), snapshot isolation for concurrent readers,
-  * and an auditable commit history.
+  * optimistic concurrency for concurrent writers, and an auditable
+  * commit history.
   *
   * Layout:
   * {{{
-  *   path/data/c000001/__part=<v>/part-*.parquet   commit 1's files
-  *   path/data/c000002/__part=<v>/part-*.parquet   commit 2's files
+  *   path/data/<token>/__part=<v>/part-*.parquet   one commit's files
   *   path/_log/000001.manifest                      version 1 file list
   *   path/_log/000002.manifest                      version 2 file list
+  *   path/_log/txns-*.carry                         vacuum txn sidecars
   * }}}
   *
-  * Every commit only ADDS data files (under its own `c<k>` directory)
-  * and writes ONE new manifest; nothing is ever mutated or deleted, so
-  * a reader holding version k's file list is immune to any later
-  * commit — the concurrent-reader-sees-old-version guarantee LakeSpec
-  * pins, and the property [[PartitionedLake]]'s in-place dynamic
-  * overwrite cannot offer (its upsert physically replaces partition
-  * files under a running reader).
+  * Every commit only ADDS data files (under its own unique `<token>`
+  * directory) and writes ONE new manifest; nothing is ever mutated or
+  * deleted, so a reader holding version k's file list is immune to any
+  * later commit — the concurrent-reader-sees-old-version guarantee
+  * LakeSpec pins, and the property [[PartitionedLake]]'s in-place
+  * dynamic overwrite cannot offer (its upsert physically replaces
+  * partition files under a running reader).
   *
-  * A manifest is a text file: header line `version=<k> op=<op>`, then
-  * one `<part>\t<relpath>` line per live data file. Manifest IO is
-  * driver-side metadata — file-count-sized, the same scale as every
-  * table format's log — while row data only ever moves through
-  * executor parquet scans. An upsert commit's manifest carries
-  * FORWARD the previous version's entries for untouched partitions
-  * (pointers, not data: unchanged partitions are never rewritten —
-  * cost ∝ the delta, the c02/st11 discipline applied to versioning).
+  * A manifest is a text file: header line
+  * `version=<k> op=<op> dir=<token>[ txn=<t>][ ts=<millis>]`, an
+  * optional `schema=<json>` line recording the commit's schema (the
+  * l04 evolution semantics lifted to the table layer — old versions
+  * stay readable under the latest schema with NULL back-fill,
+  * [[readVersionEvolved]]), then one `<part>\t<relpath>[\t<lo>\t<hi>]`
+  * line per live data file. Manifest IO is driver-side metadata —
+  * file-count-sized, the same scale as every table format's log —
+  * while row data only ever moves through executor parquet scans. An
+  * upsert commit's manifest carries FORWARD the previous version's
+  * entries for untouched partitions (pointers, not data: unchanged
+  * partitions are never rewritten — cost ∝ the delta, the c02/st11
+  * discipline applied to versioning).
+  *
+  * CONCURRENT WRITERS (the Delta OCC rule): each commit attempt stages
+  * its data under a fresh unique token directory (two racing writers
+  * can never write into each other's staging dir), and the manifest
+  * write is strictly fresh-name — [[tryWriteManifest]] refuses to
+  * overwrite an existing manifest, so the version-number claim is the
+  * arbiter. A writer that loses the race re-reads the log and REBASES:
+  * the commit retries at the new head iff the winning commits'
+  * touched partitions are disjoint from its own (appends never
+  * conflict; an upsert conflicts when an intervening commit touched a
+  * partition it replaces; an overwrite conflicts with everything), and
+  * aborts loudly otherwise. Its already-written data files are then
+  * orphans that [[vacuum]] reclaims — never a torn version.
   *
   * The partition column stays a REGULAR column in the data files (the
   * physical write partitions on a `__part` duplicate), so reading a
@@ -49,11 +69,20 @@ object VersionedLake {
   private val PartDir = "__part"
 
   private def logDir(path: String) = new Path(s"${path.stripSuffix("/")}/_log")
-  private def dataDir(path: String, k: Int) =
-    s"${path.stripSuffix("/")}/data/c${"%06d".format(k)}"
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Unique-name generator for commit-attempt data dirs, manifest tmp
+    * files, and vacuum sidecars: a per-JVM tag + counter, so no two
+    * attempts (in this JVM or another) ever share a staging name. File
+    * and dir NAMES are the only nondeterminism here — nothing
+    * name-derived ever reaches a query's output (rel paths live only
+    * inside manifests; queries emit file COUNTS at most). */
+  private val jvmTag =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def uniq(): String = s"$jvmTag${seq.incrementAndGet()}"
 
   /** All committed versions, ascending (empty for a fresh lake). */
   def versions(spark: SparkSession, path: String): Seq[Int] = {
@@ -78,94 +107,156 @@ object VersionedLake {
                              lo: Option[Long] = None,
                              hi: Option[Long] = None)
 
-  /** File entries of version `v`'s manifest. */
-  private def manifestEntries(spark: SparkSession, path: String,
-                              v: Int): Seq[FileEntry] = {
-    val mf = new Path(logDir(path), s"${"%06d".format(v)}.manifest")
+  private def manifestPath(path: String, v: Int): Path =
+    new Path(logDir(path), s"${"%06d".format(v)}.manifest")
+
+  private def readManifestText(spark: SparkSession, path: String,
+                               v: Int): String = {
+    val mf = manifestPath(path, v)
     val f = fs(spark, path)
     require(f.exists(mf), s"no manifest for version $v at $path")
     val in = f.open(mf)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    text.linesIterator.drop(1).filter(_.nonEmpty).map { line =>
-      line.split('\t') match {
-        case Array(part, rel) => FileEntry(part, rel)
-        case Array(part, rel, lo, hi) =>
-          FileEntry(part, rel, Some(lo.toLong), Some(hi.toLong))
-        case other => throw new IllegalArgumentException(
-          s"malformed manifest line: ${other.mkString("\\t")}")
-      }
-    }.toSeq
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
   }
 
-  private def writeManifest(spark: SparkSession, path: String, v: Int,
-                            op: String, entries: Seq[FileEntry],
-                            txn: Option[Long] = None,
-                            carriedTxns: Set[Long] = Set.empty): Unit = {
+  /** File entries of version `v`'s manifest (header and schema lines
+    * skipped). */
+  private def manifestEntries(spark: SparkSession, path: String,
+                              v: Int): Seq[FileEntry] =
+    readManifestText(spark, path, v).linesIterator.drop(1)
+      .filter(l => l.nonEmpty && !l.startsWith("schema="))
+      .map { line =>
+        line.split('\t') match {
+          case Array(part, rel) => FileEntry(part, rel)
+          case Array(part, rel, lo, hi) =>
+            FileEntry(part, rel, Some(lo.toLong), Some(hi.toLong))
+          case other => throw new IllegalArgumentException(
+            s"malformed manifest line: ${other.mkString("\\t")}")
+        }
+      }.toSeq
+
+  /** The schema recorded in version `v`'s manifest (None for manifests
+    * written before schema recording existed). */
+  def readSchema(spark: SparkSession, path: String,
+                 v: Int): Option[StructType] =
+    readManifestText(spark, path, v).linesIterator.drop(1)
+      .find(_.startsWith("schema="))
+      .map(l => DataTypeParser.parse(l.stripPrefix("schema=")))
+
+  /** StructType.fromJson behind one name (kept private-ish so the
+    * manifest format owns the choice of encoding). */
+  private object DataTypeParser {
+    def parse(json: String): StructType =
+      org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[StructType]
+  }
+
+  private def readManifestHeader(spark: SparkSession, path: String,
+                                 v: Int): String =
+    readManifestText(spark, path, v).linesIterator
+      .nextOption().getOrElse("")
+
+  private def headerAttr(header: String, key: String): Option[String] =
+    header.split(' ').collectFirst {
+      case kv if kv.startsWith(key + "=") => kv.stripPrefix(key + "=")
+    }
+
+  /** Write version `v`'s manifest with fresh-name discipline: refuses
+    * to overwrite — if the manifest already exists (another writer
+    * claimed the version) this returns false and writes nothing.
+    * write-temp-then-RENAME: a crash mid-write must never leave a torn
+    * manifest that parses as a valid shorter file list (a later vacuum
+    * would then delete the "unreferenced" tail files — silent
+    * permanent loss). Nothing ever rewrites an existing manifest (the
+    * r10 vacuum carry-forward moved to sidecar files for exactly this
+    * reason), so on stores with HDFS rename semantics the rename
+    * itself is the atomic arbiter; on POSIX local FS (where rename
+    * replaces) the exists-check is the best-effort arbiter under the
+    * documented single-writer-per-version discipline. */
+  private def tryWriteManifest(spark: SparkSession, path: String, v: Int,
+                               op: String, dirToken: String,
+                               schemaJson: String,
+                               entries: Seq[FileEntry],
+                               txn: Option[Long],
+                               ts: Option[Long]): Boolean = {
     val f = fs(spark, path)
     f.mkdirs(logDir(path))
-    val mf = new Path(logDir(path), s"${"%06d".format(v)}.manifest")
-    val head = s"version=$v op=$op" +
+    val mf = manifestPath(path, v)
+    if (f.exists(mf)) return false
+    val head = s"version=$v op=$op dir=$dirToken" +
       txn.map(t => s" txn=$t").getOrElse("") +
-      (if (carriedTxns.isEmpty) ""
-       else s" txns=${carriedTxns.toSeq.sorted.mkString(",")}")
-    val body = (head +:
+      ts.map(t => s" ts=$t").getOrElse("")
+    val body = (head +: s"schema=$schemaJson" +:
       entries.sortBy(e => (e.part, e.rel)).map { e =>
         s"${e.part}\t${e.rel}" + ((e.lo, e.hi) match {
           case (Some(l), Some(h)) => s"\t$l\t$h"
           case _ => ""
         })
       }).mkString("\n")
-    // write-temp-then-RENAME: a crash mid-write must never leave a
-    // torn manifest that parses as a valid shorter file list (a later
-    // vacuum would then delete the "unreferenced" tail files — silent
-    // permanent loss); rename is the atomic commit point, the same
-    // protocol every log-structured table format uses (r10 review)
-    val tmp = new Path(logDir(path), s"${"%06d".format(v)}.manifest.tmp")
+    val tmp = new Path(logDir(path),
+      s"${"%06d".format(v)}.manifest.tmp-${uniq()}")
     val out = f.create(tmp, true)
     try out.write((body + "\n").getBytes("UTF-8")) finally out.close()
-    if (f.exists(mf)) f.delete(mf, false)
-    require(f.rename(tmp, mf), s"manifest rename failed for version $v")
-    txnCache.get(path.stripSuffix("/")).foreach { c =>
-      txn.foreach(t => c.add(Long.box(t)))
-      carriedTxns.foreach(t => c.add(Long.box(t)))
-    }
+    if (f.exists(mf)) { f.delete(tmp, false); return false }
+    if (!f.rename(tmp, mf)) { f.delete(tmp, false); return false }
+    txnCache.get(path.stripSuffix("/"))
+      .foreach(c => txn.foreach(t => c.add(Long.box(t))))
+    true
   }
 
   /** Per-JVM txn-set cache, appended on every commit: without it a
     * streaming ingest pays O(versions) manifest-header reads per
     * micro-batch just to decide a commit is new (r10 review). Single-
-    * writer-per-table is the assumed discipline, as in every log-
-    * structured format without an external lock service; a fresh JVM
-    * (or a vacuumed log) repopulates from disk on first use. */
+    * writer-per-table is the assumed discipline for the CACHE only
+    * (the log itself is OCC-safe); a fresh JVM (or a vacuumed log)
+    * repopulates from disk on first use. */
   private val txnCache = scala.collection.concurrent.TrieMap
     .empty[String, java.util.concurrent.ConcurrentHashMap.KeySetView[
       java.lang.Long, java.lang.Boolean]]
 
-  private def headerTxns(header: String): Seq[Long] =
-    header.split(' ').toSeq.flatMap {
-      case kv if kv.startsWith("txn=") =>
-        Seq(kv.stripPrefix("txn=").toLong)
-      case kv if kv.startsWith("txns=") =>
-        kv.stripPrefix("txns=").split(',').toSeq
-          .filter(_.nonEmpty).map(_.toLong)
-      case _ => Seq.empty
-    }
-
-  private def readManifestHeader(spark: SparkSession, path: String,
-                                 v: Int): String = {
+  /** Vacuum txn sidecars: `_log/txns-<uniq>.carry`, one txn id per
+    * line after a `carried` header. Written with fresh-name
+    * write-temp-then-rename (atomic, never overwrites anything), so a
+    * crash mid-vacuum leaves at worst DUPLICATE carried txns — set
+    * semantics make that harmless — and never a lost one. Each vacuum
+    * folds all existing sidecars plus the dropped manifests' txns into
+    * ONE new sidecar and deletes the old files after, so the sidecar
+    * population stays O(1), not O(vacuums). */
+  private def sidecarFiles(spark: SparkSession, path: String): Seq[Path] = {
+    val dir = logDir(path)
     val f = fs(spark, path)
-    val mf = new Path(logDir(path), s"${"%06d".format(v)}.manifest")
-    val in = f.open(mf)
-    try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().nextOption().getOrElse("")
-    finally in.close()
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).iterator.map(_.getPath)
+      .filter(p => p.getName.startsWith("txns-") &&
+        p.getName.endsWith(".carry")).toSeq
+  }
+
+  private def readSidecarTxns(spark: SparkSession, path: String,
+                              p: Path): Set[Long] = {
+    val in = fs(spark, path).open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.linesIterator.drop(1).filter(_.nonEmpty).map(_.toLong).toSet
+  }
+
+  private def writeSidecar(spark: SparkSession, path: String,
+                           txns: Set[Long]): Unit = {
+    val f = fs(spark, path)
+    f.mkdirs(logDir(path))
+    val tmp = new Path(logDir(path), s"txns.tmp-${uniq()}")
+    val body = ("carried" +: txns.toSeq.sorted.map(_.toString))
+      .mkString("\n")
+    val out = f.create(tmp, true)
+    try out.write((body + "\n").getBytes("UTF-8")) finally out.close()
+    val dst = new Path(logDir(path), s"txns-${uniq()}.carry")
+    require(f.rename(tmp, dst), s"sidecar rename failed at $path")
   }
 
   /** Transaction ids recorded in the log — served from the per-JVM
-    * cache after one initial header scan. Includes txns preserved by
-    * [[vacuum]] through the `txns=` carry-forward attribute. */
+    * cache after one initial scan of manifest headers plus vacuum
+    * sidecars. */
   private def committedTxns(spark: SparkSession,
                             path: String): scala.collection.Set[Long] = {
     val key = path.stripSuffix("/")
@@ -174,8 +265,11 @@ object VersionedLake {
       val set = java.util.concurrent.ConcurrentHashMap
         .newKeySet[java.lang.Long]()
       versions(spark, path)
-        .flatMap(v => headerTxns(readManifestHeader(spark, path, v)))
-        .foreach(t => set.add(t))
+        .flatMap(v => headerAttr(readManifestHeader(spark, path, v), "txn"))
+        .foreach(t => set.add(t.toLong))
+      sidecarFiles(spark, path)
+        .flatMap(p => readSidecarTxns(spark, path, p))
+        .foreach(t => set.add(Long.box(t)))
       set
     }).asScala.map(_.longValue)
   }
@@ -200,11 +294,11 @@ object VersionedLake {
     sb.toString
   }
 
-  /** List commit k's data files from the FS — metadata-scale, one
-    * listing per written partition dir. */
+  /** List a commit attempt's data files from the FS — metadata-scale,
+    * one listing per written partition dir. */
   private def commitEntries(spark: SparkSession, path: String,
-                            k: Int): Seq[FileEntry] = {
-    val root = new Path(dataDir(path, k))
+                            token: String): Seq[FileEntry] = {
+    val root = new Path(s"${path.stripSuffix("/")}/data/$token")
     val f = fs(spark, path)
     f.listStatus(root).iterator
       .filter(st => st.isDirectory &&
@@ -215,8 +309,7 @@ object VersionedLake {
         f.listStatus(dir.getPath).iterator
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .map(s => FileEntry(part,
-            s"data/c${"%06d".format(k)}/${dir.getPath.getName}/" +
-              s.getPath.getName))
+            s"data/$token/${dir.getPath.getName}/" + s.getPath.getName))
       }.toSeq
   }
 
@@ -224,10 +317,11 @@ object VersionedLake {
     * zone-map stats a production format lifts from the parquet footers
     * it just wrote (one bootstrap aggregate here; identical content).
     * File-count-sized collect: planning metadata, never row data. */
-  private def enrichStats(spark: SparkSession, path: String, k: Int,
-                          entries: Seq[FileEntry],
+  private def enrichStats(spark: SparkSession, path: String,
+                          token: String, entries: Seq[FileEntry],
                           statsCol: String): Seq[FileEntry] = {
-    val byRel = spark.read.parquet(dataDir(path, k))
+    val byRel = spark.read
+      .parquet(s"${path.stripSuffix("/")}/data/$token")
       .groupBy(input_file_name().as("f"))
       .agg(min(col(statsCol).cast("long")).as("lo"),
         max(col(statsCol).cast("long")).as("hi"))
@@ -237,11 +331,17 @@ object VersionedLake {
         // NPEing the commit after its data already landed (r10 review)
         if (r.isNullAt(1) || r.isNullAt(2)) None
         else {
+          // input_file_name returns a URI: a Hive-escaped partition
+          // value is re-percent-encoded there ('%3A' -> '%253A',
+          // ' ' -> '%20'), so match on the DECODED path or the
+          // manifest's rel form never hits and stats silently drop
+          // for those files (r10 advice)
           val u = r.getString(0)
-          // normalize the URI to the lake-relative form the manifest
-          // stores, independent of filesystem qualification quirks
-          val i = u.lastIndexOf("/data/c")
-          Some((u.substring(i + 1), (r.getLong(1), r.getLong(2))))
+          val dec =
+            try new Path(new java.net.URI(u)).toUri.getPath
+            catch { case _: java.net.URISyntaxException => u }
+          val i = dec.lastIndexOf("/data/")
+          Some((dec.substring(i + 1), (r.getLong(1), r.getLong(2))))
         }
       }.toMap
     entries.map(e => byRel.get(e.rel)
@@ -249,62 +349,162 @@ object VersionedLake {
   }
 
   private def writeCommitData(df: DataFrame, partCol: String,
-                              path: String, k: Int): Unit =
+                              path: String, token: String): Unit =
     // the physical layout partitions on a DUPLICATE of the partition
     // column so the original survives IN the data files — a manifest
     // file list then reads back complete with no partition-dir
     // discovery or basePath gymnastics
     df.withColumn(PartDir, col(partCol))
       .write.mode("overwrite").partitionBy(PartDir)
-      .parquet(dataDir(path, k))
+      .parquet(s"${path.stripSuffix("/")}/data/$token")
 
   /** Commit a FULL snapshot: the new version's manifest lists only
     * this commit's files. `statsCol` records per-file (lo, hi)
     * zone-map stats in the manifest — [[readVersionRange]]'s prune
-    * index. Returns the new version number. */
+    * index. `commitTs` stamps the commit for [[readAsOf]] resolution
+    * (caller-passed clock — from the data or an external watermark,
+    * never a wall-clock read inside the library, so determinism
+    * contracts survive). Returns the new version number. */
   def commitOverwrite(df: DataFrame, partCol: String, path: String,
-                      statsCol: Option[String] = None): Int =
-    doCommit(df, partCol, path, None, Mode.Overwrite, statsCol)
+                      statsCol: Option[String] = None,
+                      commitTs: Option[Long] = None): Int =
+    doCommit(df, partCol, path, None, Mode.Overwrite, statsCol,
+      commitTs)
 
   /** Commit an UPSERT: partitions present in `df` are replaced (their
     * old files stay on disk for older versions but leave the
     * manifest), untouched partitions carry forward by pointer —
     * stats and all. Returns the new version number. */
   def commitUpsert(df: DataFrame, partCol: String, path: String,
-                   statsCol: Option[String] = None): Int =
-    doCommit(df, partCol, path, None, Mode.Upsert, statsCol)
+                   statsCol: Option[String] = None,
+                   commitTs: Option[Long] = None): Int =
+    doCommit(df, partCol, path, None, Mode.Upsert, statsCol, commitTs)
 
   /** Commit an APPEND: this commit's files JOIN the table next to
     * every previous file — no partition is replaced. The streaming-
     * ingest commit (new rows accumulate within their partitions);
     * restatements use [[commitUpsert]]. Returns the new version. */
   def commitAppend(df: DataFrame, partCol: String, path: String,
-                   statsCol: Option[String] = None): Int =
-    doCommit(df, partCol, path, None, Mode.Append, statsCol)
+                   statsCol: Option[String] = None,
+                   commitTs: Option[Long] = None): Int =
+    doCommit(df, partCol, path, None, Mode.Append, statsCol, commitTs)
+
+  /** [[commitUpsert]] prepared against a PINNED base version — the
+    * optimistic-concurrency entry point: the caller declares the
+    * version its delta was computed against (Delta's
+    * `txn.readVersion`), and if the log has advanced past it the
+    * commit REBASES iff every intervening commit's touched partitions
+    * are disjoint from this upsert's, aborting loudly
+    * (ConcurrentModificationException) otherwise. The no-argument
+    * forms pin the latest version at call time, so a genuinely
+    * concurrent writer gets the same protection automatically. */
+  def commitUpsertFrom(df: DataFrame, partCol: String, path: String,
+                       readVersion: Int,
+                       statsCol: Option[String] = None,
+                       commitTs: Option[Long] = None): Int =
+    doCommit(df, partCol, path, None, Mode.Upsert, statsCol, commitTs,
+      pinnedBase = Some(readVersion))
+
+  /** [[commitOverwrite]] against a pinned base version: a full
+    * replacement of a table someone else has since committed to is
+    * ALWAYS a conflict (it would silently erase the winner's commit),
+    * so a stale pin aborts loudly — the strictest OCC case. */
+  def commitOverwriteFrom(df: DataFrame, partCol: String, path: String,
+                          readVersion: Int,
+                          statsCol: Option[String] = None,
+                          commitTs: Option[Long] = None): Int =
+    doCommit(df, partCol, path, None, Mode.Overwrite, statsCol,
+      commitTs, pinnedBase = Some(readVersion))
+
+  /** [[commitAppend]] against a pinned base version: appends never
+    * conflict (both sides only add files), so this always rebases —
+    * but through the same claim-the-next-version protocol, never by
+    * overwriting the winner's manifest. */
+  def commitAppendFrom(df: DataFrame, partCol: String, path: String,
+                       readVersion: Int,
+                       statsCol: Option[String] = None,
+                       commitTs: Option[Long] = None): Int =
+    doCommit(df, partCol, path, None, Mode.Append, statsCol, commitTs,
+      pinnedBase = Some(readVersion))
 
   private object Mode extends Enumeration {
     val Overwrite, Upsert, Append = Value
   }
 
+  /** Partitions whose file set changed anywhere in (vFrom, vTo] — the
+    * manifest-diff that drives both [[changesBetween]] and the OCC
+    * conflict check. Metadata-scale. */
+  private def touchedParts(spark: SparkSession, path: String,
+                           vFrom: Int, vTo: Int): Set[String] = {
+    def byPart(v: Int): Map[String, Set[String]] =
+      if (v == 0) Map.empty
+      else manifestEntries(spark, path, v).groupBy(_.part)
+        .map { case (p, es) => p -> es.map(_.rel).toSet }
+    (vFrom until vTo).flatMap { v =>
+      val (a, b) = (byPart(v), byPart(v + 1))
+      (a.keySet ++ b.keySet).filter(p => a.get(p) != b.get(p))
+    }.toSet
+  }
+
   private def doCommit(df: DataFrame, partCol: String, path: String,
                        txn: Option[Long], mode: Mode.Value,
-                       statsCol: Option[String] = None): Int = {
+                       statsCol: Option[String] = None,
+                       commitTs: Option[Long] = None,
+                       pinnedBase: Option[Int] = None,
+                       forceReplaced: Set[String] = Set.empty): Int = {
     val spark = df.sparkSession
-    val prev = latestVersion(spark, path)
-    val k = prev + 1
-    writeCommitData(df, partCol, path, k)
-    val fresh0 = commitEntries(spark, path, k)
+    val prev = pinnedBase.getOrElse(latestVersion(spark, path))
+    // stage this attempt's data under a unique token dir: concurrent
+    // attempts can never clobber each other's files, and a loser's
+    // staging becomes a vacuum-reclaimable orphan, never a torn version
+    val token = s"c${"%06d".format(prev + 1)}-${uniq()}"
+    writeCommitData(df, partCol, path, token)
+    val fresh0 = commitEntries(spark, path, token)
     val fresh =
-      statsCol.fold(fresh0)(sc => enrichStats(spark, path, k, fresh0, sc))
-    val replaced = fresh.map(_.part).toSet
-    val kept =
-      if (prev == 0 || mode == Mode.Overwrite) Seq.empty
-      else if (mode == Mode.Upsert) manifestEntries(spark, path, prev)
-        .filterNot(e => replaced.contains(e.part))
-      else manifestEntries(spark, path, prev)
-    writeManifest(spark, path, k, mode.toString.toLowerCase,
-      kept ++ fresh, txn)
-    k
+      statsCol.fold(fresh0)(sc =>
+        enrichStats(spark, path, token, fresh0, sc))
+    // forceReplaced: partitions this commit REPLACES even when it
+    // writes no rows for them (a MERGE delete that empties a
+    // partition must still drop it from the manifest)
+    val replaced = fresh.map(_.part).toSet ++ forceReplaced
+    val schemaJson = df.schema.json
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      // ALWAYS claim past the current head — never a stale pin's
+      // successor (a vacuumed log could otherwise leave that manifest
+      // name free and a stale writer would mint an old version number)
+      val base = math.max(prev, latestVersion(spark, path))
+      if (base > prev) {
+        // OCC rebase check (the Delta rule): the winners' touched
+        // partitions must be disjoint from what we replace
+        if (mode == Mode.Overwrite)
+          throw new java.util.ConcurrentModificationException(
+            s"overwrite prepared at version $prev lost to version $base")
+        if (mode == Mode.Upsert) {
+          val overlap =
+            touchedParts(spark, path, prev, base).intersect(replaced)
+          if (overlap.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"upsert prepared at version $prev conflicts with a " +
+                s"concurrent commit on partitions ${overlap.toSeq.sorted
+                  .mkString(", ")}")
+        } // appends never conflict
+      }
+      val k = base + 1
+      val kept =
+        if (base == 0 || mode == Mode.Overwrite) Seq.empty
+        else if (mode == Mode.Upsert)
+          manifestEntries(spark, path, base)
+            .filterNot(e => replaced.contains(e.part))
+        else manifestEntries(spark, path, base)
+      if (tryWriteManifest(spark, path, k, mode.toString.toLowerCase,
+          token, schemaJson, kept ++ fresh, txn, commitTs))
+        return k
+      // lost the version claim: loop re-reads the head and rebases
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"commit retry budget exhausted at $path")
   }
 
   /** Exactly-once STREAMING commit (the Delta `txnAppId`/`txnVersion`
@@ -317,37 +517,45 @@ object VersionedLake {
     * idempotence — here the dedup is at the COMMIT, so replayed work
     * is skipped entirely rather than rewritten byte-identically. */
   def commitBatchUpsert(df: DataFrame, partCol: String, path: String,
-                        txn: Long): Int = {
+                        txn: Long,
+                        commitTs: Option[Long] = None): Int = {
     val spark = df.sparkSession
     if (committedTxns(spark, path).contains(txn))
       latestVersion(spark, path)
-    else doCommit(df, partCol, path, Some(txn), Mode.Upsert)
+    else doCommit(df, partCol, path, Some(txn), Mode.Upsert,
+      commitTs = commitTs)
   }
 
   /** [[commitAppend]] with [[commitBatchUpsert]]'s txn dedup — the
     * streaming-ingest commit: batches sharing a partition ACCUMULATE,
     * a replayed batch is skipped at the commit. A crash between data
-    * write and manifest write leaves only an unreferenced c-dir,
+    * write and manifest write leaves only an unreferenced token dir,
     * which [[vacuum]] reclaims — never a torn version. */
   def commitBatchAppend(df: DataFrame, partCol: String, path: String,
-                        txn: Long): Int = {
+                        txn: Long,
+                        commitTs: Option[Long] = None): Int = {
     val spark = df.sparkSession
     if (committedTxns(spark, path).contains(txn))
       latestVersion(spark, path)
-    else doCommit(df, partCol, path, Some(txn), Mode.Append)
+    else doCommit(df, partCol, path, Some(txn), Mode.Append,
+      commitTs = commitTs)
   }
 
   /** Keyed MERGE INTO the latest version (the Delta/Iceberg MERGE
-    * reduced to its upsert core: update matched keys' payload, insert
-    * unmatched keys), executed PARTITION-PRUNED: only the partitions
-    * present in the delta are read (through the manifest), merged
-    * with one anti-join, and committed — untouched partitions carry
-    * forward by pointer, so cost ∝ touched partitions + delta, never
-    * table size. Because the layout is append-only, the rewrite reads
-    * old files while writing NEW ones — no durable-copy staging step
+    * reduced to its core: update matched keys' payload, insert
+    * unmatched keys, and — when `deleteCol` names a boolean tombstone
+    * column in the delta — DELETE matched keys flagged true), executed
+    * PARTITION-PRUNED: only the partitions present in the delta are
+    * read (through the manifest), merged with one anti-join, and
+    * committed — untouched partitions carry forward by pointer, so
+    * cost ∝ touched partitions + delta, never table size. Because the
+    * layout is append-only, the rewrite reads old files while writing
+    * NEW ones — no durable-copy staging step
     * ([[PartitionedLake.overwriteBuckets]]'s materialize-first rule
     * exists because in-place overwrite deletes what it reads; a
-    * versioned commit structurally cannot).
+    * versioned commit structurally cannot). A delete that empties a
+    * partition drops the partition from the new manifest (the
+    * forceReplaced path through [[doCommit]]).
     *
     * Invariant the caller owns (as in every partition-pruned MERGE):
     * a key's partition value is stable — a delta row whose partition
@@ -355,11 +563,14 @@ object VersionedLake {
     * new partition, because the old partition is never opened.
     *
     * @param delta full-payload rows: updates carry the new payload for
-    *        existing keys, inserts carry new keys
+    *        existing keys, inserts carry new keys; rows with
+    *        `deleteCol` true are tombstones (payload ignored)
     * @return the new version number */
   def commitMerge(delta: DataFrame, keyCols: Seq[String],
                   partCol: String, path: String,
-                  statsCol: Option[String] = None): Int = {
+                  statsCol: Option[String] = None,
+                  deleteCol: Option[String] = None,
+                  commitTs: Option[Long] = None): Int = {
     val spark = delta.sparkSession
     val v = latestVersion(spark, path)
     require(v > 0, "commitMerge needs an existing version to merge into")
@@ -367,51 +578,83 @@ object VersionedLake {
     // planning metadata, the same scale as the manifest itself
     val parts = delta.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq
-    val touched = manifestEntries(spark, path, v)
-      .exists(e => parts.contains(e.part))
+    val livePartSet = manifestEntries(spark, path, v).map(_.part).toSet
+    val touched = parts.filter(livePartSet.contains)
     val current =
-      if (touched) readVersion(spark, path, v, parts)
-      else delta.limit(0) // delta opens a brand-new partition
+      if (touched.nonEmpty) readVersion(spark, path, v, touched)
+      else delta.drop(deleteCol.toSeq: _*).limit(0) // brand-new partition
+    val upserts = deleteCol.fold(delta)(dc =>
+      delta.filter(!coalesce(col(dc), lit(false))).drop(dc))
     val merged = current
       .join(delta.select(keyCols.map(col): _*), keyCols, "left_anti")
-      .unionByName(delta)
-    doCommit(merged, partCol, path, None, Mode.Upsert, statsCol)
+      .unionByName(upserts)
+    doCommit(merged, partCol, path, None, Mode.Upsert, statsCol,
+      commitTs, forceReplaced = touched.toSet)
   }
 
-  /** OPTIMIZE: compact every partition of the LATEST version holding
-    * more than one file into a single file, as a normal COMMIT —
+  /** OPTIMIZE: re-layout every partition of the LATEST version holding
+    * more than `targetFilesPerPart` files, as a normal COMMIT —
     * Delta's OPTIMIZE verb on this log. Content is unchanged (pure
-    * re-layout: the new version reads equal); already-single-file
-    * partitions carry forward by pointer, untouched. The streaming
-    * counterpart of [[PartitionedLake.compactAll]] for the versioned
-    * layout, with two structural upgrades: no durable-copy staging
-    * step (the rewrite reads old immutable files while writing new
-    * ones), and readers pinned to any pre-optimize version are
+    * re-layout: the new version reads equal); already-compact
+    * partitions carry forward by pointer, untouched. With `zorderBy`
+    * empty each partition compacts to a single file (the l07/
+    * compactAll discipline). With `zorderBy` set (1 or 2 columns —
+    * Delta's `OPTIMIZE ... ZORDER BY`), each rewritten partition is
+    * RANGE-CLUSTERED on the (Morton-interleaved, [[graft.plans
+    * .ZOrder2]]) clustering key into `targetFilesPerPart` files, each
+    * sorted within — so every file's zone-map span on the clustered
+    * dimension(s) is tight and a range read skips all but O(matching)
+    * files where the fragmented layout opened everything; `statsCol`
+    * re-records the (now tight) per-file stats in the manifest. The
+    * streaming counterpart of [[PartitionedLake.compactAll]] for the
+    * versioned layout, with two structural upgrades: no durable-copy
+    * staging step (the rewrite reads old immutable files while writing
+    * new ones), and readers pinned to any pre-optimize version are
     * unaffected — the fragments they reference are reclaimed later by
-    * [[vacuum]], never yanked mid-query. `statsCol` re-records
-    * zone-map stats for the compacted files. A partition too large
-    * for one task takes a salt alongside `partCol` at production
-    * sizes (the compactAll note); single-file is the fixture shape.
-    * Returns the new version, or the current one if nothing needed
-    * compacting.
+    * [[vacuum]], never yanked mid-query. A partition too large for
+    * `targetFilesPerPart` tasks takes a salt alongside `partCol` at
+    * production sizes (the compactAll note). Returns the new version,
+    * or the current one if nothing needed rewriting.
     *
     * @param partCol the lake's partition column (a data column in
     *        every file by construction — [[writeCommitData]]) */
   def commitOptimize(spark: SparkSession, path: String, partCol: String,
-                     statsCol: Option[String] = None): Int = {
+                     statsCol: Option[String] = None,
+                     zorderBy: Seq[String] = Nil,
+                     targetFilesPerPart: Int = 1): Int = {
+    require(targetFilesPerPart >= 1, "targetFilesPerPart must be >= 1")
+    require(zorderBy.size <= 2,
+      "zorderBy takes at most two columns (ZOrder2 is a 2-D interleave)")
+    require(zorderBy.nonEmpty || targetFilesPerPart == 1,
+      "multi-file optimize without a clustering key is a no-op layout")
     val v = latestVersion(spark, path)
     require(v > 0, "commitOptimize needs an existing version")
+    // plain compaction rewrites only over-target partitions (idempotent
+    // by file count); ZORDER rewrites EVERY multi-file partition — the
+    // file count can't witness clustered-ness, so any fragmentation is
+    // assumed unclustered (Delta's OPTIMIZE ZORDER likewise re-sorts)
+    val rewriteAbove = if (zorderBy.isEmpty) targetFilesPerPart else 1
     val byPart = manifestEntries(spark, path, v)
-      .groupBy(_.part).filter(_._2.size > 1)
+      .groupBy(_.part).filter(_._2.size > rewriteAbove)
     if (byPart.isEmpty) v
     else {
-      // one single-partition frame per fragmented value: the
-      // partitioned write then lands exactly one file each — the
+      // one clustered frame per fragmented value: the partitioned
+      // write then lands exactly targetFilesPerPart files each — the
       // l07/compactAll one-task-per-value discipline on this log
       val base = path.stripSuffix("/")
+      val cluster: Option[org.apache.spark.sql.Column] = zorderBy match {
+        case Seq() => None
+        case Seq(a) => Some(col(a))
+        case Seq(a, b) => Some(graft.plans.ZOrder2.zorder2(col(a), col(b)))
+      }
       val merged = byPart.toSeq.sortBy(_._1).map { case (_, es) =>
-        spark.read.parquet(es.map(e => s"$base/${e.rel}"): _*)
-          .coalesce(1)
+        val df = spark.read.parquet(es.map(e => s"$base/${e.rel}"): _*)
+        cluster match {
+          case None => df.coalesce(1)
+          case Some(ck) => df
+            .repartitionByRange(targetFilesPerPart, ck)
+            .sortWithinPartitions(ck)
+        }
       }.reduce(_.unionByName(_))
       doCommit(merged, partCol, path, None, Mode.Upsert, statsCol)
     }
@@ -524,7 +767,14 @@ object VersionedLake {
     * is gone (its readVersion fails loudly on the missing manifest),
     * and `retain` is the concurrent-reader grace window — size it to
     * the longest-running query, exactly Delta/Iceberg's retention
-    * rule. Driver-side metadata throughout (manifest reads + one
+    * rule. Dropped versions' txn ids are PRESERVED in a sidecar file
+    * ([[writeSidecar]] — fresh-name atomic, so no manifest is ever
+    * rewritten in place and a crash can only leave harmless duplicate
+    * carried txns, never the torn-newest-manifest window the r10
+    * rewrite-in-place protocol had): otherwise a checkpoint replay of
+    * a batch older than the retention window would re-apply it as a
+    * fresh commit — exactly the fork commitBatch* promises cannot
+    * happen. Driver-side metadata throughout (manifest reads + one
     * recursive listing); row data never moves. Returns
     * (versionsDropped, filesDeleted). */
   def vacuum(spark: SparkSession, path: String,
@@ -533,34 +783,23 @@ object VersionedLake {
     val f = fs(spark, path)
     val vs = versions(spark, path)
     val dropped = vs.dropRight(retain)
-    // PRESERVE the dropped manifests' txn ids by folding them into the
-    // newest retained manifest's `txns=` attribute BEFORE deleting:
-    // otherwise a checkpoint replay of a batch older than the
-    // retention window would re-apply it as a fresh commit — exactly
-    // the fork commitBatch* promises cannot happen (r10 review; the
-    // Delta analogue carries txn state forward in the latest snapshot)
     val droppedTxns = dropped
-      .flatMap(v => headerTxns(readManifestHeader(spark, path, v))).toSet
+      .flatMap(v => headerAttr(readManifestHeader(spark, path, v), "txn"))
+      .map(_.toLong).toSet
+    val oldSidecars = sidecarFiles(spark, path)
     if (droppedTxns.nonEmpty) {
-      val newest = vs.last
-      val header = readManifestHeader(spark, path, newest)
-      val op = header.split(' ').collectFirst {
-        case kv if kv.startsWith("op=") => kv.stripPrefix("op=")
-      }.getOrElse("upsert")
-      val ownTxn = header.split(' ').collectFirst {
-        case kv if kv.startsWith("txn=") => kv.stripPrefix("txn=").toLong
-      }
-      val carried = headerTxns(header).toSet -- ownTxn ++ droppedTxns
-      writeManifest(spark, path, newest, op,
-        manifestEntries(spark, path, newest), ownTxn, carried)
+      // fold the dropped txns AND every existing sidecar into ONE new
+      // sidecar BEFORE deleting anything: the ordering makes a crash
+      // leave duplicates at worst, never a lost txn
+      val carried = droppedTxns ++
+        oldSidecars.flatMap(p => readSidecarTxns(spark, path, p))
+      writeSidecar(spark, path, carried)
+      oldSidecars.foreach(p => f.delete(p, false))
     }
     // drop the manifests after: a crash between the phases then
     // leaves only unreferenced-but-present files (re-vacuumable),
     // never a manifest pointing at deleted files or a lost txn
-    dropped.foreach { v =>
-      f.delete(new Path(logDir(path), s"${"%06d".format(v)}.manifest"),
-        false)
-    }
+    dropped.foreach(v => f.delete(manifestPath(path, v), false))
     val base = path.stripSuffix("/")
     val orphans = unreferencedDataFiles(spark, path)
     orphans.foreach(rel => f.delete(new Path(s"$base/$rel"), false))
@@ -574,9 +813,26 @@ object VersionedLake {
                     v: Int): Seq[FileEntry] =
     manifestEntries(spark, path, v)
 
+  /** An empty frame with version `v`'s recorded schema — the shape a
+    * prune that matches nothing resolves to (an out-of-range query's
+    * correct answer is zero rows, not an exception — r10 advice). For
+    * pre-schema manifests the schema bootstraps from any live file. */
+  private def emptyOf(spark: SparkSession, path: String, v: Int,
+                      entries: Seq[FileEntry]): DataFrame = {
+    val schema = readSchema(spark, path, v).getOrElse {
+      require(entries.nonEmpty,
+        s"version $v records no schema and lists no files")
+      spark.read
+        .parquet(s"${path.stripSuffix("/")}/${entries.head.rel}").schema
+    }
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+  }
+
   /** Read the lake AS OF version `v` — the time-travel read. `parts`
     * non-empty prunes at the manifest: only the named partitions'
-    * files reach the reader. */
+    * files reach the reader (an unmatched filter reads as EMPTY with
+    * the version's schema, the zero-rows answer). */
   def readVersion(spark: SparkSession, path: String, v: Int,
                   parts: Seq[String] = Seq.empty): DataFrame = {
     val entries = manifestEntries(spark, path, v)
@@ -584,9 +840,37 @@ object VersionedLake {
       if (parts.isEmpty) entries
       else entries.filter(e => parts.contains(e.part))
     val base = path.stripSuffix("/")
-    val files = wanted.map(e => s"$base/${e.rel}")
-    require(files.nonEmpty, s"version $v has no files for parts $parts")
-    spark.read.parquet(files: _*)
+    if (wanted.isEmpty) emptyOf(spark, path, v, entries)
+    else {
+      // read under the manifest's RECORDED schema: a version whose
+      // file list mixes pre- and post-evolution commits (carry-forward
+      // pointers) must surface the committed schema — a plain read
+      // takes one file's footer and silently DROPS columns the other
+      // files carry (parquet back-fills missing columns as NULL, the
+      // l04 semantics). Pre-schema manifests read footer-derived.
+      val reader = readSchema(spark, path, v)
+        .fold(spark.read)(s => spark.read.schema(s))
+      reader.parquet(wanted.map(e => s"$base/${e.rel}"): _*)
+    }
+  }
+
+  /** Time-travel read of version `v` UNDER THE LATEST SCHEMA: columns
+    * added by later commits surface as NULL (l04's mergeSchema
+    * semantics executed at the table layer, driven by the schema each
+    * manifest records); columns present in both read under the latest
+    * type (cast — covers widenings). A user's view over the lake thus
+    * has ONE schema across every version it time-travels to. */
+  def readVersionEvolved(spark: SparkSession, path: String, v: Int,
+                         parts: Seq[String] = Seq.empty): DataFrame = {
+    val latest = latestVersion(spark, path)
+    val target = readSchema(spark, path, latest).getOrElse(
+      readVersion(spark, path, latest).schema)
+    val old = readVersion(spark, path, v, parts)
+    val have = old.columns.toSet
+    old.select(target.fields.toIndexedSeq.map { fd =>
+      if (have(fd.name)) col(fd.name).cast(fd.dataType).as(fd.name)
+      else lit(null).cast(fd.dataType).as(fd.name)
+    }: _*)
   }
 
   /** Zone-map-pruned time-travel read: only the files of version `v`
@@ -595,7 +879,10 @@ object VersionedLake {
     * skipping index, so a range query against LAST YEAR's snapshot
     * prunes exactly like one against today's. Files without stats
     * (committed with no statsCol) are conservatively kept: zones
-    * prune, they never lie. The caller still applies the row-level
+    * prune, they never lie. A prune that empties the list returns an
+    * EMPTY frame with the version's schema and matched=0 — an
+    * out-of-range query's correct answer is zero rows, not an
+    * exception (r10 advice). The caller still applies the row-level
     * predicate. Returns (reader, matchedFiles, totalFiles). */
   def readVersionRange(spark: SparkSession, path: String, v: Int,
                        qLo: Long, qHi: Long,
@@ -608,11 +895,35 @@ object VersionedLake {
       case _ => true
     })
     val base = path.stripSuffix("/")
-    val files = wanted.map(e => s"$base/${e.rel}")
-    require(files.nonEmpty, s"version $v: range prune emptied the file list")
-    (spark.read.parquet(files: _*), wanted.size.toLong,
-      entries.size.toLong)
+    val reader =
+      if (wanted.isEmpty) emptyOf(spark, path, v, entries)
+      else spark.read.parquet(wanted.map(e => s"$base/${e.rel}"): _*)
+    (reader, wanted.size.toLong, entries.size.toLong)
   }
+
+  /** Resolve a TIMESTAMP to a version: the last version whose `ts=`
+    * commit stamp is <= `ts` (Delta's `TIMESTAMP AS OF`). Only
+    * ts-stamped commits participate — a lake mixing stamped and
+    * unstamped commits resolves over the stamped subset. Loud when
+    * `ts` precedes the first stamped commit (there IS no table yet at
+    * that time — the one case with no zero-rows answer). */
+  def versionAsOf(spark: SparkSession, path: String, ts: Long): Int = {
+    val stamped = versions(spark, path).flatMap { v =>
+      headerAttr(readManifestHeader(spark, path, v), "ts")
+        .map(t => (v, t.toLong))
+    }
+    val hits = stamped.filter(_._2 <= ts)
+    require(hits.nonEmpty,
+      s"no version committed at or before ts=$ts at $path " +
+        s"(first stamped commit: ${stamped.headOption.fold("none")(h =>
+          s"version ${h._1} ts=${h._2}")})")
+    hits.maxBy(h => (h._2, h._1))._1
+  }
+
+  /** Read the lake AS OF a timestamp ([[versionAsOf]] + time travel). */
+  def readAsOf(spark: SparkSession, path: String, ts: Long,
+               parts: Seq[String] = Seq.empty): DataFrame =
+    readVersion(spark, path, versionAsOf(spark, path, ts), parts)
 
   /** Read the newest version. */
   def readLatest(spark: SparkSession, path: String,

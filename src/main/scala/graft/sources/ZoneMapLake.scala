@@ -67,16 +67,26 @@ object ZoneMapLake {
     * only the matched paths — planning metadata, never row data —
     * reach the driver for the scan's file list. Returns the pruned
     * reader plus (matched, total) file counts for skip-effectiveness
-    * accounting. The caller still applies the row-level predicate:
-    * zones prune FILES, they do not filter rows. */
+    * accounting. A prune matching nothing returns an EMPTY frame with
+    * the table's schema and matched=0 — an out-of-range query's
+    * correct answer is zero rows, not an exception (r10 advice). The
+    * caller still applies the row-level predicate: zones prune FILES,
+    * they do not filter rows. */
   def prunedRead(spark: SparkSession, path: String, qLo: Long,
                  qHi: Long): (DataFrame, Long, Long) = {
     val mf = manifest(spark, path)
     val total = mf.count()
     val matched = mf.filter(col("hi") >= qLo && col("lo") <= qHi)
       .select("file").orderBy("file").collect().map(_.getString(0))
-    require(matched.nonEmpty, "zone-map prune emptied the file list")
-    (spark.read.parquet(matched.toIndexedSeq: _*), matched.length.toLong,
-      total)
+    val reader =
+      if (matched.nonEmpty) spark.read.parquet(matched.toIndexedSeq: _*)
+      else {
+        // schema from one footer of the (never-empty) data dir — the
+        // scan itself stays pruned to zero files
+        val schema = spark.read.parquet(dataDir(path)).schema
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+    (reader, matched.length.toLong, total)
   }
 }

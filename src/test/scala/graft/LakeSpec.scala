@@ -268,9 +268,15 @@ class LakeSpec extends SparkSpec {
     val hot = "2024-01-01 00:00" // ':' and ' ' escape to %XX dir form
     VersionedLake.commitOverwrite(
       Seq((1L, hot, 1.0), (2L, "plain", 2.0)).toDF("id", "part", "x"),
-      "part", lake)
+      "part", lake, statsCol = Some("id"))
     assert(VersionedLake.manifestFiles(spark, lake, 1)
       .map(_.part).toSet == Set(hot, "plain"))
+    // zone-map stats must land for the ESCAPED partition's file too:
+    // input_file_name re-percent-encodes the escaped dir name in its
+    // URI, and matching on the raw form silently dropped these stats
+    // (r10 advice — conservative keep, but pruning lost)
+    assert(VersionedLake.manifestFiles(spark, lake, 1)
+      .forall(e => e.lo.isDefined && e.hi.isDefined))
     assert(VersionedLake.readVersion(spark, lake, 1, Seq(hot))
       .select($"id").as[Long].collect().toSet == Set(1L))
     // merge must SEE the existing escaped partition: update, not dup
@@ -316,11 +322,22 @@ class LakeSpec extends SparkSpec {
     VersionedLake.commitBatchAppend(
       Seq((2L, "a", 2.0)).toDF("id", "part", "x"), "part", lake, txn = 1L)
     VersionedLake.vacuum(spark, lake, retain = 1)
-    // the dropped version 1's txn must survive in the retained log ON
-    // DISK (header txns= attribute), not just in this JVM's cache
+    // the dropped version 1's txn must survive ON DISK (a txns-*.carry
+    // sidecar — written fresh-name, so NO manifest is ever rewritten in
+    // place: the r10 delete-then-rename window is structurally gone),
+    // not just in this JVM's cache
+    val carries = new java.io.File(s"$lake/_log").listFiles()
+      .filter(f => f.getName.startsWith("txns-") &&
+        f.getName.endsWith(".carry"))
+    assert(carries.length == 1, carries.mkString(", "))
+    val carried = scala.io.Source.fromFile(carries.head)
+      .getLines().toSeq
+    assert(carried.head == "carried" && carried.tail.contains("0"),
+      carried.toString)
+    // and the retained manifest was NOT touched: still its own header
     val header = scala.io.Source.fromFile(
       s"$lake/_log/000002.manifest").getLines().next()
-    assert(header.contains("txns=0"), header)
+    assert(header.contains("txn=1") && !header.contains("txns="), header)
     // a replay of the vacuumed batch is still a no-op
     assert(VersionedLake.commitBatchAppend(
       Seq((9L, "a", 9.0)).toDF("id", "part", "x"), "part", lake,
@@ -441,10 +458,14 @@ class LakeSpec extends SparkSpec {
     assert(r2.filter($"id" <= 10).select($"id").as[Long].collect().toSet ==
       (1L to 10L).toSet)
     // the OLD version prunes with its OWN manifest: v1 never saw the
-    // 100-110 file, so that range empties its list and fails loudly
-    intercept[IllegalArgumentException] {
+    // 100-110 file, so that range prunes to NOTHING — the correct
+    // answer is an empty frame with the version's schema (matched=0),
+    // not an exception (r10 advice: out-of-range is a valid query)
+    val (r0, m0, t0) =
       VersionedLake.readVersionRange(spark, lake, 1, 100L, 110L)
-    }
+    assert((m0, t0) == ((0L, 1L)))
+    assert(r0.count() == 0)
+    assert(r0.columns.toSet == Set("id", "part", "x"))
   }
 
   test("versioned lake: vacuum deletes only files no retained " +
@@ -478,6 +499,196 @@ class LakeSpec extends SparkSpec {
     }
     // vacuum is re-runnable (crash-recovery: phase 2 resumable)
     assert(VersionedLake.vacuum(spark, lake, retain = 2) == ((0, 0)))
+  }
+
+  test("versioned lake OCC: a writer pinned to a stale base REBASES " +
+      "when partitions are disjoint, aborts loudly on overlap") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_occ").toString
+    VersionedLake.reset(spark, lake)
+    VersionedLake.commitOverwrite(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+        .toDF("id", "part", "x"),
+      "part", lake)
+    // writer A prepares an upsert of part c AGAINST VERSION 1...
+    val aDelta = Seq((9L, "c", 9.0)).toDF("id", "part", "x")
+    // ...writer B wins the race with an upsert of part b
+    VersionedLake.commitUpsert(
+      Seq((8L, "b", 8.0)).toDF("id", "part", "x"), "part", lake)
+    // A's partitions are DISJOINT from B's -> A rebases onto v2 as v3
+    assert(VersionedLake.commitUpsertFrom(aDelta, "part", lake,
+      readVersion = 1) == 3)
+    // the rebased commit sees B's work AND carries A's: no lost update
+    assert(VersionedLake.readLatest(spark, lake)
+      .select($"id").as[Long].collect().toSet == Set(1L, 8L, 9L))
+
+    // writer C prepared against v1 and touches part b — B (v2) already
+    // replaced b, so C MUST abort: committing would silently drop B's
+    // row 8 (the lost-update anomaly OCC exists to prevent)
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedLake.commitUpsertFrom(
+        Seq((7L, "b", 7.0)).toDF("id", "part", "x"), "part", lake,
+        readVersion = 1)
+    }
+    // an aborted attempt leaves only orphan staging files — vacuum
+    // reclaims them and every committed version stays intact
+    assert(VersionedLake.unreferencedDataFiles(spark, lake).nonEmpty)
+    VersionedLake.vacuum(spark, lake, retain = 3)
+    assert(VersionedLake.unreferencedDataFiles(spark, lake).isEmpty)
+    assert(VersionedLake.readLatest(spark, lake)
+      .select($"id").as[Long].collect().toSet == Set(1L, 8L, 9L))
+
+    // appends NEVER conflict: a stale-pinned append rebases even onto
+    // a head that touched the same partition
+    assert(VersionedLake.commitAppendFrom(
+      Seq((6L, "b", 6.0)).toDF("id", "part", "x"), "part", lake,
+      readVersion = 1) == 4)
+    assert(VersionedLake.readLatest(spark, lake)
+      .select($"id").as[Long].collect().toSet == Set(1L, 8L, 9L, 6L))
+
+    // a stale OVERWRITE conflicts with everything: committing it
+    // would erase every row the winners added
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedLake.commitOverwriteFrom(
+        Seq((5L, "z", 5.0)).toDF("id", "part", "x"), "part", lake,
+        readVersion = 1)
+    }
+  }
+
+  test("versioned lake: commitMerge deleteCol removes matched keys, " +
+      "and a delete that empties a partition drops the partition") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_del").toString
+    VersionedLake.reset(spark, lake)
+    VersionedLake.commitOverwrite(
+      Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+        .toDF("id", "part", "x"),
+      "part", lake)
+    // one delta, all three verbs: update id 1, insert id 9, delete id 2
+    val delta = Seq((1L, "a", 100.0, false), (9L, "a", 9.0, false),
+        (2L, "a", 0.0, true))
+      .toDF("id", "part", "x", "is_delete")
+    assert(VersionedLake.commitMerge(delta, Seq("id"), "part", lake,
+      deleteCol = Some("is_delete")) == 2)
+    assert(VersionedLake.readLatest(spark, lake)
+      .select($"id", $"x").as[(Long, Double)].collect().toMap ==
+      Map(1L -> 100.0, 9L -> 9.0, 3L -> 3.0))
+    // v1 unharmed (append-only layout)
+    assert(VersionedLake.readVersion(spark, lake, 1).count() == 3)
+
+    // deleting EVERY row of part b must drop b from the manifest —
+    // the forceReplaced path: no fresh files for b, but b must not
+    // carry forward by pointer either
+    VersionedLake.commitMerge(
+      Seq((3L, "b", 0.0, true)).toDF("id", "part", "x", "is_delete"),
+      Seq("id"), "part", lake, deleteCol = Some("is_delete"))
+    assert(VersionedLake.manifestFiles(spark, lake, 3)
+      .map(_.part).toSet == Set("a"))
+    assert(VersionedLake.readLatest(spark, lake)
+      .select($"id").as[Long].collect().toSet == Set(1L, 9L))
+  }
+
+  test("versioned lake: manifests record the commit schema; old " +
+      "versions read under the latest schema with NULL back-fill") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_sch").toString
+    VersionedLake.reset(spark, lake)
+    VersionedLake.commitOverwrite(
+      Seq((1L, "a", 1.0)).toDF("id", "part", "x"), "part", lake)
+    // v2 evolves the schema: adds `lang`
+    VersionedLake.commitUpsert(
+      Seq((2L, "b", 2.0, "en")).toDF("id", "part", "x", "lang"),
+      "part", lake)
+    assert(VersionedLake.readSchema(spark, lake, 1).get.fieldNames
+      .toSeq == Seq("id", "part", "x"))
+    assert(VersionedLake.readSchema(spark, lake, 2).get.fieldNames
+      .toSeq == Seq("id", "part", "x", "lang"))
+    // the evolved read: v1 surfaces the later-added column as NULL
+    val v1e = VersionedLake.readVersionEvolved(spark, lake, 1)
+    assert(v1e.columns.toSeq == Seq("id", "part", "x", "lang"))
+    assert(v1e.select($"id", $"lang")
+      .as[(Long, Option[String])].collect().toSeq == Seq((1L, None)))
+    // the latest version reads itself unchanged through the same API
+    assert(VersionedLake.readVersionEvolved(spark, lake, 2)
+      .where($"id" === 2L).select($"lang").as[String].head() == "en")
+  }
+
+  test("versioned lake: readAsOf resolves a timestamp to the last " +
+      "version committed at or before it") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_ts").toString
+    VersionedLake.reset(spark, lake)
+    VersionedLake.commitOverwrite(
+      Seq((1L, "a", 1.0)).toDF("id", "part", "x"), "part", lake,
+      commitTs = Some(100L))
+    VersionedLake.commitUpsert(
+      Seq((2L, "a", 2.0)).toDF("id", "part", "x"), "part", lake,
+      commitTs = Some(200L))
+    VersionedLake.commitAppend(
+      Seq((3L, "b", 3.0)).toDF("id", "part", "x"), "part", lake,
+      commitTs = Some(300L))
+    def idsAt(ts: Long) = VersionedLake.readAsOf(spark, lake, ts)
+      .select($"id").as[Long].collect().toSet
+    assert(VersionedLake.versionAsOf(spark, lake, 200L) == 2) // exact hit
+    assert(idsAt(200L) == Set(2L))
+    assert(VersionedLake.versionAsOf(spark, lake, 250L) == 2) // between
+    assert(VersionedLake.versionAsOf(spark, lake, 9999L) == 3) // after last
+    assert(idsAt(9999L) == Set(2L, 3L))
+    // before the first stamped commit: no table existed — loud
+    intercept[IllegalArgumentException] {
+      VersionedLake.versionAsOf(spark, lake, 99L)
+    }
+  }
+
+  test("versioned lake: OPTIMIZE ZORDER BY re-clusters fragments into " +
+      "range files with tighter per-file spans") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_zo").toString
+    VersionedLake.reset(spark, lake)
+    // 4 interleaved appends: every fragment spans the WHOLE id domain
+    // (ids i, i+4, i+8, ... — the worst layout for range pruning)
+    VersionedLake.commitOverwrite(
+      (0 until 100 by 4).map(i => (i.toLong, "a", i.toLong))
+        .toDF("id", "part", "y").coalesce(1),
+      "part", lake, statsCol = Some("id"))
+    (1 to 3).foreach { r =>
+      VersionedLake.commitAppend(
+        (r until 100 by 4).map(i => (i.toLong, "a", i.toLong))
+          .toDF("id", "part", "y").coalesce(1),
+        "part", lake, statsCol = Some("id"))
+    }
+    val before = VersionedLake.manifestFiles(spark, lake, 4)
+    assert(before.size == 4)
+    val spanBefore = before.map(e => e.hi.get - e.lo.get).max
+    // a narrow range read must open EVERY file in this layout
+    val (_, mB, tB) = VersionedLake.readVersionRange(spark, lake, 4, 10L, 15L)
+    assert((mB, tB) == ((4L, 4L)))
+
+    val v5 = VersionedLake.commitOptimize(spark, lake, "part",
+      statsCol = Some("id"), zorderBy = Seq("id"),
+      targetFilesPerPart = 4)
+    assert(v5 == 5)
+    val after = VersionedLake.manifestFiles(spark, lake, 5)
+    assert(after.size == 4)
+    val spanAfter = after.map(e => e.hi.get - e.lo.get).max
+    assert(spanAfter < spanBefore / 2,
+      s"spans must tighten: $spanBefore -> $spanAfter")
+    // the same range read now skips most files
+    val (r5, mA, tA) = VersionedLake.readVersionRange(spark, lake, 5, 10L, 15L)
+    assert(tA == 4L && mA < 4L, s"matched $mA of $tA")
+    // pure re-layout: content unchanged
+    assert(r5.filter($"id".between(10, 15)).select($"id")
+      .as[Long].collect().toSet == (10L to 15L).toSet)
+    assert(VersionedLake.readVersion(spark, lake, 5)
+      .select($"id").as[Long].collect().toSet == (0L until 100L).toSet)
+
+    // the 2-D Morton form accepts two keys and stays content-equal
+    val v6 = VersionedLake.commitOptimize(spark, lake, "part",
+      statsCol = Some("id"), zorderBy = Seq("id", "y"),
+      targetFilesPerPart = 2)
+    assert(v6 == 6)
+    assert(VersionedLake.readLatest(spark, lake)
+      .select($"id").as[Long].collect().toSet == (0L until 100L).toSet)
   }
 
   test("unionByName with allowMissingColumns aligns evolved batches") {
