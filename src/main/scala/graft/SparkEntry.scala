@@ -777,6 +777,23 @@ object SparkEntry {
         min(col("month")).as("month"))
   }
 
+  /** The insert-key offset for the tt-fixtures' synthetic rows: the
+    * next 10M multiple ABOVE the table's own max key, derived (one
+    * 1-row planning aggregate) rather than hardcoded — a fixed
+    * +10000000 silently collides with real orderkeys once the SF grows
+    * them past it (~SF 1.7; r10 advice). The oracle derives the same
+    * bound in SQL — the derivation IS the fixture's construction spec,
+    * not an engine formula. At the fixture SFs this lands on exactly
+    * 10000000, so historical hashes are unchanged. */
+  private def ttKeyOffset(li: DataFrame): Long = {
+    val mx = li.agg(max(col("l_orderkey"))).head.getLong(0)
+    (mx / 10000000L + 1L) * 10000000L
+  }
+
+  /** The oracle-side twin of [[ttKeyOffset]] over a CTE named `li`. */
+  private val ttKeyOffsetSql: String =
+    "(SELECT (max(l_orderkey) // 10000000 + 1) * 10000000 FROM li)"
+
   /** One (n_rows, sum_qty, key_sig, version) summary row per frame. */
   private def ttVersionSummary(df: DataFrame, v: Int): DataFrame =
     df.agg(count(lit(1)).as("n_rows"),
@@ -913,15 +930,265 @@ object SparkEntry {
     val li = ttSlimLineitem(s, d, dedupKeys = true)
     VersionedLake.commitOverwrite(li, "month", lake)
     val feb = li.filter(col("month") === "1997-02")
+    val off = ttKeyOffset(li)
     val delta = feb.filter(col("l_linenumber") <= 2)
       .withColumn("l_quantity", col("l_quantity") + 5)
       .unionByName(feb.filter(col("l_linenumber") === 7)
-        .withColumn("l_orderkey", col("l_orderkey") + 10000000L)
+        .withColumn("l_orderkey", col("l_orderkey") + off)
         .withColumn("l_quantity", col("l_quantity") + 3))
     VersionedLake.commitMerge(delta,
       Seq("l_orderkey", "l_linenumber"), "month", lake)
     ttSummariesWithDiff(VersionedLake.readVersion(s, lake, 1),
       VersionedLake.readLatest(s, lake))
+  }
+
+  /** l15 — MERGE WHEN MATCHED DELETE on the versioned lake
+    * ([[graft.sources.VersionedLake.commitMerge]] `deleteCol`): l11's
+    * three-verb MERGE completed with the tombstone verb — the delta
+    * mixes UPDATES (February lines ≤ 2, quantity + 5), INSERTS
+    * (offset-key copies of line 7, quantity + 3) and DELETES (lines
+    * 5–6 flagged through the tombstone column), applied in ONE
+    * partition-pruned commit: matched keys leave through the same
+    * anti-join the updates ride, tombstoned keys are simply never
+    * re-inserted, and a delete that empties a partition drops the
+    * partition from the manifest (the forceReplaced path — LakeSpec).
+    * January/March carry forward by pointer. Both versions then
+    * time-travel read from the one lake with the l09 diff between
+    * them — the n_removed_vs_prev count is the delete verb's witness;
+    * the oracle re-derives everything from the original parquet by
+    * the construction. */
+  private def l15(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedLake
+    val lake = s"/tmp/graft_mdlake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val li = ttSlimLineitem(s, d, dedupKeys = true)
+    VersionedLake.commitOverwrite(li, "month", lake)
+    val feb = li.filter(col("month") === "1997-02")
+    val off = ttKeyOffset(li)
+    val delta = feb.filter(col("l_linenumber") <= 2)
+        .withColumn("l_quantity", col("l_quantity") + 5)
+        .withColumn("is_delete", lit(false))
+      .unionByName(feb.filter(col("l_linenumber") === 7)
+        .withColumn("l_orderkey", col("l_orderkey") + off)
+        .withColumn("l_quantity", col("l_quantity") + 3)
+        .withColumn("is_delete", lit(false)))
+      .unionByName(feb.filter(col("l_linenumber").between(5, 6))
+        .withColumn("is_delete", lit(true)))
+    VersionedLake.commitMerge(delta,
+      Seq("l_orderkey", "l_linenumber"), "month", lake,
+      deleteCol = Some("is_delete"))
+    ttSummariesWithDiff(VersionedLake.readVersion(s, lake, 1),
+      VersionedLake.readLatest(s, lake))
+  }
+
+  /** l16 — SCHEMA EVOLUTION at the table layer: every manifest records
+    * its commit's schema, so the lake — not the reader — knows what
+    * each version looked like (l04's mergeSchema semantics promoted
+    * from a reader option to commit-log metadata, the Delta/Iceberg
+    * schema-tracking shape). Version 2 upserts a February restatement
+    * CARRYING A NEW COLUMN (`src`): the mixed file list (pre-evolution
+    * January/March pointers + post-evolution February files) reads
+    * under the RECORDED schema — old files surface `src` as NULL, and
+    * [[graft.sources.VersionedLake.readVersionEvolved]] gives version
+    * 1 the same one-schema view (all-NULL src). A plain
+    * footer-derived read would silently DROP the evolved column for
+    * exactly this file mix (LakeSpec pins the mechanism; this gates
+    * the numbers). n_src counts non-NULL src per version: 0 for v1,
+    * exactly the restated-row count for v2 — the oracle re-derives
+    * both from the original parquet. */
+  private def l16(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedLake
+    val lake = s"/tmp/graft_evlake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val li = ttSlimLineitem(s, d)
+    VersionedLake.commitOverwrite(li, "month", lake)
+    VersionedLake.commitUpsert(
+      li.filter(col("month") === "1997-02")
+        .filter(col("l_linenumber") <= 4)
+        .withColumn("l_quantity", col("l_quantity") + 1)
+        .withColumn("src", lit("restated")),
+      "month", lake)
+    def summ(df: DataFrame, v: Int): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          sum(col("l_orderkey") * 7 + col("l_linenumber")).as("key_sig"),
+          count(col("src")).as("n_src"))
+        .withColumn("version", lit(v))
+    summ(VersionedLake.readVersionEvolved(s, lake, 1), 1)
+      .unionByName(summ(VersionedLake.readLatest(s, lake), 2))
+  }
+
+  /** l17 — OPTIMIZE ZORDER BY as a commit
+    * ([[graft.sources.VersionedLake.commitOptimize]] `zorderBy` +
+    * [[graft.plans.ZOrder2]]): the Delta `OPTIMIZE ... ZORDER BY`
+    * verb on the l09 log. The staging builds the WORST layout for
+    * range pruning — February fragmented into 4 interleaved appends
+    * (rows by l_orderkey mod 4), so every fragment's zone spans the
+    * whole key domain and a narrow range read must open every file
+    * (all_files_hit pins that) — then OPTIMIZE re-clusters each
+    * fragmented partition on the Morton-interleaved
+    * (l_orderkey, l_linenumber) key into 4 range files, re-recording
+    * zone stats in the new manifest. The SAME range read against the
+    * post-optimize version skips most files (zorder_skips), while the
+    * row-filtered aggregates — the oracle's numbers — are identical
+    * either side: pure re-layout. Bounds derive from the manifest's
+    * own global stats (l12's integer arithmetic); file counts stay
+    * out of the hashed numbers (booleans only — layout is
+    * parallelism-dependent, the l10 discipline). */
+  private def l17(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedLake
+    val lake = s"/tmp/graft_zolake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val li = ttSlimLineitem(s, d)
+    VersionedLake.commitOverwrite(
+      li.filter(col("month") =!= "1997-02").coalesce(1), "month", lake,
+      statsCol = Some("l_orderkey"))
+    (0 to 3).foreach { r =>
+      VersionedLake.commitAppend(
+        li.filter(col("month") === "1997-02")
+          .filter(pmod(col("l_orderkey"), lit(4)) === r).coalesce(1),
+        "month", lake, statsCol = Some("l_orderkey"))
+    }
+    val pre = VersionedLake.latestVersion(s, lake)
+    val stats = VersionedLake.manifestFiles(s, lake, pre)
+    val gmin = stats.flatMap(_.lo).min
+    val gmax = stats.flatMap(_.hi).max
+    val lo = gmin + (gmax - gmin) * 3 / 8
+    val hi = gmin + (gmax - gmin) / 2
+    val (preDf, mPre, tPre) =
+      VersionedLake.readVersionRange(s, lake, pre, lo, hi)
+    val post = VersionedLake.commitOptimize(s, lake, "month",
+      statsCol = Some("l_orderkey"),
+      zorderBy = Seq("l_orderkey", "l_linenumber"),
+      targetFilesPerPart = 4)
+    val (postDf, mPost, _) =
+      VersionedLake.readVersionRange(s, lake, post, lo, hi)
+    def summ(df: DataFrame, phase: String): DataFrame =
+      df.filter(col("l_orderkey").between(lo, hi))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          sum(col("l_orderkey") * 7 + col("l_linenumber")).as("key_sig"))
+        .withColumn("phase", lit(phase))
+    summ(preDf, "pre")
+      .withColumn("layout_ok", lit(mPre == tPre))
+      .unionByName(summ(postDf, "post")
+        .withColumn("layout_ok", lit(mPost < mPre)))
+  }
+
+  /** l18 — TIMESTAMP AS-OF time travel
+    * ([[graft.sources.VersionedLake.readAsOf]]): Delta's `TIMESTAMP AS
+    * OF`, resolved from the `ts=` commit stamp each manifest header
+    * records (caller-passed clock — the fixture stamps 100/200/300 —
+    * never a wall-clock read inside the library, so the determinism
+    * contracts hold). Three stamped commits (Q1 snapshot; February
+    * restated +1 for lines ≤ 4; March restated +2 for lines ≤ 3),
+    * then three as-of reads exercise the resolution cases: BETWEEN
+    * commits (ts 250 → version 2), EXACT hit (ts 300 → version 3),
+    * AFTER the last (ts 9999 → version 3); before_first_fails pins
+    * the loud before-first-commit case (no table existed — the one
+    * case with no zero-rows answer). The oracle re-derives each
+    * resolved snapshot from the original parquet. */
+  private def l18(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedLake
+    val lake = s"/tmp/graft_aslake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val li = ttSlimLineitem(s, d)
+    VersionedLake.commitOverwrite(li, "month", lake,
+      commitTs = Some(100L))
+    VersionedLake.commitUpsert(
+      li.filter(col("month") === "1997-02")
+        .filter(col("l_linenumber") <= 4)
+        .withColumn("l_quantity", col("l_quantity") + 1),
+      "month", lake, commitTs = Some(200L))
+    VersionedLake.commitUpsert(
+      li.filter(col("month") === "1997-03")
+        .filter(col("l_linenumber") <= 3)
+        .withColumn("l_quantity", col("l_quantity") + 2),
+      "month", lake, commitTs = Some(300L))
+    val beforeFirstFails =
+      try { VersionedLake.versionAsOf(s, lake, 50L); false }
+      catch { case _: IllegalArgumentException => true }
+    def summAt(ts: Long): DataFrame =
+      ttVersionSummary(VersionedLake.readAsOf(s, lake, ts),
+          VersionedLake.versionAsOf(s, lake, ts))
+        .withColumn("asof_ts", lit(ts))
+    summAt(250L).unionByName(summAt(300L)).unionByName(summAt(9999L))
+      .withColumn("before_first_fails", lit(beforeFirstFails))
+  }
+
+  /** l19 — CHANGE-FEED-DRIVEN incremental view maintenance: q88's
+    * counting-IVM algebra fed by the TABLE LAYER's change feed
+    * ([[graft.sources.VersionedLake.changesBetween]]) instead of a
+    * hand-built CDC delta — the composition l13 exists for. The
+    * maintained view (per-month row count + integer quantity cents)
+    * is computed ONCE from version 1, then each commit's change feed
+    * applies algebraically: added → (+1, +after), removed →
+    * (−1, −before), changed → (0, after − before), one re-combine
+    * groupBy per batch, HAVING n > 0 — cost ∝ churn + view size, the
+    * base is never re-read. Two restatement commits drive all three
+    * change kinds; the EMITTED rows are the maintained view itself,
+    * which the oracle recomputes FULLY from the original parquet by
+    * the restatements' construction — maintenance is correct iff
+    * indistinguishable from rebuilding (the q86/q88 discipline);
+    * ivm_eq_rebuild additionally pins view == direct recompute of the
+    * latest version in-engine. Integer-exact throughout (cents). */
+  private def l19(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedLake
+    val lake = s"/tmp/graft_ivmlake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val li = ttSlimLineitem(s, d, dedupKeys = true)
+      .select(col("l_orderkey"), col("l_linenumber"), col("month"),
+        round(col("l_quantity") * 100, 0).cast("long").as("qty_c"))
+    VersionedLake.commitOverwrite(li, "month", lake)
+    val off = ttKeyOffset(li)
+    val feb = li.filter(col("month") === "1997-02")
+    VersionedLake.commitUpsert( // v2: updates, inserts, implicit removes
+      feb.filter(col("l_linenumber") <= 4)
+        .withColumn("qty_c", col("qty_c") + 100L)
+        .unionByName(feb.filter(col("l_linenumber") === 7)
+          .withColumn("l_orderkey", col("l_orderkey") + off)
+          .withColumn("qty_c", col("qty_c") + 300L)),
+      "month", lake)
+    val mar = li.filter(col("month") === "1997-03")
+    VersionedLake.commitUpsert( // v3: March restated, lines > 3 removed
+      mar.filter(col("l_linenumber") <= 3)
+        .withColumn("qty_c", col("qty_c") + 200L),
+      "month", lake)
+    def viewOf(df: DataFrame): DataFrame =
+      df.groupBy(col("month"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty_c")).as("qty_cents"))
+    // v1 full compute, then each version's change feed applied
+    // algebraically — month rides in the key so the view's grouping
+    // key survives the feed
+    val keys = Seq("l_orderkey", "l_linenumber", "month")
+    val view = (2 to VersionedLake.latestVersion(s, lake))
+      .foldLeft(viewOf(VersionedLake.readVersion(s, lake, 1))) {
+        (acc, v) =>
+          val cf = VersionedLake.changesBetween(s, lake, v - 1, v,
+            keys, "qty_c")
+          val deltaAgg = cf.groupBy(col("month")).agg(
+            sum(when(col("change_kind") === "added", 1L)
+              .when(col("change_kind") === "removed", -1L)
+              .otherwise(0L)).as("n_rows"),
+            sum(when(col("change_kind") === "added", col("qty_c_after"))
+              .when(col("change_kind") === "removed", -col("qty_c_before"))
+              .otherwise(col("qty_c_after") - col("qty_c_before")))
+              .as("qty_cents"))
+          acc.unionByName(deltaAgg).groupBy(col("month"))
+            .agg(sum(col("n_rows")).as("n_rows"),
+              sum(col("qty_cents")).as("qty_cents"))
+            .filter(col("n_rows") > 0)
+      }
+    // maintained == rebuilt, proven in-engine on top of the oracle
+    val rebuilt = viewOf(VersionedLake.readLatest(s, lake))
+    val eq = view.withColumnRenamed("n_rows", "n1")
+      .withColumnRenamed("qty_cents", "q1")
+      .join(rebuilt, Seq("month"), "full_outer")
+      .agg(count(when(col("n1").isNull || col("n_rows").isNull ||
+        col("n1") =!= col("n_rows") || col("q1") =!= col("qty_cents"),
+        1)).as("n_bad"))
+      .select((col("n_bad") === 0L).as("ivm_eq_rebuild"))
+    view.crossJoin(broadcast(eq))
   }
   /** l12 — zone-map-pruned TIME-TRAVEL range query: l08's per-file
     * (lo, hi) skipping stats carried IN l09's version manifests
@@ -1041,11 +1308,12 @@ object SparkEntry {
     val li = ttSlimLineitem(s, d, dedupKeys = true)
     VersionedLake.commitOverwrite(li, "month", lake)
     val feb = li.filter(col("month") === "1997-02")
+    val off = ttKeyOffset(li)
     VersionedLake.commitUpsert(
       feb.filter(col("l_linenumber") <= 4)
         .withColumn("l_quantity", col("l_quantity") + 1)
         .unionByName(feb.filter(col("l_linenumber") === 7)
-          .withColumn("l_orderkey", col("l_orderkey") + 10000000L)
+          .withColumn("l_orderkey", col("l_orderkey") + off)
           .withColumn("l_quantity", col("l_quantity") + 3)),
       "month", lake)
     VersionedLake.changesBetween(s, lake, 1, 2,
@@ -5235,6 +5503,11 @@ object SparkEntry {
     "l12_versioned_zonemap" -> (l12 _),
     "l13_table_changes" -> (l13 _),
     "l14_versioned_optimize" -> (l14 _),
+    "l15_merge_delete" -> (l15 _),
+    "l16_versioned_schema_evolution" -> (l16 _),
+    "l17_zorder_optimize" -> (l17 _),
+    "l18_timestamp_asof" -> (l18 _),
+    "l19_cdf_ivm" -> (l19 _),
     "c13_split_decontam" -> (c13 _),
     "c14_weighted_sample" -> (c14 _),
     "t33_cdc_chunking" -> (t33 _),
@@ -7096,8 +7369,10 @@ object SparkEntry {
         |    month
         |  FROM li
         |  UNION ALL
-        |  SELECT l_orderkey + 10000000, l_linenumber, l_quantity + 3,
-        |    month
+        |  SELECT l_orderkey +
+        |      (SELECT (max(l_orderkey) // 10000000 + 1) * 10000000
+        |       FROM li),
+        |    l_linenumber, l_quantity + 3, month
         |  FROM li WHERE month = '1997-02' AND l_linenumber = 7),
         |s1 AS (SELECT count(*) AS n_rows,
         |    round(sum(l_quantity), 2) AS sum_qty,
@@ -7196,6 +7471,181 @@ object SparkEntry {
         |WHERE strftime(l_shipdate, '%Y-%m')
         |  BETWEEN '1997-01' AND '1997-03'
         |GROUP BY 1""".stripMargin,
+    // l15: l11's oracle shape with the DELETE verb — tombstoned lines
+    // 5-6 leave v2 entirely, so s2/d re-derive from the construction:
+    // updates = feb lines <= 2, removals = lines 5-6, inserts = line 7
+    // at the max-key-derived offset
+    "l15_merge_delete" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity,
+        |    min(strftime(l_shipdate, '%Y-%m')) AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'
+        |  GROUP BY 1, 2),
+        |v2 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN month = '1997-02' AND l_linenumber <= 2
+        |         THEN l_quantity + 5 ELSE l_quantity END AS l_quantity,
+        |    month
+        |  FROM li
+        |  WHERE NOT (month = '1997-02' AND l_linenumber BETWEEN 5 AND 6)
+        |  UNION ALL
+        |  SELECT l_orderkey +
+        |      (SELECT (max(l_orderkey) // 10000000 + 1) * 10000000
+        |       FROM li),
+        |    l_linenumber, l_quantity + 3, month
+        |  FROM li WHERE month = '1997-02' AND l_linenumber = 7),
+        |s1 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM li),
+        |s2 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM v2),
+        |d AS (SELECT
+        |    CAST(count(CASE WHEN month = '1997-02' AND l_linenumber <= 2
+        |      THEN 1 END) AS BIGINT) AS n_changed_vs_prev,
+        |    CAST(count(CASE WHEN month = '1997-02'
+        |      AND l_linenumber BETWEEN 5 AND 6
+        |      THEN 1 END) AS BIGINT) AS n_removed_vs_prev,
+        |    CAST(count(CASE WHEN month = '1997-02' AND l_linenumber = 7
+        |      THEN 1 END) AS BIGINT) AS n_added_vs_prev
+        |  FROM li)
+        |SELECT CAST(1 AS INTEGER) AS version, s1.n_rows, s1.sum_qty,
+        |  s1.key_sig, CAST(0 AS BIGINT) AS n_changed_vs_prev,
+        |  CAST(0 AS BIGINT) AS n_removed_vs_prev,
+        |  CAST(0 AS BIGINT) AS n_added_vs_prev
+        |FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), s2.n_rows, s2.sum_qty, s2.key_sig,
+        |  d.n_changed_vs_prev, d.n_removed_vs_prev, d.n_added_vs_prev
+        |FROM s2, d""".stripMargin,
+    // l16: v2 = January/March untouched + February restated to lines
+    // <= 4 with quantity + 1 and a marker column; n_src counts the
+    // restated rows (0 for v1 — the back-filled NULLs)
+    "l16_versioned_schema_evolution" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    strftime(l_shipdate, '%Y-%m') AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'),
+        |v2 AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, 0 AS src_n
+        |  FROM li WHERE month <> '1997-02'
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 1, 1
+        |  FROM li WHERE month = '1997-02' AND l_linenumber <= 4)
+        |SELECT CAST(1 AS INTEGER) AS version, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  CAST(0 AS BIGINT) AS n_src
+        |FROM li
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), count(*), round(sum(l_quantity), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  CAST(sum(src_n) AS BIGINT)
+        |FROM v2""".stripMargin,
+    // l17: OPTIMIZE ZORDER is pure re-layout, so BOTH phases' numbers
+    // are the same range aggregate over the original parquet (bounds
+    // re-derived from the table's own min/max — == the manifest's
+    // global stats by construction); layout_ok carries the Spark-side
+    // file-skip measurement as a margin boolean
+    "l17_zorder_optimize" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    strftime(l_shipdate, '%Y-%m') AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'),
+        |r AS (SELECT gmin + (gmax - gmin) * 3 // 8 AS lo,
+        |    gmin + (gmax - gmin) // 2 AS hi
+        |  FROM (SELECT min(l_orderkey) AS gmin,
+        |    max(l_orderkey) AS gmax FROM li))
+        |SELECT 'pre' AS phase, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  TRUE AS layout_ok
+        |FROM li, r WHERE l_orderkey BETWEEN lo AND hi
+        |UNION ALL
+        |SELECT 'post', count(*), round(sum(l_quantity), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT), TRUE
+        |FROM li, r WHERE l_orderkey BETWEEN lo AND hi""".stripMargin,
+    // l18: the three as-of resolutions re-derived by construction —
+    // ts 250 lands between commits (version 2), 300 hits exactly
+    // (version 3), 9999 resolves to the newest stamped commit
+    "l18_timestamp_asof" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    strftime(l_shipdate, '%Y-%m') AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'),
+        |v2 AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, month
+        |  FROM li WHERE month <> '1997-02'
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 1, month
+        |  FROM li WHERE month = '1997-02' AND l_linenumber <= 4),
+        |v3 AS (
+        |  SELECT * FROM v2 WHERE month <> '1997-03'
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 2, month
+        |  FROM li WHERE month = '1997-03' AND l_linenumber <= 3),
+        |s2 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM v2),
+        |s3 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM v3)
+        |SELECT CAST(2 AS INTEGER) AS version, n_rows, sum_qty, key_sig,
+        |  CAST(250 AS BIGINT) AS asof_ts, TRUE AS before_first_fails
+        |FROM s2
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), n_rows, sum_qty, key_sig,
+        |  CAST(300 AS BIGINT), TRUE
+        |FROM s3
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), n_rows, sum_qty, key_sig,
+        |  CAST(9999 AS BIGINT), TRUE
+        |FROM s3""".stripMargin,
+    // l19: the FULL RECOMPUTE of the maintained view over the final
+    // state by the restatements' construction — maintenance is correct
+    // iff indistinguishable from rebuilding (the q86/q88 discipline);
+    // integer cents end to end
+    "l19_cdf_ivm" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(round(min(l_quantity) * 100, 0) AS BIGINT) AS qty_c,
+        |    min(strftime(l_shipdate, '%Y-%m')) AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'
+        |  GROUP BY 1, 2),
+        |v3 AS (
+        |  SELECT month, qty_c FROM li WHERE month = '1997-01'
+        |  UNION ALL
+        |  SELECT month, qty_c + 100 FROM li
+        |  WHERE month = '1997-02' AND l_linenumber <= 4
+        |  UNION ALL
+        |  SELECT month, qty_c + 300 FROM li
+        |  WHERE month = '1997-02' AND l_linenumber = 7
+        |  UNION ALL
+        |  SELECT month, qty_c + 200 FROM li
+        |  WHERE month = '1997-03' AND l_linenumber <= 3)
+        |SELECT month, count(*) AS n_rows,
+        |  CAST(sum(qty_c) AS BIGINT) AS qty_cents,
+        |  TRUE AS ivm_eq_rebuild
+        |FROM v3 GROUP BY 1""".stripMargin,
     // the Bloom prune is output-invisible by construction (false
     // positives die in the exact join), so the oracle is the PLAIN join
     "q38_bloom_join" ->
