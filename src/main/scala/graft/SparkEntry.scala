@@ -2326,6 +2326,74 @@ object SparkEntry {
       minHits = 5)
   }
 
+  /** s20 — INCREMENTAL IVFADC maintenance against the FROZEN index
+    * ([[Similarity.encodeIvfAdc]] + [[graft.sources.VersionedLake]]):
+    * the ingest half of the s18 lifecycle — new vectors are only
+    * ASSIGNED and ENCODED (coarse centroids + PQ codebook trained once
+    * per index version, never per batch; cost ∝ delta), their code
+    * rows landing as four exactly-once txn-deduped APPEND commits on a
+    * cell-partitioned versioned codes table (the faiss
+    * `IndexIVFPQ.add` shape; st21 runs the same path under a real
+    * stream). Contract, the q86/q88 rebuild discipline on this
+    * modality: (1) the batch-accumulated codes table is computed-EQUAL
+    * to a one-shot encode of the whole delta (per-row-independent
+    * encode ⇒ batching cannot matter — set equality over the exact
+    * integer (cand_id, cell, j, code) rows, which also proves the
+    * lake roundtrip); (2) a SEARCH over base ∪ streamed codes equals
+    * the search over base ∪ rebuilt codes — the consumer-visible form
+    * of the same equality; (3) one version per batch and a replayed
+    * txn is a no-op. n_new_vecs/n_codes are DuckDB-recomputable from
+    * the delta's construction (m = 16 codes per vector). */
+  private def s20(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedLake
+    val emb = Tables.embeddings(s, d)
+    val idx = cachedIvfAdcIndex(s, d)
+    val lake = s"/tmp/graft_codeslake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val delta = emb.filter(col("vec_id") % 10 < 4)
+      .withColumn("vec_id", col("vec_id") + 200000L)
+    (0 to 3).foreach { r =>
+      VersionedLake.commitBatchAppend(
+        Similarity.encodeIvfAdc(
+          delta.filter(pmod(col("vec_id"), lit(4)) === r), idx),
+        "cell", lake, txn = r.toLong)
+    }
+    val oneVersionPerBatch =
+      VersionedLake.versions(s, lake) == Seq(1, 2, 3, 4)
+    val replayNoop = VersionedLake.commitBatchAppend(
+      Similarity.encodeIvfAdc(delta.limit(3), idx), "cell", lake,
+      txn = 3L) == 4
+    val streamed = VersionedLake.readLatest(s, lake)
+      .select(col("cand_id"), col("cell"), col("j"), col("code"))
+      .localCheckpoint(true)
+    val rebuilt = Similarity.encodeIvfAdc(delta, idx)
+    def setEq(a: DataFrame, b: DataFrame, name: String): DataFrame =
+      a.unionByName(b).distinct().agg(count(lit(1)).as("n_u"))
+        .crossJoin(a.agg(count(lit(1)).as("n_a")))
+        .crossJoin(b.agg(count(lit(1)).as("n_b")))
+        .select((col("n_u") === col("n_a") && col("n_a") === col("n_b"))
+          .as(name))
+    val codesEq = setEq(streamed, rebuilt, "codes_eq_rebuild")
+    // the consumer-visible equality: search base ∪ delta through each
+    // codes table
+    val corpus = emb.unionByName(delta)
+    val q = emb.filter(col("vec_id") < 10)
+    def searchWith(codes: DataFrame): DataFrame = Similarity
+      .ivfAdcSearch(corpus,
+        Similarity.IvfAdcIndex(idx.centroids, idx.codebook,
+          idx.codes.unionByName(codes)),
+        q, k = 10, rerank = 500)
+      .localCheckpoint(true)
+    val searchEq = setEq(searchWith(streamed), searchWith(rebuilt),
+      "search_eq_rebuild")
+    streamed.agg(countDistinct(col("cand_id")).as("n_new_vecs"),
+        count(lit(1)).as("n_codes"))
+      .withColumn("one_version_per_batch",
+        lit(oneVersionPerBatch && replayNoop))
+      .crossJoin(broadcast(codesEq))
+      .crossJoin(broadcast(searchEq))
+  }
+
   /** s13 — distributed Lloyd k-means refinement (LLOYD K-MEANS
     * CONTRACT, KMeansLloyd.scaladoc): k=8, 2 full-corpus iterations on
     * the int8-quantized embeddings — hash-ranked deterministic seeds,
@@ -5659,6 +5727,7 @@ object SparkEntry {
     "s16_ann_ivfadc" -> (s16 _),
     "s18_ann_ivfadc_persisted" -> (s18 _),
     "s19_crossmodal_search" -> (s19 _),
+    "s20_ivfadc_incremental" -> (s20 _),
     "t27_bpe_pairs" -> (t27 _),
   )
 
@@ -5814,6 +5883,29 @@ object SparkEntry {
       Similarity.ivfAdcSearch(Tables.embeddings(s, d),
         cachedIvfAdcIndex(s, d), crossModalQueries(s, d),
         k = 10, nProbe = 9, rerank = 500)),
+    // s20's operator is the 4-batch frozen-index encode+commit ingest
+    // plus ONE search over the grown index; the registered query also
+    // re-encodes everything at once and searches TWICE (the
+    // rebuild-equality harness a user never runs)
+    "s20_ivfadc_incremental" -> ((s: SparkSession, d: String) => {
+      import graft.sources.VersionedLake
+      val emb = Tables.embeddings(s, d)
+      val idx = cachedIvfAdcIndex(s, d)
+      val lake = s"/tmp/graft_codeslakeb_${Integer.toHexString(d.hashCode)}"
+      VersionedLake.reset(s, lake)
+      val delta = emb.filter(col("vec_id") % 10 < 4)
+        .withColumn("vec_id", col("vec_id") + 200000L)
+      (0 to 3).foreach { r =>
+        VersionedLake.commitBatchAppend(
+          Similarity.encodeIvfAdc(
+            delta.filter(pmod(col("vec_id"), lit(4)) === r), idx),
+          "cell", lake, txn = r.toLong)
+      }
+      Similarity.ivfAdcSearch(emb.unionByName(delta),
+        Similarity.IvfAdcIndex(idx.centroids, idx.codebook,
+          idx.codes.unionByName(VersionedLake.readLatest(s, lake))),
+        emb.filter(col("vec_id") < 10), k = 10, rerank = 500)
+    }),
     // d12's operator is signatures + the agreement join over a
     // persisted truth-pair frame; the registered query re-derives d06's
     // exact shingle-Jaccard truth from scratch only so its oracle is
@@ -6504,6 +6596,152 @@ object SparkEntry {
             txn = 3L) == 4, "st20 replayed txn forked history")
         require(sig(VersionedLake.readLatest(s, lake)) == srcSig,
           "st20 replayed txn changed content")
+      },
+      // streaming IVFADC maintenance (st20's exactly-once commit log
+      // carrying s18's index): 4 micro-batches of NEW vectors, each
+      // assigned + PQ-encoded against the FROZEN coarse/PQ codebooks
+      // (never retrained) and appended to a cell-partitioned versioned
+      // codes table. The drive asserts the whole contract: one version
+      // per batch, accumulated codes == one-shot encode of everything
+      // (count + order-insensitive signature — the s20 oracle gates
+      // full set equality), replayed txn a no-op. Measures the
+      // ingest-side lifecycle; s20's bench override measures
+      // ingest + search.
+      "st21_stream_ivfadc_ingest" -> { (s: SparkSession, d: String) =>
+        import java.nio.file.{Files, Path, Paths}
+        import java.util.Comparator
+        import graft.sources.VersionedLake
+        def wipe(p: Path): Unit =
+          if (Files.exists(p))
+            Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+              .forEach(f => { Files.deleteIfExists(f); () })
+        val srcFile = Paths.get(s"$d/embeddings.parquet")
+        val stage = Paths.get(
+          s"/tmp/graft_stream_ivf_${Integer.toHexString(d.hashCode)}")
+        val marker = stage.resolve("_SUCCESS")
+        val stale = !Files.exists(marker) ||
+          Files.getLastModifiedTime(marker)
+            .compareTo(Files.getLastModifiedTime(srcFile)) < 0
+        val delta = Tables.embeddings(s, d)
+          .filter(col("vec_id") % 10 < 4)
+          .withColumn("vec_id", col("vec_id") + 200000L)
+        if (stale) {
+          wipe(stage)
+          delta.repartitionByRange(4, col("vec_id"))
+            .write.mode("overwrite").parquet(stage.toString)
+        }
+        val idx = cachedIvfAdcIndex(s, d)
+        val lake =
+          s"/tmp/graft_stream_codes_${Integer.toHexString(d.hashCode)}"
+        VersionedLake.reset(s, lake)
+        val ckpt = Files.createTempDirectory("graft_ckpt")
+        try {
+          val schema = s.read.parquet(stage.toString).schema
+          val src = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+          val q = graft.streaming.EmbedStreams
+            .ivfAdcCodesIngest(src, idx, lake)
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt.toString)
+            .start()
+          q.awaitTermination()
+        } finally {
+          org.apache.spark.sql.graftglue.GraftGlue.unloadStateStores()
+          wipe(ckpt)
+        }
+        val vs = VersionedLake.versions(s, lake)
+        require(vs == Seq(1, 2, 3, 4),
+          s"st21 expected one version per batch, got $vs")
+        def sig(df: DataFrame) = df
+          .agg(count(lit(1)).as("n"),
+            expr("bit_xor(xxhash64(cand_id, cell, j, code))").as("sig"))
+          .collect().head
+        val want = sig(graft.operators.Similarity.encodeIvfAdc(delta, idx))
+        require(sig(VersionedLake.readLatest(s, lake)) == want,
+          "st21 streamed codes diverge from the one-shot encode")
+        // checkpoint replay of the last batch: same txn -> no-op
+        require(VersionedLake.commitBatchAppend(
+          graft.operators.Similarity.encodeIvfAdc(delta.limit(2), idx),
+          "cell", lake, txn = 3L) == 4,
+          "st21 replayed txn forked history")
+        require(sig(VersionedLake.readLatest(s, lake)) == want,
+          "st21 replayed txn changed content")
+      },
+      // change-feed-driven IVM (st22): each micro-batch is a full-state
+      // restatement upserted as an exactly-once commit; the commit's
+      // CHANGE FEED — never the base table — maintains the per-month
+      // materialized aggregate, and LakeIvm.step REQUIRES maintained ==
+      // full recompute after EVERY commit (l19 is the oracle-gated
+      // batch twin). Batches arrive in whatever file order the source
+      // lists — the invariant is order-independent by construction.
+      "st22_stream_cdf_ivm" -> { (s: SparkSession, d: String) =>
+        import java.nio.file.{Files, Path, Paths}
+        import java.util.Comparator
+        import graft.sources.VersionedLake
+        def wipe(p: Path): Unit =
+          if (Files.exists(p))
+            Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+              .forEach(f => { Files.deleteIfExists(f); () })
+        val srcFile = Paths.get(s"$d/lineitem.parquet")
+        val stage = Paths.get(
+          s"/tmp/graft_stream_ivm_${Integer.toHexString(d.hashCode)}")
+        val marker = stage.resolve("_SUCCESS")
+        val stale = !Files.exists(marker) ||
+          Files.getLastModifiedTime(marker)
+            .compareTo(Files.getLastModifiedTime(srcFile)) < 0
+        if (stale) {
+          wipe(stage)
+          val li = ttSlimLineitem(s, d, dedupKeys = true)
+            .select(col("l_orderkey"), col("l_linenumber"), col("month"),
+              round(col("l_quantity") * 100, 0).cast("long").as("qty_c"))
+          // 4 full-state restatements: step r adds line numbers up to
+          // 4+r, retracts the orderkey%17==r slice, and restates lines
+          // <= 2 by +100r cents — adds, removes, AND changes per step.
+          // Each state lands as exactly ONE file moved into the stream
+          // dir, so one micro-batch == one restatement.
+          Files.createDirectories(stage)
+          (0 to 3).foreach { r =>
+            val tmp = Paths.get(s"${stage}_tmp$r")
+            li.filter(col("l_linenumber") <= 4 + r)
+              .filter(pmod(col("l_orderkey"), lit(17)) =!= r)
+              .withColumn("qty_c", when(col("l_linenumber") <= 2,
+                col("qty_c") + r * 100L).otherwise(col("qty_c")))
+              .coalesce(1)
+              .write.mode("overwrite").parquet(tmp.toString)
+            val part = Files.list(tmp).filter(
+              _.getFileName.toString.endsWith(".parquet"))
+              .findFirst().get()
+            Files.move(part, stage.resolve(f"state-$r%02d.parquet"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            wipe(tmp)
+          }
+          Files.write(marker, Array.emptyByteArray)
+        }
+        val lake =
+          s"/tmp/graft_stream_ivmlake_${Integer.toHexString(d.hashCode)}"
+        val view =
+          s"/tmp/graft_stream_ivmview_${Integer.toHexString(d.hashCode)}"
+        VersionedLake.reset(s, lake)
+        wipe(Paths.get(view))
+        val ckpt = Files.createTempDirectory("graft_ckpt")
+        try {
+          val schema = s.read.parquet(stage.toString).schema
+          val src = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+          val q = graft.streaming.LakeIvm
+            .maintainedView(src, lake, view)
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt.toString)
+            .start()
+          q.awaitTermination()
+        } finally {
+          org.apache.spark.sql.graftglue.GraftGlue.unloadStateStores()
+          wipe(ckpt)
+        }
+        // one commit per micro-batch landed (the per-batch IVM
+        // invariant already ran INSIDE each step)
+        require(VersionedLake.versions(s, lake) == Seq(1, 2, 3, 4),
+          "st22 expected one version per batch")
       })
   }
 
@@ -7889,6 +8127,17 @@ object SparkEntry {
     "s19_crossmodal_search" ->
       """SELECT vec_id + 100000 AS query_id, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // s20: the incremental-ingest contract — n_new_vecs/n_codes are
+    // re-derived from the delta's construction (m = 16 code rows per
+    // vector); the equality booleans are computed in-Spark against
+    // the one-shot rebuild (the q86/q88 rebuild discipline)
+    "s20_ivfadc_incremental" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_new_vecs,
+        |  CAST(count(*) * 16 AS BIGINT) AS n_codes,
+        |  TRUE AS one_version_per_batch,
+        |  TRUE AS codes_eq_rebuild,
+        |  TRUE AS search_eq_rebuild
+        |FROM embeddings WHERE vec_id % 10 < 4""".stripMargin,
     // s15: s02's recall contract + the computed index==rebuild equality
     "s15_ann_persisted" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok,

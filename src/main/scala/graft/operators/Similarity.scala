@@ -812,11 +812,22 @@ object Similarity {
           (a, b) => a - b).as("rvec"))
     val codebook =
       trainPqCodebook(resid, m, sub, codeK, trainCap, "cand_id", "rvec")
-    // residual encode: argmin_code |rvⱼ−cen|² (the pqTopK discipline —
-    // |rvⱼ|² is constant within the group, 9dp-rounded key + code
-    // tie-break make the min deterministic); `cell` rides along so the
-    // scoring join needs no second corpus-sized join
-    val codes = sliceFrame(resid, "cand_id", m, sub, "cand_id", "rvec",
+    IvfAdcIndex(centroids, codebook,
+      encodeResiduals(resid, codebook, m, sub))
+  }
+
+  /** Residual encode: argmin_code |rvⱼ−cen|² (the pqTopK discipline —
+    * |rvⱼ|² is constant within the group, 9dp-rounded key + code
+    * tie-break make the min deterministic); `cell` rides along so the
+    * scoring join needs no second corpus-sized join. Per-row
+    * independent, so batch-at-once and micro-batch-at-a-time encodes
+    * are computed-equal by construction — the property st21's
+    * streaming codes maintenance is gated on.
+    * @param resid (cand_id, cell, rvec) residual vectors
+    * @return (cand_id, cell, j, code) */
+  private def encodeResiduals(resid: DataFrame, codebook: DataFrame,
+                              m: Int, sub: Int): DataFrame =
+    sliceFrame(resid, "cand_id", m, sub, "cand_id", "rvec",
         carryCols = Seq("cell"))
       .join(broadcast(codebook), Seq("j"))
       .groupBy(col("cand_id"), col("cell"), col("j"))
@@ -827,7 +838,44 @@ object Similarity {
         col("code").as("code"))).as("best"))
       .select(col("cand_id"), col("cell"), col("j"),
         col("best.code").as("code"))
-    IvfAdcIndex(centroids, codebook, codes)
+
+  /** Encode NEW vectors against a FROZEN index — the ingest half of a
+    * production vector store's lifecycle: the coarse centroids and PQ
+    * codebook were trained once at index-build time
+    * ([[buildIvfAdcIndex]]) and every arriving delta is only ASSIGNED
+    * and ENCODED (one broadcast-centroid argmin + one broadcast-
+    * codebook argmin per vector — cost ∝ delta, the index is never
+    * retrained). The faiss `IndexIVFPQ.add` shape; st21 runs this per
+    * micro-batch with the code rows landing as versioned-lake append
+    * commits. Cell assignment is the index's own reduction: unit-
+    * normalize, argmax cosine against the stored float centroids
+    * (9dp-rounded, ties to the lowest cell — partitioning- and
+    * engine-reproducible). Per-row independent ⇒ encoding a delta in
+    * any batching is computed-equal to encoding it at once — the
+    * rebuild-equality contract s20 gates at both SFs.
+    * @return (cand_id, cell, j, code) — m rows per input vector */
+  def encodeIvfAdc(vectors: DataFrame, index: IvfAdcIndex,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val mIdx = index.codebook.agg(max(col("j"))).head.getInt(0) + 1
+    // dim from the codebook's own subvector width — no pass over the
+    // delta needed for shape derivation
+    val sub = index.codebook.select(size(col("cen"))).head.getInt(0)
+    val u = unitNorm(vectors, idCol, vecCol)
+    // argmin over the broadcast centroids as a partial-combining
+    // min-struct aggregation; the vector itself rides in the struct
+    // (fields after the (d, cell) total-order key never affect the
+    // min) so no re-join against the delta is needed
+    val resid = u.crossJoin(broadcast(index.centroids))
+      .withColumn("d", round(lit(-1.0) *
+        VectorFunctions.cosine(col(vecCol), col("centroid")), 9))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("d"), col("cell"), col("centroid"),
+        col(vecCol).as("vec"))).as("b"))
+      .select(col(idCol).as("cand_id"), col("b.cell").as("cell"),
+        zip_with(col("b.vec"), col("b.centroid"),
+          (a, b) => a - b).as("rvec"))
+    encodeResiduals(resid, index.codebook, mIdx, sub)
   }
 
   /** Search a (possibly lake-loaded) IVFADC index: per-(query, cell)

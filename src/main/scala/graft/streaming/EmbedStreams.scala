@@ -146,4 +146,30 @@ object EmbedStreams {
       (batch: Dataset[Row], batchId: Long) =>
         ingestBatch(batch.toDF(), batchId, indexPath, tables, threshold)
     }
+
+  /** Streaming IVFADC codes MAINTENANCE (st21): each micro-batch of
+    * new vectors is assigned + PQ-encoded against the FROZEN index
+    * ([[graft.operators.Similarity.encodeIvfAdc]] — the coarse
+    * centroids and codebook were trained once per index version, never
+    * per batch) and its code rows land as an exactly-once txn-deduped
+    * APPEND commit on a [[graft.sources.VersionedLake]] codes table,
+    * partitioned by CELL — the IVF-natural layout: a later probe reads
+    * only its probed cells' partitions through the manifest. Composes
+    * the round's two families: the s18 persisted index gains a
+    * streaming ingest path whose cost is ∝ delta (one broadcast-
+    * centroid argmin + one broadcast-codebook argmin per vector), and
+    * the commit log gives replay idempotence + a readable snapshot per
+    * batch. Because the encode is per-row independent, the accumulated
+    * codes table is computed-equal to a one-shot encode of everything
+    * ingested — the s20 contract. */
+  def ivfAdcCodesIngest(vectors: DataFrame,
+                        index: Similarity.IvfAdcIndex,
+                        codesLakePath: String): DataStreamWriter[Row] =
+    vectors.writeStream.foreachBatch {
+      (batch: Dataset[Row], batchId: Long) =>
+        graft.sources.VersionedLake.commitBatchAppend(
+          Similarity.encodeIvfAdc(batch.toDF(), index),
+          "cell", codesLakePath, txn = batchId)
+        ()
+    }
 }

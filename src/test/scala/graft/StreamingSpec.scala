@@ -674,4 +674,91 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, String, Int)].collect().toSet
     assert(after == before, "compaction is pure re-layout")
   }
+
+  test("IVFADC codes ingest: frozen-index micro-batch encodes equal " +
+      "the one-shot encode; replay never forks; search sees the delta") {
+    import graft.operators.Similarity
+    import graft.sources.VersionedLake
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val idx = Similarity.buildIvfAdcIndex(emb, m = 16)
+    val delta = emb.filter($"vec_id" % 5 === 0)
+      .withColumn("vec_id", $"vec_id" + 200000L)
+    val lake = java.nio.file.Files
+      .createTempDirectory("ivf_codes").toString
+    VersionedLake.reset(spark, lake)
+    // two micro-batches through the foreachBatch body (the drive runs
+    // the same path under a real AvailableNow stream)
+    (0 to 1).foreach { r =>
+      VersionedLake.commitBatchAppend(
+        Similarity.encodeIvfAdc(
+          delta.filter(pmod($"vec_id", lit(2)) === r), idx),
+        "cell", lake, txn = r.toLong)
+    }
+    assert(VersionedLake.versions(spark, lake) == Seq(1, 2))
+    def codeSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"cand_id", $"cell", $"j", $"code")
+      .as[(Long, Int, Int, Int)].collect().toSet
+    val streamed = codeSet(VersionedLake.readLatest(spark, lake))
+    val oneShot = codeSet(Similarity.encodeIvfAdc(delta, idx))
+    assert(streamed == oneShot,
+      "batched encode must equal the one-shot encode (frozen codebooks)")
+    // checkpoint replay: same txn -> same version, same content
+    assert(VersionedLake.commitBatchAppend(
+      Similarity.encodeIvfAdc(delta.limit(1), idx), "cell", lake,
+      txn = 1L) == 2)
+    assert(codeSet(VersionedLake.readLatest(spark, lake)) == oneShot)
+    // search-after-ingest: the grown index equals the rebuilt one from
+    // the consumer's seat
+    val corpus = emb.unionByName(delta)
+    val q = emb.filter($"vec_id" < 5)
+    def res(codes: org.apache.spark.sql.DataFrame) = Similarity
+      .ivfAdcSearch(corpus,
+        Similarity.IvfAdcIndex(idx.centroids, idx.codebook,
+          idx.codes.unionByName(codes)),
+        q, k = 5, rerank = 250)
+      .select($"query_id", $"rnk", $"cand_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(res(VersionedLake.readLatest(spark, lake)) ==
+      res(Similarity.encodeIvfAdc(delta, idx)))
+  }
+
+  test("change-feed IVM: the maintained view equals the full recompute " +
+      "after every commit; a replayed batch advances nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.VersionedLake
+    import graft.streaming.LakeIvm
+    val lake = java.nio.file.Files.createTempDirectory("ivm_lake").toString
+    val view = java.nio.file.Files.createTempDirectory("ivm_view").toString
+    VersionedLake.reset(spark, lake)
+    def state(rows: Seq[(Long, Long, String, Long)]) =
+      rows.toDF("l_orderkey", "l_linenumber", "month", "qty_c")
+    // drive two restatements through a REAL stream: LakeIvm.step
+    // REQUIRES maintained == full recompute inside every batch, so a
+    // divergence fails the query loudly
+    val mem = MemoryStream[(Long, Long, String, Long)]
+    val q = LakeIvm.maintainedView(
+        mem.toDF().toDF("l_orderkey", "l_linenumber", "month", "qty_c"),
+        lake, view)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("ivm_ck").toString)
+      .start()
+    try {
+      mem.addData((1L, 1L, "m1", 100L), (2L, 1L, "m1", 200L),
+        (3L, 1L, "m2", 300L))
+      q.processAllAvailable()
+      mem.addData( // A changed, B removed, D added; C carried
+        (1L, 1L, "m1", 150L), (3L, 1L, "m2", 300L), (4L, 1L, "m2", 400L))
+      q.processAllAvailable()
+    } finally q.stop()
+    def viewRows() = spark.read.parquet(view)
+      .select($"month", $"n_rows", $"qty_cents")
+      .as[(String, Long, Long)].collect().toSet
+    assert(viewRows() == Set(("m1", 1L, 150L), ("m2", 2L, 700L)))
+    assert(VersionedLake.versions(spark, lake) == Seq(1, 2))
+    // checkpoint replay of batch 1: the commit dedups on txn and the
+    // view must not advance (the skip-on-no-new-version path)
+    LakeIvm.step(state(Seq((9L, 9L, "m9", 999L))), 1L, lake, view)
+    assert(viewRows() == Set(("m1", 1L, 150L), ("m2", 2L, 700L)))
+    assert(VersionedLake.versions(spark, lake) == Seq(1, 2))
+  }
 }
