@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   * Both queries share their md5-derivation between the Spark side and
   * the DuckDB oracle — the exact setup where a shared bug (wrong hex
   * slice, typo'd threshold, floor-vs-ceil) would pass the gate
-  * silently (the CLAUDE.md trap). These tests recompute everything
+  * silently, because an oracle that copies the engine's formula can
+  * only confirm self-consistency, never the formula itself (a shared
+  * floor-vs-ceil bug once did exactly that). These tests recompute
+  * everything
   * from JAVA primitives (MessageDigest, math.exp) with no SQL engine
   * involved, so the constants and the slicing are pinned to the
   * mathematical claim, not merely to each other. */
