@@ -1190,6 +1190,124 @@ object SparkEntry {
       .select((col("n_bad") === 0L).as("ivm_eq_rebuild"))
     view.crossJoin(broadcast(eq))
   }
+
+  /** l20 — SHALLOW / DEEP CLONE
+    * ([[graft.sources.VersionedLake.shallowClone]]): Delta's CLONE
+    * verb — version 2 of the source materializes as version 1 of TWO
+    * new lakes: a shallow clone (manifest POINTERS at the source's
+    * files, zero bytes copied — the zero-cost experimentation branch)
+    * and a deep clone (file copies, full independence). The branch
+    * then takes its OWN commit (March restated — the source never
+    * sees it), both clones are vacuumed-around: clone-local vacuum
+    * must not touch borrowed source files, and a source vacuum down
+    * to the cloned version keeps both clones readable (the shallow
+    * one borrows files still live in the source's retained manifest;
+    * the deep one owns copies). Every snapshot is read AFTER the
+    * vacuums — a wrongly-deleted borrowed file fails its numbers.
+    * Oracle re-derives all three snapshots from the original parquet
+    * by construction. */
+  private def l20(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedLake
+    val h = Integer.toHexString(d.hashCode)
+    val src = s"/tmp/graft_clsrc_$h"
+    val sh = s"/tmp/graft_clsh_$h"
+    val dp = s"/tmp/graft_cldp_$h"
+    Seq(src, sh, dp).foreach(VersionedLake.reset(s, _))
+    val li = ttSlimLineitem(s, d)
+    VersionedLake.commitOverwrite(li, "month", src)
+    VersionedLake.commitUpsert(
+      li.filter(col("month") === "1997-02")
+        .filter(col("l_linenumber") <= 4)
+        .withColumn("l_quantity", col("l_quantity") + 1),
+      "month", src)
+    VersionedLake.shallowClone(s, src, sh, v = 2)
+    VersionedLake.shallowClone(s, src, dp, v = 2, deep = true)
+    VersionedLake.commitUpsert( // the branch's own commit
+      li.filter(col("month") === "1997-03")
+        .filter(col("l_linenumber") <= 3)
+        .withColumn("l_quantity", col("l_quantity") + 2),
+      "month", sh)
+    VersionedLake.vacuum(s, sh, retain = 1)
+    VersionedLake.vacuum(s, src, retain = 1)
+    def snap(path: String, label: String): DataFrame =
+      VersionedLake.readLatest(s, path)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          sum(col("l_orderkey") * 7 + col("l_linenumber")).as("key_sig"))
+        .withColumn("snapshot", lit(label))
+    snap(src, "src").unionByName(snap(sh, "branch"))
+      .unionByName(snap(dp, "deep"))
+  }
+
+  /** l21 — RESTORE TO VERSION
+    * ([[graft.sources.VersionedLake.commitRestore]]): Delta's RESTORE
+    * verb — the auditable undo: a bad February restatement (version
+    * 2) is rolled back by committing version 1's FILE LIST forward as
+    * version 3 (pointers — zero data moves, zero_copy pins it), so
+    * content reverts while history only grows (history_forward pins
+    * versions == 1,2,3 and the bad version stays readable for the
+    * audit). Oracle re-derives both the bad snapshot and the restored
+    * one — which must equal version 1 exactly — from the original
+    * parquet. */
+  private def l21(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedLake
+    val lake = s"/tmp/graft_rstlake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val li = ttSlimLineitem(s, d)
+    VersionedLake.commitOverwrite(li, "month", lake)
+    VersionedLake.commitUpsert( // the bad commit
+      li.filter(col("month") === "1997-02")
+        .filter(col("l_linenumber") <= 2)
+        .withColumn("l_quantity", col("l_quantity") + 9),
+      "month", lake)
+    val v3 = VersionedLake.commitRestore(s, lake, 1)
+    val historyForward =
+      v3 == 3 && VersionedLake.versions(s, lake) == Seq(1, 2, 3)
+    val zeroCopy =
+      VersionedLake.manifestFiles(s, lake, 3).map(_.rel).toSet ==
+        VersionedLake.manifestFiles(s, lake, 1).map(_.rel).toSet
+    ttVersionSummary(VersionedLake.readVersion(s, lake, 2), 2)
+      .unionByName(ttVersionSummary(VersionedLake.readLatest(s, lake), 3))
+      .withColumn("history_forward", lit(historyForward))
+      .withColumn("zero_copy", lit(zeroCopy))
+  }
+
+  /** l22 — the versioned lake as a STREAMING SOURCE
+    * ([[graft.sources.VersionedLake.appendsBetween]]): the Delta
+    * streaming-source shape — a reader holds a version CURSOR and each
+    * poll reads ONLY the files added since (never a join, never the
+    * base; cost ∝ the appended delta). Three month-sliced APPEND
+    * commits, then the (1, 3] feed must be exactly commits 2–3's rows
+    * (February + March by construction — the oracle's aggregate); a
+    * subsequent UPSERT rewrites files, and the append-only reader must
+    * REFUSE across it (rewrite_refused — Delta's ignoreChanges-unset
+    * behavior: fail loudly rather than silently misread a rewrite;
+    * changesBetween is the API for that case). st23 drives the same
+    * cursor loop against a live streaming ingest. */
+  private def l22(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedLake
+    val lake = s"/tmp/graft_applake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val li = ttSlimLineitem(s, d)
+    Seq("1997-01", "1997-02", "1997-03").foreach { m =>
+      VersionedLake.commitAppend(
+        li.filter(col("month") === m), "month", lake)
+    }
+    val feed = VersionedLake.appendsBetween(s, lake, 1, 3)
+      .localCheckpoint(true) // pin the feed before the rewrite below
+    VersionedLake.commitUpsert(
+      li.filter(col("month") === "1997-02")
+        .filter(col("l_linenumber") <= 2)
+        .withColumn("l_quantity", col("l_quantity") + 1),
+      "month", lake)
+    val rewriteRefused =
+      try { VersionedLake.appendsBetween(s, lake, 3, 4); false }
+      catch { case _: IllegalArgumentException => true }
+    feed.agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        sum(col("l_orderkey") * 7 + col("l_linenumber")).as("key_sig"))
+      .withColumn("rewrite_refused", lit(rewriteRefused))
+  }
   /** l12 — zone-map-pruned TIME-TRAVEL range query: l08's per-file
     * (lo, hi) skipping stats carried IN l09's version manifests
     * ([[graft.sources.VersionedLake.FileEntry]] — the Iceberg
@@ -5576,6 +5694,9 @@ object SparkEntry {
     "l17_zorder_optimize" -> (l17 _),
     "l18_timestamp_asof" -> (l18 _),
     "l19_cdf_ivm" -> (l19 _),
+    "l20_clone" -> (l20 _),
+    "l21_restore" -> (l21 _),
+    "l22_append_feed" -> (l22 _),
     "c13_split_decontam" -> (c13 _),
     "c14_weighted_sample" -> (c14 _),
     "t33_cdc_chunking" -> (t33 _),
@@ -6742,6 +6863,77 @@ object SparkEntry {
         // invariant already ran INSIDE each step)
         require(VersionedLake.versions(s, lake) == Seq(1, 2, 3, 4),
           "st22 expected one version per batch")
+      },
+      // the versioned lake as a STREAMING SOURCE (st23): st20's txn
+      // ingest on the write side, and on the READ side a version-
+      // cursor poll loop consuming appendsBetween — each step reads
+      // ONLY the newly appended files (cost ∝ delta; the base is never
+      // re-read). The drive asserts the consumed union equals the full
+      // table (count + order-insensitive signature folded across
+      // steps — appends are disjoint, so the XOR of step signatures
+      // IS the table's signature).
+      "st23_stream_lake_source" -> { (s: SparkSession, d: String) =>
+        import java.nio.file.{Files, Path, Paths}
+        import java.util.Comparator
+        import graft.sources.VersionedLake
+        def wipe(p: Path): Unit =
+          if (Files.exists(p))
+            Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+              .forEach(f => { Files.deleteIfExists(f); () })
+        // st20's staging (same staleness-guarded range split)
+        val srcFile = Paths.get(s"$d/events.parquet")
+        val stage = Paths.get(
+          s"/tmp/graft_stream_vev_${Integer.toHexString(d.hashCode)}")
+        val marker = stage.resolve("_SUCCESS")
+        val stale = !Files.exists(marker) ||
+          Files.getLastModifiedTime(marker)
+            .compareTo(Files.getLastModifiedTime(srcFile)) < 0
+        if (stale) {
+          wipe(stage)
+          Tables.events(s, d)
+            .repartitionByRange(4, col("event_id"))
+            .write.mode("overwrite").parquet(stage.toString)
+        }
+        val lake =
+          s"/tmp/graft_stream_vsrc_${Integer.toHexString(d.hashCode)}"
+        VersionedLake.reset(s, lake)
+        val ckpt = Files.createTempDirectory("graft_ckpt")
+        try {
+          val schema = s.read.parquet(stage.toString).schema
+          val src = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+          val q = graft.streaming.EventStreams
+            .toVersionedLake(src, lake)
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt.toString)
+            .start()
+          q.awaitTermination()
+        } finally {
+          org.apache.spark.sql.graftglue.GraftGlue.unloadStateStores()
+          wipe(ckpt)
+        }
+        // the consumption side: cursor 0 -> latest, one poll per commit
+        val latest = VersionedLake.latestVersion(s, lake)
+        require(latest == 4, s"st23 expected 4 ingest commits, got $latest")
+        def sigOf(df: DataFrame): (Long, Long) = {
+          val r = df.agg(count(lit(1)),
+            coalesce(expr("bit_xor(xxhash64(event_id, user_id))"),
+              lit(0L))).collect().head
+          (r.getLong(0), r.getLong(1))
+        }
+        var cursor = 0
+        var n = 0L
+        var sig = 0L
+        while (cursor < latest) {
+          val (sn, ss) =
+            sigOf(VersionedLake.appendsBetween(s, lake, cursor, cursor + 1))
+          n += sn; sig ^= ss
+          cursor += 1
+        }
+        val (wantN, wantSig) = sigOf(VersionedLake.readLatest(s, lake))
+        require(n == wantN && sig == wantSig,
+          s"st23 consumed feed diverges from the table: ($n, $sig) vs " +
+            s"($wantN, $wantSig)")
       })
   }
 
@@ -7884,6 +8076,77 @@ object SparkEntry {
         |  CAST(sum(qty_c) AS BIGINT) AS qty_cents,
         |  TRUE AS ivm_eq_rebuild
         |FROM v3 GROUP BY 1""".stripMargin,
+    // l20: the three post-vacuum snapshots by construction — src and
+    // the deep clone hold version 2 (February restated), the shallow
+    // branch adds its own March restatement on top
+    "l20_clone" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    strftime(l_shipdate, '%Y-%m') AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'),
+        |v2 AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, month
+        |  FROM li WHERE month <> '1997-02'
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 1, month
+        |  FROM li WHERE month = '1997-02' AND l_linenumber <= 4),
+        |br AS (
+        |  SELECT * FROM v2 WHERE month <> '1997-03'
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 2, month
+        |  FROM li WHERE month = '1997-03' AND l_linenumber <= 3),
+        |agg2 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM v2),
+        |aggb AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM br)
+        |SELECT n_rows, sum_qty, key_sig, 'src' AS snapshot FROM agg2
+        |UNION ALL
+        |SELECT n_rows, sum_qty, key_sig, 'branch' FROM aggb
+        |UNION ALL
+        |SELECT n_rows, sum_qty, key_sig, 'deep' FROM agg2""".stripMargin,
+    // l21: the bad version's snapshot and the restored one — which
+    // must equal version 1 (the plain Q1 slice) exactly
+    "l21_restore" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    strftime(l_shipdate, '%Y-%m') AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'),
+        |v2 AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity
+        |  FROM li WHERE month <> '1997-02'
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 9
+        |  FROM li WHERE month = '1997-02' AND l_linenumber <= 2)
+        |SELECT CAST(2 AS INTEGER) AS version, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  TRUE AS history_forward, TRUE AS zero_copy
+        |FROM v2
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), count(*), round(sum(l_quantity), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  TRUE, TRUE
+        |FROM li""".stripMargin,
+    // l22: the (1, 3] append feed is exactly the February + March
+    // commits' rows by construction; the rewrite refusal is the
+    // Spark-side boolean
+    "l22_append_feed" ->
+      """SELECT count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  TRUE AS rewrite_refused
+        |FROM lineitem
+        |WHERE strftime(l_shipdate, '%Y-%m') IN ('1997-02', '1997-03')""".stripMargin,
     // the Bloom prune is output-invisible by construction (false
     // positives die in the exact join), so the oracle is the PLAIN join
     "q38_bloom_join" ->

@@ -110,6 +110,12 @@ object VersionedLake {
   private def manifestPath(path: String, v: Int): Path =
     new Path(logDir(path), s"${"%06d".format(v)}.manifest")
 
+  /** Resolve a manifest rel-path against the lake root. A SHALLOW
+    * CLONE's manifest stores the source's files as absolute/qualified
+    * paths ([[shallowClone]]) — those pass through untouched. */
+  private def resolve(base: String, rel: String): String =
+    if (rel.startsWith("/") || rel.contains(":/")) rel else s"$base/$rel"
+
   private def readManifestText(spark: SparkSession, path: String,
                                v: Int): String = {
     val mf = manifestPath(path, v)
@@ -648,7 +654,7 @@ object VersionedLake {
         case Seq(a, b) => Some(graft.plans.ZOrder2.zorder2(col(a), col(b)))
       }
       val merged = byPart.toSeq.sortBy(_._1).map { case (_, es) =>
-        val df = spark.read.parquet(es.map(e => s"$base/${e.rel}"): _*)
+        val df = spark.read.parquet(es.map(e => resolve(base, e.rel)): _*)
         cluster match {
           case None => df.coalesce(1)
           case Some(ck) => df
@@ -691,7 +697,7 @@ object VersionedLake {
         : Option[DataFrame] = {
       val files = churned.toSeq.sorted
         .flatMap(p => m.getOrElse(p, Set.empty).toSeq.sorted)
-        .map(rel => s"$base/$rel")
+        .map(rel => resolve(base, rel))
       if (files.isEmpty) None
       else Some(spark.read.parquet(files: _*)
         .select((keyCols.map(col) :+
@@ -850,7 +856,7 @@ object VersionedLake {
       // l04 semantics). Pre-schema manifests read footer-derived.
       val reader = readSchema(spark, path, v)
         .fold(spark.read)(s => spark.read.schema(s))
-      reader.parquet(wanted.map(e => s"$base/${e.rel}"): _*)
+      reader.parquet(wanted.map(e => resolve(base, e.rel)): _*)
     }
   }
 
@@ -897,7 +903,7 @@ object VersionedLake {
     val base = path.stripSuffix("/")
     val reader =
       if (wanted.isEmpty) emptyOf(spark, path, v, entries)
-      else spark.read.parquet(wanted.map(e => s"$base/${e.rel}"): _*)
+      else spark.read.parquet(wanted.map(e => resolve(base, e.rel)): _*)
     (reader, wanted.size.toLong, entries.size.toLong)
   }
 
@@ -929,6 +935,113 @@ object VersionedLake {
   def readLatest(spark: SparkSession, path: String,
                  parts: Seq[String] = Seq.empty): DataFrame =
     readVersion(spark, path, latestVersion(spark, path), parts)
+
+  /** RESTORE TO VERSION (Delta's RESTORE verb): commit version `v`'s
+    * file list — pointers, no data moves — as a NEW version, so the
+    * table's content rolls back while its history only ever moves
+    * FORWARD (an auditable undo, not a rewrite: the bad versions stay
+    * readable until vacuum retires them). Zero-copy by construction on
+    * this log: a manifest is a file list, and restoring is writing an
+    * old list under a new number. Fails loudly if `v` was vacuumed.
+    * Returns the new version number. */
+  def commitRestore(spark: SparkSession, path: String, v: Int,
+                    commitTs: Option[Long] = None): Int = {
+    val entries = manifestEntries(spark, path, v)
+    val schemaJson = readSchema(spark, path, v).map(_.json).getOrElse(
+      readVersion(spark, path, v).schema.json)
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      val k = latestVersion(spark, path) + 1
+      // a restore rewrites nothing and adds nothing — rebasing is
+      // always safe, so the only OCC concern is the version claim
+      if (tryWriteManifest(spark, path, k, "restore",
+          s"restore-of-${"%06d".format(v)}", schemaJson, entries, None,
+          commitTs))
+        return k
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"restore retry budget exhausted at $path")
+  }
+
+  /** SHALLOW CLONE (Delta's CLONE verb): materialize version `v` of
+    * `srcPath` as version 1 of a NEW lake whose manifest points at the
+    * SOURCE's data files — zero bytes copied; the clone is a readable,
+    * independently-committable branch for experimentation
+    * (subsequent commits land under the clone's own path; the source
+    * never sees them). The trade is Delta's own: the clone borrows the
+    * source's files, so vacuuming the SOURCE below the cloned version
+    * can invalidate the clone — `deep = true` copies the file contents
+    * instead (cost ∝ data, full independence). Clone-local vacuum is
+    * safe either way: [[vacuum]] only deletes under the clone's own
+    * `data/` root, and shallow-borrowed absolute pointers are skipped
+    * by [[unreferencedDataFiles]]'s path scoping. */
+  def shallowClone(spark: SparkSession, srcPath: String, dstPath: String,
+                   v: Int, deep: Boolean = false): Int = {
+    require(latestVersion(spark, dstPath) == 0,
+      s"clone target $dstPath is not a fresh lake")
+    val f = fs(spark, dstPath)
+    val srcBase = srcPath.stripSuffix("/")
+    val entries = manifestEntries(spark, srcPath, v)
+    val schemaJson = readSchema(spark, srcPath, v).map(_.json).getOrElse(
+      readVersion(spark, srcPath, v).schema.json)
+    val cloned =
+      if (!deep) {
+        // rel paths in a manifest resolve against the lake's own root,
+        // so a shallow clone stores the source's files as ABSOLUTE
+        // paths (qualified once here; readVersion passes them through)
+        val qualSrc = f.makeQualified(new Path(srcBase)).toString
+        entries.map(e => e.copy(rel = s"$qualSrc/${e.rel}"))
+      } else {
+        val token = s"clone-${uniq()}"
+        entries.map { e =>
+          val dst = s"data/$token/${e.rel.replace('/', '_')}"
+          org.apache.hadoop.fs.FileUtil.copy(
+            fs(spark, srcPath), new Path(s"$srcBase/${e.rel}"),
+            f, new Path(s"${dstPath.stripSuffix("/")}/$dst"),
+            false, spark.sparkContext.hadoopConfiguration)
+          e.copy(rel = dst)
+        }
+      }
+    require(tryWriteManifest(spark, dstPath, 1,
+      if (deep) "deepclone" else "clone", s"clone-of-$srcBase@$v",
+      schemaJson, cloned, None, None),
+      s"clone target $dstPath already has a version 1")
+    1
+  }
+
+  /** The APPEND-ONLY slice of (vFrom, vTo] — the rows in files ADDED
+    * between the two versions: the versioned lake consumed AS A
+    * STREAMING SOURCE (the Delta streaming-source shape: a reader
+    * holds a version cursor, and each poll reads ONLY the new files —
+    * never a join, never the base). Loud when an intervening commit
+    * REPLACED or DROPPED a file (upsert/optimize/restore rewrote
+    * history): an append-only reader must fail rather than silently
+    * misread a rewrite, exactly Delta's
+    * `ignoreChanges`-unset behavior; the change-feed reader
+    * ([[changesBetween]]) is the API for that case. Returns an empty
+    * typed frame when nothing was appended. */
+  def appendsBetween(spark: SparkSession, path: String, vFrom: Int,
+                     vTo: Int): DataFrame = {
+    val from =
+      if (vFrom == 0) Set.empty[String]
+      else manifestEntries(spark, path, vFrom).map(_.rel).toSet
+    val toEntries = manifestEntries(spark, path, vTo)
+    val to = toEntries.map(_.rel).toSet
+    val removed = from -- to
+    require(removed.isEmpty,
+      s"versions ($vFrom, $vTo] are not append-only: ${removed.size} " +
+        "file(s) were replaced or dropped — read the change feed " +
+        "(changesBetween) instead")
+    val fresh = toEntries.filterNot(e => from.contains(e.rel))
+    val base = path.stripSuffix("/")
+    if (fresh.isEmpty) emptyOf(spark, path, vTo, toEntries)
+    else {
+      val reader = readSchema(spark, path, vTo)
+        .fold(spark.read)(s => spark.read.schema(s))
+      reader.parquet(fresh.map(e => resolve(base, e.rel)): _*)
+    }
+  }
 
   /** Drop every version's state — a fresh-lake reset for fixtures.
     * Also drops the path's txn cache: a reborn lake must not inherit

@@ -691,6 +691,101 @@ class LakeSpec extends SparkSpec {
       .select($"id").as[Long].collect().toSet == (0L until 100L).toSet)
   }
 
+  test("versioned lake: RESTORE commits an old file list forward — " +
+      "content rolls back, history never rewinds") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_rst").toString
+    VersionedLake.reset(spark, lake)
+    VersionedLake.commitOverwrite(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "part", "x"),
+      "part", lake)
+    VersionedLake.commitUpsert( // the "bad" commit
+      Seq((9L, "b", 9.0)).toDF("id", "part", "x"), "part", lake)
+    assert(VersionedLake.commitRestore(spark, lake, 1) == 3)
+    def ids(v: Int) = VersionedLake.readVersion(spark, lake, v)
+      .select($"id").as[Long].collect().toSet
+    assert(ids(3) == Set(1L, 2L), "latest content == version 1")
+    assert(ids(2) == Set(1L, 9L), "the bad version stays auditable")
+    assert(VersionedLake.versions(spark, lake) == Seq(1, 2, 3))
+    // zero-copy: the restore added no data files
+    assert(VersionedLake.manifestFiles(spark, lake, 3).map(_.rel).toSet ==
+      VersionedLake.manifestFiles(spark, lake, 1).map(_.rel).toSet)
+    // restoring a vacuumed version fails loudly
+    VersionedLake.vacuum(spark, lake, retain = 1)
+    intercept[IllegalArgumentException] {
+      VersionedLake.commitRestore(spark, lake, 2)
+    }
+  }
+
+  test("versioned lake: shallow clone reads the source version " +
+      "zero-copy and branches independently; deep clone survives " +
+      "source vacuum") {
+    import graft.sources.VersionedLake
+    val src = java.nio.file.Files.createTempDirectory("lake_csrc").toString
+    val sh = java.nio.file.Files.createTempDirectory("lake_csh").toString
+    val dp = java.nio.file.Files.createTempDirectory("lake_cdp").toString
+    Seq(src, sh, dp).foreach(VersionedLake.reset(spark, _))
+    VersionedLake.commitOverwrite(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "part", "x"),
+      "part", src)
+    VersionedLake.commitUpsert(
+      Seq((9L, "b", 9.0)).toDF("id", "part", "x"), "part", src)
+    assert(VersionedLake.shallowClone(spark, src, sh, v = 2) == 1)
+    assert(VersionedLake.shallowClone(spark, src, dp, v = 2,
+      deep = true) == 1)
+    def ids(path: String) = VersionedLake.readLatest(spark, path)
+      .select($"id").as[Long].collect().toSet
+    assert(ids(sh) == Set(1L, 9L) && ids(dp) == Set(1L, 9L))
+    // the clone is an independent BRANCH: commits land under its own
+    // path, the source never sees them
+    VersionedLake.commitUpsert(
+      Seq((7L, "a", 7.0)).toDF("id", "part", "x"), "part", sh)
+    assert(ids(sh) == Set(7L, 9L))
+    assert(ids(src) == Set(1L, 9L), "source untouched by clone commits")
+    // clone-local vacuum never deletes borrowed source files
+    VersionedLake.vacuum(spark, sh, retain = 1)
+    assert(ids(src) == Set(1L, 9L))
+    // source vacuum to the CLONED version keeps both clones readable
+    // (shallow borrows live files; deep owns copies)
+    VersionedLake.vacuum(spark, src, retain = 1)
+    assert(ids(sh) == Set(7L, 9L))
+    assert(ids(dp) == Set(1L, 9L))
+    // a clone target must be a fresh lake
+    intercept[IllegalArgumentException] {
+      VersionedLake.shallowClone(spark, src, sh, v = 2)
+    }
+  }
+
+  test("versioned lake: appendsBetween feeds only ADDED files, and " +
+      "fails loudly across a rewrite") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_app").toString
+    VersionedLake.reset(spark, lake)
+    VersionedLake.commitAppend(
+      Seq((1L, "a", 1.0)).toDF("id", "part", "x"), "part", lake)
+    VersionedLake.commitAppend(
+      Seq((2L, "a", 2.0)).toDF("id", "part", "x"), "part", lake)
+    VersionedLake.commitAppend(
+      Seq((3L, "b", 3.0)).toDF("id", "part", "x"), "part", lake)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id").as[Long].collect().toSet
+    // the streaming-source cursor: (1, 3] reads ONLY commits 2-3's rows
+    assert(ids(VersionedLake.appendsBetween(spark, lake, 1, 3)) ==
+      Set(2L, 3L))
+    assert(ids(VersionedLake.appendsBetween(spark, lake, 0, 1)) ==
+      Set(1L))
+    // nothing appended -> empty typed frame, not an error
+    val none = VersionedLake.appendsBetween(spark, lake, 3, 3)
+    assert(none.count() == 0 &&
+      none.columns.toSet == Set("id", "part", "x"))
+    // an upsert REPLACES files: the append-only reader must refuse
+    VersionedLake.commitUpsert(
+      Seq((9L, "a", 9.0)).toDF("id", "part", "x"), "part", lake)
+    intercept[IllegalArgumentException] {
+      VersionedLake.appendsBetween(spark, lake, 3, 4)
+    }
+  }
+
   test("unionByName with allowMissingColumns aligns evolved batches") {
     val v1 = Seq((1L, "alpha")).toDF("doc_id", "text")
     val v2 = Seq((2L, "en", "beta")).toDF("doc_id", "lang", "text") // reordered
