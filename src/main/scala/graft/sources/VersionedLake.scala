@@ -953,8 +953,11 @@ object VersionedLake {
     while (attempts < 20) {
       attempts += 1
       val k = latestVersion(spark, path) + 1
-      // a restore rewrites nothing and adds nothing — rebasing is
-      // always safe, so the only OCC concern is the version claim
+      // a restore is a WHOLE-TABLE statement (make content == version
+      // v) — like any rollback it supersedes whatever landed after v
+      // by design, so the claim loop guards only the version number;
+      // the superseded commits stay readable until vacuum, exactly
+      // the auditability the verb exists for
       if (tryWriteManifest(spark, path, k, "restore",
           s"restore-of-${"%06d".format(v)}", schemaJson, entries, None,
           commitTs))

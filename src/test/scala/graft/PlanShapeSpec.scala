@@ -279,6 +279,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("s20 encode: centroids and codebook broadcast; the delta is " +
+      "never sort-merge joined") {
+    // the ingest path's 100 TB shape: a micro-batch crossJoins the
+    // BROADCAST centroid frame (argmin as a partial min-struct agg)
+    // and equi-joins the BROADCAST codebook — the delta itself only
+    // ever shuffles for its own aggregations, never for a join
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    val idx = Similarity.buildIvfAdcIndex(emb, m = 16)
+    val p = Similarity.encodeIvfAdc(emb.limit(50), idx)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("no CartesianProduct exec anywhere in the registry") {
     // crossJoin appears only with broadcast-tiny sides (1-row aggregates,
     // query/centroid frames) and must plan as BroadcastNestedLoopJoin —
