@@ -996,15 +996,37 @@ object VersionedLake {
         val qualSrc = f.makeQualified(new Path(srcBase)).toString
         entries.map(e => e.copy(rel = s"$qualSrc/${e.rel}"))
       } else {
+        // deep clone moves DATA-sized bytes: distribute the per-file
+        // copies as a Spark job (one task per file batch) — a driver-
+        // side copy loop would pull the whole table through one
+        // process, the classic 100 TB faceplant. File boundaries are
+        // preserved 1:1 so the manifest's per-file zone stats stay
+        // valid on the copies.
         val token = s"clone-${uniq()}"
-        entries.map { e =>
-          val dst = s"data/$token/${e.rel.replace('/', '_')}"
-          org.apache.hadoop.fs.FileUtil.copy(
-            fs(spark, srcPath), new Path(s"$srcBase/${e.rel}"),
-            f, new Path(s"${dstPath.stripSuffix("/")}/$dst"),
-            false, spark.sparkContext.hadoopConfiguration)
-          e.copy(rel = dst)
+        val dstBase = dstPath.stripSuffix("/")
+        val pairs = entries.map { e =>
+          (resolve(srcBase, e.rel), s"data/$token/${e.rel.replace('/', '_')}")
         }
+        val confKv = {
+          import scala.jdk.CollectionConverters._
+          spark.sparkContext.hadoopConfiguration.iterator().asScala
+            .map(e => (e.getKey, e.getValue)).toArray
+        }
+        spark.sparkContext
+          .parallelize(pairs.map { case (a, b) => (a, s"$dstBase/$b") },
+            math.min(math.max(1, pairs.size), 64))
+          .foreach { case (srcFile, dstFile) =>
+            val conf = new org.apache.hadoop.conf.Configuration(false)
+            confKv.foreach { case (k, v) => conf.set(k, v) }
+            val sp = new Path(srcFile)
+            val dp = new Path(dstFile)
+            org.apache.hadoop.fs.FileUtil.copy(sp.getFileSystem(conf), sp,
+              dp.getFileSystem(conf), dp, false, conf)
+            ()
+          }
+        entries.lazyZip(pairs).map { case (e, (_, rel)) =>
+          e.copy(rel = rel)
+        }.toSeq
       }
     require(tryWriteManifest(spark, dstPath, 1,
       if (deep) "deepclone" else "clone", s"clone-of-$srcBase@$v",

@@ -16,10 +16,21 @@ import graft.sources.VersionedLake
   * closes the loop the table layer's CDF exists for: the view's
   * maintenance cost is ∝ churn + view size per batch, and a replayed
   * batch is skipped at BOTH layers (the commit dedups on txn; the view
-  * only advances when a commit actually lands). l19 is the
-  * oracle-gated batch twin; the per-batch `require` here asserts the
-  * IVM invariant — maintained == full recompute — after EVERY commit,
-  * so a drive that diverges fails loudly rather than benching garbage.
+  * advances by VERSION, below).
+  *
+  * Crash recovery: the view persists the lake version it reflects
+  * (`__v`). Maintenance always catches up FROM THE VIEW'S OWN VERSION
+  * to the lake head — never from "the previous batch" — so a crash in
+  * the window between a successful commit and the view write cannot
+  * diverge silently: the replayed batch's commit is a txn no-op, but
+  * the view sees `__v < head` and applies the missed feed(s) in one
+  * [[VersionedLake.changesBetween]] call. A replay after a fully
+  * successful batch sees `__v == head` and does nothing.
+  *
+  * l19 is the oracle-gated batch twin; the per-batch `require` here
+  * asserts the IVM invariant — maintained == full recompute — after
+  * EVERY commit, so a drive that diverges fails loudly rather than
+  * benching garbage.
   *
   * Expected batch schema: (l_orderkey, l_linenumber, month, qty_c) —
   * the staged full-state restatements; the view is per-month
@@ -33,38 +44,55 @@ object LakeIvm {
     df.groupBy(col("month"))
       .agg(count(lit(1)).as("n_rows"), sum(col("qty_c")).as("qty_cents"))
 
-  /** One micro-batch: commit, consume the change feed, maintain the
-    * view, assert the IVM invariant. Public so StreamingSpec can drive
-    * replay directly. */
+  private def hasView(viewPath: String): Boolean = {
+    val d = new java.io.File(viewPath)
+    d.isDirectory && Option(d.listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+  }
+
+  /** One micro-batch: commit, then catch the view up from ITS version
+    * to the lake head through the change feed, then assert the IVM
+    * invariant. Public so StreamingSpec can drive replay and the
+    * crash-window recovery directly. */
   def step(batch: DataFrame, batchId: Long, lakePath: String,
            viewPath: String): Unit = {
     val s = batch.sparkSession
-    val prev = VersionedLake.latestVersion(s, lakePath)
     val v = VersionedLake.commitBatchUpsert(batch, "month", lakePath,
       txn = batchId)
-    if (v == prev) return // replayed txn: the view already reflects it
-    val next =
-      if (prev == 0) viewOf(VersionedLake.readVersion(s, lakePath, v))
+    val (viewV, cur) =
+      if (!hasView(viewPath)) (0, None)
       else {
-        val cf = VersionedLake.changesBetween(s, lakePath, prev, v,
-          Keys, "qty_c")
-        val deltaAgg = cf.groupBy(col("month")).agg(
-          sum(when(col("change_kind") === "added", 1L)
-            .when(col("change_kind") === "removed", -1L)
-            .otherwise(0L)).as("n_rows"),
-          sum(when(col("change_kind") === "added", col("qty_c_after"))
-            .when(col("change_kind") === "removed", -col("qty_c_before"))
-            .otherwise(col("qty_c_after") - col("qty_c_before")))
-            .as("qty_cents"))
-        s.read.parquet(viewPath).unionByName(deltaAgg)
-          .groupBy(col("month"))
-          .agg(sum(col("n_rows")).as("n_rows"),
-            sum(col("qty_cents")).as("qty_cents"))
-          .filter(col("n_rows") > 0)
+        val df = s.read.parquet(viewPath)
+        (df.agg(max(col("__v"))).head.getInt(0), Some(df))
+      }
+    if (viewV >= v) return // view already reflects this head
+    val next =
+      cur match {
+        case None => viewOf(VersionedLake.readVersion(s, lakePath, v))
+        case Some(df) =>
+          // ONE feed covers any catch-up distance: changesBetween
+          // diffs manifests, not adjacent pairs
+          val cf = VersionedLake.changesBetween(s, lakePath, viewV, v,
+            Keys, "qty_c")
+          val deltaAgg = cf.groupBy(col("month")).agg(
+            sum(when(col("change_kind") === "added", 1L)
+              .when(col("change_kind") === "removed", -1L)
+              .otherwise(0L)).as("n_rows"),
+            sum(when(col("change_kind") === "added", col("qty_c_after"))
+              .when(col("change_kind") === "removed",
+                -col("qty_c_before"))
+              .otherwise(col("qty_c_after") - col("qty_c_before")))
+              .as("qty_cents"))
+          df.drop("__v").unionByName(deltaAgg)
+            .groupBy(col("month"))
+            .agg(sum(col("n_rows")).as("n_rows"),
+              sum(col("qty_cents")).as("qty_cents"))
+            .filter(col("n_rows") > 0)
       }
     // materialize BEFORE overwriting the store it reads from (the
-    // overwriteBuckets read-then-overwrite rule)
-    next.localCheckpoint(true)
+    // overwriteBuckets read-then-overwrite rule); stamp the version
+    // the view now reflects
+    next.withColumn("__v", lit(v)).localCheckpoint(true)
       .write.mode("overwrite").parquet(viewPath)
     // the IVM invariant, checked after EVERY commit (view-sized
     // collects — months, not rows)

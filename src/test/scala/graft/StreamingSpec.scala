@@ -756,9 +756,21 @@ class StreamingSpec extends SparkSpec {
     assert(viewRows() == Set(("m1", 1L, 150L), ("m2", 2L, 700L)))
     assert(VersionedLake.versions(spark, lake) == Seq(1, 2))
     // checkpoint replay of batch 1: the commit dedups on txn and the
-    // view must not advance (the skip-on-no-new-version path)
+    // view (already at the head version) must not advance
     LakeIvm.step(state(Seq((9L, 9L, "m9", 999L))), 1L, lake, view)
     assert(viewRows() == Set(("m1", 1L, 150L), ("m2", 2L, 700L)))
     assert(VersionedLake.versions(spark, lake) == Seq(1, 2))
+    // CRASH WINDOW: a commit lands but the process dies before the
+    // view write — the replayed batch's commit is a txn no-op, yet the
+    // view must CATCH UP (it tracks the version it reflects, not "the
+    // previous batch"): without that, this exact window diverges the
+    // view silently forever
+    val b2 = state(Seq((1L, 1L, "m1", 175L), (4L, 1L, "m2", 400L)))
+    VersionedLake.commitBatchUpsert(b2, "month", lake, txn = 2L)
+    assert(viewRows() == Set(("m1", 1L, 150L), ("m2", 2L, 700L)),
+      "precondition: view is behind the committed head")
+    LakeIvm.step(b2, 2L, lake, view) // replay: commit no-op, view heals
+    assert(viewRows() == Set(("m1", 1L, 175L), ("m2", 1L, 400L)))
+    assert(VersionedLake.versions(spark, lake) == Seq(1, 2, 3))
   }
 }
