@@ -204,8 +204,30 @@ object VersionedLake {
       s"${"%06d".format(v)}.manifest.tmp-${uniq()}")
     val out = f.create(tmp, true)
     try out.write((body + "\n").getBytes("UTF-8")) finally out.close()
-    if (f.exists(mf)) { f.delete(tmp, false); return false }
-    if (!f.rename(tmp, mf)) { f.delete(tmp, false); return false }
+    // the version CLAIM must be atomic-no-overwrite. On the local FS
+    // rename(2) silently replaces, so exists-check + rename is a
+    // TOCTOU hole under real concurrency (LakeSpec's 8-writer race) —
+    // link(2) is the POSIX primitive that fails atomically on an
+    // existing target. Non-local stores take the rename route, which
+    // on HDFS-semantics filesystems is itself no-overwrite-atomic.
+    val claimed =
+      if (f.getScheme == "file") {
+        val dst = java.nio.file.Paths.get(f.makeQualified(mf).toUri)
+        val src = java.nio.file.Paths.get(f.makeQualified(tmp).toUri)
+        try {
+          java.nio.file.Files.createLink(dst, src)
+          java.nio.file.Files.deleteIfExists(src)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            java.nio.file.Files.deleteIfExists(src); false
+        }
+      } else {
+        if (f.exists(mf)) { f.delete(tmp, false); false }
+        else if (!f.rename(tmp, mf)) { f.delete(tmp, false); false }
+        else true
+      }
+    if (!claimed) return false
     txnCache.get(path.stripSuffix("/"))
       .foreach(c => txn.foreach(t => c.add(Long.box(t))))
     true
