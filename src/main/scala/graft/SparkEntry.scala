@@ -2512,6 +2512,67 @@ object SparkEntry {
       .crossJoin(broadcast(searchEq))
   }
 
+  /** s21 — IVFADC index TAKEDOWN (right-to-be-forgotten on the
+    * persisted-codes modality — d15's discipline applied to the s20
+    * codes lake): retracted vector ids' code rows must physically
+    * leave the index, executed as ONE keyed MERGE-delete commit
+    * ([[graft.sources.VersionedLake.commitMerge]] tombstones) — the
+    * takedown list left-semi-joins the slim codes table to derive its
+    * tombstone rows (each vector's m code rows share its ONE cell, so
+    * the merge rewrites only the retracted vectors' cells; untouched
+    * cells carry forward by pointer, and a fully-emptied cell leaves
+    * the manifest via forceReplaced). Contract, the d15 equivalence:
+    * the post-takedown codes table is SET-EQUAL to an index that
+    * NEVER ingested the retracted vectors (encodeIvfAdc over the
+    * surviving delta — frozen codebooks make that a pure per-row
+    * function), purge_complete re-scans for any surviving retracted
+    * id, and the pre/post counts are DuckDB-recomputable from the
+    * delta's construction (m = 16 rows per vector). The takedown
+    * history itself stays auditable: the pre-takedown version remains
+    * readable until vacuum — data deletion is completed by the l10
+    * retention path, exactly Delta's delete-then-vacuum story. */
+  private def s21(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedLake
+    val emb = Tables.embeddings(s, d)
+    val idx = cachedIvfAdcIndex(s, d)
+    val lake = s"/tmp/graft_cdtdlake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val delta = emb.filter(col("vec_id") % 10 < 4)
+      .withColumn("vec_id", col("vec_id") + 200000L)
+    (0 to 1).foreach { r =>
+      VersionedLake.commitBatchAppend(
+        Similarity.encodeIvfAdc(
+          delta.filter(pmod(col("vec_id"), lit(2)) === r), idx),
+        "cell", lake, txn = r.toLong)
+    }
+    val retract = delta.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("cand_id"))
+    val before = VersionedLake.readLatest(s, lake).localCheckpoint(true)
+    val tomb = before.join(broadcast(retract), Seq("cand_id"), "left_semi")
+      .withColumn("is_delete", lit(true))
+    VersionedLake.commitMerge(tomb, Seq("cand_id", "j"), "cell", lake,
+      deleteCol = Some("is_delete"))
+    val after = VersionedLake.readLatest(s, lake).localCheckpoint(true)
+    val purge = after.join(broadcast(retract), Seq("cand_id"), "left_semi")
+      .agg(count(lit(1)).as("n_left"))
+      .select((col("n_left") === 0L).as("purge_complete"))
+    // the d15 equivalence: indistinguishable from never-ingested
+    val never = Similarity.encodeIvfAdc(
+      delta.join(retract.withColumnRenamed("cand_id", "vec_id"),
+        Seq("vec_id"), "left_anti"), idx)
+    val sel = Seq("cand_id", "cell", "j", "code").map(col)
+    val eq = after.select(sel: _*).unionByName(never.select(sel: _*))
+      .distinct().agg(count(lit(1)).as("n_u"))
+      .crossJoin(after.agg(count(lit(1)).as("n_a")))
+      .crossJoin(never.agg(count(lit(1)).as("n_n")))
+      .select((col("n_u") === col("n_a") && col("n_a") === col("n_n"))
+        .as("equiv_never_ingested"))
+    before.agg(count(lit(1)).as("n_codes_before"))
+      .crossJoin(after.agg(count(lit(1)).as("n_codes_after")))
+      .crossJoin(broadcast(purge))
+      .crossJoin(broadcast(eq))
+  }
+
   /** s13 — distributed Lloyd k-means refinement (LLOYD K-MEANS
     * CONTRACT, KMeansLloyd.scaladoc): k=8, 2 full-corpus iterations on
     * the int8-quantized embeddings — hash-ranked deterministic seeds,
@@ -5849,6 +5910,7 @@ object SparkEntry {
     "s18_ann_ivfadc_persisted" -> (s18 _),
     "s19_crossmodal_search" -> (s19 _),
     "s20_ivfadc_incremental" -> (s20 _),
+    "s21_ivfadc_takedown" -> (s21 _),
     "t27_bpe_pairs" -> (t27 _),
   )
 
@@ -6026,6 +6088,33 @@ object SparkEntry {
         Similarity.IvfAdcIndex(idx.centroids, idx.codebook,
           idx.codes.unionByName(VersionedLake.readLatest(s, lake))),
         emb.filter(col("vec_id") < 10), k = 10, rerank = 500)
+    }),
+    // s21's operator is seed-ingest + ONE merge-delete takedown; the
+    // registered query additionally re-encodes the surviving delta and
+    // re-scans for survivors (the equivalence/purge harness)
+    "s21_ivfadc_takedown" -> ((s: SparkSession, d: String) => {
+      import graft.sources.VersionedLake
+      val emb = Tables.embeddings(s, d)
+      val idx = cachedIvfAdcIndex(s, d)
+      val lake = s"/tmp/graft_cdtdlakeb_${Integer.toHexString(d.hashCode)}"
+      VersionedLake.reset(s, lake)
+      val delta = emb.filter(col("vec_id") % 10 < 4)
+        .withColumn("vec_id", col("vec_id") + 200000L)
+      (0 to 1).foreach { r =>
+        VersionedLake.commitBatchAppend(
+          Similarity.encodeIvfAdc(
+            delta.filter(pmod(col("vec_id"), lit(2)) === r), idx),
+          "cell", lake, txn = r.toLong)
+      }
+      val retract = delta.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("cand_id"))
+      val tomb = VersionedLake.readLatest(s, lake)
+        .join(broadcast(retract), Seq("cand_id"), "left_semi")
+        .withColumn("is_delete", lit(true))
+      VersionedLake.commitMerge(tomb, Seq("cand_id", "j"), "cell", lake,
+        deleteCol = Some("is_delete"))
+      VersionedLake.readLatest(s, lake)
+        .agg(count(lit(1)).as("n_codes_after"))
     }),
     // d12's operator is signatures + the agreement join over a
     // persisted truth-pair frame; the registered query re-derives d06's
@@ -8401,6 +8490,20 @@ object SparkEntry {
         |  TRUE AS codes_eq_rebuild,
         |  TRUE AS search_eq_rebuild
         |FROM embeddings WHERE vec_id % 10 < 4""".stripMargin,
+    // s21: counts re-derived from the delta/retract construction
+    // ((v+200000) % 5 == v % 5, so the retracted slice is vec_id%10<4
+    // AND vec_id%5==0; 16 code rows per vector); the purge and
+    // never-ingested-equivalence booleans are computed in-Spark (the
+    // d15 discipline on the codes modality)
+    "s21_ivfadc_takedown" ->
+      """WITH d AS (SELECT vec_id FROM embeddings WHERE vec_id % 10 < 4),
+        |r AS (SELECT vec_id FROM d WHERE vec_id % 5 = 0)
+        |SELECT CAST((SELECT count(*) FROM d) * 16 AS BIGINT)
+        |    AS n_codes_before,
+        |  CAST(((SELECT count(*) FROM d) - (SELECT count(*) FROM r))
+        |    * 16 AS BIGINT) AS n_codes_after,
+        |  TRUE AS purge_complete,
+        |  TRUE AS equiv_never_ingested""".stripMargin,
     // s15: s02's recall contract + the computed index==rebuild equality
     "s15_ann_persisted" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok,
