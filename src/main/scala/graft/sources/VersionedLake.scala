@@ -593,15 +593,30 @@ object VersionedLake {
     * @param delta full-payload rows: updates carry the new payload for
     *        existing keys, inserts carry new keys; rows with
     *        `deleteCol` true are tombstones (payload ignored)
+    * @param fromVersion the version the caller computed `delta`
+    *        against (defaults to the head at entry) — the OCC pin:
+    *        any commit landing after it on a touched partition aborts
+    *        this merge instead of being silently overwritten
     * @return the new version number */
   def commitMerge(delta: DataFrame, keyCols: Seq[String],
                   partCol: String, path: String,
                   statsCol: Option[String] = None,
                   deleteCol: Option[String] = None,
-                  commitTs: Option[Long] = None): Int = {
+                  commitTs: Option[Long] = None,
+                  fromVersion: Option[Int] = None): Int = {
     val spark = delta.sparkSession
-    val v = latestVersion(spark, path)
+    val v = fromVersion.getOrElse(latestVersion(spark, path))
     require(v > 0, "commitMerge needs an existing version to merge into")
+    // the Delta multiple-source-rows-matched rule: a duplicate key in
+    // the delta would silently double-insert (the anti-join removes
+    // ONE stored row, unionByName adds BOTH delta rows) — fail loudly
+    // instead. One delta-sized aggregate, head(1)-bounded.
+    val dup = delta.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).head(1)
+    require(dup.isEmpty,
+      s"commitMerge delta has multiple source rows for key " +
+        s"${keyCols.zip(dup.head.toSeq).map { case (k, x) => s"$k=$x" }
+          .mkString("(", ", ", ")")} — MERGE requires unique keys")
     // partition-count-sized collect: the touched-partition list is
     // planning metadata, the same scale as the manifest itself
     val parts = delta.select(col(partCol).cast("string")).distinct()
@@ -616,8 +631,13 @@ object VersionedLake {
     val merged = current
       .join(delta.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(upserts)
+    // PIN the base this merge was computed against: a commit landing
+    // between the latestVersion read above and the manifest claim must
+    // trip the OCC conflict check (touched-partition overlap), not be
+    // silently overwritten by a merge built from stale partition
+    // contents (r11 verdict: the lost-update window)
     doCommit(merged, partCol, path, None, Mode.Upsert, statsCol,
-      commitTs, forceReplaced = touched.toSet)
+      commitTs, pinnedBase = Some(v), forceReplaced = touched.toSet)
   }
 
   /** OPTIMIZE: re-layout every partition of the LATEST version holding
@@ -649,13 +669,14 @@ object VersionedLake {
   def commitOptimize(spark: SparkSession, path: String, partCol: String,
                      statsCol: Option[String] = None,
                      zorderBy: Seq[String] = Nil,
-                     targetFilesPerPart: Int = 1): Int = {
+                     targetFilesPerPart: Int = 1,
+                     fromVersion: Option[Int] = None): Int = {
     require(targetFilesPerPart >= 1, "targetFilesPerPart must be >= 1")
     require(zorderBy.size <= 2,
       "zorderBy takes at most two columns (ZOrder2 is a 2-D interleave)")
     require(zorderBy.nonEmpty || targetFilesPerPart == 1,
       "multi-file optimize without a clustering key is a no-op layout")
-    val v = latestVersion(spark, path)
+    val v = fromVersion.getOrElse(latestVersion(spark, path))
     require(v > 0, "commitOptimize needs an existing version")
     // plain compaction rewrites only over-target partitions (idempotent
     // by file count); ZORDER rewrites EVERY multi-file partition — the
@@ -684,7 +705,11 @@ object VersionedLake {
             .sortWithinPartitions(ck)
         }
       }.reduce(_.unionByName(_))
-      doCommit(merged, partCol, path, None, Mode.Upsert, statsCol)
+      // pinned for the same reason as commitMerge: the rewrite reads
+      // version v's files, so a racing commit on a rewritten partition
+      // must abort the optimize, not vanish under it
+      doCommit(merged, partCol, path, None, Mode.Upsert, statsCol,
+        pinnedBase = Some(v))
     }
   }
 
@@ -766,7 +791,13 @@ object VersionedLake {
     * what [[vacuum]] deletes; exposed so callers can assert a clean
     * lake (zero orphans) after maintenance. Returns relpaths. */
   def unreferencedDataFiles(spark: SparkSession,
-                            path: String): Seq[String] = {
+                            path: String): Seq[String] =
+    unreferencedWithMtime(spark, path).map(_._1)
+
+  /** [[unreferencedDataFiles]] plus each file's modification time —
+    * what [[vacuum]]'s grace window filters on. */
+  private def unreferencedWithMtime(spark: SparkSession,
+                                    path: String): Seq[(String, Long)] = {
     val f = fs(spark, path)
     val base = path.stripSuffix("/")
     val live = versions(spark, path)
@@ -775,13 +806,13 @@ object VersionedLake {
     if (!f.exists(dataRoot)) Seq.empty
     else {
       val qualBase = f.makeQualified(new Path(base)).toString
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
       val it = f.listFiles(dataRoot, true)
       while (it.hasNext) {
         val st = it.next()
         if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
           val rel = st.getPath.toString.stripPrefix(qualBase + "/")
-          if (!live.contains(rel)) out += rel
+          if (!live.contains(rel)) out += ((rel, st.getModificationTime))
         }
       }
       out.toSeq
@@ -804,9 +835,21 @@ object VersionedLake {
     * fresh commit — exactly the fork commitBatch* promises cannot
     * happen. Driver-side metadata throughout (manifest reads + one
     * recursive listing); row data never moves. Returns
-    * (versionsDropped, filesDeleted). */
+    * (versionsDropped, filesDeleted).
+    *
+    * `graceMs` is the concurrent-WRITER grace window (Delta's file-age
+    * retention threshold, r11 advice): an unreferenced file younger
+    * than `graceMs` may be an in-flight commit's staged data — written
+    * but not yet claimed by a manifest — and deleting it would let
+    * that commit succeed with a manifest pointing at deleted files, a
+    * torn version. Files inside the window are SKIPPED (they stay
+    * re-vacuumable). The default 0 keeps vacuum fully deterministic
+    * (no clock read) and is the single-writer / writer-quiescent
+    * posture; deployments vacuuming next to live writers size
+    * `graceMs` above the longest commit's write-to-claim gap, exactly
+    * Delta's `deletedFileRetentionDuration` rule. */
   def vacuum(spark: SparkSession, path: String,
-             retain: Int): (Int, Int) = {
+             retain: Int, graceMs: Long = 0L): (Int, Int) = {
     require(retain >= 1, "vacuum must retain at least one version")
     val f = fs(spark, path)
     val vs = versions(spark, path)
@@ -829,7 +872,13 @@ object VersionedLake {
     // never a manifest pointing at deleted files or a lost txn
     dropped.foreach(v => f.delete(manifestPath(path, v), false))
     val base = path.stripSuffix("/")
-    val orphans = unreferencedDataFiles(spark, path)
+    // the clock is read ONLY when a grace window is requested — the
+    // graceMs=0 path stays clock-free (determinism contracts)
+    val cutoff =
+      if (graceMs <= 0L) Long.MaxValue
+      else System.currentTimeMillis() - graceMs
+    val orphans = unreferencedWithMtime(spark, path)
+      .collect { case (rel, mtime) if mtime <= cutoff => rel }
     orphans.foreach(rel => f.delete(new Path(s"$base/$rel"), false))
     (dropped.size, orphans.size)
   }
@@ -925,7 +974,13 @@ object VersionedLake {
     val base = path.stripSuffix("/")
     val reader =
       if (wanted.isEmpty) emptyOf(spark, path, v, entries)
-      else spark.read.parquet(wanted.map(e => resolve(base, e.rel)): _*)
+      else
+        // recorded-schema read, same reason as readVersion: a pruned
+        // file list mixing pre- and post-evolution commits must not
+        // silently drop the evolved column to one footer's schema
+        readSchema(spark, path, v).fold(spark.read)(s =>
+          spark.read.schema(s))
+          .parquet(wanted.map(e => resolve(base, e.rel)): _*)
     (reader, wanted.size.toLong, entries.size.toLong)
   }
 
@@ -945,7 +1000,11 @@ object VersionedLake {
       s"no version committed at or before ts=$ts at $path " +
         s"(first stamped commit: ${stamped.headOption.fold("none")(h =>
           s"version ${h._1} ts=${h._2}")})")
-    hits.maxBy(h => (h._2, h._1))._1
+    // latest qualifying VERSION, not highest timestamp: commit stamps
+    // need not be monotone (a restore can be stamped before a prior
+    // commit), and AS OF must resolve to the table as last committed
+    // at or before the instant (r11 advice)
+    hits.maxBy(_._1)._1
   }
 
   /** Read the lake AS OF a timestamp ([[versionAsOf]] + time travel). */

@@ -44,10 +44,16 @@ object LakeIvm {
     df.groupBy(col("month"))
       .agg(count(lit(1)).as("n_rows"), sum(col("qty_c")).as("qty_cents"))
 
-  private def hasView(viewPath: String): Boolean = {
-    val d = new java.io.File(viewPath)
-    d.isDirectory && Option(d.listFiles())
-      .exists(_.exists(_.getName.endsWith(".parquet")))
+  /** Probe through the Hadoop FileSystem, as every other path in this
+    * file does — a java.io.File probe reports false for any non-local
+    * store (hdfs://, s3a://) and would silently turn every batch into
+    * the full-recompute branch (r11 advice). */
+  private def hasView(s: org.apache.spark.sql.SparkSession,
+                      viewPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(viewPath)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.exists(p) && f.getFileStatus(p).isDirectory &&
+      f.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
   }
 
   /** One micro-batch: commit, then catch the view up from ITS version
@@ -60,7 +66,7 @@ object LakeIvm {
     val v = VersionedLake.commitBatchUpsert(batch, "month", lakePath,
       txn = batchId)
     val (viewV, cur) =
-      if (!hasView(viewPath)) (0, None)
+      if (!hasView(s, viewPath)) (0, None)
       else {
         val df = s.read.parquet(viewPath)
         (df.agg(max(col("__v"))).head.getInt(0), Some(df))

@@ -818,6 +818,165 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("versioned lake OCC covers the MERGE and OPTIMIZE verbs: a " +
+      "commit racing in on a touched partition aborts them, a " +
+      "disjoint one rebases with no lost row") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_mocc").toString
+    VersionedLake.reset(spark, lake)
+    VersionedLake.commitOverwrite(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+        .toDF("id", "part", "x"),
+      "part", lake)
+    // a concurrent upsert lands on part b AFTER the merge below read
+    // its base (simulated by pinning the merge at version 1)
+    VersionedLake.commitUpsert(
+      Seq((8L, "b", 8.0)).toDF("id", "part", "x"), "part", lake)
+    // merge touching part b, computed against v1: MUST abort — its
+    // merged frame was built from b's pre-upsert contents, committing
+    // it would silently drop row 8 (the r11 lost-update window)
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedLake.commitMerge(
+        Seq((7L, "b", 7.0)).toDF("id", "part", "x"), Seq("id"),
+        "part", lake, fromVersion = Some(1))
+    }
+    assert(VersionedLake.readLatest(spark, lake)
+      .select($"id").as[Long].collect().toSet == Set(1L, 8L, 3L))
+    // merge touching only part c, computed against v1: DISJOINT from
+    // the intervening upsert -> rebases onto v2, both writers' rows land
+    assert(VersionedLake.commitMerge(
+      Seq((9L, "c", 9.0)).toDF("id", "part", "x"), Seq("id"),
+      "part", lake, fromVersion = Some(1)) == 3)
+    assert(VersionedLake.readLatest(spark, lake)
+      .select($"id").as[Long].collect().toSet == Set(1L, 8L, 9L, 3L))
+
+    // OPTIMIZE has the same pin: fragment part a (two appends), then
+    // race a commit on part a past an optimize pinned before it
+    VersionedLake.commitAppend(
+      Seq((11L, "a", 1.0)).toDF("id", "part", "x"), "part", lake)
+    val v4 = VersionedLake.latestVersion(spark, lake)
+    VersionedLake.commitUpsert(
+      Seq((12L, "a", 12.0)).toDF("id", "part", "x"), "part", lake)
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedLake.commitOptimize(spark, lake, "part",
+        fromVersion = Some(v4))
+    }
+    assert(VersionedLake.readLatest(spark, lake)
+      .filter($"part" === "a").select($"id").as[Long].collect().toSet ==
+      Set(12L), "the racing upsert's content survives the aborted optimize")
+  }
+
+  test("versioned lake OCC: CONCURRENT mixed verbs (upserts + merges) " +
+      "on disjoint partitions all land, no lost update") {
+    import graft.sources.VersionedLake
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val lake = java.nio.file.Files.createTempDirectory("lake_mrace").toString
+    VersionedLake.reset(spark, lake)
+    VersionedLake.commitOverwrite(
+      (0 until 8).map(i => (i.toLong, s"p$i", 0.0)).toDF("id", "part", "x"),
+      "part", lake)
+    // 4 upserts + 4 merges race from the same base, each on its own
+    // partition: every verb must claim a fresh version or rebase —
+    // the r11 window would have let a merge erase an upsert
+    val futures = (0 until 8).map { i =>
+      Future {
+        if (i % 2 == 0)
+          VersionedLake.commitUpsertFrom(
+            Seq((100L + i, s"p$i", 1.0)).toDF("id", "part", "x"),
+            "part", lake, readVersion = 1)
+        else
+          VersionedLake.commitMerge(
+            Seq((100L + i, s"p$i", 1.0)).toDF("id", "part", "x"),
+            Seq("id"), "part", lake)
+      }
+    }
+    val got = Await.result(Future.sequence(futures), 5.minutes).sorted
+    assert(got == (2 to 9).toSeq, s"claimed versions: $got")
+    val byPart = VersionedLake.readLatest(spark, lake)
+      .select($"part", $"id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0 until 8).foreach { i =>
+      val want =
+        if (i % 2 == 0) Set(100L + i) // upsert replaced the seed
+        else Set(i.toLong, 100L + i) // merge inserted next to it
+      assert(byPart(s"p$i") == want, s"p$i: ${byPart(s"p$i")}")
+    }
+  }
+
+  test("versioned lake: commitMerge rejects a duplicate-key delta " +
+      "loudly (the multiple-source-rows-matched rule)") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_mdup").toString
+    VersionedLake.reset(spark, lake)
+    VersionedLake.commitOverwrite(
+      Seq((1L, "a", 1.0)).toDF("id", "part", "x"), "part", lake)
+    val ex = intercept[IllegalArgumentException] {
+      VersionedLake.commitMerge(
+        Seq((1L, "a", 2.0), (1L, "a", 3.0)).toDF("id", "part", "x"),
+        Seq("id"), "part", lake)
+    }
+    assert(ex.getMessage.contains("unique keys"), ex.getMessage)
+    assert(VersionedLake.latestVersion(spark, lake) == 1,
+      "nothing committed")
+  }
+
+  test("versioned lake: vacuum grace window spares young unreferenced " +
+      "files (a racing in-flight commit's staging)") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_vgr").toString
+    VersionedLake.reset(spark, lake)
+    VersionedLake.commitOverwrite(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "part", "x"),
+      "part", lake)
+    VersionedLake.commitUpsert(
+      Seq((8L, "b", 8.0)).toDF("id", "part", "x"), "part", lake)
+    // an aborted OCC attempt leaves freshly-written orphan staging —
+    // exactly what an IN-FLIGHT commit's not-yet-claimed data looks
+    // like to a concurrent vacuum
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedLake.commitUpsertFrom(
+        Seq((7L, "b", 7.0)).toDF("id", "part", "x"), "part", lake,
+        readVersion = 1)
+    }
+    val orphans = VersionedLake.unreferencedDataFiles(spark, lake)
+    assert(orphans.nonEmpty)
+    // within the grace window: vacuum must NOT touch them (deleting a
+    // not-yet-claimed commit's data would let it publish a manifest
+    // pointing at deleted files — a torn version)
+    assert(VersionedLake.vacuum(spark, lake, retain = 5,
+      graceMs = 3600L * 1000) == ((0, 0)))
+    assert(VersionedLake.unreferencedDataFiles(spark, lake).toSet ==
+      orphans.toSet, "young orphans survive the graced vacuum")
+    // past the window (grace 0 = quiescent posture): reclaimed
+    assert(VersionedLake.vacuum(spark, lake, retain = 5)._2 ==
+      orphans.size)
+    assert(VersionedLake.unreferencedDataFiles(spark, lake).isEmpty)
+  }
+
+  test("versioned lake: timestamp AS OF resolves to the LATEST " +
+      "qualifying version under non-monotonic commit stamps") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_asof").toString
+    VersionedLake.reset(spark, lake)
+    VersionedLake.commitOverwrite(
+      Seq((1L, "a", 1.0)).toDF("id", "part", "x"), "part", lake,
+      commitTs = Some(100L))
+    VersionedLake.commitUpsert(
+      Seq((2L, "a", 2.0)).toDF("id", "part", "x"), "part", lake,
+      commitTs = Some(200L))
+    // a restore stamped EARLIER than the prior commit (the caller's
+    // clock is the event time of the rollback decision)
+    VersionedLake.commitRestore(spark, lake, 1, commitTs = Some(150L))
+    // at ts=250 every version qualifies: the table IS version 3 (the
+    // restore — the last commit), not version 2 (the highest stamp)
+    assert(VersionedLake.versionAsOf(spark, lake, 250L) == 3)
+    assert(VersionedLake.readAsOf(spark, lake, 250L)
+      .select($"id").as[Long].collect().toSet == Set(1L))
+    assert(VersionedLake.versionAsOf(spark, lake, 120L) == 1)
+  }
+
   test("unionByName with allowMissingColumns aligns evolved batches") {
     val v1 = Seq((1L, "alpha")).toDF("doc_id", "text")
     val v2 = Seq((2L, "en", "beta")).toDF("doc_id", "lang", "text") // reordered
