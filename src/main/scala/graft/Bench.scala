@@ -34,7 +34,8 @@ object Bench {
     val runners0: Seq[(String, (SparkSession, String) => Unit)] =
       bench.toSeq.sortBy(_._1).map { case (n, f) =>
         n -> ((s: SparkSession, d: String) => consume(f(s, d)))
-      } ++ SparkEntry.streamingDrives.toSeq.sortBy(_._1)
+      } ++ (SparkEntry.streamingDrives ++
+          SparkEntry.streamingDriveOverrides).toSeq.sortBy(_._1)
         .map { case (n, f) => n -> ((s: SparkSession, d: String) => f(s, d)) }
     // dev dial: SPARK_GRAFT_BENCH_ONLY=q02,st04 micro-benches a comma
     // list of name prefixes without paying the full ~6 min sweep

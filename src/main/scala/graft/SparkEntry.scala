@@ -1131,8 +1131,15 @@ object SparkEntry {
     * the restatements' construction — maintenance is correct iff
     * indistinguishable from rebuilding (the q86/q88 discipline);
     * ivm_eq_rebuild additionally pins view == direct recompute of the
-    * latest version in-engine. Integer-exact throughout (cents). */
-  private def l19(s: SparkSession, d: String): DataFrame = {
+    * latest version in-engine. Integer-exact throughout (cents).
+    * `rebuildCheck = false` is the bench operator form (r11 verdict):
+    * the maintenance fold alone, without the O(base) rebuild-equality
+    * harness the oracle gate keeps. */
+  private def l19(s: SparkSession, d: String): DataFrame =
+    l19Impl(s, d, rebuildCheck = true)
+
+  private def l19Impl(s: SparkSession, d: String,
+                      rebuildCheck: Boolean): DataFrame = {
     import graft.sources.VersionedLake
     val lake = s"/tmp/graft_ivmlake_${Integer.toHexString(d.hashCode)}"
     VersionedLake.reset(s, lake)
@@ -1179,16 +1186,19 @@ object SparkEntry {
               sum(col("qty_cents")).as("qty_cents"))
             .filter(col("n_rows") > 0)
       }
-    // maintained == rebuilt, proven in-engine on top of the oracle
-    val rebuilt = viewOf(VersionedLake.readLatest(s, lake))
-    val eq = view.withColumnRenamed("n_rows", "n1")
-      .withColumnRenamed("qty_cents", "q1")
-      .join(rebuilt, Seq("month"), "full_outer")
-      .agg(count(when(col("n1").isNull || col("n_rows").isNull ||
-        col("n1") =!= col("n_rows") || col("q1") =!= col("qty_cents"),
-        1)).as("n_bad"))
-      .select((col("n_bad") === 0L).as("ivm_eq_rebuild"))
-    view.crossJoin(broadcast(eq))
+    if (!rebuildCheck) view
+    else {
+      // maintained == rebuilt, proven in-engine on top of the oracle
+      val rebuilt = viewOf(VersionedLake.readLatest(s, lake))
+      val eq = view.withColumnRenamed("n_rows", "n1")
+        .withColumnRenamed("qty_cents", "q1")
+        .join(rebuilt, Seq("month"), "full_outer")
+        .agg(count(when(col("n1").isNull || col("n_rows").isNull ||
+          col("n1") =!= col("n_rows") || col("q1") =!= col("qty_cents"),
+          1)).as("n_bad"))
+        .select((col("n_bad") === 0L).as("ivm_eq_rebuild"))
+      view.crossJoin(broadcast(eq))
+    }
   }
 
   /** l20 — SHALLOW / DEEP CLONE
@@ -5930,6 +5940,11 @@ object SparkEntry {
         graft.operators.Curate.kept(docs, "doc_id", "text",
           exactPairs = false), "doc_id", "text")
     }),
+    // l19's operator is the change-feed maintenance fold (commits +
+    // feeds + re-combine); the in-path rebuild-equality join is the
+    // oracle gate's harness (r11 verdict)
+    "l19_cdf_ivm" -> ((s: SparkSession, d: String) =>
+      l19Impl(s, d, rebuildCheck = false)),
     "q17_approx_distinct" -> ((s: SparkSession, d: String) =>
       Tables.lineitem(s, d).agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
@@ -6392,6 +6407,101 @@ object SparkEntry {
     * the windowed semantics is gated by the batch twins (q15/q16) and
     * StreamingSpec; these rows make state-store-path regressions visible
     * in BENCH. */
+  /** st22's drive body, shared between the registered gate form
+    * (verify = true: LakeIvm asserts maintained == full recompute
+    * after EVERY commit) and the bench operator form (verify = false:
+    * the maintenance alone — the O(base) per-batch rebuild check is
+    * verification harness, not what the operator executes; r11
+    * verdict). Each micro-batch is a full-state restatement upserted
+    * as an exactly-once commit; the commit's CHANGE FEED — never the
+    * base table — maintains the per-month materialized aggregate.
+    * Batches arrive in whatever file order the source lists — the
+    * invariant is order-independent by construction. l19 is the
+    * oracle-gated batch twin. */
+  private def st22Drive(s: SparkSession, d: String,
+                        verify: Boolean): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    import java.util.Comparator
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.VersionedLake
+    def wipe(p: Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => { Files.deleteIfExists(f); () })
+    val srcFile = Paths.get(s"$d/lineitem.parquet")
+    val stage = Paths.get(
+      s"/tmp/graft_stream_ivm_${Integer.toHexString(d.hashCode)}")
+    val marker = stage.resolve("_SUCCESS")
+    val stale = !Files.exists(marker) ||
+      Files.getLastModifiedTime(marker)
+        .compareTo(Files.getLastModifiedTime(srcFile)) < 0
+    if (stale) {
+      wipe(stage)
+      val li = ttSlimLineitem(s, d, dedupKeys = true)
+        .select(col("l_orderkey"), col("l_linenumber"), col("month"),
+          round(col("l_quantity") * 100, 0).cast("long").as("qty_c"))
+      // 4 full-state restatements: step r adds line numbers up to
+      // 4+r, retracts the orderkey%17==r slice, and restates lines
+      // <= 2 by +100r cents — adds, removes, AND changes per step.
+      // Each state lands as exactly ONE file moved into the stream
+      // dir, so one micro-batch == one restatement.
+      Files.createDirectories(stage)
+      (0 to 3).foreach { r =>
+        val tmp = Paths.get(s"${stage}_tmp$r")
+        li.filter(col("l_linenumber") <= 4 + r)
+          .filter(pmod(col("l_orderkey"), lit(17)) =!= r)
+          .withColumn("qty_c", when(col("l_linenumber") <= 2,
+            col("qty_c") + r * 100L).otherwise(col("qty_c")))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(
+          _.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.move(part, stage.resolve(f"state-$r%02d.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        wipe(tmp)
+      }
+      Files.write(marker, Array.emptyByteArray)
+    }
+    val lake =
+      s"/tmp/graft_stream_ivmlake_${Integer.toHexString(d.hashCode)}"
+    val view =
+      s"/tmp/graft_stream_ivmview_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    wipe(Paths.get(view))
+    val ckpt = Files.createTempDirectory("graft_ckpt")
+    try {
+      val schema = s.read.parquet(stage.toString).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+      val q = graft.streaming.LakeIvm
+        .maintainedView(src, lake, view, verify)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      q.awaitTermination()
+    } finally {
+      org.apache.spark.sql.graftglue.GraftGlue.unloadStateStores()
+      wipe(ckpt)
+    }
+    // one commit per micro-batch landed (the per-batch IVM
+    // invariant already ran INSIDE each step)
+    require(VersionedLake.versions(s, lake) == Seq(1, 2, 3, 4),
+      "st22 expected one version per batch")
+  }
+
+  /** Bench-time operator forms for streaming drives whose registered
+    * form carries an in-path verification harness (the benchOverrides
+    * rule applied to [[streamingDrives]]): st22's registered drive
+    * re-derives the view from the full base after every commit as its
+    * gate — the bench measures the change-feed maintenance itself.
+    * Correctness still runs the registered form through Verify-side
+    * gates and StreamingSpec. */
+  def streamingDriveOverrides
+      : Map[String, (SparkSession, String) => Unit] = Map(
+    "st22_stream_cdf_ivm" -> ((s: SparkSession, d: String) =>
+      st22Drive(s, d, verify = false)))
+
   def streamingDrives: Map[String, (SparkSession, String) => Unit] = {
     import org.apache.spark.sql.streaming.Trigger
     def drive(f: (SparkSession, String, DataFrame) => DataFrame)
@@ -6884,75 +6994,8 @@ object SparkEntry {
       // full recompute after EVERY commit (l19 is the oracle-gated
       // batch twin). Batches arrive in whatever file order the source
       // lists — the invariant is order-independent by construction.
-      "st22_stream_cdf_ivm" -> { (s: SparkSession, d: String) =>
-        import java.nio.file.{Files, Path, Paths}
-        import java.util.Comparator
-        import graft.sources.VersionedLake
-        def wipe(p: Path): Unit =
-          if (Files.exists(p))
-            Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-              .forEach(f => { Files.deleteIfExists(f); () })
-        val srcFile = Paths.get(s"$d/lineitem.parquet")
-        val stage = Paths.get(
-          s"/tmp/graft_stream_ivm_${Integer.toHexString(d.hashCode)}")
-        val marker = stage.resolve("_SUCCESS")
-        val stale = !Files.exists(marker) ||
-          Files.getLastModifiedTime(marker)
-            .compareTo(Files.getLastModifiedTime(srcFile)) < 0
-        if (stale) {
-          wipe(stage)
-          val li = ttSlimLineitem(s, d, dedupKeys = true)
-            .select(col("l_orderkey"), col("l_linenumber"), col("month"),
-              round(col("l_quantity") * 100, 0).cast("long").as("qty_c"))
-          // 4 full-state restatements: step r adds line numbers up to
-          // 4+r, retracts the orderkey%17==r slice, and restates lines
-          // <= 2 by +100r cents — adds, removes, AND changes per step.
-          // Each state lands as exactly ONE file moved into the stream
-          // dir, so one micro-batch == one restatement.
-          Files.createDirectories(stage)
-          (0 to 3).foreach { r =>
-            val tmp = Paths.get(s"${stage}_tmp$r")
-            li.filter(col("l_linenumber") <= 4 + r)
-              .filter(pmod(col("l_orderkey"), lit(17)) =!= r)
-              .withColumn("qty_c", when(col("l_linenumber") <= 2,
-                col("qty_c") + r * 100L).otherwise(col("qty_c")))
-              .coalesce(1)
-              .write.mode("overwrite").parquet(tmp.toString)
-            val part = Files.list(tmp).filter(
-              _.getFileName.toString.endsWith(".parquet"))
-              .findFirst().get()
-            Files.move(part, stage.resolve(f"state-$r%02d.parquet"),
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-            wipe(tmp)
-          }
-          Files.write(marker, Array.emptyByteArray)
-        }
-        val lake =
-          s"/tmp/graft_stream_ivmlake_${Integer.toHexString(d.hashCode)}"
-        val view =
-          s"/tmp/graft_stream_ivmview_${Integer.toHexString(d.hashCode)}"
-        VersionedLake.reset(s, lake)
-        wipe(Paths.get(view))
-        val ckpt = Files.createTempDirectory("graft_ckpt")
-        try {
-          val schema = s.read.parquet(stage.toString).schema
-          val src = s.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1).parquet(stage.toString)
-          val q = graft.streaming.LakeIvm
-            .maintainedView(src, lake, view)
-            .trigger(Trigger.AvailableNow())
-            .option("checkpointLocation", ckpt.toString)
-            .start()
-          q.awaitTermination()
-        } finally {
-          org.apache.spark.sql.graftglue.GraftGlue.unloadStateStores()
-          wipe(ckpt)
-        }
-        // one commit per micro-batch landed (the per-batch IVM
-        // invariant already ran INSIDE each step)
-        require(VersionedLake.versions(s, lake) == Seq(1, 2, 3, 4),
-          "st22 expected one version per batch")
-      },
+      "st22_stream_cdf_ivm" -> ((s: SparkSession, d: String) =>
+        st22Drive(s, d, verify = true)),
       // the versioned lake as a STREAMING SOURCE (st23): st20's txn
       // ingest on the write side, and on the READ side a version-
       // cursor poll loop consuming appendsBetween — each step reads

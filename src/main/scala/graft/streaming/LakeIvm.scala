@@ -57,11 +57,18 @@ object LakeIvm {
   }
 
   /** One micro-batch: commit, then catch the view up from ITS version
-    * to the lake head through the change feed, then assert the IVM
-    * invariant. Public so StreamingSpec can drive replay and the
-    * crash-window recovery directly. */
+    * to the lake head through the change feed, then (with `verify`)
+    * assert the IVM invariant. Public so StreamingSpec can drive
+    * replay and the crash-window recovery directly.
+    *
+    * `verify = false` is the OPERATOR form (the benchOverrides rule,
+    * r11 verdict): the invariant check re-derives the view from
+    * `readLatest` of the BASE every batch — O(base) verification
+    * harness next to O(churn) maintenance. Correctness gates
+    * (StreamingSpec, the st22 registered drive, l19's oracle twin)
+    * keep it on; the bench measures the maintenance itself. */
   def step(batch: DataFrame, batchId: Long, lakePath: String,
-           viewPath: String): Unit = {
+           viewPath: String, verify: Boolean = true): Unit = {
     val s = batch.sparkSession
     val v = VersionedLake.commitBatchUpsert(batch, "month", lakePath,
       txn = batchId)
@@ -100,23 +107,26 @@ object LakeIvm {
     // the view now reflects
     next.withColumn("__v", lit(v)).localCheckpoint(true)
       .write.mode("overwrite").parquet(viewPath)
-    // the IVM invariant, checked after EVERY commit (view-sized
-    // collects — months, not rows)
-    def rows(df: DataFrame) = df.collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    val got = rows(s.read.parquet(viewPath)
-      .select(col("month"), col("n_rows"), col("qty_cents")))
-    val want = rows(viewOf(VersionedLake.readLatest(s, lakePath))
-      .select(col("month"), col("n_rows"), col("qty_cents")))
-    require(got == want,
-      s"st22 IVM diverged at batch $batchId: $got vs $want")
+    if (verify) {
+      // the IVM invariant, checked after EVERY commit (view-sized
+      // collects — months, not rows)
+      def rows(df: DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val got = rows(s.read.parquet(viewPath)
+        .select(col("month"), col("n_rows"), col("qty_cents")))
+      val want = rows(viewOf(VersionedLake.readLatest(s, lakePath))
+        .select(col("month"), col("n_rows"), col("qty_cents")))
+      require(got == want,
+        s"st22 IVM diverged at batch $batchId: $got vs $want")
+    }
   }
 
   /** Streaming form: the caller picks trigger/checkpoint. */
   def maintainedView(states: DataFrame, lakePath: String,
-                     viewPath: String): DataStreamWriter[Row] =
+                     viewPath: String,
+                     verify: Boolean = true): DataStreamWriter[Row] =
     states.writeStream.foreachBatch {
       (batch: Dataset[Row], batchId: Long) =>
-        step(batch.toDF(), batchId, lakePath, viewPath)
+        step(batch.toDF(), batchId, lakePath, viewPath, verify)
     }
 }
