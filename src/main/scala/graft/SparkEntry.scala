@@ -1318,6 +1318,56 @@ object SparkEntry {
         sum(col("l_orderkey") * 7 + col("l_linenumber")).as("key_sig"))
       .withColumn("rewrite_refused", lit(rewriteRefused))
   }
+
+  /** l23 — DELETION VECTORS
+    * ([[graft.sources.VersionedLake.commitDelete]]): the Delta DV /
+    * Iceberg positional-delete shape closing l15's scale gap — l15's
+    * MERGE-DELETE rewrites every touched partition's bytes, so at
+    * 100 TB a 0.01% takedown pays a 100% write bill; a DV commit
+    * records the doomed rows' (file, row-index) positions in small
+    * sidecar parquet files and only ADDS them to the manifest.
+    * Version 2 deletes February lines 5–6 (l15's slice) as DVs:
+    * no_data_rewrite pins — from the manifests — that v2's data-file
+    * set is BYTE-IDENTICAL to v1's (pointers, zero rows rewritten;
+    * the witness l15 cannot produce), dv_sidecars_v2 that the delete
+    * physically landed as sidecars. Readers anti-fold the positions
+    * ([[graft.sources.VersionedLake.foldDeletes]], broadcast-sized
+    * here); a reader pinned to v1 still sees the rows (LakeSpec).
+    * Version 3 is OPTIMIZE materializing the fold and RETIRING the
+    * sidecars (dv_retired_v3) — content provably unchanged: the v3
+    * row's diff counts vs v2 are COMPUTED by the same full-outer
+    * q56 diff, and the oracle re-derives all three snapshots from the
+    * original parquet. */
+  private def l23(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedLake
+    val lake = s"/tmp/graft_dvlake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val li = ttSlimLineitem(s, d, dedupKeys = true)
+    VersionedLake.commitOverwrite(li, "month", lake)
+    VersionedLake.commitDelete(
+      li.filter(col("month") === "1997-02")
+        .filter(col("l_linenumber").between(5, 6))
+        .select(col("l_orderkey"), col("l_linenumber"), col("month")),
+      Seq("l_orderkey", "l_linenumber"), "month", lake)
+    val vOpt = VersionedLake.commitOptimize(s, lake, "month")
+    // manifest-metadata witnesses (booleans, the l10 discipline —
+    // never file counts: layout is parallelism-dependent)
+    def rels(v: Int, kind: String) = VersionedLake
+      .manifestFiles(s, lake, v).filter(_.kind == kind).map(_.rel).toSet
+    val noDataRewrite = rels(2, "data") == rels(1, "data")
+    val dvSidecars = rels(2, "dv").nonEmpty
+    val dvRetired = rels(vOpt, "dv").isEmpty
+    val v2 = VersionedLake.readVersion(s, lake, 2)
+    val v3row = ttSummariesWithDiff(v2,
+        VersionedLake.readVersion(s, lake, vOpt))
+      .filter(col("version") === 2).withColumn("version", lit(3))
+    ttSummariesWithDiff(VersionedLake.readVersion(s, lake, 1), v2)
+      .unionByName(v3row)
+      .withColumn("no_data_rewrite", lit(noDataRewrite))
+      .withColumn("dv_sidecars_v2", lit(dvSidecars))
+      .withColumn("dv_retired_v3", lit(dvRetired))
+  }
+
   /** l12 — zone-map-pruned TIME-TRAVEL range query: l08's per-file
     * (lo, hi) skipping stats carried IN l09's version manifests
     * ([[graft.sources.VersionedLake.FileEntry]] — the Iceberg
@@ -5768,6 +5818,7 @@ object SparkEntry {
     "l20_clone" -> (l20 _),
     "l21_restore" -> (l21 _),
     "l22_append_feed" -> (l22 _),
+    "l23_deletion_vectors" -> (l23 _),
     "c13_split_decontam" -> (c13 _),
     "c14_weighted_sample" -> (c14 _),
     "t33_cdc_chunking" -> (t33 _),
@@ -8279,6 +8330,52 @@ object SparkEntry {
         |  TRUE AS rewrite_refused
         |FROM lineitem
         |WHERE strftime(l_shipdate, '%Y-%m') IN ('1997-02', '1997-03')""".stripMargin,
+    // l23: l15's delete slice executed as DELETION VECTORS — v2 folds
+    // feb lines 5-6 out (removed-only diff), v3 is the OPTIMIZE
+    // re-layout (content identical to v2, zero diffs); the manifest
+    // witnesses (no data rewrite, sidecars present, sidecars retired)
+    // are engine-side booleans the oracle expects TRUE
+    "l23_deletion_vectors" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity,
+        |    min(strftime(l_shipdate, '%Y-%m')) AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'
+        |  GROUP BY 1, 2),
+        |v2 AS (
+        |  SELECT * FROM li
+        |  WHERE NOT (month = '1997-02' AND l_linenumber BETWEEN 5 AND 6)),
+        |s1 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM li),
+        |s2 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM v2),
+        |d AS (SELECT CAST(count(*) AS BIGINT) AS n_removed FROM li
+        |  WHERE month = '1997-02' AND l_linenumber BETWEEN 5 AND 6)
+        |SELECT CAST(1 AS INTEGER) AS version, s1.n_rows, s1.sum_qty,
+        |  s1.key_sig, CAST(0 AS BIGINT) AS n_changed_vs_prev,
+        |  CAST(0 AS BIGINT) AS n_removed_vs_prev,
+        |  CAST(0 AS BIGINT) AS n_added_vs_prev,
+        |  TRUE AS no_data_rewrite, TRUE AS dv_sidecars_v2,
+        |  TRUE AS dv_retired_v3
+        |FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), s2.n_rows, s2.sum_qty, s2.key_sig,
+        |  CAST(0 AS BIGINT), d.n_removed, CAST(0 AS BIGINT),
+        |  TRUE, TRUE, TRUE
+        |FROM s2, d
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), s2.n_rows, s2.sum_qty, s2.key_sig,
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  TRUE, TRUE, TRUE
+        |FROM s2""".stripMargin,
     // the Bloom prune is output-invisible by construction (false
     // positives die in the exact join), so the oracle is the PLAIN join
     "q38_bloom_join" ->

@@ -98,14 +98,21 @@ object VersionedLake {
   def latestVersion(spark: SparkSession, path: String): Int =
     versions(spark, path).lastOption.getOrElse(0)
 
-  /** One live data file in a version: partition value, lake-relative
-    * path, and optional (lo, hi) key-range ZONE-MAP stats on the
-    * commit's stats column — the Iceberg manifest-row shape: the
-    * version log and the data-skipping index are ONE structure, so a
-    * time-travel read prunes files the same way a latest read does. */
+  /** One live file in a version: partition value, lake-relative path,
+    * optional (lo, hi) key-range ZONE-MAP stats on the commit's stats
+    * column — the Iceberg manifest-row shape: the version log and the
+    * data-skipping index are ONE structure, so a time-travel read
+    * prunes files the same way a latest read does — and the entry
+    * KIND: `data` rows, or a `dv` DELETION-VECTOR sidecar
+    * ([[commitDelete]]) whose (__file, __pos) rows mark dead
+    * positions in this partition's data files. */
   final case class FileEntry(part: String, rel: String,
                              lo: Option[Long] = None,
-                             hi: Option[Long] = None)
+                             hi: Option[Long] = None,
+                             kind: String = "data")
+
+  private val KindData = "data"
+  private val KindDv = "dv"
 
   private def manifestPath(path: String, v: Int): Path =
     new Path(logDir(path), s"${"%06d".format(v)}.manifest")
@@ -135,6 +142,8 @@ object VersionedLake {
       .map { line =>
         line.split('\t') match {
           case Array(part, rel) => FileEntry(part, rel)
+          case Array(part, rel, "D") =>
+            FileEntry(part, rel, kind = KindDv)
           case Array(part, rel, lo, hi) =>
             FileEntry(part, rel, Some(lo.toLong), Some(hi.toLong))
           case other => throw new IllegalArgumentException(
@@ -195,10 +204,12 @@ object VersionedLake {
       ts.map(t => s" ts=$t").getOrElse("")
     val body = (head +: s"schema=$schemaJson" +:
       entries.sortBy(e => (e.part, e.rel)).map { e =>
-        s"${e.part}\t${e.rel}" + ((e.lo, e.hi) match {
-          case (Some(l), Some(h)) => s"\t$l\t$h"
-          case _ => ""
-        })
+        s"${e.part}\t${e.rel}" + (
+          if (e.kind == KindDv) "\tD"
+          else (e.lo, e.hi) match {
+            case (Some(l), Some(h)) => s"\t$l\t$h"
+            case _ => ""
+          })
       }).mkString("\n")
     val tmp = new Path(logDir(path),
       s"${"%06d".format(v)}.manifest.tmp-${uniq()}")
@@ -456,7 +467,7 @@ object VersionedLake {
       pinnedBase = Some(readVersion))
 
   private object Mode extends Enumeration {
-    val Overwrite, Upsert, Append = Value
+    val Overwrite, Upsert, Append, Delete = Value
   }
 
   /** Partitions whose file set changed anywhere in (vFrom, vTo] — the
@@ -488,14 +499,16 @@ object VersionedLake {
     val token = s"c${"%06d".format(prev + 1)}-${uniq()}"
     writeCommitData(df, partCol, path, token)
     val fresh0 = commitEntries(spark, path, token)
-    val fresh =
+    val fresh1 =
       statsCol.fold(fresh0)(sc =>
         enrichStats(spark, path, token, fresh0, sc))
+    val fresh =
+      if (mode == Mode.Delete) fresh1.map(_.copy(kind = KindDv))
+      else fresh1
     // forceReplaced: partitions this commit REPLACES even when it
     // writes no rows for them (a MERGE delete that empties a
     // partition must still drop it from the manifest)
     val replaced = fresh.map(_.part).toSet ++ forceReplaced
-    val schemaJson = df.schema.json
     var attempts = 0
     while (attempts < 20) {
       attempts += 1
@@ -509,14 +522,18 @@ object VersionedLake {
         if (mode == Mode.Overwrite)
           throw new java.util.ConcurrentModificationException(
             s"overwrite prepared at version $prev lost to version $base")
-        if (mode == Mode.Upsert) {
+        // a DELETE conflicts like an upsert: its DV rows reference
+        // version `prev`'s specific file positions — a concurrent
+        // rewrite of a touched partition would orphan those
+        // references and the delete would silently vanish at fold
+        if (mode == Mode.Upsert || mode == Mode.Delete) {
           val overlap =
             touchedParts(spark, path, prev, base).intersect(replaced)
           if (overlap.nonEmpty)
             throw new java.util.ConcurrentModificationException(
-              s"upsert prepared at version $prev conflicts with a " +
-                s"concurrent commit on partitions ${overlap.toSeq.sorted
-                  .mkString(", ")}")
+              s"${mode.toString.toLowerCase} prepared at version $prev " +
+                s"conflicts with a concurrent commit on partitions " +
+                s"${overlap.toSeq.sorted.mkString(", ")}")
         } // appends never conflict
       }
       val k = base + 1
@@ -525,7 +542,21 @@ object VersionedLake {
         else if (mode == Mode.Upsert)
           manifestEntries(spark, path, base)
             .filterNot(e => replaced.contains(e.part))
-        else manifestEntries(spark, path, base)
+        else manifestEntries(spark, path, base) // append/delete ADD only
+      // a DELETE commits no table rows — its df is the DV sidecar
+      // frame — so the recorded TABLE schema carries forward from the
+      // claimed base (re-resolved per rebase so a disjoint evolving
+      // winner's schema is honored), bootstrapping from a data footer
+      // for pre-schema manifests
+      val schemaJson =
+        if (mode != Mode.Delete) df.schema.json
+        else readSchema(spark, path, base).map(_.json).getOrElse {
+          val ds = kept.filter(_.kind == KindData)
+          require(ds.nonEmpty,
+            s"delete against version $base with no data files at $path")
+          spark.read.parquet(
+            resolve(path.stripSuffix("/"), ds.head.rel)).schema.json
+        }
       if (tryWriteManifest(spark, path, k, mode.toString.toLowerCase,
           token, schemaJson, kept ++ fresh, txn, commitTs))
         return k
@@ -621,7 +652,8 @@ object VersionedLake {
     // planning metadata, the same scale as the manifest itself
     val parts = delta.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq
-    val livePartSet = manifestEntries(spark, path, v).map(_.part).toSet
+    val livePartSet = manifestEntries(spark, path, v)
+      .filter(_.kind == KindData).map(_.part).toSet
     val touched = parts.filter(livePartSet.contains)
     val current =
       if (touched.nonEmpty) readVersion(spark, path, v, touched)
@@ -638,6 +670,105 @@ object VersionedLake {
     // contents (r11 verdict: the lost-update window)
     doCommit(merged, partCol, path, None, Mode.Upsert, statsCol,
       commitTs, pinnedBase = Some(v), forceReplaced = touched.toSet)
+  }
+
+  /** A file's lake-relative path recovered from
+    * `_metadata.file_path` — the layout is fixed at
+    * `data/<token>/__part=<v>/<file>` (4 segments), and the greedy
+    * prefix anchors the match to the LAST such suffix, so a lake
+    * rooted under a directory that itself contains `/data/` cannot
+    * mis-split. Both the DV writer ([[commitDelete]]) and the DV fold
+    * ([[foldDeletes]]) derive the reference through THIS expression,
+    * so any URI escaping `_metadata.file_path` applies to a
+    * Hive-escaped partition value is identical on both sides by
+    * construction. */
+  private def relExpr(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    regexp_extract(c, "^.*/(data/[^/]+/[^/]+/[^/]+)$", 1)
+
+  /** Read `data` files with `dvs` deletion vectors anti-folded: each
+    * DV row (__file, __pos) kills one physical position. The DV side
+    * is deleted-row-sized — Spark's size estimation broadcasts the
+    * anti-join when small (the common takedown case); at larger DV
+    * sizes it shuffles on (__file, __pos), never on row payloads. */
+  private def foldDeletes(spark: SparkSession, base: String,
+                          data: Seq[FileEntry], dvs: Seq[FileEntry],
+                          schema: Option[StructType]): DataFrame = {
+    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    val df = reader.parquet(data.map(e => resolve(base, e.rel)): _*)
+    if (dvs.isEmpty) df
+    else {
+      val dv = spark.read
+        .parquet(dvs.map(e => resolve(base, e.rel)): _*)
+        .select(col("__file"), col("__pos"))
+      df.withColumn("__file", relExpr(col("_metadata.file_path")))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(dv, Seq("__file", "__pos"), "left_anti")
+        .drop("__file", "__pos")
+    }
+  }
+
+  /** DELETE rows by key through DELETION VECTORS (the Delta DV /
+    * Iceberg positional-delete shape — l23): instead of rewriting
+    * every touched partition (what [[commitMerge]]'s tombstone path
+    * does), the commit records the doomed rows' PHYSICAL POSITIONS
+    * (file, row index) in small DV sidecar parquet files and only
+    * ADDS those to the manifest — every data file carries forward by
+    * pointer. Readers anti-fold the DVs ([[foldDeletes]]); a pinned
+    * pre-delete reader is untouched (its manifest has no DV entry);
+    * [[commitOptimize]] later materializes the fold and retires the
+    * DVs, and [[vacuum]] reclaims them. At 100 TB churn this is the
+    * difference between a 0.01% takedown writing DV-rows-sized bytes
+    * and rewriting 100% of its partitions' bytes (the r11 gap).
+    *
+    * Deletes are POSITIONAL, scoped to the files of `fromVersion`: a
+    * key re-inserted by a LATER append lands in a new file and is
+    * untouched — re-running the same takedown is what removes it (the
+    * Iceberg sequence-number semantics, with the version pin making
+    * sequencing explicit). Existing DVs are folded before matching,
+    * so re-deleting an already-dead row never duplicates DV rows.
+    * OCC: conflicts like an upsert — a concurrent rewrite of a
+    * touched partition aborts the delete ([[doCommit]]'s Delete
+    * branch) rather than letting its references orphan.
+    *
+    * @param keys one row per doomed key ([[commitMerge]]'s key
+    *        discipline: key columns + the partition column)
+    * @return the new version number (the pinned version unchanged
+    *         when no live partition matches `keys`) */
+  def commitDelete(keys: DataFrame, keyCols: Seq[String],
+                   partCol: String, path: String,
+                   commitTs: Option[Long] = None,
+                   fromVersion: Option[Int] = None): Int = {
+    val spark = keys.sparkSession
+    val v = fromVersion.getOrElse(latestVersion(spark, path))
+    require(v > 0, "commitDelete needs an existing version")
+    val base = path.stripSuffix("/")
+    // partition-count-sized collect: planning metadata
+    val parts = keys.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val all = manifestEntries(spark, path, v)
+    val touched = all.filter(e => e.kind == KindData &&
+      parts.contains(e.part)).map(_.part).toSet
+    if (touched.isEmpty) return v
+    val data = all.filter(e => e.kind == KindData && touched(e.part))
+    val dvs = all.filter(e => e.kind == KindDv && touched(e.part))
+    val reader = readSchema(spark, path, v)
+      .fold(spark.read)(s => spark.read.schema(s))
+    val rows = reader
+      .parquet(data.map(e => resolve(base, e.rel)): _*)
+      .withColumn("__file", relExpr(col("_metadata.file_path")))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val live =
+      if (dvs.isEmpty) rows
+      else rows.join(
+        spark.read.parquet(dvs.map(e => resolve(base, e.rel)): _*)
+          .select(col("__file"), col("__pos")),
+        Seq("__file", "__pos"), "left_anti")
+    val newDv = live
+      .join(keys.select(keyCols.map(col): _*), keyCols, "left_semi")
+      .select(col("__file"), col("__pos"), col(partCol))
+    doCommit(newDv, partCol, path, None, Mode.Delete, None, commitTs,
+      pinnedBase = Some(v), forceReplaced = touched)
   }
 
   /** OPTIMIZE: re-layout every partition of the LATEST version holding
@@ -681,23 +812,31 @@ object VersionedLake {
     // plain compaction rewrites only over-target partitions (idempotent
     // by file count); ZORDER rewrites EVERY multi-file partition — the
     // file count can't witness clustered-ness, so any fragmentation is
-    // assumed unclustered (Delta's OPTIMIZE ZORDER likewise re-sorts)
+    // assumed unclustered (Delta's OPTIMIZE ZORDER likewise re-sorts).
+    // A partition carrying DELETION VECTORS always rewrites: OPTIMIZE
+    // is where the fold MATERIALIZES and the DV sidecars retire
+    // (Delta's PURGE semantics folded into OPTIMIZE).
     val rewriteAbove = if (zorderBy.isEmpty) targetFilesPerPart else 1
     val byPart = manifestEntries(spark, path, v)
-      .groupBy(_.part).filter(_._2.size > rewriteAbove)
+      .groupBy(_.part).filter { case (_, es) =>
+        es.count(_.kind == KindData) > rewriteAbove ||
+          es.exists(_.kind == KindDv)
+      }
     if (byPart.isEmpty) v
     else {
       // one clustered frame per fragmented value: the partitioned
       // write then lands exactly targetFilesPerPart files each — the
       // l07/compactAll one-task-per-value discipline on this log
       val base = path.stripSuffix("/")
+      val schema = readSchema(spark, path, v)
       val cluster: Option[org.apache.spark.sql.Column] = zorderBy match {
         case Seq() => None
         case Seq(a) => Some(col(a))
         case Seq(a, b) => Some(graft.plans.ZOrder2.zorder2(col(a), col(b)))
       }
       val merged = byPart.toSeq.sortBy(_._1).map { case (_, es) =>
-        val df = spark.read.parquet(es.map(e => resolve(base, e.rel)): _*)
+        val df = foldDeletes(spark, base, es.filter(_.kind == KindData),
+          es.filter(_.kind == KindDv), schema)
         cluster match {
           case None => df.coalesce(1)
           case Some(ck) => df
@@ -707,9 +846,11 @@ object VersionedLake {
       }.reduce(_.unionByName(_))
       // pinned for the same reason as commitMerge: the rewrite reads
       // version v's files, so a racing commit on a rewritten partition
-      // must abort the optimize, not vanish under it
+      // must abort the optimize, not vanish under it. forceReplaced
+      // because a fully-deleted partition folds to ZERO rows — its
+      // old entries (and DVs) must still leave the manifest.
       doCommit(merged, partCol, path, None, Mode.Upsert, statsCol,
-        pinnedBase = Some(v))
+        pinnedBase = Some(v), forceReplaced = byPart.keySet)
     }
   }
 
@@ -730,28 +871,32 @@ object VersionedLake {
                      vTo: Int, keyCols: Seq[String],
                      valueCol: String): DataFrame = {
     val base = path.stripSuffix("/")
-    def byPart(v: Int): Map[String, Set[String]] =
+    def byPart(v: Int): Map[String, Set[(String, String)]] =
       manifestEntries(spark, path, v).groupBy(_.part)
-        .map { case (p, es) => p -> es.map(_.rel).toSet }
+        .map { case (p, es) => p -> es.map(e => (e.rel, e.kind)).toSet }
     val (a, b) = (byPart(vFrom), byPart(vTo))
+    // a new DV entry churns its partition exactly like a rewrite —
+    // deletion-vector removals surface in the feed as `removed` rows
     val churned = (a.keySet ++ b.keySet)
       .filter(p => a.get(p) != b.get(p))
     // row presence is tracked by an explicit per-side flag, never by
     // the VALUE column's nullness: a legitimately-NULL value must not
     // masquerade as a missing row (r10 review — NULL->5 is a change,
-    // not an add; 5->NULL a change, not a removal)
-    def readSide(m: Map[String, Set[String]], alias: String)
-        : Option[DataFrame] = {
-      val files = churned.toSeq.sorted
-        .flatMap(p => m.getOrElse(p, Set.empty).toSeq.sorted)
-        .map(rel => resolve(base, rel))
-      if (files.isEmpty) None
-      else Some(spark.read.parquet(files: _*)
+    // not an add; 5->NULL a change, not a removal). Each side reads
+    // its version's churned partitions DV-FOLDED (a side's dead rows
+    // are not rows on that side).
+    def readSide(v: Int, alias: String): Option[DataFrame] = {
+      val es = manifestEntries(spark, path, v)
+        .filter(e => churned.contains(e.part))
+      val data = es.filter(_.kind == KindData)
+      if (data.isEmpty) None
+      else Some(foldDeletes(spark, base, data,
+          es.filter(_.kind == KindDv), readSchema(spark, path, v))
         .select((keyCols.map(col) :+
           col(valueCol).as(s"${valueCol}_$alias") :+
           lit(true).as(s"__in_$alias")): _*))
     }
-    val (bf, af) = (readSide(a, "before"), readSide(b, "after"))
+    val (bf, af) = (readSide(vFrom, "before"), readSide(vTo, "after"))
     def absent(df: DataFrame, alias: String): DataFrame = {
       val other = if (alias == "before") "after" else "before"
       df.withColumn(s"${valueCol}_$alias",
@@ -912,23 +1057,22 @@ object VersionedLake {
     * the version's schema, the zero-rows answer). */
   def readVersion(spark: SparkSession, path: String, v: Int,
                   parts: Seq[String] = Seq.empty): DataFrame = {
-    val entries = manifestEntries(spark, path, v)
-    val wanted =
-      if (parts.isEmpty) entries
-      else entries.filter(e => parts.contains(e.part))
+    val all = manifestEntries(spark, path, v)
+    val entries = all.filter(_.kind == KindData)
+    def want(e: FileEntry) = parts.isEmpty || parts.contains(e.part)
+    val wanted = entries.filter(want)
+    val dvs = all.filter(e => e.kind == KindDv && want(e))
     val base = path.stripSuffix("/")
     if (wanted.isEmpty) emptyOf(spark, path, v, entries)
-    else {
+    else
       // read under the manifest's RECORDED schema: a version whose
       // file list mixes pre- and post-evolution commits (carry-forward
       // pointers) must surface the committed schema — a plain read
       // takes one file's footer and silently DROPS columns the other
       // files carry (parquet back-fills missing columns as NULL, the
       // l04 semantics). Pre-schema manifests read footer-derived.
-      val reader = readSchema(spark, path, v)
-        .fold(spark.read)(s => spark.read.schema(s))
-      reader.parquet(wanted.map(e => resolve(base, e.rel)): _*)
-    }
+      // Deletion vectors anti-fold on top ([[commitDelete]]).
+      foldDeletes(spark, base, wanted, dvs, readSchema(spark, path, v))
   }
 
   /** Time-travel read of version `v` UNDER THE LATEST SCHEMA: columns
@@ -965,12 +1109,18 @@ object VersionedLake {
                        qLo: Long, qHi: Long,
                        parts: Seq[String] = Seq.empty)
       : (DataFrame, Long, Long) = {
-    val entries = manifestEntries(spark, path, v)
+    val all = manifestEntries(spark, path, v)
       .filter(e => parts.isEmpty || parts.contains(e.part))
+    val entries = all.filter(_.kind == KindData)
     val wanted = entries.filter(e => (e.lo, e.hi) match {
       case (Some(l), Some(h)) => h >= qLo && l <= qHi
       case _ => true
     })
+    // DVs of the surviving files' partitions still fold — a DV has no
+    // zone (it references positions); rows for pruned files simply
+    // never match. Matched/total counts stay DATA-file counts.
+    val dvs = all.filter(e => e.kind == KindDv &&
+      wanted.exists(_.part == e.part))
     val base = path.stripSuffix("/")
     val reader =
       if (wanted.isEmpty) emptyOf(spark, path, v, entries)
@@ -978,9 +1128,7 @@ object VersionedLake {
         // recorded-schema read, same reason as readVersion: a pruned
         // file list mixing pre- and post-evolution commits must not
         // silently drop the evolved column to one footer's schema
-        readSchema(spark, path, v).fold(spark.read)(s =>
-          spark.read.schema(s))
-          .parquet(wanted.map(e => resolve(base, e.rel)): _*)
+        foldDeletes(spark, base, wanted, dvs, readSchema(spark, path, v))
     (reader, wanted.size.toLong, entries.size.toLong)
   }
 
@@ -1082,11 +1230,26 @@ object VersionedLake {
         // side copy loop would pull the whole table through one
         // process, the classic 100 TB faceplant. File boundaries are
         // preserved 1:1 so the manifest's per-file zone stats stay
-        // valid on the copies.
+        // valid on the copies. Lake-relative rels are preserved
+        // VERBATIM (the target is a fresh lake, so nothing collides):
+        // deletion-vector rows reference data files by rel, and a
+        // renamed copy would orphan every DV reference. Absolute rels
+        // (borrowed by a shallow-cloned source) can't be preserved —
+        // they flatten under a clone token, which is only safe DV-free.
         val token = s"clone-${uniq()}"
         val dstBase = dstPath.stripSuffix("/")
+        require(!(entries.exists(_.kind == KindDv) &&
+            entries.exists(e => e.rel.startsWith("/") ||
+              e.rel.contains(":/"))),
+          "deep clone of a lake mixing deletion vectors with borrowed " +
+            "absolute-path files is unsupported: run commitOptimize on " +
+            s"$srcBase first to fold the DVs away")
         val pairs = entries.map { e =>
-          (resolve(srcBase, e.rel), s"data/$token/${e.rel.replace('/', '_')}")
+          val dstRel =
+            if (e.rel.startsWith("/") || e.rel.contains(":/"))
+              s"data/$token/${e.rel.replace('/', '_').replace(":", "_")}"
+            else e.rel
+          (resolve(srcBase, e.rel), dstRel)
         }
         val confKv = {
           import scala.jdk.CollectionConverters._
@@ -1139,9 +1302,18 @@ object VersionedLake {
       s"versions ($vFrom, $vTo] are not append-only: ${removed.size} " +
         "file(s) were replaced or dropped — read the change feed " +
         "(changesBetween) instead")
-    val fresh = toEntries.filterNot(e => from.contains(e.rel))
+    val freshAll = toEntries.filterNot(e => from.contains(e.rel))
+    // a new DELETION VECTOR is a row removal wearing an added file:
+    // an append-only reader must refuse it exactly like a rewrite
+    val freshDvs = freshAll.count(_.kind == KindDv)
+    require(freshDvs == 0,
+      s"versions ($vFrom, $vTo] are not append-only: $freshDvs " +
+        "deletion-vector file(s) were committed (rows removed) — " +
+        "read the change feed (changesBetween) instead")
+    val fresh = freshAll
     val base = path.stripSuffix("/")
-    if (fresh.isEmpty) emptyOf(spark, path, vTo, toEntries)
+    if (fresh.isEmpty)
+      emptyOf(spark, path, vTo, toEntries.filter(_.kind == KindData))
     else {
       val reader = readSchema(spark, path, vTo)
         .fold(spark.read)(s => spark.read.schema(s))

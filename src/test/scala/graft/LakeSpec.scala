@@ -905,6 +905,108 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("versioned lake DELETION VECTORS: a takedown writes only DV " +
+      "bytes, readers fold, pinned readers are immune, OPTIMIZE " +
+      "retires the DVs, vacuum reclaims them") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_dv").toString
+    VersionedLake.reset(spark, lake)
+    VersionedLake.commitOverwrite(
+      (0L until 20L).map(i => (i, s"p${i % 2}", i * 10.0))
+        .toDF("id", "part", "x"),
+      "part", lake)
+    val dataRelsV1 = VersionedLake.manifestFiles(spark, lake, 1)
+      .map(_.rel).toSet
+    // delete ids 4,5,6 (lands in both partitions)
+    VersionedLake.commitDelete(
+      Seq((4L, "p0"), (5L, "p1"), (6L, "p0")).toDF("id", "part"),
+      Seq("id"), "part", lake)
+    val v2 = VersionedLake.manifestFiles(spark, lake, 2)
+    // NO data file was rewritten: v2 carries v1's data files by
+    // pointer and only ADDS dv sidecars
+    assert(v2.filter(_.kind == "data").map(_.rel).toSet == dataRelsV1)
+    assert(v2.exists(_.kind == "dv"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id").as[Long].collect().toSet
+    assert(ids(VersionedLake.readLatest(spark, lake)) ==
+      (0L until 20L).toSet -- Set(4L, 5L, 6L))
+    // a reader pinned to the pre-delete version still sees the rows
+    assert(ids(VersionedLake.readVersion(spark, lake, 1)) ==
+      (0L until 20L).toSet)
+    // partition-pruned read folds only that partition's DVs
+    assert(ids(VersionedLake.readVersion(spark, lake, 2, Seq("p0"))) ==
+      (0L until 20L by 2).toSet -- Set(4L, 6L))
+    // the change feed reports the DV removals (and nothing else)
+    val cf = VersionedLake.changesBetween(spark, lake, 1, 2,
+      Seq("id"), "x").collect()
+    assert(cf.map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((4L, "removed"), (5L, "removed"), (6L, "removed")))
+    // the append-only cursor refuses a DV commit loudly
+    val ex = intercept[IllegalArgumentException] {
+      VersionedLake.appendsBetween(spark, lake, 1, 2)
+    }
+    assert(ex.getMessage.contains("deletion-vector"))
+    // POSITIONAL semantics: re-inserting a deleted id via append
+    // lands in a NEW file the old DV cannot touch
+    VersionedLake.commitAppend(
+      Seq((5L, "p1", 999.0)).toDF("id", "part", "x"), "part", lake)
+    assert(ids(VersionedLake.readLatest(spark, lake)) ==
+      (0L until 20L).toSet -- Set(4L, 6L))
+    // deleting again marks the NEW position too; already-dead rows
+    // are folded first so DV rows never duplicate
+    VersionedLake.commitDelete(
+      Seq((5L, "p1"), (4L, "p0")).toDF("id", "part"),
+      Seq("id"), "part", lake)
+    assert(ids(VersionedLake.readLatest(spark, lake)) ==
+      (0L until 20L).toSet -- Set(4L, 5L, 6L))
+    // OPTIMIZE materializes the fold and RETIRES the dv entries
+    val vOpt = VersionedLake.commitOptimize(spark, lake, "part")
+    val optEntries = VersionedLake.manifestFiles(spark, lake, vOpt)
+    assert(!optEntries.exists(_.kind == "dv"), "DVs folded away")
+    assert(ids(VersionedLake.readVersion(spark, lake, vOpt)) ==
+      (0L until 20L).toSet -- Set(4L, 5L, 6L))
+    // vacuum reclaims the retired DV sidecars and replaced data files
+    val (_, deleted) = VersionedLake.vacuum(spark, lake, retain = 1)
+    assert(deleted > 0)
+    assert(ids(VersionedLake.readLatest(spark, lake)) ==
+      (0L until 20L).toSet -- Set(4L, 5L, 6L))
+  }
+
+  test("versioned lake DELETION VECTORS: OCC — a commit racing into a " +
+      "touched partition aborts the delete; deep clone preserves DV " +
+      "references") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_dvo").toString
+    VersionedLake.reset(spark, lake)
+    VersionedLake.commitOverwrite(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "part", "x"),
+      "part", lake)
+    // part a is rewritten after the delete's pin: the DV would
+    // reference dropped files -> abort, never a vanished delete
+    VersionedLake.commitUpsert(
+      Seq((9L, "a", 9.0)).toDF("id", "part", "x"), "part", lake)
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedLake.commitDelete(
+        Seq((1L, "a")).toDF("id", "part"), Seq("id"), "part", lake,
+        fromVersion = Some(1))
+    }
+    // disjoint partition: rebases fine
+    assert(VersionedLake.commitDelete(
+      Seq((2L, "b")).toDF("id", "part"), Seq("id"), "part", lake,
+      fromVersion = Some(1)) == 3)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id").as[Long].collect().toSet
+    assert(ids(VersionedLake.readLatest(spark, lake)) == Set(9L))
+    // deep clone copies data files REL-PRESERVED so DV refs survive
+    val dp = java.nio.file.Files.createTempDirectory("lake_dvc").toString
+    VersionedLake.reset(spark, dp)
+    VersionedLake.shallowClone(spark, lake, dp, v = 3, deep = true)
+    assert(ids(VersionedLake.readLatest(spark, dp)) == Set(9L))
+    // and the clone is independent: source vacuum can't break it
+    VersionedLake.vacuum(spark, lake, retain = 1)
+    assert(ids(VersionedLake.readLatest(spark, dp)) == Set(9L))
+  }
+
   test("versioned lake: commitMerge rejects a duplicate-key delta " +
       "loudly (the multiple-source-rows-matched rule)") {
     import graft.sources.VersionedLake
