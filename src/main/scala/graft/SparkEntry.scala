@@ -7056,68 +7056,122 @@ object SparkEntry {
       // steps — appends are disjoint, so the XOR of step signatures
       // IS the table's signature).
       "st23_stream_lake_source" -> { (s: SparkSession, d: String) =>
-        import java.nio.file.{Files, Path, Paths}
-        import java.util.Comparator
         import graft.sources.VersionedLake
-        def wipe(p: Path): Unit =
-          if (Files.exists(p))
-            Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-              .forEach(f => { Files.deleteIfExists(f); () })
-        // st20's staging (same staleness-guarded range split)
-        val srcFile = Paths.get(s"$d/events.parquet")
-        val stage = Paths.get(
-          s"/tmp/graft_stream_vev_${Integer.toHexString(d.hashCode)}")
-        val marker = stage.resolve("_SUCCESS")
-        val stale = !Files.exists(marker) ||
-          Files.getLastModifiedTime(marker)
-            .compareTo(Files.getLastModifiedTime(srcFile)) < 0
-        if (stale) {
-          wipe(stage)
-          Tables.events(s, d)
-            .repartitionByRange(4, col("event_id"))
-            .write.mode("overwrite").parquet(stage.toString)
-        }
-        val lake =
-          s"/tmp/graft_stream_vsrc_${Integer.toHexString(d.hashCode)}"
-        VersionedLake.reset(s, lake)
-        val ckpt = Files.createTempDirectory("graft_ckpt")
-        try {
-          val schema = s.read.parquet(stage.toString).schema
-          val src = s.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1).parquet(stage.toString)
-          val q = graft.streaming.EventStreams
-            .toVersionedLake(src, lake)
-            .trigger(Trigger.AvailableNow())
-            .option("checkpointLocation", ckpt.toString)
-            .start()
-          q.awaitTermination()
-        } finally {
-          org.apache.spark.sql.graftglue.GraftGlue.unloadStateStores()
-          wipe(ckpt)
-        }
+        val lake = stageVersionedEventsLake(s, d)
         // the consumption side: cursor 0 -> latest, one poll per commit
         val latest = VersionedLake.latestVersion(s, lake)
         require(latest == 4, s"st23 expected 4 ingest commits, got $latest")
-        def sigOf(df: DataFrame): (Long, Long) = {
-          val r = df.agg(count(lit(1)),
-            coalesce(expr("bit_xor(xxhash64(event_id, user_id))"),
-              lit(0L))).collect().head
-          (r.getLong(0), r.getLong(1))
-        }
         var cursor = 0
         var n = 0L
         var sig = 0L
         while (cursor < latest) {
-          val (sn, ss) =
-            sigOf(VersionedLake.appendsBetween(s, lake, cursor, cursor + 1))
+          val (sn, ss) = lakeFeedSig(
+            VersionedLake.appendsBetween(s, lake, cursor, cursor + 1))
           n += sn; sig ^= ss
           cursor += 1
         }
-        val (wantN, wantSig) = sigOf(VersionedLake.readLatest(s, lake))
+        val (wantN, wantSig) =
+          lakeFeedSig(VersionedLake.readLatest(s, lake))
         require(n == wantN && sig == wantSig,
           s"st23 consumed feed diverges from the table: ($n, $sig) vs " +
             s"($wantN, $wantSig)")
+      },
+      // ADMISSION CONTROL on the lake streaming source (st24): st23's
+      // cursor loop, but a BURST of commits lands before the reader
+      // polls, and each poll admits at most maxFiles files
+      // (VersionedLake.pollAppends — Delta's maxFilesPerTrigger): the
+      // burst drains over exactly ceil(files/maxFiles) polls with
+      // sub-version cursor progress, and the consumed union still
+      // equals the table (count + XOR signature — the st23 identity).
+      "st24_stream_lake_admission" -> { (s: SparkSession, d: String) =>
+        import graft.sources.VersionedLake
+        val lake = stageVersionedEventsLake(s, d)
+        val latest = VersionedLake.latestVersion(s, lake)
+        require(latest == 4, s"st24 expected 4 ingest commits, got $latest")
+        // every entry at the head is an appended file (append-only lake)
+        val totalFiles = VersionedLake.manifestFiles(s, lake, latest).size
+        val maxFiles = 2
+        var cursor = (0, 0)
+        var polls = 0
+        var n = 0L
+        var sig = 0L
+        while (cursor != ((latest, 0))) {
+          val (batch, next) =
+            VersionedLake.pollAppends(s, lake, cursor, maxFiles)
+          require(next != cursor, s"st24 poll made no progress at $cursor")
+          val (sn, ss) = lakeFeedSig(batch)
+          n += sn; sig ^= ss
+          cursor = next
+          polls += 1
+        }
+        require(polls == (totalFiles + maxFiles - 1) / maxFiles,
+          s"st24 expected ceil($totalFiles/$maxFiles) polls, got $polls")
+        val (wantN, wantSig) =
+          lakeFeedSig(VersionedLake.readLatest(s, lake))
+        require(n == wantN && sig == wantSig,
+          s"st24 consumed feed diverges from the table: ($n, $sig) vs " +
+            s"($wantN, $wantSig)")
       })
+  }
+
+  /** st23/st24's shared write side: stage the events fixture as 4
+    * range-split files (staleness-guarded), stream them through
+    * [[graft.streaming.EventStreams.toVersionedLake]] (one txn-deduped
+    * APPEND commit per micro-batch) into a fresh versioned lake, and
+    * return the lake path. */
+  private def stageVersionedEventsLake(s: SparkSession,
+                                       d: String): String = {
+    import java.nio.file.{Files, Path, Paths}
+    import java.util.Comparator
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.VersionedLake
+    def wipe(p: Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => { Files.deleteIfExists(f); () })
+    // st20's staging (same staleness-guarded range split)
+    val srcFile = Paths.get(s"$d/events.parquet")
+    val stage = Paths.get(
+      s"/tmp/graft_stream_vev_${Integer.toHexString(d.hashCode)}")
+    val marker = stage.resolve("_SUCCESS")
+    val stale = !Files.exists(marker) ||
+      Files.getLastModifiedTime(marker)
+        .compareTo(Files.getLastModifiedTime(srcFile)) < 0
+    if (stale) {
+      wipe(stage)
+      Tables.events(s, d)
+        .repartitionByRange(4, col("event_id"))
+        .write.mode("overwrite").parquet(stage.toString)
+    }
+    val lake =
+      s"/tmp/graft_stream_vsrc_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val ckpt = Files.createTempDirectory("graft_ckpt")
+    try {
+      val schema = s.read.parquet(stage.toString).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+      val q = graft.streaming.EventStreams
+        .toVersionedLake(src, lake)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      q.awaitTermination()
+    } finally {
+      org.apache.spark.sql.graftglue.GraftGlue.unloadStateStores()
+      wipe(ckpt)
+    }
+    lake
+  }
+
+  /** (count, order-insensitive XOR signature) of an events feed —
+    * appends are disjoint, so the XOR of per-poll signatures IS the
+    * table's signature (st23/st24's consumption identity). */
+  private def lakeFeedSig(df: DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)),
+      coalesce(expr("bit_xor(xxhash64(event_id, user_id))"),
+        lit(0L))).collect().head
+    (r.getLong(0), r.getLong(1))
   }
 
   /** The independent SCD2 full-rebuild derivation (min/groupBy runs —

@@ -1321,6 +1321,70 @@ object VersionedLake {
     }
   }
 
+  /** ADMISSION-CONTROLLED streaming-source poll (Delta's
+    * `maxFilesPerTrigger` on [[appendsBetween]]'s cursor — st24): a
+    * burst of commits must not turn one micro-batch into an unbounded
+    * read, so each poll consumes AT MOST `maxFiles` of the appended
+    * files past the cursor and records SUB-VERSION progress. The
+    * cursor is (fullVersion, partial): every append of versions ≤
+    * fullVersion consumed, plus the first `partial` fresh files of
+    * version fullVersion+1 — manifests are immutable and list files
+    * in sorted order, so the offset is stable across polls and
+    * processes. Same append-only contract as [[appendsBetween]]: a
+    * rewrite or a deletion-vector commit inside the traversed range
+    * fails loudly. Returns (batch, newCursor); a poll at the head
+    * returns an empty typed frame and the unchanged cursor. */
+  def pollAppends(spark: SparkSession, path: String,
+                  cursor: (Int, Int),
+                  maxFiles: Int): (DataFrame, (Int, Int)) = {
+    require(maxFiles >= 1, "maxFiles must be >= 1")
+    val (cv, cOff) = cursor
+    val head = latestVersion(spark, path)
+    require(head > 0, s"pollAppends on an empty lake at $path")
+    val base = path.stripSuffix("/")
+    var prevRels =
+      if (cv == 0) Set.empty[String]
+      else manifestEntries(spark, path, cv).map(_.rel).toSet
+    val picked = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+    var full = cv
+    var part = cOff
+    var v = cv
+    var lastTraversed = cv
+    while (picked.size < maxFiles && v < head) {
+      val next = v + 1
+      val nextEntries = manifestEntries(spark, path, next)
+      val nextRels = nextEntries.map(_.rel).toSet
+      val removed = prevRels -- nextRels
+      require(removed.isEmpty,
+        s"version $next is not append-only past the cursor: " +
+          s"${removed.size} file(s) replaced or dropped — read the " +
+          "change feed (changesBetween) instead")
+      val fresh = nextEntries.filterNot(e => prevRels.contains(e.rel))
+      require(!fresh.exists(_.kind == KindDv),
+        s"version $next committed deletion vectors (rows removed) — " +
+          "read the change feed (changesBetween) instead")
+      val skip = if (next == cv + 1) cOff else 0
+      val take = math.min(maxFiles - picked.size, fresh.size - skip)
+      picked ++= fresh.slice(skip, skip + take)
+      if (skip + take == fresh.size) { full = next; part = 0 }
+      else part = skip + take
+      lastTraversed = next
+      prevRels = nextRels
+      v = next
+    }
+    val out =
+      if (picked.isEmpty)
+        emptyOf(spark, path, math.max(lastTraversed, 1),
+          manifestEntries(spark, path, math.max(lastTraversed, 1))
+            .filter(_.kind == KindData))
+      else {
+        val reader = readSchema(spark, path, lastTraversed)
+          .fold(spark.read)(s => spark.read.schema(s))
+        reader.parquet(picked.toSeq.map(e => resolve(base, e.rel)): _*)
+      }
+    (out, (full, part))
+  }
+
   /** Drop every version's state — a fresh-lake reset for fixtures.
     * Also drops the path's txn cache: a reborn lake must not inherit
     * the old history's replay-dedup set. */

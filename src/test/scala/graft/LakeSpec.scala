@@ -1079,6 +1079,57 @@ class LakeSpec extends SparkSpec {
     assert(VersionedLake.versionAsOf(spark, lake, 120L) == 1)
   }
 
+  test("versioned lake: pollAppends admits at most maxFiles per poll " +
+      "with sub-version cursor progress, drains a commit burst to the " +
+      "same totals, and refuses rewrites/DVs") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_poll").toString
+    VersionedLake.reset(spark, lake)
+    // a burst of 3 append commits; commit 2 lands 4 files (4 tasks)
+    VersionedLake.commitAppend(
+      Seq((1L, "a", 1.0)).toDF("id", "part", "x").coalesce(1),
+      "part", lake)
+    VersionedLake.commitAppend(
+      (10L until 14L).map(i => (i, "a", i * 1.0)).toDF("id", "part", "x")
+        .repartition(4, $"id"), "part", lake)
+    VersionedLake.commitAppend(
+      Seq((2L, "b", 2.0)).toDF("id", "part", "x").coalesce(1),
+      "part", lake)
+    val latest = VersionedLake.latestVersion(spark, lake)
+    val totalFiles = VersionedLake.manifestFiles(spark, lake, latest).size
+    assert(totalFiles >= 5, s"burst staged $totalFiles files")
+    var cursor = (0, 0)
+    var polls = 0
+    var got = Set.empty[Long]
+    while (cursor != ((latest, 0))) {
+      val (batch, next) =
+        VersionedLake.pollAppends(spark, lake, cursor, maxFiles = 2)
+      assert(next != cursor, s"no progress at $cursor")
+      got ++= batch.select($"id").as[Long].collect()
+      cursor = next
+      polls += 1
+    }
+    assert(polls == (totalFiles + 1) / 2, s"$polls polls for $totalFiles")
+    assert(got == Set(1L, 2L) ++ (10L until 14L).toSet)
+    // a drained poll returns an empty frame and the unchanged cursor
+    val (none, same) =
+      VersionedLake.pollAppends(spark, lake, cursor, maxFiles = 2)
+    assert(none.count() == 0 && same == cursor)
+    // a mid-range partial poll resumes exactly where it stopped
+    val (b1, c1) = VersionedLake.pollAppends(spark, lake, (0, 0), 3)
+    val (b2, c2) = VersionedLake.pollAppends(spark, lake, c1, 100)
+    assert(c2 == ((latest, 0)))
+    assert((b1.select($"id").as[Long].collect().toSet ++
+      b2.select($"id").as[Long].collect().toSet) == got)
+    // rewrites and deletion vectors refuse, exactly like appendsBetween
+    VersionedLake.commitDelete(Seq((1L, "a")).toDF("id", "part"),
+      Seq("id"), "part", lake)
+    val ex = intercept[IllegalArgumentException] {
+      VersionedLake.pollAppends(spark, lake, cursor, 2)
+    }
+    assert(ex.getMessage.contains("deletion vectors"))
+  }
+
   test("unionByName with allowMissingColumns aligns evolved batches") {
     val v1 = Seq((1L, "alpha")).toDF("doc_id", "text")
     val v2 = Seq((2L, "en", "beta")).toDF("doc_id", "lang", "text") // reordered
