@@ -1368,6 +1368,62 @@ object SparkEntry {
       .withColumn("dv_retired_v3", lit(dvRetired))
   }
 
+  /** l24 — COLUMN-MAPPING schema evolution
+    * ([[graft.sources.VersionedLake.commitRenameColumn]] /
+    * [[graft.sources.VersionedLake.commitDropColumn]]): l16 handles
+    * ADD; rename/drop need id-based resolution (Delta columnMapping /
+    * Iceberg field ids) or a re-added name silently resurrects
+    * dropped bytes. Every commit's recorded schema carries stable
+    * column ids plus an era map (id → physical name at write time);
+    * reads resolve by id across eras. The fixture drives the full
+    * story on one lake: v2 RENAMES l_quantity→qty as a metadata-only
+    * commit (rename_zero_copy pins the file set is byte-identical);
+    * v3 restates February under the NEW name — the v3_renamed probe
+    * reads a MIXED-ERA file list (January/March physically named
+    * l_quantity, February qty) resolved by id; v4 DROPS qty and v5
+    * re-adds the name with different values — the v5_readd probe's
+    * n_qty counts ONLY the re-added rows (January/March read NULL:
+    * fresh id, old bytes dead — THE l24 pin), and the v1_evolved
+    * probe (version 1 under the latest schema, aligned by id) reads
+    * qty as all-NULL for the same reason. The oracle re-derives every
+    * probe from the original parquet by construction. */
+  private def l24(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedLake
+    val lake = s"/tmp/graft_cmlake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val li = ttSlimLineitem(s, d, dedupKeys = true)
+    VersionedLake.commitOverwrite(li, "month", lake)
+    VersionedLake.commitRenameColumn(s, lake, "l_quantity", "qty")
+    def rels(v: Int) =
+      VersionedLake.manifestFiles(s, lake, v).map(_.rel).toSet
+    val renameZeroCopy = rels(2) == rels(1)
+    val feb = li.filter(col("month") === "1997-02")
+    VersionedLake.commitUpsert( // v3: February restated under NEW name
+      feb.filter(col("l_linenumber") <= 4)
+        .withColumn("qty", col("l_quantity") + 1).drop("l_quantity"),
+      "month", lake)
+    VersionedLake.commitDropColumn(s, lake, "qty") // v4
+    VersionedLake.commitUpsert( // v5: the NAME re-added, fresh column
+      feb.filter(col("l_linenumber") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("month"),
+          col("l_linenumber").cast("double").as("qty")),
+      "month", lake)
+    def probe(name: String, df: DataFrame, qcol: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          coalesce(round(sum(col(qcol)), 2), lit(0.0)).as("sum_qty"),
+          sum(col("l_orderkey") * 7 + col("l_linenumber")).as("key_sig"),
+          count(col(qcol)).as("n_qty"))
+        .withColumn("probe", lit(name))
+    probe("v1", VersionedLake.readVersion(s, lake, 1), "l_quantity")
+      .unionByName(probe("v3_renamed",
+        VersionedLake.readVersion(s, lake, 3), "qty"))
+      .unionByName(probe("v5_readd",
+        VersionedLake.readLatest(s, lake), "qty"))
+      .unionByName(probe("v1_evolved",
+        VersionedLake.readVersionEvolved(s, lake, 1), "qty"))
+      .withColumn("rename_zero_copy", lit(renameZeroCopy))
+  }
+
   /** l12 — zone-map-pruned TIME-TRAVEL range query: l08's per-file
     * (lo, hi) skipping stats carried IN l09's version manifests
     * ([[graft.sources.VersionedLake.FileEntry]] — the Iceberg
@@ -5819,6 +5875,7 @@ object SparkEntry {
     "l21_restore" -> (l21 _),
     "l22_append_feed" -> (l22 _),
     "l23_deletion_vectors" -> (l23 _),
+    "l24_column_mapping" -> (l24 _),
     "c13_split_decontam" -> (c13 _),
     "c14_weighted_sample" -> (c14 _),
     "t33_cdc_chunking" -> (t33 _),
@@ -8430,6 +8487,54 @@ object SparkEntry {
         |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
         |  TRUE, TRUE, TRUE
         |FROM s2""".stripMargin,
+    // l24: every probe re-derived from the construction — v3 mixes
+    // January/March (old physical name, values pass through the id
+    // map) with the +1 February restatement; v5's January/March read
+    // NULL for the re-added qty (fresh id — no resurrection), so
+    // n_qty counts only the new February rows; v1_evolved is all-NULL
+    "l24_column_mapping" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity,
+        |    min(strftime(l_shipdate, '%Y-%m')) AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'
+        |  GROUP BY 1, 2),
+        |jm AS (SELECT * FROM li WHERE month <> '1997-02'),
+        |v3 AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity AS qty FROM jm
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 1 FROM li
+        |  WHERE month = '1997-02' AND l_linenumber <= 4),
+        |v5 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(NULL AS DOUBLE) AS qty FROM jm
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_linenumber AS DOUBLE) FROM li
+        |  WHERE month = '1997-02' AND l_linenumber <= 2)
+        |SELECT 'v1' AS probe, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  count(l_quantity) AS n_qty, TRUE AS rename_zero_copy
+        |FROM li
+        |UNION ALL
+        |SELECT 'v3_renamed', count(*), round(sum(qty), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  count(qty), TRUE
+        |FROM v3
+        |UNION ALL
+        |SELECT 'v5_readd', count(*),
+        |  round(coalesce(sum(qty), 0), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  count(qty), TRUE
+        |FROM v5
+        |UNION ALL
+        |SELECT 'v1_evolved', count(*), CAST(0.0 AS DOUBLE),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  CAST(0 AS BIGINT), TRUE
+        |FROM li""".stripMargin,
     // the Bloom prune is output-invisible by construction (false
     // positives die in the exact join), so the oracle is the PLAIN join
     "q38_bloom_join" ->

@@ -109,7 +109,8 @@ object VersionedLake {
   final case class FileEntry(part: String, rel: String,
                              lo: Option[Long] = None,
                              hi: Option[Long] = None,
-                             kind: String = "data")
+                             kind: String = "data",
+                             era: Option[Int] = None)
 
   private val KindData = "data"
   private val KindDv = "dv"
@@ -138,14 +139,28 @@ object VersionedLake {
   private def manifestEntries(spark: SparkSession, path: String,
                               v: Int): Seq[FileEntry] =
     readManifestText(spark, path, v).linesIterator.drop(1)
-      .filter(l => l.nonEmpty && !l.startsWith("schema="))
+      .filter(l => l.nonEmpty && !l.startsWith("schema=") &&
+        !l.startsWith("colmap="))
       .map { line =>
+        // a trailing `E<k>` field is the entry's WRITE ERA (the
+        // version whose schema its file was physically written under
+        // — column-mapping provenance, [[readColmaps]]); unambiguous
+        // against stats (numeric) and the DV marker ("D")
+        def era(t: String): Option[Int] =
+          if (t.startsWith("E")) Some(t.drop(1).toInt) else None
         line.split('\t') match {
           case Array(part, rel) => FileEntry(part, rel)
           case Array(part, rel, "D") =>
             FileEntry(part, rel, kind = KindDv)
+          case Array(part, rel, "D", e) if era(e).isDefined =>
+            FileEntry(part, rel, kind = KindDv, era = era(e))
+          case Array(part, rel, e) if era(e).isDefined =>
+            FileEntry(part, rel, era = era(e))
           case Array(part, rel, lo, hi) =>
             FileEntry(part, rel, Some(lo.toLong), Some(hi.toLong))
+          case Array(part, rel, lo, hi, e) if era(e).isDefined =>
+            FileEntry(part, rel, Some(lo.toLong), Some(hi.toLong),
+              era = era(e))
           case other => throw new IllegalArgumentException(
             s"malformed manifest line: ${other.mkString("\\t")}")
         }
@@ -166,6 +181,63 @@ object VersionedLake {
       org.apache.spark.sql.types.DataType.fromJson(json)
         .asInstanceOf[StructType]
   }
+
+  /** COLUMN-MAPPING provenance (l24 — the Delta `columnMapping` /
+    * Iceberg field-id shape): each data-writing commit records, under
+    * `colmap=<era>`, the map from stable column id (`gid`, carried in
+    * the recorded schema's field metadata) to the PHYSICAL column
+    * name its files were written with. Reads resolve by id
+    * ([[mappedRead]]), so a RENAME is a metadata commit (physical
+    * names never change) and a DROPPED-then-RE-ADDED name gets a
+    * fresh id — old files' bytes under the same name can never
+    * resurrect. Era maps for eras still referenced carry forward in
+    * every manifest. */
+  private def readColmaps(spark: SparkSession, path: String,
+                          v: Int): Map[Int, Map[Long, String]] =
+    readManifestText(spark, path, v).linesIterator.drop(1)
+      .filter(_.startsWith("colmap="))
+      .map { l =>
+        val fields = l.stripPrefix("colmap=").split('\t')
+        val era = fields.head.toInt
+        era -> fields.tail.map { kv =>
+          val i = kv.indexOf('=')
+          kv.take(i).toLong -> kv.drop(i + 1)
+        }.toMap
+      }.toMap
+
+  /** The `gid` recorded in a field's metadata (absent on legacy /
+    * externally-authored schemas — those resolve by name). */
+  private def gidOf(f: org.apache.spark.sql.types.StructField)
+      : Option[Long] =
+    if (f.metadata.contains("gid")) Some(f.metadata.getLong("gid"))
+    else None
+
+  /** `schema` with every field carrying a stable column id: names
+    * matching a field of `prev` INHERIT its id (same column), new
+    * names mint fresh ids past `floor` AND past every id in `prev` —
+    * so a name dropped and re-added is a NEW column by construction.
+    * The caller passes the max id across the CARRIED COLMAPS as
+    * `floor`: a dropped column leaves the logical schema but its id
+    * lives on in still-referenced eras' maps, and re-minting it would
+    * resurrect exactly the bytes the drop retired. */
+  private def assignGids(prev: Option[StructType],
+                         schema: StructType,
+                         floor: Long = 0L): StructType = {
+    val prevByName = prev.map(_.fields.flatMap(f =>
+      gidOf(f).map(g => f.name -> g)).toMap).getOrElse(Map.empty)
+    var next = math.max(floor,
+      prev.map(_.fields.flatMap(gidOf(_)).foldLeft(0L)(math.max))
+        .getOrElse(0L))
+    StructType(schema.fields.map { f =>
+      val g = prevByName.getOrElse(f.name, { next += 1; next })
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putLong("gid", g).build())
+    })
+  }
+
+  /** gid -> physical name for a commit writing `schema`'s columns. */
+  private def colmapOf(schema: StructType): Map[Long, String] =
+    schema.fields.flatMap(f => gidOf(f).map(_ -> f.name)).toMap
 
   private def readManifestHeader(spark: SparkSession, path: String,
                                  v: Int): String =
@@ -194,7 +266,9 @@ object VersionedLake {
                                schemaJson: String,
                                entries: Seq[FileEntry],
                                txn: Option[Long],
-                               ts: Option[Long]): Boolean = {
+                               ts: Option[Long],
+                               colmaps: Map[Int, Map[Long, String]] =
+                                 Map.empty): Boolean = {
     val f = fs(spark, path)
     f.mkdirs(logDir(path))
     val mf = manifestPath(path, v)
@@ -202,14 +276,23 @@ object VersionedLake {
     val head = s"version=$v op=$op dir=$dirToken" +
       txn.map(t => s" txn=$t").getOrElse("") +
       ts.map(t => s" ts=$t").getOrElse("")
-    val body = (head +: s"schema=$schemaJson" +:
+    // only colmaps of eras the entries still reference ride along —
+    // the manifest stays self-contained (vacuum-safe) without growing
+    // past the number of LIVE schema eras
+    val liveEras = entries.flatMap(_.era).toSet
+    val colmapLines = colmaps.view.filterKeys(liveEras).toSeq
+      .sortBy(_._1).map { case (era, m) =>
+        s"colmap=$era" + m.toSeq.sortBy(_._1)
+          .map { case (g, n) => s"\t$g=$n" }.mkString
+      }
+    val body = ((head +: s"schema=$schemaJson" +: colmapLines) ++
       entries.sortBy(e => (e.part, e.rel)).map { e =>
         s"${e.part}\t${e.rel}" + (
           if (e.kind == KindDv) "\tD"
           else (e.lo, e.hi) match {
             case (Some(l), Some(h)) => s"\t$l\t$h"
             case _ => ""
-          })
+          }) + e.era.fold("")(k => s"\tE$k")
       }).mkString("\n")
     val tmp = new Path(logDir(path),
       s"${"%06d".format(v)}.manifest.tmp-${uniq()}")
@@ -547,18 +630,38 @@ object VersionedLake {
       // frame — so the recorded TABLE schema carries forward from the
       // claimed base (re-resolved per rebase so a disjoint evolving
       // winner's schema is honored), bootstrapping from a data footer
-      // for pre-schema manifests
-      val schemaJson =
-        if (mode != Mode.Delete) df.schema.json
-        else readSchema(spark, path, base).map(_.json).getOrElse {
-          val ds = kept.filter(_.kind == KindData)
-          require(ds.nonEmpty,
-            s"delete against version $base with no data files at $path")
-          spark.read.parquet(
-            resolve(path.stripSuffix("/"), ds.head.rel)).schema.json
+      // for pre-schema manifests. Data-writing commits record their
+      // schema WITH stable column ids (inherited by name from the
+      // base, fresh for new names — [[assignGids]]) plus this era's
+      // id->physical-name map; carried colmaps ride forward.
+      val baseColmaps =
+        if (base == 0) Map.empty[Int, Map[Long, String]]
+        else readColmaps(spark, path, base)
+      val (schemaJson, colmaps) =
+        if (mode == Mode.Delete) {
+          val sj = readSchema(spark, path, base).map(_.json).getOrElse {
+            val ds = kept.filter(_.kind == KindData)
+            require(ds.nonEmpty,
+              s"delete against version $base with no data files at $path")
+            spark.read.parquet(
+              resolve(path.stripSuffix("/"), ds.head.rel)).schema.json
+          }
+          (sj, baseColmaps)
+        } else {
+          val gs = assignGids(
+            if (base == 0) None else readSchema(spark, path, base),
+            df.schema,
+            baseColmaps.values.flatMap(_.keys).foldLeft(0L)(math.max))
+          (gs.json, baseColmaps + (k -> colmapOf(gs)))
         }
+      // fresh DATA entries carry this commit's era (the schema their
+      // files were physically written under); DV sidecars are era-free
+      val freshTagged =
+        if (mode == Mode.Delete) fresh
+        else fresh.map(_.copy(era = Some(k)))
       if (tryWriteManifest(spark, path, k, mode.toString.toLowerCase,
-          token, schemaJson, kept ++ fresh, txn, commitTs))
+          token, schemaJson, kept ++ freshTagged, txn, commitTs,
+          colmaps))
         return k
       // lost the version claim: loop re-reads the head and rebases
     }
@@ -686,25 +789,91 @@ object VersionedLake {
       : org.apache.spark.sql.Column =
     regexp_extract(c, "^.*/(data/[^/]+/[^/]+/[^/]+)$", 1)
 
-  /** Read `data` files with `dvs` deletion vectors anti-folded: each
-    * DV row (__file, __pos) kills one physical position. The DV side
-    * is deleted-row-sized — Spark's size estimation broadcasts the
-    * anti-join when small (the common takedown case); at larger DV
-    * sizes it shuffles on (__file, __pos), never on row payloads. */
-  private def foldDeletes(spark: SparkSession, base: String,
-                          data: Seq[FileEntry], dvs: Seq[FileEntry],
-                          schema: Option[StructType]): DataFrame = {
-    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
-    val df = reader.parquet(data.map(e => resolve(base, e.rel)): _*)
-    if (dvs.isEmpty) df
-    else {
-      val dv = spark.read
-        .parquet(dvs.map(e => resolve(base, e.rel)): _*)
-        .select(col("__file"), col("__pos"))
-      df.withColumn("__file", relExpr(col("_metadata.file_path")))
-        .withColumn("__pos", col("_metadata.row_index"))
-        .join(dv, Seq("__file", "__pos"), "left_anti")
-        .drop("__file", "__pos")
+  /** THE versioned read core: `data` files of version `v` read under
+    * the version's logical schema with COLUMN-MAPPING resolution and
+    * `dvs` deletion vectors anti-folded.
+    *
+    * Column mapping ([[readColmaps]]): when every referenced era's
+    * map agrees with the logical names (no rename crossed, no
+    * dropped-name reuse), the fast path is ONE recorded-schema scan —
+    * byte-identical plans to a mapping-free lake, which is every lake
+    * until its first RENAME/DROP. Otherwise files group by write era,
+    * each group reads under its PHYSICAL schema (id-resolved names,
+    * logical types — pushdown still reaches the scan) and projects to
+    * the logical names, NULL-filling ids that era never wrote; groups
+    * union. A name re-added after a DROP carries a fresh id absent
+    * from old eras' maps, so old bytes can never resurrect (l24).
+    *
+    * DV fold: each DV row (__file, __pos) kills one physical
+    * position. The DV side is deleted-row-sized — Spark's size
+    * estimation broadcasts the anti-join when small (the common
+    * takedown case); at larger DV sizes it shuffles on
+    * (__file, __pos), never on row payloads. `withMeta` keeps the
+    * (__file, __pos) columns in the output — [[commitDelete]]'s
+    * DV-computation read. */
+  private def mappedRead(spark: SparkSession, path: String, v: Int,
+                         data: Seq[FileEntry], dvs: Seq[FileEntry],
+                         withMeta: Boolean = false): DataFrame = {
+    val base = path.stripSuffix("/")
+    def foldAndMeta(df: DataFrame): DataFrame = {
+      if (dvs.isEmpty && !withMeta) df
+      else {
+        val withM = df
+          .withColumn("__file", relExpr(col("_metadata.file_path")))
+          .withColumn("__pos", col("_metadata.row_index"))
+        val folded =
+          if (dvs.isEmpty) withM
+          else withM.join(
+            spark.read.parquet(dvs.map(e => resolve(base, e.rel)): _*)
+              .select(col("__file"), col("__pos")),
+            Seq("__file", "__pos"), "left_anti")
+        if (withMeta) folded else folded.drop("__file", "__pos")
+      }
+    }
+    val logicalOpt = readSchema(spark, path, v)
+    val colmaps = readColmaps(spark, path, v)
+    val eras = data.flatMap(_.era).distinct
+      .map(e => colmaps.getOrElse(e, Map.empty[Long, String]))
+    val identity = logicalOpt.forall { lg =>
+      val withG = lg.fields.flatMap(f => gidOf(f).map(g => (g, f.name)))
+      eras.forall(m => withG.forall { case (g, n) =>
+        m.get(g).forall(_ == n) &&
+          !m.exists { case (g2, n2) => n2 == n && g2 != g }
+      })
+    }
+    if (identity) {
+      val reader = logicalOpt.fold(spark.read)(s => spark.read.schema(s))
+      foldAndMeta(reader.parquet(data.map(e => resolve(base, e.rel)): _*))
+    } else {
+      val logical = logicalOpt.get // non-identity implies a schema
+      val metaCols =
+        if (withMeta) Seq(col("__file"), col("__pos")) else Nil
+      data.groupBy(_.era).toSeq.sortBy(_._1.getOrElse(0))
+        .map { case (eraOpt, es) =>
+          val files = es.map(e => resolve(base, e.rel))
+          eraOpt match {
+            case None =>
+              // pre-mapping entries resolve by NAME (legacy semantics)
+              foldAndMeta(spark.read.schema(logical).parquet(files: _*))
+            case Some(e) =>
+              val m = colmaps.getOrElse(e, Map.empty[Long, String])
+              // physical read schema: this era's name for each logical
+              // id (logical types — rename/drop only, never re-type)
+              def physName(f: org.apache.spark.sql.types.StructField)
+                  : Option[String] =
+                gidOf(f).fold(Option(f.name))(m.get)
+              val phys = StructType(logical.fields.flatMap(f =>
+                physName(f).map(pn => f.copy(name = pn))))
+              val df = foldAndMeta(
+                spark.read.schema(phys).parquet(files: _*))
+              df.select(logical.fields.toIndexedSeq.map { f =>
+                physName(f) match {
+                  case Some(pn) => col(pn).cast(f.dataType).as(f.name)
+                  case None => lit(null).cast(f.dataType).as(f.name)
+                }
+              } ++ metaCols: _*)
+          }
+        }.reduce(_.unionByName(_))
     }
   }
 
@@ -742,7 +911,6 @@ object VersionedLake {
     val spark = keys.sparkSession
     val v = fromVersion.getOrElse(latestVersion(spark, path))
     require(v > 0, "commitDelete needs an existing version")
-    val base = path.stripSuffix("/")
     // partition-count-sized collect: planning metadata
     val parts = keys.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
@@ -752,18 +920,9 @@ object VersionedLake {
     if (touched.isEmpty) return v
     val data = all.filter(e => e.kind == KindData && touched(e.part))
     val dvs = all.filter(e => e.kind == KindDv && touched(e.part))
-    val reader = readSchema(spark, path, v)
-      .fold(spark.read)(s => spark.read.schema(s))
-    val rows = reader
-      .parquet(data.map(e => resolve(base, e.rel)): _*)
-      .withColumn("__file", relExpr(col("_metadata.file_path")))
-      .withColumn("__pos", col("_metadata.row_index"))
-    val live =
-      if (dvs.isEmpty) rows
-      else rows.join(
-        spark.read.parquet(dvs.map(e => resolve(base, e.rel)): _*)
-          .select(col("__file"), col("__pos")),
-        Seq("__file", "__pos"), "left_anti")
+    // mapped + DV-folded read with (__file, __pos) kept: keyCols are
+    // LOGICAL names, already-dead rows are never re-marked
+    val live = mappedRead(spark, path, v, data, dvs, withMeta = true)
     val newDv = live
       .join(keys.select(keyCols.map(col): _*), keyCols, "left_semi")
       .select(col("__file"), col("__pos"), col(partCol))
@@ -827,16 +986,14 @@ object VersionedLake {
       // one clustered frame per fragmented value: the partitioned
       // write then lands exactly targetFilesPerPart files each — the
       // l07/compactAll one-task-per-value discipline on this log
-      val base = path.stripSuffix("/")
-      val schema = readSchema(spark, path, v)
       val cluster: Option[org.apache.spark.sql.Column] = zorderBy match {
         case Seq() => None
         case Seq(a) => Some(col(a))
         case Seq(a, b) => Some(graft.plans.ZOrder2.zorder2(col(a), col(b)))
       }
       val merged = byPart.toSeq.sortBy(_._1).map { case (_, es) =>
-        val df = foldDeletes(spark, base, es.filter(_.kind == KindData),
-          es.filter(_.kind == KindDv), schema)
+        val df = mappedRead(spark, path, v,
+          es.filter(_.kind == KindData), es.filter(_.kind == KindDv))
         cluster match {
           case None => df.coalesce(1)
           case Some(ck) => df
@@ -890,8 +1047,8 @@ object VersionedLake {
         .filter(e => churned.contains(e.part))
       val data = es.filter(_.kind == KindData)
       if (data.isEmpty) None
-      else Some(foldDeletes(spark, base, data,
-          es.filter(_.kind == KindDv), readSchema(spark, path, v))
+      else Some(mappedRead(spark, path, v, data,
+          es.filter(_.kind == KindDv))
         .select((keyCols.map(col) :+
           col(valueCol).as(s"${valueCol}_$alias") :+
           lit(true).as(s"__in_$alias")): _*))
@@ -1062,7 +1219,6 @@ object VersionedLake {
     def want(e: FileEntry) = parts.isEmpty || parts.contains(e.part)
     val wanted = entries.filter(want)
     val dvs = all.filter(e => e.kind == KindDv && want(e))
-    val base = path.stripSuffix("/")
     if (wanted.isEmpty) emptyOf(spark, path, v, entries)
     else
       // read under the manifest's RECORDED schema: a version whose
@@ -1071,8 +1227,9 @@ object VersionedLake {
       // takes one file's footer and silently DROPS columns the other
       // files carry (parquet back-fills missing columns as NULL, the
       // l04 semantics). Pre-schema manifests read footer-derived.
-      // Deletion vectors anti-fold on top ([[commitDelete]]).
-      foldDeletes(spark, base, wanted, dvs, readSchema(spark, path, v))
+      // Deletion vectors anti-fold and column mapping resolves on
+      // top ([[commitDelete]], [[mappedRead]]).
+      mappedRead(spark, path, v, wanted, dvs)
   }
 
   /** Time-travel read of version `v` UNDER THE LATEST SCHEMA: columns
@@ -1086,11 +1243,22 @@ object VersionedLake {
     val latest = latestVersion(spark, path)
     val target = readSchema(spark, path, latest).getOrElse(
       readVersion(spark, path, latest).schema)
+    val oldSchema = readSchema(spark, path, v).getOrElse(
+      readVersion(spark, path, v).schema)
     val old = readVersion(spark, path, v, parts)
+    // alignment is BY COLUMN ID when both sides carry ids (a rename
+    // between v and latest still lines up; a dropped-then-re-added
+    // name does NOT — fresh id, NULL at v), by name for legacy lakes
+    val oldByGid = oldSchema.fields
+      .flatMap(f => gidOf(f).map(_ -> f.name)).toMap
     val have = old.columns.toSet
     old.select(target.fields.toIndexedSeq.map { fd =>
-      if (have(fd.name)) col(fd.name).cast(fd.dataType).as(fd.name)
-      else lit(null).cast(fd.dataType).as(fd.name)
+      val src = gidOf(fd) match {
+        case Some(g) if oldByGid.nonEmpty => oldByGid.get(g)
+        case _ => Some(fd.name).filter(have)
+      }
+      src.fold(lit(null).cast(fd.dataType).as(fd.name))(n =>
+        col(n).cast(fd.dataType).as(fd.name))
     }: _*)
   }
 
@@ -1121,14 +1289,13 @@ object VersionedLake {
     // never match. Matched/total counts stay DATA-file counts.
     val dvs = all.filter(e => e.kind == KindDv &&
       wanted.exists(_.part == e.part))
-    val base = path.stripSuffix("/")
     val reader =
       if (wanted.isEmpty) emptyOf(spark, path, v, entries)
       else
         // recorded-schema read, same reason as readVersion: a pruned
         // file list mixing pre- and post-evolution commits must not
         // silently drop the evolved column to one footer's schema
-        foldDeletes(spark, base, wanted, dvs, readSchema(spark, path, v))
+        mappedRead(spark, path, v, wanted, dvs)
     (reader, wanted.size.toLong, entries.size.toLong)
   }
 
@@ -1189,11 +1356,78 @@ object VersionedLake {
       // the auditability the verb exists for
       if (tryWriteManifest(spark, path, k, "restore",
           s"restore-of-${"%06d".format(v)}", schemaJson, entries, None,
-          commitTs))
+          commitTs, readColmaps(spark, path, v)))
         return k
     }
     throw new java.util.ConcurrentModificationException(
       s"restore retry budget exhausted at $path")
+  }
+
+  /** RENAME COLUMN (l24 — Delta's `ALTER TABLE ... RENAME COLUMN`
+    * under column mapping): a METADATA-ONLY commit — every file
+    * carries forward by pointer, the recorded schema renames the
+    * field while its stable id stays, and since reads resolve by id
+    * through each era's colmap ([[mappedRead]]), every existing file
+    * (physically written under the old name) surfaces the new name
+    * with zero bytes rewritten. Time travel to a pre-rename version
+    * still shows the old name (its manifest's schema). Subsequent
+    * commits write the NEW name and inherit the same id by name.
+    * Returns the new version number. */
+  def commitRenameColumn(spark: SparkSession, path: String,
+                         oldName: String, newName: String,
+                         commitTs: Option[Long] = None): Int =
+    commitSchemaChange(spark, path, "rename", commitTs) { schema =>
+      require(schema.fieldNames.contains(oldName),
+        s"no column $oldName at $path")
+      require(!schema.fieldNames.contains(newName),
+        s"column $newName already exists at $path")
+      StructType(schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+    }
+
+  /** DROP COLUMN (l24): a metadata-only commit removing the field
+    * from the logical schema — the bytes stay in the files but no
+    * read resolves them, and a LATER re-add of the same name mints a
+    * FRESH column id ([[assignGids]]), so the orphaned bytes can
+    * never resurrect under the reused name (the l24 pin). Time travel
+    * to a pre-drop version still reads the column. Returns the new
+    * version number. */
+  def commitDropColumn(spark: SparkSession, path: String, name: String,
+                       commitTs: Option[Long] = None): Int =
+    commitSchemaChange(spark, path, "drop", commitTs) { schema =>
+      require(schema.fieldNames.contains(name),
+        s"no column $name at $path")
+      require(schema.fields.length > 1,
+        s"cannot drop the last column of $path")
+      StructType(schema.fields.filterNot(_.name == name))
+    }
+
+  /** Shared claim loop for metadata-only schema commits: entries and
+    * colmaps carry forward verbatim from the head (re-read per rebase
+    * attempt), only the recorded schema changes. Requires an id-carrying
+    * schema (every commit records one since column mapping landed). */
+  private def commitSchemaChange(spark: SparkSession, path: String,
+                                 op: String, commitTs: Option[Long])
+                                (change: StructType => StructType): Int = {
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      val v = latestVersion(spark, path)
+      require(v > 0, s"$op needs an existing version at $path")
+      val schema = readSchema(spark, path, v).getOrElse(
+        throw new IllegalStateException(
+          s"$op requires a schema-recording manifest at $path"))
+      require(schema.fields.forall(f => gidOf(f).isDefined),
+        s"$op requires column ids in the recorded schema at $path " +
+          "(commit once with this library version first)")
+      val entries = manifestEntries(spark, path, v)
+      if (tryWriteManifest(spark, path, v + 1, op, s"$op-${uniq()}",
+          change(schema).json, entries, None, commitTs,
+          readColmaps(spark, path, v)))
+        return v + 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"$op retry budget exhausted at $path")
   }
 
   /** SHALLOW CLONE (Delta's CLONE verb): materialize version `v` of
@@ -1274,7 +1508,8 @@ object VersionedLake {
       }
     require(tryWriteManifest(spark, dstPath, 1,
       if (deep) "deepclone" else "clone", s"clone-of-$srcBase@$v",
-      schemaJson, cloned, None, None),
+      schemaJson, cloned, None, None,
+      readColmaps(spark, srcPath, v)),
       s"clone target $dstPath already has a version 1")
     1
   }
@@ -1311,14 +1546,12 @@ object VersionedLake {
         "deletion-vector file(s) were committed (rows removed) — " +
         "read the change feed (changesBetween) instead")
     val fresh = freshAll
-    val base = path.stripSuffix("/")
     if (fresh.isEmpty)
       emptyOf(spark, path, vTo, toEntries.filter(_.kind == KindData))
-    else {
-      val reader = readSchema(spark, path, vTo)
-        .fold(spark.read)(s => spark.read.schema(s))
-      reader.parquet(fresh.map(e => resolve(base, e.rel)): _*)
-    }
+    else
+      // mapped read: the fresh files may span a rename (id-resolved
+      // to vTo's logical names); no DVs by the append-only check
+      mappedRead(spark, path, vTo, fresh, Seq.empty)
   }
 
   /** ADMISSION-CONTROLLED streaming-source poll (Delta's
@@ -1341,7 +1574,6 @@ object VersionedLake {
     val (cv, cOff) = cursor
     val head = latestVersion(spark, path)
     require(head > 0, s"pollAppends on an empty lake at $path")
-    val base = path.stripSuffix("/")
     var prevRels =
       if (cv == 0) Set.empty[String]
       else manifestEntries(spark, path, cv).map(_.rel).toSet
@@ -1377,11 +1609,8 @@ object VersionedLake {
         emptyOf(spark, path, math.max(lastTraversed, 1),
           manifestEntries(spark, path, math.max(lastTraversed, 1))
             .filter(_.kind == KindData))
-      else {
-        val reader = readSchema(spark, path, lastTraversed)
-          .fold(spark.read)(s => spark.read.schema(s))
-        reader.parquet(picked.toSeq.map(e => resolve(base, e.rel)): _*)
-      }
+      else
+        mappedRead(spark, path, lastTraversed, picked.toSeq, Seq.empty)
     (out, (full, part))
   }
 

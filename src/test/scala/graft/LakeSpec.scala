@@ -1079,6 +1079,76 @@ class LakeSpec extends SparkSpec {
     assert(VersionedLake.versionAsOf(spark, lake, 120L) == 1)
   }
 
+  test("versioned lake COLUMN MAPPING: rename is metadata-only and " +
+      "resolves old files by id; a dropped-then-re-added name never " +
+      "resurrects old data") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_cm").toString
+    VersionedLake.reset(spark, lake)
+    VersionedLake.commitOverwrite(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "part", "x"),
+      "part", lake)
+    val filesV1 = VersionedLake.manifestFiles(spark, lake, 1)
+      .map(_.rel).toSet
+    // RENAME x -> y: zero bytes move
+    assert(VersionedLake.commitRenameColumn(spark, lake, "x", "y") == 2)
+    assert(VersionedLake.manifestFiles(spark, lake, 2)
+      .map(_.rel).toSet == filesV1, "metadata-only commit")
+    val latest = VersionedLake.readLatest(spark, lake)
+    assert(latest.columns.toSeq == Seq("id", "part", "y"))
+    assert(latest.select($"id", $"y").as[(Long, Double)].collect()
+      .toSet == Set((1L, 10.0), (2L, 20.0)),
+      "old files' x surfaces as y (id-resolved)")
+    // time travel: the pre-rename version still shows the old name
+    assert(VersionedLake.readVersion(spark, lake, 1)
+      .columns.toSeq == Seq("id", "part", "x"))
+    // a post-rename commit writes the NEW name; mixed-era reads align
+    VersionedLake.commitAppend(
+      Seq((3L, "a", 30.0)).toDF("id", "part", "y"), "part", lake)
+    assert(VersionedLake.readLatest(spark, lake)
+      .select($"id", $"y").as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // evolved time travel aligns BY ID across the rename
+    assert(VersionedLake.readVersionEvolved(spark, lake, 1)
+      .select($"id", $"y").as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.0), (2L, 20.0)))
+
+    // DROP y, then RE-ADD the name: fresh id, old bytes stay dead
+    VersionedLake.commitDropColumn(spark, lake, "y")
+    assert(VersionedLake.readLatest(spark, lake)
+      .columns.toSeq == Seq("id", "part"))
+    VersionedLake.commitAppend(
+      Seq((4L, "b", 99.0)).toDF("id", "part", "y"), "part", lake)
+    val reborn = VersionedLake.readLatest(spark, lake)
+      .select($"id", $"y").as[(Long, Option[Double])].collect().toSet
+    assert(reborn == Set((1L, None), (2L, None), (3L, None),
+      (4L, Some(99.0))),
+      s"re-added y must NOT resurrect old values: $reborn")
+    // the streaming cursor reads the whole history id-resolved
+    val feed = VersionedLake.appendsBetween(spark, lake,
+      0, VersionedLake.latestVersion(spark, lake))
+    assert(feed.select($"id", $"y").as[(Long, Option[Double])]
+      .collect().toSet == reborn)
+    // deletion vectors compose with mapping: delete id 2 by key
+    VersionedLake.commitDelete(Seq((2L, "b")).toDF("id", "part"),
+      Seq("id"), "part", lake)
+    assert(VersionedLake.readLatest(spark, lake)
+      .select($"id").as[Long].collect().toSet == Set(1L, 3L, 4L))
+    // OPTIMIZE rewrites to the CURRENT physical names — after it the
+    // whole lake is single-era again (and the DVs are gone)
+    val vOpt = VersionedLake.commitOptimize(spark, lake, "part")
+    assert(VersionedLake.readVersion(spark, lake, vOpt)
+      .select($"id", $"y").as[(Long, Option[Double])].collect().toSet ==
+      Set((1L, None), (3L, None), (4L, Some(99.0))))
+    // rename of a missing / colliding name fails loudly
+    intercept[IllegalArgumentException] {
+      VersionedLake.commitRenameColumn(spark, lake, "nope", "z")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedLake.commitRenameColumn(spark, lake, "y", "id")
+    }
+  }
+
   test("versioned lake: pollAppends admits at most maxFiles per poll " +
       "with sub-version cursor progress, drains a commit burst to the " +
       "same totals, and refuses rewrites/DVs") {
