@@ -1327,6 +1327,29 @@ object VersionedLake {
                parts: Seq[String] = Seq.empty): DataFrame =
     readVersion(spark, path, versionAsOf(spark, path, ts), parts)
 
+  /** CROSS-LAKE snapshot coordination: the latest coordinator
+    * timestamp at which EVERY listed lake is complete — the min over
+    * lakes of each lake's max stamped commit. Transactions here are
+    * single-table ([[doCommit]]); a coordinator spanning tables
+    * commits each lake in turn with ONE shared `commitTs`, and
+    * readers resolve every lake [[readAsOf]] this bound: a crash
+    * between lake A's commit and lake B's leaves A's newest stamp
+    * ahead of B's max, so the half-landed instant stays INVISIBLE to
+    * coordinated readers (A resolves back to the last complete ts)
+    * until recovery replays B's commit and the bound advances — the
+    * two-phase-commit read rule with the commit log as the vote
+    * ledger. Requires monotone coordinator stamps; loud if a lake has
+    * no stamped commit yet. */
+  def coordinatedTs(spark: SparkSession, paths: Seq[String]): Long = {
+    require(paths.nonEmpty, "coordinatedTs needs at least one lake")
+    paths.map { p =>
+      val stamped = versions(spark, p).flatMap(v =>
+        headerAttr(readManifestHeader(spark, p, v), "ts").map(_.toLong))
+      require(stamped.nonEmpty, s"no ts-stamped commit at $p")
+      stamped.max
+    }.min
+  }
+
   /** Read the newest version. */
   def readLatest(spark: SparkSession, path: String,
                  parts: Seq[String] = Seq.empty): DataFrame =

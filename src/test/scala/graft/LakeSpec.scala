@@ -1200,6 +1200,59 @@ class LakeSpec extends SparkSpec {
     assert(ex.getMessage.contains("deletion vectors"))
   }
 
+  test("two-lake coordinated snapshots: a mid-sequence crash leaves " +
+      "the half-landed instant invisible to coordinated readers; " +
+      "recovery advances the bound") {
+    import graft.sources.VersionedLake
+    val a = java.nio.file.Files.createTempDirectory("lake_txa").toString
+    val b = java.nio.file.Files.createTempDirectory("lake_txb").toString
+    Seq(a, b).foreach(VersionedLake.reset(spark, _))
+    // invariant per coordinator instant: lake A holds per-order
+    // header rows carrying n_lines; lake B holds the lines — the sum
+    // of A.n_lines must equal B's row count at EVERY consistent read
+    def commitPair(ts: Long, orders: Seq[(Long, Int)],
+                   crashBeforeB: Boolean = false): Unit = {
+      VersionedLake.commitAppend(
+        orders.toDF("o_id", "n_lines").withColumn("part", lit("h")),
+        "part", a, commitTs = Some(ts))
+      if (!crashBeforeB)
+        VersionedLake.commitAppend(
+          orders.flatMap { case (o, n) => (1 to n).map(l => (o, l)) }
+            .toDF("o_id", "line").withColumn("part", lit("l")),
+          "part", b, commitTs = Some(ts))
+    }
+    def consistentAt(ts: Long): Boolean = {
+      val nA = VersionedLake.readAsOf(spark, a, ts)
+        .agg(sum($"n_lines")).head.getLong(0)
+      val nB = VersionedLake.readAsOf(spark, b, ts).count()
+      nA == nB
+    }
+    commitPair(100L, Seq((1L, 2), (2L, 3)))
+    commitPair(200L, Seq((3L, 1)))
+    assert(VersionedLake.coordinatedTs(spark, Seq(a, b)) == 200L)
+    assert(consistentAt(200L) && consistentAt(100L))
+    // CRASH between A's commit and B's: the ts=300 instant is torn
+    commitPair(300L, Seq((4L, 5)), crashBeforeB = true)
+    // naive latest-of-each reads ARE inconsistent (the motivation)
+    assert(VersionedLake.readLatest(spark, a)
+      .agg(sum($"n_lines")).head.getLong(0) !=
+      VersionedLake.readLatest(spark, b).count())
+    // the coordinated bound stays at the last COMPLETE instant, and
+    // reading both lakes AS OF it is consistent — the torn instant is
+    // invisible
+    val bound = VersionedLake.coordinatedTs(spark, Seq(a, b))
+    assert(bound == 200L, s"bound $bound")
+    assert(consistentAt(bound))
+    // recovery replays B's half of ts=300: the bound advances and the
+    // instant becomes visible and consistent
+    VersionedLake.commitAppend(
+      (1 to 5).map(l => (4L, l)).toDF("o_id", "line")
+        .withColumn("part", lit("l")),
+      "part", b, commitTs = Some(300L))
+    assert(VersionedLake.coordinatedTs(spark, Seq(a, b)) == 300L)
+    assert(consistentAt(300L))
+  }
+
   test("unionByName with allowMissingColumns aligns evolved batches") {
     val v1 = Seq((1L, "alpha")).toDF("doc_id", "text")
     val v2 = Seq((2L, "en", "beta")).toDF("doc_id", "lang", "text") // reordered
