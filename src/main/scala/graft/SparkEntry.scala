@@ -1424,6 +1424,61 @@ object SparkEntry {
       .withColumn("rename_zero_copy", lit(renameZeroCopy))
   }
 
+  /** l25 — SEGMENTED MANIFESTS
+    * ([[graft.sources.VersionedLake.enableSegmentedManifests]]): the
+    * metadata half of the carry-forward discipline. A flat manifest
+    * re-serializes the FULL file list every commit — at 10^6 files
+    * that is ~10^8 bytes of driver metadata per commit even when one
+    * partition changed, and every reader parses all of it. Segmented
+    * manifests (the Iceberg snapshot → manifest-list → manifest
+    * tree reduced to one content-hash reuse rule) store each
+    * partition's entry lines in an immutable `_log/seg-*.seg` file
+    * and keep one pointer line per partition: an untouched
+    * partition's segment carries forward BY POINTER, so commit
+    * metadata cost is O(touched partitions + partition count), and
+    * [[graft.sources.VersionedLake.readVersion]]'s parts filter
+    * prunes AT THE POINTER — un-probed partitions' file lists are
+    * never even opened. The fixture drives l09's restatement story on
+    * a segmented lake: v1 commits Q1 (3 partitions → 3 segments), v2
+    * restates February — segs_reused_v2 = 2 and segs_fresh_v2 = 1 are
+    * DETERMINISTIC (segments are per-partition, never per-file, so
+    * parallelism cannot move them; the l10 file-count caveat doesn't
+    * apply). The version=3 row is the February-only POINTER-PRUNED
+    * read of v2. The oracle re-derives all three snapshots and the
+    * diff from the original parquet — an entry line lost, duplicated,
+    * or mis-expanded by segmentation fails n_rows/key_sig; a wrongly
+    * reused segment fails the v2 row; a mis-pruned read fails the
+    * version=3 row. LakeSpec pins the flat↔segmented interleave
+    * (mid-life enable), vacuum's reuse-aware segment reclaim, and the
+    * DV/column-mapping composition. */
+  private def l25(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedLake
+    val lake = s"/tmp/graft_seglake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    VersionedLake.enableSegmentedManifests(s, lake)
+    val li = ttSlimLineitem(s, d, dedupKeys = true)
+    VersionedLake.commitOverwrite(li, "month", lake)
+    VersionedLake.commitUpsert(
+      li.filter(col("month") === "1997-02")
+        .filter(col("l_linenumber") <= 4)
+        .withColumn("l_quantity", col("l_quantity") + 1),
+      "month", lake)
+    val p1 = VersionedLake.segmentPointers(s, lake, 1)
+    val p2 = VersionedLake.segmentPointers(s, lake, 2)
+    val reused = p2.count { case (part, ptr) => p1.get(part).contains(ptr) }
+    val prunedFeb = ttVersionSummary(
+        VersionedLake.readVersion(s, lake, 2, Seq("1997-02")), 3)
+      .withColumn("n_changed_vs_prev", lit(0L))
+      .withColumn("n_removed_vs_prev", lit(0L))
+      .withColumn("n_added_vs_prev", lit(0L))
+    ttSummariesWithDiff(VersionedLake.readVersion(s, lake, 1),
+        VersionedLake.readVersion(s, lake, 2))
+      .unionByName(prunedFeb)
+      .withColumn("segs_total", lit(p2.size))
+      .withColumn("segs_reused_v2", lit(reused))
+      .withColumn("segs_fresh_v2", lit(p2.size - reused))
+  }
+
   /** l12 — zone-map-pruned TIME-TRAVEL range query: l08's per-file
     * (lo, hi) skipping stats carried IN l09's version manifests
     * ([[graft.sources.VersionedLake.FileEntry]] — the Iceberg
@@ -5876,6 +5931,7 @@ object SparkEntry {
     "l22_append_feed" -> (l22 _),
     "l23_deletion_vectors" -> (l23 _),
     "l24_column_mapping" -> (l24 _),
+    "l25_segmented_manifests" -> (l25 _),
     "c13_split_decontam" -> (c13 _),
     "c14_weighted_sample" -> (c14 _),
     "t33_cdc_chunking" -> (t33 _),
@@ -8535,6 +8591,66 @@ object SparkEntry {
         |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
         |  CAST(0 AS BIGINT), TRUE
         |FROM li""".stripMargin,
+    // l25: l09's restatement story on a SEGMENTED-manifest lake — the
+    // v1/v2 snapshots and diff re-derive from parquet (an entry line
+    // lost/duplicated/mis-expanded by segmentation fails
+    // n_rows/key_sig); version 3 is the pointer-PRUNED February read
+    // of v2; the segment counters are per-partition (3 months → 3
+    // segments, Feb restated → 1 fresh + 2 reused), deterministic by
+    // construction
+    "l25_segmented_manifests" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity,
+        |    min(strftime(l_shipdate, '%Y-%m')) AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'
+        |  GROUP BY 1, 2),
+        |v2 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN month = '1997-02' THEN l_quantity + 1
+        |         ELSE l_quantity END AS l_quantity,
+        |    month
+        |  FROM li
+        |  WHERE month <> '1997-02' OR l_linenumber <= 4),
+        |s1 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM li),
+        |s2 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM v2),
+        |s3 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM v2 WHERE month = '1997-02'),
+        |chg AS (SELECT CAST(count(*) AS BIGINT) AS n FROM li
+        |  WHERE month = '1997-02' AND l_linenumber <= 4),
+        |rem AS (SELECT CAST(count(*) AS BIGINT) AS n FROM li
+        |  WHERE month = '1997-02' AND l_linenumber > 4)
+        |SELECT CAST(1 AS INTEGER) AS version, s1.n_rows, s1.sum_qty,
+        |  s1.key_sig, CAST(0 AS BIGINT) AS n_changed_vs_prev,
+        |  CAST(0 AS BIGINT) AS n_removed_vs_prev,
+        |  CAST(0 AS BIGINT) AS n_added_vs_prev,
+        |  CAST(3 AS INTEGER) AS segs_total,
+        |  CAST(2 AS INTEGER) AS segs_reused_v2,
+        |  CAST(1 AS INTEGER) AS segs_fresh_v2
+        |FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), s2.n_rows, s2.sum_qty, s2.key_sig,
+        |  chg.n, rem.n, CAST(0 AS BIGINT),
+        |  CAST(3 AS INTEGER), CAST(2 AS INTEGER), CAST(1 AS INTEGER)
+        |FROM s2, chg, rem
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), s3.n_rows, s3.sum_qty, s3.key_sig,
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(3 AS INTEGER), CAST(2 AS INTEGER), CAST(1 AS INTEGER)
+        |FROM s3""".stripMargin,
     // the Bloom prune is output-invisible by construction (false
     // positives die in the exact join), so the oracle is the PLAIN join
     "q38_bloom_join" ->

@@ -38,7 +38,14 @@ import org.apache.spark.sql.types.StructType
   * [[readVersionEvolved]]), then one `<part>\t<relpath>[\t<lo>\t<hi>]`
   * line per live data file. Manifest IO is driver-side metadata —
   * file-count-sized, the same scale as every table format's log —
-  * while row data only ever moves through executor parquet scans. An
+  * while row data only ever moves through executor parquet scans.
+  * Lakes opted into SEGMENTED manifests
+  * ([[enableSegmentedManifests]]) replace the per-file lines with one
+  * `seg=<part>\t<segfile>\t<sha256>` pointer per partition, each
+  * segment holding that partition's entry lines in an immutable
+  * `_log/seg-*.seg` file reused across versions by content hash —
+  * the Iceberg manifest-list shape, making commit metadata cost
+  * O(touched partitions), not O(total files). An
   * upsert commit's manifest carries FORWARD the previous version's
   * entries for untouched partitions (pointers, not data: unchanged
   * partitions are never rewritten — cost ∝ the delta, the c02/st11
@@ -98,6 +105,67 @@ object VersionedLake {
   def latestVersion(spark: SparkSession, path: String): Int =
     versions(spark, path).lastOption.getOrElse(0)
 
+  // ---- segmented manifests (the Iceberg manifest-list shape) -------
+  //
+  // A flat manifest re-serializes the FULL file list on every commit:
+  // at 100 TB (10^6 files) that is ~10^8 bytes of driver-side metadata
+  // per commit even when the commit touched one partition. A SEGMENTED
+  // manifest stores each partition's entry lines in a separate
+  // `_log/seg-<uniq>.seg` file and keeps only one
+  // `seg=<part>\t<file>\t<sha256>` pointer line per partition — an
+  // untouched partition's segment carries forward BY POINTER (content
+  // hash equality against the previous version), so commit metadata
+  // cost is O(touched partitions + partition count), and a
+  // partition-pruned read never opens un-probed partitions' segments
+  // at all. This is Iceberg's snapshot -> manifest-list -> manifest
+  // two-level tree reduced to one reuse rule; Delta solves the same
+  // problem with checkpoint + log-segment replay.
+  //
+  // Segments are immutable and fresh-named (uniq()), written BEFORE
+  // the manifest claim: a losing or crashed attempt leaves only
+  // unreferenced `.seg` orphans, which [[vacuum]] reclaims under the
+  // same graceMs window as staged data files — never a torn version.
+
+  private def segMarker(path: String) = new Path(logDir(path), "_segmented")
+
+  /** Opt `path` into segmented manifests. Idempotent; takes effect on
+    * the NEXT commit (existing flat manifests stay readable — the two
+    * forms interleave freely in one log, so enabling on a live lake
+    * is a one-commit upgrade, not a rewrite). */
+  def enableSegmentedManifests(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    f.mkdirs(logDir(path))
+    val m = segMarker(path)
+    if (!f.exists(m)) f.create(m, true).close()
+    ()
+  }
+
+  /** Version `v`'s segment pointers: partition -> (segment file name,
+    * content sha-256). Empty for flat manifests — planning-side
+    * metadata (l25's reuse witnesses read this). */
+  def segmentPointers(spark: SparkSession, path: String,
+                      v: Int): Map[String, (String, String)] =
+    readManifestText(spark, path, v).linesIterator
+      .filter(_.startsWith("seg="))
+      .map { l =>
+        val t = l.stripPrefix("seg=").split('\t')
+        t(0) -> (t(1), t(2))
+      }.toMap
+
+  private def readSegLines(spark: SparkSession, path: String,
+                           rel: String): Iterator[String] = {
+    val f = fs(spark, path)
+    val in = f.open(new Path(logDir(path), rel))
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.linesIterator.filter(_.nonEmpty)
+  }
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   /** One live file in a version: partition value, lake-relative path,
     * optional (lo, hi) key-range ZONE-MAP stats on the commit's stats
     * column — the Iceberg manifest-row shape: the version log and the
@@ -134,37 +202,65 @@ object VersionedLake {
     finally in.close()
   }
 
+  /** One manifest/segment entry line parsed. A trailing `E<k>` field
+    * is the entry's WRITE ERA (the version whose schema its file was
+    * physically written under — column-mapping provenance,
+    * [[readColmaps]]); unambiguous against stats (numeric) and the
+    * DV marker ("D"). */
+  private def parseEntryLine(line: String): FileEntry = {
+    def era(t: String): Option[Int] =
+      if (t.startsWith("E")) Some(t.drop(1).toInt) else None
+    line.split('\t') match {
+      case Array(part, rel) => FileEntry(part, rel)
+      case Array(part, rel, "D") =>
+        FileEntry(part, rel, kind = KindDv)
+      case Array(part, rel, "D", e) if era(e).isDefined =>
+        FileEntry(part, rel, kind = KindDv, era = era(e))
+      case Array(part, rel, e) if era(e).isDefined =>
+        FileEntry(part, rel, era = era(e))
+      case Array(part, rel, lo, hi) =>
+        FileEntry(part, rel, Some(lo.toLong), Some(hi.toLong))
+      case Array(part, rel, lo, hi, e) if era(e).isDefined =>
+        FileEntry(part, rel, Some(lo.toLong), Some(hi.toLong),
+          era = era(e))
+      case other => throw new IllegalArgumentException(
+        s"malformed manifest line: ${other.mkString("\\t")}")
+    }
+  }
+
+  /** [[parseEntryLine]]'s inverse — the one serialization both flat
+    * manifests and segments use. */
+  private def entryLine(e: FileEntry): String =
+    s"${e.part}\t${e.rel}" + (
+      if (e.kind == KindDv) "\tD"
+      else (e.lo, e.hi) match {
+        case (Some(l), Some(h)) => s"\t$l\t$h"
+        case _ => ""
+      }) + e.era.fold("")(k => s"\tE$k")
+
   /** File entries of version `v`'s manifest (header and schema lines
-    * skipped). */
+    * skipped; `seg=` pointer lines expanded). A non-empty `parts`
+    * prunes AT THE POINTER: un-wanted partitions' segments are never
+    * opened — metadata-side partition pruning. */
   private def manifestEntries(spark: SparkSession, path: String,
-                              v: Int): Seq[FileEntry] =
+                              v: Int,
+                              parts: Set[String] = Set.empty)
+      : Seq[FileEntry] = {
+    def want(p: String) = parts.isEmpty || parts.contains(p)
     readManifestText(spark, path, v).linesIterator.drop(1)
       .filter(l => l.nonEmpty && !l.startsWith("schema=") &&
         !l.startsWith("colmap="))
-      .map { line =>
-        // a trailing `E<k>` field is the entry's WRITE ERA (the
-        // version whose schema its file was physically written under
-        // — column-mapping provenance, [[readColmaps]]); unambiguous
-        // against stats (numeric) and the DV marker ("D")
-        def era(t: String): Option[Int] =
-          if (t.startsWith("E")) Some(t.drop(1).toInt) else None
-        line.split('\t') match {
-          case Array(part, rel) => FileEntry(part, rel)
-          case Array(part, rel, "D") =>
-            FileEntry(part, rel, kind = KindDv)
-          case Array(part, rel, "D", e) if era(e).isDefined =>
-            FileEntry(part, rel, kind = KindDv, era = era(e))
-          case Array(part, rel, e) if era(e).isDefined =>
-            FileEntry(part, rel, era = era(e))
-          case Array(part, rel, lo, hi) =>
-            FileEntry(part, rel, Some(lo.toLong), Some(hi.toLong))
-          case Array(part, rel, lo, hi, e) if era(e).isDefined =>
-            FileEntry(part, rel, Some(lo.toLong), Some(hi.toLong),
-              era = era(e))
-          case other => throw new IllegalArgumentException(
-            s"malformed manifest line: ${other.mkString("\\t")}")
+      .flatMap { line =>
+        if (line.startsWith("seg=")) {
+          val t = line.stripPrefix("seg=").split('\t')
+          if (!want(t(0))) Iterator.empty
+          else readSegLines(spark, path, t(1)).map(parseEntryLine)
+        } else {
+          val e = parseEntryLine(line)
+          if (want(e.part)) Iterator.single(e) else Iterator.empty
         }
       }.toSeq
+  }
 
   /** The schema recorded in version `v`'s manifest (None for manifests
     * written before schema recording existed). */
@@ -285,15 +381,39 @@ object VersionedLake {
         s"colmap=$era" + m.toSeq.sortBy(_._1)
           .map { case (g, n) => s"\t$g=$n" }.mkString
       }
+    // segmented form: one pointer line per partition, an untouched
+    // partition reusing the previous version's segment by content
+    // hash — never its file list re-serialized (header/schema/colmap
+    // lines stay in the manifest proper either way)
+    val newSegs = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val entryLines: Seq[String] =
+      if (!f.exists(segMarker(path)))
+        entries.sortBy(e => (e.part, e.rel)).map(entryLine)
+      else {
+        val basePtrs: Map[String, (String, String)] =
+          if (v <= 1) Map.empty
+          else scala.util.Try(segmentPointers(spark, path, v - 1))
+            .getOrElse(Map.empty)
+        entries.groupBy(_.part).toSeq.sortBy(_._1)
+          .map { case (part, es) =>
+            val lines = es.sortBy(_.rel).map(entryLine)
+            val h = sha256Hex(lines.mkString("\n"))
+            basePtrs.get(part) match {
+              case Some((rel, bh)) if bh == h => s"seg=$part\t$rel\t$h"
+              case _ =>
+                val segRel = s"seg-${uniq()}.seg"
+                val sp = new Path(logDir(path), segRel)
+                val so = f.create(sp, true)
+                try so.write(
+                  (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+                finally so.close()
+                newSegs += sp
+                s"seg=$part\t$segRel\t$h"
+            }
+          }
+      }
     val body = ((head +: s"schema=$schemaJson" +: colmapLines) ++
-      entries.sortBy(e => (e.part, e.rel)).map { e =>
-        s"${e.part}\t${e.rel}" + (
-          if (e.kind == KindDv) "\tD"
-          else (e.lo, e.hi) match {
-            case (Some(l), Some(h)) => s"\t$l\t$h"
-            case _ => ""
-          }) + e.era.fold("")(k => s"\tE$k")
-      }).mkString("\n")
+      entryLines).mkString("\n")
     val tmp = new Path(logDir(path),
       s"${"%06d".format(v)}.manifest.tmp-${uniq()}")
     val out = f.create(tmp, true)
@@ -321,7 +441,12 @@ object VersionedLake {
         else if (!f.rename(tmp, mf)) { f.delete(tmp, false); false }
         else true
       }
-    if (!claimed) return false
+    if (!claimed) {
+      // a losing attempt's fresh segments are known by name — reclaim
+      // now rather than leaving them to vacuum
+      newSegs.foreach(p => f.delete(p, false))
+      return false
+    }
     txnCache.get(path.stripSuffix("/"))
       .foreach(c => txn.foreach(t => c.add(Long.box(t))))
     true
@@ -1182,6 +1307,24 @@ object VersionedLake {
     val orphans = unreferencedWithMtime(spark, path)
       .collect { case (rel, mtime) if mtime <= cutoff => rel }
     orphans.foreach(rel => f.delete(new Path(s"$base/$rel"), false))
+    // segment files no retained manifest points at (dropped versions'
+    // un-reused segments, crashed/losing attempts' leftovers) reclaim
+    // under the SAME grace window — an in-flight commit writes its
+    // segments before its manifest claim, exactly like staged data.
+    // Reuse means a dropped manifest's segment may still be live
+    // through a RETAINED manifest's pointer, so liveness comes from
+    // the retained set, never from age alone.
+    val liveSegs = versions(spark, path).flatMap(v =>
+      scala.util.Try(segmentPointers(spark, path, v))
+        .getOrElse(Map.empty).values.map(_._1)).toSet
+    val ld = logDir(path)
+    if (f.exists(ld))
+      f.listStatus(ld).iterator.foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("seg-") && n.endsWith(".seg") &&
+            !liveSegs.contains(n) && st.getModificationTime <= cutoff)
+          f.delete(st.getPath, false)
+      }
     (dropped.size, orphans.size)
   }
 
@@ -1214,7 +1357,11 @@ object VersionedLake {
     * the version's schema, the zero-rows answer). */
   def readVersion(spark: SparkSession, path: String, v: Int,
                   parts: Seq[String] = Seq.empty): DataFrame = {
-    val all = manifestEntries(spark, path, v)
+    // the parts filter pushes into manifestEntries: on a segmented
+    // manifest, un-wanted partitions' segment files are never opened
+    // (metadata-side pruning — at 10^6 files the file LIST is itself
+    // data-sized)
+    val all = manifestEntries(spark, path, v, parts.toSet)
     val entries = all.filter(_.kind == KindData)
     def want(e: FileEntry) = parts.isEmpty || parts.contains(e.part)
     val wanted = entries.filter(want)

@@ -1200,6 +1200,76 @@ class LakeSpec extends SparkSpec {
     assert(ex.getMessage.contains("deletion vectors"))
   }
 
+  test("versioned lake SEGMENTED MANIFESTS: untouched partitions' " +
+      "segments reuse by pointer, mid-life enable interleaves with " +
+      "flat manifests, DVs compose, vacuum reclaims only unreferenced " +
+      "segments") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_seg").toString
+    VersionedLake.reset(spark, lake)
+    def df(tag: Double) = (0L until 12L)
+      .map(i => (i, s"p${i % 3}", i * tag)).toDF("id", "part", "x")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select($"id").as[Long].collect().toSet
+    // v1 lands FLAT (marker not set yet)
+    VersionedLake.commitOverwrite(df(1.0), "part", lake)
+    assert(VersionedLake.segmentPointers(spark, lake, 1).isEmpty)
+    // mid-life enable: v2 (touches only p0) writes the SEGMENTED form
+    VersionedLake.enableSegmentedManifests(spark, lake)
+    VersionedLake.commitUpsert(
+      Seq((0L, "p0", 100.0), (3L, "p0", 100.0)).toDF("id", "part", "x"),
+      "part", lake)
+    val p2 = VersionedLake.segmentPointers(spark, lake, 2)
+    assert(p2.keySet == Set("p0", "p1", "p2"))
+    // v3 touches only p1: p0's and p2's segments carry forward by
+    // POINTER (hash-equal), exactly one fresh segment is written
+    VersionedLake.commitUpsert(
+      Seq((1L, "p1", 200.0)).toDF("id", "part", "x"), "part", lake)
+    val p3 = VersionedLake.segmentPointers(spark, lake, 3)
+    assert(p3("p0") == p2("p0") && p3("p2") == p2("p2"),
+      "untouched segments reused")
+    assert(p3("p1") != p2("p1"), "touched partition got a fresh segment")
+    // every era reads correctly across the flat/segmented interleave
+    assert(ids(VersionedLake.readVersion(spark, lake, 1)) ==
+      (0L until 12L).toSet)
+    assert(ids(VersionedLake.readVersion(spark, lake, 3)) ==
+      Set(0L, 1L, 3L) ++ (0L until 12L).filter(_ % 3 == 2))
+    // pointer-pruned read equals the full read filtered
+    assert(ids(VersionedLake.readVersion(spark, lake, 3, Seq("p1"))) ==
+      Set(1L))
+    // DVs ride segments: a positional delete adds a dv entry inside
+    // the touched partition's fresh segment and readers fold it
+    VersionedLake.commitDelete(
+      Seq((3L, "p0")).toDF("id", "part"), Seq("id"), "part", lake)
+    val v4 = VersionedLake.manifestFiles(spark, lake, 4)
+    assert(v4.exists(_.kind == "dv"))
+    assert(ids(VersionedLake.readLatest(spark, lake)) ==
+      Set(0L, 1L) ++ (0L until 12L).filter(_ % 3 == 2))
+    val p4 = VersionedLake.segmentPointers(spark, lake, 4)
+    assert(p4("p1") == p3("p1") && p4("p2") == p3("p2"),
+      "a DV commit reuses untouched partitions' segments too")
+    // vacuum: dropped versions' superseded segments go, segments the
+    // RETAINED manifest still points at survive; a stray orphan
+    // segment (crashed attempt) is reclaimed under the same rule
+    val logDir = new java.io.File(s"$lake/_log")
+    java.nio.file.Files.write(
+      logDir.toPath.resolve("seg-stray0.seg"),
+      "p9\tdata/none.parquet\n".getBytes("UTF-8"))
+    def segFiles() = logDir.listFiles()
+      .map(_.getName).filter(n => n.startsWith("seg-")).toSet
+    val before = segFiles()
+    VersionedLake.vacuum(spark, lake, retain = 1)
+    val after = segFiles()
+    val live = VersionedLake.segmentPointers(spark, lake, 4)
+      .values.map(_._1).toSet
+    assert(after == live, s"retained exactly the live segments: $after")
+    assert(!after.contains("seg-stray0.seg"))
+    assert(before.size > after.size)
+    assert(ids(VersionedLake.readLatest(spark, lake)) ==
+      Set(0L, 1L) ++ (0L until 12L).filter(_ % 3 == 2),
+      "latest read intact after vacuum")
+  }
+
   test("two-lake coordinated snapshots: a mid-sequence crash leaves " +
       "the half-landed instant invisible to coordinated readers; " +
       "recovery advances the bound") {
