@@ -1479,6 +1479,76 @@ object SparkEntry {
       .withColumn("segs_fresh_v2", lit(p2.size - reused))
   }
 
+  /** l26 — TABLE CONSTRAINTS
+    * ([[graft.sources.VersionedLake.commitAddConstraint]]): Delta's
+    * `ALTER TABLE ADD CONSTRAINT ... CHECK` enforced at the COMMIT
+    * layer — the Deequ-style quality gate moved from a separate
+    * validation job into the table format itself, where it cannot be
+    * skipped. A constraint is a boolean SQL expression recorded in
+    * every manifest and carried forward like the schema; every
+    * data-writing commit validates its DELTA in one aggregate pass
+    * (cost ∝ delta — at 100 TB the alternative full-table re-check
+    * per ingest is the thing that doesn't scale), aborting loudly
+    * with per-constraint counts BEFORE a version is claimed. SQL
+    * CHECK semantics: only FALSE violates, so NOT NULL is spelled
+    * `x IS NOT NULL`. The fixture: v2/v3 add bounds + not-null
+    * constraints (each validating the full snapshot once at add
+    * time); a qty=-5 restatement ABORTS minting no version
+    * (no_version_minted); the corrected restatement lands validated;
+    * adding a constraint the existing data violates is REFUSED
+    * (oracle re-derives the refusal condition as max(qty) > 10);
+    * dropping a column a CHECK references is refused
+    * (drop_column_refused) — never a dangling constraint. The final
+    * snapshot and the violating-delta row count re-derive from the
+    * original parquet. */
+  private def l26(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedLake
+    val lake = s"/tmp/graft_cklake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val li = ttSlimLineitem(s, d, dedupKeys = true)
+    VersionedLake.commitOverwrite(li, "month", lake)
+    VersionedLake.commitAddConstraint(s, lake, "qty_bounds",
+      "l_quantity > 0 AND l_quantity <= 200")
+    VersionedLake.commitAddConstraint(s, lake, "month_not_null",
+      "month IS NOT NULL")
+    val badDelta = li.filter(col("month") === "1997-02")
+      .filter(col("l_linenumber") <= 2)
+      .withColumn("l_quantity", lit(-5.0))
+    val violRows = badDelta.count() // delta-sized planning aggregate
+    val aborted =
+      try { VersionedLake.commitUpsert(badDelta, "month", lake); false }
+      catch { case _: IllegalStateException => true }
+    val noVersionMinted = VersionedLake.latestVersion(s, lake) == 3
+    VersionedLake.commitUpsert( // the corrected restatement, validated
+      li.filter(col("month") === "1997-02")
+        .filter(col("l_linenumber") <= 4)
+        .withColumn("l_quantity", col("l_quantity") + 1),
+      "month", lake)
+    val addRefused =
+      try {
+        VersionedLake.commitAddConstraint(s, lake, "qty_tight",
+          "l_quantity <= 10")
+        VersionedLake.commitDropConstraint(s, lake, "qty_tight")
+        false
+      } catch { case _: IllegalStateException => true }
+    val dropColRefused =
+      try { VersionedLake.commitDropColumn(s, lake, "l_quantity"); false }
+      catch { case _: IllegalArgumentException => true }
+    val carried = VersionedLake.readConstraints(s, lake,
+      VersionedLake.latestVersion(s, lake)).map(_._1).toSet ==
+      Set("qty_bounds", "month_not_null")
+    VersionedLake.readLatest(s, lake)
+      .agg(count(lit(1)).as("n_rows_v4"),
+        round(sum(col("l_quantity")), 2).as("sum_qty_v4"),
+        sum(col("l_orderkey") * 7 + col("l_linenumber")).as("key_sig_v4"))
+      .withColumn("viol_rows", lit(violRows))
+      .withColumn("violating_commit_aborted", lit(aborted))
+      .withColumn("no_version_minted", lit(noVersionMinted))
+      .withColumn("add_over_violating_refused", lit(addRefused))
+      .withColumn("drop_column_refused", lit(dropColRefused))
+      .withColumn("constraint_carried", lit(carried))
+  }
+
   /** l12 — zone-map-pruned TIME-TRAVEL range query: l08's per-file
     * (lo, hi) skipping stats carried IN l09's version manifests
     * ([[graft.sources.VersionedLake.FileEntry]] — the Iceberg
@@ -5932,6 +6002,7 @@ object SparkEntry {
     "l23_deletion_vectors" -> (l23 _),
     "l24_column_mapping" -> (l24 _),
     "l25_segmented_manifests" -> (l25 _),
+    "l26_table_constraints" -> (l26 _),
     "c13_split_decontam" -> (c13 _),
     "c14_weighted_sample" -> (c14 _),
     "t33_cdc_chunking" -> (t33 _),
@@ -8651,6 +8722,40 @@ object SparkEntry {
         |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
         |  CAST(3 AS INTEGER), CAST(2 AS INTEGER), CAST(1 AS INTEGER)
         |FROM s3""".stripMargin,
+    // l26: the final snapshot (Jan/Mar ∪ Feb lines<=4 qty+1 — the
+    // violating qty=-5 restatement never landed) and the violating
+    // delta's row count re-derive from parquet; the engine booleans
+    // are expected TRUE except add_over_violating_refused, which the
+    // oracle re-derives as the actual refusal condition max(qty) > 10
+    "l26_table_constraints" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity,
+        |    min(strftime(l_shipdate, '%Y-%m')) AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'
+        |  GROUP BY 1, 2),
+        |v4 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN month = '1997-02' THEN l_quantity + 1
+        |         ELSE l_quantity END AS l_quantity,
+        |    month
+        |  FROM li
+        |  WHERE month <> '1997-02' OR l_linenumber <= 4)
+        |SELECT count(*) AS n_rows_v4,
+        |  round(sum(l_quantity), 2) AS sum_qty_v4,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |    AS key_sig_v4,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM li
+        |   WHERE month = '1997-02' AND l_linenumber <= 2) AS viol_rows,
+        |  TRUE AS violating_commit_aborted,
+        |  TRUE AS no_version_minted,
+        |  (SELECT max(l_quantity) > 10 FROM v4)
+        |    AS add_over_violating_refused,
+        |  TRUE AS drop_column_refused,
+        |  TRUE AS constraint_carried
+        |FROM v4""".stripMargin,
     // the Bloom prune is output-invisible by construction (false
     // positives die in the exact join), so the oracle is the PLAIN join
     "q38_bloom_join" ->

@@ -166,6 +166,108 @@ object VersionedLake {
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  // ---- table constraints (Delta CHECK / NOT NULL) -------------------
+  //
+  // Quality enforcement at the TABLE layer: a constraint is a boolean
+  // SQL expression recorded in every manifest (`constraint=<name>\t
+  // <expr>` lines, carried forward like the schema), and every
+  // data-writing commit validates its DELTA against the active set in
+  // one aggregate pass — cost ∝ delta, never the table. A violating
+  // commit aborts LOUDLY with per-constraint counts before any version
+  // is claimed (its staged files are vacuum-reclaimable orphans, the
+  // OCC-loser discipline). SQL CHECK semantics: NULL passes (unknown),
+  // only FALSE violates — so NOT NULL is spelled `x IS NOT NULL`, one
+  // mechanism for both verbs, exactly Delta's constraint rule.
+
+  /** The constraints active at version `v`: (name, boolean SQL expr).
+    * Planning-side metadata. */
+  def readConstraints(spark: SparkSession, path: String,
+                      v: Int): Seq[(String, String)] =
+    readManifestText(spark, path, v).linesIterator
+      .filter(_.startsWith("constraint="))
+      .map { l =>
+        val t = l.stripPrefix("constraint=").split('\t')
+        (t(0), t(1))
+      }.toSeq
+
+  /** One aggregate pass over `df` counting rows where any constraint
+    * evaluates FALSE (NULL passes); throws with per-constraint counts
+    * on violation. */
+  private def checkConstraints(df: DataFrame,
+                               cs: Seq[(String, String)],
+                               ctx: String): Unit = {
+    if (cs.isEmpty) return
+    val aggs = cs.map { case (n, e) =>
+      sum(when(coalesce(expr(e).cast("boolean"), lit(true)) === false,
+        1L).otherwise(0L)).as(n)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head() // 1-row planning
+    val bad = cs.zipWithIndex.collect {
+      case ((n, e), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+        s"$n [$e]: ${row.getLong(i)} rows"
+    }
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"constraint violation on $ctx: ${bad.mkString("; ")}")
+  }
+
+  /** ADD CONSTRAINT (Delta's `ALTER TABLE ADD CONSTRAINT ... CHECK`):
+    * a metadata-only commit recording `name -> checkExpr`; the FULL
+    * current snapshot validates once at add time (the one
+    * table-sized pass the verb inherently costs — every later commit
+    * pays only its delta), and a snapshot already violating the rule
+    * refuses the constraint loudly. */
+  def commitAddConstraint(spark: SparkSession, path: String,
+                          name: String, checkExpr: String,
+                          commitTs: Option[Long] = None): Int = {
+    require(!checkExpr.contains('\t') && !checkExpr.contains('\n') &&
+      !name.contains('\t') && !name.contains('\n'),
+      "constraint names/expressions must be tab- and newline-free")
+    commitConstraintChange(spark, path, "add_constraint", commitTs) {
+      (v, cs) =>
+        require(!cs.exists(_._1 == name),
+          s"constraint $name already exists at $path")
+        checkConstraints(readVersion(spark, path, v),
+          Seq(name -> checkExpr), s"ADD CONSTRAINT over version $v")
+        cs :+ (name -> checkExpr)
+    }
+  }
+
+  /** DROP CONSTRAINT: metadata-only. */
+  def commitDropConstraint(spark: SparkSession, path: String,
+                           name: String,
+                           commitTs: Option[Long] = None): Int =
+    commitConstraintChange(spark, path, "drop_constraint", commitTs) {
+      (_, cs) =>
+        require(cs.exists(_._1 == name),
+          s"no constraint $name at $path")
+        cs.filterNot(_._1 == name)
+    }
+
+  /** Shared claim loop for metadata-only constraint commits (the
+    * [[commitSchemaChange]] shape: entries/schema/colmaps carry
+    * forward verbatim, only the constraint set changes). */
+  private def commitConstraintChange(spark: SparkSession, path: String,
+                                     op: String, commitTs: Option[Long])
+      (change: (Int, Seq[(String, String)]) => Seq[(String, String)])
+      : Int = {
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      val v = latestVersion(spark, path)
+      require(v > 0, s"$op needs an existing version at $path")
+      val schemaJson = readSchema(spark, path, v).map(_.json).getOrElse(
+        throw new IllegalStateException(
+          s"$op requires a schema-recording manifest at $path"))
+      if (tryWriteManifest(spark, path, v + 1, op, s"$op-${uniq()}",
+          schemaJson, manifestEntries(spark, path, v), None, commitTs,
+          readColmaps(spark, path, v),
+          change(v, readConstraints(spark, path, v))))
+        return v + 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"$op retry budget exhausted at $path")
+  }
+
   /** One live file in a version: partition value, lake-relative path,
     * optional (lo, hi) key-range ZONE-MAP stats on the commit's stats
     * column — the Iceberg manifest-row shape: the version log and the
@@ -249,7 +351,7 @@ object VersionedLake {
     def want(p: String) = parts.isEmpty || parts.contains(p)
     readManifestText(spark, path, v).linesIterator.drop(1)
       .filter(l => l.nonEmpty && !l.startsWith("schema=") &&
-        !l.startsWith("colmap="))
+        !l.startsWith("colmap=") && !l.startsWith("constraint="))
       .flatMap { line =>
         if (line.startsWith("seg=")) {
           val t = line.stripPrefix("seg=").split('\t')
@@ -364,7 +466,9 @@ object VersionedLake {
                                txn: Option[Long],
                                ts: Option[Long],
                                colmaps: Map[Int, Map[Long, String]] =
-                                 Map.empty): Boolean = {
+                                 Map.empty,
+                               constraints: Seq[(String, String)] =
+                                 Seq.empty): Boolean = {
     val f = fs(spark, path)
     f.mkdirs(logDir(path))
     val mf = manifestPath(path, v)
@@ -381,6 +485,9 @@ object VersionedLake {
         s"colmap=$era" + m.toSeq.sortBy(_._1)
           .map { case (g, n) => s"\t$g=$n" }.mkString
       }
+    val constraintLines = constraints.map { case (n, e) =>
+      s"constraint=$n\t$e"
+    }
     // segmented form: one pointer line per partition, an untouched
     // partition reusing the previous version's segment by content
     // hash — never its file list re-serialized (header/schema/colmap
@@ -413,7 +520,7 @@ object VersionedLake {
           }
       }
     val body = ((head +: s"schema=$schemaJson" +: colmapLines) ++
-      entryLines).mkString("\n")
+      constraintLines ++ entryLines).mkString("\n")
     val tmp = new Path(logDir(path),
       s"${"%06d".format(v)}.manifest.tmp-${uniq()}")
     val out = f.create(tmp, true)
@@ -698,9 +805,24 @@ object VersionedLake {
                        statsCol: Option[String] = None,
                        commitTs: Option[Long] = None,
                        pinnedBase: Option[Int] = None,
-                       forceReplaced: Set[String] = Set.empty): Int = {
+                       forceReplaced: Set[String] = Set.empty,
+                       validate: Boolean = true): Int = {
     val spark = df.sparkSession
     val prev = pinnedBase.getOrElse(latestVersion(spark, path))
+    // constraint enforcement (Delta CHECK): the DELTA validates in one
+    // aggregate pass against the base's active set BEFORE any data is
+    // staged — a violating commit aborts with per-constraint counts
+    // and never claims a version. Deletes can't violate a CHECK (rows
+    // only leave); OPTIMIZE passes validate=false (pure re-layout of
+    // already-validated rows). A rebase onto a head whose constraint
+    // set CHANGED re-validates against the new set.
+    val doValidate = validate && mode != Mode.Delete
+    var validatedSets = Set.empty[Seq[(String, String)]]
+    if (doValidate && prev > 0) {
+      val cs0 = readConstraints(spark, path, prev)
+      checkConstraints(df, cs0, s"commit over version $prev at $path")
+      validatedSets += cs0
+    }
     // stage this attempt's data under a unique token dir: concurrent
     // attempts can never clobber each other's files, and a loser's
     // staging becomes a vacuum-reclaimable orphan, never a torn version
@@ -784,9 +906,17 @@ object VersionedLake {
       val freshTagged =
         if (mode == Mode.Delete) fresh
         else fresh.map(_.copy(era = Some(k)))
+      val baseConstraints =
+        if (base == 0) Seq.empty[(String, String)]
+        else readConstraints(spark, path, base)
+      if (doValidate && !validatedSets.contains(baseConstraints)) {
+        checkConstraints(df, baseConstraints,
+          s"commit rebased onto version $base at $path")
+        validatedSets += baseConstraints
+      }
       if (tryWriteManifest(spark, path, k, mode.toString.toLowerCase,
           token, schemaJson, kept ++ freshTagged, txn, commitTs,
-          colmaps))
+          colmaps, baseConstraints))
         return k
       // lost the version claim: loop re-reads the head and rebases
     }
@@ -1132,7 +1262,8 @@ object VersionedLake {
       // because a fully-deleted partition folds to ZERO rows — its
       // old entries (and DVs) must still leave the manifest.
       doCommit(merged, partCol, path, None, Mode.Upsert, statsCol,
-        pinnedBase = Some(v), forceReplaced = byPart.keySet)
+        pinnedBase = Some(v), forceReplaced = byPart.keySet,
+        validate = false) // pure re-layout: rows already validated
     }
   }
 
@@ -1524,9 +1655,13 @@ object VersionedLake {
       // by design, so the claim loop guards only the version number;
       // the superseded commits stay readable until vacuum, exactly
       // the auditability the verb exists for
+      // v's CONSTRAINTS restore with v's schema (one self-consistent
+      // table state — a later-added constraint may not even resolve
+      // under v's schema; re-add it after the restore if wanted)
       if (tryWriteManifest(spark, path, k, "restore",
           s"restore-of-${"%06d".format(v)}", schemaJson, entries, None,
-          commitTs, readColmaps(spark, path, v)))
+          commitTs, readColmaps(spark, path, v),
+          readConstraints(spark, path, v)))
         return k
     }
     throw new java.util.ConcurrentModificationException(
@@ -1591,9 +1726,27 @@ object VersionedLake {
         s"$op requires column ids in the recorded schema at $path " +
           "(commit once with this library version first)")
       val entries = manifestEntries(spark, path, v)
+      val changed = change(schema)
+      // every constraint must still RESOLVE under the changed schema —
+      // renaming/dropping a column a CHECK references is refused
+      // loudly (drop the constraint first), never left dangling
+      val cs = readConstraints(spark, path, v)
+      cs.foreach { case (n, e) =>
+        val probe = spark.createDataFrame(
+          new java.util.ArrayList[Row](),
+          StructType(changed.fields.map(_.copy(metadata =
+            org.apache.spark.sql.types.Metadata.empty))))
+        try probe.filter(expr(e)).queryExecution.analyzed
+        catch {
+          case ex: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"$op would leave constraint $n [$e] unresolvable at " +
+                s"$path — drop the constraint first", ex)
+        }
+      }
       if (tryWriteManifest(spark, path, v + 1, op, s"$op-${uniq()}",
-          change(schema).json, entries, None, commitTs,
-          readColmaps(spark, path, v)))
+          changed.json, entries, None, commitTs,
+          readColmaps(spark, path, v), cs))
         return v + 1
     }
     throw new java.util.ConcurrentModificationException(
@@ -1679,7 +1832,8 @@ object VersionedLake {
     require(tryWriteManifest(spark, dstPath, 1,
       if (deep) "deepclone" else "clone", s"clone-of-$srcBase@$v",
       schemaJson, cloned, None, None,
-      readColmaps(spark, srcPath, v)),
+      readColmaps(spark, srcPath, v),
+      readConstraints(spark, srcPath, v)),
       s"clone target $dstPath already has a version 1")
     1
   }

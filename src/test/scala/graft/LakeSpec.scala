@@ -1270,6 +1270,76 @@ class LakeSpec extends SparkSpec {
       "latest read intact after vacuum")
   }
 
+  test("versioned lake CONSTRAINTS: a violating delta aborts minting " +
+      "no version, a rebase onto a new constraint re-validates, " +
+      "schema changes never leave a constraint dangling, restore and " +
+      "clone carry the set") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_ck").toString
+    VersionedLake.reset(spark, lake)
+    VersionedLake.commitOverwrite(
+      Seq((1L, "a", 5.0), (2L, "b", 7.0)).toDF("id", "part", "x"),
+      "part", lake)
+    VersionedLake.commitAddConstraint(spark, lake, "x_pos", "x > 0")
+    // the violating append aborts with name + count, no version minted
+    val ex = intercept[IllegalStateException] {
+      VersionedLake.commitAppend(
+        Seq((3L, "a", -1.0), (4L, "a", -2.0)).toDF("id", "part", "x"),
+        "part", lake)
+    }
+    assert(ex.getMessage.contains("x_pos") &&
+      ex.getMessage.contains("2 rows"), ex.getMessage)
+    assert(VersionedLake.latestVersion(spark, lake) == 2)
+    // NULL passes a plain CHECK (SQL semantics); NOT NULL is explicit
+    VersionedLake.commitAppend(
+      Seq((5L, "a", Option.empty[Double])).toDF("id", "part", "x"),
+      "part", lake) // v3: x NULL passes x > 0
+    // adding NOT NULL over a snapshot already holding a NULL refuses
+    intercept[IllegalStateException] {
+      VersionedLake.commitAddConstraint(spark, lake, "x_nn",
+        "x IS NOT NULL")
+    }
+    // a rebase onto a constraint added AFTER the pin re-validates:
+    // the merge pins v1 (no x_neg yet), rebases over the metadata-only
+    // add (disjoint partitions), and must still catch the violation
+    VersionedLake.commitAddConstraint(spark, lake, "x_small", "x < 100")
+    intercept[IllegalStateException] {
+      VersionedLake.commitMerge(
+        Seq((9L, "b", 500.0)).toDF("id", "part", "x"),
+        Seq("id"), "part", lake, fromVersion = Some(1))
+    }
+    // renaming/dropping a referenced column is refused; dropping the
+    // constraints first unblocks it
+    intercept[IllegalArgumentException] {
+      VersionedLake.commitDropColumn(spark, lake, "x")
+    }
+    VersionedLake.commitDropConstraint(spark, lake, "x_pos")
+    VersionedLake.commitDropConstraint(spark, lake, "x_small")
+    val vDrop = VersionedLake.commitDropColumn(spark, lake, "x")
+    assert(!VersionedLake.readLatest(spark, lake)
+      .columns.contains("x"))
+    // RESTORE to a constrained version restores that version's
+    // constraint set (self-consistent with its schema)
+    VersionedLake.commitRestore(spark, lake, 4)
+    assert(VersionedLake.readConstraints(spark, lake,
+      VersionedLake.latestVersion(spark, lake)).map(_._1).toSet ==
+      Set("x_pos", "x_small"))
+    intercept[IllegalStateException] {
+      VersionedLake.commitAppend(
+        Seq((6L, "a", -3.0)).toDF("id", "part", "x"), "part", lake)
+    }
+    // a CLONE carries the source's constraints
+    val dst = java.nio.file.Files.createTempDirectory("lake_ckc").toString
+    VersionedLake.reset(spark, dst)
+    VersionedLake.shallowClone(spark, lake, dst,
+      VersionedLake.latestVersion(spark, lake))
+    intercept[IllegalStateException] {
+      VersionedLake.commitAppend(
+        Seq((7L, "a", -4.0)).toDF("id", "part", "x"), "part", dst)
+    }
+    assert(vDrop > 0)
+  }
+
   test("two-lake coordinated snapshots: a mid-sequence crash leaves " +
       "the half-landed instant invisible to coordinated readers; " +
       "recovery advances the bound") {
