@@ -1549,6 +1549,76 @@ object SparkEntry {
       .withColumn("constraint_carried", lit(carried))
   }
 
+  /** l27 — HIDDEN PARTITIONING
+    * ([[graft.sources.HiddenPartitioning]]): Iceberg's partition
+    * transforms. Every prior lake query hands the engine a
+    * pre-derived partition column — the caller must know the layout,
+    * and a query filtering on the SOURCE column (`l_shipdate`) while
+    * the table partitions on a derived string silently full-scans:
+    * THE partition-layout failure mode at 100 TB. Here the table
+    * declares `month(l_shipdate)` / `bucket(8, l_orderkey)` as
+    * immutable metadata; writers derive the partition value through
+    * the recorded transform and readers never mention it — a range
+    * predicate on the source column projects through the monotonic
+    * transform to a partition interval (Iceberg's inclusive
+    * projection), and point lookups compute their keys' partitions
+    * through the ENGINE's own transform expression (bucket hashing
+    * can never drift between write and probe). Pruning lands in
+    * [[graft.sources.VersionedLake.readVersion]]'s parts filter, so
+    * with l25 it skips un-probed partitions at the segment POINTER.
+    * Witnesses: the February range scans 1 of 3 month partitions
+    * (per-partition counters — deterministic); the 5-key bucket
+    * lookup touches fewer partitions than live (bucket_pruned); the
+    * internal `__p` column never surfaces (hidden_col_absent). The
+    * oracle re-derives both probe results from the original parquet
+    * with plain source-column predicates — a wrongly-pruned
+    * partition loses rows and fails the counts. */
+  private def l27(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{HiddenPartitioning => HP, VersionedLake}
+    val hex = Integer.toHexString(d.hashCode)
+    val lakeA = s"/tmp/graft_hplake_a_$hex"
+    val lakeB = s"/tmp/graft_hplake_b_$hex"
+    VersionedLake.reset(s, lakeA)
+    VersionedLake.reset(s, lakeB)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        to_date(col("l_shipdate")).as("l_shipdate"))
+      .filter(col("l_shipdate").between("1997-01-01", "1997-03-31"))
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(min(col("l_quantity")).as("l_quantity"),
+        min(col("l_shipdate")).as("l_shipdate"))
+    HP.define(s, lakeA, HP.Spec("l_shipdate", HP.Month))
+    HP.commitOverwrite(li, lakeA)
+    HP.define(s, lakeB, HP.Spec("l_orderkey", HP.Bucket(8)))
+    HP.commitOverwrite(li, lakeB)
+    val (lo, hi) = ("1997-02-03", "1997-02-20")
+    val rangeDf = HP.readBetween(s, lakeA, lo, hi)
+    val keys = li
+      .filter(date_format(col("l_shipdate"), "yyyy-MM") === "1997-02")
+      .select(col("l_orderkey")).distinct()
+      .orderBy(col("l_orderkey")).limit(5)
+    val matchDf = HP.readMatching(s, lakeB, keys)
+    val partsTotalA = VersionedLake.manifestFiles(s, lakeA, 1)
+      .map(_.part).distinct.size
+    val partsRange = HP.partsBetween(s, lakeA, 1, lo, hi).size
+    val partsTotalB = VersionedLake.manifestFiles(s, lakeB, 1)
+      .map(_.part).distinct.size
+    val partsMatch = HP.partsMatching(s, lakeB, 1, keys).size
+    val hiddenAbsent = !rangeDf.columns.contains("__p") &&
+      !matchDf.columns.contains("__p")
+    def probe(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          sum(col("l_orderkey") * 7 + col("l_linenumber")).as("key_sig"))
+        .withColumn("probe", lit(name))
+    probe("range_month", rangeDf)
+      .unionByName(probe("match_bucket", matchDf))
+      .withColumn("parts_total_month", lit(partsTotalA))
+      .withColumn("parts_scanned_range", lit(partsRange))
+      .withColumn("bucket_pruned", lit(partsMatch < partsTotalB))
+      .withColumn("hidden_col_absent", lit(hiddenAbsent))
+  }
+
   /** l12 — zone-map-pruned TIME-TRAVEL range query: l08's per-file
     * (lo, hi) skipping stats carried IN l09's version manifests
     * ([[graft.sources.VersionedLake.FileEntry]] — the Iceberg
@@ -6003,6 +6073,7 @@ object SparkEntry {
     "l24_column_mapping" -> (l24 _),
     "l25_segmented_manifests" -> (l25 _),
     "l26_table_constraints" -> (l26 _),
+    "l27_hidden_partitioning" -> (l27 _),
     "c13_split_decontam" -> (c13 _),
     "c14_weighted_sample" -> (c14 _),
     "t33_cdc_chunking" -> (t33 _),
@@ -8756,6 +8827,38 @@ object SparkEntry {
         |  TRUE AS drop_column_refused,
         |  TRUE AS constraint_carried
         |FROM v4""".stripMargin,
+    // l27: both probes re-derive with PLAIN source-column predicates —
+    // the transform/prune machinery must be invisible in the result;
+    // partition counters are per-partition (3 months, Feb range -> 1),
+    // deterministic; bucket keys are the 5 lowest distinct February
+    // orderkeys (deterministic)
+    "l27_hidden_partitioning" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity,
+        |    min(CAST(l_shipdate AS DATE)) AS l_shipdate
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE)
+        |    BETWEEN DATE '1997-01-01' AND DATE '1997-03-31'
+        |  GROUP BY 1, 2),
+        |keys AS (
+        |  SELECT DISTINCT l_orderkey FROM li
+        |  WHERE strftime(l_shipdate, '%Y-%m') = '1997-02'
+        |  ORDER BY 1 LIMIT 5)
+        |SELECT 'range_month' AS probe, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  CAST(3 AS INTEGER) AS parts_total_month,
+        |  CAST(1 AS INTEGER) AS parts_scanned_range,
+        |  TRUE AS bucket_pruned, TRUE AS hidden_col_absent
+        |FROM li
+        |WHERE l_shipdate BETWEEN DATE '1997-02-03' AND DATE '1997-02-20'
+        |UNION ALL
+        |SELECT 'match_bucket', count(*), round(sum(l_quantity), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  CAST(3 AS INTEGER), CAST(1 AS INTEGER), TRUE, TRUE
+        |FROM li
+        |WHERE l_orderkey IN (SELECT l_orderkey FROM keys)""".stripMargin,
     // the Bloom prune is output-invisible by construction (false
     // positives die in the exact join), so the oracle is the PLAIN join
     "q38_bloom_join" ->

@@ -1340,6 +1340,66 @@ class LakeSpec extends SparkSpec {
     assert(vDrop > 0)
   }
 
+  test("hidden partitioning: day and truncate transforms prune through " +
+      "the spec, bucket refuses ranges, the spec is immutable, the " +
+      "internal column never surfaces") {
+    import graft.sources.{HiddenPartitioning => HP, VersionedLake}
+    val lake = java.nio.file.Files.createTempDirectory("lake_hp").toString
+    VersionedLake.reset(spark, lake)
+    HP.define(spark, lake, HP.Spec("k", HP.Truncate(100L)))
+    // spec is one-time
+    intercept[IllegalArgumentException] {
+      HP.define(spark, lake, HP.Spec("k", HP.Month))
+    }
+    HP.commitOverwrite(
+      Seq((5L, "a"), (150L, "b"), (250L, "c"), (760L, "d"))
+        .toDF("k", "tag"), lake)
+    // truncate(100): [120, 300] projects to partitions {100, 200, 300}
+    assert(HP.partsBetween(spark, lake, 1, "120", "300") ==
+      Seq("100", "200"))
+    val r = HP.readBetween(spark, lake, "120", "300")
+    assert(r.columns.toSet == Set("k", "tag"), "internal column hidden")
+    assert(r.select($"k").as[Long].collect().toSet == Set(150L, 250L))
+    // appends derive through the same spec; time-travel reads prune
+    HP.commitAppend(Seq((155L, "e")).toDF("k", "tag"), lake)
+    assert(HP.readBetween(spark, lake, "120", "300")
+      .select($"k").as[Long].collect().toSet == Set(150L, 155L, 250L))
+    assert(HP.readBetween(spark, lake, "120", "300", Some(1))
+      .select($"k").as[Long].collect().toSet == Set(150L, 250L))
+    // a write missing the source column refuses
+    intercept[IllegalArgumentException] {
+      HP.commitAppend(Seq(Tuple1("x")).toDF("tag"), lake)
+    }
+    // day transform
+    val dlake = java.nio.file.Files.createTempDirectory("lake_hpd").toString
+    VersionedLake.reset(spark, dlake)
+    HP.define(spark, dlake, HP.Spec("ts", HP.Day))
+    HP.commitOverwrite(
+      Seq(("2024-01-01 05:00:00", 1L), ("2024-01-02 09:00:00", 2L),
+        ("2024-01-05 00:00:00", 3L))
+        .toDF("s", "id").withColumn("ts", $"s".cast("timestamp"))
+        .drop("s"), dlake)
+    assert(HP.partsBetween(spark, dlake, 1,
+      "2024-01-02 00:00:00", "2024-01-03 23:59:59") == Seq("2024-01-02"))
+    assert(HP.readBetween(spark, dlake,
+      "2024-01-02 00:00:00", "2024-01-03 23:59:59")
+      .select($"id").as[Long].collect().toSet == Set(2L))
+    // bucket: matching prunes to the keys' buckets, ranges refuse
+    val blake = java.nio.file.Files.createTempDirectory("lake_hpb").toString
+    VersionedLake.reset(spark, blake)
+    HP.define(spark, blake, HP.Spec("k", HP.Bucket(4)))
+    HP.commitOverwrite((0L until 64L).map(i => (i, s"v$i"))
+      .toDF("k", "tag"), blake)
+    intercept[IllegalArgumentException] {
+      HP.partsBetween(spark, blake, 1, "0", "9")
+    }
+    val hit = HP.readMatching(spark, blake,
+      Seq(3L, 17L).toDF("k"))
+    assert(hit.select($"k").as[Long].collect().toSet == Set(3L, 17L))
+    assert(HP.partsMatching(spark, blake, 1,
+      Seq(3L, 17L).toDF("k")).size <= 2)
+  }
+
   test("two-lake coordinated snapshots: a mid-sequence crash leaves " +
       "the half-landed instant invisible to coordinated readers; " +
       "recovery advances the bound") {
