@@ -7366,6 +7366,76 @@ object SparkEntry {
         require(n == wantN && sig == wantSig,
           s"st24 consumed feed diverges from the table: ($n, $sig) vs " +
             s"($wantN, $wantSig)")
+      },
+      // GOVERNED streaming ingest (st25): st23's exactly-once txn
+      // ingest composed with hidden partitioning (l27 — the partition
+      // derives through the lake's RECORDED month(ts) transform inside
+      // the sink, never a sink-side formula) and table constraints
+      // (l26 — a violating micro-batch ABORTS before any version is
+      // claimed: the quality gate lives in the table and no stream can
+      // bypass it). Asserts: one txn commit per batch, derived
+      // partitions well-formed, a transform-pruned month read equals
+      // the plain filter, checkpoint replay is a no-op, and the
+      // violating batch mints nothing while a clean one still lands.
+      "st25_stream_governed_lake" -> { (s: SparkSession, d: String) =>
+        import org.apache.spark.sql.streaming.Trigger
+        import graft.sources.{HiddenPartitioning => HP, VersionedLake}
+        val stage = stagedEventFiles(s, d)
+        val lake =
+          s"/tmp/graft_stream_gvrn_${Integer.toHexString(d.hashCode)}"
+        VersionedLake.reset(s, lake)
+        HP.define(s, lake, HP.Spec("ts", HP.Month))
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
+        try {
+          val schema = s.read.parquet(stage).schema
+          val src = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(stage)
+          val q = graft.streaming.EventStreams.toGovernedLake(src, lake)
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt.toString)
+            .start()
+          q.awaitTermination()
+        } finally {
+          org.apache.spark.sql.graftglue.GraftGlue.unloadStateStores()
+          java.nio.file.Files.walk(ckpt)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        }
+        val latest = VersionedLake.latestVersion(s, lake)
+        require(latest == 4, s"st25 expected 4 txn commits, got $latest")
+        val parts = VersionedLake.manifestFiles(s, lake, latest)
+          .map(_.part).distinct
+        require(parts.nonEmpty && parts.forall(_.matches("""\d{4}-\d{2}""")),
+          s"st25 derived month partitions malformed: $parts")
+        // a transform-pruned month window == the plain row filter
+        val m = parts.min
+        val (lo, hi) = (s"$m-01 00:00:00", s"$m-28 23:59:59")
+        require(HP.partsBetween(s, lake, latest, lo, hi) == Seq(m),
+          "st25 month range must prune to one partition")
+        val got = lakeFeedSig(HP.readBetween(s, lake, lo, hi))
+        val want = lakeFeedSig(VersionedLake.readLatest(s, lake)
+          .filter(col("ts").between(lo, hi)))
+        require(got == want,
+          s"st25 pruned month read diverges: $got vs $want")
+        // checkpoint replay of the last batch: same txn -> no-op
+        val replay = s.read.parquet(stage).limit(3)
+        require(HP.commitBatchAppend(replay, lake, txn = 3L) == 4,
+          "st25 replayed txn forked history")
+        // the constraint gate composes: a violating micro-batch aborts
+        // minting nothing; a clean one still lands
+        VersionedLake.commitAddConstraint(s, lake, "eid_nn",
+          "event_id IS NOT NULL")
+        val bad = s.read.parquet(stage).limit(2)
+          .withColumn("event_id", lit(null).cast("long"))
+        val aborted =
+          try { HP.commitBatchAppend(bad, lake, txn = 99L); false }
+          catch { case _: IllegalStateException => true }
+        require(aborted, "st25 violating micro-batch must abort")
+        require(VersionedLake.latestVersion(s, lake) == 5,
+          "st25 aborted batch must mint no version")
+        require(HP.commitBatchAppend(s.read.parquet(stage).limit(2),
+          lake, txn = 100L) == 6,
+          "st25 clean batch must land after the abort")
       })
   }
 
@@ -7374,17 +7444,16 @@ object SparkEntry {
     * [[graft.streaming.EventStreams.toVersionedLake]] (one txn-deduped
     * APPEND commit per micro-batch) into a fresh versioned lake, and
     * return the lake path. */
-  private def stageVersionedEventsLake(s: SparkSession,
-                                       d: String): String = {
+  /** st20/st23/st25's shared staleness-guarded staging: the events
+    * fixture re-written as 4 range-split parquet files (one per
+    * micro-batch under maxFilesPerTrigger=1). Returns the stage dir. */
+  private def stagedEventFiles(s: SparkSession, d: String): String = {
     import java.nio.file.{Files, Path, Paths}
     import java.util.Comparator
-    import org.apache.spark.sql.streaming.Trigger
-    import graft.sources.VersionedLake
     def wipe(p: Path): Unit =
       if (Files.exists(p))
         Files.walk(p).sorted(Comparator.reverseOrder[Path]())
           .forEach(f => { Files.deleteIfExists(f); () })
-    // st20's staging (same staleness-guarded range split)
     val srcFile = Paths.get(s"$d/events.parquet")
     val stage = Paths.get(
       s"/tmp/graft_stream_vev_${Integer.toHexString(d.hashCode)}")
@@ -7398,6 +7467,20 @@ object SparkEntry {
         .repartitionByRange(4, col("event_id"))
         .write.mode("overwrite").parquet(stage.toString)
     }
+    stage.toString
+  }
+
+  private def stageVersionedEventsLake(s: SparkSession,
+                                       d: String): String = {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.VersionedLake
+    def wipe(p: Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => { Files.deleteIfExists(f); () })
+    val stage = java.nio.file.Paths.get(stagedEventFiles(s, d))
     val lake =
       s"/tmp/graft_stream_vsrc_${Integer.toHexString(d.hashCode)}"
     VersionedLake.reset(s, lake)

@@ -178,6 +178,16 @@ object HiddenPartitioning {
     VersionedLake.commitUpsert(d, p, path, statsCol, commitTs)
   }
 
+  /** [[VersionedLake.commitBatchAppend]] (exactly-once streaming
+    * ingest), transform-derived — the governed sink: partition layout
+    * comes from the table's recorded spec, constraints validate the
+    * micro-batch, and the foreachBatch writer supplies only the txn. */
+  def commitBatchAppend(df: DataFrame, path: String, txn: Long,
+                        commitTs: Option[Long] = None): Int = {
+    val (d, p) = derive(df.sparkSession, path, df)
+    VersionedLake.commitBatchAppend(d, p, path, txn, commitTs)
+  }
+
   private def livePartsOf(spark: SparkSession, path: String,
                           v: Int): Seq[String] =
     VersionedLake.manifestFiles(spark, path, v).map(_.part).distinct

@@ -282,6 +282,22 @@ object EventStreams {
         ()
     }
 
+  /** [[toVersionedLake]]'s GOVERNED form (st25): the partition value
+    * derives through the lake's RECORDED transform
+    * ([[graft.sources.HiddenPartitioning]], l27) instead of a
+    * sink-side formula, and any table constraints (l26) validate the
+    * micro-batch inside the commit — layout and quality rules live in
+    * the TABLE, so no stream can bypass them; a violating batch
+    * aborts before a version is claimed. */
+  def toGovernedLake(events: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.HiddenPartitioning.commitBatchAppend(
+          batch.toDF(), path, txn = batchId)
+        ()
+    }
+
   /** A closed session emitted by [[sessionizeStateful]]. */
   case class Session(user_id: Long, session_start: Timestamp,
                      session_end: Timestamp, n_events: Long)
