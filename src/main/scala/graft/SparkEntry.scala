@@ -1619,6 +1619,76 @@ object SparkEntry {
       .withColumn("hidden_col_absent", lit(hiddenAbsent))
   }
 
+  /** l28 — BLOOM-FILTER file-skipping index
+    * ([[graft.sources.BloomIndex]]): Delta's `CREATE BLOOMFILTER
+    * INDEX`. The lake's zone maps (l08/l12) prune RANGE reads on the
+    * clustered key; a point lookup on an UNCORRELATED column
+    * (`l_partkey IN (...)` against a month-partitioned,
+    * orderkey-clustered table) matches every file's (lo, hi) span and
+    * opens all of them — at 100 TB that full-scan IS the query cost.
+    * A per-file Bloom filter (sidecar parquet under `_log/`, KBs per
+    * file) answers membership in metadata: the lookup reads only
+    * matching files plus any not-yet-indexed ones (never a false
+    * negative; a false positive dies in the exact semi-join). Filters
+    * attach to immutable FILES, so indexing is INCREMENTAL — after an
+    * append, [[graft.sources.BloomIndex.ensure]] indexes only the new
+    * files (incremental_fresh_only), carried files reuse their rows.
+    * The layout is the l12 deterministic range-fragmenter (8 ranges ×
+    * 3 months), so the skip margins hold at every parallelism; skip
+    * witnesses stay BOOLEANS (the l10 rule). The oracle re-derives
+    * both lookups from the original parquet with plain IN predicates
+    * — a wrongly skipped file loses rows and fails the counts. */
+  private def l28(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{BloomIndex, VersionedLake}
+    val lake = s"/tmp/graft_bflake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_partkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .filter(col("month").between("1997-01", "1997-03"))
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(min(col("l_quantity")).as("l_quantity"),
+        min(col("l_partkey")).as("l_partkey"),
+        min(col("month")).as("month"))
+    VersionedLake.commitOverwrite(
+      li.repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey")),
+      "month", lake)
+    BloomIndex.define(s, lake, BloomIndex.Cfg("l_partkey"))
+    val indexed1 = BloomIndex.ensure(s, lake, 1)
+    val keys = li.select(col("l_partkey")).distinct()
+      .orderBy(col("l_partkey")).limit(5)
+    val (toRead1, nIdx1, nSkip1) = BloomIndex.prunedRels(s, lake, 1, keys)
+    val probe1 = BloomIndex.lookup(s, lake, keys, Some(1))
+    // incremental half: an append whose rows all carry the smallest
+    // probed partkey (fresh files must join the lookup's result)
+    val off = ttKeyOffset(li)
+    val kmin = keys.agg(min(col("l_partkey"))).head.getLong(0) // 1-row
+    VersionedLake.commitAppend(
+      li.filter(col("month") === "1997-02")
+        .filter(col("l_linenumber") <= 2)
+        .withColumn("l_orderkey", col("l_orderkey") + off)
+        .withColumn("l_partkey", lit(kmin)),
+      "month", lake)
+    val indexed2 = BloomIndex.ensure(s, lake, 2)
+    val freshOnly = indexed2.nonEmpty &&
+      indexed2.toSet.intersect(indexed1.toSet).isEmpty
+    val (_, _, nSkip2) = BloomIndex.prunedRels(s, lake, 2, keys)
+    val probe2 = BloomIndex.lookup(s, lake, keys)
+    def summarize(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          sum(col("l_orderkey") * 7 + col("l_linenumber")).as("key_sig"))
+        .withColumn("probe", lit(name))
+    summarize(probe1, "v1_lookup")
+      .unionByName(summarize(probe2, "v2_lookup"))
+      .withColumn("bloom_skips_v1",
+        lit(nSkip1 > 0 && toRead1.size < nIdx1))
+      .withColumn("bloom_skips_v2", lit(nSkip2 > 0))
+      .withColumn("incremental_fresh_only", lit(freshOnly))
+  }
+
   /** l12 — zone-map-pruned TIME-TRAVEL range query: l08's per-file
     * (lo, hi) skipping stats carried IN l09's version manifests
     * ([[graft.sources.VersionedLake.FileEntry]] — the Iceberg
@@ -6074,6 +6144,7 @@ object SparkEntry {
     "l25_segmented_manifests" -> (l25 _),
     "l26_table_constraints" -> (l26 _),
     "l27_hidden_partitioning" -> (l27 _),
+    "l28_bloom_index" -> (l28 _),
     "c13_split_decontam" -> (c13 _),
     "c14_weighted_sample" -> (c14 _),
     "t33_cdc_chunking" -> (t33 _),
@@ -8942,6 +9013,42 @@ object SparkEntry {
         |  CAST(3 AS INTEGER), CAST(1 AS INTEGER), TRUE, TRUE
         |FROM li
         |WHERE l_orderkey IN (SELECT l_orderkey FROM keys)""".stripMargin,
+    // l28: both lookups re-derive with PLAIN IN predicates (the bloom
+    // prune must be result-invisible — a wrongly skipped file loses
+    // rows); keys are the 5 lowest distinct partkeys (deterministic);
+    // the append carries kmin on shifted orderkeys (ttKeyOffset rule);
+    // skip/incremental witnesses are engine booleans expected TRUE
+    "l28_bloom_index" ->
+      s"""WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity,
+        |    min(l_partkey) AS l_partkey,
+        |    min(strftime(l_shipdate, '%Y-%m')) AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'
+        |  GROUP BY 1, 2),
+        |keys AS (
+        |  SELECT DISTINCT l_partkey FROM li ORDER BY 1 LIMIT 5),
+        |v2 AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_partkey
+        |  FROM li
+        |  UNION ALL
+        |  SELECT l_orderkey + $ttKeyOffsetSql, l_linenumber,
+        |    l_quantity, (SELECT min(l_partkey) FROM keys)
+        |  FROM li WHERE month = '1997-02' AND l_linenumber <= 2)
+        |SELECT 'v1_lookup' AS probe, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  TRUE AS bloom_skips_v1, TRUE AS bloom_skips_v2,
+        |  TRUE AS incremental_fresh_only
+        |FROM li WHERE l_partkey IN (SELECT l_partkey FROM keys)
+        |UNION ALL
+        |SELECT 'v2_lookup', count(*), round(sum(l_quantity), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  TRUE, TRUE, TRUE
+        |FROM v2 WHERE l_partkey IN (SELECT l_partkey FROM keys)"""
+        .stripMargin,
     // the Bloom prune is output-invisible by construction (false
     // positives die in the exact join), so the oracle is the PLAIN join
     "q38_bloom_join" ->

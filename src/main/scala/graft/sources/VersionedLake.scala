@@ -89,7 +89,7 @@ object VersionedLake {
   private val jvmTag =
     java.util.UUID.randomUUID().toString.replace("-", "").take(10)
   private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
-  private def uniq(): String = s"$jvmTag${seq.incrementAndGet()}"
+  private[sources] def uniq(): String = s"$jvmTag${seq.incrementAndGet()}"
 
   /** All committed versions, ascending (empty for a fresh lake). */
   def versions(spark: SparkSession, path: String): Seq[Int] = {
@@ -291,7 +291,7 @@ object VersionedLake {
   /** Resolve a manifest rel-path against the lake root. A SHALLOW
     * CLONE's manifest stores the source's files as absolute/qualified
     * paths ([[shallowClone]]) — those pass through untouched. */
-  private def resolve(base: String, rel: String): String =
+  private[sources] def resolve(base: String, rel: String): String =
     if (rel.startsWith("/") || rel.contains(":/")) rel else s"$base/$rel"
 
   private def readManifestText(spark: SparkSession, path: String,
@@ -1040,9 +1040,24 @@ object VersionedLake {
     * so any URI escaping `_metadata.file_path` applies to a
     * Hive-escaped partition value is identical on both sides by
     * construction. */
-  private def relExpr(c: org.apache.spark.sql.Column)
+  private[sources] def relExpr(c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
     regexp_extract(c, "^.*/(data/[^/]+/[^/]+/[^/]+)$", 1)
+
+  /** Read a SUBSET of version `v`'s data files (by lake-relative
+    * path), with the version's schema/column-mapping resolution and
+    * the touched partitions' deletion vectors folded — the read
+    * primitive a secondary file-skipping index ([[BloomIndex]]) plans
+    * into: the index decides WHICH files, this reads them correctly. */
+  def readFiles(spark: SparkSession, path: String, v: Int,
+                rels: Set[String]): DataFrame = {
+    val all = manifestEntries(spark, path, v)
+    val data = all.filter(e => e.kind == KindData && rels.contains(e.rel))
+    val parts = data.map(_.part).toSet
+    val dvs = all.filter(e => e.kind == KindDv && parts.contains(e.part))
+    if (data.isEmpty) emptyOf(spark, path, v, all.filter(_.kind == KindData))
+    else mappedRead(spark, path, v, data, dvs)
+  }
 
   /** THE versioned read core: `data` files of version `v` read under
     * the version's logical schema with COLUMN-MAPPING resolution and

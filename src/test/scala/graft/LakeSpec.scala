@@ -1400,6 +1400,60 @@ class LakeSpec extends SparkSpec {
       Seq(3L, 17L).toDF("k")).size <= 2)
   }
 
+  test("bloom index: deterministic skip on disjoint files, unindexed " +
+      "files always read, ensure is incremental and idempotent, DV " +
+      "fold composes, compact drops dead rels") {
+    import graft.sources.{BloomIndex, VersionedLake}
+    val lake = java.nio.file.Files.createTempDirectory("lake_bf").toString
+    VersionedLake.reset(spark, lake)
+    // two range files with DISJOINT id sets inside one partition
+    VersionedLake.commitOverwrite(
+      (0L until 40L).map(i => (i, "p", i * 2.0)).toDF("id", "part", "x")
+        .repartitionByRange(2, $"id").sortWithinPartitions($"id"),
+      "part", lake)
+    BloomIndex.define(spark, lake, BloomIndex.Cfg("id", mBits = 4096))
+    // BEFORE ensure: nothing indexed, every file reads, result exact
+    val keys = Seq(3L, 7L).toDF("id")
+    val (pre, preIdx, preSkip) = BloomIndex.prunedRels(spark, lake, 1, keys)
+    assert(preIdx == 0 && preSkip == 0 && pre.nonEmpty)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id").as[Long].collect().toSet
+    assert(ids(BloomIndex.lookup(spark, lake, keys)) == Set(3L, 7L))
+    // ensure, then low ids live in one range file: the other skips
+    val first = BloomIndex.ensure(spark, lake, 1)
+    assert(first.size == 2)
+    assert(BloomIndex.ensure(spark, lake, 1).isEmpty, "idempotent")
+    val (toRead, nIdx, nSkip) = BloomIndex.prunedRels(spark, lake, 1, keys)
+    assert(nIdx == 2 && nSkip == 1 && toRead.size == 1,
+      s"expected 1 survivor of 2: $toRead")
+    assert(ids(BloomIndex.lookup(spark, lake, keys)) == Set(3L, 7L))
+    // a deletion vector folds inside the bloom-pruned read
+    VersionedLake.commitDelete(Seq((3L, "p")).toDF("id", "part"),
+      Seq("id"), "part", lake)
+    assert(ids(BloomIndex.lookup(spark, lake, keys)) == Set(7L))
+    // incremental: an append indexes ONLY its fresh files, and the
+    // lookup includes them
+    VersionedLake.commitAppend(
+      Seq((3L, "p", 99.0)).toDF("id", "part", "x").coalesce(1),
+      "part", lake)
+    val second = BloomIndex.ensure(spark, lake,
+      VersionedLake.latestVersion(spark, lake))
+    assert(second.size == 1 && !first.contains(second.head))
+    assert(ids(BloomIndex.lookup(spark, lake, keys)) == Set(3L, 7L))
+    // compact after an overwrite + vacuum keeps only live rels
+    VersionedLake.commitOverwrite(
+      Seq((100L, "p", 1.0)).toDF("id", "part", "x").coalesce(1),
+      "part", lake)
+    VersionedLake.vacuum(spark, lake, retain = 1)
+    val kept = BloomIndex.compact(spark, lake)
+    assert(kept == 0, s"no pre-overwrite file is live, kept $kept")
+    val third = BloomIndex.ensure(spark, lake,
+      VersionedLake.latestVersion(spark, lake))
+    assert(third.size == 1)
+    assert(ids(BloomIndex.lookup(spark, lake, Seq(100L).toDF("id"))) ==
+      Set(100L))
+  }
+
   test("two-lake coordinated snapshots: a mid-sequence crash leaves " +
       "the half-landed instant invisible to coordinated readers; " +
       "recovery advances the bound") {
