@@ -1689,6 +1689,107 @@ object SparkEntry {
       .withColumn("incremental_fresh_only", lit(freshOnly))
   }
 
+  /** l29 — commit HISTORY as a metadata table
+    * ([[graft.sources.VersionedLake.history]]): Delta's `DESCRIBE
+    * HISTORY` / Iceberg's `snapshots` metadata table — the audit
+    * surface every governed deployment queries before it queries the
+    * data ("who restated February, when, under which txn?"). One row
+    * per live version: op verb, txn presence (exactly-once ingest
+    * provenance), commit stamp presence, touched-partition count,
+    * DV presence, active-constraint count — driver-side manifest
+    * metadata only, version-count-sized, row data never read for the
+    * history itself. The fixture drives FIVE verbs on one lake
+    * (overwrite, batch-txn upsert, DV delete, stamped restore, add
+    * constraint) and joins each history row with its snapshot's row
+    * count; the oracle re-derives every field from the construction —
+    * an op mislabeled, a txn dropped, a constraint miscounted, or a
+    * version resolving to the wrong snapshot all fail the row. */
+  private def l29(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedLake
+    val lake = s"/tmp/graft_histlake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val li = ttSlimLineitem(s, d, dedupKeys = true)
+    VersionedLake.commitOverwrite(li, "month", lake)
+    VersionedLake.commitBatchUpsert( // txn-carrying (exactly-once form)
+      li.filter(col("month") === "1997-02")
+        .filter(col("l_linenumber") <= 4)
+        .withColumn("l_quantity", col("l_quantity") + 1),
+      "month", lake, txn = 7L)
+    VersionedLake.commitDelete(
+      li.filter(col("month") === "1997-02")
+        .filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("month")),
+      Seq("l_orderkey", "l_linenumber"), "month", lake)
+    VersionedLake.commitRestore(s, lake, 1, commitTs = Some(4000L))
+    VersionedLake.commitAddConstraint(s, lake, "qty_pos",
+      "l_quantity > 0")
+    val h = VersionedLake.history(s, lake).collect() // 5-row planning
+    val rows = h.map { r =>
+      val v = r.getInt(0)
+      (v, r.getString(1), !r.isNullAt(2), !r.isNullAt(3), r.getInt(4),
+        r.getBoolean(5), r.getInt(6),
+        VersionedLake.readVersion(s, lake, v).count())
+    }.toSeq
+    import s.implicits._
+    rows.toDF("version", "op", "has_txn", "has_ts", "n_parts",
+      "has_dvs", "n_constraints", "n_rows")
+  }
+
+  /** l30 — MERGE with SCHEMA EVOLUTION
+    * ([[graft.sources.VersionedLake.commitMerge]] `evolveSchema`):
+    * Delta's `schema.autoMerge`. l11's MERGE requires the delta to
+    * match the table schema and l16 evolves schema through a plain
+    * upsert; real ingest pipelines hit both at once — a restatement
+    * feed that grew a provenance column mid-stream must MERGE AND
+    * evolve in one atomic commit, or the pipeline needs a separate
+    * schema-change step with a window where neither schema is right.
+    * The fixture: one evolving merge updates February lines ≤ 2
+    * (qty + 1) and inserts offset-keyed copies of line 1, all
+    * carrying a NEW `src` column; kept rows surface src as NULL
+    * (n_src counts exactly the delta), version 1 read EVOLVED
+    * surfaces src all-NULL, and the SAME merge WITHOUT the flag is
+    * REFUSED loudly minting nothing (strict_refused +
+    * strict_minted_nothing) — never a silent column drop. The oracle
+    * re-derives the merged snapshot, per-probe counts, and the
+    * key/src signatures from the original parquet. */
+  private def l30(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedLake
+    val lake = s"/tmp/graft_melake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val li = ttSlimLineitem(s, d, dedupKeys = true)
+    VersionedLake.commitOverwrite(li, "month", lake)
+    val off = ttKeyOffset(li)
+    val feb = li.filter(col("month") === "1997-02")
+    val delta = feb.filter(col("l_linenumber") <= 2)
+        .withColumn("l_quantity", col("l_quantity") + 1)
+      .unionByName(feb.filter(col("l_linenumber") === 1)
+        .withColumn("l_orderkey", col("l_orderkey") + off))
+      .withColumn("src", lit("merge"))
+    val strictRefused =
+      try {
+        VersionedLake.commitMerge(delta,
+          Seq("l_orderkey", "l_linenumber"), "month", lake)
+        false
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => true
+      }
+    val strictMintedNothing = VersionedLake.latestVersion(s, lake) == 1
+    VersionedLake.commitMerge(delta,
+      Seq("l_orderkey", "l_linenumber"), "month", lake,
+      evolveSchema = true)
+    val v2 = VersionedLake.readLatest(s, lake)
+    val v1e = VersionedLake.readVersionEvolved(s, lake, 1)
+    def probe(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          sum(col("l_orderkey") * 7 + col("l_linenumber")).as("key_sig"),
+          count(col("src")).as("n_src"))
+        .withColumn("probe", lit(name))
+    probe(v2, "v2_merged").unionByName(probe(v1e, "v1_evolved"))
+      .withColumn("strict_refused", lit(strictRefused))
+      .withColumn("strict_minted_nothing", lit(strictMintedNothing))
+  }
+
   /** l12 — zone-map-pruned TIME-TRAVEL range query: l08's per-file
     * (lo, hi) skipping stats carried IN l09's version manifests
     * ([[graft.sources.VersionedLake.FileEntry]] — the Iceberg
@@ -6145,6 +6246,8 @@ object SparkEntry {
     "l26_table_constraints" -> (l26 _),
     "l27_hidden_partitioning" -> (l27 _),
     "l28_bloom_index" -> (l28 _),
+    "l29_table_history" -> (l29 _),
+    "l30_merge_schema_evolution" -> (l30 _),
     "c13_split_decontam" -> (c13 _),
     "c14_weighted_sample" -> (c14 _),
     "t33_cdc_chunking" -> (t33 _),
@@ -9049,6 +9152,82 @@ object SparkEntry {
         |  TRUE, TRUE, TRUE
         |FROM v2 WHERE l_partkey IN (SELECT l_partkey FROM keys)"""
         .stripMargin,
+    // l29: every history field re-derives from the construction — the
+    // five verbs' op labels, txn/ts presence, partition counts, DV
+    // flag, constraint count, and each version's snapshot row count
+    "l29_table_history" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity,
+        |    min(strftime(l_shipdate, '%Y-%m')) AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'
+        |  GROUP BY 1, 2),
+        |n1 AS (SELECT count(*) AS n FROM li),
+        |n2 AS (SELECT
+        |    (SELECT count(*) FROM li WHERE month <> '1997-02') +
+        |    (SELECT count(*) FROM li
+        |     WHERE month = '1997-02' AND l_linenumber <= 4) AS n),
+        |d1 AS (SELECT count(*) AS n FROM li
+        |  WHERE month = '1997-02' AND l_linenumber = 1)
+        |SELECT CAST(1 AS INTEGER) AS version, 'overwrite' AS op,
+        |  FALSE AS has_txn, FALSE AS has_ts,
+        |  CAST(3 AS INTEGER) AS n_parts, FALSE AS has_dvs,
+        |  CAST(0 AS INTEGER) AS n_constraints,
+        |  (SELECT n FROM n1) AS n_rows
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), 'upsert', TRUE, FALSE,
+        |  CAST(3 AS INTEGER), FALSE, CAST(0 AS INTEGER),
+        |  (SELECT n FROM n2)
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), 'delete', FALSE, FALSE,
+        |  CAST(3 AS INTEGER), TRUE, CAST(0 AS INTEGER),
+        |  (SELECT n FROM n2) - (SELECT n FROM d1)
+        |UNION ALL
+        |SELECT CAST(4 AS INTEGER), 'restore', FALSE, TRUE,
+        |  CAST(3 AS INTEGER), FALSE, CAST(0 AS INTEGER),
+        |  (SELECT n FROM n1)
+        |UNION ALL
+        |SELECT CAST(5 AS INTEGER), 'add_constraint', FALSE, FALSE,
+        |  CAST(3 AS INTEGER), FALSE, CAST(1 AS INTEGER),
+        |  (SELECT n FROM n1)""".stripMargin,
+    // l30: the merged snapshot re-derives from the construction —
+    // updated Feb lines <= 2 (qty+1, src set), inserted offset-keyed
+    // line-1 copies (src set), every other row carried with src NULL;
+    // v1 read evolved is all-NULL src; strict-mode refusal booleans
+    // are engine-side, expected TRUE
+    "l30_merge_schema_evolution" ->
+      s"""WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity,
+        |    min(strftime(l_shipdate, '%Y-%m')) AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'
+        |  GROUP BY 1, 2),
+        |v2 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN month = '1997-02' AND l_linenumber <= 2
+        |         THEN l_quantity + 1 ELSE l_quantity END AS l_quantity,
+        |    CASE WHEN month = '1997-02' AND l_linenumber <= 2
+        |         THEN 1 END AS s
+        |  FROM li
+        |  UNION ALL
+        |  SELECT l_orderkey + $ttKeyOffsetSql, l_linenumber,
+        |    l_quantity, 1
+        |  FROM li WHERE month = '1997-02' AND l_linenumber = 1)
+        |SELECT 'v2_merged' AS probe, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  count(s) AS n_src,
+        |  TRUE AS strict_refused, TRUE AS strict_minted_nothing
+        |FROM v2
+        |UNION ALL
+        |SELECT 'v1_evolved', count(*), round(sum(l_quantity), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  CAST(0 AS BIGINT), TRUE, TRUE
+        |FROM li""".stripMargin,
     // the Bloom prune is output-invisible by construction (false
     // positives die in the exact join), so the oracle is the PLAIN join
     "q38_bloom_join" ->

@@ -987,12 +987,21 @@ object VersionedLake {
     *        any commit landing after it on a touched partition aborts
     *        this merge instead of being silently overwritten
     * @return the new version number */
+  /** @param evolveSchema Delta's `schema.autoMerge` on MERGE: when
+    *        true, a delta carrying NEW columns evolves the table
+    *        schema in the SAME commit — kept current rows surface the
+    *        new columns as NULL (and a delta missing existing columns
+    *        inserts NULL there); untouched partitions' files carry
+    *        forward unchanged and back-fill on read (the l16
+    *        machinery). When false (default), a schema mismatch is a
+    *        loud analysis error — never a silent drop. */
   def commitMerge(delta: DataFrame, keyCols: Seq[String],
                   partCol: String, path: String,
                   statsCol: Option[String] = None,
                   deleteCol: Option[String] = None,
                   commitTs: Option[Long] = None,
-                  fromVersion: Option[Int] = None): Int = {
+                  fromVersion: Option[Int] = None,
+                  evolveSchema: Boolean = false): Int = {
     val spark = delta.sparkSession
     val v = fromVersion.getOrElse(latestVersion(spark, path))
     require(v > 0, "commitMerge needs an existing version to merge into")
@@ -1020,7 +1029,7 @@ object VersionedLake {
       delta.filter(!coalesce(col(dc), lit(false))).drop(dc))
     val merged = current
       .join(delta.select(keyCols.map(col): _*), keyCols, "left_anti")
-      .unionByName(upserts)
+      .unionByName(upserts, allowMissingColumns = evolveSchema)
     // PIN the base this merge was computed against: a commit landing
     // between the latestVersion read above and the manifest claim must
     // trip the OCC conflict check (touched-partition overlap), not be
@@ -1480,6 +1489,41 @@ object VersionedLake {
   def manifestFiles(spark: SparkSession, path: String,
                     v: Int): Seq[FileEntry] =
     manifestEntries(spark, path, v)
+
+  /** The table's commit HISTORY as a queryable frame (Delta's
+    * `DESCRIBE HISTORY` / Iceberg's `snapshots` metadata table): one
+    * row per LIVE version — version, op, txn id, commit timestamp,
+    * touched-partition count, live-partition count, constraint count.
+    * Driver-side manifest metadata only (version-count-sized); row
+    * data never reads. Vacuumed versions are gone from the log and so
+    * from the history — the retention trade stated by l10. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    val rows = versions(spark, path).map { v =>
+      val h = readManifestHeader(spark, path, v)
+      val entries = manifestEntries(spark, path, v)
+      val parts = entries.map(_.part).distinct
+      (v,
+        headerAttr(h, "op").getOrElse(""),
+        headerAttr(h, "txn").map(_.toLong),
+        headerAttr(h, "ts").map(_.toLong),
+        parts.size,
+        entries.count(_.kind == KindDv) > 0,
+        readConstraints(spark, path, v).size)
+    }
+    import spark.implicits._
+    rows.toDF("version", "op", "txn", "commit_ts", "n_parts",
+      "has_dvs", "n_constraints")
+  }
+
+  /** Version `v`'s FILE inventory as a queryable frame (Iceberg's
+    * `files` metadata table): partition, pointer, kind, zone-map
+    * stats, write era. */
+  def filesTable(spark: SparkSession, path: String, v: Int): DataFrame = {
+    import spark.implicits._
+    manifestEntries(spark, path, v)
+      .map(e => (e.part, e.rel, e.kind, e.lo, e.hi, e.era))
+      .toDF("part", "rel", "kind", "lo", "hi", "era")
+  }
 
   /** An empty frame with version `v`'s recorded schema — the shape a
     * prune that matches nothing resolves to (an out-of-range query's

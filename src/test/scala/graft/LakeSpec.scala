@@ -1454,6 +1454,45 @@ class LakeSpec extends SparkSpec {
       Set(100L))
   }
 
+  test("MERGE schema evolution: evolveSchema adds the delta's new " +
+      "column atomically, strict mode refuses, a later narrow delta " +
+      "NULL-fills") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_me").toString
+    VersionedLake.reset(spark, lake)
+    VersionedLake.commitOverwrite(
+      Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+        .toDF("id", "part", "x"), "part", lake)
+    val delta = Seq((2L, "a", 20.0, "feed"), (9L, "b", 9.0, "feed"))
+      .toDF("id", "part", "x", "src")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      VersionedLake.commitMerge(delta, Seq("id"), "part", lake)
+    }
+    assert(VersionedLake.latestVersion(spark, lake) == 1)
+    VersionedLake.commitMerge(delta, Seq("id"), "part", lake,
+      evolveSchema = true)
+    val v2 = VersionedLake.readLatest(spark, lake)
+      .select($"id", $"x", $"src").as[(Long, Double, Option[String])]
+      .collect().toSet
+    assert(v2 == Set((1L, 1.0, None), (2L, 20.0, Some("feed")),
+      (3L, 3.0, None), (9L, 9.0, Some("feed"))))
+    // the evolved schema is RECORDED: a later delta missing src
+    // merges under evolveSchema with src NULL-filled
+    VersionedLake.commitMerge(
+      Seq((1L, "a", 10.0)).toDF("id", "part", "x"),
+      Seq("id"), "part", lake, evolveSchema = true)
+    val v3 = VersionedLake.readLatest(spark, lake)
+      .filter($"id" === 1L).select($"x", $"src")
+      .as[(Double, Option[String])].collect().toSeq
+    assert(v3 == Seq((10.0, None)))
+    // time travel below the evolution is untouched; evolved read
+    // surfaces the column as NULL
+    assert(!VersionedLake.readVersion(spark, lake, 1)
+      .columns.contains("src"))
+    assert(VersionedLake.readVersionEvolved(spark, lake, 1)
+      .filter($"src".isNotNull).count() == 0)
+  }
+
   test("two-lake coordinated snapshots: a mid-sequence crash leaves " +
       "the half-landed instant invisible to coordinated readers; " +
       "recovery advances the bound") {
