@@ -7610,6 +7610,60 @@ object SparkEntry {
         require(HP.commitBatchAppend(s.read.parquet(stage).limit(2),
           lake, txn = 100L) == 6,
           "st25 clean batch must land after the abort")
+      },
+      // STREAMING INDEX MAINTENANCE (st26): st23's txn ingest with the
+      // l28 Bloom file-skipping index kept fresh INSIDE each
+      // micro-batch — filters attach to immutable files, so each
+      // batch's ensure indexes exactly its fresh files (cost ∝ batch,
+      // never a rebuild), the index covers the whole lake at every
+      // step, and a replayed ensure is a no-op. A point lookup after
+      // the stream equals the plain filter (count + XOR signature).
+      "st26_stream_index_maintenance" -> { (s: SparkSession, d: String) =>
+        import org.apache.spark.sql.streaming.Trigger
+        import graft.sources.{BloomIndex, VersionedLake}
+        val stage = stagedEventFiles(s, d)
+        val lake =
+          s"/tmp/graft_stream_bfi_${Integer.toHexString(d.hashCode)}"
+        VersionedLake.reset(s, lake)
+        BloomIndex.define(s, lake, BloomIndex.Cfg("user_id"))
+        val perBatch = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
+        try {
+          val schema = s.read.parquet(stage).schema
+          val src = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(stage)
+          val q = graft.streaming.EventStreams
+            .toIndexedLake(src, lake, n => { perBatch += n; () })
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt.toString)
+            .start()
+          q.awaitTermination()
+        } finally {
+          org.apache.spark.sql.graftglue.GraftGlue.unloadStateStores()
+          java.nio.file.Files.walk(ckpt)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        }
+        val latest = VersionedLake.latestVersion(s, lake)
+        require(latest == 4, s"st26 expected 4 txn commits, got $latest")
+        // every batch indexed only ITS files; the union covers the lake
+        require(perBatch.size == 4 && perBatch.forall(_ > 0),
+          s"st26 per-batch ensure counts: $perBatch")
+        val live = VersionedLake.manifestFiles(s, lake, latest)
+          .filter(_.kind == "data").map(_.rel).toSet
+        require(perBatch.sum == live.size,
+          s"st26 index coverage ${perBatch.sum} != ${live.size} files")
+        require(BloomIndex.ensure(s, lake, latest).isEmpty,
+          "st26 re-ensure must be a no-op")
+        // index-served point lookup == plain filter
+        val ids = VersionedLake.readLatest(s, lake)
+          .select(col("user_id")).distinct()
+          .orderBy(col("user_id")).limit(2)
+        val got = lakeFeedSig(BloomIndex.lookup(s, lake, ids))
+        val want = lakeFeedSig(VersionedLake.readLatest(s, lake)
+          .join(broadcast(ids), Seq("user_id"), "left_semi"))
+        require(got == want,
+          s"st26 index-served lookup diverges: $got vs $want")
       })
   }
 

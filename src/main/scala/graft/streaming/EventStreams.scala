@@ -298,6 +298,29 @@ object EventStreams {
         ()
     }
 
+  /** [[toVersionedLake]] with STREAMING INDEX MAINTENANCE (st26):
+    * after each micro-batch's exactly-once commit, the lake's
+    * Bloom file-skipping index catches up through
+    * [[graft.sources.BloomIndex.ensure]] — filters attach to
+    * immutable files, so the per-batch cost is exactly this batch's
+    * fresh files (never a rebuild), a replayed batch re-ensures into
+    * a no-op, and point lookups stay index-served throughout the
+    * ingest. `onEnsure` receives each batch's newly indexed rel count
+    * (drive-side witness plumbing). */
+  def toIndexedLake(events: DataFrame, path: String,
+                    onEnsure: Int => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val v = graft.sources.VersionedLake.commitBatchAppend(
+          batch.toDF().withColumn("month",
+            date_format(col("ts"), "yyyy-MM")),
+          "month", path, txn = batchId)
+        onEnsure(graft.sources.BloomIndex
+          .ensure(batch.sparkSession, path, v).size)
+        ()
+    }
+
   /** A closed session emitted by [[sessionizeStateful]]. */
   case class Session(user_id: Long, session_start: Timestamp,
                      session_end: Timestamp, n_events: Long)
