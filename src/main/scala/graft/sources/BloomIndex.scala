@@ -1,8 +1,34 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+
+/** Executor-side fold of k·n hash positions into an m-bit filter's
+  * Long-word array — the build aggregate of [[BloomIndex.ensure]].
+  * One O(1) bit-set per position, O(words) merge; the buffer is
+  * filter-sized (mBits/8 bytes) regardless of row count, so the
+  * groupBy is map-side combined and the DRIVER never sees a bitmap
+  * (they flow straight into the distributed sidecar write). */
+final class BloomBits(words: Int)
+    extends Aggregator[Int, Array[Long], Seq[Long]] {
+  override def zero: Array[Long] = new Array[Long](words)
+  override def reduce(b: Array[Long], p: Int): Array[Long] = {
+    b(p >>> 6) |= (1L << (p & 63)); b
+  }
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < words) { x(i) |= y(i); i += 1 }
+    x
+  }
+  override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+  override def bufferEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+}
 
 /** Persistent BLOOM-FILTER file-skipping index over a [[VersionedLake]]
   * — Delta's bloom filter index (`CREATE BLOOMFILTER INDEX`). Zone-map
@@ -30,9 +56,22 @@ import org.apache.spark.sql.functions._
   *    engine expression (`xxhash64(value, i) mod m`) — the
   *    [[HiddenPartitioning]] rule: never a driver-side hash
   *    reimplementation that could drift from the executors'.
-  *  - Survival is computed IN SPARK (index rows broadcast-joined
-  *    against the probe keys): the driver never collects bitmaps,
-  *    only the surviving file list (matching-files-sized).
+  *  - The driver NEVER holds a bitmap, on either side. The build
+  *    folds positions into the Long-word array executor-side (a typed
+  *    [[BloomBits]] Aggregator) and writes sidecars with an ordinary
+  *    distributed parquet write — a backfill over a million-file lake
+  *    stays a shuffle of index-sized rows, not a driver collect.
+  *    Survival is computed IN SPARK (index rows broadcast-joined
+  *    against the probe keys): the driver sees only file LISTS
+  *    (file-count-sized planning metadata, the manifest discipline).
+  *  - Sidecar rows key on the MANIFEST's rel form: the build recovers
+  *    it by joining `_metadata.file_path`'s URI-escaped suffix against
+  *    the commit's rels mapped through the same Hadoop-Path URI
+  *    quoting ([[encodedRel]]), so Hive-escaped partition values
+  *    (`%3A` → `%253A` in file_path) can never strand a file as
+  *    permanently un-indexed. Zero-row files get an explicit all-zero
+  *    filter row (nothing can match one — skipping is exact), so one
+  *    [[ensure]] covers every file exactly once.
   *
   * Honest edges: the index column must not cross a column-mapping
   * RENAME (the build reads physical files; define on the current
@@ -114,9 +153,30 @@ object BloomIndex {
         df.select(col("rel")).collect().map(_.getString(0)).toSet
     } // file-count-sized planning metadata
 
+  private val RelSuffix = "^.*/(data/[^/]+/[^/]+/[^/]+)$".r
+
+  /** The form [[VersionedLake.relExpr]] recovers from
+    * `_metadata.file_path` for a manifest rel: `file_path` is the
+    * listing Path's URI string, which percent-quotes characters a
+    * Hive-escaped partition dir holds literally on disk (`%3A` →
+    * `%253A`, spaces → `%20`). Mapping the rel through the SAME
+    * Hadoop-Path URI quoting driver-side gives the exact join key the
+    * executors will produce — never a hand-rolled decoder that could
+    * drift from it (the enrichStats pitfall, r10). */
+  private def encodedRel(base: String, rel: String): String =
+    new Path(VersionedLake.resolve(base, rel)).toUri.toString match {
+      case RelSuffix(s) => s
+      case other =>
+        throw new IllegalStateException(s"un-splittable lake path $other")
+    }
+
   /** Index every data file of version `v` no sidecar covers yet —
     * incremental by construction (filters attach to immutable files).
-    * Returns the newly indexed rels. */
+    * The whole build is distributed: positions fold into filter words
+    * executor-side ([[BloomBits]]) and the sidecar is a distributed
+    * parquet write; the driver handles only rel lists. Returns the
+    * newly covered rels (every todo file, including zero-row ones —
+    * they get the all-zero filter). */
   def ensure(spark: SparkSession, path: String, v: Int): Seq[String] = {
     val c = cfg(spark, path)
     val base = path.stripSuffix("/")
@@ -128,25 +188,36 @@ object BloomIndex {
     }
     if (todo.isEmpty) return Seq.empty
     val words = c.mBits / 64
-    // one distributed pass over the new files: k positions per value,
-    // distinct positions per file (<= mBits ints — bounded by the
-    // filter size, never the row count)
-    val positions = spark.read
-      .parquet(todo.map(r => VersionedLake.resolve(base, r)): _*)
-      .select(VersionedLake.relExpr(col("_metadata.file_path")).as("rel"),
-        explode(posArray(col(c.col), c.mBits, c.k)).as("pos"))
-      .groupBy(col("rel"))
-      .agg(collect_set(col("pos")).as("ps"))
-      .collect() // file-count rows, <= mBits ints each: index-sized
-    val rows = positions.map { r =>
-      val bits = new Array[Long](words)
-      r.getSeq[Int](1).foreach(p => bits(p / 64) |= (1L << (p % 64)))
-      (r.getString(0), bits.toSeq)
-    }.toSeq
     import spark.implicits._
-    rows.toDF("rel", "bits").coalesce(1).write
+    val relMap = todo.map(r => (encodedRel(base, r), r)).toDF("enc", "rel")
+    // one distributed pass over the new files: k positions per value,
+    // OR-folded per file into the filter's Long words (buffer bounded
+    // by the filter size, never the row count)
+    val bits = spark.read
+      .parquet(todo.map(r => VersionedLake.resolve(base, r)): _*)
+      .select(VersionedLake.relExpr(col("_metadata.file_path")).as("enc"),
+        explode(posArray(col(c.col), c.mBits, c.k)).as("pos"))
+      .groupBy(col("enc"))
+      .agg(udaf(new BloomBits(words)).apply(col("pos")).as("bits"))
+    // enc → manifest rel; a suffix the map can't place would mean the
+    // quoting prediction diverged — fail LOUDLY (a silently dropped
+    // row here would freeze a file behind an all-zero filter = row
+    // loss on every future lookup)
+    val mapped = bits.join(broadcast(relMap), Seq("enc"), "left")
+      .select(
+        when(col("rel").isNull, raise_error(concat(
+          lit("bloom ensure: file_path suffix matched no manifest rel: "),
+          col("enc"))))
+          .otherwise(col("rel")).as("rel"),
+        col("bits"))
+    // zero-row files emit no positions: cover them with an explicit
+    // all-zero filter so ONE ensure indexes every file exactly once
+    val empties = relMap
+      .join(bits.select(col("enc")), Seq("enc"), "left_anti")
+      .select(col("rel"), typedLit(Seq.fill(words)(0L)).as("bits"))
+    mapped.unionByName(empties).write
       .parquet(s"$base/_log/bloom-${VersionedLake.uniq()}.bfi")
-    rows.map(_._1)
+    todo
   }
 
   /** (files to read, indexed-file count, skipped-file count) for a
@@ -162,7 +233,12 @@ object BloomIndex {
     indexRows(spark, path) match {
       case None => (live, 0, 0)
       case Some(idx) =>
-        val liveIdx = idx.filter(col("rel").isin(live.toSeq: _*))
+        // membership via a broadcast rels frame, not an isin literal:
+        // a million-file lake would otherwise hand Catalyst a
+        // million-element expression tree to build per probe
+        import spark.implicits._
+        val liveIdx = idx.join(
+          broadcast(live.toSeq.toDF("rel")), Seq("rel"), "left_semi")
         val probes = keys.select(col(c.col).as("__k")).distinct()
           .withColumn("__pos", posArray(col("__k"), c.mBits, c.k))
         val survivors = liveIdx.join(broadcast(probes))
@@ -193,23 +269,37 @@ object BloomIndex {
 
   /** Fold all sidecars into one, dropping rows for files no retained
     * manifest references — the index's vacuum (run it after
-    * [[VersionedLake.vacuum]]). */
+    * [[VersionedLake.vacuum]], and after an OPTIMIZE's [[ensure]] to
+    * retire the rewritten-away files' rows). Distributed end-to-end:
+    * the fold is a semi-join against a broadcast live-rels frame and
+    * the merged sidecar is a distributed write — no bitmap ever
+    * reaches the driver. Returns the kept-row count (read back from
+    * the written sidecar: the count of what's actually on disk). */
   def compact(spark: SparkSession, path: String): Int = {
     val f = fs(spark, path)
     val dirs = sidecarDirs(spark, path)
     if (dirs.isEmpty) return 0
+    val base = path.stripSuffix("/")
     val live = VersionedLake.versions(spark, path).flatMap(v =>
       VersionedLake.manifestFiles(spark, path, v)
-        .filter(_.kind == "data").map(_.rel)).toSet
-    val keep = indexRows(spark, path).get
-      .filter(col("rel").isin(live.toSeq: _*))
-      .collect() // index-sized
+        .filter(_.kind == "data").map(_.rel)).distinct
+    if (live.isEmpty) { // nothing referenced: drop the whole index
+      dirs.foreach(d => f.delete(new Path(d), true))
+      return 0
+    }
     import spark.implicits._
-    val base = path.stripSuffix("/")
-    keep.map(r => (r.getString(0), r.getSeq[Long](1))).toSeq
-      .toDF("rel", "bits").coalesce(1).write
-      .parquet(s"$base/_log/bloom-${VersionedLake.uniq()}.bfi")
+    val merged = s"$base/_log/bloom-${VersionedLake.uniq()}.bfi"
+    indexRows(spark, path).get
+      .join(broadcast(live.toDF("rel")), Seq("rel"), "left_semi")
+      .write.parquet(merged)
+    // an all-dead index can write a part-file-less dir, which a later
+    // read can't infer a schema from — drop it and leave no index
+    val kept =
+      if (!f.listStatus(new Path(merged))
+        .exists(_.getPath.getName.endsWith(".parquet"))) {
+        f.delete(new Path(merged), true); 0
+      } else spark.read.parquet(merged).count().toInt
     dirs.foreach(d => f.delete(new Path(d), true))
-    keep.length
+    kept
   }
 }

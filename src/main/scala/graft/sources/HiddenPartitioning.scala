@@ -86,9 +86,14 @@ object HiddenPartitioning {
   final case class Truncate(w: Long) extends Transform {
     require(w > 0, "truncate needs w > 0")
     val tag = s"truncate[$w]"
-    def expr(src: Column): Column =
-      (floor(src.cast("double") / w.toDouble).cast("long") * w)
-        .cast("string")
+    // Exact integer arithmetic (Iceberg's `v - (((v % W) + W) % W)`):
+    // a double-division floor would lose ULPs past 2^53 and let the
+    // engine-derived partition string disagree with bound()'s exact
+    // Math.floorDiv — the silent-row-loss mode pruning must never have.
+    def expr(src: Column): Column = {
+      val v = src.cast("long")
+      (v - pmod(v, lit(w))).cast("string")
+    }
     val monotonic = true
     def bound(v: String): String =
       (Math.floorDiv(v.toLong, w) * w).toString

@@ -1454,6 +1454,39 @@ class LakeSpec extends SparkSpec {
       Set(100L))
   }
 
+  test("bloom index backfill: many-file lake with Hive-escaped " +
+      "partition values indexes every file exactly once, skips, and " +
+      "looks up exactly") {
+    import graft.sources.{BloomIndex, VersionedLake}
+    val lake = java.nio.file.Files.createTempDirectory("lake_bfe").toString
+    VersionedLake.reset(spark, lake)
+    // partition values Hive must escape on disk (':' → %3A, space →
+    // %20): `_metadata.file_path` re-quotes the escaped dir name, the
+    // r12 mode that stranded such files as permanently un-indexed
+    VersionedLake.commitOverwrite(
+      (0L until 400L).map(i =>
+          (i, if (i % 2 == 0) "a:b" else "c d", i * 1.0))
+        .toDF("id", "part", "x")
+        .repartitionByRange(8, $"id").sortWithinPartitions($"id"),
+      "part", lake)
+    BloomIndex.define(spark, lake, BloomIndex.Cfg("id", mBits = 4096))
+    val live = VersionedLake.manifestFiles(spark, lake, 1)
+      .filter(_.kind == "data").map(_.rel).toSet
+    assert(live.size >= 8, s"want a many-file backfill, got ${live.size}")
+    val indexed = BloomIndex.ensure(spark, lake, 1)
+    assert(indexed.toSet == live,
+      "one backfill covers every live file, in the MANIFEST's rel form")
+    assert(BloomIndex.ensure(spark, lake, 1).isEmpty,
+      "escaped partition dirs must not strand files as un-indexed")
+    val keys = Seq(3L, 399L).toDF("id")
+    val (toRead, nIdx, nSkip) = BloomIndex.prunedRels(spark, lake, 1, keys)
+    assert(nIdx == live.size, "every file is index-covered")
+    assert(nSkip > 0 && toRead.subsetOf(live),
+      s"skip margin on disjoint range files: read ${toRead.size}/${live.size}")
+    assert(BloomIndex.lookup(spark, lake, keys)
+      .select($"id").as[Long].collect().toSet == Set(3L, 399L))
+  }
+
   test("MERGE schema evolution: evolveSchema adds the delta's new " +
       "column atomically, strict mode refuses, a later narrow delta " +
       "NULL-fills") {
