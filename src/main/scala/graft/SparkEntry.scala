@@ -1790,6 +1790,58 @@ object SparkEntry {
       .withColumn("strict_minted_nothing", lit(strictMintedNothing))
   }
 
+  /** l33 — MERGE THROUGH DELETION VECTORS
+    * ([[graft.sources.VersionedLake.commitMergeDv]]): l15's exact
+    * three-verb merge (updates Feb lines ≤ 2 qty+5, inserts offset
+    * copies of line 7, tombstones lines 5–6) executed the Delta
+    * DV-MERGE way — ONE commit marks matched stored rows dead with
+    * l23 positional DV sidecars and APPENDS the delta's upserts;
+    * every base data file carries forward by pointer. Write cost is
+    * ∝ changed rows (the point of the verb at 100 TB: a rewrite
+    * merge pays touched-PARTITION bytes, this pays DV + delta
+    * bytes). The read must be INDISTINGUISHABLE from the rewrite
+    * form, so the oracle is l15's rebuild restatement verbatim; the
+    * extra columns witness the economics — base_files_carried (no v1
+    * data file left the manifest), dv_rows (one DV row per matched
+    * stored row — the oracle re-derives the matched count from the
+    * construction) and fresh_rows (the upsert rows, all the data
+    * bytes this commit wrote). Row counts are parallelism-
+    * INDEPENDENT (file counts are not — the l10 discipline).
+    * LakeSpec pins the pointer carry-forward, OPTIMIZE
+    * materialization and the OCC races. */
+  private def l33(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedLake
+    val lake = s"/tmp/graft_mdvlake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val li = ttSlimLineitem(s, d, dedupKeys = true)
+    VersionedLake.commitOverwrite(li, "month", lake)
+    val feb = li.filter(col("month") === "1997-02")
+    val off = ttKeyOffset(li)
+    val delta = feb.filter(col("l_linenumber") <= 2)
+        .withColumn("l_quantity", col("l_quantity") + 5)
+        .withColumn("is_delete", lit(false))
+      .unionByName(feb.filter(col("l_linenumber") === 7)
+        .withColumn("l_orderkey", col("l_orderkey") + off)
+        .withColumn("l_quantity", col("l_quantity") + 3)
+        .withColumn("is_delete", lit(false)))
+      .unionByName(feb.filter(col("l_linenumber").between(5, 6))
+        .withColumn("is_delete", lit(true)))
+    val v2 = VersionedLake.commitMergeDv(delta,
+      Seq("l_orderkey", "l_linenumber"), "month", lake,
+      deleteCol = Some("is_delete"))
+    def rels(v: Int, kind: String) = VersionedLake
+      .manifestFiles(s, lake, v).filter(_.kind == kind).map(_.rel).toSet
+    val (d1, d2) = (rels(1, "data"), rels(v2, "data"))
+    val dvRows = s.read.parquet(
+      rels(v2, "dv").toSeq.map(r => s"$lake/$r"): _*).count()
+    val freshRows = VersionedLake.readFiles(s, lake, v2, d2 -- d1).count()
+    ttSummariesWithDiff(VersionedLake.readVersion(s, lake, 1),
+      VersionedLake.readLatest(s, lake))
+      .withColumn("base_files_carried", lit(d1.subsetOf(d2)))
+      .withColumn("dv_rows", lit(dvRows))
+      .withColumn("fresh_rows", lit(freshRows))
+  }
+
   /** l12 — zone-map-pruned TIME-TRAVEL range query: l08's per-file
     * (lo, hi) skipping stats carried IN l09's version manifests
     * ([[graft.sources.VersionedLake.FileEntry]] — the Iceberg
@@ -6248,6 +6300,7 @@ object SparkEntry {
     "l28_bloom_index" -> (l28 _),
     "l29_table_history" -> (l29 _),
     "l30_merge_schema_evolution" -> (l30 _),
+    "l33_merge_dv" -> (l33 _),
     "c13_split_decontam" -> (c13 _),
     "c14_weighted_sample" -> (c14 _),
     "t33_cdc_chunking" -> (t33 _),
@@ -8757,6 +8810,70 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(2 AS INTEGER), s2.n_rows, s2.sum_qty, s2.key_sig,
         |  d.n_changed_vs_prev, d.n_removed_vs_prev, d.n_added_vs_prev
+        |FROM s2, d""".stripMargin,
+    // l33: the DV-merge must be read-indistinguishable from l15's
+    // rewrite merge, so v2/s1/s2/d restate l15's oracle verbatim; the
+    // economics columns re-derive from the construction — dv_rows =
+    // matched stored rows (updates + tombstones), fresh_rows = the
+    // delta's upsert rows (updates + inserts); base_files_carried is
+    // the engine-side pointer invariant (the l10 boolean discipline)
+    "l33_merge_dv" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity,
+        |    min(strftime(l_shipdate, '%Y-%m')) AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'
+        |  GROUP BY 1, 2),
+        |v2 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN month = '1997-02' AND l_linenumber <= 2
+        |         THEN l_quantity + 5 ELSE l_quantity END AS l_quantity,
+        |    month
+        |  FROM li
+        |  WHERE NOT (month = '1997-02' AND l_linenumber BETWEEN 5 AND 6)
+        |  UNION ALL
+        |  SELECT l_orderkey +
+        |      (SELECT (max(l_orderkey) // 10000000 + 1) * 10000000
+        |       FROM li),
+        |    l_linenumber, l_quantity + 3, month
+        |  FROM li WHERE month = '1997-02' AND l_linenumber = 7),
+        |s1 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM li),
+        |s2 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM v2),
+        |d AS (SELECT
+        |    CAST(count(CASE WHEN month = '1997-02' AND l_linenumber <= 2
+        |      THEN 1 END) AS BIGINT) AS n_changed_vs_prev,
+        |    CAST(count(CASE WHEN month = '1997-02'
+        |      AND l_linenumber BETWEEN 5 AND 6
+        |      THEN 1 END) AS BIGINT) AS n_removed_vs_prev,
+        |    CAST(count(CASE WHEN month = '1997-02' AND l_linenumber = 7
+        |      THEN 1 END) AS BIGINT) AS n_added_vs_prev,
+        |    CAST(count(CASE WHEN month = '1997-02'
+        |      AND (l_linenumber <= 2 OR l_linenumber BETWEEN 5 AND 6)
+        |      THEN 1 END) AS BIGINT) AS dv_rows,
+        |    CAST(count(CASE WHEN month = '1997-02'
+        |      AND (l_linenumber <= 2 OR l_linenumber = 7)
+        |      THEN 1 END) AS BIGINT) AS fresh_rows
+        |  FROM li)
+        |SELECT CAST(1 AS INTEGER) AS version, s1.n_rows, s1.sum_qty,
+        |  s1.key_sig, CAST(0 AS BIGINT) AS n_changed_vs_prev,
+        |  CAST(0 AS BIGINT) AS n_removed_vs_prev,
+        |  CAST(0 AS BIGINT) AS n_added_vs_prev,
+        |  TRUE AS base_files_carried, d.dv_rows, d.fresh_rows
+        |FROM s1, d
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), s2.n_rows, s2.sum_qty, s2.key_sig,
+        |  d.n_changed_vs_prev, d.n_removed_vs_prev, d.n_added_vs_prev,
+        |  TRUE, d.dv_rows, d.fresh_rows
         |FROM s2, d""".stripMargin,
     // l16: v2 = January/March untouched + February restated to lines
     // <= 4 with quantity + 1 and a marker column; n_src counts the

@@ -782,7 +782,11 @@ object VersionedLake {
       pinnedBase = Some(readVersion))
 
   private object Mode extends Enumeration {
-    val Overwrite, Upsert, Append, Delete = Value
+    // MergeDv is [[commitMergeDv]]'s composite commit: new DATA files
+    // (the delta's upserts) AND new DV sidecars (the matched stored
+    // rows marked dead) land in ONE manifest claim, with every base
+    // file carried forward by pointer — Delta's DV-based MERGE shape.
+    val Overwrite, Upsert, Append, Delete, MergeDv = Value
   }
 
   /** Partitions whose file set changed anywhere in (vFrom, vTo] — the
@@ -806,7 +810,8 @@ object VersionedLake {
                        commitTs: Option[Long] = None,
                        pinnedBase: Option[Int] = None,
                        forceReplaced: Set[String] = Set.empty,
-                       validate: Boolean = true): Int = {
+                       validate: Boolean = true,
+                       dvDf: Option[DataFrame] = None): Int = {
     val spark = df.sparkSession
     val prev = pinnedBase.getOrElse(latestVersion(spark, path))
     // constraint enforcement (Delta CHECK): the DELTA validates in one
@@ -830,14 +835,27 @@ object VersionedLake {
     writeCommitData(df, partCol, path, token)
     val fresh0 = commitEntries(spark, path, token)
     val fresh1 =
-      statsCol.fold(fresh0)(sc =>
+      if (fresh0.isEmpty) fresh0 // a pure-delete MergeDv stages no data
+      else statsCol.fold(fresh0)(sc =>
         enrichStats(spark, path, token, fresh0, sc))
+    // MergeDv's second staged frame: the (__file, __pos, part) rows
+    // marking matched stored rows dead, under their own token so a
+    // concurrent attempt can never clobber them
+    val dvEntries = dvDf match {
+      case None => Seq.empty
+      case Some(d) =>
+        val tdv = s"c${"%06d".format(prev + 1)}-${uniq()}"
+        writeCommitData(d, partCol, path, tdv)
+        commitEntries(spark, path, tdv).map(_.copy(kind = KindDv))
+    }
     val fresh =
-      if (mode == Mode.Delete) fresh1.map(_.copy(kind = KindDv))
-      else fresh1
-    // forceReplaced: partitions this commit REPLACES even when it
-    // writes no rows for them (a MERGE delete that empties a
-    // partition must still drop it from the manifest)
+      (if (mode == Mode.Delete) fresh1.map(_.copy(kind = KindDv))
+       else fresh1) ++ dvEntries
+    // forceReplaced: for replacing modes, partitions this commit
+    // REPLACES even when it writes no rows for them (a MERGE delete
+    // that empties a partition must still drop it from the manifest);
+    // for MergeDv — which replaces nothing — the partitions whose
+    // file positions its DVs reference, feeding ONLY the OCC check
     val replaced = fresh.map(_.part).toSet ++ forceReplaced
     var attempts = 0
     while (attempts < 20) {
@@ -855,8 +873,11 @@ object VersionedLake {
         // a DELETE conflicts like an upsert: its DV rows reference
         // version `prev`'s specific file positions — a concurrent
         // rewrite of a touched partition would orphan those
-        // references and the delete would silently vanish at fold
-        if (mode == Mode.Upsert || mode == Mode.Delete) {
+        // references and the delete would silently vanish at fold.
+        // MergeDv conflicts the same way (its DVs pin positions AND
+        // its not-matched decisions were read at `prev`)
+        if (mode == Mode.Upsert || mode == Mode.Delete ||
+            mode == Mode.MergeDv) {
           val overlap =
             touchedParts(spark, path, prev, base).intersect(replaced)
           if (overlap.nonEmpty)
@@ -872,7 +893,9 @@ object VersionedLake {
         else if (mode == Mode.Upsert)
           manifestEntries(spark, path, base)
             .filterNot(e => replaced.contains(e.part))
-        else manifestEntries(spark, path, base) // append/delete ADD only
+        // append/delete/mergeDv ADD only: every base file (and DV)
+        // carries forward by pointer
+        else manifestEntries(spark, path, base)
       // a DELETE commits no table rows — its df is the DV sidecar
       // frame — so the recorded TABLE schema carries forward from the
       // claimed base (re-resolved per rebase so a disjoint evolving
@@ -905,7 +928,8 @@ object VersionedLake {
       // files were physically written under); DV sidecars are era-free
       val freshTagged =
         if (mode == Mode.Delete) fresh
-        else fresh.map(_.copy(era = Some(k)))
+        else fresh.map(e =>
+          if (e.kind == KindDv) e else e.copy(era = Some(k)))
       val baseConstraints =
         if (base == 0) Seq.empty[(String, String)]
         else readConstraints(spark, path, base)
@@ -1037,6 +1061,80 @@ object VersionedLake {
     // contents (r11 verdict: the lost-update window)
     doCommit(merged, partCol, path, None, Mode.Upsert, statsCol,
       commitTs, pinnedBase = Some(v), forceReplaced = touched.toSet)
+  }
+
+  /** [[commitMerge]] executed THROUGH deletion vectors (Delta's
+    * DV-based MERGE, the low-shuffle/photon shape): instead of
+    * rewriting every touched partition, ONE commit (a) marks each
+    * matched stored row dead with an l23 positional DV sidecar and
+    * (b) appends the delta's non-tombstone rows as new data files —
+    * every base data file carries forward by pointer, so the write
+    * cost is ∝ CHANGED ROWS (DV rows + delta rows), never touched-
+    * partition size. At 100 TB that is the difference between a
+    * point-update costing KBs and costing a partition rewrite. Reads
+    * are indistinguishable from the rewrite form (the DV fold in
+    * [[readVersion]]); [[commitOptimize]] later materializes the fold
+    * and retires the sidecars (Delta's PURGE).
+    *
+    * Same contracts as [[commitMerge]]: unique delta keys (loud
+    * refusal), caller-owned stable partition values, `deleteCol`
+    * tombstones, `fromVersion` OCC pin — a concurrent commit on a
+    * touched partition aborts the merge (its DVs reference version
+    * `v`'s exact file positions). A tombstone that empties a
+    * partition leaves the files + DVs in place (reads fold to zero
+    * rows) rather than dropping the partition — OPTIMIZE reclaims.
+    * Schema evolution stays on the rewrite path
+    * ([[commitMerge]]`(evolveSchema = true)`): DV-merge appends delta
+    * rows verbatim, so the delta's columns must equal the table's.
+    *
+    * @return the new version number */
+  def commitMergeDv(delta: DataFrame, keyCols: Seq[String],
+                    partCol: String, path: String,
+                    statsCol: Option[String] = None,
+                    deleteCol: Option[String] = None,
+                    commitTs: Option[Long] = None,
+                    fromVersion: Option[Int] = None): Int = {
+    val spark = delta.sparkSession
+    val v = fromVersion.getOrElse(latestVersion(spark, path))
+    require(v > 0, "commitMergeDv needs an existing version to merge into")
+    // the Delta multiple-source-rows-matched rule (see commitMerge):
+    // a duplicate delta key would DV one stored row and append both
+    val dup = delta.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).head(1)
+    require(dup.isEmpty,
+      s"commitMergeDv delta has multiple source rows for key " +
+        s"${keyCols.zip(dup.headOption.map(_.toSeq).getOrElse(Seq.empty))
+          .map { case (k, x) => s"$k=$x" }
+          .mkString("(", ", ", ")")} — MERGE requires unique keys")
+    // partition-count-sized collect: planning metadata
+    val parts = delta.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val all = manifestEntries(spark, path, v)
+    val livePartSet = all.filter(_.kind == KindData).map(_.part).toSet
+    val touched = parts.filter(livePartSet.contains).toSet
+    // DV rows: every currently-LIVE stored row whose key the delta
+    // carries (update or tombstone) — the mapped, already-DV-folded
+    // read guarantees dead rows are never re-marked, and the frame is
+    // changed-rows-sized
+    val dvDf =
+      if (touched.isEmpty) None
+      else {
+        val data = all.filter(e => e.kind == KindData && touched(e.part))
+        val dvs = all.filter(e => e.kind == KindDv && touched(e.part))
+        Some(mappedRead(spark, path, v, data, dvs, withMeta = true)
+          .join(delta.select(keyCols.map(col): _*), keyCols, "left_semi")
+          .select(col("__file"), col("__pos"), col(partCol)))
+      }
+    val upserts0 = deleteCol.fold(delta)(dc =>
+      delta.filter(!coalesce(col(dc), lit(false))).drop(dc))
+    val tbl = readVersion(spark, path, v).schema.fieldNames.toSeq
+    require(upserts0.columns.toSet == tbl.toSet,
+      s"commitMergeDv delta columns ${upserts0.columns.sorted.mkString(",")} " +
+        s"must equal table columns ${tbl.sorted.mkString(",")} — " +
+        "schema evolution takes commitMerge(evolveSchema = true)")
+    doCommit(upserts0.select(tbl.map(col): _*), partCol, path, None,
+      Mode.MergeDv, statsCol, commitTs, pinnedBase = Some(v),
+      forceReplaced = touched, dvDf = dvDf)
   }
 
   /** A file's lake-relative path recovered from
@@ -1232,6 +1330,14 @@ object VersionedLake {
     * `targetFilesPerPart` tasks takes a salt alongside `partCol` at
     * production sizes (the compactAll note). Returns the new version,
     * or the current one if nothing needed rewriting.
+    *
+    * Secondary-index maintenance: on a [[BloomIndex]]ed lake, follow
+    * an optimize with `BloomIndex.ensure` (the rewritten files are
+    * new and need rows — lookups stay CORRECT either way, un-indexed
+    * files always read, but skip coverage drops until then) and,
+    * after [[vacuum]] retires the pre-optimize versions,
+    * `BloomIndex.compact` to drop the dead files' rows (LakeSpec
+    * "bloom index across OPTIMIZE" drives the full cycle).
     *
     * @param partCol the lake's partition column (a data column in
     *        every file by construction — [[writeCommitData]]) */

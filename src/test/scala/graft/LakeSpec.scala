@@ -866,6 +866,92 @@ class LakeSpec extends SparkSpec {
       Set(12L), "the racing upsert's content survives the aborted optimize")
   }
 
+  test("DV-based MERGE: one commit writes DV + delta bytes only, every " +
+      "base file carries forward by pointer, reads equal the rewrite " +
+      "form, OPTIMIZE materializes, OCC and contract refusals hold") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_mdv").toString
+    val twin = java.nio.file.Files.createTempDirectory("lake_mdvt").toString
+    val seed = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "b", 4.0),
+      (5L, "c", 5.0)).toDF("id", "part", "x")
+    for (l <- Seq(lake, twin)) {
+      VersionedLake.reset(spark, l)
+      VersionedLake.commitOverwrite(seed, "part", l)
+    }
+    val delta = Seq(
+      (2L, "a", 20.0, false), // update
+      (3L, "b", 0.0, true), // tombstone
+      (9L, "c", 9.0, false) // insert
+    ).toDF("id", "part", "x", "del")
+    val v2 = VersionedLake.commitMergeDv(delta, Seq("id"), "part", lake,
+      deleteCol = Some("del"))
+    VersionedLake.commitMerge(delta, Seq("id"), "part", twin,
+      deleteCol = Some("del"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"x").as[(Long, Double)].collect().toSet
+    val want =
+      Set((1L, 1.0), (2L, 20.0), (4L, 4.0), (5L, 5.0), (9L, 9.0))
+    assert(rows(VersionedLake.readLatest(spark, lake)) == want,
+      "DV merge must be read-indistinguishable from the rewrite merge")
+    assert(rows(VersionedLake.readLatest(spark, twin)) == want)
+    assert(rows(VersionedLake.readVersion(spark, lake, 1)) ==
+      Set((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0), (5L, 5.0)),
+      "time travel to the pre-merge version is unaffected")
+    // write economy: every base data file survives BY POINTER, and
+    // the new bytes are changed-rows-sized — 2 upsert rows in fresh
+    // data files, 2 dead positions in DV sidecars
+    def rels(v: Int, kind: String) = VersionedLake
+      .manifestFiles(spark, lake, v).filter(_.kind == kind).map(_.rel).toSet
+    val (d1, d2) = (rels(1, "data"), rels(v2, "data"))
+    assert(d1.subsetOf(d2), "no base data file may be rewritten")
+    assert(rels(1, "dv").isEmpty && rels(v2, "dv").nonEmpty)
+    val freshData = d2 -- d1
+    assert(VersionedLake.readFiles(spark, lake, v2, freshData)
+      .count() == 2, "fresh data = exactly the delta's upsert rows")
+    assert(spark.read.parquet(
+      rels(v2, "dv").toSeq.map(r => s"$lake/$r"): _*).count() == 2,
+      "one DV row per matched stored row")
+    // OPTIMIZE materializes the fold and retires the sidecars
+    val v3 = VersionedLake.commitOptimize(spark, lake, "part")
+    assert(rels(v3, "dv").isEmpty, "PURGE: no DV survives an optimize")
+    assert(rows(VersionedLake.readLatest(spark, lake)) == want)
+    // OCC: a commit racing onto a touched partition aborts a pinned
+    // DV-merge (its DVs reference the pin's file positions); a
+    // disjoint one rebases and both writers' rows land
+    VersionedLake.commitUpsert(
+      Seq((30L, "b", 30.0)).toDF("id", "part", "x"), "part", lake)
+    val v4 = VersionedLake.latestVersion(spark, lake)
+    VersionedLake.commitUpsert(
+      Seq((40L, "a", 40.0)).toDF("id", "part", "x"), "part", lake)
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedLake.commitMergeDv(
+        Seq((41L, "a", 41.0)).toDF("id", "part", "x"),
+        Seq("id"), "part", lake, fromVersion = Some(v4))
+    }
+    assert(VersionedLake.commitMergeDv(
+      Seq((31L, "b", 31.0)).toDF("id", "part", "x"),
+      Seq("id"), "part", lake, fromVersion = Some(v4)) == v4 + 2,
+      "disjoint DV-merge rebases past the interleaved upsert")
+    assert(rows(VersionedLake.readLatest(spark, lake)
+      .filter($"part" === "b")) == Set((30L, 30.0), (31L, 31.0)))
+    assert(rows(VersionedLake.readLatest(spark, lake)
+      .filter($"part" === "a")) == Set((40L, 40.0)),
+      "the racing upsert's content survives the aborted DV-merge")
+    // contract refusals: schema evolution and duplicate delta keys
+    // stay loud (evolution takes the rewrite path)
+    intercept[IllegalArgumentException] {
+      VersionedLake.commitMergeDv(
+        Seq((1L, "a", 1.0, "s")).toDF("id", "part", "x", "extra"),
+        Seq("id"), "part", lake)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedLake.commitMergeDv(
+        Seq((7L, "a", 1.0), (7L, "a", 2.0)).toDF("id", "part", "x"),
+        Seq("id"), "part", lake)
+    }
+  }
+
   test("versioned lake OCC: CONCURRENT mixed verbs (upserts + merges) " +
       "on disjoint partitions all land, no lost update") {
     import graft.sources.VersionedLake
@@ -1452,6 +1538,40 @@ class LakeSpec extends SparkSpec {
     assert(third.size == 1)
     assert(ids(BloomIndex.lookup(spark, lake, Seq(100L).toDF("id"))) ==
       Set(100L))
+  }
+
+  test("bloom index across OPTIMIZE: ensure indexes the rewritten " +
+      "files, lookup stays index-served, compact retires the dead rows") {
+    import graft.sources.{BloomIndex, VersionedLake}
+    val lake = java.nio.file.Files.createTempDirectory("lake_bfo").toString
+    VersionedLake.reset(spark, lake)
+    VersionedLake.commitOverwrite(
+      (0L until 80L).map(i => (i, "p", i * 2.0)).toDF("id", "part", "x")
+        .repartitionByRange(4, $"id").sortWithinPartitions($"id"),
+      "part", lake)
+    BloomIndex.define(spark, lake, BloomIndex.Cfg("id", mBits = 4096))
+    assert(BloomIndex.ensure(spark, lake, 1).size == 4)
+    // a DV lands, then OPTIMIZE materializes the fold: every old file
+    // (and its index row) is dead, the rewrite needs fresh rows
+    VersionedLake.commitDelete(Seq((7L, "p")).toDF("id", "part"),
+      Seq("id"), "part", lake)
+    val v3 = VersionedLake.commitOptimize(spark, lake, "part")
+    val live = VersionedLake.manifestFiles(spark, lake, v3)
+      .filter(_.kind == "data").map(_.rel).toSet
+    assert(BloomIndex.ensure(spark, lake, v3).toSet == live,
+      "post-OPTIMIZE ensure covers exactly the rewritten files")
+    val keys = Seq(7L, 9L).toDF("id")
+    val (_, nIdx, _) = BloomIndex.prunedRels(spark, lake, v3, keys)
+    assert(nIdx == live.size, "lookup is fully index-served after OPTIMIZE")
+    assert(BloomIndex.lookup(spark, lake, keys)
+      .select($"id").as[Long].collect().toSet == Set(9L),
+      "the DV-deleted key stays dead through the optimized read")
+    // vacuum the pre-optimize versions, then compact: only the
+    // rewritten files' rows survive
+    VersionedLake.vacuum(spark, lake, retain = 1)
+    assert(BloomIndex.compact(spark, lake) == live.size)
+    assert(BloomIndex.lookup(spark, lake, keys)
+      .select($"id").as[Long].collect().toSet == Set(9L))
   }
 
   test("bloom index backfill: many-file lake with Hive-escaped " +
