@@ -1619,6 +1619,132 @@ object SparkEntry {
       .withColumn("hidden_col_absent", lit(hiddenAbsent))
   }
 
+  /** l31 — PARTITION-SPEC EVOLUTION
+    * ([[graft.sources.HiddenPartitioning.evolve]]): l27's hidden
+    * partitioning completed with Iceberg's spec evolution — the
+    * migration story a 100 TB table actually hits. Q1 1997 commits
+    * under `month(l_shipdate)`; the spec then EVOLVES to
+    * `day(l_shipdate)` and April appends under the new granularity —
+    * no history rewritten, no second lake. A range read spanning both
+    * eras projects its bounds through EACH era's transform (inclusive
+    * projection) and unions the pruned partition sets: month-era
+    * partitions prune at month granularity, day-era at day. A point
+    * lookup computes each era's partition values through that era's
+    * ENGINE expression. Results stay transform-invisible — the oracle
+    * is the plain source-column predicate over the original parquet
+    * (l27's result-invisibility discipline) — while the scanned-
+    * partition counters (parallelism-INDEPENDENT, the l25 rule)
+    * re-derive from the data: months with data in the projected month
+    * window, days with data in the day window. LakeSpec pins the
+    * pre/post-evolution pruning, the bucket-era conservative union
+    * and the evolution refusals. */
+  private def l31(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{HiddenPartitioning => HP, VersionedLake}
+    val lake = s"/tmp/graft_spevlake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        to_date(col("l_shipdate")).as("l_shipdate"))
+      .filter(col("l_shipdate").between("1997-01-01", "1997-04-30"))
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(min(col("l_quantity")).as("l_quantity"),
+        min(col("l_shipdate")).as("l_shipdate"))
+    HP.define(s, lake, HP.Spec("l_shipdate", HP.Month))
+    HP.commitOverwrite(li.filter(col("l_shipdate") < "1997-04-01"), lake)
+    HP.evolve(s, lake, HP.Spec("l_shipdate", HP.Day))
+    HP.commitAppend(li.filter(col("l_shipdate") >= "1997-04-01"), lake)
+    val (lo, hi) = ("1997-02-10", "1997-04-05")
+    val rangeDf = HP.readBetween(s, lake, lo, hi)
+    val parts = HP.partsBetween(s, lake, 2, lo, hi)
+    val keys = li.filter(
+        col("l_shipdate").isin("1997-02-14", "1997-04-03"))
+      .select(col("l_shipdate")).distinct()
+    val matchDf = HP.readMatching(s, lake, keys)
+    val total = VersionedLake.manifestFiles(s, lake, 2)
+      .filter(_.kind == "data").map(_.part).distinct.size
+    def probe(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          sum(col("l_orderkey") * 7 + col("l_linenumber")).as("key_sig"))
+        .withColumn("probe", lit(name))
+    probe("range_mixed", rangeDf)
+      .unionByName(probe("match_mixed", matchDf))
+      // month values are 7 chars, day values 10: the era split of the
+      // pruned set is visible in the partition strings themselves
+      .withColumn("parts_month_era_scanned", lit(parts.count(_.length == 7)))
+      .withColumn("parts_day_era_scanned", lit(parts.count(_.length == 10)))
+      .withColumn("pruned", lit(parts.size < total))
+  }
+
+  /** l32 — TYPE WIDENING under column mapping (Delta's type-widening
+    * feature on l24's id-mapped log): version 1 commits Q1 with
+    * NARROW physical types (`l_orderkey` int, `l_quantity` float);
+    * version 2 appends April under the WIDENED logical schema
+    * (long / double) in the same commit that records the new types.
+    * No byte is rewritten: each era's `coltype` manifest lines record
+    * the physical type its files were written with, old files read
+    * under (old name, old type) and CAST UP — never a reader-side
+    * promotion assumption — while the logical schema is the widened
+    * one. A later NARROWING commit refuses loudly and mints nothing
+    * (the engine-refusal probe discipline). Quantities are integral
+    * in this fixture, so the float→double sums are bit-exact on both
+    * engines; the oracle re-derives both versions' aggregates from
+    * the original parquet through the same narrow-then-widen casts.
+    * LakeSpec pins the schema types, the exact cast-up, time travel
+    * to the narrow era and the rename composition. */
+  private def l32(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedLake
+    val lake = s"/tmp/graft_twlake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .filter(col("month").between("1997-01", "1997-04"))
+    VersionedLake.commitOverwrite(
+      li.filter(col("month") < "1997-04")
+        .select(col("l_orderkey").cast("int").as("l_orderkey"),
+          col("l_linenumber").cast("int").as("l_linenumber"),
+          col("l_quantity").cast("float").as("l_quantity"),
+          col("month")),
+      "month", lake)
+    val v2 = VersionedLake.commitAppend(
+      li.filter(col("month") === "1997-04")
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("int").as("l_linenumber"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("month")),
+      "month", lake)
+    val narrowRefused =
+      try {
+        VersionedLake.commitAppend(
+          li.limit(1)
+            .select(col("l_orderkey").cast("int").as("l_orderkey"),
+              col("l_linenumber").cast("int").as("l_linenumber"),
+              col("l_quantity").cast("float").as("l_quantity"),
+              col("month")),
+          "month", lake)
+        false
+      } catch { case _: IllegalArgumentException => true }
+    val mintedNothing = VersionedLake.latestVersion(s, lake) == v2
+    val lat = VersionedLake.readLatest(s, lake)
+    val widened =
+      lat.schema("l_orderkey").dataType ==
+        org.apache.spark.sql.types.LongType &&
+      lat.schema("l_quantity").dataType ==
+        org.apache.spark.sql.types.DoubleType
+    def probe(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity").cast("double")), 2).as("sum_qty"),
+          sum(col("l_orderkey").cast("long") * 7 +
+            col("l_linenumber")).as("key_sig"))
+        .withColumn("probe", lit(name))
+    probe(VersionedLake.readVersion(s, lake, 1), "v1_narrow")
+      .unionByName(probe(lat, "v2_mixed"))
+      .withColumn("narrow_refused", lit(narrowRefused))
+      .withColumn("minted_nothing", lit(mintedNothing))
+      .withColumn("types_widened", lit(widened))
+  }
+
   /** l28 — BLOOM-FILTER file-skipping index
     * ([[graft.sources.BloomIndex]]): Delta's `CREATE BLOOMFILTER
     * INDEX`. The lake's zone maps (l08/l12) prune RANGE reads on the
@@ -6300,6 +6426,8 @@ object SparkEntry {
     "l28_bloom_index" -> (l28 _),
     "l29_table_history" -> (l29 _),
     "l30_merge_schema_evolution" -> (l30 _),
+    "l31_partspec_evolution" -> (l31 _),
+    "l32_type_widening" -> (l32 _),
     "l33_merge_dv" -> (l33 _),
     "c13_split_decontam" -> (c13 _),
     "c14_weighted_sample" -> (c14 _),
@@ -9287,6 +9415,73 @@ object SparkEntry {
         |  CAST(3 AS INTEGER), CAST(1 AS INTEGER), TRUE, TRUE
         |FROM li
         |WHERE l_orderkey IN (SELECT l_orderkey FROM keys)""".stripMargin,
+    // l31: the mixed-era reads must be TRANSFORM-INVISIBLE — plain
+    // source-column predicates over the original parquet; the scanned
+    // counters re-derive from the data (months with data in the
+    // projected month window for the month era, days with data in the
+    // bound window for the day era); pruned is the engine boolean
+    "l31_partspec_evolution" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity,
+        |    min(CAST(l_shipdate AS DATE)) AS l_shipdate
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE)
+        |    BETWEEN DATE '1997-01-01' AND DATE '1997-04-30'
+        |  GROUP BY 1, 2),
+        |me AS (
+        |  SELECT CAST(count(DISTINCT strftime(l_shipdate, '%Y-%m'))
+        |      AS INTEGER) AS n
+        |  FROM li
+        |  WHERE l_shipdate < DATE '1997-04-01'
+        |    AND strftime(l_shipdate, '%Y-%m') >= '1997-02'),
+        |de AS (
+        |  SELECT CAST(count(DISTINCT l_shipdate) AS INTEGER) AS n
+        |  FROM li
+        |  WHERE l_shipdate
+        |    BETWEEN DATE '1997-04-01' AND DATE '1997-04-05')
+        |SELECT 'range_mixed' AS probe, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  me.n AS parts_month_era_scanned,
+        |  de.n AS parts_day_era_scanned,
+        |  TRUE AS pruned
+        |FROM li, me, de
+        |WHERE l_shipdate BETWEEN DATE '1997-02-10' AND DATE '1997-04-05'
+        |GROUP BY me.n, de.n
+        |UNION ALL
+        |SELECT 'match_mixed', count(*), round(sum(l_quantity), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  me.n, de.n, TRUE
+        |FROM li, me, de
+        |WHERE l_shipdate IN (DATE '1997-02-14', DATE '1997-04-03')
+        |GROUP BY me.n, de.n""".stripMargin,
+    // l32: both versions' aggregates re-derive through the same
+    // narrow-then-widen casts (quantities are integral, so the
+    // REAL→DOUBLE sums are bit-exact); the refusal witnesses are
+    // engine booleans
+    "l32_type_widening" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS REAL) AS qf,
+        |    CAST(l_quantity AS DOUBLE) AS qd,
+        |    strftime(l_shipdate, '%Y-%m') AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-04')
+        |SELECT 'v1_narrow' AS probe, count(*) AS n_rows,
+        |  round(sum(CAST(qf AS DOUBLE)), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  TRUE AS narrow_refused, TRUE AS minted_nothing,
+        |  TRUE AS types_widened
+        |FROM li WHERE month < '1997-04'
+        |UNION ALL
+        |SELECT 'v2_mixed', count(*),
+        |  round(sum(CASE WHEN month < '1997-04'
+        |    THEN CAST(qf AS DOUBLE) ELSE qd END), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  TRUE, TRUE, TRUE
+        |FROM li""".stripMargin,
     // l28: both lookups re-derive with PLAIN IN predicates (the bloom
     // prune must be result-invisible — a wrongly skipped file loses
     // rows); keys are the 5 lowest distinct partkeys (deterministic);

@@ -18,10 +18,15 @@ import org.apache.spark.sql.functions._
   * string silently full-scans; with the transform recorded IN the
   * table, the prune is automatic and un-skippable.
   *
-  * The spec is immutable table metadata (`_log/_partspec`, written
-  * once at definition — partition-spec EVOLUTION is out of scope and
-  * documented as an honest edge). The derived partition column is
-  * internal (`__p` by default) and DROPPED from every read.
+  * The spec is table metadata (`_log/_partspec`), and it EVOLVES the
+  * Iceberg way ([[evolve]]): a new transform governs commits from the
+  * next version on, files written earlier keep their era's spec, and
+  * reads project the predicate through EVERY era's transform, unioning
+  * the pruned partition sets — data is never rewritten to change a
+  * table's layout granularity (at 100 TB a month→day re-partition of
+  * history is exactly the migration cost spec evolution exists to
+  * avoid). The derived partition column is internal (`__p` by
+  * default) and DROPPED from every read.
   *
   * Pruning is metadata-only either way, and composes with l25's
   * segmented manifests: the pruned partition set flows into
@@ -128,14 +133,7 @@ object HiddenPartitioning {
   private val BucketRe = """bucket\[(\d+)\]""".r
   private val TruncRe = """truncate\[(\d+)\]""".r
 
-  /** The recorded spec (fails loudly on an undeclared lake). */
-  def spec(spark: SparkSession, path: String): Spec = {
-    val f = fs(spark, path)
-    require(f.exists(specPath(path)), s"no partition spec at $path")
-    val in = f.open(specPath(path))
-    val line =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
+  private def parseSpec(line: String): Spec = {
     val Array(tag, src, part) = line.split('\t')
     val t = tag match {
       case "month" => Month
@@ -146,6 +144,79 @@ object HiddenPartitioning {
         throw new IllegalArgumentException(s"unknown transform $other")
     }
     Spec(src, t, part)
+  }
+
+  private def readSpecFile(spark: SparkSession, p: Path): Spec = {
+    val in = fs(spark, p.toString).open(p)
+    val line =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    parseSpec(line)
+  }
+
+  /** Every recorded spec with the first version it governs, ordered:
+    * the definition spec governs from version 0, each [[evolve]]d one
+    * from the version recorded in its filename (`_partspec.<from>`).
+    * Metadata-sized (spec-count files). */
+  def specs(spark: SparkSession, path: String): Seq[(Int, Spec)] = {
+    val f = fs(spark, path)
+    require(f.exists(specPath(path)), s"no partition spec at $path")
+    val base = (0, readSpecFile(spark, specPath(path)))
+    val evolved = f.listStatus(specPath(path).getParent).iterator
+      .filter(st => st.isFile &&
+        st.getPath.getName.startsWith("_partspec."))
+      .map(st => (st.getPath.getName.stripPrefix("_partspec.").toInt,
+        readSpecFile(spark, st.getPath)))
+      .toSeq
+    (base +: evolved).sortBy(_._1)
+  }
+
+  /** The ACTIVE spec — what writers derive through (fails loudly on
+    * an undeclared lake). */
+  def spec(spark: SparkSession, path: String): Spec =
+    specs(spark, path).last._2
+
+  /** The spec governing files written at commit-version `era` (data
+    * entries carry their commit version as era; era-less entries
+    * predate evolution and take the definition spec). */
+  private def specForEra(all: Seq[(Int, Spec)], era: Option[Int]): Spec = {
+    val e = era.getOrElse(0)
+    all.reverse.collectFirst { case (from, sp) if from <= e => sp }.get
+  }
+
+  /** EVOLVE the partition spec (Iceberg partition-spec evolution):
+    * commits from the NEXT version derive through `newSpec`; every
+    * file already written keeps its era's spec, and range/point reads
+    * project through both and union the pruned sets — history is
+    * never rewritten. The transform changes; the source column and
+    * internal partition column must not (a cross-column evolution
+    * would make [[readBetween]]'s row predicate ill-posed).
+    *
+    * Post-evolution REPLACEMENT semantics the caller owns: an upsert/
+    * overwrite replaces partitions by the NEW spec's values only —
+    * restating pre-evolution rows takes the keyed verbs
+    * ([[VersionedLake.commitMerge]]/[[VersionedLake.commitMergeDv]])
+    * or a full overwrite, exactly Iceberg's dynamic-overwrite caveat
+    * under an evolved spec. */
+  def evolve(spark: SparkSession, path: String, newSpec: Spec): Unit = {
+    val all = specs(spark, path) // loud on an undeclared lake
+    val cur = all.last._2
+    require(newSpec.srcCol == cur.srcCol && newSpec.partCol == cur.partCol,
+      s"spec evolution changes the transform only: " +
+        s"${cur.srcCol}/${cur.partCol} -> ${newSpec.srcCol}/${newSpec.partCol}")
+    require(newSpec.transform.tag != cur.transform.tag,
+      s"already partitioned by ${cur.transform.tag}")
+    val from = VersionedLake.latestVersion(spark, path) + 1
+    require(all.last._1 < from,
+      s"a spec already governs version $from at $path — commit first")
+    val f = fs(spark, path)
+    val p = new Path(s"${path.stripSuffix("/")}/_log/_partspec.$from")
+    require(!f.exists(p), s"spec evolution $from already recorded at $path")
+    val out = f.create(p, false)
+    try out.write(
+      s"${newSpec.transform.tag}\t${newSpec.srcCol}\t${newSpec.partCol}\n"
+        .getBytes("UTF-8"))
+    finally out.close()
   }
 
   private def derive(spark: SparkSession, path: String,
@@ -193,24 +264,42 @@ object HiddenPartitioning {
     VersionedLake.commitBatchAppend(d, p, path, txn, commitTs)
   }
 
-  private def livePartsOf(spark: SparkSession, path: String,
-                          v: Int): Seq[String] =
-    VersionedLake.manifestFiles(spark, path, v).map(_.part).distinct
+  /** Version `v`'s live data partitions grouped by the SPEC that
+    * wrote them (per-file era → governing spec). */
+  private def partsBySpec(spark: SparkSession, path: String, v: Int,
+                          all: Seq[(Int, Spec)]): Seq[(Spec, Seq[String])] =
+    VersionedLake.manifestFiles(spark, path, v)
+      .filter(_.kind == "data")
+      .groupBy(e => specForEra(all, e.era)).toSeq
+      .map { case (sp, es) => (sp, es.map(_.part).distinct) }
 
   /** The live partitions a `srcCol BETWEEN lo AND hi` predicate can
-    * touch at version `v` (inclusive projection through a MONOTONIC
-    * transform). Planning metadata — what [[readBetween]] prunes to. */
+    * touch at version `v`: inclusive projection through each ERA's
+    * transform, pruned sets unioned (Iceberg's mixed-spec read). A
+    * non-monotonic era (bucket) does not project ranges — ALL its
+    * partitions are admitted (the conservative union; the row
+    * predicate stays exact). A single-spec bucket lake still refuses
+    * loudly: a range read there prunes nothing, use [[readMatching]].
+    * Planning metadata — what [[readBetween]] prunes to. */
   def partsBetween(spark: SparkSession, path: String, v: Int,
                    lo: String, hi: String): Seq[String] = {
-    val sp = spec(spark, path)
-    require(sp.transform.monotonic,
-      s"${sp.transform.tag} does not project ranges — use readMatching")
-    val (plo, phi) = (sp.transform.bound(lo), sp.transform.bound(hi))
-    def inRange(p: String) = sp.transform match {
-      case Truncate(_) => p.toLong >= plo.toLong && p.toLong <= phi.toLong
-      case _ => p >= plo && p <= phi
-    }
-    livePartsOf(spark, path, v).filter(inRange)
+    val all = specs(spark, path)
+    if (all.size == 1)
+      require(all.head._2.transform.monotonic,
+        s"${all.head._2.transform.tag} does not project ranges — " +
+          "use readMatching")
+    partsBySpec(spark, path, v, all).flatMap { case (sp, parts) =>
+      if (!sp.transform.monotonic) parts
+      else {
+        val (plo, phi) = (sp.transform.bound(lo), sp.transform.bound(hi))
+        def inRange(p: String) = sp.transform match {
+          case Truncate(_) =>
+            p.toLong >= plo.toLong && p.toLong <= phi.toLong
+          case _ => p >= plo && p <= phi
+        }
+        parts.filter(inRange)
+      }
+    }.distinct.sorted
   }
 
   /** Range read: prune partitions through the transform, then apply
@@ -228,19 +317,21 @@ object HiddenPartitioning {
       .drop(sp.partCol)
   }
 
-  /** The live partitions the probe keys can land in: the keys'
-    * partition values compute through the ENGINE's own transform
-    * expression (keys-sized aggregate — the collect is planning
-    * metadata, the established lookup discipline), so bucket hashing
-    * can never drift between write and probe. */
+  /** The live partitions the probe keys can land in: per ERA, the
+    * keys' partition values compute through that era's ENGINE
+    * transform expression (one keys-sized aggregate per spec —
+    * planning metadata, the established lookup discipline), so bucket
+    * hashing can never drift between write and probe; the per-era
+    * matches union (mixed-spec point lookup). */
   def partsMatching(spark: SparkSession, path: String, v: Int,
                     keys: DataFrame): Seq[String] = {
-    val sp = spec(spark, path)
-    val wanted = keys
-      .select(sp.transform.expr(col(sp.srcCol)).as("__pp"))
-      .distinct().collect().map(_.getString(0)) // keys-sized planning
-    val live = livePartsOf(spark, path, v).toSet
-    wanted.filter(live).toSeq.sorted
+    val all = specs(spark, path)
+    partsBySpec(spark, path, v, all).flatMap { case (sp, parts) =>
+      val wanted = keys
+        .select(sp.transform.expr(col(sp.srcCol)).as("__pp"))
+        .distinct().collect().map(_.getString(0)).toSet // keys-sized
+      parts.filter(wanted)
+    }.distinct.sorted
   }
 
   /** Point-lookup read under ANY transform (the only shape bucket

@@ -44,12 +44,16 @@ import org.apache.spark.sql.types.StructType
   * `seg=<part>\t<segfile>\t<sha256>` pointer per partition, each
   * segment holding that partition's entry lines in an immutable
   * `_log/seg-*.seg` file reused across versions by content hash —
-  * the Iceberg manifest-list shape, making commit metadata cost
-  * O(touched partitions), not O(total files). An
-  * upsert commit's manifest carries FORWARD the previous version's
-  * entries for untouched partitions (pointers, not data: unchanged
-  * partitions are never rewritten — cost ∝ the delta, the c02/st11
-  * discipline applied to versioning).
+  * the Iceberg manifest-list shape. Commits carry untouched
+  * partitions forward STRUCTURALLY ([[doCommit]]'s pointer
+  * carry-forward): their segments are never opened, expanded,
+  * re-serialized or re-hashed — only touched partitions' segments
+  * are read (pruned at the pointer) and rewritten, so commit
+  * metadata WRITE cost is O(touched files + partition count). The
+  * OCC conflict check rides the same structure: on segmented logs
+  * [[touchedParts]] diffs per-partition segment HASHES, never
+  * expanding entries. (Read-side planning cost remains ∝ the files
+  * the read actually plans over, as it must.)
   *
   * CONCURRENT WRITERS (the Delta OCC rule): each commit attempt stages
   * its data under a fresh unique token directory (two racing writers
@@ -261,7 +265,8 @@ object VersionedLake {
       if (tryWriteManifest(spark, path, v + 1, op, s"$op-${uniq()}",
           schemaJson, manifestEntries(spark, path, v), None, commitTs,
           readColmaps(spark, path, v),
-          change(v, readConstraints(spark, path, v))))
+          change(v, readConstraints(spark, path, v)),
+          readColtypes(spark, path, v)))
         return v + 1
     }
     throw new java.util.ConcurrentModificationException(
@@ -351,7 +356,8 @@ object VersionedLake {
     def want(p: String) = parts.isEmpty || parts.contains(p)
     readManifestText(spark, path, v).linesIterator.drop(1)
       .filter(l => l.nonEmpty && !l.startsWith("schema=") &&
-        !l.startsWith("colmap=") && !l.startsWith("constraint="))
+        !l.startsWith("colmap=") && !l.startsWith("coltype=") &&
+        !l.startsWith("constraint="))
       .flatMap { line =>
         if (line.startsWith("seg=")) {
           val t = line.stripPrefix("seg=").split('\t')
@@ -392,10 +398,28 @@ object VersionedLake {
     * every manifest. */
   private def readColmaps(spark: SparkSession, path: String,
                           v: Int): Map[Int, Map[Long, String]] =
+    readEraMaps(spark, path, v, "colmap=")
+
+  /** TYPE provenance (l32 — Delta's type-widening feature): each
+    * data-writing commit also records, under `coltype=<era>`, the map
+    * from stable column id to the PHYSICAL TYPE (catalogString) its
+    * files were written with. When a later commit WIDENS a column
+    * (int→long, float→double — the only re-types [[doCommit]]
+    * admits), old eras' files read under their recorded physical type
+    * and cast up to the logical one ([[mappedRead]]) — no byte
+    * rewritten, no reader-side promotion assumption. Eras recorded
+    * before this feature have no `coltype` lines and keep the legacy
+    * read-under-logical-type semantics. */
+  private def readColtypes(spark: SparkSession, path: String,
+                           v: Int): Map[Int, Map[Long, String]] =
+    readEraMaps(spark, path, v, "coltype=")
+
+  private def readEraMaps(spark: SparkSession, path: String, v: Int,
+                          prefix: String): Map[Int, Map[Long, String]] =
     readManifestText(spark, path, v).linesIterator.drop(1)
-      .filter(_.startsWith("colmap="))
+      .filter(_.startsWith(prefix))
       .map { l =>
-        val fields = l.stripPrefix("colmap=").split('\t')
+        val fields = l.stripPrefix(prefix).split('\t')
         val era = fields.head.toInt
         era -> fields.tail.map { kv =>
           val i = kv.indexOf('=')
@@ -437,6 +461,27 @@ object VersionedLake {
   private def colmapOf(schema: StructType): Map[Long, String] =
     schema.fields.flatMap(f => gidOf(f).map(_ -> f.name)).toMap
 
+  /** gid -> physical type (catalogString) for a commit writing
+    * `schema`'s columns — [[readColtypes]]' write side. */
+  private def coltypeOf(schema: StructType): Map[Long, String] =
+    schema.fields.flatMap(f =>
+      gidOf(f).map(_ -> f.dataType.catalogString)).toMap
+
+  /** The re-types a commit may apply to an existing column: identity
+    * or a lossless WIDENING — every pre-existing value survives the
+    * read-side cast exactly. */
+  private def widensOk(from: org.apache.spark.sql.types.DataType,
+                       to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    from == to || ((from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    })
+  }
+
   private def readManifestHeader(spark: SparkSession, path: String,
                                  v: Int): String =
     readManifestText(spark, path, v).linesIterator
@@ -468,7 +513,11 @@ object VersionedLake {
                                colmaps: Map[Int, Map[Long, String]] =
                                  Map.empty,
                                constraints: Seq[(String, String)] =
-                                 Seq.empty): Boolean = {
+                                 Seq.empty,
+                               coltypes: Map[Int, Map[Long, String]] =
+                                 Map.empty,
+                               carryParts: Map[String, (String, String)] =
+                                 Map.empty): Boolean = {
     val f = fs(spark, path)
     f.mkdirs(logDir(path))
     val mf = manifestPath(path, v)
@@ -478,12 +527,23 @@ object VersionedLake {
       ts.map(t => s" ts=$t").getOrElse("")
     // only colmaps of eras the entries still reference ride along —
     // the manifest stays self-contained (vacuum-safe) without growing
-    // past the number of LIVE schema eras
-    val liveEras = entries.flatMap(_.era).toSet
+    // past the number of LIVE schema eras. Structurally-carried
+    // partitions' entries are unknown by design, so their eras retain
+    // conservatively (every provided map survives; a dead era is
+    // reclaimed at the next full-expansion commit — overwrite /
+    // optimize — bounded by the data-writing version count meanwhile)
+    val liveEras: Set[Int] = entries.flatMap(_.era).toSet ++
+      (if (carryParts.nonEmpty) colmaps.keySet ++ coltypes.keySet
+       else Set.empty[Int])
     val colmapLines = colmaps.view.filterKeys(liveEras).toSeq
       .sortBy(_._1).map { case (era, m) =>
         s"colmap=$era" + m.toSeq.sortBy(_._1)
           .map { case (g, n) => s"\t$g=$n" }.mkString
+      }
+    val coltypeLines = coltypes.view.filterKeys(liveEras).toSeq
+      .sortBy(_._1).map { case (era, m) =>
+        s"coltype=$era" + m.toSeq.sortBy(_._1)
+          .map { case (g, t) => s"\t$g=$t" }.mkString
       }
     val constraintLines = constraints.map { case (n, e) =>
       s"constraint=$n\t$e"
@@ -494,33 +554,44 @@ object VersionedLake {
     // lines stay in the manifest proper either way)
     val newSegs = scala.collection.mutable.ArrayBuffer.empty[Path]
     val entryLines: Seq[String] =
-      if (!f.exists(segMarker(path)))
+      if (!f.exists(segMarker(path))) {
+        require(carryParts.isEmpty,
+          "structural carry requires a segmented manifest")
         entries.sortBy(e => (e.part, e.rel)).map(entryLine)
-      else {
+      } else {
         val basePtrs: Map[String, (String, String)] =
           if (v <= 1) Map.empty
           else scala.util.Try(segmentPointers(spark, path, v - 1))
             .getOrElse(Map.empty)
-        entries.groupBy(_.part).toSeq.sortBy(_._1)
-          .map { case (part, es) =>
-            val lines = es.sortBy(_.rel).map(entryLine)
-            val h = sha256Hex(lines.mkString("\n"))
-            basePtrs.get(part) match {
-              case Some((rel, bh)) if bh == h => s"seg=$part\t$rel\t$h"
-              case _ =>
-                val segRel = s"seg-${uniq()}.seg"
-                val sp = new Path(logDir(path), segRel)
-                val so = f.create(sp, true)
-                try so.write(
-                  (lines.mkString("\n") + "\n").getBytes("UTF-8"))
-                finally so.close()
-                newSegs += sp
-                s"seg=$part\t$segRel\t$h"
-            }
+        val grouped = entries.groupBy(_.part)
+        require(carryParts.keySet.intersect(grouped.keySet).isEmpty,
+          "a partition cannot both carry structurally and re-serialize")
+        (grouped.keySet ++ carryParts.keySet).toSeq.sorted.map { part =>
+          carryParts.get(part) match {
+            // structural carry: the pointer line verbatim — the
+            // segment is never opened, serialized or hashed
+            case Some((rel, h)) => s"seg=$part\t$rel\t$h"
+            case None =>
+              val es = grouped(part)
+              val lines = es.sortBy(_.rel).map(entryLine)
+              val h = sha256Hex(lines.mkString("\n"))
+              basePtrs.get(part) match {
+                case Some((rel, bh)) if bh == h => s"seg=$part\t$rel\t$h"
+                case _ =>
+                  val segRel = s"seg-${uniq()}.seg"
+                  val sp = new Path(logDir(path), segRel)
+                  val so = f.create(sp, true)
+                  try so.write(
+                    (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+                  finally so.close()
+                  newSegs += sp
+                  s"seg=$part\t$segRel\t$h"
+              }
           }
+        }
       }
     val body = ((head +: s"schema=$schemaJson" +: colmapLines) ++
-      constraintLines ++ entryLines).mkString("\n")
+      coltypeLines ++ constraintLines ++ entryLines).mkString("\n")
     val tmp = new Path(logDir(path),
       s"${"%06d".format(v)}.manifest.tmp-${uniq()}")
     val out = f.create(tmp, true)
@@ -798,9 +869,25 @@ object VersionedLake {
       if (v == 0) Map.empty
       else manifestEntries(spark, path, v).groupBy(_.part)
         .map { case (p, es) => p -> es.map(_.rel).toSet }
+    // segmented fast path: a segment hash IS a content hash of the
+    // partition's sorted entry lines, so differing hash ⇔ differing
+    // file set — the diff is O(partitions) and never opens a segment
+    def hashes(v: Int): Option[Map[String, String]] =
+      if (v == 0) Some(Map.empty)
+      else {
+        val ptrs = scala.util.Try(segmentPointers(spark, path, v))
+          .getOrElse(Map.empty[String, (String, String)])
+        if (ptrs.isEmpty) None // flat manifest: expand
+        else Some(ptrs.view.mapValues(_._2).toMap)
+      }
     (vFrom until vTo).flatMap { v =>
-      val (a, b) = (byPart(v), byPart(v + 1))
-      (a.keySet ++ b.keySet).filter(p => a.get(p) != b.get(p))
+      (hashes(v), hashes(v + 1)) match {
+        case (Some(a), Some(b)) =>
+          (a.keySet ++ b.keySet).filter(p => a.get(p) != b.get(p))
+        case _ =>
+          val (a, b) = (byPart(v), byPart(v + 1))
+          (a.keySet ++ b.keySet).filter(p => a.get(p) != b.get(p))
+      }
     }.toSet
   }
 
@@ -814,26 +901,34 @@ object VersionedLake {
                        dvDf: Option[DataFrame] = None): Int = {
     val spark = df.sparkSession
     val prev = pinnedBase.getOrElse(latestVersion(spark, path))
-    // constraint enforcement (Delta CHECK): the DELTA validates in one
-    // aggregate pass against the base's active set BEFORE any data is
-    // staged — a violating commit aborts with per-constraint counts
-    // and never claims a version. Deletes can't violate a CHECK (rows
-    // only leave); OPTIMIZE passes validate=false (pure re-layout of
-    // already-validated rows). A rebase onto a head whose constraint
-    // set CHANGED re-validates against the new set.
     val doValidate = validate && mode != Mode.Delete
-    var validatedSets = Set.empty[Seq[(String, String)]]
-    if (doValidate && prev > 0) {
-      val cs0 = readConstraints(spark, path, prev)
-      checkConstraints(df, cs0, s"commit over version $prev at $path")
-      validatedSets += cs0
-    }
     // stage this attempt's data under a unique token dir: concurrent
     // attempts can never clobber each other's files, and a loser's
     // staging becomes a vacuum-reclaimable orphan, never a torn version
     val token = s"c${"%06d".format(prev + 1)}-${uniq()}"
     writeCommitData(df, partCol, path, token)
     val fresh0 = commitEntries(spark, path, token)
+    // constraint enforcement (Delta CHECK): ONE aggregate pass over
+    // the STAGED bytes — the rows validated are exactly the rows the
+    // manifest will reference. Validating the input frame instead
+    // would leave a TOCTOU gap: a non-deterministic frame (rand(), a
+    // re-read of a changing source) could pass validation yet stage
+    // violating rows — Delta enforces invariants on the write path
+    // for the same reason. A violating commit aborts with
+    // per-constraint counts, never claims a version, and its staging
+    // orphan is vacuum-reclaimed. Deletes can't violate a CHECK (rows
+    // only leave); OPTIMIZE passes validate=false (pure re-layout of
+    // already-validated rows). A rebase onto a head whose constraint
+    // set CHANGED re-validates against the new set.
+    lazy val staged =
+      if (fresh0.isEmpty) df.limit(0) // zero-row commit: nothing staged
+      else spark.read.parquet(s"${path.stripSuffix("/")}/data/$token")
+    var validatedSets = Set.empty[Seq[(String, String)]]
+    if (doValidate && prev > 0) {
+      val cs0 = readConstraints(spark, path, prev)
+      checkConstraints(staged, cs0, s"commit over version $prev at $path")
+      validatedSets += cs0
+    }
     val fresh1 =
       if (fresh0.isEmpty) fresh0 // a pure-delete MergeDv stages no data
       else statsCol.fold(fresh0)(sc =>
@@ -888,14 +983,44 @@ object VersionedLake {
         } // appends never conflict
       }
       val k = base + 1
-      val kept =
-        if (base == 0 || mode == Mode.Overwrite) Seq.empty
-        else if (mode == Mode.Upsert)
-          manifestEntries(spark, path, base)
-            .filterNot(e => replaced.contains(e.part))
-        // append/delete/mergeDv ADD only: every base file (and DV)
-        // carries forward by pointer
-        else manifestEntries(spark, path, base)
+      // STRUCTURAL carry-forward (l25): when the base manifest is
+      // segmented (and records a schema — no bootstrap needs kept
+      // files), untouched partitions carry forward as segment
+      // POINTERS: their entries are never expanded, re-serialized or
+      // re-hashed; only touched partitions' segments open
+      // (manifestEntries prunes at the pointer). Base flat → full
+      // expansion (the one-commit upgrade path).
+      val basePtrs: Map[String, (String, String)] =
+        if (base == 0 || mode == Mode.Overwrite) Map.empty
+        else scala.util.Try(segmentPointers(spark, path, base))
+          .getOrElse(Map.empty)
+      val structural =
+        basePtrs.nonEmpty && readSchema(spark, path, base).isDefined
+      val (kept, carry) =
+        if (base == 0 || mode == Mode.Overwrite)
+          (Seq.empty[FileEntry], Map.empty[String, (String, String)])
+        else if (structural) {
+          val touchedBase = basePtrs.keySet.intersect(replaced)
+          val expanded =
+            if (touchedBase.isEmpty) Seq.empty[FileEntry]
+            else manifestEntries(spark, path, base, touchedBase)
+          val keptE =
+            if (mode == Mode.Upsert)
+              expanded.filterNot(e => replaced.contains(e.part))
+            // append/delete/mergeDv ADD only: touched partitions'
+            // base entries ride inside their re-written segments
+            else expanded
+          (keptE, basePtrs -- replaced)
+        } else {
+          val all = manifestEntries(spark, path, base)
+          val keptE =
+            if (mode == Mode.Upsert)
+              all.filterNot(e => replaced.contains(e.part))
+            // append/delete/mergeDv ADD only: every base file (and
+            // DV) carries forward by pointer
+            else all
+          (keptE, Map.empty[String, (String, String)])
+        }
       // a DELETE commits no table rows — its df is the DV sidecar
       // frame — so the recorded TABLE schema carries forward from the
       // claimed base (re-resolved per rebase so a disjoint evolving
@@ -907,7 +1032,10 @@ object VersionedLake {
       val baseColmaps =
         if (base == 0) Map.empty[Int, Map[Long, String]]
         else readColmaps(spark, path, base)
-      val (schemaJson, colmaps) =
+      val baseColtypes =
+        if (base == 0) Map.empty[Int, Map[Long, String]]
+        else readColtypes(spark, path, base)
+      val (schemaJson, colmaps, coltypes) =
         if (mode == Mode.Delete) {
           val sj = readSchema(spark, path, base).map(_.json).getOrElse {
             val ds = kept.filter(_.kind == KindData)
@@ -916,13 +1044,28 @@ object VersionedLake {
             spark.read.parquet(
               resolve(path.stripSuffix("/"), ds.head.rel)).schema.json
           }
-          (sj, baseColmaps)
+          (sj, baseColmaps, baseColtypes)
         } else {
-          val gs = assignGids(
-            if (base == 0) None else readSchema(spark, path, base),
-            df.schema,
+          val prevSchema =
+            if (base == 0) None else readSchema(spark, path, base)
+          val gs = assignGids(prevSchema, df.schema,
             baseColmaps.values.flatMap(_.keys).foldLeft(0L)(math.max))
-          (gs.json, baseColmaps + (k -> colmapOf(gs)))
+          // re-typing an existing column admits WIDENING only (l32 —
+          // Delta's type-widening rule): a narrowing cast would
+          // silently truncate every pre-existing byte at read
+          prevSchema.foreach { ps =>
+            val byGid = ps.fields.flatMap(f => gidOf(f).map(_ -> f)).toMap
+            gs.fields.foreach(f => gidOf(f).flatMap(byGid.get).foreach {
+              pf =>
+                require(widensOk(pf.dataType, f.dataType),
+                  s"commit re-types column ${f.name} from " +
+                    s"${pf.dataType.catalogString} to " +
+                    s"${f.dataType.catalogString} at $path — only " +
+                    "widening (int→long, float→double) is allowed")
+            })
+          }
+          (gs.json, baseColmaps + (k -> colmapOf(gs)),
+            baseColtypes + (k -> coltypeOf(gs)))
         }
       // fresh DATA entries carry this commit's era (the schema their
       // files were physically written under); DV sidecars are era-free
@@ -934,13 +1077,13 @@ object VersionedLake {
         if (base == 0) Seq.empty[(String, String)]
         else readConstraints(spark, path, base)
       if (doValidate && !validatedSets.contains(baseConstraints)) {
-        checkConstraints(df, baseConstraints,
+        checkConstraints(staged, baseConstraints,
           s"commit rebased onto version $base at $path")
         validatedSets += baseConstraints
       }
       if (tryWriteManifest(spark, path, k, mode.toString.toLowerCase,
           token, schemaJson, kept ++ freshTagged, txn, commitTs,
-          colmaps, baseConstraints))
+          colmaps, baseConstraints, coltypes, carry))
         return k
       // lost the version claim: loop re-reads the head and rebases
     }
@@ -1209,14 +1352,23 @@ object VersionedLake {
     }
     val logicalOpt = readSchema(spark, path, v)
     val colmaps = readColmaps(spark, path, v)
-    val eras = data.flatMap(_.era).distinct
-      .map(e => colmaps.getOrElse(e, Map.empty[Long, String]))
+    val coltypes = readColtypes(spark, path, v)
+    val eraIds = data.flatMap(_.era).distinct
+    // identity = no referenced era crossed a RENAME (its physical
+    // names are the logical ones, no dropped-name reuse) NOR a TYPE
+    // WIDENING (its physical types are the logical ones) — then ONE
+    // recorded-schema scan reads every file
     val identity = logicalOpt.forall { lg =>
-      val withG = lg.fields.flatMap(f => gidOf(f).map(g => (g, f.name)))
-      eras.forall(m => withG.forall { case (g, n) =>
-        m.get(g).forall(_ == n) &&
-          !m.exists { case (g2, n2) => n2 == n && g2 != g }
-      })
+      val withG = lg.fields.flatMap(f => gidOf(f).map(g => (g, f)))
+      eraIds.forall { e =>
+        val m = colmaps.getOrElse(e, Map.empty[Long, String])
+        val tm = coltypes.getOrElse(e, Map.empty[Long, String])
+        withG.forall { case (g, f) =>
+          m.get(g).forall(_ == f.name) &&
+            !m.exists { case (g2, n2) => n2 == f.name && g2 != g } &&
+            tm.get(g).forall(_ == f.dataType.catalogString)
+        }
+      }
     }
     if (identity) {
       val reader = logicalOpt.fold(spark.read)(s => spark.read.schema(s))
@@ -1234,13 +1386,25 @@ object VersionedLake {
               foldAndMeta(spark.read.schema(logical).parquet(files: _*))
             case Some(e) =>
               val m = colmaps.getOrElse(e, Map.empty[Long, String])
-              // physical read schema: this era's name for each logical
-              // id (logical types — rename/drop only, never re-type)
+              val tm = coltypes.getOrElse(e, Map.empty[Long, String])
+              // physical read schema: this era's name AND recorded
+              // physical type for each logical id (a widened column
+              // reads its old eras' files as the type the bytes were
+              // written with, then casts up — never a reader-side
+              // promotion assumption); unrecorded types are logical
+              // (pre-l32 eras: rename/drop only)
               def physName(f: org.apache.spark.sql.types.StructField)
                   : Option[String] =
                 gidOf(f).fold(Option(f.name))(m.get)
-              val phys = StructType(logical.fields.flatMap(f =>
-                physName(f).map(pn => f.copy(name = pn))))
+              def physField(f: org.apache.spark.sql.types.StructField)
+                  : Option[org.apache.spark.sql.types.StructField] =
+                physName(f).map { pn =>
+                  val dt = gidOf(f).flatMap(tm.get)
+                    .map(org.apache.spark.sql.types.DataType.fromDDL)
+                    .getOrElse(f.dataType)
+                  f.copy(name = pn, dataType = dt)
+                }
+              val phys = StructType(logical.fields.flatMap(physField))
               val df = foldAndMeta(
                 spark.read.schema(phys).parquet(files: _*))
               df.select(logical.fields.toIndexedSeq.map { f =>
@@ -1533,9 +1697,13 @@ object VersionedLake {
     * torn version. Files inside the window are SKIPPED (they stay
     * re-vacuumable). The default 0 keeps vacuum fully deterministic
     * (no clock read) and is the single-writer / writer-quiescent
-    * posture; deployments vacuuming next to live writers size
-    * `graceMs` above the longest commit's write-to-claim gap, exactly
-    * Delta's `deletedFileRetentionDuration` rule. */
+    * posture ONLY — do not copy it into a deployment with live
+    * writers. There, size `graceMs` above the longest commit's
+    * write-to-claim gap, exactly Delta's
+    * `deletedFileRetentionDuration` rule; an hour is a sane starting
+    * point for batch writers:
+    * {{{ VersionedLake.vacuum(spark, path, retain = 10,
+    *     graceMs = 60L * 60 * 1000) // production: live writers }}} */
   def vacuum(spark: SparkSession, path: String,
              retain: Int, graceMs: Long = 0L): (Int, Int) = {
     require(retain >= 1, "vacuum must retain at least one version")
@@ -1599,7 +1767,8 @@ object VersionedLake {
   /** The table's commit HISTORY as a queryable frame (Delta's
     * `DESCRIBE HISTORY` / Iceberg's `snapshots` metadata table): one
     * row per LIVE version — version, op, txn id, commit timestamp,
-    * touched-partition count, live-partition count, constraint count.
+    * `n_parts` (the LIVE-partition count at that version), `has_dvs`
+    * (whether any deletion vector is active), constraint count.
     * Driver-side manifest metadata only (version-count-sized); row
     * data never reads. Vacuumed versions are gone from the log and so
     * from the history — the retention trade stated by l10. */
@@ -1826,7 +1995,8 @@ object VersionedLake {
       if (tryWriteManifest(spark, path, k, "restore",
           s"restore-of-${"%06d".format(v)}", schemaJson, entries, None,
           commitTs, readColmaps(spark, path, v),
-          readConstraints(spark, path, v)))
+          readConstraints(spark, path, v),
+          readColtypes(spark, path, v)))
         return k
     }
     throw new java.util.ConcurrentModificationException(
@@ -1911,7 +2081,8 @@ object VersionedLake {
       }
       if (tryWriteManifest(spark, path, v + 1, op, s"$op-${uniq()}",
           changed.json, entries, None, commitTs,
-          readColmaps(spark, path, v), cs))
+          readColmaps(spark, path, v), cs,
+          readColtypes(spark, path, v)))
         return v + 1
     }
     throw new java.util.ConcurrentModificationException(
@@ -1998,7 +2169,8 @@ object VersionedLake {
       if (deep) "deepclone" else "clone", s"clone-of-$srcBase@$v",
       schemaJson, cloned, None, None,
       readColmaps(spark, srcPath, v),
-      readConstraints(spark, srcPath, v)),
+      readConstraints(spark, srcPath, v),
+      readColtypes(spark, srcPath, v)),
       s"clone target $dstPath already has a version 1")
     1
   }

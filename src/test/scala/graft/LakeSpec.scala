@@ -1486,6 +1486,101 @@ class LakeSpec extends SparkSpec {
       Seq(3L, 17L).toDF("k")).size <= 2)
   }
 
+  test("type widening in column mapping: int→long / float→double eras " +
+      "read under their recorded physical types and cast up exactly; " +
+      "narrowing refuses; renames compose") {
+    import graft.sources.VersionedLake
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    val lake = java.nio.file.Files.createTempDirectory("lake_tw").toString
+    VersionedLake.reset(spark, lake)
+    VersionedLake.commitOverwrite(
+      Seq((1, "a", 1.5f), (2, "b", 2.5f)).toDF("id", "part", "y"),
+      "part", lake)
+    // era 2 widens id int→long and y float→double in one commit; a
+    // value past Int.MaxValue proves the logical type really widened
+    VersionedLake.commitAppend(
+      Seq((3000000000L, "a", 3.25)).toDF("id", "part", "y"),
+      "part", lake)
+    val lat = VersionedLake.readLatest(spark, lake)
+    assert(lat.schema("id").dataType == LongType &&
+      lat.schema("y").dataType == DoubleType)
+    assert(lat.select($"id", $"y").as[(Long, Double)].collect().toSet ==
+      Set((1L, 1.5), (2L, 2.5), (3000000000L, 3.25)),
+      "era-1 files read as int/float and cast up exactly")
+    // time travel: version 1 keeps its own (narrow) recorded schema
+    val v1 = VersionedLake.readVersion(spark, lake, 1)
+    assert(v1.schema("id").dataType == IntegerType)
+    assert(v1.select($"id").as[Int].collect().toSet == Set(1, 2))
+    // narrowing refuses loudly and mints no version
+    intercept[IllegalArgumentException] {
+      VersionedLake.commitAppend(
+        Seq((4, "a", 4.5f)).toDF("id", "part", "y"), "part", lake)
+    }
+    assert(VersionedLake.latestVersion(spark, lake) == 2)
+    // a RENAME composes: old eras resolve by id to (old name, old
+    // type), surface the new name at the widened type
+    VersionedLake.commitRenameColumn(spark, lake, "id", "ident")
+    assert(VersionedLake.readLatest(spark, lake)
+      .select($"ident").as[Long].collect().toSet ==
+      Set(1L, 2L, 3000000000L))
+  }
+
+  test("partition-spec evolution: month→day governs new commits only, " +
+      "mixed-spec reads union both projections, bucket eras admit " +
+      "conservatively, refusals hold") {
+    import graft.sources.{HiddenPartitioning => HP, VersionedLake}
+    import java.sql.Date
+    val lake = java.nio.file.Files.createTempDirectory("lake_spev").toString
+    VersionedLake.reset(spark, lake)
+    HP.define(spark, lake, HP.Spec("d", HP.Month))
+    def df(rows: (Long, String)*) =
+      rows.map { case (i, s) => (i, Date.valueOf(s)) }.toDF("id", "d")
+    HP.commitOverwrite(df(
+      1L -> "1997-01-15", 2L -> "1997-02-10",
+      3L -> "1997-02-20", 4L -> "1997-03-05"), lake)
+    HP.evolve(spark, lake, HP.Spec("d", HP.Day))
+    HP.commitAppend(df(5L -> "1997-04-01", 6L -> "1997-04-03"), lake)
+    // pre-evolution version prunes purely through the month spec
+    assert(HP.partsBetween(spark, lake, 1, "1997-02-01", "1997-02-28")
+      == Seq("1997-02"))
+    // mixed manifest: month partitions prune through month(), day
+    // partitions through day(), sets union
+    assert(HP.partsBetween(spark, lake, 2, "1997-02-01", "1997-04-02")
+      == Seq("1997-02", "1997-03", "1997-04-01"))
+    def ids(df2: org.apache.spark.sql.DataFrame) =
+      df2.select($"id").as[Long].collect().toSet
+    assert(ids(HP.readBetween(spark, lake, "1997-02-01", "1997-04-02"))
+      == Set(2L, 3L, 4L, 5L))
+    // mixed-spec point lookup: each era's keys compute through ITS
+    // engine transform
+    val keys = df(0L -> "1997-02-10", 0L -> "1997-04-03").select($"d")
+    assert(HP.partsMatching(spark, lake, 2, keys)
+      == Seq("1997-02", "1997-04-03"))
+    assert(ids(HP.readMatching(spark, lake, keys)) == Set(2L, 6L))
+    // a later bucket era cannot project ranges: ALL its partitions
+    // are admitted next to the projected month/day sets
+    HP.evolve(spark, lake, HP.Spec("d", HP.Bucket(4)))
+    HP.commitAppend(df(7L -> "1997-05-01"), lake)
+    val jan = HP.partsBetween(spark, lake, 3, "1997-01-01", "1997-01-31")
+    assert(jan.contains("1997-01") && jan.size == 2 &&
+      jan.exists(_.forall(_.isDigit)),
+      s"bucket era admits conservatively: $jan")
+    assert(ids(HP.readBetween(spark, lake, "1997-01-01", "1997-01-31"))
+      == Set(1L), "the row predicate keeps the conservative union exact")
+    // refusals: cross-column evolution, identity evolution, and a
+    // second evolution before any commit under the first
+    intercept[IllegalArgumentException] {
+      HP.evolve(spark, lake, HP.Spec("id", HP.Month))
+    }
+    HP.evolve(spark, lake, HP.Spec("d", HP.Day))
+    intercept[IllegalArgumentException] {
+      HP.evolve(spark, lake, HP.Spec("d", HP.Day))
+    }
+    intercept[IllegalArgumentException] {
+      HP.evolve(spark, lake, HP.Spec("d", HP.Month))
+    }
+  }
+
   test("bloom index: deterministic skip on disjoint files, unindexed " +
       "files always read, ensure is incremental and idempotent, DV " +
       "fold composes, compact drops dead rels") {
