@@ -1676,6 +1676,60 @@ object SparkEntry {
       .withColumn("pruned", lit(parts.size < total))
   }
 
+  /** l34 — the versioned lake through DATASOURCE V2
+    * ([[graft.sources.GraftLakeSource]], format `graftlake`): the
+    * consumption shape every real table-format user expects — no
+    * library calls, `CREATE TEMPORARY VIEW ... USING graftlake
+    * OPTIONS (path, versionAsOf, partitionColumn)` and plain SQL.
+    * The l09 fixture lake (v1 = Q1 1997; v2 = February restated to
+    * lines ≤ 4, quantity + 1) is read through TWO SQL views — one
+    * pinned `versionAsOf 1`, one latest — each filtered to February:
+    * the pushed month filter prunes AT THE MANIFEST (un-probed
+    * partitions' segment pointers never open; the V1Scan adapter then
+    * runs the library read underneath), witnessed by the
+    * parts_live/parts_read counters (partition counts —
+    * parallelism-independent, the l25 rule). The oracle re-derives
+    * both versions' February aggregates from the original parquet —
+    * time travel through the format, result-invisible. The spec
+    * additionally pins timestampAsOf, prune-to-empty, column pruning
+    * and the DV/widening composition. */
+  private def l34(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{GraftLakeSource, VersionedLake}
+    val lake = s"/tmp/graft_dsv2lake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val li = ttSlimLineitem(s, d)
+    VersionedLake.commitOverwrite(li, "month", lake)
+    VersionedLake.commitUpsert(
+      li.filter(col("month") === "1997-02")
+        .filter(col("l_linenumber") <= 4)
+        .withColumn("l_quantity", col("l_quantity") + 1),
+      "month", lake)
+    s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_dsv2_v1
+      USING graftlake
+      OPTIONS (path '$lake', versionAsOf '1', partitionColumn 'month')""")
+    s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_dsv2_v2
+      USING graftlake
+      OPTIONS (path '$lake', partitionColumn 'month')""")
+    def probe(view: String): (Long, Double, Long, Int, Int) = {
+      GraftLakeSource.lastScanParts.set(None)
+      val r = s.sql(
+        s"""SELECT count(*), round(sum(l_quantity), 2),
+           |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+           |FROM $view WHERE month = '1997-02'""".stripMargin)
+        .collect().head // 1-row result; the collect drives the scan
+      val (live, read) =
+        GraftLakeSource.lastScanParts.get().getOrElse((-1, -1))
+      (r.getLong(0), r.getDouble(1), r.getLong(2), live, read)
+    }
+    val p1 = probe("graft_dsv2_v1")
+    val p2 = probe("graft_dsv2_v2")
+    import s.implicits._
+    Seq(("v1_feb", p1._1, p1._2, p1._3, p1._4, p1._5),
+        ("v2_feb", p2._1, p2._2, p2._3, p2._4, p2._5))
+      .toDF("probe", "n_rows", "sum_qty", "key_sig",
+        "parts_live", "parts_read")
+  }
+
   /** l32 — TYPE WIDENING under column mapping (Delta's type-widening
     * feature on l24's id-mapped log): version 1 commits Q1 with
     * NARROW physical types (`l_orderkey` int, `l_quantity` float);
@@ -6429,6 +6483,7 @@ object SparkEntry {
     "l31_partspec_evolution" -> (l31 _),
     "l32_type_widening" -> (l32 _),
     "l33_merge_dv" -> (l33 _),
+    "l34_datasource_v2" -> (l34 _),
     "c13_split_decontam" -> (c13 _),
     "c14_weighted_sample" -> (c14 _),
     "t33_cdc_chunking" -> (t33 _),
@@ -9456,6 +9511,28 @@ object SparkEntry {
         |FROM li, me, de
         |WHERE l_shipdate IN (DATE '1997-02-14', DATE '1997-04-03')
         |GROUP BY me.n, de.n""".stripMargin,
+    // l34: both views' February aggregates re-derive from the
+    // original parquet (v2 = the l09 restatement: lines <= 4 kept at
+    // quantity + 1); the prune counters are the Q1 fixture's 3 month
+    // partitions with 1 probed
+    "l34_datasource_v2" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    strftime(l_shipdate, '%Y-%m') AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03')
+        |SELECT 'v1_feb' AS probe, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  CAST(3 AS INTEGER) AS parts_live,
+        |  CAST(1 AS INTEGER) AS parts_read
+        |FROM li WHERE month = '1997-02'
+        |UNION ALL
+        |SELECT 'v2_feb', count(*), round(sum(l_quantity + 1), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  CAST(3 AS INTEGER), CAST(1 AS INTEGER)
+        |FROM li WHERE month = '1997-02' AND l_linenumber <= 4""".stripMargin,
     // l32: both versions' aggregates re-derive through the same
     // narrow-then-widen casts (quantities are integral, so the
     // REAL→DOUBLE sums are bit-exact); the refusal witnesses are

@@ -1,0 +1,233 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** [[VersionedLake]] exposed through DataSource V2 — the shape every
+  * real consumer expects from a table format: no library calls, just
+  *
+  * {{{
+  * spark.read.format("graftlake")
+  *   .option("versionAsOf", 2)            // or timestampAsOf
+  *   .option("partitionColumn", "month")  // enables partition pruning
+  *   .load(lakePath)
+  * // or pure SQL:
+  * // CREATE TEMPORARY VIEW t USING graftlake
+  * //   OPTIONS (path '...', versionAsOf '2', partitionColumn 'month')
+  * }}}
+  *
+  * Wiring, each piece the standard connector shape:
+  *  - [[TableProvider]] + [[DataSourceRegister]] (`shortName =
+  *    "graftlake"`, registered via META-INF/services) resolve the
+  *    format name and the table's schema — the RECORDED manifest
+  *    schema of the resolved version, so time travel, column mapping
+  *    and type widening all surface exactly as the library read does.
+  *  - The [[ScanBuilder]] takes COLUMN PRUNING and FILTER pushdown
+  *    from Catalyst. Filters on the declared `partitionColumn` prune
+  *    partitions AT THE MANIFEST (segment pointers of un-wanted
+  *    partitions are never opened — the l25 path); every filter is
+  *    also returned as residual, so Spark re-applies row-exact
+  *    semantics above, and translated copies push into the inner
+  *    parquet scan for row-group skipping. Partition pruning only
+  *    engages for STRING partition columns (manifest partition values
+  *    are the written column's string rendering — pruning a non-string
+  *    column on string compare could silently drop rows).
+  *  - The [[Scan]] is a [[V1Scan]] adapter (the Delta/JDBC pattern):
+  *    it hands Spark a `BaseRelation` whose `buildScan` runs the
+  *    pruned, filtered, projected library read — one code path for
+  *    library and SQL consumers, nothing re-implemented.
+  *
+  * Batch READ surface (writes stay library verbs — commit semantics
+  * like OCC pins and MERGE deltas don't reduce to `df.write` modes).
+  */
+final class GraftLakeSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graftlake"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (path, v) = GraftLakeSource.resolve(spark, options)
+    VersionedLake.readVersion(spark, path, v).schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (path, v) = GraftLakeSource.resolve(spark, opts)
+    new GraftLakeTable(path, v, Option(opts.get("partitionColumn")), schema)
+  }
+}
+
+object GraftLakeSource {
+  /** (lake path, resolved version) from reader options: `versionAsOf`
+    * wins, then `timestampAsOf` (the [[VersionedLake.versionAsOf]]
+    * rule), else the latest version. */
+  private[sources] def resolve(spark: SparkSession,
+                               options: CaseInsensitiveStringMap)
+      : (String, Int) = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graftlake needs a path: spark.read.format(\"graftlake\").load(path)"))
+    val v = Option(options.get("versionAsOf")).map(_.trim.toInt)
+      .orElse(Option(options.get("timestampAsOf"))
+        .map(t => VersionedLake.versionAsOf(spark, path, t.trim.toLong)))
+      .getOrElse(VersionedLake.latestVersion(spark, path))
+    (path, v)
+  }
+
+  /** Last scan's (live partitions, partitions read) — test/demo
+    * introspection of the manifest prune (the plan itself hides it
+    * behind the V1 relation). Planning metadata, never row data. */
+  val lastScanParts: AtomicReference[Option[(Int, Int)]] =
+    new AtomicReference(None)
+
+  /** The residual-safe subset of source filters translated to Column
+    * predicates for the INNER scan (parquet row-group skipping);
+    * untranslatable filters are simply skipped — Spark re-applies
+    * every filter above the relation, so this is purely a pushdown
+    * optimization, never a correctness dependency. */
+  private[sources] def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) =>
+      (toColumn(l), toColumn(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (one, other) => one.orElse(other) // AND may weaken
+      }
+    case Or(l, r) =>
+      // OR must translate whole or not at all (a weakened OR drops rows)
+      for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+    case Not(c) => toColumn(c).map(not) // NOT of a full translation only
+    case _ => None
+  }
+
+  /** Partition-value predicate from a pushed filter on the partition
+    * column (manifest partition values order lexicographically for
+    * the string columns pruning engages on). */
+  private[sources] def partPredicate(f: Filter, pc: String)
+      : Option[String => Boolean] = f match {
+    case EqualTo(a, v) if a == pc => Some(p => p == String.valueOf(v))
+    case In(a, vs) if a == pc =>
+      val set = vs.map(String.valueOf).toSet
+      Some(set.contains)
+    case GreaterThan(a, v) if a == pc => Some(_ > String.valueOf(v))
+    case GreaterThanOrEqual(a, v) if a == pc => Some(_ >= String.valueOf(v))
+    case LessThan(a, v) if a == pc => Some(_ < String.valueOf(v))
+    case LessThanOrEqual(a, v) if a == pc => Some(_ <= String.valueOf(v))
+    case And(l, r) =>
+      (partPredicate(l, pc), partPredicate(r, pc)) match {
+        case (Some(a), Some(b)) => Some(p => a(p) && b(p))
+        case (one, other) => one.orElse(other)
+      }
+    case _ => None // OR/NOT stay un-pruned (conservative: read all)
+  }
+}
+
+private[sources] final class GraftLakeTable(path: String, version: Int,
+                                            partitionColumn: Option[String],
+                                            tableSchema: StructType)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"graftlake.`$path`@v$version"
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new GraftLakeScanBuilder(path, version, partitionColumn, tableSchema)
+}
+
+private[sources] final class GraftLakeScanBuilder(
+    path: String, version: Int, partitionColumn: Option[String],
+    full: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // ALL residual: Spark re-applies row-exact semantics above
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftLakeScan(path, version, partitionColumn, full, required,
+      pushed)
+}
+
+private[sources] final class GraftLakeScan(
+    path: String, version: Int, partitionColumn: Option[String],
+    full: StructType, required: StructType, filters: Array[Filter])
+    extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val spark = context.sparkSession
+    // manifest-side partition pruning: only for a STRING partition
+    // column (values are the written column's string rendering), and
+    // only when some pushed filter constrains it
+    val parts: Seq[String] = partitionColumn match {
+      case Some(pc)
+        if full.fields.exists(f =>
+          f.name == pc && f.dataType == StringType) =>
+        val preds = filters.flatMap(GraftLakeSource.partPredicate(_, pc))
+        if (preds.isEmpty) Seq.empty
+        else {
+          val live = VersionedLake.manifestFiles(spark, path, version)
+            .filter(_.kind == "data").map(_.part).distinct
+          val kept = live.filter(p => preds.forall(_(p)))
+          GraftLakeSource.lastScanParts.set(Some((live.size, kept.size)))
+          // an empty parts list means ALL to readVersion — a prune
+          // that excluded everything passes a never-matching sentinel
+          // instead, landing on readVersion's typed-empty path
+          if (kept.isEmpty) Seq(" graftlake-none") else kept
+        }
+      case _ => Seq.empty
+    }
+    if (parts.isEmpty) GraftLakeSource.lastScanParts.set(None)
+    val base = VersionedLake.readVersion(spark, path, version, parts)
+    val filtered = filters.flatMap(GraftLakeSource.toColumn)
+      .foldLeft(base)(_.filter(_))
+    val prepared =
+      filtered.select(required.fieldNames.toIndexedSeq.map(col): _*)
+    val rel = new BaseRelation with TableScan {
+      override val sqlContext: SQLContext = context
+      override val schema: StructType = required
+      override def buildScan(): RDD[Row] = prepared.rdd
+    }
+    rel.asInstanceOf[T]
+  }
+}
