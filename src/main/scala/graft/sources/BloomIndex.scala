@@ -145,13 +145,15 @@ object BloomIndex {
       .groupBy(col("rel")).agg(first(col("bits")).as("bits")))
   }
 
-  /** The rels already covered by a sidecar. */
-  def indexedRels(spark: SparkSession, path: String): Set[String] =
-    indexRows(spark, path) match {
-      case None => Set.empty
-      case Some(df) =>
-        df.select(col("rel")).collect().map(_.getString(0)).toSet
-    } // file-count-sized planning metadata
+  /** The rels already covered by a sidecar. Reads ONLY the rel
+    * column (parquet-pruned — the bits payload never loads or
+    * shuffles for a coverage check). */
+  def indexedRels(spark: SparkSession, path: String): Set[String] = {
+    val dirs = sidecarDirs(spark, path)
+    if (dirs.isEmpty) Set.empty
+    else spark.read.parquet(dirs: _*).select(col("rel")).distinct()
+      .collect().map(_.getString(0)).toSet
+  } // file-count-sized planning metadata
 
   private val RelSuffix = "^.*/(data/[^/]+/[^/]+/[^/]+)$".r
 
