@@ -48,6 +48,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Batch READ surface (writes stay library verbs — commit semantics
   * like OCC pins and MERGE deltas don't reduce to `df.write` modes).
+  *
+  * Statistics boundary (honest edge): the manifest records per-file
+  * byte sizes (`S` entry fields, [[VersionedLake.filesTable]]'s
+  * `size_bytes`), but Spark's `V1ScanWrapper` hides a V1Scan from
+  * `DataSourceV2ScanRelation.computeStats`, so size-based STATIC
+  * join planning doesn't flow through this adapter — AQE's runtime
+  * re-optimization (actual shuffle sizes) covers the broadcast
+  * decision instead. A native DSv2 Batch would carry the stats but
+  * would have to re-implement the DV-fold/column-mapping read at the
+  * PartitionReader level; one code path wins.
   */
 final class GraftLakeSource extends TableProvider with DataSourceRegister {
 
@@ -193,32 +203,35 @@ private[sources] final class GraftLakeScan(
 
   override def readSchema(): StructType = required
 
+  // manifest-side partition pruning: only for a STRING partition
+  // column (values are the written column's string rendering), and
+  // only when some pushed filter constrains it. Computed once per
+  // scan — the statistics estimate and the V1 relation share it.
+  private lazy val prunedParts: Seq[String] = partitionColumn match {
+    case Some(pc)
+      if full.fields.exists(f =>
+        f.name == pc && f.dataType == StringType) =>
+      val preds = filters.flatMap(GraftLakeSource.partPredicate(_, pc))
+      if (preds.isEmpty) { GraftLakeSource.lastScanParts.set(None); Seq.empty }
+      else {
+        val live = VersionedLake
+          .manifestFiles(SparkSession.active, path, version)
+          .filter(_.kind == "data").map(_.part).distinct
+        val kept = live.filter(p => preds.forall(_(p)))
+        GraftLakeSource.lastScanParts.set(Some((live.size, kept.size)))
+        // an empty parts list means ALL to readVersion — a prune
+        // that excluded everything passes a never-matching sentinel
+        // instead, landing on readVersion's typed-empty path
+        if (kept.isEmpty) Seq("\u0000graftlake-none") else kept
+      }
+    case _ => GraftLakeSource.lastScanParts.set(None); Seq.empty
+  }
+
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
     val spark = context.sparkSession
-    // manifest-side partition pruning: only for a STRING partition
-    // column (values are the written column's string rendering), and
-    // only when some pushed filter constrains it
-    val parts: Seq[String] = partitionColumn match {
-      case Some(pc)
-        if full.fields.exists(f =>
-          f.name == pc && f.dataType == StringType) =>
-        val preds = filters.flatMap(GraftLakeSource.partPredicate(_, pc))
-        if (preds.isEmpty) Seq.empty
-        else {
-          val live = VersionedLake.manifestFiles(spark, path, version)
-            .filter(_.kind == "data").map(_.part).distinct
-          val kept = live.filter(p => preds.forall(_(p)))
-          GraftLakeSource.lastScanParts.set(Some((live.size, kept.size)))
-          // an empty parts list means ALL to readVersion — a prune
-          // that excluded everything passes a never-matching sentinel
-          // instead, landing on readVersion's typed-empty path
-          if (kept.isEmpty) Seq(" graftlake-none") else kept
-        }
-      case _ => Seq.empty
-    }
-    if (parts.isEmpty) GraftLakeSource.lastScanParts.set(None)
-    val base = VersionedLake.readVersion(spark, path, version, parts)
+    val base =
+      VersionedLake.readVersion(spark, path, version, prunedParts)
     val filtered = filters.flatMap(GraftLakeSource.toColumn)
       .foldLeft(base)(_.filter(_))
     val prepared =
@@ -231,3 +244,4 @@ private[sources] final class GraftLakeScan(
     rel.asInstanceOf[T]
   }
 }
+

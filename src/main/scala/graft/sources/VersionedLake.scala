@@ -285,7 +285,8 @@ object VersionedLake {
                              lo: Option[Long] = None,
                              hi: Option[Long] = None,
                              kind: String = "data",
-                             era: Option[Int] = None)
+                             era: Option[Int] = None,
+                             size: Option[Long] = None)
 
   private val KindData = "data"
   private val KindDv = "dv"
@@ -309,30 +310,36 @@ object VersionedLake {
     finally in.close()
   }
 
-  /** One manifest/segment entry line parsed. A trailing `E<k>` field
-    * is the entry's WRITE ERA (the version whose schema its file was
-    * physically written under — column-mapping provenance,
-    * [[readColmaps]]); unambiguous against stats (numeric) and the
-    * DV marker ("D"). */
+  /** One manifest/segment entry line parsed: `part\trel` followed by
+    * optional TAGGED fields — the DV marker `D` or a numeric
+    * `lo\thi` zone-map pair, then `E<k>` (write era — column-mapping
+    * provenance, [[readColmaps]]) and `S<bytes>` (file size — the
+    * Iceberg/Delta manifest size field, feeding planning statistics).
+    * Tags are unambiguous against raw stats (numeric) and absent tags
+    * parse as None, so every historical line shape stays readable. */
   private def parseEntryLine(line: String): FileEntry = {
-    def era(t: String): Option[Int] =
-      if (t.startsWith("E")) Some(t.drop(1).toInt) else None
-    line.split('\t') match {
-      case Array(part, rel) => FileEntry(part, rel)
-      case Array(part, rel, "D") =>
-        FileEntry(part, rel, kind = KindDv)
-      case Array(part, rel, "D", e) if era(e).isDefined =>
-        FileEntry(part, rel, kind = KindDv, era = era(e))
-      case Array(part, rel, e) if era(e).isDefined =>
-        FileEntry(part, rel, era = era(e))
-      case Array(part, rel, lo, hi) =>
-        FileEntry(part, rel, Some(lo.toLong), Some(hi.toLong))
-      case Array(part, rel, lo, hi, e) if era(e).isDefined =>
-        FileEntry(part, rel, Some(lo.toLong), Some(hi.toLong),
-          era = era(e))
-      case other => throw new IllegalArgumentException(
-        s"malformed manifest line: ${other.mkString("\\t")}")
+    val t = line.split('\t')
+    require(t.length >= 2, s"malformed manifest line: $line")
+    var e = FileEntry(t(0), t(1))
+    var i = 2
+    def num(s: String) =
+      s.nonEmpty && (s.charAt(0).isDigit ||
+        (s.charAt(0) == '-' && s.length > 1)) &&
+        s.drop(1).forall(_.isDigit)
+    if (i < t.length && t(i) == "D") { e = e.copy(kind = KindDv); i += 1 }
+    else if (i + 1 < t.length && num(t(i)) && num(t(i + 1))) {
+      e = e.copy(lo = Some(t(i).toLong), hi = Some(t(i + 1).toLong))
+      i += 2
     }
+    while (i < t.length) {
+      val x = t(i)
+      if (x.startsWith("E")) e = e.copy(era = Some(x.drop(1).toInt))
+      else if (x.startsWith("S")) e = e.copy(size = Some(x.drop(1).toLong))
+      else throw new IllegalArgumentException(
+        s"malformed manifest line field '$x' in: $line")
+      i += 1
+    }
+    e
   }
 
   /** [[parseEntryLine]]'s inverse — the one serialization both flat
@@ -343,7 +350,8 @@ object VersionedLake {
       else (e.lo, e.hi) match {
         case (Some(l), Some(h)) => s"\t$l\t$h"
         case _ => ""
-      }) + e.era.fold("")(k => s"\tE$k")
+      }) + e.era.fold("")(k => s"\tE$k") +
+      e.size.fold("")(n => s"\tS$n")
 
   /** File entries of version `v`'s manifest (header and schema lines
     * skipped; `seg=` pointer lines expanded). A non-empty `parts`
@@ -734,7 +742,11 @@ object VersionedLake {
         f.listStatus(dir.getPath).iterator
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .map(s => FileEntry(part,
-            s"data/$token/${dir.getPath.getName}/" + s.getPath.getName))
+            s"data/$token/${dir.getPath.getName}/" + s.getPath.getName,
+            // byte size from the listing we already hold (the
+            // Iceberg/Delta file-size manifest field): feeds
+            // planning statistics, costs nothing extra
+            size = Some(s.getLen)))
       }.toSeq
   }
 
@@ -1796,8 +1808,8 @@ object VersionedLake {
   def filesTable(spark: SparkSession, path: String, v: Int): DataFrame = {
     import spark.implicits._
     manifestEntries(spark, path, v)
-      .map(e => (e.part, e.rel, e.kind, e.lo, e.hi, e.era))
-      .toDF("part", "rel", "kind", "lo", "hi", "era")
+      .map(e => (e.part, e.rel, e.kind, e.lo, e.hi, e.era, e.size))
+      .toDF("part", "rel", "kind", "lo", "hi", "era", "size_bytes")
   }
 
   /** An empty frame with version `v`'s recorded schema — the shape a

@@ -73,6 +73,20 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(got == Seq(("1997-02", 20L), ("1997-03", 30L)))
   }
 
+  test("manifest file sizes: every data entry records its exact " +
+      "on-disk bytes, filesTable surfaces them") {
+    val lake = freshLake()
+    val files = VersionedLake.filesTable(spark, lake, 2)
+      .filter($"kind" === "data")
+      .select($"rel", $"size_bytes").as[(String, Option[Long])].collect()
+    assert(files.nonEmpty && files.forall(_._2.isDefined),
+      "every data entry carries an S size field")
+    files.foreach { case (rel, sz) =>
+      val actual = new java.io.File(s"$lake/$rel").length()
+      assert(sz.contains(actual), s"$rel: manifest $sz vs disk $actual")
+    }
+  }
+
   test("graftlake: deletion vectors and type widening surface through " +
       "the format exactly as the library read") {
     val lake = java.nio.file.Files.createTempDirectory("lake_dsv2c").toString
