@@ -7900,6 +7900,95 @@ object SparkEntry {
           .join(broadcast(ids), Seq("user_id"), "left_semi"))
         require(got == want,
           s"st26 index-served lookup diverges: $got vs $want")
+      },
+      // STREAMING DV-MERGE (st27): the continuous form of l33 — a
+      // keyed user store maintained by per-batch MERGE THROUGH
+      // DELETION VECTORS. The store seeds with every user at a
+      // sentinel payload (so every batch's changeset MATCHES and the
+      // DV path carries the whole load), then 4 user-ranged batches
+      // each update/tombstone their users in ONE
+      // commitBatchMergeDv: matched rows die positionally, upserts
+      // append, every base data file carries forward by pointer —
+      // per-batch bytes ∝ the changeset, never store size. Batches
+      // are user-disjoint (range staging on user_id), so the final
+      // store is batch-ORDER-independent and equals the batch
+      // recomputation from the raw events; a replayed txn must be a
+      // no-op.
+      "st27_stream_dv_merge" -> { (s: SparkSession, d: String) =>
+        import org.apache.spark.sql.streaming.Trigger
+        import graft.sources.VersionedLake
+        val stage = stagedUserRangedEventFiles(s, d)
+        val lake =
+          s"/tmp/graft_stream_mdv_${Integer.toHexString(d.hashCode)}"
+        VersionedLake.reset(s, lake)
+        val changeShape = Tables.events(s, d)
+          .select(col("user_id")).distinct()
+          .withColumn("last_ts", lit(null).cast("timestamp"))
+          .withColumn("last_type", lit("seed"))
+          .withColumn("last_value", lit(0.0))
+          .withColumn("bucket",
+            pmod(col("user_id"), lit(8L)).cast("string"))
+        VersionedLake.commitOverwrite(changeShape, "bucket", lake)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
+        try {
+          val schema = s.read.parquet(stage).schema
+          val src = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(stage)
+          val q = graft.streaming.EventStreams.toDvMergeStore(src, lake)
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt.toString)
+            .start()
+          q.awaitTermination()
+        } finally {
+          org.apache.spark.sql.graftglue.GraftGlue.unloadStateStores()
+          java.nio.file.Files.walk(ckpt)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        }
+        val latest = VersionedLake.latestVersion(s, lake)
+        require(latest == 5, s"st27 seed + 4 DV-merges, got $latest")
+        // pointer economy across the WHOLE ingest: data files only ADD
+        val byV = (1 to latest).map(v =>
+          VersionedLake.manifestFiles(s, lake, v)
+            .filter(_.kind == "data").map(_.rel).toSet)
+        require(byV.sliding(2).forall(w => w.head.subsetOf(w.last)),
+          "st27 a base data file left the manifest — partition rewrite")
+        require(VersionedLake.manifestFiles(s, lake, latest)
+          .exists(_.kind == "dv"),
+          "st27 the update path must run through deletion vectors")
+        // the store == the batch recomputation of the same semantics
+        def sig(df: DataFrame): (Long, Long) = {
+          val r = df.agg(count(lit(1)),
+            coalesce(expr("bit_xor(xxhash64(user_id, last_ts, " +
+              "last_type, last_value, bucket))"), lit(0L))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val expect = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+            col("value"))).as("m"))
+          .select(col("user_id"), col("m.ts").as("last_ts"),
+            col("m.event_type").as("last_type"),
+            col("m.value").as("last_value"))
+          .filter(col("last_type") =!= "error")
+          .withColumn("bucket",
+            pmod(col("user_id"), lit(8L)).cast("string"))
+        val (gotN, gotX) = sig(VersionedLake.readLatest(s, lake))
+        val (wantN, wantX) = sig(expect)
+        require(gotN == wantN && gotX == wantX,
+          s"st27 store diverges: ($gotN,$gotX) vs ($wantN,$wantX)")
+        // a replayed transaction is a commit-level no-op
+        val replay = Tables.events(s, d).limit(1)
+          .select(col("user_id"),
+            col("ts").as("last_ts"),
+            col("event_type").as("last_type"),
+            col("value").as("last_value"))
+          .withColumn("bucket",
+            pmod(col("user_id"), lit(8L)).cast("string"))
+          .withColumn("is_del", lit(false))
+        require(VersionedLake.commitBatchMergeDv(replay, Seq("user_id"),
+          "bucket", lake, txn = 0L, deleteCol = Some("is_del")) == latest,
+          "st27 replayed txn must mint nothing")
       })
   }
 
@@ -7929,6 +8018,35 @@ object SparkEntry {
       wipe(stage)
       Tables.events(s, d)
         .repartitionByRange(4, col("event_id"))
+        .write.mode("overwrite").parquet(stage.toString)
+    }
+    stage.toString
+  }
+
+  /** st27's staging: 4 files ranged on USER_ID, so each user's whole
+    * history lands in exactly one micro-batch — the final DV-merged
+    * store is then batch-ORDER-independent (file-source ordering is
+    * an implementation detail no witness should lean on) while every
+    * batch still UPDATES its users' seeded rows through the DV path. */
+  private def stagedUserRangedEventFiles(s: SparkSession,
+                                         d: String): String = {
+    import java.nio.file.{Files, Path, Paths}
+    import java.util.Comparator
+    def wipe(p: Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => { Files.deleteIfExists(f); () })
+    val srcFile = Paths.get(s"$d/events.parquet")
+    val stage = Paths.get(
+      s"/tmp/graft_stream_uev_${Integer.toHexString(d.hashCode)}")
+    val marker = stage.resolve("_SUCCESS")
+    val stale = !Files.exists(marker) ||
+      Files.getLastModifiedTime(marker)
+        .compareTo(Files.getLastModifiedTime(srcFile)) < 0
+    if (stale) {
+      wipe(stage)
+      Tables.events(s, d)
+        .repartitionByRange(4, col("user_id"))
         .write.mode("overwrite").parquet(stage.toString)
     }
     stage.toString

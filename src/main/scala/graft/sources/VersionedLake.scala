@@ -1248,7 +1248,37 @@ object VersionedLake {
                     statsCol: Option[String] = None,
                     deleteCol: Option[String] = None,
                     commitTs: Option[Long] = None,
-                    fromVersion: Option[Int] = None): Int = {
+                    fromVersion: Option[Int] = None): Int =
+    mergeDvCore(delta, keyCols, partCol, path, statsCol, deleteCol,
+      commitTs, fromVersion, txn = None)
+
+  /** [[commitMergeDv]] with [[commitBatchUpsert]]'s txn dedup — the
+    * streaming CHANGESET sink (st27): each micro-batch's keyed delta
+    * (upserts + tombstones) lands as ONE DV-merge commit with batchId
+    * as the transaction id, so a checkpoint replay after a sink
+    * failure is SKIPPED at the commit and the store stays
+    * exactly-once — while the write cost per batch stays ∝ the
+    * batch's changed rows (DV + delta bytes), never the touched
+    * partitions' size: the continuous-MERGE shape that survives a
+    * 100 TB store under a small steady changeset. */
+  def commitBatchMergeDv(delta: DataFrame, keyCols: Seq[String],
+                         partCol: String, path: String, txn: Long,
+                         deleteCol: Option[String] = None,
+                         commitTs: Option[Long] = None): Int = {
+    val spark = delta.sparkSession
+    if (committedTxns(spark, path).contains(txn))
+      latestVersion(spark, path)
+    else mergeDvCore(delta, keyCols, partCol, path, None, deleteCol,
+      commitTs, None, txn = Some(txn))
+  }
+
+  private def mergeDvCore(delta: DataFrame, keyCols: Seq[String],
+                          partCol: String, path: String,
+                          statsCol: Option[String],
+                          deleteCol: Option[String],
+                          commitTs: Option[Long],
+                          fromVersion: Option[Int],
+                          txn: Option[Long]): Int = {
     val spark = delta.sparkSession
     val v = fromVersion.getOrElse(latestVersion(spark, path))
     require(v > 0, "commitMergeDv needs an existing version to merge into")
@@ -1287,7 +1317,7 @@ object VersionedLake {
       s"commitMergeDv delta columns ${upserts0.columns.sorted.mkString(",")} " +
         s"must equal table columns ${tbl.sorted.mkString(",")} — " +
         "schema evolution takes commitMerge(evolveSchema = true)")
-    doCommit(upserts0.select(tbl.map(col): _*), partCol, path, None,
+    doCommit(upserts0.select(tbl.map(col): _*), partCol, path, txn,
       Mode.MergeDv, statsCol, commitTs, pinnedBase = Some(v),
       forceReplaced = touched, dvDf = dvDf)
   }

@@ -321,6 +321,40 @@ object EventStreams {
         ()
     }
 
+  /** Streaming keyed CHANGESET maintenance through DV-MERGE (st27 —
+    * the continuous form of l33): each micro-batch reduces to one row
+    * per user (the batch's latest event by (ts, event_id): payload,
+    * or a tombstone when that event is an error) and lands as ONE
+    * [[graft.sources.VersionedLake.commitBatchMergeDv]] — matched
+    * stored rows die via DV sidecars, the changeset appends, every
+    * base data file carries forward by pointer. Per-batch write cost
+    * is ∝ the batch's changed rows, NEVER the store's size — the
+    * property that keeps a continuous MERGE alive against a 100 TB
+    * store; txn = batchId makes checkpoint replays no-ops. The store
+    * must exist (seed it with the schema-recording overwrite the
+    * drive performs) — partition is the stable `user_id mod 8`
+    * bucket, the MERGE partition-stability contract. */
+  def toDvMergeStore(events: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val delta = batch.toDF()
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+            col("value"))).as("m"))
+          .select(col("user_id"),
+            col("m.ts").as("last_ts"),
+            col("m.event_type").as("last_type"),
+            col("m.value").as("last_value"))
+          .withColumn("bucket",
+            pmod(col("user_id"), lit(8L)).cast("string"))
+          .withColumn("is_del", col("last_type") === "error")
+        graft.sources.VersionedLake.commitBatchMergeDv(delta,
+          Seq("user_id"), "bucket", path, txn = batchId,
+          deleteCol = Some("is_del"))
+        ()
+    }
+
   /** A closed session emitted by [[sessionizeStateful]]. */
   case class Session(user_id: Long, session_start: Timestamp,
                      session_end: Timestamp, n_events: Long)

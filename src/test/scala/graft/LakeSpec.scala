@@ -938,6 +938,17 @@ class LakeSpec extends SparkSpec {
     assert(rows(VersionedLake.readLatest(spark, lake)
       .filter($"part" === "a")) == Set((40L, 40.0)),
       "the racing upsert's content survives the aborted DV-merge")
+    // the exactly-once streaming form: a replayed txn mints nothing
+    val vv = VersionedLake.latestVersion(spark, lake)
+    assert(VersionedLake.commitBatchMergeDv(
+      Seq((50L, "c", 50.0)).toDF("id", "part", "x"),
+      Seq("id"), "part", lake, txn = 777L) == vv + 1)
+    assert(VersionedLake.commitBatchMergeDv(
+      Seq((51L, "c", 51.0)).toDF("id", "part", "x"),
+      Seq("id"), "part", lake, txn = 777L) == vv + 1,
+      "replayed DV-merge txn must be skipped at the commit")
+    assert(rows(VersionedLake.readLatest(spark, lake)
+      .filter($"id" === 51L)).isEmpty)
     // contract refusals: schema evolution and duplicate delta keys
     // stay loud (evolution takes the rewrite path)
     intercept[IllegalArgumentException] {
