@@ -7989,6 +7989,92 @@ object SparkEntry {
         require(VersionedLake.commitBatchMergeDv(replay, Seq("user_id"),
           "bucket", lake, txn = 0L, deleteCol = Some("is_del")) == latest,
           "st27 replayed txn must mint nothing")
+      },
+      // MID-STREAM PARTITION-SPEC EVOLUTION (st28): l31 composed with
+      // st25's governed ingest — the production migration story. Two
+      // batches land under month(ts); the spec then EVOLVES to
+      // day(ts) while the stream's checkpoint survives; two more
+      // batches land at day granularity. Nothing is rewritten: each
+      // era keeps its layout, the era split is visible in the
+      // manifest, and a range read spanning both eras projects
+      // through BOTH transforms (month-era partitions prune at month,
+      // day-era at day) and equals the plain row filter.
+      "st28_stream_spec_evolution" -> { (s: SparkSession, d: String) =>
+        import org.apache.spark.sql.streaming.Trigger
+        import graft.sources.{HiddenPartitioning => HP, VersionedLake}
+        import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+        import java.util.Comparator
+        val allStage = stagedEventFiles(s, d)
+        val incoming = Paths.get(
+          s"/tmp/graft_stream_spev_${Integer.toHexString(d.hashCode)}")
+        if (Files.exists(incoming))
+          Files.walk(incoming).sorted(Comparator.reverseOrder[Path]())
+            .forEach(f => { Files.deleteIfExists(f); () })
+        Files.createDirectories(incoming)
+        val srcFiles = {
+          import scala.jdk.CollectionConverters._
+          val st = Files.list(Paths.get(allStage))
+          try st.filter(_.getFileName.toString.endsWith(".parquet"))
+            .sorted().iterator().asScala.toSeq
+          finally st.close()
+        }
+        require(srcFiles.size == 4, s"staging: ${srcFiles.size} files")
+        def copyIn(fs: Seq[Path]): Unit = fs.foreach(f =>
+          Files.copy(f, incoming.resolve(f.getFileName),
+            StandardCopyOption.REPLACE_EXISTING))
+        val lake =
+          s"/tmp/graft_stream_spel_${Integer.toHexString(d.hashCode)}"
+        VersionedLake.reset(s, lake)
+        HP.define(s, lake, HP.Spec("ts", HP.Month))
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
+        val schema = s.read.parquet(allStage).schema
+        def runOnce(): Unit = {
+          val src = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(incoming.toString)
+          val q = graft.streaming.EventStreams.toGovernedLake(src, lake)
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt.toString)
+            .start()
+          q.awaitTermination()
+        }
+        try {
+          copyIn(srcFiles.take(2))
+          runOnce()
+          require(VersionedLake.latestVersion(s, lake) == 2,
+            "st28 two month-era commits before the evolution")
+          HP.evolve(s, lake, HP.Spec("ts", HP.Day))
+          copyIn(srcFiles.drop(2))
+          runOnce() // checkpoint survives the evolution
+        } finally {
+          org.apache.spark.sql.graftglue.GraftGlue.unloadStateStores()
+          java.nio.file.Files.walk(ckpt)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        }
+        val latest = VersionedLake.latestVersion(s, lake)
+        require(latest == 4, s"st28 expected 4 txn commits, got $latest")
+        // the era split is structural: month-era entries carry 7-char
+        // partitions, day-era 10-char — derived through the spec each
+        // era recorded, no file rewritten
+        val entries = VersionedLake.manifestFiles(s, lake, latest)
+          .filter(_.kind == "data")
+        require(entries.forall(e => e.era.exists(v =>
+          if (v <= 2) e.part.length == 7 else e.part.length == 10)),
+          s"st28 era/layout mismatch: ${entries.map(e => (e.era, e.part))}")
+        // a range read spanning both eras: BOTH projections
+        // contribute pruned partitions, and the result equals the
+        // plain row filter over the whole ingested set
+        val m = entries.filter(_.part.length == 7).map(_.part).min
+        val (lo, hi) = (s"$m-05 00:00:00", s"$m-25 23:59:59")
+        val pruned = HP.partsBetween(s, lake, latest, lo, hi)
+        require(pruned.exists(_.length == 7) &&
+          pruned.exists(_.length == 10),
+          s"st28 both eras must contribute to the pruned set: $pruned")
+        val got = lakeFeedSig(HP.readBetween(s, lake, lo, hi))
+        val want = lakeFeedSig(VersionedLake.readLatest(s, lake)
+          .filter(col("ts").between(lo, hi)))
+        require(got == want,
+          s"st28 mixed-era pruned read diverges: $got vs $want")
       })
   }
 
