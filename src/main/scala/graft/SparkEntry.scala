@@ -786,7 +786,7 @@ object SparkEntry {
     * not an engine formula. At the fixture SFs this lands on exactly
     * 10000000, so historical hashes are unchanged. */
   private def ttKeyOffset(li: DataFrame): Long = {
-    val mx = li.agg(max(col("l_orderkey"))).head.getLong(0)
+    val mx = li.agg(max(col("l_orderkey"))).head().getLong(0)
     (mx / 10000000L + 1L) * 10000000L
   }
 
@@ -1844,7 +1844,7 @@ object SparkEntry {
     // incremental half: an append whose rows all carry the smallest
     // probed partkey (fresh files must join the lookup's result)
     val off = ttKeyOffset(li)
-    val kmin = keys.agg(min(col("l_partkey"))).head.getLong(0) // 1-row
+    val kmin = keys.agg(min(col("l_partkey"))).head().getLong(0) // 1-row
     VersionedLake.commitAppend(
       li.filter(col("month") === "1997-02")
         .filter(col("l_linenumber") <= 2)

@@ -857,10 +857,10 @@ object Similarity {
   def encodeIvfAdc(vectors: DataFrame, index: IvfAdcIndex,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
-    val mIdx = index.codebook.agg(max(col("j"))).head.getInt(0) + 1
+    val mIdx = index.codebook.agg(max(col("j"))).head().getInt(0) + 1
     // dim from the codebook's own subvector width — no pass over the
     // delta needed for shape derivation
-    val sub = index.codebook.select(size(col("cen"))).head.getInt(0)
+    val sub = index.codebook.select(size(col("cen"))).head().getInt(0)
     val u = unitNorm(vectors, idCol, vecCol)
     // argmin over the broadcast centroids as a partial-combining
     // min-struct aggregation; the vector itself rides in the struct
@@ -897,7 +897,7 @@ object Similarity {
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
     val (_, dim) = corpusStats(corpus, vecCol)
-    val mIdx = index.codebook.agg(max(col("j"))).head.getInt(0) + 1
+    val mIdx = index.codebook.agg(max(col("j"))).head().getInt(0) + 1
     require(m == -1 || m == mIdx,
       s"search m=$m does not match the index's $mIdx subspaces")
     require(dim % mIdx == 0,

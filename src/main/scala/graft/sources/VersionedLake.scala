@@ -2328,3 +2328,4 @@ object VersionedLake {
     ()
   }
 }
+

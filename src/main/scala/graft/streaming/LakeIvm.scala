@@ -76,7 +76,7 @@ object LakeIvm {
       if (!hasView(s, viewPath)) (0, None)
       else {
         val df = s.read.parquet(viewPath)
-        (df.agg(max(col("__v"))).head.getInt(0), Some(df))
+        (df.agg(max(col("__v"))).head().getInt(0), Some(df))
       }
     if (viewV >= v) return // view already reflects this head
     val next =
