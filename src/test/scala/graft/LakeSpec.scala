@@ -1297,6 +1297,55 @@ class LakeSpec extends SparkSpec {
     assert(ex.getMessage.contains("deletion vectors"))
   }
 
+  test("structural carry composes: DV-merge on a segmented lake " +
+      "carries untouched pointers verbatim, the hash-diff OCC fires, " +
+      "vacuum keeps carried segments alive") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_scar").toString
+    VersionedLake.reset(spark, lake)
+    VersionedLake.enableSegmentedManifests(spark, lake)
+    VersionedLake.commitOverwrite(
+      (0L until 12L).map(i => (i, s"p${i % 3}", i * 1.0))
+        .toDF("id", "part", "x"), "part", lake)
+    val p1 = VersionedLake.segmentPointers(spark, lake, 1)
+    // a DV-merge touching only p0: p1/p2 pointer lines carry VERBATIM
+    // (structural — never re-serialized), p0 gets a fresh segment
+    // holding base entries + fresh data + DV rows
+    val v2 = VersionedLake.commitMergeDv(
+      Seq((0L, "p0", 100.0, false), (3L, "p0", 0.0, true))
+        .toDF("id", "part", "x", "del"),
+      Seq("id"), "part", lake, deleteCol = Some("del"))
+    val p2 = VersionedLake.segmentPointers(spark, lake, v2)
+    assert(p2("p1") == p1("p1") && p2("p2") == p1("p2"),
+      "untouched partitions carry as pointers through a DV-merge")
+    assert(p2("p0") != p1("p0"))
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select($"id").as[Long].collect().toSet
+    assert(ids(VersionedLake.readLatest(spark, lake)) ==
+      Set(0L, 6L, 9L) ++ (0L until 12L).filterNot(_ % 3 == 0))
+    // OCC on the segmented log runs the HASH-diff fast path: a
+    // pinned DV-merge racing a commit on its touched partition
+    // aborts; a disjoint one rebases
+    VersionedLake.commitUpsert(
+      Seq((20L, "p1", 20.0)).toDF("id", "part", "x"), "part", lake)
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedLake.commitMergeDv(
+        Seq((21L, "p1", 21.0)).toDF("id", "part", "x"),
+        Seq("id"), "part", lake, fromVersion = Some(v2))
+    }
+    assert(VersionedLake.commitMergeDv(
+      Seq((22L, "p2", 22.0)).toDF("id", "part", "x"),
+      Seq("id"), "part", lake, fromVersion = Some(v2)) == v2 + 2,
+      "disjoint DV-merge rebases through the segment-hash diff")
+    // vacuum below the carried pointers: segments referenced only
+    // through STRUCTURAL carry must survive, and the head stays
+    // byte-identical
+    val want = ids(VersionedLake.readLatest(spark, lake))
+    VersionedLake.vacuum(spark, lake, retain = 1)
+    assert(ids(VersionedLake.readLatest(spark, lake)) == want,
+      "carried segments survive a deep vacuum")
+  }
+
   test("versioned lake SEGMENTED MANIFESTS: untouched partitions' " +
       "segments reuse by pointer, mid-life enable interleaves with " +
       "flat manifests, DVs compose, vacuum reclaims only unreferenced " +
