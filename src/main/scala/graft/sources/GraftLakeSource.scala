@@ -107,7 +107,14 @@ object GraftLakeSource {
     * predicates for the INNER scan (parquet row-group skipping);
     * untranslatable filters are simply skipped — Spark re-applies
     * every filter above the relation, so this is purely a pushdown
-    * optimization, never a correctness dependency. */
+    * optimization, never a correctness dependency. The invariant that
+    * keeps it one: every translation must be IMPLIED BY the original
+    * filter (pass a superset of its rows). Weakening — dropping an
+    * untranslatable conjunct — preserves that under AND and OR
+    * (covariant positions), but NOT flips polarity: `not(weakened)`
+    * would REJECT rows the original accepts, losing them before the
+    * residual re-check can save them. So NOT translates only when its
+    * whole subtree translates EXACTLY ([[toColumnExact]]). */
   private[sources] def toColumn(f: Filter): Option[Column] = f match {
     case EqualTo(a, v) => Some(col(a) === lit(v))
     case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
@@ -127,10 +134,23 @@ object GraftLakeSource {
         case (one, other) => one.orElse(other) // AND may weaken
       }
     case Or(l, r) =>
-      // OR must translate whole or not at all (a weakened OR drops rows)
+      // both branches must translate (possibly weakened: a weakened
+      // branch still makes the OR a superset), never just one — a
+      // dropped OR branch would lose its rows
       for { a <- toColumn(l); b <- toColumn(r) } yield a || b
-    case Not(c) => toColumn(c).map(not) // NOT of a full translation only
+    case Not(c) => toColumnExact(c).map(not) // see scaladoc: no weakening
     case _ => None
+  }
+
+  /** Translation with NO weakening anywhere in the subtree — the only
+    * form safe to negate. */
+  private def toColumnExact(f: Filter): Option[Column] = f match {
+    case And(l, r) =>
+      for { a <- toColumnExact(l); b <- toColumnExact(r) } yield a && b
+    case Or(l, r) =>
+      for { a <- toColumnExact(l); b <- toColumnExact(r) } yield a || b
+    case Not(c) => toColumnExact(c).map(not)
+    case leaf => toColumn(leaf) // leaves translate exactly or not at all
   }
 
   /** Partition-value predicate from a pushed filter on the partition
