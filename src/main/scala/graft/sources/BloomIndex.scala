@@ -73,18 +73,35 @@ final class BloomBits(words: Int)
   *    filter row (nothing can match one — skipping is exact), so one
   *    [[ensure]] covers every file exactly once.
   *
-  * Honest edges: the index column must not cross a column-mapping
-  * RENAME (the build reads physical files; define on the current
-  * name and rebuild after a rename), and deletion-vectored rows stay
-  * in their file's filter (false positives only — the DV fold in
+  * RENAME-proof (r13 verdict #5): [[define]] records the indexed
+  * column's STABLE id (the l24 `gid` carried in the recorded schema's
+  * field metadata) next to its name, every use resolves the CURRENT
+  * logical name by id, and the build reads files through the
+  * column-mapped read ([[VersionedLake.mappedFilesWithMeta]]) rather
+  * than raw physical names — so `commitRenameColumn` on the indexed
+  * column changes nothing: old sidecars stay valid (filters hash
+  * VALUES, not names), new files keep indexing, and lookups under the
+  * new name stay index-served. A cfg defined before the lake's first
+  * commit has no id to record and keeps the name-bound legacy
+  * behavior (documented: define after the first commit to get rename
+  * immunity).
+  *
+  * Honest edge: deletion-vectored rows stay in their file's filter
+  * DELIBERATELY — the filter attaches to the immutable FILE and
+  * serves every version, while DVs are per-version; excluding a
+  * currently-dead row would plant a false negative for versions
+  * where it is live. Cost: false positives only (the DV fold in
   * [[VersionedLake.readFiles]] still removes the rows).
   */
 object BloomIndex {
 
   /** One filter config per lake: indexed column, filter size in bits
-    * (power-of-two not required), hash count. Size m for the expected
-    * max DISTINCT values per FILE: fpp ≈ (1 - e^(-k·n/m))^k. */
-  final case class Cfg(col: String, mBits: Int = 32768, k: Int = 3) {
+    * (power-of-two not required), hash count, and (when the lake had
+    * a recorded schema at define time) the column's stable id. Size m
+    * for the expected max DISTINCT values per FILE:
+    * fpp ≈ (1 - e^(-k·n/m))^k. */
+  final case class Cfg(col: String, mBits: Int = 32768, k: Int = 3,
+                       gid: Option[Long] = None) {
     require(mBits % 64 == 0 && mBits > 0, "mBits must be a multiple of 64")
     require(k >= 1 && k <= 8, "k in [1, 8]")
   }
@@ -96,13 +113,25 @@ object BloomIndex {
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Declare the lake's bloom index (one-time, any point in the
-    * lake's life — [[ensure]] backfills existing files). */
+    * lake's life — [[ensure]] backfills existing files). On a lake
+    * with a recorded schema the indexed column's stable id is
+    * captured, making the index survive renames. */
   def define(spark: SparkSession, path: String, cfg: Cfg): Unit = {
     val f = fs(spark, path)
     require(!f.exists(cfgPath(path)), s"bloom index already defined at $path")
+    val gid = cfg.gid.orElse {
+      val v = VersionedLake.latestVersion(spark, path)
+      if (v == 0) None
+      else VersionedLake.readSchema(spark, path, v)
+        .flatMap(_.fields.find(_.name == cfg.col))
+        .filter(_.metadata.contains("gid"))
+        .map(_.metadata.getLong("gid"))
+    }
     f.mkdirs(cfgPath(path).getParent)
     val out = f.create(cfgPath(path), false)
-    try out.write(s"${cfg.col}\t${cfg.mBits}\t${cfg.k}\n".getBytes("UTF-8"))
+    try out.write(
+      (s"${cfg.col}\t${cfg.mBits}\t${cfg.k}" +
+        gid.fold("")(g => s"\t$g") + "\n").getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -114,9 +143,25 @@ object BloomIndex {
     val line =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
-    val Array(c, m, k) = line.split('\t')
-    Cfg(c, m.toInt, k.toInt)
+    line.split('\t') match {
+      case Array(c, m, k) => Cfg(c, m.toInt, k.toInt)
+      case Array(c, m, k, g) => Cfg(c, m.toInt, k.toInt, Some(g.toLong))
+      case _ => throw new IllegalStateException(
+        s"malformed bloom cfg at $path: $line")
+    }
   }
+
+  /** The indexed column's CURRENT logical name at version `v`:
+    * resolved by stable id when the cfg recorded one (rename-proof),
+    * by the defined name otherwise. */
+  private def resolveCol(spark: SparkSession, path: String, v: Int,
+                         c: Cfg): String =
+    c.gid.flatMap { g =>
+      VersionedLake.readSchema(spark, path, v)
+        .flatMap(_.fields.find(f =>
+          f.metadata.contains("gid") && f.metadata.getLong("gid") == g)
+          .map(_.name))
+    }.getOrElse(c.col)
 
   /** The engine-side position family both build and probe evaluate:
     * k positions of `c` in an m-bit filter. */
@@ -194,11 +239,16 @@ object BloomIndex {
     val relMap = todo.map(r => (encodedRel(base, r), r)).toDF("enc", "rel")
     // one distributed pass over the new files: k positions per value,
     // OR-folded per file into the filter's Long words (buffer bounded
-    // by the filter size, never the row count)
-    val bits = spark.read
-      .parquet(todo.map(r => VersionedLake.resolve(base, r)): _*)
-      .select(VersionedLake.relExpr(col("_metadata.file_path")).as("enc"),
-        explode(posArray(col(c.col), c.mBits, c.k)).as("pos"))
+    // by the filter size, never the row count). The read is the
+    // COLUMN-MAPPED, un-DV-folded file read: columns resolve by
+    // stable id (the build survives renames) and every physical row
+    // enters its file's filter (DVs are per-version; the filter
+    // serves all of them)
+    val bits = VersionedLake.mappedFilesWithMeta(spark, path, v,
+        todo.toSet)
+      .select(col("__file").as("enc"),
+        explode(posArray(col(resolveCol(spark, path, v, c)),
+          c.mBits, c.k)).as("pos"))
       .groupBy(col("enc"))
       .agg(udaf(new BloomBits(words)).apply(col("pos")).as("bits"))
     // enc → manifest rel; a suffix the map can't place would mean the
@@ -241,7 +291,10 @@ object BloomIndex {
         import spark.implicits._
         val liveIdx = idx.join(
           broadcast(live.toSeq.toDF("rel")), Seq("rel"), "left_semi")
-        val probes = keys.select(col(c.col).as("__k")).distinct()
+        // the caller's keys carry the CURRENT logical name (resolved
+        // by stable id, so a renamed index column keeps probing)
+        val probes = keys
+          .select(col(resolveCol(spark, path, v, c)).as("__k")).distinct()
           .withColumn("__pos", posArray(col("__k"), c.mBits, c.k))
         val survivors = liveIdx.join(broadcast(probes))
           .filter(expr(
@@ -263,10 +316,11 @@ object BloomIndex {
              version: Option[Int] = None): DataFrame = {
     val c = cfg(spark, path)
     val v = version.getOrElse(VersionedLake.latestVersion(spark, path))
+    val cur = resolveCol(spark, path, v, c)
     val (toRead, _, _) = prunedRels(spark, path, v, keys)
     VersionedLake.readFiles(spark, path, v, toRead)
-      .join(broadcast(keys.select(col(c.col)).distinct()),
-        Seq(c.col), "left_semi")
+      .join(broadcast(keys.select(col(cur)).distinct()),
+        Seq(cur), "left_semi")
   }
 
   /** Fold all sidecars into one, dropping rows for files no retained

@@ -87,7 +87,19 @@ object HiddenPartitioning {
         "bucket transform does not project ranges")
   }
 
-  /** Width-`w` numeric truncation (Iceberg `truncate[W]`). */
+  /** Width-`w` numeric truncation (Iceberg `truncate[W]`).
+    *
+    * MIGRATION NOTE (r13 → r14, r13 advice): the engine expression
+    * moved from double-division floor to exact integer arithmetic.
+    * The two agree for every |v| < 2^53; a lake whose truncate
+    * partition strings were derived by the OLD expression from values
+    * at or beyond 2^53 may hold partition dir/manifest values the
+    * exact [[bound]] math no longer reproduces, and pruned reads
+    * would skip them. No lake this library wrote is affected (the
+    * expression landed in the same round as the first truncate lake,
+    * and the fixture domain is far below 2^53), so the tag is NOT
+    * versioned; a foreign lake in that regime must be restated with
+    * a spec-derived overwrite before pruned reads are trusted. */
   final case class Truncate(w: Long) extends Transform {
     require(w > 0, "truncate needs w > 0")
     val tag = s"truncate[$w]"
@@ -176,13 +188,30 @@ object HiddenPartitioning {
   def spec(spark: SparkSession, path: String): Spec =
     specs(spark, path).last._2
 
-  /** The spec governing files written at commit-version `era` (data
-    * entries carry their commit version as era; era-less entries
-    * predate evolution and take the definition spec). */
-  private def specForEra(all: Seq[(Int, Spec)], era: Option[Int]): Spec = {
-    val e = era.getOrElse(0)
-    all.reverse.collectFirst { case (from, sp) if from <= e => sp }.get
+  /** The spec that derived a data entry's partition value. PRIMARY:
+    * the entry's own `P<id>` tag (written by every spec-derived
+    * commit since round 14 — Iceberg's per-data-file spec id), which
+    * is attribution BY RECORD: it stays correct under any
+    * evolve/commit race and under rewrites (OPTIMIZE/MERGE) that
+    * re-era files without re-deriving their partition values.
+    * FALLBACK for untagged legacy entries: the spec governing the
+    * entry's write era (data entries carry their commit version as
+    * era; era-less entries predate evolution and take the definition
+    * spec). A tag naming an unknown spec (foreign manifest) also
+    * falls back rather than crashing the read. */
+  private def effectiveSpecId(all: Seq[(Int, Spec)],
+                              specId: Option[Int],
+                              era: Option[Int]): Int = {
+    val known = all.map(_._1).toSet
+    specId.filter(known).getOrElse {
+      val e = era.getOrElse(0)
+      all.reverse.collectFirst { case (from, _) if from <= e => from }
+        .getOrElse(all.head._1)
+    }
   }
+
+  private def specById(all: Seq[(Int, Spec)], id: Int): Spec =
+    all.find(_._1 == id).get._2
 
   /** EVOLVE the partition spec (Iceberg partition-spec evolution):
     * commits from the NEXT version derive through `newSpec`; every
@@ -197,7 +226,21 @@ object HiddenPartitioning {
     * restating pre-evolution rows takes the keyed verbs
     * ([[VersionedLake.commitMerge]]/[[VersionedLake.commitMergeDv]])
     * or a full overwrite, exactly Iceberg's dynamic-overwrite caveat
-    * under an evolved spec. */
+    * under an evolved spec.
+    *
+    * CONCURRENCY (r13 advice): the spec file alone is not a version
+    * claim, so a writer racing this evolve can claim version `from`
+    * with partitions it derived under the OLD spec. Attribution is
+    * safe regardless — every spec-derived commit tags its entries
+    * with the spec id that derived them ([[effectiveSpecId]]), so a
+    * race can never flip a file into the wrong projection. What the
+    * OCC loop below protects is the GOVERNANCE BOUNDARY itself (the
+    * era-inference fallback for legacy untagged entries, and
+    * [[specs]]' reported from-versions): after the spec file lands,
+    * the head is re-checked; if a commit claimed `from` concurrently
+    * the evolve DELETES its file and retries at a fresh version —
+    * a recorded boundary never sits at or below a version whose
+    * files it did not govern. */
   def evolve(spark: SparkSession, path: String, newSpec: Spec): Unit = {
     val all = specs(spark, path) // loud on an undeclared lake
     val cur = all.last._2
@@ -206,26 +249,48 @@ object HiddenPartitioning {
         s"${cur.srcCol}/${cur.partCol} -> ${newSpec.srcCol}/${newSpec.partCol}")
     require(newSpec.transform.tag != cur.transform.tag,
       s"already partitioned by ${cur.transform.tag}")
-    val from = VersionedLake.latestVersion(spark, path) + 1
-    require(all.last._1 < from,
-      s"a spec already governs version $from at $path — commit first")
     val f = fs(spark, path)
-    val p = new Path(s"${path.stripSuffix("/")}/_log/_partspec.$from")
-    require(!f.exists(p), s"spec evolution $from already recorded at $path")
-    val out = f.create(p, false)
-    try out.write(
-      s"${newSpec.transform.tag}\t${newSpec.srcCol}\t${newSpec.partCol}\n"
-        .getBytes("UTF-8"))
-    finally out.close()
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      val from = VersionedLake.latestVersion(spark, path) + 1
+      require(all.last._1 < from,
+        s"a spec already governs version $from at $path — commit first")
+      val p = new Path(s"${path.stripSuffix("/")}/_log/_partspec.$from")
+      // create-exclusive: a CONCURRENT EVOLVE at the same version is a
+      // genuine conflict and fails loudly here (two writers cannot
+      // both change the table's layout)
+      require(!f.exists(p),
+        s"spec evolution $from already recorded at $path")
+      val out = f.create(p, false)
+      try out.write(
+        s"${newSpec.transform.tag}\t${newSpec.srcCol}\t${newSpec.partCol}\n"
+          .getBytes("UTF-8"))
+      finally out.close()
+      // the OCC re-check: no commit may have claimed `from` while the
+      // spec file landed — if one did, its files were derived under
+      // the old spec and the boundary would mis-govern them; un-record
+      // and retry past the winner
+      if (VersionedLake.latestVersion(spark, path) < from) return
+      f.delete(p, false)
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"spec evolution retry budget exhausted at $path")
   }
 
+  /** Derive the internal partition column through the ACTIVE spec,
+    * returning the spec's from-version too: the commit records it on
+    * every entry (`P<id>`), so attribution is BY RECORD — a spec
+    * evolution landing between this derivation and the commit's
+    * version claim can never flip these files into the wrong
+    * projection (the r13-advice race, closed at the root). */
   private def derive(spark: SparkSession, path: String,
-                     df: DataFrame): (DataFrame, String) = {
-    val sp = spec(spark, path)
+                     df: DataFrame): (DataFrame, String, Int) = {
+    val (from, sp) = specs(spark, path).last
     require(df.columns.contains(sp.srcCol),
       s"hidden-partitioned write needs source column ${sp.srcCol}")
     (df.withColumn(sp.partCol, sp.transform.expr(col(sp.srcCol))),
-      sp.partCol)
+      sp.partCol, from)
   }
 
   /** [[VersionedLake.commitOverwrite]] with the partition value
@@ -234,24 +299,27 @@ object HiddenPartitioning {
   def commitOverwrite(df: DataFrame, path: String,
                       statsCol: Option[String] = None,
                       commitTs: Option[Long] = None): Int = {
-    val (d, p) = derive(df.sparkSession, path, df)
-    VersionedLake.commitOverwrite(d, p, path, statsCol, commitTs)
+    val (d, p, id) = derive(df.sparkSession, path, df)
+    VersionedLake.commitOverwrite(d, p, path, statsCol, commitTs,
+      specId = Some(id))
   }
 
   /** [[VersionedLake.commitAppend]], transform-derived. */
   def commitAppend(df: DataFrame, path: String,
                    statsCol: Option[String] = None,
                    commitTs: Option[Long] = None): Int = {
-    val (d, p) = derive(df.sparkSession, path, df)
-    VersionedLake.commitAppend(d, p, path, statsCol, commitTs)
+    val (d, p, id) = derive(df.sparkSession, path, df)
+    VersionedLake.commitAppend(d, p, path, statsCol, commitTs,
+      specId = Some(id))
   }
 
   /** [[VersionedLake.commitUpsert]], transform-derived. */
   def commitUpsert(df: DataFrame, path: String,
                    statsCol: Option[String] = None,
                    commitTs: Option[Long] = None): Int = {
-    val (d, p) = derive(df.sparkSession, path, df)
-    VersionedLake.commitUpsert(d, p, path, statsCol, commitTs)
+    val (d, p, id) = derive(df.sparkSession, path, df)
+    VersionedLake.commitUpsert(d, p, path, statsCol, commitTs,
+      specId = Some(id))
   }
 
   /** [[VersionedLake.commitBatchAppend]] (exactly-once streaming
@@ -260,18 +328,66 @@ object HiddenPartitioning {
     * micro-batch, and the foreachBatch writer supplies only the txn. */
   def commitBatchAppend(df: DataFrame, path: String, txn: Long,
                         commitTs: Option[Long] = None): Int = {
-    val (d, p) = derive(df.sparkSession, path, df)
-    VersionedLake.commitBatchAppend(d, p, path, txn, commitTs)
+    val (d, p, id) = derive(df.sparkSession, path, df)
+    VersionedLake.commitBatchAppend(d, p, path, txn, commitTs,
+      specId = Some(id))
+  }
+
+  /** [[VersionedLake.commitOptimize]] on a hidden-partitioned lake:
+    * passes the spec timeline so legacy UNTAGGED entries resolve by
+    * era and each rewritten partition's fresh files inherit its spec
+    * attribution — compaction re-lays bytes, it never re-derives a
+    * partition value, so it must never re-attribute one either. */
+  def commitOptimize(spark: SparkSession, path: String,
+                     statsCol: Option[String] = None,
+                     zorderBy: Seq[String] = Nil,
+                     targetFilesPerPart: Int = 1,
+                     fromVersion: Option[Int] = None): Int = {
+    val all = specs(spark, path)
+    VersionedLake.commitOptimize(spark, path, all.last._2.partCol,
+      statsCol, zorderBy, targetFilesPerPart, fromVersion,
+      specEras = all.map(_._1))
+  }
+
+  /** Per-partition spec attribution of version `v`'s live data — the
+    * `specIdFor` a keyed rewrite ([[VersionedLake.commitMerge]] /
+    * [[VersionedLake.commitMergeDv]]) over a hidden-partitioned lake
+    * should pass, so a restated partition KEEPS the attribution its
+    * value was derived under while a brand-new partition takes the
+    * ACTIVE spec. (The keyed verbs stay un-wrapped by design: MERGE's
+    * partition-stability invariant means the CALLER owns each delta
+    * row's partition value — deriving old keys through the active
+    * transform would strand their stored rows; this helper makes the
+    * attribution side mechanical.) Partition-count-sized. */
+  def specAttribution(spark: SparkSession, path: String,
+                      v: Int): String => Option[Int] = {
+    val all = specs(spark, path)
+    val active = all.last._1
+    val byPart = VersionedLake.manifestFiles(spark, path, v)
+      .filter(_.kind == "data")
+      .groupBy(_.part).map { case (p, es) =>
+        val ids = es.map(e => effectiveSpecId(all, e.specId, e.era))
+          .distinct
+        require(ids.size == 1,
+          s"partition '$p' at $path mixes spec eras ${ids.sorted
+            .mkString(", ")} — a keyed rewrite cannot attribute it")
+        p -> ids.head
+      }
+    p => Some(byPart.getOrElse(p, active))
   }
 
   /** Version `v`'s live data partitions grouped by the SPEC that
-    * wrote them (per-file era → governing spec). */
+    * wrote them (per-entry `P` tag; era inference for legacy lines).
+    * A partition whose entries span two specs (possible only at a
+    * truncate↔bucket VALUE collision) appears in BOTH groups — each
+    * group admits/filters independently and the sets union, so the
+    * collision can only widen the read, never lose a row. */
   private def partsBySpec(spark: SparkSession, path: String, v: Int,
                           all: Seq[(Int, Spec)]): Seq[(Spec, Seq[String])] =
     VersionedLake.manifestFiles(spark, path, v)
       .filter(_.kind == "data")
-      .groupBy(e => specForEra(all, e.era)).toSeq
-      .map { case (sp, es) => (sp, es.map(_.part).distinct) }
+      .groupBy(e => effectiveSpecId(all, e.specId, e.era)).toSeq
+      .map { case (id, es) => (specById(all, id), es.map(_.part).distinct) }
 
   /** The live partitions a `srcCol BETWEEN lo AND hi` predicate can
     * touch at version `v`: inclusive projection through each ERA's

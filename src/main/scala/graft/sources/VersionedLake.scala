@@ -156,6 +156,31 @@ object VersionedLake {
         t(0) -> (t(1), t(2))
       }.toMap
 
+  /** [[segmentPointers]] with the optional 4th pointer field kept:
+    * `E<e1>,<e2>,…` — the segment's distinct entry ERAS, recorded at
+    * segment write so a structurally-carried partition's live schema
+    * eras are known WITHOUT opening the segment (r13 advice: without
+    * it, carried partitions forced conservative retention of every
+    * colmap/coltype line, O(data-writing versions) manifest growth on
+    * append-only segmented lakes). A pointer without the field is
+    * legacy — its carrier falls back to the conservative retention. */
+  private def segPointersFull(spark: SparkSession, path: String,
+                              v: Int)
+      : Map[String, (String, String, Option[String])] =
+    readManifestText(spark, path, v).linesIterator
+      .filter(_.startsWith("seg="))
+      .map { l =>
+        val t = l.stripPrefix("seg=").split('\t')
+        t(0) -> (t(1), t(2),
+          if (t.length > 3 && t(3).startsWith("E")) Some(t(3)) else None)
+      }.toMap
+
+  private def eraField(eras: Seq[Int]): Option[String] =
+    if (eras.isEmpty) None else Some("E" + eras.distinct.sorted.mkString(","))
+
+  private def parseEraField(f: String): Set[Int] =
+    f.stripPrefix("E").split(',').filter(_.nonEmpty).map(_.toInt).toSet
+
   private def readSegLines(spark: SparkSession, path: String,
                            rel: String): Iterator[String] = {
     val f = fs(spark, path)
@@ -286,7 +311,8 @@ object VersionedLake {
                              hi: Option[Long] = None,
                              kind: String = "data",
                              era: Option[Int] = None,
-                             size: Option[Long] = None)
+                             size: Option[Long] = None,
+                             specId: Option[Int] = None)
 
   private val KindData = "data"
   private val KindDv = "dv"
@@ -313,8 +339,15 @@ object VersionedLake {
   /** One manifest/segment entry line parsed: `part\trel` followed by
     * optional TAGGED fields — the DV marker `D` or a numeric
     * `lo\thi` zone-map pair, then `E<k>` (write era — column-mapping
-    * provenance, [[readColmaps]]) and `S<bytes>` (file size — the
-    * Iceberg/Delta manifest size field, feeding planning statistics).
+    * provenance, [[readColmaps]]), `S<bytes>` (file size — the
+    * Iceberg/Delta manifest size field, feeding planning statistics)
+    * and `P<id>` (the PARTITION SPEC that derived this file's
+    * partition value — Iceberg's per-data-file spec id. Attribution
+    * by tag never races: a writer that derived under an old spec
+    * records the old id no matter which version its commit claims,
+    * so [[HiddenPartitioning]]'s mixed-spec pruning stays sound under
+    * any evolve/commit interleaving; era-based inference remains only
+    * the legacy fallback for untagged lines).
     * Tags are unambiguous against raw stats (numeric) and absent tags
     * parse as None, so every historical line shape stays readable. */
   private def parseEntryLine(line: String): FileEntry = {
@@ -335,6 +368,7 @@ object VersionedLake {
       val x = t(i)
       if (x.startsWith("E")) e = e.copy(era = Some(x.drop(1).toInt))
       else if (x.startsWith("S")) e = e.copy(size = Some(x.drop(1).toLong))
+      else if (x.startsWith("P")) e = e.copy(specId = Some(x.drop(1).toInt))
       else throw new IllegalArgumentException(
         s"malformed manifest line field '$x' in: $line")
       i += 1
@@ -351,7 +385,8 @@ object VersionedLake {
         case (Some(l), Some(h)) => s"\t$l\t$h"
         case _ => ""
       }) + e.era.fold("")(k => s"\tE$k") +
-      e.size.fold("")(n => s"\tS$n")
+      e.size.fold("")(n => s"\tS$n") +
+      e.specId.fold("")(i => s"\tP$i")
 
   /** File entries of version `v`'s manifest (header and schema lines
     * skipped; `seg=` pointer lines expanded). A non-empty `parts`
@@ -524,7 +559,8 @@ object VersionedLake {
                                  Seq.empty,
                                coltypes: Map[Int, Map[Long, String]] =
                                  Map.empty,
-                               carryParts: Map[String, (String, String)] =
+                               carryParts: Map[String,
+                                 (String, String, Option[String])] =
                                  Map.empty): Boolean = {
     val f = fs(spark, path)
     f.mkdirs(logDir(path))
@@ -536,12 +572,16 @@ object VersionedLake {
     // only colmaps of eras the entries still reference ride along —
     // the manifest stays self-contained (vacuum-safe) without growing
     // past the number of LIVE schema eras. Structurally-carried
-    // partitions' entries are unknown by design, so their eras retain
-    // conservatively (every provided map survives; a dead era is
-    // reclaimed at the next full-expansion commit — overwrite /
-    // optimize — bounded by the data-writing version count meanwhile)
-    val liveEras: Set[Int] = entries.flatMap(_.era).toSet ++
-      (if (carryParts.nonEmpty) colmaps.keySet ++ coltypes.keySet
+    // partitions contribute the era SETS their pointer lines record
+    // (r13 advice — dead eras reclaim even on append-only segmented
+    // lakes); only a LEGACY pointer with no recorded era set forces
+    // the conservative keep-everything fallback (reclaimed at the
+    // next full-expansion commit, as before)
+    val carriedEras: Set[Int] =
+      carryParts.values.flatMap(_._3).flatMap(parseEraField).toSet
+    val legacyCarry = carryParts.values.exists(_._3.isEmpty)
+    val liveEras: Set[Int] = entries.flatMap(_.era).toSet ++ carriedEras ++
+      (if (legacyCarry) colmaps.keySet ++ coltypes.keySet
        else Set.empty[Int])
     val colmapLines = colmaps.view.filterKeys(liveEras).toSeq
       .sortBy(_._1).map { case (era, m) =>
@@ -576,15 +616,19 @@ object VersionedLake {
           "a partition cannot both carry structurally and re-serialize")
         (grouped.keySet ++ carryParts.keySet).toSeq.sorted.map { part =>
           carryParts.get(part) match {
-            // structural carry: the pointer line verbatim — the
-            // segment is never opened, serialized or hashed
-            case Some((rel, h)) => s"seg=$part\t$rel\t$h"
+            // structural carry: the pointer line verbatim (era set
+            // included) — the segment is never opened, serialized or
+            // hashed
+            case Some((rel, h, ef)) =>
+              s"seg=$part\t$rel\t$h" + ef.fold("")("\t" + _)
             case None =>
               val es = grouped(part)
+              val ef = eraField(es.flatMap(_.era)).fold("")("\t" + _)
               val lines = es.sortBy(_.rel).map(entryLine)
               val h = sha256Hex(lines.mkString("\n"))
               basePtrs.get(part) match {
-                case Some((rel, bh)) if bh == h => s"seg=$part\t$rel\t$h"
+                case Some((rel, bh)) if bh == h =>
+                  s"seg=$part\t$rel\t$h$ef"
                 case _ =>
                   val segRel = s"seg-${uniq()}.seg"
                   val sp = new Path(logDir(path), segRel)
@@ -593,7 +637,7 @@ object VersionedLake {
                     (lines.mkString("\n") + "\n").getBytes("UTF-8"))
                   finally so.close()
                   newSegs += sp
-                  s"seg=$part\t$segRel\t$h"
+                  s"seg=$part\t$segRel\t$h$ef"
               }
           }
         }
@@ -801,12 +845,16 @@ object VersionedLake {
     * index. `commitTs` stamps the commit for [[readAsOf]] resolution
     * (caller-passed clock — from the data or an external watermark,
     * never a wall-clock read inside the library, so determinism
-    * contracts survive). Returns the new version number. */
+    * contracts survive). `specId` tags this commit's data entries
+    * with the partition spec that derived their values
+    * ([[HiddenPartitioning]] passes it; plain callers leave None).
+    * Returns the new version number. */
   def commitOverwrite(df: DataFrame, partCol: String, path: String,
                       statsCol: Option[String] = None,
-                      commitTs: Option[Long] = None): Int =
+                      commitTs: Option[Long] = None,
+                      specId: Option[Int] = None): Int =
     doCommit(df, partCol, path, None, Mode.Overwrite, statsCol,
-      commitTs)
+      commitTs, specIdFor = _ => specId)
 
   /** Commit an UPSERT: partitions present in `df` are replaced (their
     * old files stay on disk for older versions but leave the
@@ -814,8 +862,10 @@ object VersionedLake {
     * stats and all. Returns the new version number. */
   def commitUpsert(df: DataFrame, partCol: String, path: String,
                    statsCol: Option[String] = None,
-                   commitTs: Option[Long] = None): Int =
-    doCommit(df, partCol, path, None, Mode.Upsert, statsCol, commitTs)
+                   commitTs: Option[Long] = None,
+                   specId: Option[Int] = None): Int =
+    doCommit(df, partCol, path, None, Mode.Upsert, statsCol, commitTs,
+      specIdFor = _ => specId)
 
   /** Commit an APPEND: this commit's files JOIN the table next to
     * every previous file — no partition is replaced. The streaming-
@@ -823,8 +873,10 @@ object VersionedLake {
     * restatements use [[commitUpsert]]. Returns the new version. */
   def commitAppend(df: DataFrame, partCol: String, path: String,
                    statsCol: Option[String] = None,
-                   commitTs: Option[Long] = None): Int =
-    doCommit(df, partCol, path, None, Mode.Append, statsCol, commitTs)
+                   commitTs: Option[Long] = None,
+                   specId: Option[Int] = None): Int =
+    doCommit(df, partCol, path, None, Mode.Append, statsCol, commitTs,
+      specIdFor = _ => specId)
 
   /** [[commitUpsert]] prepared against a PINNED base version — the
     * optimistic-concurrency entry point: the caller declares the
@@ -910,7 +962,9 @@ object VersionedLake {
                        pinnedBase: Option[Int] = None,
                        forceReplaced: Set[String] = Set.empty,
                        validate: Boolean = true,
-                       dvDf: Option[DataFrame] = None): Int = {
+                       dvDf: Option[DataFrame] = None,
+                       specIdFor: String => Option[Int] = _ => None)
+      : Int = {
     val spark = df.sparkSession
     val prev = pinnedBase.getOrElse(latestVersion(spark, path))
     val doValidate = validate && mode != Mode.Delete
@@ -1002,15 +1056,16 @@ object VersionedLake {
       // re-hashed; only touched partitions' segments open
       // (manifestEntries prunes at the pointer). Base flat → full
       // expansion (the one-commit upgrade path).
-      val basePtrs: Map[String, (String, String)] =
+      val basePtrs: Map[String, (String, String, Option[String])] =
         if (base == 0 || mode == Mode.Overwrite) Map.empty
-        else scala.util.Try(segmentPointers(spark, path, base))
+        else scala.util.Try(segPointersFull(spark, path, base))
           .getOrElse(Map.empty)
       val structural =
         basePtrs.nonEmpty && readSchema(spark, path, base).isDefined
       val (kept, carry) =
         if (base == 0 || mode == Mode.Overwrite)
-          (Seq.empty[FileEntry], Map.empty[String, (String, String)])
+          (Seq.empty[FileEntry],
+            Map.empty[String, (String, String, Option[String])])
         else if (structural) {
           val touchedBase = basePtrs.keySet.intersect(replaced)
           val expanded =
@@ -1031,7 +1086,7 @@ object VersionedLake {
             // append/delete/mergeDv ADD only: every base file (and
             // DV) carries forward by pointer
             else all
-          (keptE, Map.empty[String, (String, String)])
+          (keptE, Map.empty[String, (String, String, Option[String])])
         }
       // a DELETE commits no table rows — its df is the DV sidecar
       // frame — so the recorded TABLE schema carries forward from the
@@ -1080,11 +1135,15 @@ object VersionedLake {
             baseColtypes + (k -> coltypeOf(gs)))
         }
       // fresh DATA entries carry this commit's era (the schema their
-      // files were physically written under); DV sidecars are era-free
+      // files were physically written under) and — when the write is
+      // spec-derived — the partition spec id that DERIVED their
+      // partition value (per-entry attribution, never inferred from
+      // the racing version number); DV sidecars are era- and spec-free
       val freshTagged =
         if (mode == Mode.Delete) fresh
         else fresh.map(e =>
-          if (e.kind == KindDv) e else e.copy(era = Some(k)))
+          if (e.kind == KindDv) e
+          else e.copy(era = Some(k), specId = specIdFor(e.part)))
       val baseConstraints =
         if (base == 0) Seq.empty[(String, String)]
         else readConstraints(spark, path, base)
@@ -1114,12 +1173,13 @@ object VersionedLake {
     * is skipped entirely rather than rewritten byte-identically. */
   def commitBatchUpsert(df: DataFrame, partCol: String, path: String,
                         txn: Long,
-                        commitTs: Option[Long] = None): Int = {
+                        commitTs: Option[Long] = None,
+                        specId: Option[Int] = None): Int = {
     val spark = df.sparkSession
     if (committedTxns(spark, path).contains(txn))
       latestVersion(spark, path)
     else doCommit(df, partCol, path, Some(txn), Mode.Upsert,
-      commitTs = commitTs)
+      commitTs = commitTs, specIdFor = _ => specId)
   }
 
   /** [[commitAppend]] with [[commitBatchUpsert]]'s txn dedup — the
@@ -1129,12 +1189,13 @@ object VersionedLake {
     * which [[vacuum]] reclaims — never a torn version. */
   def commitBatchAppend(df: DataFrame, partCol: String, path: String,
                         txn: Long,
-                        commitTs: Option[Long] = None): Int = {
+                        commitTs: Option[Long] = None,
+                        specId: Option[Int] = None): Int = {
     val spark = df.sparkSession
     if (committedTxns(spark, path).contains(txn))
       latestVersion(spark, path)
     else doCommit(df, partCol, path, Some(txn), Mode.Append,
-      commitTs = commitTs)
+      commitTs = commitTs, specIdFor = _ => specId)
   }
 
   /** Keyed MERGE INTO the latest version (the Delta/Iceberg MERGE
@@ -1180,7 +1241,8 @@ object VersionedLake {
                   deleteCol: Option[String] = None,
                   commitTs: Option[Long] = None,
                   fromVersion: Option[Int] = None,
-                  evolveSchema: Boolean = false): Int = {
+                  evolveSchema: Boolean = false,
+                  specIdFor: String => Option[Int] = _ => None): Int = {
     val spark = delta.sparkSession
     val v = fromVersion.getOrElse(latestVersion(spark, path))
     require(v > 0, "commitMerge needs an existing version to merge into")
@@ -1215,7 +1277,8 @@ object VersionedLake {
     // silently overwritten by a merge built from stale partition
     // contents (r11 verdict: the lost-update window)
     doCommit(merged, partCol, path, None, Mode.Upsert, statsCol,
-      commitTs, pinnedBase = Some(v), forceReplaced = touched.toSet)
+      commitTs, pinnedBase = Some(v), forceReplaced = touched.toSet,
+      specIdFor = specIdFor)
   }
 
   /** [[commitMerge]] executed THROUGH deletion vectors (Delta's
@@ -1248,9 +1311,10 @@ object VersionedLake {
                     statsCol: Option[String] = None,
                     deleteCol: Option[String] = None,
                     commitTs: Option[Long] = None,
-                    fromVersion: Option[Int] = None): Int =
+                    fromVersion: Option[Int] = None,
+                    specIdFor: String => Option[Int] = _ => None): Int =
     mergeDvCore(delta, keyCols, partCol, path, statsCol, deleteCol,
-      commitTs, fromVersion, txn = None)
+      commitTs, fromVersion, txn = None, specIdFor = specIdFor)
 
   /** [[commitMergeDv]] with [[commitBatchUpsert]]'s txn dedup — the
     * streaming CHANGESET sink (st27): each micro-batch's keyed delta
@@ -1278,7 +1342,9 @@ object VersionedLake {
                           deleteCol: Option[String],
                           commitTs: Option[Long],
                           fromVersion: Option[Int],
-                          txn: Option[Long]): Int = {
+                          txn: Option[Long],
+                          specIdFor: String => Option[Int] = _ => None)
+      : Int = {
     val spark = delta.sparkSession
     val v = fromVersion.getOrElse(latestVersion(spark, path))
     require(v > 0, "commitMergeDv needs an existing version to merge into")
@@ -1319,7 +1385,7 @@ object VersionedLake {
         "schema evolution takes commitMerge(evolveSchema = true)")
     doCommit(upserts0.select(tbl.map(col): _*), partCol, path, txn,
       Mode.MergeDv, statsCol, commitTs, pinnedBase = Some(v),
-      forceReplaced = touched, dvDf = dvDf)
+      forceReplaced = touched, dvDf = dvDf, specIdFor = specIdFor)
   }
 
   /** A file's lake-relative path recovered from
@@ -1335,6 +1401,26 @@ object VersionedLake {
   private[sources] def relExpr(c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
     regexp_extract(c, "^.*/(data/[^/]+/[^/]+/[^/]+)$", 1)
+
+  /** Read a SUBSET of version `v`'s data files column-MAPPED but
+    * NOT DV-folded, with the `__file` provenance column (the manifest
+    * relExpr form) kept — the INDEX-BUILD read ([[BloomIndex.ensure]]).
+    * Two deliberate deviations from [[readFiles]]: (a) no DV fold —
+    * a per-FILE index attaches to the immutable file and serves EVERY
+    * version, while DVs are per-version, so excluding a currently-dead
+    * row would plant a false NEGATIVE for versions where that row is
+    * live (silent row loss on a time-travelled lookup); (b) columns
+    * resolve by stable id through each era's colmap, so an index
+    * column keeps indexing across a RENAME (the build never touches
+    * raw physical names). */
+  private[sources] def mappedFilesWithMeta(spark: SparkSession,
+                                           path: String, v: Int,
+                                           rels: Set[String]): DataFrame = {
+    val data = manifestEntries(spark, path, v)
+      .filter(e => e.kind == KindData && rels.contains(e.rel))
+    require(data.nonEmpty, s"mappedFilesWithMeta: no such rels at $path@$v")
+    mappedRead(spark, path, v, data, Seq.empty, withMeta = true)
+  }
 
   /** Read a SUBSET of version `v`'s data files (by lake-relative
     * path), with the version's schema/column-mapping resolution and
@@ -1551,7 +1637,8 @@ object VersionedLake {
                      statsCol: Option[String] = None,
                      zorderBy: Seq[String] = Nil,
                      targetFilesPerPart: Int = 1,
-                     fromVersion: Option[Int] = None): Int = {
+                     fromVersion: Option[Int] = None,
+                     specEras: Seq[Int] = Nil): Int = {
     require(targetFilesPerPart >= 1, "targetFilesPerPart must be >= 1")
     require(zorderBy.size <= 2,
       "zorderBy takes at most two columns (ZOrder2 is a 2-D interleave)")
@@ -1574,6 +1661,33 @@ object VersionedLake {
       }
     if (byPart.isEmpty) v
     else {
+      // a rewrite PRESERVES partition values, so it must preserve
+      // their partition-spec attribution ([[HiddenPartitioning]]):
+      // each rewritten partition's fresh entries inherit the spec id
+      // its source files agree on. `specEras` (the sorted spec `from`
+      // versions, [[HiddenPartitioning.commitOptimize]] passes them)
+      // resolves legacy UNTAGGED entries by era so a pre-tagging file
+      // and its post-tagging sibling unify; a partition whose files
+      // genuinely mix two specs (a truncate↔bucket value collision)
+      // refuses loudly — re-tagging it either way would let one era's
+      // projection prune out the other era's rows (silent row loss).
+      def effective(e: FileEntry): Option[Int] = e.specId.orElse {
+        val eligible = specEras.filter(_ <= e.era.getOrElse(0))
+        if (specEras.isEmpty) None
+        else Some(if (eligible.isEmpty) specEras.min else eligible.max)
+      }
+      val specByPart: Map[String, Option[Int]] = byPart.map {
+        case (p, es) =>
+          val ids = es.filter(_.kind == KindData).map(effective).distinct
+          require(ids.size <= 1,
+            s"optimize refuses partition '$p' at $path: its files were " +
+              s"written under different partition specs " +
+              s"(${ids.mkString(", ")}) — pass specEras (or use " +
+              "HiddenPartitioning.commitOptimize) so legacy entries " +
+              "resolve, or restate the partition with a spec-derived " +
+              "overwrite first")
+          p -> ids.headOption.flatten
+      }
       // one clustered frame per fragmented value: the partitioned
       // write then lands exactly targetFilesPerPart files each — the
       // l07/compactAll one-task-per-value discipline on this log
@@ -1599,7 +1713,8 @@ object VersionedLake {
       // old entries (and DVs) must still leave the manifest.
       doCommit(merged, partCol, path, None, Mode.Upsert, statsCol,
         pinnedBase = Some(v), forceReplaced = byPart.keySet,
-        validate = false) // pure re-layout: rows already validated
+        validate = false, // pure re-layout: rows already validated
+        specIdFor = p => specByPart.getOrElse(p, None))
     }
   }
 
