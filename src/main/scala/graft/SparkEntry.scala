@@ -1730,6 +1730,69 @@ object SparkEntry {
         "parts_live", "parts_read")
   }
 
+  /** l35 — the graftlake WRITE path (r13 verdict #2): the two writes
+    * that reduce to `df.write` modes go through the format. Q1 1997
+    * seeds the lake (the library verb — a fresh lake has no recorded
+    * schema for the format to infer); April lands as a PLAIN format
+    * append (`df.write.format("graftlake").mode("append")` →
+    * [[graft.sources.VersionedLake.commitAppend]] under the hood);
+    * May lands as a `txn`-optioned append
+    * ([[graft.sources.VersionedLake.commitBatchAppend]] — the
+    * exactly-once foreachBatch sink THROUGH the format) and is then
+    * REPLAYED byte-identically: the replay must mint nothing
+    * (`replay_noop`). A write through a time-travel option refuses
+    * loudly (`tt_write_refused`). The oracle restates the
+    * library-append equality: both probes re-derive from the original
+    * parquet — if the format writes had landed differently from
+    * library appends (dropped rows, doubled May, a forked version),
+    * the aggregates or the booleans would miss.
+    * GraftLakeSourceSpec pins the OCC composition (format append vs
+    * concurrent library upsert) and the overwrite mode; LakeSqlDemo
+    * drives the SQL-user shape. */
+  private def l35(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedLake
+    val lake = s"/tmp/graft_dsv2wlake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .filter(col("month").between("1997-01", "1997-05"))
+    VersionedLake.commitOverwrite(
+      li.filter(col("month") <= "1997-03"), "month", lake)
+    li.filter(col("month") === "1997-04")
+      .write.format("graftlake").option("partitionColumn", "month")
+      .mode("append").save(lake)
+    def mayWrite(): Unit =
+      li.filter(col("month") === "1997-05")
+        .write.format("graftlake").option("partitionColumn", "month")
+        .option("txn", "1").mode("append").save(lake)
+    mayWrite()
+    val vAfter = VersionedLake.latestVersion(s, lake)
+    mayWrite() // checkpoint-replay twin: must be a no-op commit
+    val replayNoop =
+      vAfter == 3 && VersionedLake.latestVersion(s, lake) == vAfter
+    val ttRefused =
+      try {
+        li.limit(1).write.format("graftlake")
+          .option("partitionColumn", "month")
+          .option("versionAsOf", "1").mode("append").save(lake)
+        false
+      } catch { case _: IllegalArgumentException => true }
+    def rd(opts: (String, String)*) = {
+      val r = s.read.format("graftlake").option("partitionColumn", "month")
+      opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load(lake)
+    }
+    def probe(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          sum(col("l_orderkey") * 7 + col("l_linenumber")).as("key_sig"))
+        .withColumn("probe", lit(name))
+    probe("fmt_appended", rd())
+      .unionByName(probe("pre_append", rd("versionAsOf" -> "1")))
+      .withColumn("replay_noop", lit(replayNoop))
+      .withColumn("tt_write_refused", lit(ttRefused))
+  }
+
   /** l32 — TYPE WIDENING under column mapping (Delta's type-widening
     * feature on l24's id-mapped log): version 1 commits Q1 with
     * NARROW physical types (`l_orderkey` int, `l_quantity` float);
@@ -6484,6 +6547,7 @@ object SparkEntry {
     "l32_type_widening" -> (l32 _),
     "l33_merge_dv" -> (l33 _),
     "l34_datasource_v2" -> (l34 _),
+    "l35_datasource_v2_write" -> (l35 _),
     "c13_split_decontam" -> (c13 _),
     "c14_weighted_sample" -> (c14 _),
     "t33_cdc_chunking" -> (t33 _),
@@ -9737,6 +9801,28 @@ object SparkEntry {
         |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
         |  CAST(3 AS INTEGER), CAST(1 AS INTEGER)
         |FROM li WHERE month = '1997-02' AND l_linenumber <= 4""".stripMargin,
+    // l35: the library-append equality — Q1+Apr+May re-derive from
+    // the original parquet; if the format's append/txn-append had
+    // landed differently from library appends (dropped rows, a
+    // double-applied May replay, a forked version) the aggregates or
+    // the engine booleans would miss
+    "l35_datasource_v2_write" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    strftime(l_shipdate, '%Y-%m') AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-05')
+        |SELECT 'fmt_appended' AS probe, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  TRUE AS replay_noop, TRUE AS tt_write_refused
+        |FROM li
+        |UNION ALL
+        |SELECT 'pre_append', count(*), round(sum(l_quantity), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  TRUE, TRUE
+        |FROM li WHERE month <= '1997-03'""".stripMargin,
     // l32: both versions' aggregates re-derive through the same
     // narrow-then-widen casts (quantities are integral, so the
     // REAL→DOUBLE sums are bit-exact); the refusal witnesses are

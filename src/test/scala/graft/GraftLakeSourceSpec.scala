@@ -106,4 +106,117 @@ class GraftLakeSourceSpec extends SparkSpec {
       Set((2L, 2.5), (3000000000L, 3.25)),
       "DV fold + widened cast-up both apply through the format")
   }
+
+  test("graftlake OR pruning end-to-end: month='a' OR month='b' reads " +
+      "two partitions; OR mixing a data column reads all; NOT of an " +
+      "exact pc predicate prunes its complement") {
+    val lake = freshLake()
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id").as[Long].collect().toSet
+    GraftLakeSource.lastScanParts.set(None)
+    assert(ids(read(lake, "versionAsOf" -> "1")
+      .filter($"month" === "1997-01" || $"month" === "1997-03"))
+      == Set(1L, 3L))
+    assert(GraftLakeSource.lastScanParts.get().contains((3, 2)),
+      s"OR union prunes to 2 of 3: ${GraftLakeSource.lastScanParts.get()}")
+    GraftLakeSource.lastScanParts.set(None)
+    assert(ids(read(lake, "versionAsOf" -> "1")
+      .filter($"month" === "1997-01" || $"x" === 30.0))
+      == Set(1L, 3L), "rows stay exact")
+    assert(GraftLakeSource.lastScanParts.get().isEmpty,
+      "OR with a data-column branch stays read-all (sound)")
+    GraftLakeSource.lastScanParts.set(None)
+    assert(ids(read(lake, "versionAsOf" -> "1")
+      .filter(!($"month" === "1997-02"))) == Set(1L, 3L))
+    assert(GraftLakeSource.lastScanParts.get().contains((3, 2)),
+      s"exact NOT prunes: ${GraftLakeSource.lastScanParts.get()}")
+  }
+
+  test("graftlake write path: format append equals the library append, " +
+      "txn writes are exactly-once, overwrite replaces, refusals hold") {
+    val lake = freshLake() // v2 = {1,3,4}
+    def fmt(rows: (Long, String, Double)*) =
+      rows.toDF("id", "month", "x").write.format("graftlake")
+        .option("partitionColumn", "month")
+    fmt((5L, "1997-04", 50.0)).mode("append").save(lake)
+    assert(VersionedLake.latestVersion(spark, lake) == 3)
+    // the library-append equality: a twin lake appended via the verb
+    // is read-indistinguishable
+    val twin = java.nio.file.Files.createTempDirectory("lake_dsv2w").toString
+    VersionedLake.reset(spark, twin)
+    VersionedLake.commitOverwrite(
+      VersionedLake.readVersion(spark, lake, 2), "month", twin)
+    VersionedLake.commitAppend(
+      Seq((5L, "1997-04", 50.0)).toDF("id", "month", "x"), "month", twin)
+    def all(p: String) = spark.read.format("graftlake").load(p)
+      .select($"id", $"month", $"x").as[(Long, String, Double)]
+      .collect().toSet
+    assert(all(lake) == all(twin), "format append == library append")
+    // exactly-once: the SAME txn replayed commits nothing
+    fmt((6L, "1997-05", 60.0)).option("txn", "42").mode("append").save(lake)
+    val vAfterTxn = VersionedLake.latestVersion(spark, lake)
+    fmt((6L, "1997-05", 60.0)).option("txn", "42").mode("append").save(lake)
+    assert(VersionedLake.latestVersion(spark, lake) == vAfterTxn,
+      "replayed txn is a no-op commit")
+    assert(all(lake).count(_._1 == 6L) == 1, "no duplicate row")
+    // overwrite mode is a full replacement through commitOverwrite
+    fmt((9L, "1998-01", 90.0)).mode("overwrite").save(lake)
+    assert(all(lake) == Set((9L, "1998-01", 90.0)))
+    assert(VersionedLake.readVersion(spark, lake, vAfterTxn)
+      .count() == 5, "history intact under the overwrite")
+    // refusals: time-travelled write; txn with overwrite; missing
+    // partition column option
+    assertThrows[IllegalArgumentException] {
+      Seq((7L, "1997-06", 70.0)).toDF("id", "month", "x")
+        .write.format("graftlake").option("partitionColumn", "month")
+        .option("versionAsOf", "1").mode("append").save(lake)
+    }
+    assertThrows[IllegalArgumentException] {
+      fmt((8L, "1997-07", 80.0)).option("txn", "43")
+        .mode("overwrite").save(lake)
+    }
+    assertThrows[IllegalArgumentException] {
+      Seq((7L, "1997-06", 70.0)).toDF("id", "month", "x")
+        .write.format("graftlake").mode("append").save(lake)
+    }
+  }
+
+  test("graftlake OCC through the format: a format append and a " +
+      "concurrent library upsert both land (appends rebase through " +
+      "the claim protocol)") {
+    val lake = freshLake() // v2
+    // the library upsert lands FIRST (v3), then the format append —
+    // prepared against v2 conceptually — must rebase onto v3, not
+    // clobber it (both writers' rows survive)
+    VersionedLake.commitUpsert(
+      Seq((10L, "1997-03", 33.0)).toDF("id", "month", "x"), "month", lake)
+    Seq((11L, "1997-08", 110.0)).toDF("id", "month", "x")
+      .write.format("graftlake").option("partitionColumn", "month")
+      .mode("append").save(lake)
+    assert(VersionedLake.latestVersion(spark, lake) == 4)
+    val got = spark.read.format("graftlake").load(lake)
+      .select($"id").as[Long].collect().toSet
+    assert(got == Set(1L, 4L, 10L, 11L),
+      "upserted Mar replacement AND the format append both visible")
+  }
+
+  test("graftlake un-pinned relations bind to LATEST AT SCAN TIME: a " +
+      "temp view without time-travel options surfaces later commits; " +
+      "explicit pins stay pinned") {
+    val lake = freshLake() // v2 = {1,3,4}
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_lake_live
+      USING graftlake OPTIONS (path '$lake', partitionColumn 'month')""")
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_lake_pin
+      USING graftlake
+      OPTIONS (path '$lake', versionAsOf '2', partitionColumn 'month')""")
+    def n(v: String) = spark.sql(s"SELECT count(*) FROM $v")
+      .as[Long].head()
+    assert(n("graft_lake_live") == 3 && n("graft_lake_pin") == 3)
+    VersionedLake.commitAppend(
+      Seq((12L, "1997-09", 120.0)).toDF("id", "month", "x"),
+      "month", lake)
+    assert(n("graft_lake_live") == 4,
+      "the un-pinned view follows the log (r13 advice)")
+    assert(n("graft_lake_pin") == 3, "the explicit pin never moves")
+  }
 }

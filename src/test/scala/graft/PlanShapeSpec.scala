@@ -296,6 +296,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("graftlake join planning: the V1Scan adapter hides static size " +
+      "stats (SMJ planned), AQE's runtime sizes convert the small dim " +
+      "to a broadcast — the l34 honest edge, measured") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.VersionedLake
+    import spark.implicits._
+    val lake = java.nio.file.Files.createTempDirectory("lake_aqe").toString
+    VersionedLake.reset(spark, lake)
+    VersionedLake.commitOverwrite(
+      Seq(("1997-01", 10.0), ("1997-02", 20.0), ("1997-03", 30.0))
+        .toDF("month", "w"),
+      "month", lake)
+    val dim = spark.read.format("graftlake")
+      .option("partitionColumn", "month").load(lake)
+    // the fact must exceed the static broadcast threshold itself
+    // (range sizes ARE statically known), else Catalyst broadcasts
+    // the known-small FACT over the unknown-size lake side
+    val fact = spark.range(2000000).select(
+      concat(lit("1997-0"), (col("id") % 3 + 1).cast("string"))
+        .as("month"),
+      col("id").cast("double").as("v"))
+    val joined = fact.join(dim, "month")
+      .agg(count(lit(1)).as("n"), sum(col("v") * col("w")).as("s"))
+    // static planning: the wrapper reports no size for the dim, so no
+    // static broadcast happens (this is the documented boundary)
+    val staticPlan = joined.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(staticPlan.contains("SortMergeJoin") ||
+      staticPlan.contains("ShuffledHashJoin"), staticPlan)
+    assert(joined.collect().head.getLong(0) == 2000000L)
+    // ...and the MEASURED claim: AQE's actual shuffle sizes re-plan
+    // the 3-row dim to a broadcast at runtime, so the broadcast
+    // decision does not depend on static stats through the adapter
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"), finalPlan)
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+  }
+
   test("no CartesianProduct exec anywhere in the registry") {
     // crossJoin appears only with broadcast-tiny sides (1-row aggregates,
     // query/centroid frames) and must plan as BroadcastNestedLoopJoin —

@@ -35,17 +35,45 @@ class GraftLakeFilterSpec extends AnyFunSuite {
       "polarity discipline holds through nested NOTs")
   }
 
-  test("partition predicates stay positive-only and AND-weakened") {
+  test("partition predicates: AND weakens; OR unions when BOTH " +
+      "branches constrain the partition column, else reads all") {
     assert(GraftLakeSource.partPredicate(EqualTo("pc", "x"), "pc")
       .exists(p => p("x") && !p("y")))
     assert(GraftLakeSource.partPredicate(
       And(GreaterThan("pc", "b"), u), "pc")
       .exists(p => p("c") && !p("a")), "AND weakens to the pc conjunct")
+    // the r13-verdict OR-union: month='a' OR month='b' prunes to two
     assert(GraftLakeSource.partPredicate(
-      Not(EqualTo("pc", "x")), "pc").isEmpty,
-      "negations never prune (conservative read-all)")
+      Or(EqualTo("pc", "x"), EqualTo("pc", "y")), "pc")
+      .exists(p => p("x") && p("y") && !p("z")))
+    // an OR branch that only constrains a DATA column admits every
+    // partition — the whole OR must read all (sound, not pruned)
     assert(GraftLakeSource.partPredicate(
-      Or(EqualTo("pc", "x"), EqualTo("pc", "y")), "pc").isEmpty,
-      "disjunctions never prune (conservative read-all)")
+      Or(EqualTo("pc", "x"), EqualTo("data", 1)), "pc").isEmpty,
+      "OR mixing partition and data columns stays read-all")
+    // each OR branch may itself be AND-weakened (covariant position)
+    assert(GraftLakeSource.partPredicate(
+      Or(And(EqualTo("pc", "x"), u), EqualTo("pc", "y")), "pc")
+      .exists(p => p("x") && p("y") && !p("z")))
+  }
+
+  test("partition NOT negates only an EXACT pc-only subtree") {
+    assert(GraftLakeSource.partPredicate(
+      Not(EqualTo("pc", "x")), "pc")
+      .exists(p => !p("x") && p("y")), "exact leaf negates")
+    assert(GraftLakeSource.partPredicate(
+      Not(Or(EqualTo("pc", "x"), EqualTo("pc", "y"))), "pc")
+      .exists(p => !p("x") && !p("y") && p("z")))
+    // negating a WEAKENED subtree would prune partitions whose rows
+    // the original filter accepts — must stay read-all
+    assert(GraftLakeSource.partPredicate(
+      Not(And(EqualTo("pc", "x"), u)), "pc").isEmpty,
+      "not(weakened AND) never prunes")
+    assert(GraftLakeSource.partPredicate(
+      Not(And(EqualTo("pc", "x"), EqualTo("data", 1))), "pc").isEmpty,
+      "not(pc AND data) never prunes — the data conjunct weakened away")
+    assert(GraftLakeSource.partPredicate(
+      Not(Not(And(EqualTo("pc", "x"), u))), "pc").isEmpty,
+      "polarity discipline holds through nested NOTs")
   }
 }
