@@ -1,0 +1,4362 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.TextFunctions
+import graft.operators.{Cleaning, Dedup, Quality, Similarity, TextDedup}
+import graft.sources.Tables
+
+import graft.EntryDefsA._
+import graft.EntryDefsB._
+import graft.EntryDefsC._
+import graft.EntryDrives._
+
+/** The DuckDB oracle SQL for every [[SparkEntry.queries]] entry —
+  * mechanically moved out of SparkEntry (r13 verdict #6);
+  * re-exported through [[SparkEntry.oracleSql]]. The text of each
+  * oracle is byte-identical to its pre-split form. */
+private[graft] object Oracles {
+  def oracleSql: Map[String, String] = Map(
+    // the incremental merge is gated against the FULL REBUILD
+    "q86_scd2_merge" -> scd2RebuildSql,
+    "g07_two_hop" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 16 = 0),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM op a JOIN op b
+        |  ON a.ok = b.ok AND a.p < b.p),
+        |nbr AS (SELECT u AS node, v AS nb FROM e
+        |  UNION ALL SELECT v, u FROM e),
+        |two AS (SELECT x.node, y.nb AS nb2 FROM nbr x
+        |  JOIN nbr y ON y.node = x.nb WHERE y.nb <> x.node),
+        |reach AS (SELECT node, count(*) AS n_reach2 FROM (
+        |    SELECT DISTINCT node, r FROM (
+        |      SELECT node, nb AS r FROM nbr
+        |      UNION ALL SELECT node, nb2 FROM two)) GROUP BY 1),
+        |deg AS (SELECT node, count(*) AS deg FROM nbr GROUP BY 1)
+        |SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+        |  CAST(n_reach2 AS BIGINT) AS n_reach2
+        |FROM deg d JOIN reach USING (node)""".stripMargin,
+    "q87_join_size_profile" ->
+      """WITH c AS (SELECT l_partkey, count(*) AS c
+        |  FROM lineitem GROUP BY 1),
+        |a AS (SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(sum(c * c) AS BIGINT) AS self_join_rows FROM c),
+        |t AS (SELECT l_partkey AS top_key, c AS top_c FROM c
+        |  ORDER BY c DESC, l_partkey DESC LIMIT 1)
+        |SELECT n_keys, n_rows, self_join_rows, top_key, top_c,
+        |  self_join_rows * 100 // n_rows AS amp_x100
+        |FROM a, t""".stripMargin,
+    // q88 oracle = FULL RECOMPUTE over (base minus deletes) plus
+    // inserts — deliberately shares no structure with the incremental
+    // state-merge plan (the q86 MERGE-vs-rebuild discipline).
+    "q88_ivm_agg" ->
+      """SELECT l_returnflag AS flag, l_linestatus AS status,
+        |  strftime(l_shipdate, '%Y-%m') AS month,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS price_cents
+        |FROM lineitem
+        |WHERE (l_shipdate <= '1995-12-31' AND l_suppkey % 13 <> 0)
+        |   OR l_shipdate > '1995-12-31'
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q89_observe_metrics" ->
+      """SELECT CAST(count(*) AS BIGINT) AS rows_in,
+        |  CAST(count(CASE WHEN l_quantity >= 25 THEN 1 END) AS BIGINT)
+        |    AS rows_kept,
+        |  CAST(count(CASE WHEN l_discount = 0 THEN 1 END) AS BIGINT)
+        |    AS zero_discount,
+        |  CAST(sum(CASE WHEN l_quantity >= 25
+        |    THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS kept_cents
+        |FROM lineitem""".stripMargin,
+    // q90: every metric re-derived as plain SQL aggregates; the pass
+    // booleans repeat the same integer comparisons
+    "q90_dq_suite" ->
+      """WITH b AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_null_cust,
+        |    count(*) - count(DISTINCT o_orderkey) AS n_dup_key,
+        |    CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_price,
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL
+        |      OR o_orderstatus NOT IN ('O', 'F', 'P')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_status
+        |  FROM orders),
+        |orph AS (
+        |  SELECT count(*) AS n_orphan FROM orders o
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |SELECT 'row_count_min' AS check_name, n_rows AS metric,
+        |  n_rows >= 1000 AS pass FROM b
+        |UNION ALL SELECT 'complete_o_custkey', n_null_cust,
+        |  n_null_cust = 0 FROM b
+        |UNION ALL SELECT 'unique_o_orderkey', n_dup_key,
+        |  n_dup_key = 0 FROM b
+        |UNION ALL SELECT 'range_o_totalprice_pos', n_bad_price,
+        |  n_bad_price = 0 FROM b
+        |UNION ALL SELECT 'values_o_orderstatus', n_bad_status,
+        |  n_bad_status = 0 FROM b
+        |UNION ALL SELECT 'ref_orders_customer', n_orphan,
+        |  n_orphan = 0 FROM orph""".stripMargin,
+    // q91: identical integer-hash draw — the 52-bit md5 prefix compares
+    // against the SAME pre-computed integer thresholds, so weights and
+    // both sums are bit-identical integers in both engines
+    "q91_poisson_bootstrap" ->
+      """WITH reps AS (SELECT range AS b FROM range(0, 33)),
+        |k AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |    AS cents, b,
+        |    ('0x' || substr(md5(o_orderkey || ':bs' || b), 1, 13))::BIGINT
+        |      AS k
+        |  FROM orders, reps),
+        |r AS (SELECT cents, b,
+        |    CASE WHEN b = 0 THEN 1
+        |      WHEN k < 1656781714176974 THEN 0
+        |      WHEN k < 3313563428353948 THEN 1
+        |      WHEN k < 4141954285442435 THEN 2
+        |      WHEN k < 4418084571138597 THEN 3
+        |      WHEN k < 4487117142562638 THEN 4
+        |      WHEN k < 4500923656847446 THEN 5
+        |      ELSE 6 END AS w
+        |  FROM k)
+        |SELECT CAST(b AS BIGINT) AS b, CAST(sum(w) AS BIGINT) AS n_eff,
+        |  CAST(sum(w * cents) AS BIGINT) AS sum_cents
+        |FROM r GROUP BY 1""".stripMargin,
+    "q01_clean_project" ->
+      """SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        |CAST(l_suppkey AS BIGINT) AS premise_code,
+        |CAST(l_partkey AS BIGINT) AS item_code,
+        |CAST(l_extendedprice AS DOUBLE) AS price,
+        |COALESCE(trim(l_returnflag), 'UNKNOWN') AS flag
+        |FROM lineitem""".stripMargin,
+    "q02_dedup_latest" ->
+      """SELECT l_suppkey AS premise_code, l_partkey AS item_code,
+        |strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        |l_extendedprice AS price
+        |FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey, l_partkey
+        |      ORDER BY l_shipdate DESC, l_orderkey, l_linenumber, l_extendedprice) AS rn
+        |      FROM lineitem) WHERE rn = 1""".stripMargin,
+    "q02b_dedup_latest_agg" ->
+      """SELECT l_suppkey AS premise_code, l_partkey AS item_code,
+        |strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        |l_extendedprice AS price
+        |FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey, l_partkey
+        |      ORDER BY l_shipdate DESC, l_orderkey, l_linenumber, l_extendedprice) AS rn
+        |      FROM lineitem) WHERE rn = 1""".stripMargin,
+    "q03_enrich_join" ->
+      """WITH latest AS (
+        |  SELECT l_suppkey AS premise_code, l_partkey AS item_code,
+        |         strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        |         l_extendedprice AS price
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey, l_partkey
+        |        ORDER BY l_shipdate DESC, l_orderkey, l_linenumber, l_extendedprice) AS rn
+        |        FROM lineitem) WHERE rn = 1)
+        |SELECT premise_code, item_code, ship_date, price,
+        |       p_name AS item, p_brand AS brand, s_name AS premise
+        |FROM latest
+        |JOIN part ON item_code = p_partkey
+        |JOIN supplier ON premise_code = s_suppkey""".stripMargin,
+    "q04_unique_assert" ->
+      """SELECT 'part' AS tbl, CAST(count(*) AS BIGINT) AS dup_keys
+        |FROM (SELECT p_partkey FROM part GROUP BY 1 HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'supplier' AS tbl, CAST(count(*) AS BIGINT) AS dup_keys
+        |FROM (SELECT s_suppkey FROM supplier GROUP BY 1 HAVING count(*) > 1)""".stripMargin,
+    "q05_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |round(CAST(sum(l_quantity) AS DOUBLE), 4) AS sum_qty,
+        |round(CAST(sum(l_extendedprice) AS DOUBLE), 4) AS sum_base_price,
+        |round(CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE), 4) AS sum_disc_price,
+        |round(CAST(sum(l_discount) AS DOUBLE), 4) AS sum_disc,
+        |CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q06_filter_pushdown" ->
+      """SELECT l_orderkey, l_extendedprice FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' AND l_quantity < 10""".stripMargin,
+    "q07_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q08_set_ops" ->
+      """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | UNION
+        | SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |EXCEPT
+        |(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | INTERSECT
+        | SELECT c_custkey FROM customer WHERE c_acctbal > 5000)""".stripMargin,
+    "q09_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(rank() OVER (PARTITION BY o_custkey
+        |     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk,
+        |strftime(lag(o_orderdate, 1) OVER w, '%Y-%m-%d') AS prev_date,
+        |round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |     ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_total
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q10_scalar_battery" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_type) AS type_l,
+        |substring(p_name, 1, 5) AS name5,
+        |CAST(len(p_name) AS BIGINT) AS name_len,
+        |round(p_retailprice, 1) AS price_r,
+        |concat_ws('-', p_brand, p_type) AS brand_type,
+        |regexp_replace(p_name, ' ', '_', 'g') AS name_us,
+        |CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+        |p_partkey % 7 AS key_mod,
+        |CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS size_class
+        |FROM part""".stripMargin,
+    "q11_semi_anti_join" ->
+      """SELECT 'with_orders' AS cohort, CAST(count(*) AS BIGINT) AS cnt FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders' AS cohort, CAST(count(*) AS BIGINT) AS cnt FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q12_rollup" ->
+      """SELECT COALESCE(n_name, 'ALL') AS nation,
+        |COALESCE(c_mktsegment, 'ALL') AS segment,
+        |CAST(count(*) AS BIGINT) AS n_cust,
+        |round(CAST(sum(c_acctbal) AS DOUBLE), 4) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)""".stripMargin,
+    "q13_distinct_exact" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS d_parts,
+        |CAST(count(DISTINCT l_suppkey) AS BIGINT) AS d_supps,
+        |CAST(count(DISTINCT (l_partkey, l_suppkey)) AS BIGINT) AS d_pairs
+        |FROM lineitem""".stripMargin,
+    "q14_join_agg" ->
+      """SELECT n_name, round(CAST(sum(o_totalprice) AS DOUBLE), 4) AS revenue,
+        |CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q15_events_tumbling" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+        |event_type, CAST(count(*) AS BIGINT) AS n,
+        |round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // q85: per-id deterministic representative via a row_number window
+    // (an independent formulation of the engine's min-struct agg),
+    // then the q15 reduction
+    "q85_dedup_tumbling" ->
+      """WITH d AS (SELECT ts, event_type, value FROM (
+        |    SELECT ts, event_type, value, row_number() OVER (
+        |      PARTITION BY event_id ORDER BY ts, event_type, value)
+        |      AS rn
+        |    FROM events) WHERE rn = 1)
+        |SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+        |event_type, CAST(count(*) AS BIGINT) AS n,
+        |round(sum(value), 4) AS sum_value
+        |FROM d GROUP BY 1, 2""".stripMargin,
+    "q39_events_dim_join" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+        |c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n,
+        |round(sum(value), 4) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q16_events_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800.0 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM sess GROUP BY 1, 2""".stripMargin,
+    "q17_approx_distinct" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS d_parts,
+        |CAST(count(DISTINCT l_orderkey) AS BIGINT) AS d_orders,
+        |TRUE AS parts_within_5pct,
+        |TRUE AS orders_within_5pct
+        |FROM lineitem""".stripMargin,
+    "q18_asof_join" ->
+      """SELECT o_orderkey,
+        |strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |strftime(l_shipdate, '%Y-%m-%d') AS asof_date
+        |FROM (SELECT o_orderkey, o_orderdate, o_custkey % 10 AS k FROM orders) o
+        |ASOF JOIN (SELECT l_suppkey AS k, l_shipdate FROM lineitem) l
+        |ON o.k = l.k AND l.l_shipdate <= o.o_orderdate""".stripMargin,
+    "q18b_asof_payload" ->
+      """WITH ships AS (
+        |  SELECT l_suppkey AS k, l_shipdate, max(l_extendedprice) AS ship_price
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT o_orderkey,
+        |strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |strftime(l_shipdate, '%Y-%m-%d') AS asof_date,
+        |ship_price
+        |FROM (SELECT o_orderkey, o_orderdate, o_custkey % 10 AS k FROM orders) o
+        |ASOF JOIN ships l
+        |ON o.k = l.k AND l.l_shipdate <= o.o_orderdate""".stripMargin,
+    "q18c_asof_forward" ->
+      """SELECT o_orderkey,
+        |strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |strftime(l_shipdate, '%Y-%m-%d') AS asof_date
+        |FROM (SELECT o_orderkey, o_orderdate, o_custkey % 10 AS k FROM orders) o
+        |ASOF JOIN (SELECT l_suppkey AS k, l_shipdate FROM lineitem) l
+        |ON o.k = l.k AND l.l_shipdate >= o.o_orderdate""".stripMargin,
+    "q19_pivot" ->
+      """SELECT n_name,
+        |round(sum(CASE WHEN c_mktsegment='AUTOMOBILE' THEN o_totalprice END), 4) AS "AUTOMOBILE",
+        |round(sum(CASE WHEN c_mktsegment='BUILDING' THEN o_totalprice END), 4) AS "BUILDING",
+        |round(sum(CASE WHEN c_mktsegment='FURNITURE' THEN o_totalprice END), 4) AS "FURNITURE",
+        |round(sum(CASE WHEN c_mktsegment='HOUSEHOLD' THEN o_totalprice END), 4) AS "HOUSEHOLD",
+        |round(sum(CASE WHEN c_mktsegment='MACHINERY' THEN o_totalprice END), 4) AS "MACHINERY"
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q20_stats" ->
+      """SELECT round(corr(o_totalprice, o_custkey), 6) AS corr_tc,
+        |round(stddev_samp(o_totalprice), 4) AS sd_total,
+        |round(var_samp(o_totalprice), 4) AS var_total,
+        |round(covar_samp(o_totalprice, o_custkey), 4) AS cov_tc
+        |FROM orders""".stripMargin,
+    "q21_string_agg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+    "q22_moving_avg" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |round(sum(l_extendedprice) OVER w, 2) AS ma4_sum,
+        |CAST(count(*) OVER w AS BIGINT) AS ma4_n
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q23_full_outer" ->
+      """SELECT CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'both'
+        |  WHEN c_custkey IS NOT NULL THEN 'customer_only'
+        |  ELSE 'orders_only' END AS presence,
+        |CAST(count(*) AS BIGINT) AS cnt
+        |FROM customer FULL OUTER JOIN
+        |  (SELECT DISTINCT o_custkey FROM orders) o ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
+    "q24_cube" ->
+      """SELECT COALESCE(n_name, 'ALL') AS nation,
+        |COALESCE(c_mktsegment, 'ALL') AS segment,
+        |CAST(count(*) AS BIGINT) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (n_name, c_mktsegment)""".stripMargin,
+    "q25_percentiles" ->
+      """SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        |round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders""".stripMargin,
+    // extremes restated via plain min/max + arg-min/max under the SAME
+    // lexicographic tie-break (min key among min-price rows)
+    "q63_struct_battery" ->
+      """WITH ex AS (
+        |  SELECT o_orderpriority,
+        |    count(*) AS n,
+        |    min(o_totalprice) AS min_price,
+        |    max(o_totalprice) AS max_price
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT ex.o_orderpriority, CAST(n AS INT) AS n,
+        |  min_price,
+        |  (SELECT min(o_orderkey) FROM orders o
+        |   WHERE o.o_orderpriority = ex.o_orderpriority
+        |     AND o.o_totalprice = ex.min_price) AS min_key,
+        |  max_price,
+        |  (SELECT max(o_orderkey) FROM orders o
+        |   WHERE o.o_orderpriority = ex.o_orderpriority
+        |     AND o.o_totalprice = ex.max_price) AS max_key
+        |FROM ex""".stripMargin,
+    "q64_conditional_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+        |  bool_and(l_quantity > 0) AS all_positive,
+        |  bool_or(l_discount > 0.09) AS has_deep_discount,
+        |  CAST(count(*) FILTER (WHERE l_tax > 0.05) AS BIGINT) AS n_taxed
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q62_subquery_battery" ->
+      """WITH probe AS (
+        |  SELECT CASE WHEN l_linenumber = 7 THEN CAST(NULL AS BIGINT)
+        |              ELSE l_orderkey END AS k
+        |  FROM lineitem WHERE l_linenumber >= 6)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_orderkey IN (SELECT k FROM probe)) AS n_in,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |   WHERE EXISTS (SELECT 1 FROM probe p
+        |                 WHERE p.k = o.o_orderkey)) AS n_exists,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM probe p
+        |                     WHERE p.k = o.o_orderkey)) AS n_not_exists,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_orderkey NOT IN (SELECT k FROM probe)) AS n_not_in""".stripMargin,
+    // every map-derived value restated from first principles, no maps
+    "q61_map_battery" ->
+      """SELECT event_id,
+        |  3 AS n_entries,
+        |  event_type AS type_val,
+        |  CAST(CAST(floor(value / 100) AS BIGINT) AS VARCHAR) AS bucket_val,
+        |  strftime(ts, '%Y-%m-%d') AS day_val,
+        |  'bucket,day,type' AS keys,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+        |FROM events""".stripMargin,
+    // restated as the direct long-form aggregation (no pivot detour)
+    "q59_unpivot" ->
+      """SELECT n_name, c_mktsegment AS segment,
+        |  round(CAST(sum(o_totalprice) AS DOUBLE), 4) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'FURNITURE',
+        |  'HOUSEHOLD', 'MACHINERY')
+        |GROUP BY n_name, c_mktsegment""".stripMargin,
+    "q60_rank_battery" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate)""".stripMargin,
+    "t21_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |    AS n_syllables,
+        |  round(206.835
+        |    - 1.015 * (CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+        |        / nullif(CAST(len(regexp_extract_all(text, '[.!?]+')) AS DOUBLE), 0))
+        |    - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+        |        / nullif(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 0)),
+        |    4) AS flesch
+        |FROM documents""".stripMargin,
+    "q58_grouped_percentiles" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q26_salted_agg" ->
+      """SELECT l_returnflag,
+        |round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS total,
+        |CAST(count(l_extendedprice) AS BIGINT) AS n,
+        |min(l_quantity) AS mn, max(l_quantity) AS mx
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q27_tpch_q3" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |o_orderpriority,
+        |round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q28_tpch_q5" ->
+      """SELECT n_name,
+        |round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+    "q29_histogram" ->
+      """SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 11) AS bucket,
+        |CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q30_json_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |GROUP BY event_type""".stripMargin,
+    "q31_datetime" ->
+      """SELECT o_orderkey,
+        |CAST(year(o_orderdate) AS BIGINT) AS y,
+        |CAST(month(o_orderdate) AS BIGINT) AS m,
+        |CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+        |CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS age_days
+        |FROM orders""".stripMargin,
+    "q32_corr_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |round(cust_sum, 2) AS cust_sum, cust_n
+        |FROM orders JOIN (SELECT o_custkey AS ck, avg(o_totalprice) AS avg_price,
+        |                    CAST(sum(o_totalprice) AS DOUBLE) AS cust_sum,
+        |                    CAST(count(*) AS BIGINT) AS cust_n
+        |                  FROM orders GROUP BY 1) a ON o_custkey = ck
+        |WHERE o_totalprice > avg_price""".stripMargin,
+    "q33_bag_setops" ->
+      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_kept FROM (
+        |  SELECT l_partkey FROM lineitem
+        |  EXCEPT ALL
+        |  SELECT l_partkey FROM lineitem WHERE l_quantity > 25
+        |) GROUP BY l_partkey""".stripMargin,
+    "q34_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |first_value(o_orderkey) OVER wf AS first_order,
+        |last_value(o_orderkey) OVER wf AS last_order,
+        |nth_value(o_orderkey, 2) OVER wf AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q35_string_battery2" ->
+      """SELECT n_nationkey,
+        |lpad(n_name, 12, '_') AS padded,
+        |translate(n_name, 'AEIOU', 'aeiou') AS lowered_vowels,
+        |reverse(n_name) AS reversed,
+        |repeat(substring(n_name, 1, 2), 3) AS repeated,
+        |CAST(strpos(n_name, '_') AS BIGINT) AS underscore_at
+        |FROM nation""".stripMargin,
+    "q36_grouping_sets" ->
+      """SELECT COALESCE(n_name, 'ALL') AS nation,
+        |COALESCE(c_mktsegment, 'ALL') AS segment,
+        |CAST(count(*) AS BIGINT) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())""".stripMargin,
+    // Naive BETWEEN join — the bucketized Spark plan must produce the
+    // identical match set (bucketization is lossless by construction).
+    "q37_range_join" ->
+      """WITH iv AS (
+        |  SELECT event_id AS interval_id, ts AS s,
+        |         ts + INTERVAL 10 MINUTE AS e
+        |  FROM events WHERE event_type = 'purchase' AND value > 95)
+        |SELECT interval_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users,
+        |  round(sum(ev.value), 4) AS sum_value
+        |FROM iv JOIN events ev ON ev.ts >= iv.s AND ev.ts < iv.e
+        |GROUP BY 1""".stripMargin,
+    // rank-bound contract: lo/hi are raw values at ranks (q ± 0.01)n —
+    // 10x the sketch's n/1000 guarantee — derived here from first
+    // principles (ordered row_number), independent of the Spark harness
+    "q40_approx_quantiles" ->
+      """WITH nn AS (SELECT count(*) AS n FROM orders),
+        |v AS (SELECT o_totalprice AS val,
+        |        row_number() OVER (ORDER BY o_totalprice) AS r
+        |      FROM orders),
+        |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.99]) AS DOUBLE)
+        |          AS quantile),
+        |-- DOUBLE on purpose — mirror the engine's IEEE rank product
+        |-- (see the q78 oracle note)
+        |k AS (SELECT quantile,
+        |        greatest(1, CAST(floor((quantile - CAST(0.01 AS DOUBLE))
+        |          * n) AS BIGINT)) AS klo,
+        |        least(n, CAST(ceil((quantile + CAST(0.01 AS DOUBLE))
+        |          * n) AS BIGINT)) AS khi
+        |      FROM qs, nn)
+        |SELECT k.quantile, vlo.val AS lo, vhi.val AS hi,
+        |  TRUE AS within_bounds
+        |FROM k JOIN v vlo ON vlo.r = k.klo
+        |JOIN v vhi ON vhi.r = k.khi""".stripMargin,
+    // aggregate-parity oracle; the content equality lives in the
+    // Spark-side signature comparison (roundtrip_ok)
+    "l01_jsonl_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS roundtrip_ok
+        |FROM documents""".stripMargin,
+    // g09: FULL REBUILD over base ∪ delta via the independent
+    // recursive-CTE min-label closure (d07's oracle form) — the
+    // incremental merge must be indistinguishable from it
+    "g09_incremental_cc" ->
+      """WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS ok,
+        |    l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 16 = 0),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p),
+        |sym AS (SELECT u AS a, v AS b FROM e
+        |  UNION SELECT v, u FROM e),
+        |nodes AS (SELECT DISTINCT a AS n FROM sym),
+        |reach(id, comp) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id)
+        |SELECT id AS node, CAST(min(comp) AS BIGINT) AS component
+        |FROM reach GROUP BY 1""".stripMargin,
+    // g10: the identical wedge/anti-join/top-k re-formulated as SQL
+    // CTEs; integer-exact, (n_common desc, u, v) is a total order so
+    // the top-100 cutoff is engine-agnostic
+    "g10_link_prediction" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok,
+        |    l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 16 = 0),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p),
+        |adj AS (SELECT u AS a, v AS b FROM e
+        |  UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT a, count(*) AS deg FROM adj GROUP BY 1),
+        |wed AS (SELECT x.b AS u, y.b AS v, count(*) AS n_common
+        |  FROM adj x JOIN adj y ON x.a = y.a AND x.b < y.b
+        |  GROUP BY 1, 2),
+        |cand AS (SELECT w.u, w.v, w.n_common FROM wed w
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM e WHERE e.u = w.u AND e.v = w.v))
+        |SELECT c.u, c.v, c.n_common,
+        |  du.deg AS deg_u, dv.deg AS deg_v
+        |FROM cand c
+        |JOIN deg du ON du.a = c.u
+        |JOIN deg dv ON dv.a = c.v
+        |ORDER BY c.n_common DESC, c.u, c.v
+        |LIMIT 100""".stripMargin,
+    // t33: same md5-prefix boundary CONTRACT (that is why it is md5,
+    // not xxhash64 — the oracle must recompute it); segmentation
+    // arithmetic re-derived with DuckDB's own window/string_agg forms
+    "t33_cdc_chunking" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 1),
+        |r AS (SELECT doc_id, i, toks[CAST(i AS INT)] AS tok,
+        |    CASE WHEN i >= 3 AND substr(md5(
+        |      toks[CAST(i AS INT) - 2] || ' ' ||
+        |      toks[CAST(i AS INT) - 1] || ' ' ||
+        |      toks[CAST(i AS INT)]), 1, 1) = '0' THEN 1 ELSE 0 END AS flag
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(1, len(toks) + 1)) AS i FROM t)),
+        |c AS (SELECT doc_id, i, tok,
+        |    coalesce(sum(flag) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chunk_id
+        |  FROM r),
+        |ch AS MATERIALIZED (SELECT doc_id, chunk_id, count(*) AS clen,
+        |    md5(string_agg(tok, ' ' ORDER BY i)) AS ch
+        |  FROM c GROUP BY 1, 2),
+        |dup AS (SELECT ch FROM (SELECT DISTINCT doc_id, ch FROM ch)
+        |  GROUP BY ch HAVING count(*) >= 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(max(clen) AS BIGINT) AS max_chunk,
+        |  CAST(sum(clen) AS BIGINT) AS n_toks,
+        |  CAST(count(CASE WHEN ch.ch IN (SELECT ch FROM dup) THEN 1 END)
+        |    AS BIGINT) AS n_shared_chunks
+        |FROM ch GROUP BY 1""".stripMargin,
+    // c13: c12's split windows + d08's string-shingle joins, with the
+    // AFTER-decontamination count recomputed from the pruned set
+    "c13_split_decontam" ->
+      """WITH r AS (SELECT doc_id, lang, text,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':split'), doc_id)
+        |      AS BIGINT) AS rn
+        |  FROM documents),
+        |n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |sp AS MATERIALIZED (SELECT doc_id, text,
+        |    CASE WHEN rn * 100 <= n.n * 98 THEN 'train'
+        |         WHEN rn * 100 <= n.n * 99 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM r JOIN n ON r.lang = n.lang),
+        |t AS (SELECT doc_id, split,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM sp WHERE split <> 'val'),
+        |sh AS MATERIALIZED (SELECT doc_id, split, s FROM (
+        |    SELECT doc_id, split, unnest(
+        |      CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+        |           ELSE [array_to_string(toks[i+1:i+3], ' ')
+        |                 FOR i IN range(0, len(toks)-2)] END) AS s
+        |    FROM t)),
+        |te AS MATERIALIZED (SELECT DISTINCT s FROM sh
+        |  WHERE split = 'test'),
+        |tr AS MATERIALIZED (SELECT doc_id, s FROM sh
+        |  WHERE split = 'train'),
+        |leaky AS MATERIALIZED (SELECT doc_id, count(DISTINCT s) AS ns
+        |  FROM tr JOIN te USING (s) GROUP BY 1),
+        |pruned AS MATERIALIZED (SELECT doc_id FROM leaky WHERE ns >= 2)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sp WHERE split = 'train')
+        |    AS n_train,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sp WHERE split = 'test')
+        |    AS n_test,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM leaky) AS n_leaky_train,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pruned) AS n_pruned_train,
+        |  (SELECT CAST(count(DISTINCT s) AS BIGINT)
+        |   FROM tr JOIN te USING (s)) AS shared_before,
+        |  (SELECT CAST(count(DISTINCT s) AS BIGINT) FROM tr JOIN te USING (s)
+        |   WHERE tr.doc_id NOT IN (SELECT doc_id FROM pruned))
+        |    AS shared_after""".stripMargin,
+    // c14: the identical integer-hash priority arithmetic — u is an
+    // exact 52-bit integer both engines derive from the same md5 hex,
+    // u/w is one correctly-rounded IEEE division, so even the double
+    // `priority` column is bit-identical
+    "c14_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars,
+        |  (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws42'),
+        |      1, 13))::BIGINT + 1)::DOUBLE
+        |    / greatest(n_chars, 1) AS priority
+        |FROM documents
+        |ORDER BY priority, doc_id
+        |LIMIT 100""".stripMargin,
+    // l04: every number predicted from documents + the parity split
+    // rule — the staged evolving-schema files are never read here
+    "l04_schema_evolution" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+        |    AS n_with_quality,
+        |  CAST(coalesce(sum(CASE WHEN doc_id % 2 = 1
+        |    THEN n_chars % 100 END), 0) AS BIGINT) AS sum_quality,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    // l03: the per-lang numbers are recomputed from PARQUET — they gate
+    // the ORC write→read→aggregate path; content equality is the
+    // Spark-side signature boolean (l01 discipline)
+    "l03_orc_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_lang,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, TRUE AS roundtrip_ok
+        |FROM documents GROUP BY 1""".stripMargin,
+    // l05: same contract as l03 — the per-lang numbers are recomputed
+    // from PARQUET and gate the avro write→read→aggregate path; content
+    // equality is the Spark-side signature boolean
+    "l05_avro_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_lang,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, TRUE AS roundtrip_ok
+        |FROM documents GROUP BY 1""".stripMargin,
+    // l06: the join+aggregate recomputed from the ORIGINAL parquet —
+    // gates the partitioned write, the runtime prune, and the join; the
+    // dim month-set is re-derived independently as an IN-subquery
+    "l06_dpp_prune" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |  count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE strftime(l_shipdate, '%Y-%m') IN (
+        |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m')
+        |  FROM orders
+        |  WHERE year(o_orderdate) = 1997 AND quarter(o_orderdate) = 1)
+        |GROUP BY 1""".stripMargin,
+    // l07: per-lang numbers recomputed from parquet gate that the
+    // compaction re-layout moved no rows; files_before is the
+    // FS-MEASURED pre-compaction file count, which the deterministic
+    // residue-staged fragmenter makes equal to the data-derivable
+    // count(DISTINCT doc_id % 4) at any SF; compacted_ok is the
+    // FS-measured one-file-per-lang boolean
+    "l07_compaction" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(count(DISTINCT doc_id % 4) AS BIGINT) AS files_before,
+        |  TRUE AS compacted_ok
+        |FROM documents GROUP BY 1""".stripMargin,
+    // l08: the key-range bounds re-derived from the table's own
+    // min/max with the same integer arithmetic, the aggregate from the
+    // FULL table — if the manifest prune dropped a row, the numbers
+    // diverge; skip_effective is the Spark-side file-count measurement
+    "l08_zonemap_skip" ->
+      """WITH b AS (SELECT min(l_orderkey) AS gmin,
+        |    max(l_orderkey) AS gmax FROM lineitem)
+        |SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+        |    AS qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS price_cents,
+        |  TRUE AS skip_effective
+        |FROM lineitem, b
+        |WHERE l_orderkey BETWEEN gmin + (gmax - gmin) // 2
+        |  AND gmin + (gmax - gmin) * 5 // 8""".stripMargin,
+    // l09: both snapshots and the between-version diff re-derived from
+    // the original parquet — the versioned lake's two time-travel
+    // reads must reproduce them exactly (v1 from the version-1
+    // manifest AFTER version 2 landed, v2 with January/March carried
+    // forward by pointer)
+    "l09_time_travel" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    strftime(l_shipdate, '%Y-%m') AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'),
+        |v2 AS (
+        |  SELECT * FROM li WHERE month <> '1997-02'
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 1, month
+        |  FROM li WHERE month = '1997-02' AND l_linenumber <= 4),
+        |s1 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM li),
+        |s2 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM v2),
+        |d AS (SELECT
+        |    CAST(sum(CASE WHEN a.l_orderkey IS NOT NULL
+        |      AND b.l_orderkey IS NOT NULL
+        |      AND a.l_quantity <> b.l_quantity THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_changed_vs_prev,
+        |    CAST(sum(CASE WHEN b.l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_removed_vs_prev,
+        |    CAST(sum(CASE WHEN a.l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_added_vs_prev
+        |  FROM li a FULL OUTER JOIN v2 b
+        |    ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_linenumber = b.l_linenumber)
+        |SELECT CAST(1 AS INTEGER) AS version, s1.n_rows, s1.sum_qty,
+        |  s1.key_sig, CAST(0 AS BIGINT) AS n_changed_vs_prev,
+        |  CAST(0 AS BIGINT) AS n_removed_vs_prev,
+        |  CAST(0 AS BIGINT) AS n_added_vs_prev
+        |FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), s2.n_rows, s2.sum_qty, s2.key_sig,
+        |  d.n_changed_vs_prev, d.n_removed_vs_prev, d.n_added_vs_prev
+        |FROM s2, d""".stripMargin,
+    // l10: the two RETAINED snapshots re-derived from the original
+    // parquet — read AFTER the vacuum, so a deleted live file fails
+    // the numbers; the vacuum/orphan/readability outcomes are computed
+    // Spark-side booleans
+    "l10_vacuum" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    strftime(l_shipdate, '%Y-%m') AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'),
+        |v2 AS (
+        |  SELECT * FROM li WHERE month <> '1997-02'
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 1, month
+        |  FROM li WHERE month = '1997-02' AND l_linenumber <= 4),
+        |v3 AS (
+        |  SELECT * FROM v2 WHERE month <> '1997-03'
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 2, month
+        |  FROM li WHERE month = '1997-03' AND l_linenumber <= 3)
+        |SELECT CAST(2 AS INTEGER) AS version, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  TRUE AS v1_vacuumed, TRUE AS no_orphans,
+        |  TRUE AS files_deleted
+        |FROM v2
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), count(*), round(sum(l_quantity), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  TRUE, TRUE, TRUE
+        |FROM v3""".stripMargin,
+    // l11: the MERGEd snapshot re-derived from the original parquet —
+    // updates as a CASE over the key predicate, inserts appended; the
+    // diff counts follow from the construction (every update changes
+    // the quantity, nothing is removed)
+    "l11_merge_into" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity,
+        |    min(strftime(l_shipdate, '%Y-%m')) AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'
+        |  GROUP BY 1, 2),
+        |v2 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN month = '1997-02' AND l_linenumber <= 2
+        |         THEN l_quantity + 5 ELSE l_quantity END AS l_quantity,
+        |    month
+        |  FROM li
+        |  UNION ALL
+        |  SELECT l_orderkey +
+        |      (SELECT (max(l_orderkey) // 10000000 + 1) * 10000000
+        |       FROM li),
+        |    l_linenumber, l_quantity + 3, month
+        |  FROM li WHERE month = '1997-02' AND l_linenumber = 7),
+        |s1 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM li),
+        |s2 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM v2),
+        |d AS (SELECT
+        |    CAST(count(CASE WHEN month = '1997-02' AND l_linenumber <= 2
+        |      THEN 1 END) AS BIGINT) AS n_changed_vs_prev,
+        |    CAST(0 AS BIGINT) AS n_removed_vs_prev,
+        |    CAST(count(CASE WHEN month = '1997-02' AND l_linenumber = 7
+        |      THEN 1 END) AS BIGINT) AS n_added_vs_prev
+        |  FROM li)
+        |SELECT CAST(1 AS INTEGER) AS version, s1.n_rows, s1.sum_qty,
+        |  s1.key_sig, CAST(0 AS BIGINT) AS n_changed_vs_prev,
+        |  CAST(0 AS BIGINT) AS n_removed_vs_prev,
+        |  CAST(0 AS BIGINT) AS n_added_vs_prev
+        |FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), s2.n_rows, s2.sum_qty, s2.key_sig,
+        |  d.n_changed_vs_prev, d.n_removed_vs_prev, d.n_added_vs_prev
+        |FROM s2, d""".stripMargin,
+    // l12: both versions' range aggregates re-derived from the
+    // original parquet with the bounds recomputed from the table's own
+    // min/max (== the manifest stats' global bounds by construction);
+    // a wrongly-skipped file diverges the numbers, skip_effective is
+    // the Spark-side file-count measurement
+    "l12_versioned_zonemap" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    strftime(l_shipdate, '%Y-%m') AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'),
+        |v2 AS (
+        |  SELECT * FROM li WHERE month <> '1997-02'
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 1, month
+        |  FROM li WHERE month = '1997-02' AND l_linenumber <= 4),
+        |r AS (SELECT gmin + (gmax - gmin) * 3 // 8 AS lo,
+        |    gmin + (gmax - gmin) // 2 AS hi
+        |  FROM (SELECT min(l_orderkey) AS gmin,
+        |    max(l_orderkey) AS gmax FROM li))
+        |SELECT CAST(1 AS INTEGER) AS version, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  TRUE AS skip_effective
+        |FROM li, r WHERE l_orderkey BETWEEN lo AND hi
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), count(*), round(sum(l_quantity), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT), TRUE
+        |FROM v2, r WHERE l_orderkey BETWEEN lo AND hi""".stripMargin,
+    // l13: every change-feed number re-derived from the original
+    // parquet by the restatement's construction — updates are the
+    // deduped February lines <= 4 (before = original, after = +1),
+    // removals the lines > 4, inserts the offset copies of line 7
+    "l13_table_changes" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity,
+        |    min(strftime(l_shipdate, '%Y-%m')) AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'
+        |  GROUP BY 1, 2),
+        |feb AS (SELECT * FROM li WHERE month = '1997-02')
+        |SELECT 'added' AS change_kind, count(*) AS n,
+        |  round(0.0, 2) AS sum_before,
+        |  round(sum(l_quantity + 3), 2) AS sum_after
+        |FROM feb WHERE l_linenumber = 7
+        |UNION ALL
+        |SELECT 'changed', count(*), round(sum(l_quantity), 2),
+        |  round(sum(l_quantity + 1), 2)
+        |FROM feb WHERE l_linenumber <= 4
+        |UNION ALL
+        |SELECT 'removed', count(*), round(sum(l_quantity), 2),
+        |  round(0.0, 2)
+        |FROM feb WHERE l_linenumber > 4""".stripMargin,
+    // l14: per-month numbers from the original parquet gate that the
+    // OPTIMIZE re-layout moved no rows; files_before is the
+    // FS-measured manifest count, equal by the deterministic staging
+    // to 3 for the thrice-appended February and 1 elsewhere
+    "l14_versioned_optimize" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |  count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  CAST(CASE WHEN strftime(l_shipdate, '%Y-%m') = '1997-02'
+        |    THEN 3 ELSE 1 END AS BIGINT) AS files_before,
+        |  TRUE AS compacted_ok
+        |FROM lineitem
+        |WHERE strftime(l_shipdate, '%Y-%m')
+        |  BETWEEN '1997-01' AND '1997-03'
+        |GROUP BY 1""".stripMargin,
+    // l15: l11's oracle shape with the DELETE verb — tombstoned lines
+    // 5-6 leave v2 entirely, so s2/d re-derive from the construction:
+    // updates = feb lines <= 2, removals = lines 5-6, inserts = line 7
+    // at the max-key-derived offset
+    "l15_merge_delete" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity,
+        |    min(strftime(l_shipdate, '%Y-%m')) AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'
+        |  GROUP BY 1, 2),
+        |v2 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN month = '1997-02' AND l_linenumber <= 2
+        |         THEN l_quantity + 5 ELSE l_quantity END AS l_quantity,
+        |    month
+        |  FROM li
+        |  WHERE NOT (month = '1997-02' AND l_linenumber BETWEEN 5 AND 6)
+        |  UNION ALL
+        |  SELECT l_orderkey +
+        |      (SELECT (max(l_orderkey) // 10000000 + 1) * 10000000
+        |       FROM li),
+        |    l_linenumber, l_quantity + 3, month
+        |  FROM li WHERE month = '1997-02' AND l_linenumber = 7),
+        |s1 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM li),
+        |s2 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM v2),
+        |d AS (SELECT
+        |    CAST(count(CASE WHEN month = '1997-02' AND l_linenumber <= 2
+        |      THEN 1 END) AS BIGINT) AS n_changed_vs_prev,
+        |    CAST(count(CASE WHEN month = '1997-02'
+        |      AND l_linenumber BETWEEN 5 AND 6
+        |      THEN 1 END) AS BIGINT) AS n_removed_vs_prev,
+        |    CAST(count(CASE WHEN month = '1997-02' AND l_linenumber = 7
+        |      THEN 1 END) AS BIGINT) AS n_added_vs_prev
+        |  FROM li)
+        |SELECT CAST(1 AS INTEGER) AS version, s1.n_rows, s1.sum_qty,
+        |  s1.key_sig, CAST(0 AS BIGINT) AS n_changed_vs_prev,
+        |  CAST(0 AS BIGINT) AS n_removed_vs_prev,
+        |  CAST(0 AS BIGINT) AS n_added_vs_prev
+        |FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), s2.n_rows, s2.sum_qty, s2.key_sig,
+        |  d.n_changed_vs_prev, d.n_removed_vs_prev, d.n_added_vs_prev
+        |FROM s2, d""".stripMargin,
+    // l33: the DV-merge must be read-indistinguishable from l15's
+    // rewrite merge, so v2/s1/s2/d restate l15's oracle verbatim; the
+    // economics columns re-derive from the construction — dv_rows =
+    // matched stored rows (updates + tombstones), fresh_rows = the
+    // delta's upsert rows (updates + inserts); base_files_carried is
+    // the engine-side pointer invariant (the l10 boolean discipline)
+    "l33_merge_dv" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity,
+        |    min(strftime(l_shipdate, '%Y-%m')) AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'
+        |  GROUP BY 1, 2),
+        |v2 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN month = '1997-02' AND l_linenumber <= 2
+        |         THEN l_quantity + 5 ELSE l_quantity END AS l_quantity,
+        |    month
+        |  FROM li
+        |  WHERE NOT (month = '1997-02' AND l_linenumber BETWEEN 5 AND 6)
+        |  UNION ALL
+        |  SELECT l_orderkey +
+        |      (SELECT (max(l_orderkey) // 10000000 + 1) * 10000000
+        |       FROM li),
+        |    l_linenumber, l_quantity + 3, month
+        |  FROM li WHERE month = '1997-02' AND l_linenumber = 7),
+        |s1 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM li),
+        |s2 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM v2),
+        |d AS (SELECT
+        |    CAST(count(CASE WHEN month = '1997-02' AND l_linenumber <= 2
+        |      THEN 1 END) AS BIGINT) AS n_changed_vs_prev,
+        |    CAST(count(CASE WHEN month = '1997-02'
+        |      AND l_linenumber BETWEEN 5 AND 6
+        |      THEN 1 END) AS BIGINT) AS n_removed_vs_prev,
+        |    CAST(count(CASE WHEN month = '1997-02' AND l_linenumber = 7
+        |      THEN 1 END) AS BIGINT) AS n_added_vs_prev,
+        |    CAST(count(CASE WHEN month = '1997-02'
+        |      AND (l_linenumber <= 2 OR l_linenumber BETWEEN 5 AND 6)
+        |      THEN 1 END) AS BIGINT) AS dv_rows,
+        |    CAST(count(CASE WHEN month = '1997-02'
+        |      AND (l_linenumber <= 2 OR l_linenumber = 7)
+        |      THEN 1 END) AS BIGINT) AS fresh_rows
+        |  FROM li)
+        |SELECT CAST(1 AS INTEGER) AS version, s1.n_rows, s1.sum_qty,
+        |  s1.key_sig, CAST(0 AS BIGINT) AS n_changed_vs_prev,
+        |  CAST(0 AS BIGINT) AS n_removed_vs_prev,
+        |  CAST(0 AS BIGINT) AS n_added_vs_prev,
+        |  TRUE AS base_files_carried, d.dv_rows, d.fresh_rows
+        |FROM s1, d
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), s2.n_rows, s2.sum_qty, s2.key_sig,
+        |  d.n_changed_vs_prev, d.n_removed_vs_prev, d.n_added_vs_prev,
+        |  TRUE, d.dv_rows, d.fresh_rows
+        |FROM s2, d""".stripMargin,
+    // l16: v2 = January/March untouched + February restated to lines
+    // <= 4 with quantity + 1 and a marker column; n_src counts the
+    // restated rows (0 for v1 — the back-filled NULLs)
+    "l16_versioned_schema_evolution" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    strftime(l_shipdate, '%Y-%m') AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'),
+        |v2 AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, 0 AS src_n
+        |  FROM li WHERE month <> '1997-02'
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 1, 1
+        |  FROM li WHERE month = '1997-02' AND l_linenumber <= 4)
+        |SELECT CAST(1 AS INTEGER) AS version, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  CAST(0 AS BIGINT) AS n_src
+        |FROM li
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), count(*), round(sum(l_quantity), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  CAST(sum(src_n) AS BIGINT)
+        |FROM v2""".stripMargin,
+    // l17: OPTIMIZE ZORDER is pure re-layout, so BOTH phases' numbers
+    // are the same range aggregate over the original parquet (bounds
+    // re-derived from the table's own min/max — == the manifest's
+    // global stats by construction); layout_ok carries the Spark-side
+    // file-skip measurement as a margin boolean
+    "l17_zorder_optimize" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    strftime(l_shipdate, '%Y-%m') AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'),
+        |r AS (SELECT gmin + (gmax - gmin) * 3 // 8 AS lo,
+        |    gmin + (gmax - gmin) // 2 AS hi
+        |  FROM (SELECT min(l_orderkey) AS gmin,
+        |    max(l_orderkey) AS gmax FROM li))
+        |SELECT 'pre' AS phase, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  TRUE AS layout_ok
+        |FROM li, r WHERE l_orderkey BETWEEN lo AND hi
+        |UNION ALL
+        |SELECT 'post', count(*), round(sum(l_quantity), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT), TRUE
+        |FROM li, r WHERE l_orderkey BETWEEN lo AND hi""".stripMargin,
+    // l18: the three as-of resolutions re-derived by construction —
+    // ts 250 lands between commits (version 2), 300 hits exactly
+    // (version 3), 9999 resolves to the newest stamped commit
+    "l18_timestamp_asof" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    strftime(l_shipdate, '%Y-%m') AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'),
+        |v2 AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, month
+        |  FROM li WHERE month <> '1997-02'
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 1, month
+        |  FROM li WHERE month = '1997-02' AND l_linenumber <= 4),
+        |v3 AS (
+        |  SELECT * FROM v2 WHERE month <> '1997-03'
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 2, month
+        |  FROM li WHERE month = '1997-03' AND l_linenumber <= 3),
+        |s2 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM v2),
+        |s3 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM v3)
+        |SELECT CAST(2 AS INTEGER) AS version, n_rows, sum_qty, key_sig,
+        |  CAST(250 AS BIGINT) AS asof_ts, TRUE AS before_first_fails
+        |FROM s2
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), n_rows, sum_qty, key_sig,
+        |  CAST(300 AS BIGINT), TRUE
+        |FROM s3
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), n_rows, sum_qty, key_sig,
+        |  CAST(9999 AS BIGINT), TRUE
+        |FROM s3""".stripMargin,
+    // l19: the FULL RECOMPUTE of the maintained view over the final
+    // state by the restatements' construction — maintenance is correct
+    // iff indistinguishable from rebuilding (the q86/q88 discipline);
+    // integer cents end to end
+    "l19_cdf_ivm" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(round(min(l_quantity) * 100, 0) AS BIGINT) AS qty_c,
+        |    min(strftime(l_shipdate, '%Y-%m')) AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'
+        |  GROUP BY 1, 2),
+        |v3 AS (
+        |  SELECT month, qty_c FROM li WHERE month = '1997-01'
+        |  UNION ALL
+        |  SELECT month, qty_c + 100 FROM li
+        |  WHERE month = '1997-02' AND l_linenumber <= 4
+        |  UNION ALL
+        |  SELECT month, qty_c + 300 FROM li
+        |  WHERE month = '1997-02' AND l_linenumber = 7
+        |  UNION ALL
+        |  SELECT month, qty_c + 200 FROM li
+        |  WHERE month = '1997-03' AND l_linenumber <= 3)
+        |SELECT month, count(*) AS n_rows,
+        |  CAST(sum(qty_c) AS BIGINT) AS qty_cents,
+        |  TRUE AS ivm_eq_rebuild
+        |FROM v3 GROUP BY 1""".stripMargin,
+    // l20: the three post-vacuum snapshots by construction — src and
+    // the deep clone hold version 2 (February restated), the shallow
+    // branch adds its own March restatement on top
+    "l20_clone" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    strftime(l_shipdate, '%Y-%m') AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'),
+        |v2 AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, month
+        |  FROM li WHERE month <> '1997-02'
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 1, month
+        |  FROM li WHERE month = '1997-02' AND l_linenumber <= 4),
+        |br AS (
+        |  SELECT * FROM v2 WHERE month <> '1997-03'
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 2, month
+        |  FROM li WHERE month = '1997-03' AND l_linenumber <= 3),
+        |agg2 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM v2),
+        |aggb AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM br)
+        |SELECT n_rows, sum_qty, key_sig, 'src' AS snapshot FROM agg2
+        |UNION ALL
+        |SELECT n_rows, sum_qty, key_sig, 'branch' FROM aggb
+        |UNION ALL
+        |SELECT n_rows, sum_qty, key_sig, 'deep' FROM agg2""".stripMargin,
+    // l21: the bad version's snapshot and the restored one — which
+    // must equal version 1 (the plain Q1 slice) exactly
+    "l21_restore" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    strftime(l_shipdate, '%Y-%m') AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'),
+        |v2 AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity
+        |  FROM li WHERE month <> '1997-02'
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 9
+        |  FROM li WHERE month = '1997-02' AND l_linenumber <= 2)
+        |SELECT CAST(2 AS INTEGER) AS version, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  TRUE AS history_forward, TRUE AS zero_copy
+        |FROM v2
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), count(*), round(sum(l_quantity), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  TRUE, TRUE
+        |FROM li""".stripMargin,
+    // l22: the (1, 3] append feed is exactly the February + March
+    // commits' rows by construction; the rewrite refusal is the
+    // Spark-side boolean
+    "l22_append_feed" ->
+      """SELECT count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  TRUE AS rewrite_refused
+        |FROM lineitem
+        |WHERE strftime(l_shipdate, '%Y-%m') IN ('1997-02', '1997-03')""".stripMargin,
+    // l23: l15's delete slice executed as DELETION VECTORS — v2 folds
+    // feb lines 5-6 out (removed-only diff), v3 is the OPTIMIZE
+    // re-layout (content identical to v2, zero diffs); the manifest
+    // witnesses (no data rewrite, sidecars present, sidecars retired)
+    // are engine-side booleans the oracle expects TRUE
+    "l23_deletion_vectors" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity,
+        |    min(strftime(l_shipdate, '%Y-%m')) AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'
+        |  GROUP BY 1, 2),
+        |v2 AS (
+        |  SELECT * FROM li
+        |  WHERE NOT (month = '1997-02' AND l_linenumber BETWEEN 5 AND 6)),
+        |s1 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM li),
+        |s2 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM v2),
+        |d AS (SELECT CAST(count(*) AS BIGINT) AS n_removed FROM li
+        |  WHERE month = '1997-02' AND l_linenumber BETWEEN 5 AND 6)
+        |SELECT CAST(1 AS INTEGER) AS version, s1.n_rows, s1.sum_qty,
+        |  s1.key_sig, CAST(0 AS BIGINT) AS n_changed_vs_prev,
+        |  CAST(0 AS BIGINT) AS n_removed_vs_prev,
+        |  CAST(0 AS BIGINT) AS n_added_vs_prev,
+        |  TRUE AS no_data_rewrite, TRUE AS dv_sidecars_v2,
+        |  TRUE AS dv_retired_v3
+        |FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), s2.n_rows, s2.sum_qty, s2.key_sig,
+        |  CAST(0 AS BIGINT), d.n_removed, CAST(0 AS BIGINT),
+        |  TRUE, TRUE, TRUE
+        |FROM s2, d
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), s2.n_rows, s2.sum_qty, s2.key_sig,
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  TRUE, TRUE, TRUE
+        |FROM s2""".stripMargin,
+    // l24: every probe re-derived from the construction — v3 mixes
+    // January/March (old physical name, values pass through the id
+    // map) with the +1 February restatement; v5's January/March read
+    // NULL for the re-added qty (fresh id — no resurrection), so
+    // n_qty counts only the new February rows; v1_evolved is all-NULL
+    "l24_column_mapping" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity,
+        |    min(strftime(l_shipdate, '%Y-%m')) AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'
+        |  GROUP BY 1, 2),
+        |jm AS (SELECT * FROM li WHERE month <> '1997-02'),
+        |v3 AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity AS qty FROM jm
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 1 FROM li
+        |  WHERE month = '1997-02' AND l_linenumber <= 4),
+        |v5 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(NULL AS DOUBLE) AS qty FROM jm
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_linenumber AS DOUBLE) FROM li
+        |  WHERE month = '1997-02' AND l_linenumber <= 2)
+        |SELECT 'v1' AS probe, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  count(l_quantity) AS n_qty, TRUE AS rename_zero_copy
+        |FROM li
+        |UNION ALL
+        |SELECT 'v3_renamed', count(*), round(sum(qty), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  count(qty), TRUE
+        |FROM v3
+        |UNION ALL
+        |SELECT 'v5_readd', count(*),
+        |  round(coalesce(sum(qty), 0), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  count(qty), TRUE
+        |FROM v5
+        |UNION ALL
+        |SELECT 'v1_evolved', count(*), CAST(0.0 AS DOUBLE),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  CAST(0 AS BIGINT), TRUE
+        |FROM li""".stripMargin,
+    // l25: l09's restatement story on a SEGMENTED-manifest lake — the
+    // v1/v2 snapshots and diff re-derive from parquet (an entry line
+    // lost/duplicated/mis-expanded by segmentation fails
+    // n_rows/key_sig); version 3 is the pointer-PRUNED February read
+    // of v2; the segment counters are per-partition (3 months → 3
+    // segments, Feb restated → 1 fresh + 2 reused), deterministic by
+    // construction
+    "l25_segmented_manifests" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity,
+        |    min(strftime(l_shipdate, '%Y-%m')) AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'
+        |  GROUP BY 1, 2),
+        |v2 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN month = '1997-02' THEN l_quantity + 1
+        |         ELSE l_quantity END AS l_quantity,
+        |    month
+        |  FROM li
+        |  WHERE month <> '1997-02' OR l_linenumber <= 4),
+        |s1 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM li),
+        |s2 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM v2),
+        |s3 AS (SELECT count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM v2 WHERE month = '1997-02'),
+        |chg AS (SELECT CAST(count(*) AS BIGINT) AS n FROM li
+        |  WHERE month = '1997-02' AND l_linenumber <= 4),
+        |rem AS (SELECT CAST(count(*) AS BIGINT) AS n FROM li
+        |  WHERE month = '1997-02' AND l_linenumber > 4)
+        |SELECT CAST(1 AS INTEGER) AS version, s1.n_rows, s1.sum_qty,
+        |  s1.key_sig, CAST(0 AS BIGINT) AS n_changed_vs_prev,
+        |  CAST(0 AS BIGINT) AS n_removed_vs_prev,
+        |  CAST(0 AS BIGINT) AS n_added_vs_prev,
+        |  CAST(3 AS INTEGER) AS segs_total,
+        |  CAST(2 AS INTEGER) AS segs_reused_v2,
+        |  CAST(1 AS INTEGER) AS segs_fresh_v2
+        |FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), s2.n_rows, s2.sum_qty, s2.key_sig,
+        |  chg.n, rem.n, CAST(0 AS BIGINT),
+        |  CAST(3 AS INTEGER), CAST(2 AS INTEGER), CAST(1 AS INTEGER)
+        |FROM s2, chg, rem
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), s3.n_rows, s3.sum_qty, s3.key_sig,
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(3 AS INTEGER), CAST(2 AS INTEGER), CAST(1 AS INTEGER)
+        |FROM s3""".stripMargin,
+    // l26: the final snapshot (Jan/Mar ∪ Feb lines<=4 qty+1 — the
+    // violating qty=-5 restatement never landed) and the violating
+    // delta's row count re-derive from parquet; the engine booleans
+    // are expected TRUE except add_over_violating_refused, which the
+    // oracle re-derives as the actual refusal condition max(qty) > 10
+    "l26_table_constraints" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity,
+        |    min(strftime(l_shipdate, '%Y-%m')) AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'
+        |  GROUP BY 1, 2),
+        |v4 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN month = '1997-02' THEN l_quantity + 1
+        |         ELSE l_quantity END AS l_quantity,
+        |    month
+        |  FROM li
+        |  WHERE month <> '1997-02' OR l_linenumber <= 4)
+        |SELECT count(*) AS n_rows_v4,
+        |  round(sum(l_quantity), 2) AS sum_qty_v4,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |    AS key_sig_v4,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM li
+        |   WHERE month = '1997-02' AND l_linenumber <= 2) AS viol_rows,
+        |  TRUE AS violating_commit_aborted,
+        |  TRUE AS no_version_minted,
+        |  (SELECT max(l_quantity) > 10 FROM v4)
+        |    AS add_over_violating_refused,
+        |  TRUE AS drop_column_refused,
+        |  TRUE AS constraint_carried
+        |FROM v4""".stripMargin,
+    // l27: both probes re-derive with PLAIN source-column predicates —
+    // the transform/prune machinery must be invisible in the result;
+    // partition counters are per-partition (3 months, Feb range -> 1),
+    // deterministic; bucket keys are the 5 lowest distinct February
+    // orderkeys (deterministic)
+    "l27_hidden_partitioning" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity,
+        |    min(CAST(l_shipdate AS DATE)) AS l_shipdate
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE)
+        |    BETWEEN DATE '1997-01-01' AND DATE '1997-03-31'
+        |  GROUP BY 1, 2),
+        |keys AS (
+        |  SELECT DISTINCT l_orderkey FROM li
+        |  WHERE strftime(l_shipdate, '%Y-%m') = '1997-02'
+        |  ORDER BY 1 LIMIT 5)
+        |SELECT 'range_month' AS probe, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  CAST(3 AS INTEGER) AS parts_total_month,
+        |  CAST(1 AS INTEGER) AS parts_scanned_range,
+        |  TRUE AS bucket_pruned, TRUE AS hidden_col_absent
+        |FROM li
+        |WHERE l_shipdate BETWEEN DATE '1997-02-03' AND DATE '1997-02-20'
+        |UNION ALL
+        |SELECT 'match_bucket', count(*), round(sum(l_quantity), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  CAST(3 AS INTEGER), CAST(1 AS INTEGER), TRUE, TRUE
+        |FROM li
+        |WHERE l_orderkey IN (SELECT l_orderkey FROM keys)""".stripMargin,
+    // l31: the mixed-era reads must be TRANSFORM-INVISIBLE — plain
+    // source-column predicates over the original parquet; the scanned
+    // counters re-derive from the data (months with data in the
+    // projected month window for the month era, days with data in the
+    // bound window for the day era); pruned is the engine boolean
+    "l31_partspec_evolution" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity,
+        |    min(CAST(l_shipdate AS DATE)) AS l_shipdate
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE)
+        |    BETWEEN DATE '1997-01-01' AND DATE '1997-04-30'
+        |  GROUP BY 1, 2),
+        |me AS (
+        |  SELECT CAST(count(DISTINCT strftime(l_shipdate, '%Y-%m'))
+        |      AS INTEGER) AS n
+        |  FROM li
+        |  WHERE l_shipdate < DATE '1997-04-01'
+        |    AND strftime(l_shipdate, '%Y-%m') >= '1997-02'),
+        |de AS (
+        |  SELECT CAST(count(DISTINCT l_shipdate) AS INTEGER) AS n
+        |  FROM li
+        |  WHERE l_shipdate
+        |    BETWEEN DATE '1997-04-01' AND DATE '1997-04-05')
+        |SELECT 'range_mixed' AS probe, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  me.n AS parts_month_era_scanned,
+        |  de.n AS parts_day_era_scanned,
+        |  TRUE AS pruned
+        |FROM li, me, de
+        |WHERE l_shipdate BETWEEN DATE '1997-02-10' AND DATE '1997-04-05'
+        |GROUP BY me.n, de.n
+        |UNION ALL
+        |SELECT 'match_mixed', count(*), round(sum(l_quantity), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  me.n, de.n, TRUE
+        |FROM li, me, de
+        |WHERE l_shipdate IN (DATE '1997-02-14', DATE '1997-04-03')
+        |GROUP BY me.n, de.n""".stripMargin,
+    // l34: both views' February aggregates re-derive from the
+    // original parquet (v2 = the l09 restatement: lines <= 4 kept at
+    // quantity + 1); the prune counters are the Q1 fixture's 3 month
+    // partitions with 1 probed
+    "l34_datasource_v2" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    strftime(l_shipdate, '%Y-%m') AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03')
+        |SELECT 'v1_feb' AS probe, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  CAST(3 AS INTEGER) AS parts_live,
+        |  CAST(1 AS INTEGER) AS parts_read
+        |FROM li WHERE month = '1997-02'
+        |UNION ALL
+        |SELECT 'v2_feb', count(*), round(sum(l_quantity + 1), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  CAST(3 AS INTEGER), CAST(1 AS INTEGER)
+        |FROM li WHERE month = '1997-02' AND l_linenumber <= 4""".stripMargin,
+    // l35: the library-append equality — Q1+Apr+May re-derive from
+    // the original parquet; if the format's append/txn-append had
+    // landed differently from library appends (dropped rows, a
+    // double-applied May replay, a forked version) the aggregates or
+    // the engine booleans would miss
+    "l35_datasource_v2_write" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    strftime(l_shipdate, '%Y-%m') AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-05')
+        |SELECT 'fmt_appended' AS probe, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  TRUE AS replay_noop, TRUE AS tt_write_refused
+        |FROM li
+        |UNION ALL
+        |SELECT 'pre_append', count(*), round(sum(l_quantity), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  TRUE, TRUE
+        |FROM li WHERE month <= '1997-03'""".stripMargin,
+    // l32: both versions' aggregates re-derive through the same
+    // narrow-then-widen casts (quantities are integral, so the
+    // REAL→DOUBLE sums are bit-exact); the refusal witnesses are
+    // engine booleans
+    "l32_type_widening" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS REAL) AS qf,
+        |    CAST(l_quantity AS DOUBLE) AS qd,
+        |    strftime(l_shipdate, '%Y-%m') AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-04')
+        |SELECT 'v1_narrow' AS probe, count(*) AS n_rows,
+        |  round(sum(CAST(qf AS DOUBLE)), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  TRUE AS narrow_refused, TRUE AS minted_nothing,
+        |  TRUE AS types_widened
+        |FROM li WHERE month < '1997-04'
+        |UNION ALL
+        |SELECT 'v2_mixed', count(*),
+        |  round(sum(CASE WHEN month < '1997-04'
+        |    THEN CAST(qf AS DOUBLE) ELSE qd END), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  TRUE, TRUE, TRUE
+        |FROM li""".stripMargin,
+    // l28: both lookups re-derive with PLAIN IN predicates (the bloom
+    // prune must be result-invisible — a wrongly skipped file loses
+    // rows); keys are the 5 lowest distinct partkeys (deterministic);
+    // the append carries kmin on shifted orderkeys (ttKeyOffset rule);
+    // skip/incremental witnesses are engine booleans expected TRUE
+    "l28_bloom_index" ->
+      s"""WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity,
+        |    min(l_partkey) AS l_partkey,
+        |    min(strftime(l_shipdate, '%Y-%m')) AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'
+        |  GROUP BY 1, 2),
+        |keys AS (
+        |  SELECT DISTINCT l_partkey FROM li ORDER BY 1 LIMIT 5),
+        |v2 AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_partkey
+        |  FROM li
+        |  UNION ALL
+        |  SELECT l_orderkey + $ttKeyOffsetSql, l_linenumber,
+        |    l_quantity, (SELECT min(l_partkey) FROM keys)
+        |  FROM li WHERE month = '1997-02' AND l_linenumber <= 2)
+        |SELECT 'v1_lookup' AS probe, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  TRUE AS bloom_skips_v1, TRUE AS bloom_skips_v2,
+        |  TRUE AS incremental_fresh_only
+        |FROM li WHERE l_partkey IN (SELECT l_partkey FROM keys)
+        |UNION ALL
+        |SELECT 'v2_lookup', count(*), round(sum(l_quantity), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  TRUE, TRUE, TRUE
+        |FROM v2 WHERE l_partkey IN (SELECT l_partkey FROM keys)"""
+        .stripMargin,
+    // l29: every history field re-derives from the construction — the
+    // five verbs' op labels, txn/ts presence, partition counts, DV
+    // flag, constraint count, and each version's snapshot row count
+    "l29_table_history" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity,
+        |    min(strftime(l_shipdate, '%Y-%m')) AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'
+        |  GROUP BY 1, 2),
+        |n1 AS (SELECT count(*) AS n FROM li),
+        |n2 AS (SELECT
+        |    (SELECT count(*) FROM li WHERE month <> '1997-02') +
+        |    (SELECT count(*) FROM li
+        |     WHERE month = '1997-02' AND l_linenumber <= 4) AS n),
+        |d1 AS (SELECT count(*) AS n FROM li
+        |  WHERE month = '1997-02' AND l_linenumber = 1)
+        |SELECT CAST(1 AS INTEGER) AS version, 'overwrite' AS op,
+        |  FALSE AS has_txn, FALSE AS has_ts,
+        |  CAST(3 AS INTEGER) AS n_parts, FALSE AS has_dvs,
+        |  CAST(0 AS INTEGER) AS n_constraints,
+        |  (SELECT n FROM n1) AS n_rows
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), 'upsert', TRUE, FALSE,
+        |  CAST(3 AS INTEGER), FALSE, CAST(0 AS INTEGER),
+        |  (SELECT n FROM n2)
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), 'delete', FALSE, FALSE,
+        |  CAST(3 AS INTEGER), TRUE, CAST(0 AS INTEGER),
+        |  (SELECT n FROM n2) - (SELECT n FROM d1)
+        |UNION ALL
+        |SELECT CAST(4 AS INTEGER), 'restore', FALSE, TRUE,
+        |  CAST(3 AS INTEGER), FALSE, CAST(0 AS INTEGER),
+        |  (SELECT n FROM n1)
+        |UNION ALL
+        |SELECT CAST(5 AS INTEGER), 'add_constraint', FALSE, FALSE,
+        |  CAST(3 AS INTEGER), FALSE, CAST(1 AS INTEGER),
+        |  (SELECT n FROM n1)""".stripMargin,
+    // l30: the merged snapshot re-derives from the construction —
+    // updated Feb lines <= 2 (qty+1, src set), inserted offset-keyed
+    // line-1 copies (src set), every other row carried with src NULL;
+    // v1 read evolved is all-NULL src; strict-mode refusal booleans
+    // are engine-side, expected TRUE
+    "l30_merge_schema_evolution" ->
+      s"""WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity,
+        |    min(strftime(l_shipdate, '%Y-%m')) AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'
+        |  GROUP BY 1, 2),
+        |v2 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN month = '1997-02' AND l_linenumber <= 2
+        |         THEN l_quantity + 1 ELSE l_quantity END AS l_quantity,
+        |    CASE WHEN month = '1997-02' AND l_linenumber <= 2
+        |         THEN 1 END AS s
+        |  FROM li
+        |  UNION ALL
+        |  SELECT l_orderkey + $ttKeyOffsetSql, l_linenumber,
+        |    l_quantity, 1
+        |  FROM li WHERE month = '1997-02' AND l_linenumber = 1)
+        |SELECT 'v2_merged' AS probe, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  count(s) AS n_src,
+        |  TRUE AS strict_refused, TRUE AS strict_minted_nothing
+        |FROM v2
+        |UNION ALL
+        |SELECT 'v1_evolved', count(*), round(sum(l_quantity), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  CAST(0 AS BIGINT), TRUE, TRUE
+        |FROM li""".stripMargin,
+    // the Bloom prune is output-invisible by construction (false
+    // positives die in the exact join), so the oracle is the PLAIN join
+    "q38_bloom_join" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS suppkey, s_name,
+        |  round(sum(l_extendedprice), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_acctbal > 5000.0
+        |GROUP BY 1, 2""".stripMargin,
+    // both probes re-derived independently of the engine: exact dup on
+    // RAW TEXT equality (not the engine's sha2 rewrite), near dup from
+    // the naive inverted-index Jaccard restricted to delta x corpus
+    // (not the prefix-filtered join)
+    "c02_incremental_dedup" ->
+      """WITH delta AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  WHERE doc_id % 100 >= 80
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text, source FROM documents
+        |  WHERE doc_id % 100 < 10),
+        |corpus AS (SELECT doc_id, text, source FROM documents
+        |  WHERE doc_id % 100 < 80),
+        |ex AS (SELECT DISTINCT d.doc_id
+        |  FROM delta d JOIN corpus c ON d.text = c.text),
+        |tok AS (SELECT doc_id, source,
+        |    unnest(list_distinct(regexp_extract_all(lower(text),
+        |      '[a-z0-9]+'))) AS t
+        |  FROM (SELECT * FROM delta UNION ALL SELECT * FROM corpus)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        |dd AS (SELECT doc_id FROM delta),
+        |cc AS (SELECT doc_id FROM corpus),
+        |inter AS (
+        |  SELECT a.doc_id AS pid, b.doc_id AS cid, count(*) AS i
+        |  FROM tok a JOIN tok b ON a.t = b.t AND a.source = b.source
+        |  JOIN dd ON a.doc_id = dd.doc_id
+        |  JOIN cc ON b.doc_id = cc.doc_id
+        |  GROUP BY 1, 2),
+        |near AS (SELECT DISTINCT pid AS doc_id FROM inter
+        |  JOIN cnt ca ON pid = ca.doc_id
+        |  JOIN cnt cb ON cid = cb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5)
+        |SELECT d.doc_id,
+        |  (e.doc_id IS NOT NULL) AS exact_dup,
+        |  (n.doc_id IS NOT NULL) AS near_dup,
+        |  (e.doc_id IS NULL AND n.doc_id IS NULL) AS kept
+        |FROM delta d
+        |LEFT JOIN ex e ON d.doc_id = e.doc_id
+        |LEFT JOIN near n ON d.doc_id = n.doc_id""".stripMargin,
+    "t06_stopword_filter" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |CAST(len(list_filter(toks, x -> x NOT IN
+        |  ('the','a','of','and','to','in','is','it','that','for'))) AS BIGINT)
+        |  AS n_content_tokens
+        |FROM t""".stripMargin,
+    // The funnel re-derived end to end; the cluster-canonical count
+    // comes from a recursive-CTE min-label closure over the verified
+    // pair set — independent of the Spark-side star algorithm.
+    "c01_curation_pipeline" ->
+      """WITH RECURSIVE q AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(regexp_extract_all(text, '\S+')) >= 5
+        |    AND len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+        |        / nullif(CAST(len(text) AS DOUBLE), 0) <= 0.3),
+        |u AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY
+        |      md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS canon
+        |    FROM q) WHERE doc_id = canon),
+        |raw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM u),
+        |t AS (SELECT doc_id, list_filter(tk, (x,i) -> list_position(tk, x) = i) AS toks FROM raw),
+        |sh AS (SELECT doc_id, toks,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i+1:i+3], ' ')
+        |               FOR i IN range(0, len(toks)-2)] END AS shingles FROM t),
+        |cnt AS (SELECT doc_id, len(shingles) AS ns, len(toks) AS nt FROM sh),
+        |se AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |si AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS i FROM se a
+        |       JOIN se b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |te AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+        |ti AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS i FROM te a
+        |       JOIN te b ON a.tk = b.tk AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |e2 AS (
+        |  SELECT si.ia AS a, si.ib AS b
+        |  FROM si JOIN ti ON si.ia = ti.ia AND si.ib = ti.ib
+        |  JOIN cnt ca ON si.ia = ca.doc_id JOIN cnt cb ON si.ib = cb.doc_id
+        |  WHERE CAST(si.i AS DOUBLE) / (ca.ns + cb.ns - si.i) >= 0.6
+        |    AND CAST(ti.i AS DOUBLE) / (ca.nt + cb.nt - ti.i) >= 0.6),
+        |kept AS (SELECT u.doc_id, u.text FROM u
+        |         LEFT JOIN (SELECT DISTINCT b FROM e2) d ON u.doc_id = d.b
+        |         WHERE d.b IS NULL),
+        |sym2 AS (SELECT a, b FROM e2 UNION SELECT b AS a, a AS b FROM e2),
+        |reach2(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM u
+        |  UNION
+        |  SELECT s.b, r.comp FROM reach2 r JOIN sym2 s ON s.a = r.id),
+        |lab2 AS (SELECT id, min(comp) AS component FROM reach2 GROUP BY 1),
+        |ch AS (SELECT CAST(ceil(greatest(
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 30, 0) / 20.0)
+        |    AS BIGINT) + 1 AS nch FROM kept)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_input,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_quality,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_unique,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lab2 WHERE id = component)
+        |    AS n_kept_clustered,
+        |  (SELECT CAST(COALESCE(sum(nch), 0) AS BIGINT) FROM ch) AS n_chunks""".stripMargin,
+    "t05_chunking" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |    unnest(range(0, CAST(ceil(greatest(len(toks) - 30, 0) / 20.0) AS BIGINT) + 1)) AS i
+        |  FROM t)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  array_to_string(toks[i*20+1 : i*20+30], ' ') AS chunk
+        |FROM idx""".stripMargin,
+    "d01_dedup_exact" ->
+      """SELECT min(doc_id) AS canonical_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+    // d02 oracle: the truth count is recomputed from scratch in DuckDB
+    // (order-preserving distinct via first-occurrence list_filter, 3-gram
+    // shingles, inverted-index joins); recall_ok is the LSH contract.
+    "d02_dedup_minhash" ->
+      """WITH raw AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+        |t AS (SELECT doc_id,
+        |    list_filter(tk, (x,i) -> list_position(tk, x) = i) AS toks FROM raw),
+        |sh AS (SELECT doc_id, toks,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i+1:i+3], ' ')
+        |               FOR i IN range(0, len(toks)-2)] END AS shingles
+        |    FROM t),
+        |cnt AS (SELECT doc_id, len(shingles) AS ns, len(toks) AS nt FROM sh),
+        |se AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |si AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS i FROM se a
+        |       JOIN se b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |te AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+        |ti AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS i FROM te a
+        |       JOIN te b ON a.tk = b.tk AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok
+        |FROM si JOIN ti ON si.ia = ti.ia AND si.ib = ti.ib
+        |JOIN cnt ca ON si.ia = ca.doc_id JOIN cnt cb ON si.ib = cb.doc_id
+        |WHERE CAST(si.i AS DOUBLE) / (ca.ns + cb.ns - si.i) >= 0.6
+        |  AND CAST(ti.i AS DOUBLE) / (ca.nt + cb.nt - ti.i) >= 0.6""".stripMargin,
+    // d03 oracle: constant contract row — the in-Spark check is the
+    // brute-force cross-validation (pigeonhole blocking is exact).
+    "d03_dedup_simhash" ->
+      "SELECT TRUE AS blocking_exact, TRUE AS pairs_nonzero",
+    // d12: the d02 truth CTEs in PER-PAIR form with the exact shingle
+    // Jaccard; est_ok is the in-Spark estimator-accuracy boolean
+    // (signature internals have no SQL equivalent)
+    "d12_minhash_estimate" ->
+      """WITH raw AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+        |t AS (SELECT doc_id,
+        |    list_filter(tk, (x,i) -> list_position(tk, x) = i) AS toks FROM raw),
+        |sh AS (SELECT doc_id, toks,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i+1:i+3], ' ')
+        |               FOR i IN range(0, len(toks)-2)] END AS shingles
+        |    FROM t),
+        |cnt AS (SELECT doc_id, len(shingles) AS ns, len(toks) AS nt FROM sh),
+        |se AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |si AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS i FROM se a
+        |       JOIN se b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |te AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+        |ti AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS i FROM te a
+        |       JOIN te b ON a.tk = b.tk AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT si.ia AS id_a, si.ib AS id_b,
+        |  round(CAST(si.i AS DOUBLE) / (ca.ns + cb.ns - si.i), 4) AS jaccard,
+        |  TRUE AS est_ok
+        |FROM si JOIN ti ON si.ia = ti.ia AND si.ib = ti.ib
+        |JOIN cnt ca ON si.ia = ca.doc_id JOIN cnt cb ON si.ib = cb.doc_id
+        |WHERE CAST(si.i AS DOUBLE) / (ca.ns + cb.ns - si.i) >= 0.6
+        |  AND CAST(ti.i AS DOUBLE) / (ca.nt + cb.nt - ti.i) >= 0.6""".stripMargin,
+    "d05_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |p AS (SELECT list_cosine_similarity(a.v, b.v) AS s
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok
+        |FROM p WHERE s >= 0.4""".stripMargin,
+    // d15: exact takedown arithmetic recomputed from embeddings; the
+    // two booleans are the computed purge-completeness and the
+    // store-signature equality vs the from-scratch rebuild, pinned
+    "d15_index_takedown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs_before,
+        |  CAST(count(CASE WHEN vec_id % 10 <> 7 THEN 1 END) AS BIGINT)
+        |    AS n_vecs_after,
+        |  CAST(count(CASE WHEN vec_id % 10 = 7 THEN 1 END) AS BIGINT)
+        |    AS n_takedown,
+        |  TRUE AS purge_complete, TRUE AS stores_eq_rebuild
+        |FROM embeddings""".stripMargin,
+    // d14: n_true = d05's exact all-pairs truth RESTRICTED to pairs
+    // touching the delta quarter; the two booleans are the Spark-side
+    // incremental==rebuild equality and the recall bound, pinned
+    "d14_incremental_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |p AS (SELECT list_cosine_similarity(a.v, b.v) AS s
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |      WHERE a.vec_id % 4 = 3 OR b.vec_id % 4 = 3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok,
+        |  TRUE AS inc_eq_rebuild
+        |FROM p WHERE s >= 0.4""".stripMargin,
+    // d09: n_ideal = distinct higher ids over the SAME all-pairs cosine
+    // truth d05 recomputes; the two booleans are the Spark-side checks,
+    // pinned (recall floor 0.7 — measured 0.96/0.88, RecallMarginSpec)
+    "d09_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |p AS (SELECT b.vec_id AS id_b
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |      WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
+        |SELECT CAST(count(DISTINCT id_b) AS BIGINT) AS n_ideal,
+        |  TRUE AS recall_ok, TRUE AS drops_justified
+        |FROM p""".stripMargin,
+    "s02_ann_lsh" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "s03_ann_ivf" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // s16: same contract shape as s03/s10 — the recall bound vs the
+    // exact truth is asserted in-Spark (annRecallCheck)
+    "s16_ann_ivfadc" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // s18: s16's recall contract + the computed persisted==rebuild
+    // set equality (the s15 discipline on the IVFADC modality)
+    "s18_ann_ivfadc_persisted" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok,
+        |  TRUE AS idx_eq_rebuild
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // s19: cross-modal recall contract — the bound vs the exact
+    // text-query × image-corpus brute force is asserted in-Spark
+    // (annRecallCheck); text query ids are the +100000-offset space
+    "s19_crossmodal_search" ->
+      """SELECT vec_id + 100000 AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // s20: the incremental-ingest contract — n_new_vecs/n_codes are
+    // re-derived from the delta's construction (m = 16 code rows per
+    // vector); the equality booleans are computed in-Spark against
+    // the one-shot rebuild (the q86/q88 rebuild discipline)
+    "s20_ivfadc_incremental" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_new_vecs,
+        |  CAST(count(*) * 16 AS BIGINT) AS n_codes,
+        |  TRUE AS one_version_per_batch,
+        |  TRUE AS codes_eq_rebuild,
+        |  TRUE AS search_eq_rebuild
+        |FROM embeddings WHERE vec_id % 10 < 4""".stripMargin,
+    // s21: counts re-derived from the delta/retract construction
+    // ((v+200000) % 5 == v % 5, so the retracted slice is vec_id%10<4
+    // AND vec_id%5==0; 16 code rows per vector); the purge and
+    // never-ingested-equivalence booleans are computed in-Spark (the
+    // d15 discipline on the codes modality)
+    "s21_ivfadc_takedown" ->
+      """WITH d AS (SELECT vec_id FROM embeddings WHERE vec_id % 10 < 4),
+        |r AS (SELECT vec_id FROM d WHERE vec_id % 5 = 0)
+        |SELECT CAST((SELECT count(*) FROM d) * 16 AS BIGINT)
+        |    AS n_codes_before,
+        |  CAST(((SELECT count(*) FROM d) - (SELECT count(*) FROM r))
+        |    * 16 AS BIGINT) AS n_codes_after,
+        |  TRUE AS purge_complete,
+        |  TRUE AS equiv_never_ingested""".stripMargin,
+    // s15: s02's recall contract + the computed index==rebuild equality
+    "s15_ann_persisted" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok,
+        |  TRUE AS idx_eq_rebuild
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // filtered ANN: same contract shape — the recall bound vs the
+    // exact label-filtered truth is asserted in-Spark (annRecallCheck)
+    "s12_ann_filtered" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "d04_token_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM tok a JOIN tok b
+        |    ON a.t = b.t AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+        |FROM inter
+        |JOIN cnt ca ON id_a = ca.doc_id
+        |JOIN cnt cb ON id_b = cb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5""".stripMargin,
+    "d04b_token_jaccard_capped" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
+        |  FROM documents),
+        |bs AS (SELECT source, count(*) AS b FROM documents GROUP BY 1),
+        |keep AS (SELECT source, t FROM tok JOIN bs USING (source)
+        |         GROUP BY source, t, b HAVING count(*) <= 0.8 * b),
+        |ft AS (SELECT doc_id, source, t FROM tok JOIN keep USING (source, t)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM ft GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM ft a JOIN ft b
+        |    ON a.t = b.t AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+        |FROM inter
+        |JOIN cnt ca ON id_a = ca.doc_id
+        |JOIN cnt cb ON id_b = cb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5""".stripMargin,
+    // Components derived INDEPENDENTLY of the Spark-side star
+    // algorithm: recursive-CTE min-label transitive closure over the
+    // symmetric closure of the same ≥0.5 token-Jaccard pair set.
+    "d07_dup_clusters" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM tok a JOIN tok b
+        |    ON a.t = b.t AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |e AS (
+        |  SELECT id_a AS a, id_b AS b FROM inter
+        |  JOIN cnt ca ON id_a = ca.doc_id
+        |  JOIN cnt cb ON id_b = cb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+        |sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+        |reach(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id),
+        |lab AS (SELECT id AS doc_id, min(comp) AS component
+        |        FROM reach GROUP BY 1)
+        |SELECT doc_id, component,
+        |  CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+        |    AS cluster_size
+        |FROM lab""".stripMargin,
+    // c11: the d07 closure with the exact micro-weight column — the
+    // oracle re-derives components via the same independent
+    // recursive-CTE min-label closure, never the star algorithm
+    "c12_split_holdout" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':split'), doc_id)
+        |      AS BIGINT) AS rn
+        |  FROM documents),
+        |n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1)
+        |SELECT doc_id, r.lang, rn,
+        |  CASE WHEN rn * 100 <= n * 98 THEN 'train'
+        |       WHEN rn * 100 <= n * 99 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r JOIN n ON r.lang = n.lang""".stripMargin,
+    "c11_soft_dedup_weights" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM tok a JOIN tok b
+        |    ON a.t = b.t AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |e AS (
+        |  SELECT id_a AS a, id_b AS b FROM inter
+        |  JOIN cnt ca ON id_a = ca.doc_id
+        |  JOIN cnt cb ON id_b = cb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+        |sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+        |reach(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id),
+        |lab AS (SELECT id AS doc_id, min(comp) AS component
+        |        FROM reach GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+        |    AS cluster_size,
+        |  CAST(1000000 // count(*) OVER (PARTITION BY component)
+        |    AS BIGINT) AS w_micro
+        |FROM lab""".stripMargin,
+    // Independent restatement of the QUANTIZATION CONTRACT
+    // (QuantizeExpressions.scaladoc): per-dim max-abs scales, codes =
+    // clamp(floor(v*127/s + 0.5)), int64 scores — all exact arithmetic,
+    // so this hash-matches the Spark result bit-for-bit.
+    "s05_ann_quantized" ->
+      """WITH dims AS (SELECT unnest(range(1,
+        |    (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
+        |sc AS (SELECT i, max(abs(CAST(embedding[i] AS DOUBLE))) AS s
+        |       FROM embeddings, dims GROUP BY i),
+        |sv AS (SELECT list(s ORDER BY i) AS s FROM sc),
+        |qz AS (SELECT vec_id,
+        |  [CASE WHEN sv.s[i] = 0 THEN 0
+        |        ELSE CAST(least(127, greatest(-127,
+        |          floor(CAST(embedding[i] AS DOUBLE) * 127 / sv.s[i] + 0.5)))
+        |          AS BIGINT) END
+        |   FOR i IN range(1, len(embedding) + 1)] AS q
+        |  FROM embeddings, sv),
+        |qs AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 10),
+        |scored AS (SELECT qs.query_id, c.vec_id AS cand_id,
+        |    CAST(list_sum([c.q[i] * qs.qq[i]
+        |      FOR i IN range(1, len(c.q) + 1)]) AS BIGINT) AS iscore
+        |  FROM qz c, qs WHERE c.vec_id <> qs.query_id),
+        |ranked AS (SELECT query_id, cand_id, iscore,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY iscore DESC, cand_id) AS INT) AS rnk
+        |  FROM scored)
+        |SELECT query_id, rnk, cand_id, iscore FROM ranked
+        |WHERE rnk <= 10""".stripMargin,
+    // s14: same 1e-4 quantization grid re-derived per element; the
+    // denominator-free centroid displacement n_cand·Σref − n_ref·Σcand
+    // keeps every cell integer
+    "s14_embedding_drift" ->
+      """WITH qz AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    vec_id % 2 = 1 AS cand,
+        |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5)
+        |       AS BIGINT) FOR i IN range(1, len(embedding) + 1)] AS q
+        |  FROM embeddings),
+        |ex AS (SELECT label, cand, i, q[i] AS qi
+        |  FROM qz, (SELECT unnest(range(1,
+        |    (SELECT max(len(q)) FROM qz) + 1)) AS i)
+        |  WHERE i <= len(q)),
+        |dim AS (SELECT label, i,
+        |    CAST(sum(CASE WHEN NOT cand THEN qi ELSE 0 END) AS BIGINT)
+        |      AS sr,
+        |    CAST(sum(CASE WHEN cand THEN qi ELSE 0 END) AS BIGINT) AS sc
+        |  FROM ex GROUP BY 1, 2),
+        |lab AS (SELECT label,
+        |    CAST(count(CASE WHEN NOT cand THEN 1 END) AS BIGINT) AS n_ref,
+        |    CAST(count(CASE WHEN cand THEN 1 END) AS BIGINT) AS n_cand
+        |  FROM qz GROUP BY 1),
+        |n2 AS (SELECT label,
+        |    CAST(sum(CASE WHEN NOT cand THEN qi * qi ELSE 0 END)
+        |      AS BIGINT) AS norm2_ref,
+        |    CAST(sum(CASE WHEN cand THEN qi * qi ELSE 0 END) AS BIGINT)
+        |      AS norm2_cand
+        |  FROM ex GROUP BY 1)
+        |SELECT l.label, n_ref, n_cand, norm2_ref, norm2_cand,
+        |  CAST(max(abs(n_cand * sr - n_ref * sc)) AS BIGINT) AS shift_max
+        |FROM dim d JOIN lab l ON d.label = l.label
+        |JOIN n2 ON n2.label = l.label
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+    // Lloyd k-means: both unrolled iterations replayed in SQL — the
+    // same QUANTIZATION CONTRACT codes as s05, hash-ranked seeds,
+    // row_number argmin per vector (tie to smallest cid), per-dim
+    // HUGEINT-cast sums, and the pmod floor-division
+    // (s - ((s % n) + n) % n) // n which equals Math.floorDiv on a
+    // divisible numerator regardless of the engine's // semantics.
+    // Empty clusters keep their previous centroid via LEFT JOIN.
+    "s13_kmeans_lloyd" ->
+      """WITH dims AS (SELECT unnest(range(1,
+        |    (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
+        |sc AS (SELECT i, max(abs(CAST(embedding[i] AS DOUBLE))) AS s
+        |       FROM embeddings, dims GROUP BY i),
+        |sv AS (SELECT list(s ORDER BY i) AS s FROM sc),
+        |qz AS (SELECT vec_id,
+        |  [CASE WHEN sv.s[i] = 0 THEN 0
+        |        ELSE CAST(least(127, greatest(-127,
+        |          floor(CAST(embedding[i] AS DOUBLE) * 127 / sv.s[i] + 0.5)))
+        |          AS BIGINT) END
+        |   FOR i IN range(1, len(embedding) + 1)] AS q
+        |  FROM embeddings, sv),
+        |c0 AS (SELECT CAST(rn - 1 AS INT) AS cid, q AS cen FROM (
+        |    SELECT q, row_number() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR) || ':km'), vec_id) AS rn
+        |    FROM qz) WHERE rn <= 8),
+        |a1 AS (SELECT vec_id, q, cid FROM (
+        |    SELECT z.vec_id, z.q, c.cid, row_number() OVER (
+        |        PARTITION BY z.vec_id ORDER BY
+        |        list_sum([(z.q[i] - c.cen[i]) * (z.q[i] - c.cen[i])
+        |          FOR i IN range(1, len(z.q) + 1)]), c.cid) AS rn
+        |    FROM qz z, c0 c) WHERE rn = 1),
+        |u1 AS (SELECT cid, i AS d, CAST(sum(q[i]) AS BIGINT) AS s,
+        |    count(*) AS n
+        |  FROM a1, dims GROUP BY cid, i),
+        |c1 AS (SELECT c0.cid, coalesce(nu.cen, c0.cen) AS cen
+        |  FROM c0 LEFT JOIN (
+        |    SELECT cid, list((s - ((s % n) + n) % n) // n ORDER BY d)
+        |      AS cen
+        |    FROM u1 GROUP BY cid) nu ON nu.cid = c0.cid),
+        |a2 AS (SELECT vec_id, q, cid FROM (
+        |    SELECT z.vec_id, z.q, c.cid, row_number() OVER (
+        |        PARTITION BY z.vec_id ORDER BY
+        |        list_sum([(z.q[i] - c.cen[i]) * (z.q[i] - c.cen[i])
+        |          FOR i IN range(1, len(z.q) + 1)]), c.cid) AS rn
+        |    FROM qz z, c1 c) WHERE rn = 1),
+        |u2 AS (SELECT cid, i AS d, CAST(sum(q[i]) AS BIGINT) AS s,
+        |    count(*) AS n
+        |  FROM a2, dims GROUP BY cid, i),
+        |c2 AS (SELECT c1.cid, coalesce(nu.cen, c1.cen) AS cen
+        |  FROM c1 LEFT JOIN (
+        |    SELECT cid, list((s - ((s % n) + n) % n) // n ORDER BY d)
+        |      AS cen
+        |    FROM u2 GROUP BY cid) nu ON nu.cid = c1.cid),
+        |a3 AS (SELECT vec_id, cid, dist FROM (
+        |    SELECT z.vec_id, c.cid,
+        |      CAST(list_sum([(z.q[i] - c.cen[i]) * (z.q[i] - c.cen[i])
+        |        FOR i IN range(1, len(z.q) + 1)]) AS BIGINT) AS dist,
+        |      row_number() OVER (PARTITION BY z.vec_id ORDER BY
+        |        list_sum([(z.q[i] - c.cen[i]) * (z.q[i] - c.cen[i])
+        |          FOR i IN range(1, len(z.q) + 1)]), c.cid) AS rn
+        |    FROM qz z, c2 c) WHERE rn = 1)
+        |SELECT vec_id, cid, dist,
+        |  CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS cluster_n
+        |FROM a3""".stripMargin,
+    "s01_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS cand_id,
+        |    list_cosine_similarity(
+        |      CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, cand_id, sim, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sim DESC, cand_id) AS INT) AS rnk
+        |  FROM scored)
+        |SELECT query_id, rnk, cand_id, round(sim, 4) AS sim
+        |FROM ranked WHERE rnk <= 10""".stripMargin,
+    "s06_mips_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS cand_id,
+        |    list_dot_product(
+        |      CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS score
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, cand_id, score, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, cand_id) AS INT) AS rnk
+        |  FROM scored)
+        |SELECT query_id, rnk, cand_id, round(score, 4) AS score
+        |FROM ranked WHERE rnk <= 10""".stripMargin,
+    "s04_label_centroids" ->
+      """SELECT label, CAST(i AS BIGINT) AS dim,
+        |round(sum(CAST(v AS DOUBLE)), 4) AS s,
+        |CAST(count(v) AS BIGINT) AS n
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |      generate_subscripts(embedding, 1) AS i FROM embeddings)
+        |GROUP BY 1, 2""".stripMargin,
+    "t01_langid" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|zu|den)\b')) AS BIGINT) AS s_de,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS BIGINT) AS s_en,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|del|por|para|con|se)\b')) AS BIGINT) AS s_es,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(le|les|et|est|une|dans|que|pour|sur|avec)\b')) AS BIGINT) AS s_fr,
+        |  CAST(len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+        |  CASE
+        |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |    WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |    WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |    ELSE 'zh' END AS predicted
+        |FROM s""".stripMargin,
+    "t02_text_quality" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(len(text) AS DOUBLE) AS nc,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS nw,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS np,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS DOUBLE) AS ns
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(nc AS BIGINT) AS n_chars_m,
+        |  CAST(nw AS BIGINT) AS n_words,
+        |  round(np / nullif(nc, 0), 4) AS punct_ratio,
+        |  round(ns / nullif(nw, 0), 4) AS stop_ratio,
+        |  round(nc / nullif(nw, 0), 4) AS chars_per_word,
+        |  round(least(1.0, nw / 50.0) * (1.0 - np / nullif(nc, 0))
+        |    * least(1.0, 0.5 + ns / nullif(nw, 0)), 4) AS quality
+        |FROM m""".stripMargin,
+    "t03_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+        |  round(CAST(len(text) AS DOUBLE) /
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')), 4) AS chars_per_token
+        |FROM documents""".stripMargin,
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+    "t07_vocabulary" ->
+      """SELECT t AS tok, CAST(count(*) AS BIGINT) AS tf,
+        |CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM (SELECT doc_id,
+        |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY tf DESC, tok LIMIT 50""".stripMargin,
+    "t08_hash_sample" ->
+      """SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 5""".stripMargin,
+    // The exact heavy-hitter set over the SAME md5-derived Zipf stream
+    // (identical hex parse and float path: floor(1e6/(m+1)) with m from
+    // the first 6 md5 hex digits); the sketch's guarantee booleans are
+    // theorems for any merge order, pinned TRUE.
+    "t12_heavy_hitters" ->
+      """WITH slots AS (SELECT doc_id, unnest(range(1, 31)) AS i
+        |               FROM documents),
+        |tok AS (SELECT concat('zipf', CAST(CAST(least(floor(1000000.0 /
+        |    (CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
+        |       CAST(i AS VARCHAR))), 1, 6)) AS BIGINT) % 1000000 + 1)),
+        |    20000.0) AS BIGINT) AS VARCHAR)) AS token
+        |  FROM slots),
+        |tot AS (SELECT count(*) AS n_stream FROM tok),
+        |heavy AS (SELECT token, count(*) AS n_true FROM tok GROUP BY 1)
+        |SELECT token, CAST(n_true AS BIGINT) AS n_true,
+        |  TRUE AS in_sketch, TRUE AS est_ok
+        |FROM heavy, tot WHERE n_true * 17 > n_stream""".stripMargin,
+    // unigram LM fit on the same corpus; nll = sum over token
+    // OCCURRENCES of ln(total) - ln(count). Sum-of-lns rounds stably at
+    // 4dp (per-term cross-engine drift is last-ulp); count stays exact.
+    "t13_lm_score" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM cnt)
+        |SELECT doc_id,
+        |  round(sum(ln(n_total) - ln(CAST(c AS DOUBLE))), 4) AS nll,
+        |  count(*) AS n_toks
+        |FROM tok JOIN cnt USING (tok) CROSS JOIN tot
+        |GROUP BY 1""".stripMargin,
+    // BM25: formula mirrored association-for-association (same IEEE
+    // double ops in the same order ⇒ identical bits before the 4dp
+    // round); ranking uses the rounded score + doc_id so the top-20
+    // cutoff is deterministic on both engines.
+    "t14_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+        |       WHERE tok IN ('vector', 'stream', 'window') GROUP BY 1, 2),
+        |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (SELECT tf.doc_id,
+        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+        |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+        |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS contrib
+        |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats),
+        |agg AS (SELECT doc_id, round(sum(contrib), 4) AS bm25,
+        |    count(*) AS n_terms FROM scored GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+        |    AS rnk, doc_id, bm25, n_terms
+        |FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    // RANGE frame over integer days-since-epoch: identical frame
+    // arithmetic both engines; count exact, sum 4dp
+    "q43_range_frame" ->
+      """SELECT o_custkey, o_orderdate,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_orders_30d,
+        |  round(sum(o_totalprice) OVER w, 4) AS rev_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // gap fill: spine × sparse daily revenue, forward-filled with
+    // last_value IGNORE NULLS over the same total (cust, day) order
+    "q44_gap_fill" ->
+      """WITH spine AS (
+        |  SELECT c_custkey, CAST(unnest(generate_series(DATE '1995-01-01',
+        |    DATE '1995-03-02', INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM customer WHERE c_custkey < 100),
+        |daily AS (
+        |  SELECT o_custkey AS c_custkey, o_orderdate AS day,
+        |    round(sum(o_totalprice), 4) AS rev
+        |  FROM orders
+        |  WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-02'
+        |    AND o_custkey < 100
+        |  GROUP BY 1, 2)
+        |SELECT c_custkey, day, rev,
+        |  last_value(rev IGNORE NULLS) OVER (PARTITION BY c_custkey
+        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS rev_filled
+        |FROM spine LEFT JOIN daily USING (c_custkey, day)""".stripMargin,
+    // sequence packing: same md5 layout order, integer offsets
+    "t18_seq_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+        |      AS n_tok
+        |  FROM documents),
+        |o AS (SELECT doc_id, n_tok,
+        |    sum(n_tok) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':pack'),
+        |      doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS end_off
+        |  FROM t)
+        |SELECT doc_id, n_tok,
+        |  CAST(floor((end_off - n_tok) / 2048.0) AS BIGINT) AS bin,
+        |  CAST((end_off - n_tok) % 2048 AS BIGINT) AS bin_off,
+        |  CAST(floor((end_off - 1) / 2048.0)
+        |    - floor((end_off - n_tok) / 2048.0) + 1 AS BIGINT) AS n_bins
+        |FROM o""".stripMargin,
+    // null-safe join: IS NOT DISTINCT FROM matches NULL keys together
+    "q46_nullsafe_join" ->
+      """WITH li AS (SELECT CASE WHEN l_linenumber > 4
+        |      THEN CAST(l_linenumber AS BIGINT) END AS k, l_quantity
+        |    FROM lineitem),
+        |dim AS (SELECT DISTINCT k,
+        |    coalesce(CAST(k AS VARCHAR), 'null-key') AS tag
+        |  FROM li)
+        |SELECT tag, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 4) AS sum_qty
+        |FROM li JOIN dim ON li.k IS NOT DISTINCT FROM dim.k
+        |GROUP BY 1""".stripMargin,
+    // funnel: same three conditional-min stages, left-joined back
+    "q45_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, v.t_view, min(e.ts) AS t_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |      GROUP BY 1, 2),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |      GROUP BY 1)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  CAST(1 + (CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END)
+        |         + (CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    // bigram LM: c(w1 w2) and c(w1 ·) refit from scratch; Σ-of-lns 4dp
+    "t15_bigram_lm" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |bg AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+        |         ELSE [toks[i+1] || ' ' || toks[i+2]
+        |               FOR i IN range(0, len(toks)-1)] END) AS bg
+        |  FROM t),
+        |cbg AS (SELECT bg, count(*) AS c_bg,
+        |    string_split(bg, ' ')[1] AS ctx FROM bg GROUP BY 1),
+        |cctx AS (SELECT ctx, sum(c_bg) AS c_ctx FROM cbg GROUP BY 1)
+        |SELECT doc_id,
+        |  round(sum(ln(CAST(c_ctx AS DOUBLE)) - ln(CAST(c_bg AS DOUBLE))), 4)
+        |    AS nll,
+        |  count(*) AS n_bigrams
+        |FROM bg JOIN cbg USING (bg) JOIN cctx USING (ctx)
+        |GROUP BY 1""".stripMargin,
+    // integer-only higher-order list battery — every hashed value exact
+    "q41_array_battery" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |l AS (SELECT doc_id, toks,
+        |    list_transform(toks, x -> CAST(length(x) AS BIGINT)) AS lens
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_toks,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  list_contains(toks, 'vector') AS has_vector,
+        |  CAST(list_sum(lens) AS BIGINT) AS sum_len,
+        |  list_max(lens) AS max_len,
+        |  list_min(lens) AS min_len,
+        |  CAST(len(list_filter(lens, x -> x > 4)) AS BIGINT) AS n_long,
+        |  array_to_string(list_transform(list_reverse(list_sort(lens))[1:3],
+        |    x -> CAST(x AS VARCHAR)), ',') AS top3_lens,
+        |  CAST(list_sum(list_transform(list_zip(lens, list_reverse(lens)),
+        |    z -> z[1] * z[2])) AS BIGINT) AS dot_rev
+        |FROM l""".stripMargin,
+    // the salted join IS a plain inner join — the oracle runs the plain
+    // form; the Spark side's salt reassociates the sum an extra level,
+    // so both sides round at 2dp (q26 precedent)
+    "q42_salted_join" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice), 2) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    // CCNet buckets: t13's nll (already gate-proven bit-equal) per
+    // token, terciled with the same total order
+    "c04_ccnet_buckets" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM cnt),
+        |scored AS (SELECT doc_id,
+        |    round(sum(ln(n_total) - ln(CAST(c AS DOUBLE))), 4) AS nll,
+        |    count(*) AS n_toks
+        |  FROM tok JOIN cnt USING (tok) CROSS JOIN tot GROUP BY 1)
+        |SELECT doc_id, nll, n_toks,
+        |  CAST(ntile(3) OVER (ORDER BY nll / n_toks, doc_id) AS BIGINT)
+        |    AS bucket
+        |FROM scored""".stripMargin,
+    // unicode normalization: DuckDB's built-ins are the oracle twins
+    "t17_unicode_norm" ->
+      """SELECT doc_id, nfc_normalize(text) AS nfc_text,
+        |  strip_accents(text) AS folded_text,
+        |  length(nfc_normalize(text)) = length(text) AS nfc_ascii_identity
+        |FROM documents""".stripMargin,
+    // containment: naive inverted-index recompute — same output set the
+    // prefix-filtered engine plan produces; i/n_sub is an exact rational
+    "t16_containment" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_sub, b.doc_id AS id_sup, count(*) AS i
+        |  FROM tok a JOIN tok b
+        |    ON a.t = b.t AND a.source = b.source AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_sub, id_sup,
+        |  round(CAST(i AS DOUBLE) / ca.n, 4) AS containment
+        |FROM inter JOIN cnt ca ON id_sub = ca.doc_id
+        |WHERE CAST(i AS DOUBLE) / ca.n >= 0.9""".stripMargin,
+    // decontamination: the oracle joins shingle STRINGS where the engine
+    // joins xxhash64(shingle) — equal unless the 64-bit hash collides,
+    // which would fail deterministically, not flake.
+    "d08_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+        |         ELSE [array_to_string(toks[i+1:i+3], ' ')
+        |               FOR i IN range(0, len(toks)-2)] END) AS s
+        |  FROM t),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+        |SELECT doc_id, CAST(count(DISTINCT s) AS BIGINT) AS n_shared
+        |FROM sh JOIN ev USING (s)
+        |WHERE doc_id % 97 <> 0
+        |GROUP BY 1""".stripMargin,
+    // per-stratum keep test is integer arithmetic: 10·rn <= w10·n_lang
+    "c03_corpus_mix" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mix'), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n_lang
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+        |FROM r
+        |WHERE rn * 10 <= (CASE WHEN lang = 'en' THEN 8 ELSE 5 END) * n_lang""".stripMargin,
+    "t09_redaction" ->
+      """SELECT doc_id,
+        |regexp_replace(
+        |  regexp_replace(
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+        |  '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS redacted,
+        |CAST(len(regexp_extract_all(text,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |CAST(len(regexp_extract_all(text,
+        |  '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |CAST(len(regexp_extract_all(text,
+        |  '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phones
+        |FROM documents""".stripMargin,
+    // d06: same derivation as the d02 oracle (order-preserving distinct,
+    // shingling, dual Jaccard conditions) but emitting the pairs
+    "d06_ngram_jaccard" ->
+      """WITH raw AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+        |t AS (SELECT doc_id,
+        |    list_filter(tk, (x,i) -> list_position(tk, x) = i) AS toks FROM raw),
+        |sh AS (SELECT doc_id, toks,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i+1:i+3], ' ')
+        |               FOR i IN range(0, len(toks)-2)] END AS shingles
+        |    FROM t),
+        |cnt AS (SELECT doc_id, len(shingles) AS ns, len(toks) AS nt FROM sh),
+        |se AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |si AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS i FROM se a
+        |       JOIN se b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |te AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+        |ti AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS i FROM te a
+        |       JOIN te b ON a.tk = b.tk AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT si.ia AS id_a, si.ib AS id_b
+        |FROM si JOIN ti ON si.ia = ti.ia AND si.ib = ti.ib
+        |JOIN cnt ca ON si.ia = ca.doc_id JOIN cnt cb ON si.ib = cb.doc_id
+        |WHERE CAST(si.i AS DOUBLE) / (ca.ns + cb.ns - si.i) >= 0.6
+        |  AND CAST(ti.i AS DOUBLE) / (ca.nt + cb.nt - ti.i) >= 0.6""".stripMargin,
+    "t10_tfidf_keywords" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |    FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, tok, tf, df,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf DESC, df, tok) AS rnk
+        |    FROM tf JOIN df USING (tok) CROSS JOIN n)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok,
+        |    CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+        |FROM scored WHERE rnk <= 3""".stripMargin,
+    "t11_repetition" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |    FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(max(c) AS BIGINT) AS top_tf FROM tf GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+        |    coalesce(n_distinct, 0) AS n_distinct,
+        |    coalesce(top_tf, 0) AS top_tf,
+        |    round(CAST(top_tf AS DOUBLE) / nullif(n_words, 0), 4) AS rep_ratio,
+        |    round(CAST(n_distinct AS DOUBLE) / nullif(n_words, 0), 4)
+        |      AS distinct_ratio
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "m01_multimodal_features" ->
+      """SELECT doc_id AS asset_id,
+        |CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |     WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |CAST(CASE WHEN doc_id % 3 = 1 THEN 0
+        |     ELSE doc_id % 640 + 64 END AS BIGINT) AS width,
+        |CAST(CASE WHEN doc_id % 3 = 1 THEN 0
+        |     ELSE doc_id % 480 + 48 END AS BIGINT) AS height,
+        |CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 8) * 1000
+        |     ELSE 0 END AS BIGINT) AS sample_rate,
+        |CAST(8 AS BIGINT) AS dim
+        |FROM documents""".stripMargin,
+    "m02_frame_sampling" ->
+      """SELECT doc_id AS asset_id,
+        |CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+    // Header facts + truncating integer arithmetic from the asset
+    // contract; amp_ok (the dual-route PCM16 parse agreement) is the
+    // in-Spark contract boolean, pinned TRUE.
+    "m04_audio_stats" ->
+      """SELECT doc_id AS asset_id,
+        |CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
+        |CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |CAST(strlen(text) // (2 * (1 + doc_id % 2)) AS BIGINT) AS n_samples,
+        |CAST((strlen(text) // (2 * (1 + doc_id % 2))) * 1000
+        |     // (8000 + (doc_id % 8) * 1000) AS BIGINT) AS duration_ms,
+        |TRUE AS amp_ok
+        |FROM documents WHERE doc_id % 3 = 1""".stripMargin,
+    // Re-derives the RESIZE CONTRACT (Multimodal.scaladoc) from the
+    // asset contract: fit-in-64 nearest-neighbor dims by integer
+    // division, 4-byte-padded BMP rows, 54-byte header. roundtrip_ok
+    // is the in-Spark contract boolean — pinned TRUE here.
+    "m03_image_resize" ->
+      """WITH img AS (
+        |  SELECT doc_id AS asset_id,
+        |         CAST(doc_id % 640 + 64 AS BIGINT) AS in_width,
+        |         CAST(doc_id % 480 + 48 AS BIGINT) AS in_height
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |dims AS (
+        |  SELECT *, greatest(in_width, in_height) AS g FROM img),
+        |o AS (
+        |  SELECT asset_id, in_width, in_height,
+        |         CASE WHEN g <= 64 THEN in_width
+        |              ELSE greatest(1, in_width * 64 // g) END AS out_width,
+        |         CASE WHEN g <= 64 THEN in_height
+        |              ELSE greatest(1, in_height * 64 // g) END AS out_height
+        |  FROM dims)
+        |SELECT asset_id, in_width, in_height, out_width, out_height,
+        |       CAST(54 + ((out_width * 3 + 3) // 4) * 4 * out_height
+        |            AS BIGINT) AS out_bytes,
+        |       TRUE AS roundtrip_ok
+        |FROM o""".stripMargin,
+    // independent derivation: per-bit shift/mask sum over
+    // generate_series — no spread-mask shortcut shared with the Spark
+    // side (bit i of x lands at 2i, bit i of y at 2i+1; inputs mod 2^32)
+    "q47_zorder_key" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST((SELECT sum(((l_suppkey >> t.i) & 1) << (2 * t.i))
+        |            + sum(((l_partkey >> t.i) & 1) << (2 * t.i + 1))
+        |        FROM generate_series(0, 31) t(i)) AS BIGINT) AS zkey
+        |FROM lineitem""".stripMargin,
+    "q48_scd2_history" -> scd2RebuildSql,
+    "q49_price_index" ->
+      """WITH mp AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS month, l_partkey,
+        |         min(l_extendedprice) AS p
+        |  FROM lineitem GROUP BY 1, 2),
+        |base AS (
+        |  SELECT l_partkey, p AS p_base FROM mp
+        |  WHERE month = (SELECT min(month) FROM mp))
+        |SELECT mp.month, count(*) AS n_items,
+        |  round(CAST(sum(mp.p) AS DOUBLE), 4) AS sum_cur,
+        |  round(CAST(sum(base.p_base) AS DOUBLE), 4) AS sum_base,
+        |  round(round(CAST(sum(mp.p) AS DOUBLE), 4)
+        |    / nullif(round(CAST(sum(base.p_base) AS DOUBLE), 4), 0),
+        |    6) AS price_index
+        |FROM mp JOIN base USING (l_partkey)
+        |GROUP BY mp.month""".stripMargin,
+    "q50_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |first_day AS (
+        |  SELECT user_id, min(day) AS cohort FROM act GROUP BY user_id)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+        |  CAST(date_diff('day', cohort, day) AS INT) AS offset_days,
+        |  count(*) AS users
+        |FROM act JOIN first_day USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    // the apply semantics re-derived as one SQL statement (left join +
+    // filter + case), not via the operator's fold
+    "q51_cdc_apply" ->
+      """WITH latest AS (
+        |  SELECT o_custkey, o_orderstatus, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |ch AS (
+        |  SELECT o_custkey AS k,
+        |    CASE o_orderstatus WHEN 'F' THEN 'U'
+        |                       WHEN 'O' THEN 'I'
+        |                       ELSE 'D' END AS op,
+        |    o_totalprice AS new_bal
+        |  FROM latest WHERE rn = 1)
+        |SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN op = 'U' THEN new_bal ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer LEFT JOIN (SELECT * FROM ch WHERE op <> 'I') mu
+        |  ON c_custkey = mu.k
+        |WHERE op IS NULL OR op = 'U'
+        |UNION ALL
+        |SELECT k + 1000000, 'NEW', 0, new_bal, 'NEW'
+        |FROM ch WHERE op = 'I'""".stripMargin,
+    // spans re-derived via the lockstep-unnest index walk (t19 idiom) +
+    // per-position list_slice, not any shared transform helper
+    "d10_repeated_spans" ->
+      """WITH lsts AS (
+        |  SELECT doc_id,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS lst
+        |  FROM documents WHERE length(regexp_extract_all(lower(text),
+        |    '[a-z0-9]+')) >= 20),
+        |spans AS (
+        |  SELECT doc_id,
+        |    array_to_string(lst[i:i+19], ' ') AS span
+        |  FROM (SELECT doc_id, lst,
+        |          unnest(generate_series(1, length(lst) - 19)) AS i
+        |        FROM lsts)),
+        |grouped AS (
+        |  SELECT span, count(*) AS n_occ,
+        |         count(DISTINCT doc_id) AS n_docs
+        |  FROM spans GROUP BY span
+        |  HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT span, n_occ, n_docs FROM grouped
+        |ORDER BY n_occ DESC, n_docs DESC, span
+        |LIMIT 100""".stripMargin,
+    // the full-funnel oracle: c01's quality/unique/near-dup chain +
+    // d08's trigram decontamination + c03's md5-rank mixing + t18's bin
+    // arithmetic, composed as one independent SQL derivation
+    "c05_training_mix" ->
+      """WITH q AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(regexp_extract_all(text, '\S+')) >= 5
+        |    AND len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+        |        / nullif(CAST(len(text) AS DOUBLE), 0) <= 0.3),
+        |u AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY
+        |      md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS canon
+        |    FROM q) WHERE doc_id = canon),
+        |raw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM u),
+        |t AS (SELECT doc_id, list_filter(tk, (x,i) -> list_position(tk, x) = i) AS toks FROM raw),
+        |shg AS (SELECT doc_id, toks,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i+1:i+3], ' ')
+        |               FOR i IN range(0, len(toks)-2)] END AS shingles FROM t),
+        |cnt AS (SELECT doc_id, len(shingles) AS ns, len(toks) AS nt FROM shg),
+        |se AS (SELECT doc_id, unnest(shingles) AS s FROM shg),
+        |si AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS i FROM se a
+        |       JOIN se b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |te AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+        |ti AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS i FROM te a
+        |       JOIN te b ON a.tk = b.tk AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |e2 AS (
+        |  SELECT si.ia AS a, si.ib AS b
+        |  FROM si JOIN ti ON si.ia = ti.ia AND si.ib = ti.ib
+        |  JOIN cnt ca ON si.ia = ca.doc_id JOIN cnt cb ON si.ib = cb.doc_id
+        |  WHERE CAST(si.i AS DOUBLE) / (ca.ns + cb.ns - si.i) >= 0.6
+        |    AND CAST(ti.i AS DOUBLE) / (ca.nt + cb.nt - ti.i) >= 0.6),
+        |kept AS (SELECT u.doc_id, u.text FROM u
+        |         LEFT JOIN (SELECT DISTINCT b FROM e2) dd ON u.doc_id = dd.b
+        |         WHERE dd.b IS NULL),
+        |rt AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |rsh AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+        |         ELSE [array_to_string(toks[i+1:i+3], ' ')
+        |               FOR i IN range(0, len(toks)-2)] END) AS s
+        |  FROM rt),
+        |ev AS (SELECT DISTINCT s FROM rsh WHERE doc_id % 97 = 0),
+        |contam AS (SELECT DISTINCT doc_id FROM rsh JOIN ev USING (s)
+        |           WHERE doc_id % 97 <> 0),
+        |cl AS (SELECT k.doc_id, k.text, d.lang
+        |  FROM kept k JOIN documents d USING (doc_id)
+        |  LEFT JOIN contam c ON k.doc_id = c.doc_id
+        |  WHERE c.doc_id IS NULL AND k.doc_id % 97 <> 0),
+        |r AS (SELECT doc_id, text, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mix'), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n_lang
+        |  FROM cl),
+        |mixed AS (SELECT doc_id, text FROM r
+        |  WHERE rn * 10 <= (CASE WHEN lang = 'en' THEN 8 ELSE 5 END) * n_lang),
+        |tk2 AS (SELECT CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |    AS BIGINT) AS n_tok FROM mixed)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_input,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cl) AS n_clean,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM tk2) AS n_mixed,
+        |  (SELECT CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM tk2) AS n_tokens,
+        |  (SELECT CAST((coalesce(sum(n_tok), 0) + 2047) // 2048 AS BIGINT)
+        |   FROM tk2) AS n_bins""".stripMargin,
+    "q57_fuzzy_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_name AS name,
+        |         substring(c_name, 1, 16) AS blk
+        |  FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin,
+    // char pairs re-derived via the lockstep-unnest index walk over the
+    // split word, not a shared substring helper
+    "t20_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT substring(w, i, 2) AS pair
+        |  FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+        |        FROM words WHERE length(w) >= 2))
+        |SELECT pair, count(*) AS n FROM pairs GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "q55_topn_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |      FROM orders)
+        |WHERE rnk <= 3""".stripMargin,
+    // the diff is re-stated from first principles over the SAME apply
+    // SQL as q51 (inlined), not by inverting the operator
+    "q56_snapshot_diff" ->
+      """WITH latest AS (
+        |  SELECT o_custkey, o_orderstatus, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |ch AS (
+        |  SELECT o_custkey AS k,
+        |    CASE o_orderstatus WHEN 'F' THEN 'U'
+        |                       WHEN 'O' THEN 'I'
+        |                       ELSE 'D' END AS op,
+        |    o_totalprice AS new_bal
+        |  FROM latest WHERE rn = 1),
+        |after AS (
+        |  SELECT c_custkey, CASE WHEN op = 'U' THEN new_bal
+        |                         ELSE c_acctbal END AS bal
+        |  FROM customer LEFT JOIN (SELECT * FROM ch WHERE op <> 'I') mu
+        |    ON c_custkey = mu.k
+        |  WHERE op IS NULL OR op = 'U'
+        |  UNION ALL
+        |  SELECT k + 1000000, new_bal FROM ch WHERE op = 'I')
+        |SELECT COALESCE(c.c_custkey, a.c_custkey) AS c_custkey,
+        |  CASE WHEN c.c_custkey IS NULL THEN 'added'
+        |       WHEN a.c_custkey IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change_kind,
+        |  c.c_acctbal AS bal_before, a.bal AS bal_after
+        |FROM customer c FULL OUTER JOIN after a
+        |  ON c.c_custkey = a.c_custkey
+        |WHERE c.c_custkey IS NULL OR a.c_custkey IS NULL
+        |   OR c.c_acctbal <> a.bal""".stripMargin,
+    "q53_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |trans AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |         count(*) AS n
+        |  FROM seq WHERE next_type IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    sum(n) OVER (PARTITION BY from_type), 6) AS share
+        |FROM trans""".stripMargin,
+    "q54_profile" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |    sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS nn_name,
+        |    count(DISTINCT c_name) AS nd_name,
+        |    sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS nn_seg,
+        |    count(DISTINCT c_mktsegment) AS nd_seg,
+        |    sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS nn_bal,
+        |    count(DISTINCT c_acctbal) AS nd_bal,
+        |    min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+        |    sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS nn_nat,
+        |    count(DISTINCT c_nationkey) AS nd_nat,
+        |    CAST(min(c_nationkey) AS DOUBLE) AS min_nat,
+        |    CAST(max(c_nationkey) AS DOUBLE) AS max_nat
+        |  FROM customer)
+        |SELECT col_name, n_rows, CAST(n_null AS BIGINT) AS n_null,
+        |  n_distinct, min_val, max_val FROM (
+        |  SELECT 'c_name' AS col_name, n_rows, nn_name AS n_null,
+        |    nd_name AS n_distinct, CAST(NULL AS DOUBLE) AS min_val,
+        |    CAST(NULL AS DOUBLE) AS max_val FROM a
+        |  UNION ALL SELECT 'c_mktsegment', n_rows, nn_seg, nd_seg,
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'c_acctbal', n_rows, nn_bal, nd_bal,
+        |    min_bal, max_bal FROM a
+        |  UNION ALL SELECT 'c_nationkey', n_rows, nn_nat, nd_nat,
+        |    min_nat, max_nat FROM a)""".stripMargin,
+    // exact counts only — the estimate is engine-specific; the booleans
+    // carry the error contract (q17 discipline)
+    "q52_hll_sketches" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  count(DISTINCT user_id) AS n_exact, TRUE AS within_5pct
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT 'TOTAL', count(DISTINCT user_id), TRUE
+        |FROM events""".stripMargin,
+    // positions re-derived via a lateral index walk over the token list
+    // (1-based generate_series → 0-based positions), not via any shared
+    // explode helper
+    "t19_inverted_index" ->
+      """WITH lsts AS (
+        |  SELECT doc_id,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS lst
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(lst) AS token,
+        |         unnest(generate_series(1, length(lst))) - 1 AS pos
+        |  FROM lsts),
+        |df_tab AS (
+        |  SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+        |SELECT token, df, doc_id, count(*) AS tf,
+        |  string_agg(pos, ',' ORDER BY pos) AS positions
+        |FROM toks JOIN df_tab USING (token)
+        |GROUP BY token, df, doc_id""".stripMargin,
+    // EWMA restated as the same closed-form 8-term expression. Every
+    // weight 2^-j is an exact binary fraction (DuckDB's DECIMAL literal
+    // casts to the same exact double), x*2^-j is exact, and the sums /
+    // division are written left-associated exactly as the Spark side
+    // reduces them — the doubles are bit-identical before the 4dp round.
+    "q65_ewma" ->
+      """WITH t AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    lag(l_extendedprice, 1) OVER w AS x1,
+        |    lag(l_extendedprice, 2) OVER w AS x2,
+        |    lag(l_extendedprice, 3) OVER w AS x3,
+        |    lag(l_extendedprice, 4) OVER w AS x4,
+        |    lag(l_extendedprice, 5) OVER w AS x5,
+        |    lag(l_extendedprice, 6) OVER w AS x6,
+        |    lag(l_extendedprice, 7) OVER w AS x7
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice))
+        |SELECT l_suppkey AS premise_code, l_orderkey AS order_key,
+        |  l_linenumber AS line_no, l_extendedprice AS price,
+        |  round(
+        |   (l_extendedprice * 1.0
+        |    + (CASE WHEN x1 IS NULL THEN 0.0 ELSE x1 * 0.5 END)
+        |    + (CASE WHEN x2 IS NULL THEN 0.0 ELSE x2 * 0.25 END)
+        |    + (CASE WHEN x3 IS NULL THEN 0.0 ELSE x3 * 0.125 END)
+        |    + (CASE WHEN x4 IS NULL THEN 0.0 ELSE x4 * 0.0625 END)
+        |    + (CASE WHEN x5 IS NULL THEN 0.0 ELSE x5 * 0.03125 END)
+        |    + (CASE WHEN x6 IS NULL THEN 0.0 ELSE x6 * 0.015625 END)
+        |    + (CASE WHEN x7 IS NULL THEN 0.0 ELSE x7 * 0.0078125 END))
+        |   /
+        |   (1.0
+        |    + (CASE WHEN x1 IS NULL THEN 0.0 ELSE 0.5 END)
+        |    + (CASE WHEN x2 IS NULL THEN 0.0 ELSE 0.25 END)
+        |    + (CASE WHEN x3 IS NULL THEN 0.0 ELSE 0.125 END)
+        |    + (CASE WHEN x4 IS NULL THEN 0.0 ELSE 0.0625 END)
+        |    + (CASE WHEN x5 IS NULL THEN 0.0 ELSE 0.03125 END)
+        |    + (CASE WHEN x6 IS NULL THEN 0.0 ELSE 0.015625 END)
+        |    + (CASE WHEN x7 IS NULL THEN 0.0 ELSE 0.0078125 END)), 4) AS ewma
+        |FROM t""".stripMargin,
+    // Tukey fences re-derived from quantile_cont (same p*(n-1) linear
+    // interpolation definition): all arithmetic on integer cents is
+    // binary-exact (quartiles land on quarter fractions, 1.5*IQR on
+    // eighths), so the ×4/×8 integer encodings and the fence
+    // comparisons cannot drift between engines.
+    "q66_outlier_fences" ->
+      """WITH li AS (
+        |  SELECT p_brand,
+        |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |f AS (
+        |  SELECT p_brand, count(*) AS n_rows,
+        |         quantile_cont(cents, 0.25) AS q1,
+        |         quantile_cont(cents, 0.75) AS q3
+        |  FROM li GROUP BY 1),
+        |f2 AS (
+        |  SELECT p_brand, n_rows, q1, q3,
+        |         q1 - (q3 - q1) * 1.5 AS lo,
+        |         q3 + (q3 - q1) * 1.5 AS hi
+        |  FROM f)
+        |SELECT li.p_brand, n_rows,
+        |  CAST(q1 * 4 AS BIGINT) AS q1_x4,
+        |  CAST(q3 * 4 AS BIGINT) AS q3_x4,
+        |  CAST(lo * 8 AS BIGINT) AS lo_x8,
+        |  CAST(hi * 8 AS BIGINT) AS hi_x8,
+        |  CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |  CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+        |FROM li JOIN f2 ON li.p_brand = f2.p_brand
+        |GROUP BY li.p_brand, n_rows, q1, q3, lo, hi""".stripMargin,
+    // CMS contract (t12 discipline): the oracle recomputes the exact
+    // heavy-hitter set and true counts from the same md5 Zipf stream and
+    // asserts the sketch booleans as TRUE — the Spark side proves them
+    // via exact integer comparisons against the sketch's estimates.
+    "q67_cms_freq" ->
+      """WITH slots AS (SELECT doc_id, unnest(range(1, 31)) AS i
+        |               FROM documents),
+        |tok AS (SELECT concat('zipf', CAST(CAST(least(floor(1000000.0 /
+        |    (CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
+        |       CAST(i AS VARCHAR))), 1, 6)) AS BIGINT) % 1000000 + 1)),
+        |    20000.0) AS BIGINT) AS VARCHAR)) AS token
+        |  FROM slots),
+        |tot AS (SELECT count(*) AS n_stream FROM tok),
+        |heavy AS (SELECT token, count(*) AS n_true FROM tok GROUP BY 1)
+        |SELECT token, CAST(n_true AS BIGINT) AS n_true,
+        |  TRUE AS lower_ok, TRUE AS upper_ok
+        |FROM heavy, tot WHERE n_true * 100 >= n_stream""".stripMargin,
+    // JL distortion contract: n_pairs re-derived structurally (even id
+    // joined to its odd successor), bound booleans asserted TRUE — the
+    // Spark side proves them against its own exact full-dim cosines.
+    "s07_jl_distortion" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  TRUE AS mae_ok, TRUE AS frac_ok
+        |FROM embeddings a JOIN embeddings b
+        |  ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0""".stripMargin,
+    // quarantine counts re-derived from parquet via the planting rule —
+    // the oracle never parses the CSV, it predicts what a correct
+    // PERMISSIVE parse must report
+    "l02_csv_quarantine" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_bad,
+        |  CAST(sum(CASE WHEN doc_id % 97 <> 0 THEN n_chars ELSE 0 END)
+        |       AS BIGINT) AS sum_chars_good
+        |FROM documents""".stripMargin,
+    // TWAP re-derived over the same total order; day spans and cents
+    // are exact integers in both engines, and only sums are emitted
+    "q68_twap" ->
+      """WITH t AS (
+        |  SELECT l_suppkey,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |    l_shipdate,
+        |    lead(l_shipdate) OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |               l_extendedprice) AS next_ts
+        |  FROM lineitem)
+        |SELECT l_suppkey, count(*) AS n_spans,
+        |  CAST(sum(cents * datediff('day', CAST(l_shipdate AS DATE),
+        |       CAST(next_ts AS DATE))) AS BIGINT) AS sum_cents_days,
+        |  CAST(sum(datediff('day', CAST(l_shipdate AS DATE),
+        |       CAST(next_ts AS DATE))) AS BIGINT) AS sum_days
+        |FROM t WHERE next_ts IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    // OHLC bars: open/close via first/last row_number under the same
+    // total order, high/low as plain extremes on exact cents
+    "q69_ohlc_bars" ->
+      """WITH t AS (
+        |  SELECT l_suppkey,
+        |    strftime(date_trunc('month', l_shipdate), '%Y-%m-%d')
+        |      AS bar_month,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY l_suppkey,
+        |        date_trunc('month', l_shipdate)
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |               l_extendedprice) AS rn_a,
+        |    row_number() OVER (PARTITION BY l_suppkey,
+        |        date_trunc('month', l_shipdate)
+        |      ORDER BY l_shipdate DESC, l_orderkey DESC,
+        |               l_linenumber DESC, l_extendedprice DESC) AS rn_d
+        |  FROM lineitem)
+        |SELECT l_suppkey, bar_month, count(*) AS n_trades,
+        |  CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT)
+        |    AS open_cents,
+        |  CAST(max(cents) AS BIGINT) AS high_cents,
+        |  CAST(min(cents) AS BIGINT) AS low_cents,
+        |  CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT)
+        |    AS close_cents
+        |FROM t GROUP BY 1, 2""".stripMargin,
+    // the same ANSI lateral text, DuckDB's native LATERAL evaluation
+    // vs Spark's decorrelation — identical result sets prove the
+    // rewrite preserves semantics
+    "q70_lateral" ->
+      """SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice,
+        |       CAST(a.n_lines AS BIGINT) AS n_lines, a.max_price
+        |FROM orders o,
+        |LATERAL (
+        |  SELECT l_linenumber, l_extendedprice FROM lineitem
+        |  WHERE l_orderkey = o.o_orderkey
+        |  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t,
+        |LATERAL (
+        |  SELECT count(*) AS n_lines, max(l_extendedprice) AS max_price
+        |  FROM lineitem WHERE l_orderkey = o.o_orderkey) a
+        |WHERE o.o_orderstatus = 'O'""".stripMargin,
+    // attribution re-derived as the join+QUALIFY windowed-argmax form —
+    // structurally different from the Spark side's carry-forward, so a
+    // tie-handling or lookback bug in either cannot cancel out
+    "q71_attribution" ->
+      """WITH touches AS (
+        |  SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |purchases AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |best AS (
+        |  SELECT p.event_id AS pid, t.event_type AS t_type,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY t.ts DESC, t.event_id DESC) AS rn
+        |  FROM purchases p JOIN touches t
+        |    ON t.user_id = p.user_id
+        |   AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id))
+        |   AND t.ts >= p.ts - INTERVAL 3 DAY)
+        |SELECT coalesce(b.t_type, 'none') AS attr_type,
+        |  count(*) AS n_purchases, round(sum(p.value), 4) AS sum_value
+        |FROM purchases p
+        |LEFT JOIN (SELECT pid, t_type FROM best WHERE rn = 1) b
+        |  ON p.event_id = b.pid
+        |GROUP BY 1""".stripMargin,
+    // moving median over the same 7-row frame; quantile_cont on ≤7
+    // integers lands on an element or a .5 midpoint — ×2 is exact
+    "q72_moving_median" ->
+      """SELECT l_suppkey AS premise_code, l_orderkey AS order_key,
+        |  l_linenumber AS line_no,
+        |  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |  CAST(quantile_cont(
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.5)
+        |    OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |               l_extendedprice
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 2
+        |    AS BIGINT) AS med2
+        |FROM lineitem""".stripMargin,
+    // ABC classes re-derived over the same per-part reduction; all
+    // comparisons in exact int64
+    "q73_abc_pareto" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT rev,
+        |    sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    (SELECT sum(rev) FROM rev) AS total
+        |  FROM rev)
+        |SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+        |            WHEN cum * 100 <= total * 95 THEN 'B'
+        |            ELSE 'C' END AS abc_class,
+        |  count(*) AS n_parts, CAST(sum(rev) AS BIGINT) AS sum_rev
+        |FROM c GROUP BY 1""".stripMargin,
+    // the same recursive construct run natively by DuckDB (// is DIV)
+    "q74_recursive_cte" ->
+      """WITH RECURSIVE anc(seed, cur, depth) AS (
+        |  SELECT p_partkey, p_partkey, 0 FROM part WHERE p_size = 50
+        |  UNION ALL
+        |  SELECT seed, cur // 2, depth + 1 FROM anc WHERE cur > 1)
+        |SELECT seed, CAST(max(depth) AS INT) AS max_depth,
+        |  count(*) AS n_nodes, CAST(sum(cur) AS BIGINT) AS sum_keys
+        |FROM anc GROUP BY seed""".stripMargin,
+    // both branches re-derived from scratch (BM25 via the t14 formula,
+    // dense via list_cosine_similarity), ranked over the same rounded
+    // scores, fused with the same two-term RRF arithmetic
+    "s08_hybrid_rrf" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+        |       WHERE tok IN ('vector', 'stream', 'window') GROUP BY 1, 2),
+        |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (SELECT tf.doc_id,
+        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+        |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+        |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS contrib
+        |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats),
+        |agg AS (SELECT doc_id, round(sum(contrib), 4) AS bm25
+        |        FROM scored GROUP BY 1),
+        |lex AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+        |      AS lex_rank
+        |  FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20),
+        |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        |sims AS (SELECT vec_id AS doc_id,
+        |    round(list_cosine_similarity(embedding, q), 4) AS sim
+        |  FROM embeddings, qv WHERE vec_id <> 0),
+        |vec AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT)
+        |      AS vec_rank
+        |  FROM sims ORDER BY sim DESC, doc_id LIMIT 20)
+        |SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+        |  lex_rank, vec_rank,
+        |  round(coalesce(1.0 / (60 + lex_rank), 0.0) +
+        |        coalesce(1.0 / (60 + vec_rank), 0.0), 6) AS rrf
+        |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id""".stripMargin,
+    // the same three idioms restated: max(dense_rank) distinct count,
+    // windowed quantile_cont median, exact-integer ratio-to-report
+    "q75_window_idioms" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |    dense_rank() OVER (PARTITION BY l_returnflag, l_linestatus
+        |      ORDER BY l_suppkey) AS dr
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+        |  cents,
+        |  CAST(max(dr) OVER w AS BIGINT) AS n_supp,
+        |  CAST(quantile_cont(cents, 0.5) OVER w * 2 AS BIGINT) AS med2,
+        |  round(CAST(cents AS DOUBLE) /
+        |        CAST(sum(cents) OVER w AS DOUBLE), 6) AS share
+        |FROM t
+        |WINDOW w AS (PARTITION BY l_returnflag, l_linestatus)""".stripMargin,
+    // passage dedup over the chunk STRINGS (the Spark side joins on
+    // xxhash64 — hash-join ≡ string-join modulo collisions, which
+    // would fail this gate deterministically); reassembly order pinned
+    // by ORDER BY pos inside string_agg
+    "t22_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |ch0 AS (SELECT doc_id, toks,
+        |    unnest(range(0, greatest(
+        |      CAST(ceil(len(toks) / 10.0) AS BIGINT), 1))) AS pos
+        |  FROM t),
+        |ch AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+        |    array_to_string(toks[pos*10+1 : pos*10+10], ' ') AS chunk
+        |  FROM ch0
+        |  WHERE array_to_string(toks[pos*10+1 : pos*10+10], ' ') <> ''),
+        |df AS (SELECT chunk, count(DISTINCT doc_id) AS doc_df
+        |  FROM ch GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN doc_df < 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  coalesce(string_agg(CASE WHEN doc_df < 2 THEN chunk END,
+        |    ' ' ORDER BY pos), '') AS clean_text
+        |FROM ch JOIN df USING (chunk)
+        |GROUP BY doc_id""".stripMargin,
+    // shingle novelty over the shingle STRINGS; first owner = min doc_id
+    "t23_shingle_novelty" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i+1:i+3], ' ')
+        |               FOR i IN range(0, len(toks)-2)] END AS shingles
+        |  FROM t),
+        |se AS (SELECT DISTINCT doc_id, sh FROM
+        |  (SELECT doc_id, unnest(shingles) AS sh FROM sh)),
+        |fo AS (SELECT sh, min(doc_id) AS first_doc FROM se GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel
+        |FROM se JOIN fo USING (sh)
+        |GROUP BY doc_id""".stripMargin,
+    // d07's independent recursive-CTE closure + top-1 per component
+    // under the total order (n_chars desc, doc_id asc)
+    "d11_cluster_keep_best" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM tok a JOIN tok b
+        |    ON a.t = b.t AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |e AS (
+        |  SELECT id_a AS a, id_b AS b FROM inter
+        |  JOIN cnt ca ON id_a = ca.doc_id
+        |  JOIN cnt cb ON id_b = cb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+        |sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+        |reach(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id),
+        |lab AS (SELECT id AS doc_id, min(comp) AS component
+        |        FROM reach GROUP BY 1),
+        |sized AS (SELECT doc_id, component,
+        |    CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+        |      AS cluster_size
+        |  FROM lab)
+        |SELECT component, doc_id AS keep_id, cluster_size,
+        |  cluster_size - 1 AS n_dropped
+        |FROM (SELECT s.doc_id, s.component, s.cluster_size,
+        |    row_number() OVER (PARTITION BY s.component
+        |      ORDER BY d.n_chars DESC, s.doc_id ASC) AS rn
+        |  FROM sized s JOIN documents d USING (doc_id))
+        |WHERE rn = 1""".stripMargin,
+    // integer waterfill: funded prefix in ascending (n, source) order,
+    // remainder floor-split over capped sources with the modulo going
+    // to the smallest; md5-rank stratified take of exactly alloc docs
+    "c06_unimax_mix" ->
+      """WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |b AS (SELECT CAST((sum(n) * 3) // 4 AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS s FROM n),
+        |idx AS (SELECT lang, n,
+        |    CAST(row_number() OVER (ORDER BY n, lang) AS BIGINT) AS i,
+        |    CAST(sum(n) OVER (ORDER BY n, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS pre
+        |  FROM n),
+        |f AS (SELECT idx.*, (pre + (s - i) * n <= t) AS funded
+        |  FROM idx CROSS JOIN b),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN funded THEN n ELSE 0 END) AS BIGINT) AS fsum,
+        |    CAST(sum(CASE WHEN funded THEN 0 ELSE 1 END) AS BIGINT) AS k,
+        |    CAST(sum(CASE WHEN funded THEN 1 ELSE 0 END) AS BIGINT) AS nf
+        |  FROM f),
+        |alloc AS (SELECT lang,
+        |    CASE WHEN funded THEN n ELSE (t - fsum) // k +
+        |      (CASE WHEN i - nf <= (t - fsum) % k THEN 1 ELSE 0 END) END
+        |      AS alloc
+        |  FROM f CROSS JOIN a CROSS JOIN b),
+        |r AS (SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':unimax'), doc_id)
+        |      AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, rn, alloc
+        |FROM r JOIN alloc USING (lang)
+        |WHERE rn <= alloc""".stripMargin,
+    // greedy MMR replayed with a recursive CTE carrying the selected
+    // set; λ=1/2 → 0.5·rel − 0.5·max(sim) is bit-identical to the
+    // Spark side (same doubles, same association, same argmax)
+    "s09_mmr_rerank" ->
+      """WITH RECURSIVE q AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |scored AS (SELECT q.query_id, e.vec_id AS cand_id,
+        |    round(list_cosine_similarity(
+        |      CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 9)
+        |      AS rel
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |top20 AS (SELECT query_id, cand_id, rel FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, cand_id) AS rnk
+        |    FROM scored) WHERE rnk <= 20),
+        |pair AS (SELECT a.query_id, a.cand_id AS ia, b.cand_id AS ib,
+        |    round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |      CAST(eb.embedding AS DOUBLE[])), 9) AS s
+        |  FROM top20 a JOIN top20 b USING (query_id)
+        |  JOIN embeddings ea ON ea.vec_id = a.cand_id
+        |  JOIN embeddings eb ON eb.vec_id = b.cand_id
+        |  WHERE a.cand_id <> b.cand_id),
+        |sel(query_id, step, cand_id, score, selected) AS (
+        |  SELECT query_id, 1, cand_id, rel, [cand_id] FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, cand_id) AS r
+        |    FROM top20) WHERE r = 1
+        |  UNION ALL
+        |  SELECT s.query_id, s.step + 1, c.cand_id, c.score,
+        |    list_append(s.selected, c.cand_id)
+        |  FROM sel s, LATERAL (
+        |    SELECT t.cand_id, 0.5*t.rel - 0.5*max(p.s) AS score
+        |    FROM top20 t JOIN pair p ON p.query_id = s.query_id
+        |      AND p.ia = t.cand_id AND list_contains(s.selected, p.ib)
+        |    WHERE t.query_id = s.query_id
+        |      AND NOT list_contains(s.selected, t.cand_id)
+        |    GROUP BY t.cand_id, t.rel
+        |    ORDER BY score DESC, t.cand_id
+        |    LIMIT 1) c
+        |  WHERE s.step < 10)
+        |SELECT query_id, step, cand_id, round(score, 4) AS mmr
+        |FROM sel""".stripMargin,
+    // dHash recomputed from the ASSET CONTRACT: the pixel array IS the
+    // doc's text bytes (ASCII — length == octet_length on this corpus,
+    // asserted by the engine's gate staying green), bytes past the body
+    // read 0; signed-64 packing via HUGEINT fold
+    "m05_image_dhash" ->
+      """WITH img AS (SELECT doc_id, text, length(text) AS tl,
+        |    CAST(doc_id % 640 + 64 AS BIGINT) AS w,
+        |    CAST(doc_id % 480 + 48 AS BIGINT) AS h,
+        |    CAST(((doc_id % 640 + 64) * 3 + 3) // 4 * 4 AS BIGINT) AS stride
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |grid AS (SELECT doc_id, w, h, stride, text, tl,
+        |    r1.range AS x, r2.range AS y
+        |  FROM img, range(9) r1, range(8) r2),
+        |px AS (SELECT doc_id, w, h, x, y,
+        |    (SELECT sum(CASE
+        |        WHEN (y*h//8)*stride + (x*w//9)*3 + c.range < tl
+        |        THEN ascii(substr(text,
+        |          CAST((y*h//8)*stride + (x*w//9)*3 + c.range AS INT) + 1, 1))
+        |        ELSE 0 END)
+        |     FROM range(3) c) AS bright
+        |  FROM grid),
+        |bits AS (SELECT a.doc_id, a.w, a.h, a.y, a.x,
+        |    CASE WHEN a.bright > b.bright THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.y = b.y
+        |    AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |hash AS (SELECT doc_id, w, h,
+        |    CAST(CASE WHEN h128 >= 9223372036854775808
+        |         THEN h128 - 18446744073709551616 ELSE h128 END AS BIGINT)
+        |      AS dhash
+        |  FROM (SELECT doc_id,
+        |      sum(bit * (1::HUGEINT << CAST(y*8 + x AS INT))) AS h128,
+        |      any_value(w) AS w, any_value(h) AS h
+        |    FROM bits GROUP BY doc_id))
+        |SELECT doc_id AS asset_id, w AS width, h AS height, dhash,
+        |  CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_same_hash
+        |FROM hash""".stripMargin,
+    // audio fingerprint recomputed from the ASSET CONTRACT: PCM16 LE
+    // samples are consecutive text byte pairs (signed high byte),
+    // 8 integer-division windows, |energy| gradient bits
+    "m06_audio_fingerprint" ->
+      """WITH aud AS (SELECT doc_id, text, length(text) AS tl,
+        |    CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |sig AS (SELECT doc_id, sample_rate, tl // 2 AS n,
+        |    [CASE WHEN ascii(substr(text, 2*i+2, 1)) >= 128
+        |       THEN abs(ascii(substr(text, 2*i+1, 1))
+        |            + 256*ascii(substr(text, 2*i+2, 1)) - 65536)
+        |       ELSE ascii(substr(text, 2*i+1, 1))
+        |            + 256*ascii(substr(text, 2*i+2, 1)) END
+        |     FOR i IN range(0, tl // 2)] AS absamp
+        |  FROM aud),
+        |smp AS (SELECT doc_id, n, unnest(absamp) AS v,
+        |    unnest(range(n)) AS i
+        |  FROM sig WHERE n > 0),
+        |en0 AS (SELECT doc_id, (i*8)//n AS w, sum(v) AS e
+        |  FROM smp GROUP BY 1, 2),
+        |grid AS (SELECT doc_id, r.range AS w FROM sig, range(8) r),
+        |en AS (SELECT g.doc_id, g.w, coalesce(e, 0) AS e
+        |  FROM grid g LEFT JOIN en0 ON en0.doc_id = g.doc_id
+        |    AND en0.w = g.w),
+        |fp AS (SELECT a.doc_id,
+        |    CAST(sum(CASE WHEN a.e > b.e
+        |      THEN 1::BIGINT << CAST(a.w AS INT) ELSE 0 END) AS BIGINT)
+        |      AS afp
+        |  FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        |  WHERE a.w < 7 GROUP BY 1),
+        |base AS (SELECT s.doc_id, s.sample_rate,
+        |    CAST(s.n AS BIGINT) AS n_samples, coalesce(fp.afp, 0) AS afp
+        |  FROM sig s LEFT JOIN fp USING (doc_id))
+        |SELECT doc_id AS asset_id, sample_rate, n_samples, afp,
+        |  CAST(count(*) OVER (PARTITION BY afp) AS BIGINT) AS n_same_fp
+        |FROM base""".stripMargin,
+    // m07: every video fingerprint recomputed from the asset
+    // contract's text-as-frame-bytes derivation (the m06 byte-fold
+    // technique at frame granularity); width/height predicted from the
+    // contract vs the engine's header parse
+    "m07_video_fingerprint" ->
+      """WITH vid AS (SELECT doc_id, text, length(text) AS tl,
+        |    CAST(doc_id % 640 + 64 AS INT) AS width,
+        |    CAST(doc_id % 480 + 48 AS INT) AS height
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |ch AS (SELECT doc_id, text, unnest(range(least(tl, 512))) AS i
+        |  FROM vid WHERE tl > 0),
+        |en0 AS (SELECT doc_id, i // 64 AS w,
+        |    CAST(sum(ascii(substr(text, CAST(i AS INT) + 1, 1)))
+        |      AS BIGINT) AS e
+        |  FROM ch GROUP BY 1, 2),
+        |grid AS (SELECT v.doc_id, r.range AS w FROM vid v, range(8) r),
+        |en AS (SELECT g.doc_id, g.w, coalesce(e, 0) AS e
+        |  FROM grid g LEFT JOIN en0 ON en0.doc_id = g.doc_id
+        |    AND en0.w = g.w),
+        |fp AS (SELECT a.doc_id,
+        |    CAST(sum(CASE WHEN a.e > b.e
+        |      THEN 1::BIGINT << CAST(a.w AS INT) ELSE 0 END) AS BIGINT)
+        |      AS vfp
+        |  FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        |  WHERE a.w < 7 GROUP BY 1),
+        |base AS (SELECT v.doc_id, v.width, v.height,
+        |    CAST((v.tl + 63) // 64 AS BIGINT) AS n_frames,
+        |    coalesce(fp.vfp, 0) AS vfp
+        |  FROM vid v LEFT JOIN fp USING (doc_id))
+        |SELECT doc_id AS asset_id, width, height, n_frames, vfp,
+        |  CAST(count(*) OVER (PARTITION BY vfp) AS BIGINT) AS n_same_fp
+        |FROM base""".stripMargin,
+    // m08: every dHash recomputed from the asset contract (the m05
+    // derivation), then the DIRECT quadratic Hamming join — the
+    // engine's banded multi-index must reproduce it exactly because
+    // the 4x16-bit pigeonhole is lossless at cutoff 2
+    "m08_image_neardup" ->
+      """WITH img AS (SELECT doc_id, text, length(text) AS tl,
+        |    CAST(doc_id % 640 + 64 AS BIGINT) AS w,
+        |    CAST(doc_id % 480 + 48 AS BIGINT) AS h,
+        |    CAST(((doc_id % 640 + 64) * 3 + 3) // 4 * 4 AS BIGINT) AS stride
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |grid AS (SELECT doc_id, w, h, stride, text, tl,
+        |    r1.range AS x, r2.range AS y
+        |  FROM img, range(9) r1, range(8) r2),
+        |px AS (SELECT doc_id, x, y,
+        |    (SELECT sum(CASE
+        |        WHEN (y*h//8)*stride + (x*w//9)*3 + c.range < tl
+        |        THEN ascii(substr(text,
+        |          CAST((y*h//8)*stride + (x*w//9)*3 + c.range AS INT) + 1, 1))
+        |        ELSE 0 END)
+        |     FROM range(3) c) AS bright
+        |  FROM grid),
+        |bits AS (SELECT a.doc_id, a.y, a.x,
+        |    CASE WHEN a.bright > b.bright THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.y = b.y
+        |    AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |hash AS (SELECT doc_id,
+        |    CAST(CASE WHEN h128 >= 9223372036854775808
+        |         THEN h128 - 18446744073709551616 ELSE h128 END AS BIGINT)
+        |      AS dhash
+        |  FROM (SELECT doc_id,
+        |      sum(bit * (1::HUGEINT << CAST(y*8 + x AS INT))) AS h128
+        |    FROM bits GROUP BY doc_id))
+        |SELECT a.doc_id AS asset_a, b.doc_id AS asset_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        |FROM hash a JOIN hash b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 2""".stripMargin,
+    // m09: m08's full dHash recomputation + the d04 token convention,
+    // composed; token-set sizes from documents directly (len of the
+    // distinct list) so a zero-token doc cannot drop the pair
+    "m09_caption_conflict" ->
+      """WITH img AS (SELECT doc_id, text, length(text) AS tl,
+        |    CAST(doc_id % 640 + 64 AS BIGINT) AS w,
+        |    CAST(doc_id % 480 + 48 AS BIGINT) AS h,
+        |    CAST(((doc_id % 640 + 64) * 3 + 3) // 4 * 4 AS BIGINT) AS stride
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |grid AS (SELECT doc_id, w, h, stride, text, tl,
+        |    r1.range AS x, r2.range AS y
+        |  FROM img, range(9) r1, range(8) r2),
+        |px AS (SELECT doc_id, x, y,
+        |    (SELECT sum(CASE
+        |        WHEN (y*h//8)*stride + (x*w//9)*3 + c.range < tl
+        |        THEN ascii(substr(text,
+        |          CAST((y*h//8)*stride + (x*w//9)*3 + c.range AS INT) + 1, 1))
+        |        ELSE 0 END)
+        |     FROM range(3) c) AS bright
+        |  FROM grid),
+        |bits AS (SELECT a.doc_id, a.y, a.x,
+        |    CASE WHEN a.bright > b.bright THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.y = b.y
+        |    AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |hash AS (SELECT doc_id,
+        |    CAST(CASE WHEN h128 >= 9223372036854775808
+        |         THEN h128 - 18446744073709551616 ELSE h128 END AS BIGINT)
+        |      AS dhash
+        |  FROM (SELECT doc_id,
+        |      sum(bit * (1::HUGEINT << CAST(y*8 + x AS INT))) AS h128
+        |    FROM bits GROUP BY doc_id)),
+        |hp AS (SELECT a.doc_id AS asset_a, b.doc_id AS asset_b,
+        |    CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        |  FROM hash a JOIN hash b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 2),
+        |tk AS (SELECT doc_id, unnest(list_distinct(
+        |    regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |sz AS (SELECT doc_id, CAST(len(list_distinct(
+        |    regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |inter AS (SELECT p.asset_a, p.asset_b, count(*) AS n_inter
+        |  FROM hp p JOIN tk a ON a.doc_id = p.asset_a
+        |            JOIN tk b ON b.doc_id = p.asset_b AND a.tok = b.tok
+        |  GROUP BY 1, 2)
+        |SELECT p.asset_a, p.asset_b, p.hamming,
+        |  CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+        |  CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS BIGINT) AS n_union,
+        |  coalesce(i.n_inter, 0) * 2
+        |    < sa.n + sb.n - coalesce(i.n_inter, 0) AS caption_conflict
+        |FROM hp p
+        |JOIN sz sa ON sa.doc_id = p.asset_a
+        |JOIN sz sb ON sb.doc_id = p.asset_b
+        |LEFT JOIN inter i ON i.asset_a = p.asset_a
+        |  AND i.asset_b = p.asset_b""".stripMargin,
+    // VARIANT battery restated with DuckDB string-path JSON; the
+    // minified roundtrip is REBUILT from the extracted value space
+    // ('{"k":<int>}') rather than whitespace-stripping the raw string —
+    // robust to any fixture reformatting that keeps the contract shape
+    // (single integer key k, pinned in TablesSpec) and canonically
+    // minified/key-sorted by construction, matching Variant to_json
+    "q76_variant_battery" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract_string(props, '$.missing') AS BIGINT)
+        |    AS missing_k,
+        |  TRY_CAST(concat('}', props) AS JSON) IS NULL AS malformed_null,
+        |  concat('{"k":',
+        |    CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |      AS VARCHAR), '}') AS roundtrip
+        |FROM events""".stripMargin,
+    // balance-to-largest: integer epoch factors + md5-rank modulo spread
+    "c07_balance_upsample" ->
+      """WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |mx AS (SELECT CAST(max(n) AS BIGINT) AS nmax FROM n),
+        |alloc AS (SELECT lang, nmax // n AS base_rep, nmax % n AS extra
+        |  FROM n CROSS JOIN mx),
+        |r AS (SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':balance'), doc_id)
+        |      AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, rn,
+        |  base_rep + (CASE WHEN rn <= extra THEN 1 ELSE 0 END)
+        |    AS n_repeats
+        |FROM r JOIN alloc USING (lang)""".stripMargin,
+    // materialized packing: vocab ranks, t18's md5 layout offsets,
+    // bins collect ids under the total (off) order
+    "t24_pack_materialize" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |cnt AS (SELECT unnest(toks) AS tok FROM t),
+        |cnt2 AS (SELECT tok, count(*) AS c FROM cnt GROUP BY 1),
+        |vocab AS (SELECT tok,
+        |    CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT)
+        |      AS vid
+        |  FROM cnt2),
+        |o AS (SELECT doc_id, toks, len(toks) AS n_tok,
+        |    CAST(sum(len(toks)) OVER (
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':pack'), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) - len(toks) AS start_off
+        |  FROM t),
+        |flat AS (SELECT doc_id, start_off + i AS off, tok
+        |  FROM (SELECT doc_id, start_off,
+        |      unnest(range(len(toks))) AS i, unnest(toks) AS tok
+        |    FROM o)),
+        |ids AS (SELECT off, CAST(off // 2048 AS BIGINT) AS bin, vid
+        |  FROM flat JOIN vocab USING (tok))
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_tok,
+        |  string_agg(CAST(vid AS VARCHAR), ' ' ORDER BY off) AS ids
+        |FROM ids GROUP BY bin""".stripMargin,
+    // vocab coverage: top-64 under the (count desc, token asc) total
+    // order; OOV = no vocab match
+    "t25_vocab_coverage" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok AS vtok FROM (
+        |    SELECT tok, count(*) AS c FROM tok GROUP BY 1
+        |    ORDER BY c DESC, tok LIMIT 64))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(CASE WHEN vtok IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_in_vocab,
+        |  CAST(sum(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_oov
+        |FROM tok LEFT JOIN v ON tok.tok = v.vtok
+        |GROUP BY doc_id""".stripMargin,
+    // BPE trainer: all 3 rounds replayed on the double-space string
+    // representation — merges as replace() over ' l  r ' patterns (the
+    // doubled separator makes the non-overlapping scan equal the
+    // engine's token-wise greedy scan), pair counts via string_split
+    "t29_bpe_train" ->
+      """WITH w AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS w
+        |    FROM documents) GROUP BY 1),
+        |s0 AS (SELECT '  ' || array_to_string(
+        |    [w[i] FOR i IN range(1, len(w) + 1)], '  ') || '  ' AS s, wc
+        |  FROM w),
+        |x1 AS (SELECT string_split(trim(s), '  ') AS t, wc FROM s0),
+        |e1 AS (SELECT t, wc, unnest(range(1, len(t))) AS i FROM x1),
+        |p1 AS (SELECT t[CAST(i AS INT)] AS l, t[CAST(i AS INT) + 1] AS r,
+        |    CAST(sum(wc) AS BIGINT) AS c
+        |  FROM e1 GROUP BY 1, 2),
+        |m1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l, r LIMIT 1),
+        |s1 AS (SELECT replace(s, ' ' || m1.l || '  ' || m1.r || ' ',
+        |    ' ' || m1.l || m1.r || ' ') AS s, wc FROM s0, m1),
+        |x2 AS (SELECT string_split(trim(s), '  ') AS t, wc FROM s1),
+        |e2 AS (SELECT t, wc, unnest(range(1, len(t))) AS i FROM x2),
+        |p2 AS (SELECT t[CAST(i AS INT)] AS l, t[CAST(i AS INT) + 1] AS r,
+        |    CAST(sum(wc) AS BIGINT) AS c
+        |  FROM e2 GROUP BY 1, 2),
+        |m2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l, r LIMIT 1),
+        |s2 AS (SELECT replace(s, ' ' || m2.l || '  ' || m2.r || ' ',
+        |    ' ' || m2.l || m2.r || ' ') AS s, wc FROM s1, m2),
+        |x3 AS (SELECT string_split(trim(s), '  ') AS t, wc FROM s2),
+        |e3 AS (SELECT t, wc, unnest(range(1, len(t))) AS i FROM x3),
+        |p3 AS (SELECT t[CAST(i AS INT)] AS l, t[CAST(i AS INT) + 1] AS r,
+        |    CAST(sum(wc) AS BIGINT) AS c
+        |  FROM e3 GROUP BY 1, 2),
+        |m3 AS (SELECT l, r, c FROM p3 ORDER BY c DESC, l, r LIMIT 1)
+        |SELECT CAST(1 AS INT) AS round, l, r, c FROM m1
+        |UNION ALL SELECT CAST(2 AS INT), l, r, c FROM m2
+        |UNION ALL SELECT CAST(3 AS INT), l, r, c FROM m3""".stripMargin,
+    // t30: the full t29 double-space replay, carrying the word through
+    // the merge rounds, extended one step (apply m3 -> s3): the final
+    // string's '  '-split length IS the word's BPE unit count; then
+    // the identical per-doc reduction over the doc-word frame
+    "t30_bpe_encode" ->
+      """WITH w AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS w
+        |    FROM documents) GROUP BY 1),
+        |s0 AS (SELECT w, '  ' || array_to_string(
+        |    [w[i] FOR i IN range(1, len(w) + 1)], '  ') || '  ' AS s, wc
+        |  FROM w),
+        |x1 AS (SELECT string_split(trim(s), '  ') AS t, wc FROM s0),
+        |e1 AS (SELECT t, wc, unnest(range(1, len(t))) AS i FROM x1),
+        |p1 AS (SELECT t[CAST(i AS INT)] AS l, t[CAST(i AS INT) + 1] AS r,
+        |    CAST(sum(wc) AS BIGINT) AS c
+        |  FROM e1 GROUP BY 1, 2),
+        |m1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l, r LIMIT 1),
+        |s1 AS (SELECT w, replace(s, ' ' || m1.l || '  ' || m1.r || ' ',
+        |    ' ' || m1.l || m1.r || ' ') AS s, wc FROM s0, m1),
+        |x2 AS (SELECT string_split(trim(s), '  ') AS t, wc FROM s1),
+        |e2 AS (SELECT t, wc, unnest(range(1, len(t))) AS i FROM x2),
+        |p2 AS (SELECT t[CAST(i AS INT)] AS l, t[CAST(i AS INT) + 1] AS r,
+        |    CAST(sum(wc) AS BIGINT) AS c
+        |  FROM e2 GROUP BY 1, 2),
+        |m2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l, r LIMIT 1),
+        |s2 AS (SELECT w, replace(s, ' ' || m2.l || '  ' || m2.r || ' ',
+        |    ' ' || m2.l || m2.r || ' ') AS s, wc FROM s1, m2),
+        |x3 AS (SELECT string_split(trim(s), '  ') AS t, wc FROM s2),
+        |e3 AS (SELECT t, wc, unnest(range(1, len(t))) AS i FROM x3),
+        |p3 AS (SELECT t[CAST(i AS INT)] AS l, t[CAST(i AS INT) + 1] AS r,
+        |    CAST(sum(wc) AS BIGINT) AS c
+        |  FROM e3 GROUP BY 1, 2),
+        |m3 AS (SELECT l, r, c FROM p3 ORDER BY c DESC, l, r LIMIT 1),
+        |s3 AS (SELECT w, replace(s, ' ' || m3.l || '  ' || m3.r || ' ',
+        |    ' ' || m3.l || m3.r || ' ') AS s, wc FROM s2, m3),
+        |wn AS (SELECT w,
+        |    CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_units
+        |  FROM s3),
+        |dw AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(length(dw.w)) AS BIGINT) AS n_char_units,
+        |    CAST(sum(n_units) AS BIGINT) AS n_bpe_units
+        |  FROM dw JOIN wn USING (w) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+        |  coalesce(n_char_units, 0) AS n_char_units,
+        |  coalesce(n_bpe_units, 0) AS n_bpe_units
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    // quality classifier: every hashed-feature index re-derived from
+    // the md5 HEX STRING (substr/ascii digit arithmetic) where the
+    // engine extracts nibbles from the digest BYTES; the weight
+    // formula (j * 2654435761) % 17 - 8 recomputed inline
+    "t28_quality_classifier" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(toks) AS f FROM t),
+        |b AS (SELECT doc_id,
+        |    toks[CAST(i AS INT)] || '_' || toks[CAST(i AS INT) + 1] AS f
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |        FROM t)),
+        |feats AS (SELECT doc_id, md5(f) AS m FROM u
+        |  UNION ALL SELECT doc_id, md5(f) FROM b),
+        |idx AS (SELECT doc_id,
+        |    (ascii(substr(m, 1, 1)) - CASE WHEN ascii(substr(m, 1, 1))
+        |       >= 97 THEN 87 ELSE 48 END) * 256
+        |  + (ascii(substr(m, 2, 1)) - CASE WHEN ascii(substr(m, 2, 1))
+        |       >= 97 THEN 87 ELSE 48 END) * 16
+        |  + (ascii(substr(m, 3, 1)) - CASE WHEN ascii(substr(m, 3, 1))
+        |       >= 97 THEN 87 ELSE 48 END) AS j
+        |  FROM feats),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+        |    CAST(sum((j * 2654435761) % 17 - 8) AS BIGINT) AS score
+        |  FROM idx GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_feat, 0) AS n_feat,
+        |  coalesce(score, 0) AS score, coalesce(score, 0) >= 0 AS keep
+        |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin,
+    // t31: t28's score CTE chain (the model is FROZEN and shared — the
+    // derivation route via substr/ascii stays the independent one);
+    // the confusion/precision/recall arithmetic is t31's own
+    "t31_calibration" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(toks) AS f FROM t),
+        |b AS (SELECT doc_id,
+        |    toks[CAST(i AS INT)] || '_' || toks[CAST(i AS INT) + 1] AS f
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |        FROM t)),
+        |feats AS (SELECT doc_id, md5(f) AS m FROM u
+        |  UNION ALL SELECT doc_id, md5(f) FROM b),
+        |idx AS (SELECT doc_id,
+        |    (ascii(substr(m, 1, 1)) - CASE WHEN ascii(substr(m, 1, 1))
+        |       >= 97 THEN 87 ELSE 48 END) * 256
+        |  + (ascii(substr(m, 2, 1)) - CASE WHEN ascii(substr(m, 2, 1))
+        |       >= 97 THEN 87 ELSE 48 END) * 16
+        |  + (ascii(substr(m, 3, 1)) - CASE WHEN ascii(substr(m, 3, 1))
+        |       >= 97 THEN 87 ELSE 48 END) AS j
+        |  FROM feats),
+        |sc AS (SELECT doc_id,
+        |    CAST(sum((j * 2654435761) % 17 - 8) AS BIGINT) AS score
+        |  FROM idx GROUP BY 1),
+        |lab AS (SELECT d.doc_id, coalesce(score, 0) AS score,
+        |    len(toks) BETWEEN 25 AND 60 AS truth
+        |  FROM t d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+        |cf AS (SELECT thr,
+        |    CAST(count(CASE WHEN score >= thr AND truth THEN 1 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(count(CASE WHEN score >= thr AND NOT truth THEN 1 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(count(CASE WHEN score < thr AND truth THEN 1 END)
+        |      AS BIGINT) AS fn,
+        |    CAST(count(CASE WHEN score < thr AND NOT truth THEN 1 END)
+        |      AS BIGINT) AS tn
+        |  FROM lab CROSS JOIN (SELECT CAST(unnest([-40, -20, 0, 20, 40])
+        |    AS BIGINT) AS thr) GROUP BY 1)
+        |SELECT thr, tp, fp, fn, tn,
+        |  tp * 10000 // nullif(tp + fp, 0) AS prec_x10k,
+        |  tp * 10000 // nullif(tp + fn, 0) AS rec_x10k
+        |FROM cf""".stripMargin,
+    // t32: both global orders as plain single-node windows — the
+    // engine's two-level rank decompositions must land on identical
+    // batch layouts
+    "t32_padding_waste" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS BIGINT) AS len
+        |  FROM documents),
+        |a AS (SELECT len, row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':pad'), doc_id) AS rn
+        |  FROM d),
+        |s AS (SELECT len, row_number() OVER (
+        |    ORDER BY len, md5(CAST(doc_id AS VARCHAR) || ':pads'), doc_id)
+        |    AS rn
+        |  FROM d),
+        |ab AS (SELECT 'arrival' AS strategy, (rn - 1) // 32 AS batch_id,
+        |    CAST(count(*) AS BIGINT) AS n_docs, max(len) AS max_len,
+        |    CAST(sum(len) AS BIGINT) AS tok_sum
+        |  FROM a GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'sorted', (rn - 1) // 32, CAST(count(*) AS BIGINT),
+        |    max(len), CAST(sum(len) AS BIGINT)
+        |  FROM s GROUP BY 1, 2)
+        |SELECT strategy, CAST(batch_id AS BIGINT) AS batch_id, n_docs,
+        |  max_len, tok_sum,
+        |  max_len * n_docs - tok_sum AS padding
+        |FROM ab""".stripMargin,
+    // DSIR: identical ln-of-smoothed-ratio terms (t13 discipline),
+    // summed per doc and rounded at 4dp; target LM = the en stratum
+    "c08_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS cr,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+        |  FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS nr,
+        |    CAST(sum(ct) AS DOUBLE) AS nt,
+        |    CAST(count(*) AS DOUBLE) AS v FROM cnt),
+        |lam AS (SELECT tok,
+        |    ln(CAST(ct + 1 AS DOUBLE) / (nt + v)) -
+        |    ln(CAST(cr + 1 AS DOUBLE) / (nr + v)) AS lam
+        |  FROM cnt CROSS JOIN tot)
+        |SELECT doc_id, round(sum(lam), 4) AS dsir_weight,
+        |  count(*) AS n_toks
+        |FROM tok JOIN lam USING (tok)
+        |GROUP BY 1""".stripMargin,
+    // entity resolution: d07's independent recursive-CTE closure over
+    // the q57 pair SQL
+    "q80_entity_resolution" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT c_custkey AS id, c_name AS name,
+        |         substring(c_name, 1, 16) AS blk
+        |  FROM customer),
+        |e AS (
+        |  SELECT a.id AS ia, b.id AS ib
+        |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.name, b.name) <= 1),
+        |sym AS (SELECT ia AS a, ib AS b FROM e
+        |  UNION SELECT ib AS a, ia AS b FROM e),
+        |reach(id, comp) AS (
+        |  SELECT c_custkey, c_custkey FROM customer
+        |  UNION
+        |  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id),
+        |lab AS (SELECT id, min(comp) AS entity_id FROM reach GROUP BY 1)
+        |SELECT id, entity_id,
+        |  CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT)
+        |    AS entity_size
+        |FROM lab""".stripMargin,
+    // KLL lifecycle: q40's rank-bound oracle with the wider 3% slack
+    "q78_kll_quantiles" ->
+      """WITH nn AS (SELECT count(*) AS n FROM orders),
+        |v AS (SELECT o_totalprice AS val,
+        |        row_number() OVER (ORDER BY o_totalprice) AS r
+        |      FROM orders),
+        |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.99]) AS DOUBLE)
+        |          AS quantile),
+        |-- DOUBLE arithmetic on purpose: DECIMAL would compute the rank
+        |-- exactly where the engine's IEEE product can land 1 ULP past
+        |-- an integer and ceil one rank higher (bit at sf0.1, q=0.75)
+        |k AS (SELECT quantile,
+        |        greatest(1, CAST(floor((quantile - CAST(0.03 AS DOUBLE))
+        |          * n) AS BIGINT)) AS klo,
+        |        least(n, CAST(ceil((quantile + CAST(0.03 AS DOUBLE))
+        |          * n) AS BIGINT)) AS khi
+        |      FROM qs, nn)
+        |SELECT k.quantile, vlo.val AS lo, vhi.val AS hi,
+        |  TRUE AS within_bounds
+        |FROM k JOIN v vlo ON vlo.r = k.klo
+        |JOIN v vhi ON vhi.r = k.khi""".stripMargin,
+    // theta set ops: exact pairwise intersections + contract boolean
+    "q79_theta_setops" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT a.event_type AS ta, b.event_type AS tb,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS within_10pct
+        |FROM u a JOIN u b ON a.user_id = b.user_id
+        |  AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin,
+    // sketch lifecycle: same exact-head contract shape as t26
+    "q77_topk_lifecycle" ->
+      """WITH slots AS (SELECT doc_id, unnest(range(1, 31)) AS i
+        |               FROM documents),
+        |tok AS (SELECT concat('zipf', CAST(CAST(least(floor(1000000.0 /
+        |    (CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
+        |       CAST(i AS VARCHAR))), 1, 6)) AS BIGINT) % 1000000 + 1)),
+        |    20000.0) AS BIGINT) AS VARCHAR)) AS token
+        |  FROM slots),
+        |tot AS (SELECT count(*) AS n_stream FROM tok),
+        |heavy AS (SELECT token, count(*) AS n_true FROM tok GROUP BY 1)
+        |SELECT token, CAST(n_true AS BIGINT) AS n_true,
+        |  TRUE AS in_estimate, TRUE AS est_ok
+        |FROM heavy, tot WHERE n_true * 17 > n_stream""".stripMargin,
+    // native-sketch heavy hitters: t12's oracle shape (exact head
+    // truth + TRUE contract booleans)
+    "t26_approx_topk" ->
+      """WITH slots AS (SELECT doc_id, unnest(range(1, 31)) AS i
+        |               FROM documents),
+        |tok AS (SELECT concat('zipf', CAST(CAST(least(floor(1000000.0 /
+        |    (CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
+        |       CAST(i AS VARCHAR))), 1, 6)) AS BIGINT) % 1000000 + 1)),
+        |    20000.0) AS BIGINT) AS VARCHAR)) AS token
+        |  FROM slots),
+        |tot AS (SELECT count(*) AS n_stream FROM tok),
+        |heavy AS (SELECT token, count(*) AS n_true FROM tok GROUP BY 1)
+        |SELECT token, CAST(n_true AS BIGINT) AS n_true,
+        |  TRUE AS in_sketch, TRUE AS est_ok
+        |FROM heavy, tot WHERE n_true * 17 > n_stream""".stripMargin,
+    // composed DSIR-positive gate + Hamilton temperature allocation +
+    // md5 stratified rank, re-derived end to end
+    "c10_dsir_select_mix" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS cr,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+        |  FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS nr,
+        |    CAST(sum(ct) AS DOUBLE) AS nt,
+        |    CAST(count(*) AS DOUBLE) AS v FROM cnt),
+        |lam AS (SELECT tok,
+        |    ln(CAST(ct + 1 AS DOUBLE) / (nt + v)) -
+        |    ln(CAST(cr + 1 AS DOUBLE) / (nr + v)) AS lam
+        |  FROM cnt CROSS JOIN tot),
+        |kept AS (SELECT doc_id, any_value(lang) AS lang,
+        |    round(sum(lam), 4) AS dw
+        |  FROM tok JOIN lam USING (tok)
+        |  GROUP BY doc_id HAVING round(sum(lam), 4) > 0),
+        |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM kept GROUP BY 1),
+        |w AS (SELECT lang, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS w FROM n),
+        |tt AS (SELECT CAST(sum(w) AS BIGINT) AS bw,
+        |    CAST(sum(n) AS BIGINT) // 4 AS t FROM w),
+        |a0 AS (SELECT lang, (t * w) // bw AS base, (t * w) % bw AS rem,
+        |    t FROM w CROSS JOIN tt),
+        |sh AS (SELECT CAST(max(t) AS BIGINT) - CAST(sum(base) AS BIGINT)
+        |    AS r FROM a0),
+        |a AS (SELECT lang, base +
+        |    (CASE WHEN row_number() OVER (ORDER BY rem DESC, lang) <= r
+        |      THEN 1 ELSE 0 END) AS alloc
+        |  FROM a0 CROSS JOIN sh),
+        |rk AS (SELECT doc_id, lang, dw,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':dsirmix'), doc_id)
+        |      AS BIGINT) AS rn
+        |  FROM kept)
+        |SELECT doc_id, lang, dw, rn, alloc
+        |FROM rk JOIN a USING (lang) WHERE rn <= alloc""".stripMargin,
+    // hard negatives: identical 9dp-rounded cosine + id total order on
+    // both engines (s09 discipline)
+    "s11_hard_negatives" ->
+      """WITH a AS (SELECT vec_id AS anchor_id, embedding AS av,
+        |    label AS al FROM embeddings WHERE vec_id < 10),
+        |scored AS (SELECT a.anchor_id, e.vec_id AS cand_id,
+        |    e.label AS cand_label,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(a.av AS DOUBLE[])), 9) AS simk
+        |  FROM embeddings e, a
+        |  WHERE e.vec_id <> a.anchor_id AND e.label <> a.al),
+        |ranked AS (SELECT anchor_id, cand_id, cand_label, simk,
+        |    CAST(row_number() OVER (PARTITION BY anchor_id
+        |      ORDER BY simk DESC, cand_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT anchor_id, rnk, cand_id, cand_label, round(simk, 4) AS sim
+        |FROM ranked WHERE rnk <= 5""".stripMargin,
+    // temperature mixing: integer largest-remainder apportionment over
+    // floor(sqrt·1e6) weights — exact on both engines
+    "c09_temperature_mix" ->
+      """WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS w FROM n),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS bw,
+        |    CAST(sum(n) AS BIGINT) // 4 AS t FROM w),
+        |a0 AS (SELECT lang, (t * w) // bw AS base, (t * w) % bw AS rem,
+        |    t FROM w CROSS JOIN tot),
+        |sh AS (SELECT CAST(max(t) AS BIGINT) - CAST(sum(base) AS BIGINT)
+        |    AS r FROM a0),
+        |a AS (SELECT lang, base +
+        |    (CASE WHEN row_number() OVER (ORDER BY rem DESC, lang) <= r
+        |      THEN 1 ELSE 0 END) AS alloc
+        |  FROM a0 CROSS JOIN sh),
+        |rk AS (SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':temper'), doc_id)
+        |      AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, rn, alloc
+        |FROM rk JOIN a USING (lang) WHERE rn <= alloc""".stripMargin,
+    // PQ-ANN recall contract (s02/s03 shape): the boolean is computed
+    // Spark-side vs the exact in-Spark brute-force truth
+    "s10_ann_pq" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // integer PageRank: the identical unrolled floor-division
+    // recurrence (damping 1/2, millionths scale) — exact on any engine
+    "g01_pagerank" ->
+      """WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS c,
+        |    l.l_suppkey * 2 + 1 AS sp
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |edges AS (SELECT c AS src, sp AS dst FROM pairs
+        |  UNION ALL SELECT sp AS src, c AS dst FROM pairs),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+        |  FROM edges GROUP BY 1),
+        |pr0 AS (SELECT DISTINCT src AS node,
+        |    CAST(1000000 AS BIGINT) AS pr FROM edges),
+        |pr1 AS (SELECT e.dst AS node,
+        |    CAST(500000 + CAST(sum(p.pr // d.deg) AS BIGINT) // 2
+        |      AS BIGINT) AS pr
+        |  FROM edges e JOIN deg d ON d.src = e.src
+        |  JOIN pr0 p ON p.node = e.src GROUP BY e.dst),
+        |pr2 AS (SELECT e.dst AS node,
+        |    CAST(500000 + CAST(sum(p.pr // d.deg) AS BIGINT) // 2
+        |      AS BIGINT) AS pr
+        |  FROM edges e JOIN deg d ON d.src = e.src
+        |  JOIN pr1 p ON p.node = e.src GROUP BY e.dst),
+        |pr3 AS (SELECT e.dst AS node,
+        |    CAST(500000 + CAST(sum(p.pr // d.deg) AS BIGINT) // 2
+        |      AS BIGINT) AS pr
+        |  FROM edges e JOIN deg d ON d.src = e.src
+        |  JOIN pr2 p ON p.node = e.src GROUP BY e.dst)
+        |SELECT node, pr FROM pr3""".stripMargin,
+    // weighted PageRank: identical unrolled arithmetic with
+    // floor((pr*w) div wsum) edge contributions
+    "g02_pagerank_weighted" ->
+      """WITH pairs AS (SELECT o.o_custkey * 2 AS c,
+        |    l.l_suppkey * 2 + 1 AS sp,
+        |    CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS w
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT c AS src, sp AS dst, w FROM pairs
+        |  UNION ALL SELECT sp AS src, c AS dst, w FROM pairs),
+        |deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum
+        |  FROM edges GROUP BY 1),
+        |pr0 AS (SELECT DISTINCT src AS node,
+        |    CAST(1000000 AS BIGINT) AS pr FROM edges),
+        |pr1 AS (SELECT e.dst AS node,
+        |    CAST(500000 + CAST(sum((p.pr * e.w) // d.wsum) AS BIGINT)
+        |      // 2 AS BIGINT) AS pr
+        |  FROM edges e JOIN deg d ON d.src = e.src
+        |  JOIN pr0 p ON p.node = e.src GROUP BY e.dst),
+        |pr2 AS (SELECT e.dst AS node,
+        |    CAST(500000 + CAST(sum((p.pr * e.w) // d.wsum) AS BIGINT)
+        |      // 2 AS BIGINT) AS pr
+        |  FROM edges e JOIN deg d ON d.src = e.src
+        |  JOIN pr1 p ON p.node = e.src GROUP BY e.dst),
+        |pr3 AS (SELECT e.dst AS node,
+        |    CAST(500000 + CAST(sum((p.pr * e.w) // d.wsum) AS BIGINT)
+        |      // 2 AS BIGINT) AS pr
+        |  FROM edges e JOIN deg d ON d.src = e.src
+        |  JOIN pr2 p ON p.node = e.src GROUP BY e.dst)
+        |SELECT node, pr FROM pr3""".stripMargin,
+    // personalized PageRank: identical unrolled arithmetic with the
+    // seed-restricted floor, LEFT-joined against the full src-node
+    // universe (zero-in-degree handling is part of the contract)
+    "g03_pagerank_personalized" ->
+      """WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS c,
+        |    l.l_suppkey * 2 + 1 AS sp
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |edges AS (SELECT c AS src, sp AS dst FROM pairs
+        |  UNION ALL SELECT sp AS src, c AS dst FROM pairs),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+        |  FROM edges GROUP BY 1),
+        |n0 AS (SELECT n.node,
+        |    CASE WHEN s.node IS NOT NULL THEN CAST(500000 AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS fl
+        |  FROM (SELECT DISTINCT src AS node FROM edges) n
+        |  LEFT JOIN (SELECT DISTINCT c_custkey * 2 AS node
+        |    FROM customer WHERE c_nationkey = 1) s ON s.node = n.node),
+        |pr0 AS (SELECT node, fl * 2 AS pr FROM n0),
+        |pr1 AS (SELECT n0.node,
+        |    n0.fl + coalesce(c.sm, CAST(0 AS BIGINT)) // 2 AS pr
+        |  FROM n0 LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(p.pr // d.deg) AS BIGINT) AS sm
+        |    FROM edges e JOIN deg d ON d.src = e.src
+        |    JOIN pr0 p ON p.node = e.src GROUP BY e.dst) c
+        |    ON c.node = n0.node),
+        |pr2 AS (SELECT n0.node,
+        |    n0.fl + coalesce(c.sm, CAST(0 AS BIGINT)) // 2 AS pr
+        |  FROM n0 LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(p.pr // d.deg) AS BIGINT) AS sm
+        |    FROM edges e JOIN deg d ON d.src = e.src
+        |    JOIN pr1 p ON p.node = e.src GROUP BY e.dst) c
+        |    ON c.node = n0.node),
+        |pr3 AS (SELECT n0.node,
+        |    n0.fl + coalesce(c.sm, CAST(0 AS BIGINT)) // 2 AS pr
+        |  FROM n0 LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(p.pr // d.deg) AS BIGINT) AS sm
+        |    FROM edges e JOIN deg d ON d.src = e.src
+        |    JOIN pr2 p ON p.node = e.src GROUP BY e.dst) c
+        |    ON c.node = n0.node)
+        |SELECT node, pr FROM pr3""".stripMargin,
+    // g05: the same 9 peeling rounds unrolled as GENERATED CTE SQL
+    // (each round: degree count -> keep list -> edge semi-filter); the
+    // independent while-loop reference lives in GraphSpec. Every
+    // round's edge CTE is AS MATERIALIZED: e_i references e_{i-1} three
+    // times, and DuckDB's default CTE INLINING would expand the chain
+    // to 3^rounds copies of the base scan (observed as a too-many-open-
+    // files explosion on the lineitem parquet).
+    "g05_kcore" -> {
+      val k = 5; val rounds = 9
+      val sb = new StringBuilder
+      sb ++= """WITH op AS (SELECT DISTINCT l_orderkey AS ok,
+               |    l_partkey AS p
+               |  FROM lineitem WHERE l_partkey % 16 = 0),
+               |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+               |  FROM op a JOIN op b
+               |  ON a.ok = b.ok AND a.p < b.p)""".stripMargin
+      for (i <- 1 to rounds) sb ++= s""",
+                |d$i AS (SELECT n, count(*) AS c FROM (
+                |    SELECT u AS n FROM e${i - 1}
+                |    UNION ALL SELECT v FROM e${i - 1}) GROUP BY 1),
+                |k$i AS (SELECT n FROM d$i WHERE c >= $k),
+                |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+                |  WHERE u IN (SELECT n FROM k$i)
+                |    AND v IN (SELECT n FROM k$i))""".stripMargin
+      sb ++= s""",
+               |df AS (SELECT n, count(*) AS c FROM (
+               |    SELECT u AS n FROM e$rounds
+               |    UNION ALL SELECT v FROM e$rounds) GROUP BY 1)
+               |SELECT n AS node, CAST(c AS BIGINT) AS deg,
+               |  (SELECT coalesce(min(c), ${Long.MaxValue}) FROM df)
+               |    >= $k AS converged
+               |FROM df""".stripMargin
+      sb.toString
+    },
+    // g06: the same 4 synchronous LPA rounds unrolled as generated CTE
+    // SQL, with the per-node argmax formulated INDEPENDENTLY as a
+    // row_number window over (count desc, label asc) — a shared
+    // argmax-semantics bug cannot pass both forms. Every label table is
+    // AS MATERIALIZED (referenced by the next round once and by the
+    // convergence probe twice; DuckDB CTE inlining would re-expand the
+    // chain per reference, the g05 lesson).
+    "g06_label_prop" -> {
+      val rounds = 4
+      val sb = new StringBuilder
+      sb ++= """WITH op AS (SELECT DISTINCT l_orderkey AS ok,
+               |    l_partkey AS p
+               |  FROM lineitem WHERE l_partkey % 8 = 0),
+               |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+               |  FROM op a JOIN op b
+               |  ON a.ok = b.ok AND a.p < b.p),
+               |nbr AS MATERIALIZED (SELECT u AS node, v AS nb FROM e0
+               |  UNION ALL SELECT v, u FROM e0),
+               |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lab
+               |  FROM nbr)""".stripMargin
+      for (i <- 1 to rounds) sb ++= s""",
+                |c$i AS (SELECT n.node, l.lab, count(*) AS c
+                |  FROM nbr n JOIN l${i - 1} l ON l.node = n.nb
+                |  GROUP BY 1, 2),
+                |l$i AS MATERIALIZED (SELECT node, lab FROM (
+                |    SELECT node, lab, row_number() OVER (
+                |      PARTITION BY node ORDER BY c DESC, lab) AS r
+                |    FROM c$i) WHERE r = 1)""".stripMargin
+      sb ++= s"""
+               |SELECT f.node, f.lab,
+               |  (SELECT count(*) FROM l$rounds x
+               |     JOIN l${rounds - 1} y ON x.node = y.node
+               |     AND x.lab <> y.lab) = 0 AS converged
+               |FROM l$rounds f""".stripMargin
+      sb.toString
+    },
+    // g08: the same 4 BFS rounds with the propagation formulated
+    // INDEPENDENTLY — the oracle min-merges the FULL distance frame
+    // every round (d_r = min over d_{r-1} ∪ {nbr dist+1}) where the
+    // engine joins only the frontier delta; the two agree exactly iff
+    // the BFS frontier invariant holds. Distance tables MATERIALIZED
+    // (g05 lesson: each is referenced by the next round and d3/d4
+    // twice by the settled probe).
+    "g08_bfs_distance" -> {
+      val rounds = 4
+      val sb = new StringBuilder
+      sb ++= """WITH op AS (SELECT DISTINCT l_orderkey AS ok,
+               |    l_partkey AS p
+               |  FROM lineitem WHERE l_partkey % 16 = 0),
+               |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+               |  FROM op a JOIN op b
+               |  ON a.ok = b.ok AND a.p < b.p),
+               |nbr AS MATERIALIZED (SELECT u AS node, v AS nb FROM e
+               |  UNION ALL SELECT v, u FROM e),
+               |d0 AS MATERIALIZED (SELECT DISTINCT node, 0 AS dist
+               |  FROM nbr WHERE node % 64 = 0)""".stripMargin
+      for (i <- 1 to rounds) sb ++= s""",
+                |d$i AS MATERIALIZED (SELECT node, min(dist) AS dist
+                |  FROM (SELECT node, dist FROM d${i - 1}
+                |    UNION ALL
+                |    SELECT n.node, d.dist + 1
+                |    FROM nbr n JOIN d${i - 1} d ON n.nb = d.node)
+                |  GROUP BY 1)""".stripMargin
+      sb ++= s"""
+               |SELECT node, CAST(dist AS BIGINT) AS dist,
+               |  (SELECT count(*) FROM d$rounds)
+               |    = (SELECT count(*) FROM d${rounds - 1}) AS settled
+               |FROM d$rounds""".stripMargin
+      sb.toString
+    },
+    // d13: shingle-STRING joins vs the engine's xxhash64 keys (d08
+    // discipline — a hash collision would fail deterministically)
+    "d13_source_overlap" ->
+      """WITH t AS (SELECT source,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |sh AS MATERIALIZED (SELECT DISTINCT source, s FROM (
+        |    SELECT source, unnest(
+        |      CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+        |           ELSE [array_to_string(toks[i+1:i+3], ' ')
+        |                 FOR i IN range(0, len(toks)-2)] END) AS s
+        |    FROM t)),
+        |c AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    count(*) AS n_shared
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+        |  CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+        |  CAST(n_shared AS BIGINT) * 10000
+        |    // (ca.n + cb.n - n_shared) AS jaccard_x10k
+        |FROM p
+        |JOIN c ca ON p.src_a = ca.source
+        |JOIN c cb ON p.src_b = cb.source""".stripMargin,
+    // g04: the id-ordered 3-way self-join count — a different
+    // formulation from the engine's degree-ordered forward algorithm;
+    // the exact integer counts must agree
+    "g04_triangle_count" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 4 = 0),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e e1
+        |   JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |   JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles""".stripMargin,
+    // snapshot maintenance: the two-batch I/U/D state machine
+    // re-derived INDEPENDENTLY as a full-outer-join CASE table over
+    // quota cap: first-3-per-user rank re-derived directly
+    "q82_quota_cap" ->
+      """WITH r AS (SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(least(rn - 1, 3) AS BIGINT) AS n_before,
+        |  rn <= 3 AS accepted
+        |FROM r""".stripMargin,
+    "q83_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |    count(*) AS n_keys FROM c),
+        |top5 AS (SELECT user_id, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, user_id)
+        |      AS BIGINT) AS rnk
+        |  FROM c ORDER BY cnt DESC, user_id LIMIT 5)
+        |SELECT rnk, user_id, cnt,
+        |  cnt * 10000 // total AS share_bp,
+        |  cnt * n_keys * 100 // total AS skew_x100,
+        |  greatest(CAST(1 AS BIGINT), cnt * n_keys // total) AS salt
+        |FROM top5, t""".stripMargin,
+    "q84_outer_interval_join" ->
+      """WITH c AS (SELECT user_id AS cu, ts AS c_ts,
+        |    event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |e AS (SELECT user_id, ts AS e_ts, event_id AS error_id
+        |  FROM events WHERE event_type = 'error')
+        |SELECT e.user_id, error_id, click_id,
+        |  click_id IS NOT NULL AS matched
+        |FROM e LEFT JOIN c ON cu = e.user_id
+        |  AND c_ts <= e_ts
+        |  AND c_ts >= e_ts - INTERVAL '10 minutes'""".stripMargin,
+    // each batch's latest-per-user event (never the Cdc kernel's
+    // join-then-union shape)
+    "q81_snapshot_maintain" ->
+      """WITH e AS (SELECT user_id, event_type, value, ts, event_id,
+        |    CASE WHEN day(ts) <= 15 THEN 1 ELSE 2 END AS b
+        |  FROM events),
+        |l AS (SELECT *, row_number() OVER (PARTITION BY user_id, b
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM e),
+        |l1 AS (SELECT user_id, event_type, value FROM l
+        |  WHERE b = 1 AND rn = 1),
+        |l2 AS (SELECT user_id, event_type, value FROM l
+        |  WHERE b = 2 AND rn = 1),
+        |s1 AS (SELECT user_id, value AS balance, TRUE AS alive FROM l1
+        |  WHERE event_type IN ('purchase', 'signup')),
+        |f AS (SELECT coalesce(s1.user_id, l2.user_id) AS user_id,
+        |    CASE
+        |      WHEN l2.user_id IS NULL THEN s1.balance
+        |      WHEN l2.event_type = 'purchase' THEN l2.value
+        |      WHEN l2.event_type = 'signup'
+        |        THEN coalesce(s1.balance, l2.value)
+        |      WHEN l2.event_type = 'click' AND s1.user_id IS NOT NULL
+        |        THEN l2.value
+        |      ELSE s1.balance END AS balance,
+        |    CASE WHEN l2.event_type = 'error' AND s1.user_id IS NOT NULL
+        |      THEN FALSE ELSE TRUE END AS alive,
+        |    CASE
+        |      WHEN s1.user_id IS NOT NULL THEN TRUE
+        |      WHEN l2.event_type IN ('purchase', 'signup') THEN TRUE
+        |      ELSE FALSE END AS has_row
+        |  FROM s1 FULL OUTER JOIN l2 ON l2.user_id = s1.user_id)
+        |SELECT user_id, balance, alive FROM f WHERE has_row""".stripMargin,
+    // BPE merge statistics: pair counts re-derived on the distinct-
+    // word frame weighted by word frequency — independently of the
+    // Spark-side transform/substr path
+    "t27_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(regexp_extract_all(lower(text),
+        |    '[a-z0-9]+')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS wc FROM w GROUP BY 1),
+        |px AS (SELECT w, wc, unnest(range(1, length(w))) AS i
+        |  FROM wc WHERE length(w) >= 2),
+        |p AS (SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, wc
+        |  FROM px)
+        |SELECT pair, CAST(sum(wc) AS BIGINT) AS c
+        |FROM p GROUP BY 1 ORDER BY c DESC, pair ASC LIMIT 50""".stripMargin,
+  )
+}

@@ -133,7 +133,7 @@ object RecallProbe {
     // nProbe=9 is the REGISTERED dial (min 6 at both SFs, contract 5);
     // the 7/11 rows show the dial's slope for future tuning
     {
-      val tq = SparkEntry.crossModalQueries(spark, sfDir)
+      val tq = EntryDefsB.crossModalQueries(spark, sfDir)
       val exactX = Similarity.bruteForceTopK(emb, tq, 10)
         .select(col("query_id"), col("cand_id")).localCheckpoint(true)
       val idx = Similarity.buildIvfAdcIndex(emb, m = 16)
@@ -186,7 +186,7 @@ object RecallProbe {
 
     // q67: CMS max overestimate across the heavy tokens vs eps*N
     {
-      val toks = docs.select(explode(SparkEntry.zipfTokens).as("token"))
+      val toks = docs.select(explode(EntryDefsB.zipfTokens).as("token"))
       val nStream = toks.count()
       val sk = toks.agg(count_min_sketch(col("token"),
         lit(0.001d), lit(0.99d), lit(42)).as("sk"))

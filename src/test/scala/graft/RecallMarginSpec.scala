@@ -96,7 +96,7 @@ class RecallMarginSpec extends SparkSpec {
 
       // s19 cross-modal: its truth is the text-query x image-corpus
       // brute force, so it needs its own hit table (text ids +100000)
-      val tq = SparkEntry.crossModalQueries(spark, sfDir)
+      val tq = EntryDefsB.crossModalQueries(spark, sfDir)
       val exactX = Similarity.bruteForceTopK(emb, tq, 10)
         .select(col("query_id"), col("cand_id"))
       val s19Hits = exactX
@@ -157,7 +157,7 @@ class RecallMarginSpec extends SparkSpec {
       // require the measured max overestimate under 0.0005*N so a
       // sketch-width or fixture change flakes here before the gate
       val toks = Tables.documents(spark, sfDir)
-        .select(explode(SparkEntry.zipfTokens).as("token"))
+        .select(explode(EntryDefsB.zipfTokens).as("token"))
       val n = toks.count()
       val sk = toks.agg(count_min_sketch(col("token"),
         lit(0.001d), lit(0.99d), lit(42)).as("sk"))
