@@ -18,6 +18,7 @@ import graft.EntryDrives._
   * hygiene); every def is byte-identical to its pre-split form
   * and is re-exported through [[SparkEntry.queries]]. */
 private[graft] object EntryDefsA {
+  /** q01 — P1/P2/P3 cleaning projections as one codegen'd select. */
   private[graft] def q01(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).select(
       Cleaning.dateToString(col("l_shipdate")).as("ship_date"),
@@ -2173,18 +2174,73 @@ private[graft] object EntryDefsA {
         (col("files_after") === 1).as("compacted_ok"))
   }
 
-  /** l13 — CHANGE-DATA-FEED read between versions
-    * ([[graft.sources.VersionedLake.changesBetween]]): Delta's
-    * `table_changes`, computed from the commit log — the manifest
-    * diff names the churned partitions (identical file pointers ⇒
-    * provably identical content, NEVER read), a full-outer join on
-    * the key over just those partitions classifies each row, and the
-    * feed drives downstream incrementals without re-diffing the
-    * table (q56's audit executed AT the table layer, cost ∝ churn).
-    * The fixture restates February against a deduped-key Q1 snapshot
-    * with all three kinds present: lines ≤ 4 updated (quantity + 1),
-    * lines > 4 dropped, +10000000-offset keys inserted (quantity
-    * + 3). Output is the per-kind count and payload sums — the oracle
-    * re-derives every number from the original parquet by the
-    * restatement's construction. */
+
+  /** l36 — MULTI-TABLE ATOMIC COMMIT through the coordinator log
+    * ([[graft.sources.CommitCoordinator]]): the designed boundary
+    * COVERAGE.md carried since l09 ("atomic multi-table commit needs
+    * a coordinator log above both lakes"), now implemented. Two lakes
+    * derive from lineitem — A holds Q1 rows, B the per-month counts —
+    * and ONE coordinator record pins both (the same hard-link claim
+    * primitive as the manifests). The torn instant is then
+    * manufactured: April lands in lake A with NO coordinator advance
+    * (the crash-between-lake-commits shape). `coord_pre` probes the
+    * COORDINATED reads — still the consistent Q1 pair, the tear
+    * structurally invisible — while `torn_direct_ahead` witnesses
+    * that a direct read of A does see it (the documented single-table
+    * posture). Recovery re-pins A's landed version and commits B's
+    * missing half in one record; `coord_post` probes the completed
+    * pair. `regression_refused`: a commit prepared against an older
+    * A-version aborts loudly rather than un-publishing the newer pin.
+    * The oracle re-derives every aggregate from the original parquet:
+    * a coordinator that read the wrong version on either side of
+    * either instant would miss the hash. */
+  private[graft] def l36(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{CommitCoordinator => CC, VersionedLake}
+    val h = Integer.toHexString(d.hashCode)
+    val lakeA = s"/tmp/graft_coordlake_a_$h"
+    val lakeB = s"/tmp/graft_coordlake_b_$h"
+    val coord = s"/tmp/graft_coordlog_$h"
+    Seq(lakeA, lakeB, coord).foreach(VersionedLake.reset(s, _))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .filter(col("month").between("1997-01", "1997-04"))
+    val q1 = li.filter(col("month") <= "1997-03")
+    val apr = li.filter(col("month") === "1997-04")
+    def counts(df: DataFrame) =
+      df.groupBy(col("month")).agg(count(lit(1)).as("cnt"))
+    CC.commitAll(s, coord, Seq(
+      () => (lakeA, VersionedLake.commitOverwrite(q1, "month", lakeA)),
+      () => (lakeB, VersionedLake.commitOverwrite(counts(q1), "month",
+        lakeB))))
+    // the torn instant: April lands in A, the coordinator never moves
+    VersionedLake.commitAppend(apr, "month", lakeA)
+    def probe(name: String, a: DataFrame, b: DataFrame): DataFrame =
+      a.agg(count(lit(1)).as("n_a"),
+          round(sum(col("l_quantity")), 2).as("sum_a"),
+          sum(col("l_orderkey") * 7 + col("l_linenumber")).as("key_a"))
+        .crossJoin(b.agg(count(lit(1)).as("n_b"),
+          sum(col("cnt")).as("tot_b")))
+        .withColumn("probe", lit(name))
+    val pre = probe("coord_pre",
+      CC.readCoordinated(s, coord, lakeA),
+      CC.readCoordinated(s, coord, lakeB))
+    val tornDirectAhead =
+      VersionedLake.readLatest(s, lakeA).count() >
+        CC.readCoordinated(s, coord, lakeA).count()
+    // recovery: re-pin A's landed version + B's missing half, one claim
+    CC.commitAll(s, coord, Seq(
+      () => (lakeA, VersionedLake.latestVersion(s, lakeA)),
+      () => (lakeB, VersionedLake.commitAppend(counts(apr), "month",
+        lakeB))))
+    val post = probe("coord_post",
+      CC.readCoordinated(s, coord, lakeA),
+      CC.readCoordinated(s, coord, lakeB))
+    val regressionRefused =
+      try { CC.commitAll(s, coord, Seq(() => (lakeA, 1))); false }
+      catch { case _: java.util.ConcurrentModificationException => true }
+    pre.unionByName(post)
+      .withColumn("torn_direct_ahead", lit(tornDirectAhead))
+      .withColumn("regression_refused", lit(regressionRefused))
+  }
 }

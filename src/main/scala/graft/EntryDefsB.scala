@@ -18,6 +18,20 @@ import graft.EntryDrives._
   * hygiene); every def is byte-identical to its pre-split form
   * and is re-exported through [[SparkEntry.queries]]. */
 private[graft] object EntryDefsB {
+  /** l13 — CHANGE-DATA-FEED read between versions
+    * ([[graft.sources.VersionedLake.changesBetween]]): Delta's
+    * `table_changes`, computed from the commit log — the manifest
+    * diff names the churned partitions (identical file pointers ⇒
+    * provably identical content, NEVER read), a full-outer join on
+    * the key over just those partitions classifies each row, and the
+    * feed drives downstream incrementals without re-diffing the
+    * table (q56's audit executed AT the table layer, cost ∝ churn).
+    * The fixture restates February against a deduped-key Q1 snapshot
+    * with all three kinds present: lines ≤ 4 updated (quantity + 1),
+    * lines > 4 dropped, +10000000-offset keys inserted (quantity
+    * + 3). Output is the per-kind count and payload sums — the oracle
+    * re-derives every number from the original parquet by the
+    * restatement's construction. */
   private[graft] def l13(s: SparkSession, d: String): DataFrame = {
     import graft.sources.VersionedLake
     val lake = s"/tmp/graft_cdflake_${Integer.toHexString(d.hashCode)}"
@@ -2133,21 +2147,4 @@ private[graft] object EntryDefsB {
         .as("nfc_ascii_identity"))
   }
 
-  /** t18 — sequence packing: lay documents head-to-tail in a
-    * deterministic (md5-rank) order and cut fixed 2048-token training
-    * bins from the running offset — the standard pre-training packing
-    * step (bin = floor(offset/2048); a doc straddles bins when its span
-    * crosses a boundary, counted in n_bins). The global running sum is
-    * computed TWO-LEVEL so no single-partition window ever holds the
-    * per-doc rows: the md5 sort key's own 2-hex-char prefix is an
-    * order-preserving, deterministic bucketing (global order by (sk,
-    * doc_id) ≡ order by (bucket, sk, doc_id) because the bucket is a
-    * prefix of sk, and md5 uniformity balances the 256 buckets), so
-    * (1) a hash-partitioned window per bucket computes local running
-    * sums in parallel, (2) a 256-row per-bucket total → exclusive
-    * prefix forms the bucket base offsets (the only tiny single-
-    * partition step), (3) a broadcast join adds base + local. Scales to
-    * any doc count — the old global `Window.orderBy` bottleneck is
-    * gone; output is byte-identical to the one-window form. Integer
-    * arithmetic only — exact oracle. */
 }

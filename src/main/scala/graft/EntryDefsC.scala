@@ -18,6 +18,23 @@ import graft.EntryDrives._
   * hygiene); every def is byte-identical to its pre-split form
   * and is re-exported through [[SparkEntry.queries]]. */
 private[graft] object EntryDefsC {
+  /** t18 — sequence packing: lay documents head-to-tail in a
+    * deterministic (md5-rank) order and cut fixed 2048-token training
+    * bins from the running offset — the standard pre-training packing
+    * step (bin = floor(offset/2048); a doc straddles bins when its span
+    * crosses a boundary, counted in n_bins). The global running sum is
+    * computed TWO-LEVEL so no single-partition window ever holds the
+    * per-doc rows: the md5 sort key's own 2-hex-char prefix is an
+    * order-preserving, deterministic bucketing (global order by (sk,
+    * doc_id) ≡ order by (bucket, sk, doc_id) because the bucket is a
+    * prefix of sk, and md5 uniformity balances the 256 buckets), so
+    * (1) a hash-partitioned window per bucket computes local running
+    * sums in parallel, (2) a 256-row per-bucket total → exclusive
+    * prefix forms the bucket base offsets (the only tiny single-
+    * partition step), (3) a broadcast join adds base + local. Scales to
+    * any doc count — the old global `Window.orderBy` bottleneck is
+    * gone; output is byte-identical to the one-window form. Integer
+    * arithmetic only — exact oracle. */
   private[graft] def t18(s: SparkSession, d: String): DataFrame = {
     val binSize = 2048L
     val toks = Tables.documents(s, d).select(col("doc_id"),

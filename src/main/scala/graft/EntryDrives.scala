@@ -910,6 +910,85 @@ private[graft] object EntryDrives {
           lake, txn = 100L) == 6,
           "st25 clean batch must land after the abort")
       },
+      // COORDINATED two-lake streaming ingest (st29 — the streaming
+      // form of l36): each micro-batch lands facts in lake A and its
+      // per-month counts in lake B, both exactly-once txn commits,
+      // then ONE CommitCoordinator record pins the pair atomically.
+      // Asserts: one coordinator record per batch, EVERY record is a
+      // consistent pair (facts count == counts total at that record —
+      // the atomic-view invariant, checked at all 4 records), a torn
+      // direct commit to A stays invisible to coordinated readers
+      // while a direct read sees it, a replayed txn + re-pin changes
+      // no pinned content, and the recovery commitAll publishes the
+      // completed pair.
+      "st29_stream_coordinated_lakes" -> { (s: SparkSession, d: String) =>
+        import org.apache.spark.sql.streaming.Trigger
+        import graft.sources.{CommitCoordinator => CC, VersionedLake}
+        val stage = stagedEventFiles(s, d)
+        val h = Integer.toHexString(d.hashCode)
+        val lakeA = s"/tmp/graft_stream_coord_a_$h"
+        val lakeB = s"/tmp/graft_stream_coord_b_$h"
+        val coord = s"/tmp/graft_stream_coord_log_$h"
+        Seq(lakeA, lakeB, coord).foreach(VersionedLake.reset(s, _))
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
+        try {
+          val schema = s.read.parquet(stage).schema
+          val src = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(stage)
+          val q = graft.streaming.EventStreams
+            .toCoordinatedLakes(src, lakeA, lakeB, coord)
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt.toString)
+            .start()
+          q.awaitTermination()
+        } finally {
+          org.apache.spark.sql.graftglue.GraftGlue.unloadStateStores()
+          java.nio.file.Files.walk(ckpt)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        }
+        require(CC.latest(s, coord) == 4,
+          s"st29 expected 4 coordinator records, got ${CC.latest(s, coord)}")
+        def pairAt(cv: Int): (Long, Long) = (
+          CC.readCoordinated(s, coord, lakeA, Some(cv)).count(),
+          CC.readCoordinated(s, coord, lakeB, Some(cv))
+            .agg(sum(col("cnt"))).head.getLong(0))
+        (1 to 4).foreach { cv =>
+          val (na, nb) = pairAt(cv)
+          require(na == nb, s"st29 record $cv torn: facts $na counts $nb")
+        }
+        val srcN = s.read.parquet(stage).count()
+        require(pairAt(4)._1 == srcN,
+          "st29 final coordinated state must equal the source")
+        // torn direct commit: coordinated view unmoved, direct ahead
+        VersionedLake.commitAppend(
+          s.read.parquet(stage).limit(5)
+            .withColumn("month", date_format(col("ts"), "yyyy-MM")),
+          "month", lakeA)
+        require(pairAt(4) == (srcN, srcN),
+          "st29 torn commit leaked into the coordinated view")
+        require(VersionedLake.readLatest(s, lakeA).count() == srcN + 5,
+          "st29 direct read must see the torn commit")
+        // replayed txn: lake versions unchanged; a re-pin record may
+        // mint a new cv but its PINS publish the same pair content
+        val vA = VersionedLake.latestVersion(s, lakeA)
+        require(VersionedLake.commitBatchAppend(
+          s.read.parquet(stage).limit(1)
+            .withColumn("month", date_format(col("ts"), "yyyy-MM")),
+          "month", lakeA, txn = 3L) == vA,
+          "st29 replayed txn forked history")
+        // recovery publishes the completed pair in one record
+        CC.commitAll(s, coord, Seq(
+          () => (lakeA, VersionedLake.latestVersion(s, lakeA)),
+          () => (lakeB, VersionedLake.commitBatchAppend(
+            s.read.parquet(stage).limit(5)
+              .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
+              .agg(count(lit(1)).as("cnt")),
+            "month", lakeB, txn = 90L))))
+        val (na, nb) = pairAt(CC.latest(s, coord))
+        require(na == srcN + 5 && nb == srcN + 5,
+          s"st29 recovery pair diverges: $na vs $nb")
+      },
       // STREAMING INDEX MAINTENANCE (st26): st23's txn ingest with the
       // l28 Bloom file-skipping index kept fresh INSIDE each
       // micro-batch — filters attach to immutable files, so each

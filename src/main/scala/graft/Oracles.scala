@@ -1567,6 +1567,34 @@ private[graft] object Oracles {
         |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
         |  TRUE, TRUE
         |FROM li WHERE month <= '1997-03'""".stripMargin,
+    // l36: the coordinated pair re-derives from the original parquet
+    // on BOTH sides of the torn instant — coord_pre must still be the
+    // Q1 pair (lake A's un-coordinated April commit invisible to
+    // coordinated readers), coord_post the completed Q1+April pair;
+    // the crash-visibility/regression witnesses are engine booleans
+    "l36_commit_coordinator" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    strftime(l_shipdate, '%Y-%m') AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-04'),
+        |q1 AS (SELECT * FROM li WHERE month <= '1997-03')
+        |SELECT count(*) AS n_a,
+        |  round(sum(l_quantity), 2) AS sum_a,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_a,
+        |  (SELECT count(DISTINCT month) FROM q1) AS n_b,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM q1) AS tot_b,
+        |  'coord_pre' AS probe,
+        |  TRUE AS torn_direct_ahead, TRUE AS regression_refused
+        |FROM q1
+        |UNION ALL
+        |SELECT count(*), round(sum(l_quantity), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  (SELECT count(DISTINCT month) FROM li),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM li),
+        |  'coord_post', TRUE, TRUE
+        |FROM li""".stripMargin,
     // l32: both versions' aggregates re-derive through the same
     // narrow-then-widen casts (quantities are integral, so the
     // REAL→DOUBLE sums are bit-exact); the refusal witnesses are

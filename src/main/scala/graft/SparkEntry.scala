@@ -35,7 +35,6 @@ object SparkEntry {
   // Core parity queries (SURVEY.md §2). Names sort in inventory order.
   // ---------------------------------------------------------------------
 
-  /** q01 — P1/P2/P3 cleaning projections as one codegen'd select. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_clean_project" -> (q01 _),
     "q02_dedup_latest" -> (q02 _),
@@ -114,6 +113,7 @@ object SparkEntry {
     "l33_merge_dv" -> (l33 _),
     "l34_datasource_v2" -> (l34 _),
     "l35_datasource_v2_write" -> (l35 _),
+    "l36_commit_coordinator" -> (l36 _),
     "c13_split_decontam" -> (c13 _),
     "c14_weighted_sample" -> (c14 _),
     "t33_cdc_chunking" -> (t33 _),

@@ -1,0 +1,153 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** MULTI-TABLE atomic commit above [[VersionedLake]]s — the one
+  * honest edge a production consolidation of single-table logs
+  * eventually hits (COVERAGE.md: "atomic multi-table commit would
+  * need a coordinator log above both lakes"; Delta answers it with a
+  * catalog-level transaction coordinator, Iceberg with a catalog
+  * `commitTransaction` — this is that shape reduced to its core).
+  *
+  * The coordinator is ITS OWN tiny log (`_coordlog/<v>.coord`): each
+  * record pins a set of lakes to exact versions, claimed with the
+  * SAME atomic-no-overwrite primitive the lake manifests use
+  * ([[VersionedLake.claimFile]] — hard link on POSIX, no-overwrite
+  * rename on HDFS-semantics stores). [[commitAll]] runs each lake's
+  * commit (each individually OCC-safe in its own log), then publishes
+  * ONE coordinator record naming the resulting versions. Every lake
+  * version is immutable once claimed, so the record is a consistent
+  * SNAPSHOT PIN — exactly Iceberg's manifest-list trick one level up:
+  * the atomicity carrier is a single file claim, the payload is
+  * pointers.
+  *
+  * Consistency contract:
+  *  - COORDINATED readers ([[readCoordinated]], resolving versions
+  *    through the latest record) see the lake set move ATOMICALLY:
+  *    a crash between two lake commits leaves the coordinator
+  *    un-advanced, so the torn instant is structurally invisible to
+  *    them (LakeSpec's crash-visibility drive; l36 is the oracle
+  *    row). Recovery needs no undo — lake commits are append-only
+  *    versions; the next successful [[commitAll]] simply records the
+  *    completed pair (a thunk may return an ALREADY-landed version,
+  *    the recovery shape).
+  *  - DIRECT readers of one lake see that lake's own log, torn
+  *    instants included — the documented single-table posture,
+  *    unchanged.
+  *  - Concurrent coordinators: the claim loop re-reads the head on a
+  *    lost race. A winner that advanced a DISJOINT lake set merges
+  *    (its pins carry forward); a winner that advanced one of OUR
+  *    lakes aborts this commit loudly (ConcurrentModificationException)
+  *    — recording our older pin would REGRESS coordinated readers,
+  *    and silently adopting the winner's newer pin would publish a
+  *    cross-table state nobody computed.
+  *  - Vacuum discipline the caller owns: a lake's `vacuum(retain)`
+  *    must keep every version a retained coordinator record pins
+  *    (the same contract as time travel).
+  */
+object CommitCoordinator {
+
+  private def logDir(coord: String) =
+    new Path(s"${coord.stripSuffix("/")}/_coordlog")
+
+  private def recPath(coord: String, v: Int) =
+    new Path(logDir(coord), s"${"%06d".format(v)}.coord")
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def norm(p: String) = p.stripSuffix("/")
+
+  /** Newest coordinator version (0 = nothing coordinated yet). */
+  def latest(spark: SparkSession, coord: String): Int = {
+    val f = fs(spark, coord)
+    if (!f.exists(logDir(coord))) 0
+    else f.listStatus(logDir(coord)).iterator
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".coord"))
+      .map(_.stripSuffix(".coord").toInt)
+      .foldLeft(0)(math.max)
+  }
+
+  /** The lake→version pins record `cv` publishes (loud on absence). */
+  def pins(spark: SparkSession, coord: String, cv: Int): Map[String, Int] = {
+    val f = fs(spark, coord)
+    val p = recPath(coord, cv)
+    require(f.exists(p), s"no coordinator record $cv at $coord")
+    val in = f.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.linesIterator.drop(1).filter(_.nonEmpty).map { l =>
+      val t = l.split('\t')
+      require(t.length == 3 && t(0) == "lake",
+        s"malformed coordinator line at $coord v$cv: $l")
+      norm(t(1)) -> t(2).toInt
+    }.toMap
+  }
+
+  /** Run each lake commit, then publish ONE coordinator record
+    * pinning the results — the multi-table atomic commit (atomic for
+    * coordinated readers; see the object scaladoc for the contract).
+    * Thunks run sequentially and may also RE-PIN an already-landed
+    * version (`() => (path, VersionedLake.latestVersion(...))`) —
+    * the crash-recovery shape. Returns the new coordinator version. */
+  def commitAll(spark: SparkSession, coord: String,
+                commits: Seq[() => (String, Int)]): Int = {
+    require(commits.nonEmpty, "commitAll needs at least one lake commit")
+    val mine = commits.map { c =>
+      val (p, v) = c(); norm(p) -> v
+    }.toMap
+    require(mine.size == commits.size,
+      "commitAll pins each lake once — duplicate lake paths")
+    val f = fs(spark, coord)
+    f.mkdirs(logDir(coord))
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      val base = latest(spark, coord)
+      val head = if (base == 0) Map.empty[String, Int]
+                 else pins(spark, coord, base)
+      // a racing coordinator that already published a NEWER version
+      // of one of our lakes wins: recording ours would regress
+      // coordinated readers (and adopting theirs would publish a
+      // cross-table state nobody computed) — abort loudly
+      val overtaken = mine.collect {
+        case (p, v) if head.getOrElse(p, 0) > v => p
+      }
+      if (overtaken.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"coordinated commit lost to a newer record on " +
+            s"${overtaken.toSeq.sorted.mkString(", ")} at $coord")
+      val merged = head ++ mine // disjoint winners carry forward
+      val k = base + 1
+      val body = (s"cversion=$k" +:
+        merged.toSeq.sortBy(_._1).map { case (p, v) => s"lake\t$p\t$v" })
+        .mkString("\n")
+      val tmp = new Path(logDir(coord),
+        s"${"%06d".format(k)}.coord.tmp-${VersionedLake.uniq()}")
+      val out = f.create(tmp, true)
+      try out.write((body + "\n").getBytes("UTF-8")) finally out.close()
+      if (VersionedLake.claimFile(f, tmp, recPath(coord, k))) return k
+      // lost the version claim: re-read the head and re-validate
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"coordinator retry budget exhausted at $coord")
+  }
+
+  /** Read `lakePath` AT THE VERSION the coordinator pins (record `cv`,
+    * default the latest) — the coordinated-reader surface: every lake
+    * read resolved through one record is one consistent multi-table
+    * snapshot. Loud if the lake is not coordinated here. */
+  def readCoordinated(spark: SparkSession, coord: String,
+                      lakePath: String,
+                      cv: Option[Int] = None): DataFrame = {
+    val v = cv.getOrElse(latest(spark, coord))
+    require(v > 0, s"nothing coordinated yet at $coord")
+    val pin = pins(spark, coord, v).getOrElse(norm(lakePath),
+      throw new IllegalArgumentException(
+        s"$lakePath is not coordinated by record $v at $coord"))
+    VersionedLake.readVersion(spark, lakePath, pin)
+  }
+}

@@ -648,29 +648,7 @@ object VersionedLake {
       s"${"%06d".format(v)}.manifest.tmp-${uniq()}")
     val out = f.create(tmp, true)
     try out.write((body + "\n").getBytes("UTF-8")) finally out.close()
-    // the version CLAIM must be atomic-no-overwrite. On the local FS
-    // rename(2) silently replaces, so exists-check + rename is a
-    // TOCTOU hole under real concurrency (LakeSpec's 8-writer race) —
-    // link(2) is the POSIX primitive that fails atomically on an
-    // existing target. Non-local stores take the rename route, which
-    // on HDFS-semantics filesystems is itself no-overwrite-atomic.
-    val claimed =
-      if (f.getScheme == "file") {
-        val dst = java.nio.file.Paths.get(f.makeQualified(mf).toUri)
-        val src = java.nio.file.Paths.get(f.makeQualified(tmp).toUri)
-        try {
-          java.nio.file.Files.createLink(dst, src)
-          java.nio.file.Files.deleteIfExists(src)
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            java.nio.file.Files.deleteIfExists(src); false
-        }
-      } else {
-        if (f.exists(mf)) { f.delete(tmp, false); false }
-        else if (!f.rename(tmp, mf)) { f.delete(tmp, false); false }
-        else true
-      }
+    val claimed = claimFile(f, tmp, mf)
     if (!claimed) {
       // a losing attempt's fresh segments are known by name — reclaim
       // now rather than leaving them to vacuum
@@ -681,6 +659,35 @@ object VersionedLake {
       .foreach(c => txn.foreach(t => c.add(Long.box(t))))
     true
   }
+
+  /** THE atomic-no-overwrite claim primitive every log in this
+    * library shares (version manifests here, coordinator records in
+    * [[CommitCoordinator]]): publish `tmp` at `dst` iff `dst` does
+    * not exist, atomically. On the local FS rename(2) silently
+    * replaces, so exists-check + rename is a TOCTOU hole under real
+    * concurrency (LakeSpec's 8-writer race) — link(2) is the POSIX
+    * primitive that fails atomically on an existing target. Non-local
+    * stores take the rename route, which on HDFS-semantics
+    * filesystems is itself no-overwrite-atomic. Returns whether the
+    * claim won; `tmp` is consumed either way. */
+  private[sources] def claimFile(f: org.apache.hadoop.fs.FileSystem,
+                                 tmp: Path, dst: Path): Boolean =
+    if (f.getScheme == "file") {
+      val d = java.nio.file.Paths.get(f.makeQualified(dst).toUri)
+      val s = java.nio.file.Paths.get(f.makeQualified(tmp).toUri)
+      try {
+        java.nio.file.Files.createLink(d, s)
+        java.nio.file.Files.deleteIfExists(s)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(s); false
+      }
+    } else {
+      if (f.exists(dst)) { f.delete(tmp, false); false }
+      else if (!f.rename(tmp, dst)) { f.delete(tmp, false); false }
+      else true
+    }
 
   /** Per-JVM txn-set cache, appended on every commit: without it a
     * streaming ingest pays O(versions) manifest-header reads per

@@ -298,6 +298,41 @@ object EventStreams {
         ()
     }
 
+  /** [[toVersionedLake]] fanned out to TWO lakes under ONE
+    * coordinator record per micro-batch (st29 — the streaming form of
+    * l36): the batch's rows land in the FACTS lake and its per-month
+    * counts in the AGGREGATE lake, each an exactly-once txn commit
+    * (batchId), then [[graft.sources.CommitCoordinator.commitAll]]
+    * pins both resulting versions in one atomic claim. Coordinated
+    * readers can never observe the facts without their counts (or
+    * vice versa): a crash between the two lake commits leaves the
+    * coordinator un-advanced, and the checkpoint replay re-lands the
+    * same txns (no-op commits, version numbers unchanged) before a
+    * fresh record publishes the completed pair — recovery is a
+    * re-pin, never an undo. The micro-batch persists across its two
+    * consumers (facts write + counts aggregate), the one-pass rule a
+    * 100 TB ingest needs. */
+  def toCoordinatedLakes(events: DataFrame, factsPath: String,
+                         countsPath: String, coordPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+          .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+          .persist()
+        try {
+          val vA = graft.sources.VersionedLake.commitBatchAppend(
+            b, "month", factsPath, txn = batchId)
+          val vB = graft.sources.VersionedLake.commitBatchAppend(
+            b.groupBy(col("month")).agg(count(lit(1)).as("cnt")),
+            "month", countsPath, txn = batchId)
+          graft.sources.CommitCoordinator.commitAll(b.sparkSession,
+            coordPath,
+            Seq(() => (factsPath, vA), () => (countsPath, vB)))
+        } finally b.unpersist()
+        ()
+    }
+
   /** [[toVersionedLake]] with STREAMING INDEX MAINTENANCE (st26):
     * after each micro-batch's exactly-once commit, the lake's
     * Bloom file-skipping index catches up through

@@ -2027,6 +2027,76 @@ class LakeSpec extends SparkSpec {
     assert(consistentAt(300L))
   }
 
+  test("commit coordinator: one record claim makes a two-lake commit " +
+      "atomic for coordinated readers, a crash between lake commits " +
+      "is structurally invisible, recovery re-pins, regression races " +
+      "abort, disjoint coordinators merge") {
+    import graft.sources.{CommitCoordinator => CC, VersionedLake}
+    val a = java.nio.file.Files.createTempDirectory("lake_cca").toString
+    val b = java.nio.file.Files.createTempDirectory("lake_ccb").toString
+    val coord = java.nio.file.Files.createTempDirectory("lake_ccc").toString
+    VersionedLake.reset(spark, a)
+    VersionedLake.reset(spark, b)
+    def commitA(rows: (Long, Int)*): (String, Int) = (a,
+      VersionedLake.commitAppend(
+        rows.toDF("o_id", "n_lines").withColumn("part", lit("h")),
+        "part", a))
+    def commitB(rows: (Long, Int)*): (String, Int) = (b,
+      VersionedLake.commitAppend(
+        rows.flatMap { case (o, n) => (1 to n).map(l => (o, l)) }
+          .toDF("o_id", "line").withColumn("part", lit("l")),
+        "part", b))
+    val cv1 = CC.commitAll(spark, coord, Seq(
+      () => commitA(1L -> 2, 2L -> 3), () => commitB(1L -> 2, 2L -> 3)))
+    assert(cv1 == 1 && CC.pins(spark, coord, 1) ==
+      Map(a.stripSuffix("/") -> 1, b.stripSuffix("/") -> 1))
+    def coordConsistent(cv: Option[Int] = None): Boolean = {
+      val nA = CC.readCoordinated(spark, coord, a, cv)
+        .agg(sum($"n_lines")).head.getLong(0)
+      val nB = CC.readCoordinated(spark, coord, b, cv).count()
+      nA == nB
+    }
+    assert(coordConsistent())
+    // CRASH between A's commit and B's: A landed v2, the coordinator
+    // never advanced — coordinated readers still see the cv1 pair,
+    // direct readers of A see the torn instant (documented posture)
+    commitA(3L -> 5)
+    assert(CC.latest(spark, coord) == 1)
+    assert(coordConsistent(), "torn instant invisible to coordinated reads")
+    assert(VersionedLake.readLatest(spark, a)
+      .agg(sum($"n_lines")).head.getLong(0) !=
+      VersionedLake.readLatest(spark, b).count(),
+      "direct latest-of-each IS torn — the motivation")
+    // recovery: re-pin A's landed version, commit B's missing half —
+    // ONE record publishes the completed pair atomically
+    val cv2 = CC.commitAll(spark, coord, Seq(
+      () => (a, VersionedLake.latestVersion(spark, a)),
+      () => commitB(3L -> 5)))
+    assert(cv2 == 2 && coordConsistent())
+    assert(CC.readCoordinated(spark, coord, a)
+      .agg(sum($"n_lines")).head.getLong(0) == 10L)
+    // time travel through the coordinator: record 1 still reads the
+    // old pair
+    assert(coordConsistent(Some(1)))
+    // a REGRESSION race aborts loudly: a commit prepared against an
+    // older A version must not un-publish cv2's pin
+    intercept[java.util.ConcurrentModificationException] {
+      CC.commitAll(spark, coord, Seq(() => (a, 1)))
+    }
+    // a DISJOINT coordinator merges: pinning only lake B (same
+    // version) carries A's pin forward
+    val c = java.nio.file.Files.createTempDirectory("lake_ccd").toString
+    VersionedLake.reset(spark, c)
+    val cv3 = CC.commitAll(spark, coord, Seq(
+      () => (c, VersionedLake.commitOverwrite(
+        Seq((9L, "x")).toDF("id", "part"), "part", c))))
+    assert(cv3 == 3)
+    assert(CC.pins(spark, coord, 3) == Map(
+      a.stripSuffix("/") -> 2, b.stripSuffix("/") -> 2,
+      c.stripSuffix("/") -> 1), "disjoint commit carries prior pins")
+    assert(coordConsistent(), "A/B pair unchanged by the disjoint commit")
+  }
+
   test("unionByName with allowMissingColumns aligns evolved batches") {
     val v1 = Seq((1L, "alpha")).toDF("doc_id", "text")
     val v2 = Seq((2L, "en", "beta")).toDF("doc_id", "lang", "text") // reordered
