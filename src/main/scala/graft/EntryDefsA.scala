@@ -2243,4 +2243,65 @@ private[graft] object EntryDefsA {
       .withColumn("torn_direct_ahead", lit(tornDirectAhead))
       .withColumn("regression_refused", lit(regressionRefused))
   }
+
+  /** l37 — CROSS-COLUMN partition-spec evolution (r14; Iceberg
+    * permits re-partitioning on a DIFFERENT source column, r13
+    * refused it): Q1 1997 commits under `month(l_shipdate)`, the spec
+    * then evolves to `bucket(8, l_orderkey)` and April appends under
+    * the new layout. The sound mixed-column read rule: a predicate on
+    * column X prunes exactly the eras whose spec DERIVES X; any other
+    * era admits all its partitions (conservative union) and the row
+    * predicate keeps the result exact. `range_cross` ranges on the
+    * OLD column (month eras project to Feb+Mar, the bucket era admits
+    * all — witnessed by parts_month_scanned and the boolean);
+    * `match_cross` point-looks-up two deterministic April orderkeys
+    * on the ACTIVE column (the bucket era prunes through the engine
+    * hash to ≤ 2 of its partitions, month eras admit all 3). The
+    * oracle re-derives rows and the projection counters from the
+    * original parquet; bucket-era counters stay margin BOOLEANS
+    * (hash layouts are not SQL-derivable). LakeSpec pins the refusals
+    * (partCol rename; a range no spec projects). */
+  private[graft] def l37(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{HiddenPartitioning => HP, VersionedLake}
+    val lake = s"/tmp/graft_spxclake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        to_date(col("l_shipdate")).as("l_shipdate"))
+      .filter(col("l_shipdate").between("1997-01-01", "1997-04-30"))
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(min(col("l_quantity")).as("l_quantity"),
+        min(col("l_shipdate")).as("l_shipdate"))
+    HP.define(s, lake, HP.Spec("l_shipdate", HP.Month))
+    HP.commitOverwrite(li.filter(col("l_shipdate") < "1997-04-01"), lake)
+    HP.evolve(s, lake, HP.Spec("l_orderkey", HP.Bucket(8)))
+    HP.commitAppend(li.filter(col("l_shipdate") >= "1997-04-01"), lake)
+    val (lo, hi) = ("1997-02-10", "1997-04-05")
+    val rangeParts = HP.partsBetween(s, lake, 2, lo, hi,
+      srcCol = Some("l_shipdate"))
+    val rangeDf = HP.readBetween(s, lake, lo, hi,
+      srcCol = Some("l_shipdate"))
+    val keys = li.filter(col("l_shipdate") >= "1997-04-01")
+      .select(col("l_orderkey")).distinct()
+      .orderBy(col("l_orderkey")).limit(2)
+    val matchParts = HP.partsMatching(s, lake, 2, keys)
+    val matchDf = HP.readMatching(s, lake, keys)
+    val totalBuckets = VersionedLake.manifestFiles(s, lake, 2)
+      .filter(_.kind == "data").map(_.part).distinct
+      .count(_.forall(_.isDigit))
+    def monthsOf(ps: Seq[String]) = ps.count(_.length == 7)
+    def bucketsOf(ps: Seq[String]) = ps.count(_.forall(_.isDigit))
+    def probe(name: String, df: DataFrame, monthsScanned: Int,
+              bucketOk: Boolean): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          sum(col("l_orderkey") * 7 + col("l_linenumber")).as("key_sig"))
+        .withColumn("probe", lit(name))
+        .withColumn("parts_month_scanned", lit(monthsScanned))
+        .withColumn("bucket_era_bounded", lit(bucketOk))
+    probe("range_cross", rangeDf, monthsOf(rangeParts),
+        bucketsOf(rangeParts) == totalBuckets) // conservative: all admitted
+      .unionByName(probe("match_cross", matchDf, monthsOf(matchParts),
+        bucketsOf(matchParts) <= 2 && bucketsOf(matchParts) < totalBuckets))
+  }
 }

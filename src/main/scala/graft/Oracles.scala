@@ -1595,6 +1595,47 @@ private[graft] object Oracles {
         |  (SELECT CAST(count(*) AS BIGINT) FROM li),
         |  'coord_post', TRUE, TRUE
         |FROM li""".stripMargin,
+    // l37: rows and the MONTH-era projection counter re-derive from
+    // the original parquet (the month window the bounds project to,
+    // intersected with the months that hold data); bucket-era
+    // counters are margin booleans — a hash layout is not
+    // SQL-derivable, but "admits all" / "prunes below total" are
+    "l37_crosscol_spec_evolution" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity,
+        |    min(l_shipdate) AS l_shipdate
+        |  FROM lineitem
+        |  WHERE l_shipdate BETWEEN DATE '1997-01-01' AND DATE '1997-04-30'
+        |  GROUP BY l_orderkey, l_linenumber),
+        |q1m AS (
+        |  SELECT count(DISTINCT strftime(l_shipdate, '%Y-%m')) AS n
+        |  FROM li
+        |  WHERE l_shipdate < DATE '1997-04-01'
+        |    AND strftime(l_shipdate, '%Y-%m')
+        |      BETWEEN '1997-02' AND '1997-04'),
+        |allm AS (
+        |  SELECT count(DISTINCT strftime(l_shipdate, '%Y-%m')) AS n
+        |  FROM li WHERE l_shipdate < DATE '1997-04-01'),
+        |ks AS (
+        |  SELECT DISTINCT l_orderkey FROM li
+        |  WHERE l_shipdate >= DATE '1997-04-01'
+        |  ORDER BY 1 LIMIT 2)
+        |SELECT 'range_cross' AS probe, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  q1m.n AS parts_month_scanned,
+        |  TRUE AS bucket_era_bounded
+        |FROM li, q1m
+        |WHERE l_shipdate BETWEEN DATE '1997-02-10' AND DATE '1997-04-05'
+        |GROUP BY q1m.n
+        |UNION ALL
+        |SELECT 'match_cross', count(*), round(sum(l_quantity), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  allm.n, TRUE
+        |FROM li, allm
+        |WHERE l_orderkey IN (SELECT l_orderkey FROM ks)
+        |GROUP BY allm.n""".stripMargin,
     // l32: both versions' aggregates re-derive through the same
     // narrow-then-widen casts (quantities are integral, so the
     // REAL→DOUBLE sums are bit-exact); the refusal witnesses are

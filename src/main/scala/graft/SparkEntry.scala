@@ -114,6 +114,7 @@ object SparkEntry {
     "l34_datasource_v2" -> (l34 _),
     "l35_datasource_v2_write" -> (l35 _),
     "l36_commit_coordinator" -> (l36 _),
+    "l37_crosscol_spec_evolution" -> (l37 _),
     "c13_split_decontam" -> (c13 _),
     "c14_weighted_sample" -> (c14 _),
     "t33_cdc_chunking" -> (t33 _),

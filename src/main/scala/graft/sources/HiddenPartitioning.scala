@@ -217,9 +217,14 @@ object HiddenPartitioning {
     * commits from the NEXT version derive through `newSpec`; every
     * file already written keeps its era's spec, and range/point reads
     * project through both and union the pruned sets — history is
-    * never rewritten. The transform changes; the source column and
-    * internal partition column must not (a cross-column evolution
-    * would make [[readBetween]]'s row predicate ill-posed).
+    * never rewritten. The transform AND the source column may change
+    * (r14 closed the cross-column refusal — Iceberg allows
+    * re-partitioning on a different column): a predicate on column X
+    * prunes exactly the eras whose spec DERIVES X, any other era
+    * admits all its partitions (the conservative union — the row
+    * predicate stays exact either way). Only the INTERNAL partition
+    * column is fixed for the table's life (it names the physical
+    * layout directory level).
     *
     * Post-evolution REPLACEMENT semantics the caller owns: an upsert/
     * overwrite replaces partitions by the NEW spec's values only —
@@ -244,11 +249,12 @@ object HiddenPartitioning {
   def evolve(spark: SparkSession, path: String, newSpec: Spec): Unit = {
     val all = specs(spark, path) // loud on an undeclared lake
     val cur = all.last._2
-    require(newSpec.srcCol == cur.srcCol && newSpec.partCol == cur.partCol,
-      s"spec evolution changes the transform only: " +
-        s"${cur.srcCol}/${cur.partCol} -> ${newSpec.srcCol}/${newSpec.partCol}")
-    require(newSpec.transform.tag != cur.transform.tag,
-      s"already partitioned by ${cur.transform.tag}")
+    require(newSpec.partCol == cur.partCol,
+      s"spec evolution cannot rename the internal partition column: " +
+        s"${cur.partCol} -> ${newSpec.partCol}")
+    require(newSpec.srcCol != cur.srcCol ||
+        newSpec.transform.tag != cur.transform.tag,
+      s"already partitioned by ${cur.transform.tag}(${cur.srcCol})")
     val f = fs(spark, path)
     var attempts = 0
     while (attempts < 20) {
@@ -389,23 +395,27 @@ object HiddenPartitioning {
       .groupBy(e => effectiveSpecId(all, e.specId, e.era)).toSeq
       .map { case (id, es) => (specById(all, id), es.map(_.part).distinct) }
 
-  /** The live partitions a `srcCol BETWEEN lo AND hi` predicate can
-    * touch at version `v`: inclusive projection through each ERA's
-    * transform, pruned sets unioned (Iceberg's mixed-spec read). A
-    * non-monotonic era (bucket) does not project ranges — ALL its
-    * partitions are admitted (the conservative union; the row
-    * predicate stays exact). A single-spec bucket lake still refuses
-    * loudly: a range read there prunes nothing, use [[readMatching]].
-    * Planning metadata — what [[readBetween]] prunes to. */
+  /** The live partitions a `<queried col> BETWEEN lo AND hi` predicate
+    * can touch at version `v`: inclusive projection through each ERA's
+    * transform, pruned sets unioned (Iceberg's mixed-spec read). An
+    * era cannot project when its transform is non-monotonic (bucket —
+    * hashing destroys order) OR derives a DIFFERENT source column
+    * (cross-column evolution, r14) — ALL its partitions are admitted
+    * (the conservative union; the row predicate stays exact). A read
+    * that NO era can project still refuses loudly — it would prune
+    * nothing; use [[readMatching]]. `srcCol` defaults to the ACTIVE
+    * spec's source column. Planning metadata — what [[readBetween]]
+    * prunes to. */
   def partsBetween(spark: SparkSession, path: String, v: Int,
-                   lo: String, hi: String): Seq[String] = {
+                   lo: String, hi: String,
+                   srcCol: Option[String] = None): Seq[String] = {
     val all = specs(spark, path)
-    if (all.size == 1)
-      require(all.head._2.transform.monotonic,
-        s"${all.head._2.transform.tag} does not project ranges — " +
-          "use readMatching")
+    val queried = srcCol.getOrElse(all.last._2.srcCol)
+    require(all.exists { case (_, sp) =>
+        sp.srcCol == queried && sp.transform.monotonic },
+      s"no recorded spec projects ranges on $queried — use readMatching")
     partsBySpec(spark, path, v, all).flatMap { case (sp, parts) =>
-      if (!sp.transform.monotonic) parts
+      if (sp.srcCol != queried || !sp.transform.monotonic) parts
       else {
         val (plo, phi) = (sp.transform.bound(lo), sp.transform.bound(hi))
         def inRange(p: String) = sp.transform match {
@@ -421,46 +431,64 @@ object HiddenPartitioning {
   /** Range read: prune partitions through the transform, then apply
     * the ROW predicate (partitions bound coarsely; rows still
     * filter — a wrongly-pruned partition loses rows and fails any
-    * count). The internal partition column never surfaces. */
+    * count). `srcCol` defaults to the ACTIVE spec's source column
+    * (pass it explicitly to range over an OLDER era's column after a
+    * cross-column evolution). The internal partition column never
+    * surfaces. */
   def readBetween(spark: SparkSession, path: String,
                   lo: String, hi: String,
-                  version: Option[Int] = None): DataFrame = {
-    val sp = spec(spark, path)
+                  version: Option[Int] = None,
+                  srcCol: Option[String] = None): DataFrame = {
+    val all = specs(spark, path)
+    val queried = srcCol.getOrElse(all.last._2.srcCol)
     val v = version.getOrElse(VersionedLake.latestVersion(spark, path))
-    val parts = partsBetween(spark, path, v, lo, hi)
+    val parts = partsBetween(spark, path, v, lo, hi, Some(queried))
     VersionedLake.readVersion(spark, path, v, parts)
-      .filter(col(sp.srcCol).between(lo, hi))
-      .drop(sp.partCol)
+      .filter(col(queried).between(lo, hi))
+      .drop(all.last._2.partCol)
   }
 
-  /** The live partitions the probe keys can land in: per ERA, the
-    * keys' partition values compute through that era's ENGINE
-    * transform expression (one keys-sized aggregate per spec —
-    * planning metadata, the established lookup discipline), so bucket
-    * hashing can never drift between write and probe; the per-era
-    * matches union (mixed-spec point lookup). */
+  /** The live partitions the probe keys can land in: per ERA whose
+    * spec derives the QUERIED column, the keys' partition values
+    * compute through that era's ENGINE transform expression (one
+    * keys-sized aggregate per spec — planning metadata, the
+    * established lookup discipline), so bucket hashing can never
+    * drift between write and probe; an era deriving a DIFFERENT
+    * column admits all its partitions (cross-column evolution, r14);
+    * the per-era sets union (mixed-spec point lookup). The queried
+    * column is the keys frame's — it must carry exactly the columns
+    * being probed; by default the ACTIVE spec's source column. */
   def partsMatching(spark: SparkSession, path: String, v: Int,
-                    keys: DataFrame): Seq[String] = {
+                    keys: DataFrame,
+                    srcCol: Option[String] = None): Seq[String] = {
     val all = specs(spark, path)
+    val queried = srcCol.getOrElse(all.last._2.srcCol)
+    require(keys.columns.contains(queried),
+      s"point-lookup keys must carry the queried column $queried")
     partsBySpec(spark, path, v, all).flatMap { case (sp, parts) =>
-      val wanted = keys
-        .select(sp.transform.expr(col(sp.srcCol)).as("__pp"))
-        .distinct().collect().map(_.getString(0)).toSet // keys-sized
-      parts.filter(wanted)
+      if (sp.srcCol != queried) parts
+      else {
+        val wanted = keys
+          .select(sp.transform.expr(col(sp.srcCol)).as("__pp"))
+          .distinct().collect().map(_.getString(0)).toSet // keys-sized
+        parts.filter(wanted)
+      }
     }.distinct.sorted
   }
 
   /** Point-lookup read under ANY transform (the only shape bucket
     * admits): prune to the keys' partitions, then semi-join the keys
-    * exactly. */
+    * exactly. `srcCol` defaults to the ACTIVE spec's source column. */
   def readMatching(spark: SparkSession, path: String, keys: DataFrame,
-                   version: Option[Int] = None): DataFrame = {
-    val sp = spec(spark, path)
+                   version: Option[Int] = None,
+                   srcCol: Option[String] = None): DataFrame = {
+    val all = specs(spark, path)
+    val queried = srcCol.getOrElse(all.last._2.srcCol)
     val v = version.getOrElse(VersionedLake.latestVersion(spark, path))
-    val parts = partsMatching(spark, path, v, keys)
+    val parts = partsMatching(spark, path, v, keys, Some(queried))
     VersionedLake.readVersion(spark, path, v, parts)
-      .join(broadcast(keys.select(col(sp.srcCol)).distinct()),
-        Seq(sp.srcCol), "left_semi")
-      .drop(sp.partCol)
+      .join(broadcast(keys.select(col(queried)).distinct()),
+        Seq(queried), "left_semi")
+      .drop(all.last._2.partCol)
   }
 }

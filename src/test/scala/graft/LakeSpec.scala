@@ -1666,10 +1666,10 @@ class LakeSpec extends SparkSpec {
       s"bucket era admits conservatively: $jan")
     assert(ids(HP.readBetween(spark, lake, "1997-01-01", "1997-01-31"))
       == Set(1L), "the row predicate keeps the conservative union exact")
-    // refusals: cross-column evolution, identity evolution, and a
-    // second evolution before any commit under the first
+    // refusals: internal-partition-column rename, identity evolution,
+    // and a second evolution before any commit under the first
     intercept[IllegalArgumentException] {
-      HP.evolve(spark, lake, HP.Spec("id", HP.Month))
+      HP.evolve(spark, lake, HP.Spec("d", HP.Day, partCol = "__q"))
     }
     HP.evolve(spark, lake, HP.Spec("d", HP.Day))
     intercept[IllegalArgumentException] {
@@ -1677,6 +1677,53 @@ class LakeSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       HP.evolve(spark, lake, HP.Spec("d", HP.Month))
+    }
+  }
+
+  test("cross-column partition-spec evolution: a predicate on column " +
+      "X prunes exactly the eras whose spec derives X, other eras " +
+      "admit conservatively, point lookups carry the queried column") {
+    import graft.sources.{HiddenPartitioning => HP, VersionedLake}
+    import java.sql.Date
+    val lake = java.nio.file.Files.createTempDirectory("lake_spxc").toString
+    VersionedLake.reset(spark, lake)
+    HP.define(spark, lake, HP.Spec("d", HP.Month))
+    def df(rows: (Long, String)*) =
+      rows.map { case (i, s) => (i, Date.valueOf(s)) }.toDF("id", "d")
+    HP.commitOverwrite(df(
+      1L -> "1997-01-15", 2L -> "1997-02-10", 3L -> "1997-03-05"), lake)
+    // EVOLVE ACROSS COLUMNS (Iceberg allows it; r13 refused): the
+    // table re-partitions on a bucket of `id`
+    HP.evolve(spark, lake, HP.Spec("id", HP.Bucket(4)))
+    HP.commitAppend(df(10L -> "1997-04-02", 11L -> "1997-04-20"), lake)
+    def ids(d2: org.apache.spark.sql.DataFrame) =
+      d2.select($"id").as[Long].collect().toSet
+    // a DATE range must name the column explicitly (the active spec
+    // derives `id` now): month eras project, bucket eras admit all,
+    // the row predicate keeps it exact across both
+    val parts = HP.partsBetween(spark, lake, 2,
+      "1997-02-01", "1997-04-30", srcCol = Some("d"))
+    assert(parts.count(_.length == 7) == 2,
+      s"month era projects Feb+Mar: $parts")
+    assert(parts.exists(_.forall(_.isDigit)),
+      s"bucket era admits conservatively: $parts")
+    assert(ids(HP.readBetween(spark, lake, "1997-02-01", "1997-04-30",
+      srcCol = Some("d"))) == Set(2L, 3L, 10L, 11L))
+    // a point lookup on `id` (the ACTIVE column, default): bucket era
+    // prunes through the engine hash, month eras admit all
+    val keys = Seq(10L).toDF("id")
+    val m = HP.partsMatching(spark, lake, 2, keys)
+    assert(m.count(_.length == 7) == 3, s"month eras admit all: $m")
+    assert(m.count(_.forall(_.isDigit)) <= 1,
+      s"bucket era prunes to the key's bucket: $m")
+    assert(ids(HP.readMatching(spark, lake, keys)) == Set(10L))
+    // a point lookup on the OLD column still works explicitly
+    assert(ids(HP.readMatching(spark, lake,
+      df(0L -> "1997-02-10").select($"d"), srcCol = Some("d")))
+      == Set(2L))
+    // a range over a column NO spec projects refuses loudly
+    intercept[IllegalArgumentException] {
+      HP.partsBetween(spark, lake, 2, "0", "5", srcCol = Some("id"))
     }
   }
 
