@@ -64,7 +64,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * InsertableRelation — one commit path for library and format
   * writers, full OCC included (appends rebase through the claim
   * protocol; a format append and a concurrent library upsert both
-  * land). MERGE/DELETE/OPTIMIZE stay library verbs: their semantics
+  * land). A HIDDEN-PARTITIONED lake (l27) needs no `partitionColumn`
+  * option at all: the internal column is hidden from the format's
+  * schema (reads never surface it — which is also what lets a plain
+  * un-derived frame pass Spark's by-name write resolution) and every
+  * write derives the partition through the RECORDED spec, the same
+  * governed layout as the library sink, un-bypassable from SQL.
+  * Option-based partition pruning stands down on hidden lakes
+  * (manifest values are spec-DERIVED; pruning a source-column filter
+  * against them would be silent row loss — the library's
+  * transform-projected reads are the pruned path there).
+  * MERGE/DELETE/OPTIMIZE stay library verbs: their semantics
   * (keyed deltas, DV sidecars, OCC pins) genuinely don't reduce to
   * `df.write` modes. Writing through a time-travel option refuses
   * loudly, as does `txn` with overwrite. The FIRST commit of a brand
@@ -106,7 +116,16 @@ final class GraftLakeSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (path, pinned) = GraftLakeSource.resolve(spark, options)
     val v = pinned.getOrElse(VersionedLake.latestVersion(spark, path))
-    VersionedLake.readVersion(spark, path, v).schema
+    val full = VersionedLake.readVersion(spark, path, v).schema
+    // a HIDDEN-partitioned lake's internal column never surfaces
+    // through the format: reads hide it (the HiddenPartitioning read
+    // discipline), and hiding it from the WRITE schema is what lets a
+    // plain `df.write` — with no derived column — pass Spark's
+    // by-name write resolution so the sink can derive it instead
+    if (HiddenPartitioning.declared(spark, path)) {
+      val pc = HiddenPartitioning.spec(spark, path).partCol
+      StructType(full.fields.filterNot(_.name == pc))
+    } else full
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -285,8 +304,17 @@ private[sources] final class GraftLakeTable(path: String,
       s"cannot write through a time-travelled graftlake relation " +
         s"(${name()}) — history is immutable; drop " +
         "versionAsOf/timestampAsOf to write at the head")
-    val pc = partitionColumn.getOrElse(throw new IllegalArgumentException(
-      "graftlake write needs the partitionColumn option"))
+    // a hidden-partitioned lake DERIVES the partition through its
+    // recorded spec (no option needed — the whole point of hidden
+    // partitioning); a plain lake requires the partitionColumn option
+    val hidden =
+      HiddenPartitioning.declared(SparkSession.active, path)
+    val pc =
+      if (hidden) None
+      else Some(partitionColumn.getOrElse(
+        throw new IllegalArgumentException(
+          "graftlake write needs the partitionColumn option " +
+            "(or a hidden-partitioning spec on the lake)")))
     new GraftLakeWriteBuilder(path, pc, info)
   }
 }
@@ -301,8 +329,14 @@ private[sources] final class GraftLakeTable(path: String,
   * validation on staged bytes, OCC claim loop — so a format writer
   * and a concurrent library writer compose exactly like two library
   * writers. */
+/** The V1 write fallback's builder. `partCol = Some(c)` appends/
+  * overwrites on the caller-named partition column; `None` means the
+  * lake is HIDDEN-partitioned and every route derives the value
+  * through the recorded spec ([[HiddenPartitioning]]'s wrappers — so
+  * the format writer gets the same governed layout as the library
+  * sink, and the internal column never appears in the user's frame). */
 private[sources] final class GraftLakeWriteBuilder(
-    path: String, partCol: String, info: LogicalWriteInfo)
+    path: String, partCol: Option[String], info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
 
   private var replace = false
@@ -317,20 +351,27 @@ private[sources] final class GraftLakeWriteBuilder(
           val statsCol = Option(opts.get("statsCol"))
           val commitTs = Option(opts.get("commitTs")).map(_.trim.toLong)
           val txn = Option(opts.get("txn")).map(_.trim.toLong)
-          require(data.columns.contains(partCol),
-            s"graftlake write needs partition column $partCol in the data")
+          partCol.foreach(pc => require(data.columns.contains(pc),
+            s"graftlake write needs partition column $pc in the data"))
           val doReplace = replace || overwrite
-          txn match {
-            case Some(t) =>
-              require(!doReplace,
-                "graftlake txn (exactly-once) writes support append only")
-              VersionedLake.commitBatchAppend(data, partCol, path, t,
+          txn.foreach(_ => require(!doReplace,
+            "graftlake txn (exactly-once) writes support append only"))
+          (partCol, txn) match {
+            case (Some(pc), Some(t)) =>
+              VersionedLake.commitBatchAppend(data, pc, path, t, commitTs)
+            case (Some(pc), None) if doReplace =>
+              VersionedLake.commitOverwrite(data, pc, path, statsCol,
                 commitTs)
-            case None if doReplace =>
-              VersionedLake.commitOverwrite(data, partCol, path, statsCol,
+            case (Some(pc), None) =>
+              VersionedLake.commitAppend(data, pc, path, statsCol,
                 commitTs)
-            case None =>
-              VersionedLake.commitAppend(data, partCol, path, statsCol,
+            case (None, Some(t)) =>
+              HiddenPartitioning.commitBatchAppend(data, path, t, commitTs)
+            case (None, None) if doReplace =>
+              HiddenPartitioning.commitOverwrite(data, path, statsCol,
+                commitTs)
+            case (None, None) =>
+              HiddenPartitioning.commitAppend(data, path, statsCol,
                 commitTs)
           }
           () // commit version numbers surface via history(), not here
@@ -372,12 +413,19 @@ private[sources] final class GraftLakeScan(
 
   // manifest-side partition pruning: only for a STRING partition
   // column (values are the written column's string rendering), and
-  // only when some pushed filter constrains it. Computed once per
-  // scan — the statistics estimate and the V1 relation share it.
+  // only when some pushed filter constrains it. NEVER on a
+  // hidden-partitioned lake: its manifest values are spec-DERIVED
+  // (month('1997-02-10') = '1997-02'), so pruning a source-column
+  // filter against them would silently skip partitions whose rows
+  // match — the library's transform-projected reads
+  // ([[HiddenPartitioning.readBetween]]/[[HiddenPartitioning.readMatching]])
+  // are the pruned path there. Computed once per scan — the
+  // statistics estimate and the V1 relation share it.
   private lazy val prunedParts: Seq[String] = partitionColumn match {
     case Some(pc)
       if full.fields.exists(f =>
-        f.name == pc && f.dataType == StringType) =>
+        f.name == pc && f.dataType == StringType) &&
+        !HiddenPartitioning.declared(SparkSession.active, path) =>
       val preds = filters.flatMap(GraftLakeSource.partPredicate(_, pc))
       if (preds.isEmpty) { GraftLakeSource.lastScanParts.set(None); Seq.empty }
       else {

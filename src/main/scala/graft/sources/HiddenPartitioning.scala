@@ -166,6 +166,12 @@ object HiddenPartitioning {
     parseSpec(line)
   }
 
+  /** Whether `path` declares hidden partitioning — the cheap probe
+    * surfaces ([[GraftLakeSource]]) use to route reads/writes through
+    * the spec without paying a loud failure. */
+  def declared(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(specPath(path))
+
   /** Every recorded spec with the first version it governs, ordered:
     * the definition spec governs from version 0, each [[evolve]]d one
     * from the version recorded in its filename (`_partspec.<from>`).

@@ -200,6 +200,53 @@ class GraftLakeSourceSpec extends SparkSpec {
       "upserted Mar replacement AND the format append both visible")
   }
 
+  test("graftlake over a hidden-partitioned lake: the internal column " +
+      "never surfaces, writes derive through the recorded spec, " +
+      "option-based pruning stands down but rows stay exact") {
+    import graft.sources.{HiddenPartitioning => HP}
+    import java.sql.Date
+    val lake = java.nio.file.Files.createTempDirectory("lake_dsv2h").toString
+    VersionedLake.reset(spark, lake)
+    HP.define(spark, lake, HP.Spec("d", HP.Month))
+    def df(rows: (Long, String)*) =
+      rows.map { case (i, s) => (i, Date.valueOf(s)) }.toDF("id", "d")
+    HP.commitOverwrite(df(1L -> "1997-01-15", 2L -> "1997-02-10"), lake)
+    val r = spark.read.format("graftlake").load(lake)
+    assert(r.columns.toSet == Set("id", "d"), "internal __p hidden")
+    // a plain format append with NO partitionColumn option and NO
+    // derived column: the sink derives through the recorded spec
+    df(3L -> "1997-03-05").write.format("graftlake")
+      .mode("append").save(lake)
+    val parts = VersionedLake.manifestFiles(spark, lake, 2)
+      .filter(_.kind == "data").map(_.part).distinct
+    assert(parts.toSet == Set("1997-01", "1997-02", "1997-03"),
+      s"derived month partitions: $parts")
+    assert(VersionedLake.manifestFiles(spark, lake, 2)
+      .filter(e => e.kind == "data" && e.part == "1997-03")
+      .forall(_.specId.contains(0)), "format write records the spec id")
+    // ...and the exactly-once txn route derives too
+    df(4L -> "1997-04-01").write.format("graftlake")
+      .option("txn", "7").mode("append").save(lake)
+    df(4L -> "1997-04-01").write.format("graftlake")
+      .option("txn", "7").mode("append").save(lake) // replay: no-op
+    assert(VersionedLake.latestVersion(spark, lake) == 3)
+    def ids(d2: org.apache.spark.sql.DataFrame) =
+      d2.select($"id").as[Long].collect().toSet
+    assert(ids(spark.read.format("graftlake").load(lake))
+      == Set(1L, 2L, 3L, 4L))
+    // the format read equals the library's transform-projected read
+    assert(ids(HP.readBetween(spark, lake, "1997-01-01", "1997-04-30"))
+      == Set(1L, 2L, 3L, 4L))
+    // option-based pruning stands down on a hidden lake (manifest
+    // values are spec-derived) — rows stay exact, nothing pruned
+    GraftLakeSource.lastScanParts.set(None)
+    assert(ids(spark.read.format("graftlake")
+      .option("partitionColumn", "d").load(lake)
+      .filter($"d" === "1997-02-10")) == Set(2L))
+    assert(GraftLakeSource.lastScanParts.get().isEmpty,
+      "no option-based prune against derived partition values")
+  }
+
   test("graftlake un-pinned relations bind to LATEST AT SCAN TIME: a " +
       "temp view without time-travel options surfaces later commits; " +
       "explicit pins stay pinned") {
