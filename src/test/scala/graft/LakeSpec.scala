@@ -2144,6 +2144,41 @@ class LakeSpec extends SparkSpec {
     assert(coordConsistent(), "A/B pair unchanged by the disjoint commit")
   }
 
+  test("commit coordinator claim race: 8 concurrent disjoint-lake " +
+      "coordinated commits all land through the retry loop, every pin " +
+      "survives into the final record, versions stay gapless") {
+    import graft.sources.{CommitCoordinator => CC, VersionedLake}
+    val coord = java.nio.file.Files.createTempDirectory("lake_ccr").toString
+    val lakes = (0 until 8).map { i =>
+      val p = java.nio.file.Files.createTempDirectory(s"lake_ccr$i").toString
+      VersionedLake.reset(spark, p)
+      p
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val done = Future.sequence(lakes.zipWithIndex.map { case (p, i) =>
+      Future {
+        CC.commitAll(spark, coord, Seq(() => (p,
+          VersionedLake.commitOverwrite(
+            Seq((i.toLong, "x")).toDF("id", "part"), "part", p))))
+      }
+    })
+    val cvs = Await.result(done, 120.seconds)
+    // every claim won SOME version; the set is gapless 1..8 (a lost
+    // race re-reads the head and re-claims, never skips or clobbers)
+    assert(cvs.sorted == (1 to 8), s"claimed versions: $cvs")
+    // the FINAL record carries every lake's pin (disjoint commits
+    // merge by carrying prior pins forward through every interleaving)
+    val finalPins = CC.pins(spark, coord, 8)
+    assert(finalPins.keySet == lakes.map(_.stripSuffix("/")).toSet,
+      s"final record pins all 8 lakes: $finalPins")
+    assert(finalPins.values.forall(_ == 1))
+    lakes.foreach { p =>
+      assert(CC.readCoordinated(spark, coord, p).count() == 1)
+    }
+  }
+
   test("unionByName with allowMissingColumns aligns evolved batches") {
     val v1 = Seq((1L, "alpha")).toDF("doc_id", "text")
     val v2 = Seq((2L, "en", "beta")).toDF("doc_id", "lang", "text") // reordered
