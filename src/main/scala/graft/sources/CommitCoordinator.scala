@@ -57,17 +57,69 @@ object CommitCoordinator {
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def norm(p: String) = p.stripSuffix("/")
+  /** Canonical pin key for a lake path: qualified through the path's
+    * own FileSystem (r14 advice), so `file:/x`, `/x`, trailing- and
+    * redundant-slash spellings of the SAME physical lake collapse to
+    * ONE key — commitAll's duplicate-pin check, the overtaken check,
+    * and readCoordinated's lookup compare physical tables, not
+    * strings. Idempotent on already-qualified strings, so records
+    * written before canonicalization re-resolve on read. */
+  private def canon(spark: SparkSession, p: String): String =
+    fs(spark, p).makeQualified(new Path(p)).toString
 
-  /** Newest coordinator version (0 = nothing coordinated yet). */
+  private def headPath(coord: String) = new Path(logDir(coord), "_head")
+
+  /** Diagnostic witness: full `_coordlog` listings taken by [[latest]]
+    * because the head hint was absent or unusable (see
+    * [[VersionedLake]]'s head-pointer note — same design, same safety
+    * argument). Steady state on a head-maintained log is zero. */
+  private[graft] val headMisses =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def readHeadHint(f: org.apache.hadoop.fs.FileSystem,
+                           coord: String): Option[Int] =
+    try {
+      val p = headPath(coord)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        text.toIntOption.filter(_ > 0)
+      }
+    } catch { case _: Exception => None }
+
+  private def writeHeadHint(f: org.apache.hadoop.fs.FileSystem,
+                            coord: String, v: Int): Unit =
+    try {
+      val out = f.create(headPath(coord), true)
+      try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+    } catch { case _: Exception => () }
+
+  /** Newest coordinator version (0 = nothing coordinated yet) —
+    * O(1 + lag) via the `_coordlog/_head` hint (trusted-but-verified:
+    * forward existence probe from the hint; records are claimed
+    * contiguously so the probe never skips one), O(records) listing
+    * fallback on a missing/torn/ahead hint. A STALE hint — a crash
+    * between record claim and head write, or a lost overwrite race —
+    * only lengthens the probe; it can never hide a committed record. */
   def latest(spark: SparkSession, coord: String): Int = {
     val f = fs(spark, coord)
-    if (!f.exists(logDir(coord))) 0
-    else f.listStatus(logDir(coord)).iterator
-      .map(_.getPath.getName)
-      .filter(_.endsWith(".coord"))
-      .map(_.stripSuffix(".coord").toInt)
-      .foldLeft(0)(math.max)
+    readHeadHint(f, coord) match {
+      case Some(h) if f.exists(recPath(coord, h)) =>
+        var v = h
+        while (f.exists(recPath(coord, v + 1))) v += 1
+        v
+      case _ =>
+        headMisses.incrementAndGet()
+        if (!f.exists(logDir(coord))) 0
+        else f.listStatus(logDir(coord)).iterator
+          .map(_.getPath.getName)
+          .filter(_.endsWith(".coord"))
+          .map(_.stripSuffix(".coord").toInt)
+          .foldLeft(0)(math.max)
+    }
   }
 
   /** The lake→version pins record `cv` publishes (loud on absence). */
@@ -83,7 +135,7 @@ object CommitCoordinator {
       val t = l.split('\t')
       require(t.length == 3 && t(0) == "lake",
         s"malformed coordinator line at $coord v$cv: $l")
-      norm(t(1)) -> t(2).toInt
+      canon(spark, t(1)) -> t(2).toInt
     }.toMap
   }
 
@@ -97,7 +149,7 @@ object CommitCoordinator {
                 commits: Seq[() => (String, Int)]): Int = {
     require(commits.nonEmpty, "commitAll needs at least one lake commit")
     val mine = commits.map { c =>
-      val (p, v) = c(); norm(p) -> v
+      val (p, v) = c(); canon(spark, p) -> v
     }.toMap
     require(mine.size == commits.size,
       "commitAll pins each lake once — duplicate lake paths")
@@ -129,7 +181,10 @@ object CommitCoordinator {
         s"${"%06d".format(k)}.coord.tmp-${VersionedLake.uniq()}")
       val out = f.create(tmp, true)
       try out.write((body + "\n").getBytes("UTF-8")) finally out.close()
-      if (VersionedLake.claimFile(f, tmp, recPath(coord, k))) return k
+      if (VersionedLake.claimFile(f, tmp, recPath(coord, k))) {
+        writeHeadHint(f, coord, k) // after the claim: hint never leads
+        return k
+      }
       // lost the version claim: re-read the head and re-validate
     }
     throw new java.util.ConcurrentModificationException(
@@ -145,9 +200,36 @@ object CommitCoordinator {
                       cv: Option[Int] = None): DataFrame = {
     val v = cv.getOrElse(latest(spark, coord))
     require(v > 0, s"nothing coordinated yet at $coord")
-    val pin = pins(spark, coord, v).getOrElse(norm(lakePath),
+    val pin = pins(spark, coord, v).getOrElse(canon(spark, lakePath),
       throw new IllegalArgumentException(
         s"$lakePath is not coordinated by record $v at $coord"))
     VersionedLake.readVersion(spark, lakePath, pin)
   }
+
+  /** Every version of `lakePath` ANY record in this coordinator log
+    * pins — the pin-aware-vacuum input ([[vacuumPinned]]). Coordinator
+    * records are pointer-sized and never vacuumed, so this is
+    * record-count-sized metadata IO. */
+  def pinnedVersions(spark: SparkSession, coord: String,
+                     lakePath: String): Set[Int] = {
+    val k = canon(spark, lakePath)
+    (1 to latest(spark, coord))
+      .flatMap(cv => pins(spark, coord, cv).get(k)).toSet
+  }
+
+  /** PIN-AWARE vacuum (r14 verdict "What's missing #2"): vacuum
+    * `lakePath` with every version a coordinator record pins EXEMPT
+    * from dropping, closing the one way a correct caller sequence
+    * could still break a coordinated reader — a naive
+    * `vacuum(retain)` whose window undershoots the oldest retained
+    * pin drops a manifest some record still resolves through, and the
+    * next [[readCoordinated]] time-travel fails on the missing
+    * version. Pinned manifests (and, transitively, the data files
+    * they reference) survive REGARDLESS of `retain`; unpinned
+    * versions below the window drop exactly as before, so the
+    * retention economics stay retain-sized plus the pin set. */
+  def vacuumPinned(spark: SparkSession, coord: String, lakePath: String,
+                   retain: Int, graceMs: Long = 0L): (Int, Int) =
+    VersionedLake.vacuum(spark, lakePath, retain, graceMs,
+      keepVersions = pinnedVersions(spark, coord, lakePath))
 }

@@ -194,27 +194,40 @@ object HiddenPartitioning {
   def spec(spark: SparkSession, path: String): Spec =
     specs(spark, path).last._2
 
-  /** The spec that derived a data entry's partition value. PRIMARY:
-    * the entry's own `P<id>` tag (written by every spec-derived
-    * commit since round 14 — Iceberg's per-data-file spec id), which
-    * is attribution BY RECORD: it stays correct under any
+  /** Era-inference fallback for legacy UNTAGGED entries: the spec
+    * governing the entry's write era (data entries carry their commit
+    * version as era; era-less entries predate evolution and take the
+    * definition spec). */
+  private def eraSpecId(all: Seq[(Int, Spec)], era: Option[Int]): Int = {
+    val e = era.getOrElse(0)
+    all.reverse.collectFirst { case (from, _) if from <= e => from }
+      .getOrElse(all.head._1)
+  }
+
+  /** The spec a data entry's partitions PROJECT through on read, or
+    * None when the entry records a spec id UNKNOWN to this table's
+    * timeline. PRIMARY: the entry's own `P<id>` tag (written by every
+    * spec-derived commit since round 14 — Iceberg's per-data-file
+    * spec id), attribution BY RECORD: it stays correct under any
     * evolve/commit race and under rewrites (OPTIMIZE/MERGE) that
     * re-era files without re-deriving their partition values.
-    * FALLBACK for untagged legacy entries: the spec governing the
-    * entry's write era (data entries carry their commit version as
-    * era; era-less entries predate evolution and take the definition
-    * spec). A tag naming an unknown spec (foreign manifest) also
-    * falls back rather than crashing the read. */
-  private def effectiveSpecId(all: Seq[(Int, Spec)],
-                              specId: Option[Int],
-                              era: Option[Int]): Int = {
-    val known = all.map(_._1).toSet
-    specId.filter(known).getOrElse {
-      val e = era.getOrElse(0)
-      all.reverse.collectFirst { case (from, _) if from <= e => from }
-        .getOrElse(all.head._1)
+    * FALLBACK for untagged legacy entries: era inference
+    * ([[eraSpecId]]). An UNKNOWN recorded id (a foreign manifest, or
+    * a tag written against a transient spec file an [[evolve]] retry
+    * later retracted — the r14-advice race) must NOT era-infer: the
+    * value may have been derived under a DIFFERENT transform than the
+    * era's spec, and projecting through the wrong transform prunes
+    * partitions holding matching rows (silent row loss). None =
+    * non-projectable — every read admits all of that entry's
+    * partitions, the same conservative union a cross-column era takes;
+    * the row predicate stays exact either way. */
+  private def projectionSpec(all: Seq[(Int, Spec)],
+                             specId: Option[Int],
+                             era: Option[Int]): Option[Spec] =
+    specId match {
+      case Some(id) => all.find(_._1 == id).map(_._2)
+      case None => Some(specById(all, eraSpecId(all, era)))
     }
-  }
 
   private def specById(all: Seq[(Int, Spec)], id: Int): Spec =
     all.find(_._1 == id).get._2
@@ -243,7 +256,7 @@ object HiddenPartitioning {
     * claim, so a writer racing this evolve can claim version `from`
     * with partitions it derived under the OLD spec. Attribution is
     * safe regardless — every spec-derived commit tags its entries
-    * with the spec id that derived them ([[effectiveSpecId]]), so a
+    * with the spec id that derived them ([[projectionSpec]]), so a
     * race can never flip a file into the wrong projection. What the
     * OCC loop below protects is the GOVERNANCE BOUNDARY itself (the
     * era-inference fallback for legacy untagged entries, and
@@ -251,7 +264,13 @@ object HiddenPartitioning {
     * the head is re-checked; if a commit claimed `from` concurrently
     * the evolve DELETES its file and retries at a fresh version —
     * a recorded boundary never sits at or below a version whose
-    * files it did not govern. */
+    * files it did not govern. The retry's DELETE is itself safe even
+    * though the transient file was briefly observable (r14 advice): a
+    * writer that derived through it tagged its entries with the
+    * retracted id, and an id unknown to the timeline is
+    * NON-PROJECTABLE on read ([[projectionSpec]]) — those partitions
+    * are always admitted, never era-inferred into a transform that
+    * did not derive them. */
   def evolve(spark: SparkSession, path: String, newSpec: Spec): Unit = {
     val all = specs(spark, path) // loud on an undeclared lake
     val cur = all.last._2
@@ -378,7 +397,11 @@ object HiddenPartitioning {
     val byPart = VersionedLake.manifestFiles(spark, path, v)
       .filter(_.kind == "data")
       .groupBy(_.part).map { case (p, es) =>
-        val ids = es.map(e => effectiveSpecId(all, e.specId, e.era))
+        // attribution here is BY RECORD like the rewrite verbs'
+        // (commitOptimize): an unknown recorded id PROPAGATES verbatim
+        // — it stays non-projectable on read rather than being
+        // re-attributed to an era spec that did not derive it
+        val ids = es.map(e => e.specId.getOrElse(eraSpecId(all, e.era)))
           .distinct
         require(ids.size == 1,
           s"partition '$p' at $path mixes spec eras ${ids.sorted
@@ -389,17 +412,20 @@ object HiddenPartitioning {
   }
 
   /** Version `v`'s live data partitions grouped by the SPEC that
-    * wrote them (per-entry `P` tag; era inference for legacy lines).
-    * A partition whose entries span two specs (possible only at a
-    * truncate↔bucket VALUE collision) appears in BOTH groups — each
-    * group admits/filters independently and the sets union, so the
-    * collision can only widen the read, never lose a row. */
+    * wrote them (per-entry `P` tag; era inference for legacy lines;
+    * None for an UNKNOWN recorded id — non-projectable, every read
+    * admits those partitions). A partition whose entries span two
+    * specs (possible only at a truncate↔bucket VALUE collision)
+    * appears in BOTH groups — each group admits/filters independently
+    * and the sets union, so the collision can only widen the read,
+    * never lose a row. */
   private def partsBySpec(spark: SparkSession, path: String, v: Int,
-                          all: Seq[(Int, Spec)]): Seq[(Spec, Seq[String])] =
+                          all: Seq[(Int, Spec)])
+      : Seq[(Option[Spec], Seq[String])] =
     VersionedLake.manifestFiles(spark, path, v)
       .filter(_.kind == "data")
-      .groupBy(e => effectiveSpecId(all, e.specId, e.era)).toSeq
-      .map { case (id, es) => (specById(all, id), es.map(_.part).distinct) }
+      .groupBy(e => projectionSpec(all, e.specId, e.era)).toSeq
+      .map { case (sp, es) => (sp, es.map(_.part).distinct) }
 
   /** The live partitions a `<queried col> BETWEEN lo AND hi` predicate
     * can touch at version `v`: inclusive projection through each ERA's
@@ -420,9 +446,9 @@ object HiddenPartitioning {
     require(all.exists { case (_, sp) =>
         sp.srcCol == queried && sp.transform.monotonic },
       s"no recorded spec projects ranges on $queried — use readMatching")
-    partsBySpec(spark, path, v, all).flatMap { case (sp, parts) =>
-      if (sp.srcCol != queried || !sp.transform.monotonic) parts
-      else {
+    partsBySpec(spark, path, v, all).flatMap {
+      case (Some(sp), parts)
+          if sp.srcCol == queried && sp.transform.monotonic =>
         val (plo, phi) = (sp.transform.bound(lo), sp.transform.bound(hi))
         def inRange(p: String) = sp.transform match {
           case Truncate(_) =>
@@ -430,7 +456,9 @@ object HiddenPartitioning {
           case _ => p >= plo && p <= phi
         }
         parts.filter(inRange)
-      }
+      // cross-column era, bucket era, or an UNKNOWN recorded spec id
+      // (non-projectable): admit all — the conservative union
+      case (_, parts) => parts
     }.distinct.sorted
   }
 
@@ -471,14 +499,14 @@ object HiddenPartitioning {
     val queried = srcCol.getOrElse(all.last._2.srcCol)
     require(keys.columns.contains(queried),
       s"point-lookup keys must carry the queried column $queried")
-    partsBySpec(spark, path, v, all).flatMap { case (sp, parts) =>
-      if (sp.srcCol != queried) parts
-      else {
+    partsBySpec(spark, path, v, all).flatMap {
+      case (Some(sp), parts) if sp.srcCol == queried =>
         val wanted = keys
           .select(sp.transform.expr(col(sp.srcCol)).as("__pp"))
           .distinct().collect().map(_.getString(0)).toSet // keys-sized
         parts.filter(wanted)
-      }
+      // cross-column era or an UNKNOWN recorded spec id: admit all
+      case (_, parts) => parts
     }.distinct.sorted
   }
 

@@ -105,9 +105,84 @@ object VersionedLake {
       .map(_.stripSuffix(".manifest").toInt).toSeq.sorted
   }
 
-  /** The newest committed version (0 for a fresh lake). */
-  def latestVersion(spark: SparkSession, path: String): Int =
-    versions(spark, path).lastOption.getOrElse(0)
+  // ---- head pointer (commit-log checkpointing) ----------------------
+  //
+  // Without it, every latest-resolve LISTS the whole `_log` directory —
+  // O(versions) per read, and at streaming-ingest commit rates (10^6
+  // commits = a year of minute-cadence batches) the listing becomes
+  // the dominant planning cost (r14 verdict "What's missing #1").
+  // Delta answers with `_last_checkpoint`, Iceberg with a catalog
+  // pointer; this is that shape reduced to its core: `_log/_head`
+  // holds the last committed version as a HINT, written AFTER each
+  // successful manifest claim. The hint is TRUSTED-BUT-VERIFIED —
+  // resolution probes FORWARD from it by manifest existence (versions
+  // are claimed contiguously, so the probe can never skip a commit),
+  // which makes every failure mode safe:
+  //  - STALE hint (crash between claim and head write, lost overwrite
+  //    race between concurrent writers): the forward probe walks past
+  //    it to the true head — O(lag) stats, not O(versions) listing.
+  //  - MISSING / TORN / CORRUPT hint (legacy lake, torn overwrite —
+  //    the head is the one file here NOT claimed via [[claimFile]],
+  //    because a claim cannot re-publish a fixed name; overwrite is
+  //    fine precisely because the hint is verified): fall back to the
+  //    full listing, exactly the pre-head behavior.
+  //  - hint AHEAD of reality (foreign tampering, partial copy): the
+  //    existence check at the hint itself fails → full-listing
+  //    fallback.
+  //  - VACUUM: only versions BELOW the retained window drop, and the
+  //    head is always retained (retain >= 1), so a fresh-JVM hint
+  //    never points into vacuumed space; a STALE-below-vacuum hint
+  //    fails the existence check → fallback.
+
+  private def headPath(path: String) = new Path(logDir(path), "_head")
+
+  /** Diagnostic witness: full `_log` listings taken by
+    * [[latestVersion]] because the head hint was absent or unusable.
+    * Steady state on a head-maintained lake is ZERO growth here —
+    * LakeSpec pins it. */
+  private[graft] val headMisses =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def readHeadHint(f: org.apache.hadoop.fs.FileSystem,
+                           path: String): Option[Int] =
+    try {
+      val p = headPath(path)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        text.toIntOption.filter(_ > 0)
+      }
+    } catch { case _: Exception => None } // torn/corrupt hint = no hint
+
+  /** Advance the head hint to `v`. Overwrite-in-place (NOT a claim —
+    * see the head-pointer note above); losing a concurrent overwrite
+    * or crashing before it only leaves a stale hint, which the
+    * forward probe absorbs. */
+  private def writeHeadHint(f: org.apache.hadoop.fs.FileSystem,
+                            path: String, v: Int): Unit =
+    try {
+      val out = f.create(headPath(path), true)
+      try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+    } catch { case _: Exception => () } // best-effort: hint only
+
+  /** The newest committed version (0 for a fresh lake) — O(1 + lag)
+    * via the `_log/_head` hint when present (forward existence probe),
+    * O(versions) listing fallback otherwise. */
+  def latestVersion(spark: SparkSession, path: String): Int = {
+    val f = fs(spark, path)
+    readHeadHint(f, path) match {
+      case Some(h) if f.exists(manifestPath(path, h)) =>
+        var v = h
+        while (f.exists(manifestPath(path, v + 1))) v += 1
+        v
+      case _ =>
+        headMisses.incrementAndGet()
+        versions(spark, path).lastOption.getOrElse(0)
+    }
+  }
 
   // ---- segmented manifests (the Iceberg manifest-list shape) -------
   //
@@ -656,7 +731,8 @@ object VersionedLake {
       return false
     }
     txnCache.get(path.stripSuffix("/"))
-      .foreach(c => txn.foreach(t => c.add(Long.box(t))))
+      .foreach(c => txn.foreach(t => c.put(Long.box(t), Int.box(v))))
+    writeHeadHint(f, path, v) // after the claim: hint never leads
     true
   }
 
@@ -689,15 +765,18 @@ object VersionedLake {
       else true
     }
 
-  /** Per-JVM txn-set cache, appended on every commit: without it a
-    * streaming ingest pays O(versions) manifest-header reads per
-    * micro-batch just to decide a commit is new (r10 review). Single-
-    * writer-per-table is the assumed discipline for the CACHE only
-    * (the log itself is OCC-safe); a fresh JVM (or a vacuumed log)
-    * repopulates from disk on first use. */
+  /** Per-JVM txn→version cache, appended on every commit: without it
+    * a streaming ingest pays O(versions) manifest-header reads per
+    * micro-batch just to decide a commit is new (r10 review). The
+    * VALUE is the version the txn's manifest header records (−1 for
+    * txns carried by a vacuum sidecar — their version was dropped),
+    * so a dedup hit can return the txn's OWN version (r14 advice).
+    * Single-writer-per-table is the assumed discipline for the CACHE
+    * only (the log itself is OCC-safe); a fresh JVM (or a vacuumed
+    * log) repopulates from disk on first use. */
   private val txnCache = scala.collection.concurrent.TrieMap
-    .empty[String, java.util.concurrent.ConcurrentHashMap.KeySetView[
-      java.lang.Long, java.lang.Boolean]]
+    .empty[String, java.util.concurrent.ConcurrentHashMap[
+      java.lang.Long, java.lang.Integer]]
 
   /** Vacuum txn sidecars: `_log/txns-<uniq>.carry`, one txn id per
     * line after a `carried` header. Written with fresh-name
@@ -738,25 +817,46 @@ object VersionedLake {
     require(f.rename(tmp, dst), s"sidecar rename failed at $path")
   }
 
-  /** Transaction ids recorded in the log — served from the per-JVM
-    * cache after one initial scan of manifest headers plus vacuum
-    * sidecars. */
-  private def committedTxns(spark: SparkSession,
-                            path: String): scala.collection.Set[Long] = {
+  /** Transaction ids recorded in the log, each with the version its
+    * manifest header claims (−1 for vacuum-sidecar-carried txns whose
+    * version was dropped) — served from the per-JVM cache after one
+    * initial scan of manifest headers plus vacuum sidecars. */
+  private def txnMap(spark: SparkSession, path: String)
+      : java.util.concurrent.ConcurrentHashMap[
+        java.lang.Long, java.lang.Integer] = {
     val key = path.stripSuffix("/")
-    import scala.jdk.CollectionConverters._
     txnCache.getOrElseUpdate(key, {
-      val set = java.util.concurrent.ConcurrentHashMap
-        .newKeySet[java.lang.Long]()
-      versions(spark, path)
-        .flatMap(v => headerAttr(readManifestHeader(spark, path, v), "txn"))
-        .foreach(t => set.add(t.toLong))
+      val m = new java.util.concurrent.ConcurrentHashMap[
+        java.lang.Long, java.lang.Integer]()
+      versions(spark, path).foreach { v =>
+        headerAttr(readManifestHeader(spark, path, v), "txn")
+          .foreach(t => m.put(Long.box(t.toLong), Int.box(v)))
+      }
       sidecarFiles(spark, path)
         .flatMap(p => readSidecarTxns(spark, path, p))
-        .foreach(t => set.add(Long.box(t)))
-      set
-    }).asScala.map(_.longValue)
+        .foreach(t => m.putIfAbsent(Long.box(t), Int.box(-1)))
+      m
+    })
   }
+
+  /** The version `txn` committed, if the log already records it — the
+    * dedup hit on checkpoint replay. Returns the txn's OWN version
+    * from its manifest header, NOT `latestVersion` (r14 advice): under
+    * any concurrent writer the latest version is one the replayed
+    * batch never computed, and a coordinated recovery re-pinning it
+    * would publish a cross-table pair nobody produced together
+    * (st29's facts==counts invariant). A txn carried forward by
+    * vacuum — or whose recorded version a later vacuum dropped —
+    * resolves to the current version: the pinned snapshot is gone
+    * either way, and vacuum `retain` covering the replay window is
+    * the documented caller contract. */
+  private def txnVersion(spark: SparkSession, path: String,
+                         txn: Long): Option[Int] =
+    Option(txnMap(spark, path).get(Long.box(txn))).map { v0 =>
+      val v = v0.intValue
+      if (v > 0 && fs(spark, path).exists(manifestPath(path, v))) v
+      else latestVersion(spark, path)
+    }
 
   /** Decode Hive path-escaping (%XX) in a partition DIR name back to
     * the raw partition value: the physical write escapes characters
@@ -1172,9 +1272,12 @@ object VersionedLake {
   /** Exactly-once STREAMING commit (the Delta `txnAppId`/`txnVersion`
     * protocol reduced to its core): `txn` identifies the micro-batch —
     * foreachBatch's batchId. If the log already records `txn`, the
-    * commit is a NO-OP returning the current version: checkpointed
-    * at-least-once replay after a sink failure must not fork history
-    * or double-apply the batch. This is the versioned-lake form of
+    * commit is a NO-OP returning the version THAT txn committed
+    * ([[txnVersion]]): checkpointed at-least-once replay after a sink
+    * failure must not fork history or double-apply the batch — and a
+    * replay that returned the table's LATEST version instead would,
+    * under a concurrent writer, hand a coordinated recovery a version
+    * the batch never computed (r14 advice). This is the versioned-lake form of
     * [[PartitionedLake.upsertBatch]]'s rewrite-your-own-partition
     * idempotence — here the dedup is at the COMMIT, so replayed work
     * is skipped entirely rather than rewritten byte-identically. */
@@ -1183,10 +1286,10 @@ object VersionedLake {
                         commitTs: Option[Long] = None,
                         specId: Option[Int] = None): Int = {
     val spark = df.sparkSession
-    if (committedTxns(spark, path).contains(txn))
-      latestVersion(spark, path)
-    else doCommit(df, partCol, path, Some(txn), Mode.Upsert,
-      commitTs = commitTs, specIdFor = _ => specId)
+    txnVersion(spark, path, txn).getOrElse {
+      doCommit(df, partCol, path, Some(txn), Mode.Upsert,
+        commitTs = commitTs, specIdFor = _ => specId)
+    }
   }
 
   /** [[commitAppend]] with [[commitBatchUpsert]]'s txn dedup — the
@@ -1199,10 +1302,10 @@ object VersionedLake {
                         commitTs: Option[Long] = None,
                         specId: Option[Int] = None): Int = {
     val spark = df.sparkSession
-    if (committedTxns(spark, path).contains(txn))
-      latestVersion(spark, path)
-    else doCommit(df, partCol, path, Some(txn), Mode.Append,
-      commitTs = commitTs, specIdFor = _ => specId)
+    txnVersion(spark, path, txn).getOrElse {
+      doCommit(df, partCol, path, Some(txn), Mode.Append,
+        commitTs = commitTs, specIdFor = _ => specId)
+    }
   }
 
   /** Keyed MERGE INTO the latest version (the Delta/Iceberg MERGE
@@ -1337,10 +1440,10 @@ object VersionedLake {
                          deleteCol: Option[String] = None,
                          commitTs: Option[Long] = None): Int = {
     val spark = delta.sparkSession
-    if (committedTxns(spark, path).contains(txn))
-      latestVersion(spark, path)
-    else mergeDvCore(delta, keyCols, partCol, path, None, deleteCol,
-      commitTs, None, txn = Some(txn))
+    txnVersion(spark, path, txn).getOrElse {
+      mergeDvCore(delta, keyCols, partCol, path, None, deleteCol,
+        commitTs, None, txn = Some(txn))
+    }
   }
 
   private def mergeDvCore(delta: DataFrame, keyCols: Seq[String],
@@ -1867,13 +1970,22 @@ object VersionedLake {
     * `deletedFileRetentionDuration` rule; an hour is a sane starting
     * point for batch writers:
     * {{{ VersionedLake.vacuum(spark, path, retain = 10,
-    *     graceMs = 60L * 60 * 1000) // production: live writers }}} */
+    *     graceMs = 60L * 60 * 1000) // production: live writers }}}
+    *
+    * `keepVersions` EXEMPTS specific versions from dropping regardless
+    * of the retention window — the pin-aware form
+    * ([[CommitCoordinator.vacuumPinned]] passes the coordinator log's
+    * pins for this lake): a kept manifest stays readable and every
+    * data file it references survives the orphan sweep (liveness is
+    * computed from RETAINED manifests, so keeping the manifest keeps
+    * its files — no separate file pinning needed). */
   def vacuum(spark: SparkSession, path: String,
-             retain: Int, graceMs: Long = 0L): (Int, Int) = {
+             retain: Int, graceMs: Long = 0L,
+             keepVersions: Set[Int] = Set.empty): (Int, Int) = {
     require(retain >= 1, "vacuum must retain at least one version")
     val f = fs(spark, path)
     val vs = versions(spark, path)
-    val dropped = vs.dropRight(retain)
+    val dropped = vs.dropRight(retain).filterNot(keepVersions)
     val droppedTxns = dropped
       .flatMap(v => headerAttr(readManifestHeader(spark, path, v), "txn"))
       .map(_.toLong).toSet

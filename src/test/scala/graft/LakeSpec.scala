@@ -1815,6 +1815,53 @@ class LakeSpec extends SparkSpec {
       .forall(_.specId.contains(4)), "day-era rewrite inherits day spec")
   }
 
+  test("an UNKNOWN recorded spec id is NON-PROJECTABLE: its partitions " +
+      "are always admitted, never era-inferred into a transform that " +
+      "did not derive them (evolve-retry retraction race)") {
+    import graft.sources.{HiddenPartitioning => HP, VersionedLake}
+    import java.sql.Date
+    val lake = java.nio.file.Files.createTempDirectory("lake_spunk").toString
+    VersionedLake.reset(spark, lake)
+    HP.define(spark, lake, HP.Spec("d", HP.Month))
+    def df(rows: (Long, String, Long)*) =
+      rows.map { case (i, s, v) => (i, Date.valueOf(s), v) }
+        .toDF("id", "d", "v")
+    HP.commitOverwrite(df((1L, "1997-03-15", 10L)), lake) // P0, '1997-03'
+    // THE RETRACTION RACE (r14 advice), deterministically staged: a
+    // writer read a TRANSIENT _partspec.<from> (day) that an evolve
+    // retry later deleted, derived DAY partition values, and tagged
+    // its entries with the retracted id (2 — unknown to the timeline,
+    // which only records spec 0). Era inference would hand these files
+    // to the MONTH projection, where the day string '1997-03-05' falls
+    // outside the month bound '1997-03'..'1997-03' and a March range
+    // read silently loses row 2.
+    VersionedLake.commitAppend(
+      df((2L, "1997-03-05", 20L)).withColumn("__p",
+        date_format($"d", "yyyy-MM-dd")), "__p", lake,
+      specId = Some(2))
+    val v = VersionedLake.latestVersion(spark, lake)
+    assert(HP.partsBetween(spark, lake, v, "1997-03-01", "1997-03-31")
+      .toSet == Set("1997-03", "1997-03-05"),
+      "unknown-id partitions admitted alongside the projected month")
+    def ids(d2: org.apache.spark.sql.DataFrame) =
+      d2.select($"id").as[Long].collect().toSet
+    assert(ids(HP.readBetween(spark, lake, "1997-03-01", "1997-03-31"))
+      == Set(1L, 2L), "no silent row loss through the wrong projection")
+    // ...and a range that does NOT cover the unknown entry's rows
+    // still admits its partition (conservative) but the exact row
+    // predicate keeps the result correct
+    assert(ids(HP.readBetween(spark, lake, "1997-03-10", "1997-03-31"))
+      == Set(1L))
+    // point lookups take the same conservative union
+    val keys = Seq(Date.valueOf("1997-03-05")).toDF("d")
+    assert(HP.partsMatching(spark, lake, v, keys).contains("1997-03-05"))
+    assert(ids(HP.readMatching(spark, lake, keys)) == Set(2L))
+    // attribution stays BY RECORD: a keyed rewrite propagates the
+    // unknown id verbatim (still non-projectable) instead of
+    // re-attributing it to the era spec
+    assert(HP.specAttribution(spark, lake, v)("1997-03-05") == Some(2))
+  }
+
   test("bloom index: deterministic skip on disjoint files, unindexed " +
       "files always read, ensure is incremental and idempotent, DV " +
       "fold composes, compact drops dead rels") {
@@ -2093,10 +2140,13 @@ class LakeSpec extends SparkSpec {
         rows.flatMap { case (o, n) => (1 to n).map(l => (o, l)) }
           .toDF("o_id", "line").withColumn("part", lit("l")),
         "part", b))
+    // pin keys are CANONICAL (FileSystem-qualified) paths, so any
+    // spelling of the same physical lake resolves to one key
+    def cq(p: String) = "file:" + p.stripSuffix("/")
     val cv1 = CC.commitAll(spark, coord, Seq(
       () => commitA(1L -> 2, 2L -> 3), () => commitB(1L -> 2, 2L -> 3)))
     assert(cv1 == 1 && CC.pins(spark, coord, 1) ==
-      Map(a.stripSuffix("/") -> 1, b.stripSuffix("/") -> 1))
+      Map(cq(a) -> 1, cq(b) -> 1))
     def coordConsistent(cv: Option[Int] = None): Boolean = {
       val nA = CC.readCoordinated(spark, coord, a, cv)
         .agg(sum($"n_lines")).head.getLong(0)
@@ -2139,9 +2189,27 @@ class LakeSpec extends SparkSpec {
         Seq((9L, "x")).toDF("id", "part"), "part", c))))
     assert(cv3 == 3)
     assert(CC.pins(spark, coord, 3) == Map(
-      a.stripSuffix("/") -> 2, b.stripSuffix("/") -> 2,
-      c.stripSuffix("/") -> 1), "disjoint commit carries prior pins")
+      cq(a) -> 2, cq(b) -> 2, cq(c) -> 1),
+      "disjoint commit carries prior pins")
     assert(coordConsistent(), "A/B pair unchanged by the disjoint commit")
+    // PIN-KEY CANONICALIZATION (r14 advice): the same physical lake
+    // spelled file:/x, /x/, or with redundant slashes is ONE key —
+    // a coordinated read through any spelling resolves the same pin,
+    // and a commit pinning one lake under two spellings is the
+    // duplicate-pin error, not two silent keys
+    assert(CC.readCoordinated(spark, coord, s"file:$a").count() ==
+      CC.readCoordinated(spark, coord, a + "/").count())
+    intercept[IllegalArgumentException] {
+      CC.commitAll(spark, coord, Seq(
+        () => (a, VersionedLake.latestVersion(spark, a)),
+        () => (s"file:$a/", VersionedLake.latestVersion(spark, a))))
+    }
+    // ...and the overtaken check sees through spellings too: a commit
+    // preparing an OLDER pin of A under the file: spelling must abort,
+    // not slip past as a "different" lake
+    intercept[java.util.ConcurrentModificationException] {
+      CC.commitAll(spark, coord, Seq(() => (s"file:$a", 1)))
+    }
   }
 
   test("commit coordinator claim race: 8 concurrent disjoint-lake " +
@@ -2171,12 +2239,161 @@ class LakeSpec extends SparkSpec {
     // the FINAL record carries every lake's pin (disjoint commits
     // merge by carrying prior pins forward through every interleaving)
     val finalPins = CC.pins(spark, coord, 8)
-    assert(finalPins.keySet == lakes.map(_.stripSuffix("/")).toSet,
+    assert(finalPins.keySet ==
+      lakes.map(p => "file:" + p.stripSuffix("/")).toSet,
       s"final record pins all 8 lakes: $finalPins")
     assert(finalPins.values.forall(_ == 1))
     lakes.foreach { p =>
       assert(CC.readCoordinated(spark, coord, p).count() == 1)
     }
+  }
+
+  test("txn dedup returns the txn's OWN committed version, not the " +
+      "table head: replay under a concurrent writer re-pins exactly " +
+      "what the batch committed, cold-cache and vacuumed-txn paths " +
+      "included") {
+    import graft.sources.VersionedLake
+    val lake = java.nio.file.Files.createTempDirectory("lake_txnv").toString
+    VersionedLake.reset(spark, lake)
+    def batch(txn: Long, rows: (Long, String)*) =
+      VersionedLake.commitBatchAppend(rows.toDF("id", "part"), "part",
+        lake, txn)
+    assert(batch(1L, 1L -> "a") == 1)
+    assert(batch(2L, 2L -> "a") == 2)
+    // a concurrent writer advances the head past both batches
+    VersionedLake.commitAppend(Seq((9L, "a")).toDF("id", "part"),
+      "part", lake)
+    assert(VersionedLake.latestVersion(spark, lake) == 3)
+    // replays are no-ops returning EACH txn's own version (r14 advice:
+    // returning latestVersion=3 here would hand a coordinated recovery
+    // a version the batch never computed, breaking st29's pair
+    // invariant); upsert and DV-merge dedup share the resolution
+    assert(batch(1L, 1L -> "a") == 1)
+    assert(VersionedLake.commitBatchUpsert(
+      Seq((2L, "a")).toDF("id", "part"), "part", lake, txn = 2L) == 2)
+    assert(VersionedLake.commitBatchMergeDv(
+      Seq((1L, "a")).toDF("id", "part"), Seq("id"), "part", lake,
+      txn = 1L) == 1)
+    assert(VersionedLake.latestVersion(spark, lake) == 3,
+      "replays forked no history")
+    // COLD-CACHE path (the fresh-JVM shape): a byte-copy of the lake
+    // is a new cache key, so the dedup repopulates txn→version from
+    // the manifest headers on disk
+    val copy = java.nio.file.Files.createTempDirectory("lake_txnc")
+      .toString + "/copy"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = new org.apache.hadoop.fs.Path(lake).getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(f,
+      new org.apache.hadoop.fs.Path(lake), f,
+      new org.apache.hadoop.fs.Path(copy), false, true, conf)
+    assert(VersionedLake.commitBatchAppend(
+      Seq((1L, "a")).toDF("id", "part"), "part", copy, txn = 1L) == 1)
+    // VACUUMED txn (sidecar-carried, its version dropped): still
+    // deduped — never re-applied — and resolves to the CURRENT version,
+    // the documented fallback (the pinned snapshot is gone either way;
+    // vacuum retain covering the replay window is the caller contract)
+    VersionedLake.vacuum(spark, lake, retain = 1)
+    assert(batch(1L, 1L -> "a") == 3)
+    assert(VersionedLake.latestVersion(spark, lake) == 3)
+  }
+
+  test("commit-log head pointer: latestVersion resolves through " +
+      "_log/_head without listing the log; stale, corrupt, ahead, and " +
+      "missing hints all stay correct (trusted-but-verified); the " +
+      "coordinator log shares the design") {
+    import graft.sources.{CommitCoordinator => CC, VersionedLake}
+    import org.apache.hadoop.fs.Path
+    val lake = java.nio.file.Files.createTempDirectory("lake_head").toString
+    VersionedLake.reset(spark, lake)
+    val f = new Path(lake).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = new Path(s"$lake/_log/_head")
+    def setHead(s: String): Unit = {
+      val o = f.create(head, true)
+      try o.write(s.getBytes("UTF-8")) finally o.close()
+    }
+    def commit(id: Long) = VersionedLake.commitAppend(
+      Seq((id, "a")).toDF("id", "part"), "part", lake)
+    (1L to 3L).foreach(commit)
+    // steady state: resolution is hint + forward probe — ZERO full
+    // listings across repeated resolves (the O(versions)-per-read
+    // cost the r14 verdict flagged is gone)
+    val m0 = VersionedLake.headMisses.get()
+    (1 to 10).foreach(_ =>
+      assert(VersionedLake.latestVersion(spark, lake) == 3))
+    assert(VersionedLake.headMisses.get() == m0,
+      "no listing fallback on a head-maintained lake")
+    // STALE hint (crash between claim and head write, lost overwrite
+    // race): the forward probe walks past it — correct AND still no
+    // listing
+    setHead("1")
+    assert(VersionedLake.latestVersion(spark, lake) == 3)
+    assert(VersionedLake.headMisses.get() == m0, "stale hint probes, not lists")
+    // CORRUPT / TORN hint: verified fallback to the full listing
+    setHead("not-a-version")
+    assert(VersionedLake.latestVersion(spark, lake) == 3)
+    // AHEAD hint (tampering/partial copy): existence check fails it
+    setHead("99")
+    assert(VersionedLake.latestVersion(spark, lake) == 3)
+    // MISSING hint (legacy lake): listing fallback, and the next
+    // commit restores steady state
+    f.delete(head, false)
+    assert(VersionedLake.latestVersion(spark, lake) == 3)
+    assert(VersionedLake.headMisses.get() > m0)
+    commit(4L)
+    val m1 = VersionedLake.headMisses.get()
+    assert(VersionedLake.latestVersion(spark, lake) == 4)
+    assert(VersionedLake.headMisses.get() == m1, "commit re-seeded the hint")
+    // vacuum keeps the newest version, so the hint never dangles
+    VersionedLake.vacuum(spark, lake, retain = 1)
+    assert(VersionedLake.latestVersion(spark, lake) == 4)
+    // the COORDINATOR log: same hint, same stale-hint safety
+    val coord = java.nio.file.Files.createTempDirectory("lake_headc").toString
+    CC.commitAll(spark, coord, Seq(() => (lake, 4)))
+    CC.commitAll(spark, coord, Seq(() => (lake, 4)))
+    val c0 = CC.headMisses.get()
+    assert(CC.latest(spark, coord) == 2)
+    assert(CC.headMisses.get() == c0)
+    val chead = new Path(s"$coord/_coordlog/_head")
+    val o = f.create(chead, true); o.write("1".getBytes("UTF-8")); o.close()
+    assert(CC.latest(spark, coord) == 2, "stale coordinator hint probes forward")
+    assert(CC.headMisses.get() == c0)
+  }
+
+  test("pin-aware vacuum: versions a coordinator record pins survive " +
+      "any retain window (and their data files with them); naive " +
+      "retain on the same log breaks the coordinated reader") {
+    import graft.sources.{CommitCoordinator => CC, VersionedLake}
+    val lake = java.nio.file.Files.createTempDirectory("lake_pv").toString
+    val coord = java.nio.file.Files.createTempDirectory("lake_pvc").toString
+    VersionedLake.reset(spark, lake)
+    def commit(id: Long) = VersionedLake.commitAppend(
+      Seq((id, "a")).toDF("id", "part"), "part", lake)
+    // cv1 pins v1; two more commits land un-coordinated; cv2 pins v3
+    CC.commitAll(spark, coord, Seq(() => (lake, commit(1L))))
+    commit(2L); commit(3L)
+    CC.commitAll(spark, coord, Seq(
+      () => (lake, VersionedLake.latestVersion(spark, lake))))
+    assert(CC.pinnedVersions(spark, coord, lake) == Set(1, 3))
+    // NAIVE retain=1 on a byte-copy: drops v1+v2, and the coordinated
+    // reader at cv1 breaks on the missing manifest — the failure mode
+    // the pin-aware form exists to close
+    val copy = java.nio.file.Files.createTempDirectory("lake_pvn")
+      .toString + "/copy"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hf = new org.apache.hadoop.fs.Path(lake).getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(hf,
+      new org.apache.hadoop.fs.Path(lake), hf,
+      new org.apache.hadoop.fs.Path(copy), false, true, conf)
+    assert(VersionedLake.vacuum(spark, copy, retain = 1)._1 == 2)
+    intercept[Exception] { VersionedLake.readVersion(spark, copy, 1).count() }
+    // PIN-AWARE retain=1: only the unpinned v2 drops; both coordinated
+    // snapshots stay fully readable, files included
+    val (droppedN, _) = CC.vacuumPinned(spark, coord, lake, retain = 1)
+    assert(droppedN == 1)
+    assert(VersionedLake.versions(spark, lake) == Seq(1, 3))
+    assert(CC.readCoordinated(spark, coord, lake, Some(1)).count() == 1)
+    assert(CC.readCoordinated(spark, coord, lake, Some(2)).count() == 3)
+    intercept[Exception] { VersionedLake.readVersion(spark, lake, 2).count() }
   }
 
   test("unionByName with allowMissingColumns aligns evolved batches") {
