@@ -2304,4 +2304,73 @@ private[graft] object EntryDefsA {
       .unionByName(probe("match_cross", matchDf, monthsOf(matchParts),
         bucketsOf(matchParts) <= 2 && bucketsOf(matchParts) < totalBuckets))
   }
+
+  /** l38 — SQL `DELETE FROM ... WHERE` through graftlake (r14 verdict
+    * #5): the one row-level SQL verb that IS a clean reduction to the
+    * l23 deletion-vector commit
+    * ([[graft.sources.VersionedLake.commitDeleteWhere]] behind
+    * SupportsDelete). Q1 1997 seeds the lake; the SQL delete marks
+    * February's l_linenumber >= 5 rows dead by DV — every data file
+    * carries forward BY POINTER (`carried_by_pointer`), the only
+    * minted sidecar is February's (`dv_only_feb` — the partition
+    * prune derived from the pushed month equality scoped the read AND
+    * the re-mint), and the pre-delete version stays fully readable
+    * (the `pre_delete` probe). A no-match delete mints nothing
+    * (`nomatch_noop`); a predicate that cannot translate EXACTLY to
+    * source filters refuses loudly and changes nothing
+    * (`refusal_noop` — a weakened superset would delete rows the
+    * WHERE never named); DML through a time-travelled view refuses
+    * (`tt_refused`). The oracle RESTATES l23's delete equality from
+    * the original parquet: post-delete aggregates re-derive with the
+    * WHERE as an anti-filter — a widened or missed delete breaks
+    * n_rows/sum_qty/key_sig. UPDATE/MERGE INTO refusals are pinned in
+    * GraftLakeSourceSpec; LakeSqlDemo drives the SQL-user shape. */
+  private[graft] def l38(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VersionedLake
+    val lake = s"/tmp/graft_sqldellake_${Integer.toHexString(d.hashCode)}"
+    VersionedLake.reset(s, lake)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .filter(col("month").between("1997-01", "1997-03"))
+    VersionedLake.commitOverwrite(li, "month", lake)
+    s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_sqldel
+      USING graftlake OPTIONS (path '$lake', partitionColumn 'month')""")
+    s.sql("""DELETE FROM graft_sqldel
+      WHERE month = '1997-02' AND l_linenumber >= 5""")
+    val v2 = VersionedLake.latestVersion(s, lake)
+    def rels(v: Int, kind: String) = VersionedLake
+      .manifestFiles(s, lake, v).filter(_.kind == kind)
+    val carried = v2 == 2 &&
+      rels(2, "data").map(_.rel).toSet == rels(1, "data").map(_.rel).toSet
+    val dvFeb = rels(2, "dv").nonEmpty &&
+      rels(2, "dv").forall(_.part == "1997-02")
+    s.sql("DELETE FROM graft_sqldel WHERE month = '2099-12'")
+    val nomatchNoop = VersionedLake.latestVersion(s, lake) == v2
+    val refusalNoop =
+      (try { s.sql("DELETE FROM graft_sqldel WHERE l_quantity / 2.0 = 3.0")
+             false }
+       catch { case _: Exception => true }) &&
+        VersionedLake.latestVersion(s, lake) == v2
+    s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_sqldel_v1
+      USING graftlake
+      OPTIONS (path '$lake', versionAsOf '1', partitionColumn 'month')""")
+    val ttRefused =
+      try { s.sql("DELETE FROM graft_sqldel_v1 WHERE l_linenumber = 1")
+            false }
+      catch { case _: Exception => true }
+    def probe(name: String, view: String): DataFrame =
+      s.sql(s"""SELECT count(*) AS n_rows,
+          round(sum(l_quantity), 2) AS sum_qty,
+          sum(l_orderkey * 7 + l_linenumber) AS key_sig
+        FROM $view""")
+        .withColumn("probe", lit(name))
+    probe("post_delete", "graft_sqldel")
+      .unionByName(probe("pre_delete", "graft_sqldel_v1"))
+      .withColumn("carried_by_pointer", lit(carried))
+      .withColumn("dv_only_feb", lit(dvFeb))
+      .withColumn("nomatch_noop", lit(nomatchNoop))
+      .withColumn("refusal_noop", lit(refusalNoop))
+      .withColumn("tt_refused", lit(ttRefused))
+  }
 }

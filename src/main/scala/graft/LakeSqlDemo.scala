@@ -9,11 +9,20 @@ import graft.sources.{GraftLakeSource, VersionedLake}
   * then consumes it through PURE SQL — format resolution by short
   * name, `versionAsOf` time travel, and manifest-side partition
   * pruning from the pushed month filter (witnessed by the
-  * live/read partition counters), including the r14 OR-union prune
-  * and a format APPEND. Run:
+  * live/read partition counters), including the r14 OR-union prune,
+  * a format APPEND, and the r15 SQL DML surface: `INSERT INTO` the
+  * un-pinned view (routes through the same commit path as the format
+  * writer — OCC, constraints, staging), `DELETE FROM ... WHERE`
+  * (SupportsDelete → the l23 deletion-vector commit: zero fresh data
+  * files, a DV sidecar only), and the refusal walls — DML through a
+  * time-travelled view, and UPDATE/MERGE INTO (library verbs), all
+  * loud. Run:
   * `sbt 'runMain graft.LakeSqlDemo'` — expects
   * `DSV2_V1=3 DSV2_LATEST=3 DSV2_FEB_ID=4 DSV2_PARTS=3/1
-  * DSV2_OR_N=2 DSV2_OR_PARTS=3/2 DSV2_W_N=4 DSV2_W_V=3`. */
+  * DSV2_OR_N=2 DSV2_OR_PARTS=3/2 DSV2_W_N=4 DSV2_W_V=3
+  * DSV2_INS_N=5 DSV2_INS_V=4 DSV2_DEL_N=4 DSV2_DEL_V=5
+  * DSV2_DEL_FRESH=0 DSV2_DEL_DV=1 DSV2_TT_INS=refused
+  * DSV2_TT_DEL=refused DSV2_UPD=refused DSV2_MERGE=refused`. */
 object LakeSqlDemo {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -62,9 +71,41 @@ object LakeSqlDemo {
     val wN = spark.sql("SELECT count(*) FROM lake_latest")
       .head().getLong(0)
     val wV = VersionedLake.latestVersion(spark, lake)
+    // SQL INSERT INTO the un-pinned view (r15): routes through the
+    // same InsertableRelation commit path as the format writer
+    spark.sql("INSERT INTO lake_latest VALUES (6, '1997-05', 60.0)")
+    val insN = spark.sql("SELECT count(*) FROM lake_latest")
+      .head().getLong(0)
+    val insV = VersionedLake.latestVersion(spark, lake)
+    // SQL DELETE FROM ... WHERE (r15): the l23 DV commit — matching
+    // rows die by deletion vector, every data file carries forward
+    spark.sql("DELETE FROM lake_latest WHERE month = '1997-02'")
+    val delN = spark.sql("SELECT count(*) FROM lake_latest")
+      .head().getLong(0)
+    val delV = VersionedLake.latestVersion(spark, lake)
+    val delEntries = VersionedLake.manifestFiles(spark, lake, delV)
+    val delFresh = delEntries.count(e => e.kind == "data" &&
+      !VersionedLake.manifestFiles(spark, lake, delV - 1)
+        .exists(p => p.kind == "data" && p.rel == e.rel))
+    val delDv = delEntries.count(_.kind == "dv")
+    // the refusal walls, each loud: DML through a time-travelled view;
+    // UPDATE / MERGE INTO (library verbs — no SupportsRowLevelOperations)
+    def refused(sql: String): String =
+      try { spark.sql(sql); "ACCEPTED" }
+      catch { case _: Exception => "refused" }
+    val ttIns = refused("INSERT INTO lake_v1 VALUES (7, '1997-06', 70.0)")
+    val ttDel = refused("DELETE FROM lake_v1 WHERE id = 1")
+    val upd = refused("UPDATE lake_latest SET x = 0.0 WHERE id = 1")
+    val mrg = refused(
+      """MERGE INTO lake_latest t USING (SELECT 1 AS id) s ON t.id = s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
     println(s"DSV2_V1=$v1n DSV2_LATEST=$ln DSV2_FEB_ID=$febId " +
       s"DSV2_PARTS=$parts DSV2_OR_N=$orN DSV2_OR_PARTS=$orParts " +
-      s"DSV2_W_N=$wN DSV2_W_V=$wV")
+      s"DSV2_W_N=$wN DSV2_W_V=$wV " +
+      s"DSV2_INS_N=$insN DSV2_INS_V=$insV DSV2_DEL_N=$delN " +
+      s"DSV2_DEL_V=$delV DSV2_DEL_FRESH=$delFresh DSV2_DEL_DV=$delDv " +
+      s"DSV2_TT_INS=$ttIns DSV2_TT_DEL=$ttDel DSV2_UPD=$upd " +
+      s"DSV2_MERGE=$mrg")
     spark.stop()
   }
 }

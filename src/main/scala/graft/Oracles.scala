@@ -1636,6 +1636,31 @@ private[graft] object Oracles {
         |FROM li, allm
         |WHERE l_orderkey IN (SELECT l_orderkey FROM ks)
         |GROUP BY allm.n""".stripMargin,
+    // l38: l23's delete equality restated for the SQL verb — the
+    // post-delete aggregate re-derives from the original parquet with
+    // the DELETE's WHERE applied as an anti-filter (a widened or
+    // missed DV delete breaks n_rows/sum_qty/key_sig); the pointer-
+    // carry / DV-locality / noop / refusal witnesses are engine
+    // booleans
+    "l38_sql_delete" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    strftime(l_shipdate, '%Y-%m') AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03')
+        |SELECT 'post_delete' AS probe, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sig,
+        |  TRUE AS carried_by_pointer, TRUE AS dv_only_feb,
+        |  TRUE AS nomatch_noop, TRUE AS refusal_noop,
+        |  TRUE AS tt_refused
+        |FROM li WHERE NOT (month = '1997-02' AND l_linenumber >= 5)
+        |UNION ALL
+        |SELECT 'pre_delete', count(*), round(sum(l_quantity), 2),
+        |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
+        |  TRUE, TRUE, TRUE, TRUE, TRUE
+        |FROM li""".stripMargin,
     // l32: both versions' aggregates re-derive through the same
     // narrow-then-widen casts (quantities are integral, so the
     // REAL→DOUBLE sums are bit-exact); the refusal witnesses are

@@ -115,6 +115,7 @@ object SparkEntry {
     "l35_datasource_v2_write" -> (l35 _),
     "l36_commit_coordinator" -> (l36 _),
     "l37_crosscol_spec_evolution" -> (l37 _),
+    "l38_sql_delete" -> (l38 _),
     "c13_split_decontam" -> (c13 _),
     "c14_weighted_sample" -> (c14 _),
     "t33_cdc_chunking" -> (t33 _),

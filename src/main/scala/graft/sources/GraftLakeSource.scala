@@ -184,6 +184,8 @@ object GraftLakeSource {
     case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
     case IsNull(a) => Some(col(a).isNull)
     case IsNotNull(a) => Some(col(a).isNotNull)
+    case AlwaysTrue() => Some(lit(true))   // truncateTable()'s shape
+    case AlwaysFalse() => Some(lit(false))
     case StringStartsWith(a, v) => Some(col(a).startsWith(v))
     case StringEndsWith(a, v) => Some(col(a).endsWith(v))
     case StringContains(a, v) => Some(col(a).contains(v))
@@ -202,8 +204,10 @@ object GraftLakeSource {
   }
 
   /** Translation with NO weakening anywhere in the subtree — the only
-    * form safe to negate. */
-  private def toColumnExact(f: Filter): Option[Column] = f match {
+    * form safe to negate, and the only form safe to DELETE by
+    * ([[GraftLakeTable.deleteWhere]]: a weakened superset would delete
+    * rows the WHERE never named). */
+  private[sources] def toColumnExact(f: Filter): Option[Column] = f match {
     case And(l, r) =>
       for { a <- toColumnExact(l); b <- toColumnExact(r) } yield a && b
     case Or(l, r) =>
@@ -273,7 +277,8 @@ private[sources] final class GraftLakeTable(path: String,
                                             pinned: Option[Int],
                                             partitionColumn: Option[String],
                                             tableSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String =
     s"graftlake.`$path`@${pinned.fold("latest")(v => s"v$v")}"
@@ -297,6 +302,62 @@ private[sources] final class GraftLakeTable(path: String,
     val v = pinned.getOrElse(
       VersionedLake.latestVersion(SparkSession.active, path))
     new GraftLakeScanBuilder(path, v, partitionColumn, tableSchema)
+  }
+
+  /** SQL `DELETE FROM t WHERE p` ([[SupportsDelete]], r14 verdict #5)
+    * — the one row-level SQL verb that IS a clean reduction to the
+    * library's DV path ([[VersionedLake.commitDeleteWhere]], l23's
+    * semantics): matching rows get deletion-vector rows, every data
+    * file carries forward by pointer, pinned pre-delete readers are
+    * untouched. The translated predicate must be EXACT
+    * ([[GraftLakeSource.toColumnExact]] — a weakened superset would
+    * delete rows the WHERE never named), declared via
+    * [[canDeleteWhere]] so Spark fails untranslatable deletes loudly
+    * instead of silently widening them. Filters on the declared
+    * partition column also prune WHICH partitions are read and
+    * re-minted (the same sound-superset predicate the scan uses), so
+    * a partition-scoped delete costs ∝ its partitions.
+    * UPDATE / MERGE INTO stay library verbs ([[VersionedLake
+    * .commitMerge]]/[[VersionedLake.commitMergeDv]]): without
+    * SupportsRowLevelOperations Spark refuses them loudly at analysis
+    * — the documented posture (their keyed-delta semantics don't
+    * reduce to a predicate). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftLakeSource.toColumnExact(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(pinned.isEmpty,
+      s"cannot delete through a time-travelled graftlake relation " +
+        s"(${name()}) — history is immutable; drop " +
+        "versionAsOf/timestampAsOf to delete at the head")
+    val spark = SparkSession.active
+    val hidden = HiddenPartitioning.declared(spark, path)
+    val pc =
+      if (hidden) HiddenPartitioning.spec(spark, path).partCol
+      else partitionColumn.getOrElse(throw new IllegalArgumentException(
+        "graftlake DELETE needs the partitionColumn option " +
+          "(or a hidden-partitioning spec on the lake)"))
+    val pred = filters.flatMap(GraftLakeSource.toColumnExact)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    // one head resolve for prune + commit (the commit's OCC loop
+    // still arbitrates any concurrent claim)
+    val v = VersionedLake.latestVersion(spark, path)
+    // partition prune from filters on the partition column — sound
+    // superset, same discipline as the scan; stands down on hidden
+    // lakes (manifest values are spec-derived there)
+    val parts: Option[Set[String]] =
+      if (hidden || !tableSchema.fields.exists(f =>
+          f.name == pc && f.dataType == StringType)) None
+      else {
+        val preds = filters.flatMap(GraftLakeSource.partPredicate(_, pc))
+        if (preds.isEmpty) None
+        else Some(VersionedLake.manifestFiles(spark, path, v)
+          .filter(_.kind == "data").map(_.part).distinct
+          .filter(p => preds.forall(_(p))).toSet)
+      }
+    VersionedLake.commitDeleteWhere(spark, pred, pc, path, parts,
+      fromVersion = Some(v))
+    ()
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -1705,6 +1705,44 @@ object VersionedLake {
     val newDv = live
       .join(keys.select(keyCols.map(col): _*), keyCols, "left_semi")
       .select(col("__file"), col("__pos"), col(partCol))
+    doCommit(newDv, partCol, path, None, Mode.Delete, None, commitTs,
+      pinnedBase = Some(v), forceReplaced = touched)
+  }
+
+  /** [[commitDelete]]'s PREDICATE form — `DELETE FROM t WHERE p`
+    * reduced to the same DV commit (the one SQL row-level verb that IS
+    * a clean reduction, r14 verdict #5): rows of the pinned version
+    * matching `pred` get DV rows; data files carry forward by pointer;
+    * a no-match delete mints nothing. `parts`, when given, is a
+    * SUPERSET of the partitions that can hold matching rows (the
+    * caller's partition-predicate prune — [[GraftLakeSource]] derives
+    * it from pushed filters on the partition column): un-probed
+    * partitions are never read NOR marked replaced, so a pruned SQL
+    * delete costs ∝ matching partitions, not table size. */
+  def commitDeleteWhere(spark: SparkSession, pred: Column,
+                        partCol: String, path: String,
+                        parts: Option[Set[String]] = None,
+                        commitTs: Option[Long] = None,
+                        fromVersion: Option[Int] = None): Int = {
+    val v = fromVersion.getOrElse(latestVersion(spark, path))
+    require(v > 0, "commitDeleteWhere needs an existing version")
+    val all = manifestEntries(spark, path, v)
+    val scoped = parts.fold(all)(ps =>
+      all.filter(e => ps.contains(e.part)))
+    val data = scoped.filter(_.kind == KindData)
+    if (data.isEmpty) return v
+    val dvs = scoped.filter(_.kind == KindDv)
+    // mapped + DV-folded read with (__file, __pos) kept: the predicate
+    // sees LOGICAL columns, already-dead rows are never re-marked
+    val live = mappedRead(spark, path, v, data, dvs, withMeta = true)
+    val newDv = live.filter(pred)
+      .select(col("__file"), col("__pos"), col(partCol))
+      .localCheckpoint(true) // one scan; touched-set + commit share it
+    // partition-count-sized collect: planning metadata (which
+    // partitions actually hold doomed rows — only those re-mint)
+    val touched = newDv.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touched.isEmpty) return v
     doCommit(newDv, partCol, path, None, Mode.Delete, None, commitTs,
       pinnedBase = Some(v), forceReplaced = touched)
   }

@@ -181,6 +181,81 @@ class GraftLakeSourceSpec extends SparkSpec {
     }
   }
 
+  test("SQL DML through graftlake: INSERT INTO routes the library " +
+      "commit path (txn dedup via view options included), INSERT " +
+      "OVERWRITE replaces, DELETE FROM is the l23 DV commit, and the " +
+      "refusal walls hold (time travel, untranslatable predicate, " +
+      "UPDATE/MERGE)") {
+    val lake = freshLake() // v2 = {1,3,4}
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW glake
+      USING graftlake OPTIONS (path '$lake', partitionColumn 'month')""")
+    def ids() = spark.sql("SELECT id FROM glake")
+      .as[Long].collect().toSet
+    // INSERT INTO: AppendData → the same InsertableRelation commit
+    // path as the format writer (OCC, staging, constraints)
+    spark.sql("INSERT INTO glake VALUES (5, '1997-04', 50.0)")
+    assert(VersionedLake.latestVersion(spark, lake) == 3)
+    assert(ids() == Set(1L, 3L, 4L, 5L))
+    // txn OPTION ON THE VIEW: INSERT INTO becomes exactly-once —
+    // the replayed statement commits nothing (commitBatchAppend dedup)
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW glake_txn
+      USING graftlake
+      OPTIONS (path '$lake', partitionColumn 'month', txn '77')""")
+    spark.sql("INSERT INTO glake_txn VALUES (6, '1997-05', 60.0)")
+    assert(VersionedLake.latestVersion(spark, lake) == 4)
+    spark.sql("INSERT INTO glake_txn VALUES (6, '1997-05', 60.0)")
+    assert(VersionedLake.latestVersion(spark, lake) == 4,
+      "replayed INSERT INTO under a txn view is a no-op commit")
+    assert(ids() == Set(1L, 3L, 4L, 5L, 6L), "no duplicate row")
+    // DELETE FROM ... WHERE: the DV commit — zero fresh data files,
+    // one DV sidecar, untouched partitions carried by pointer, the
+    // pre-delete version fully readable
+    spark.sql("DELETE FROM glake WHERE month = '1997-02'")
+    val v5 = VersionedLake.latestVersion(spark, lake)
+    assert(v5 == 5)
+    assert(ids() == Set(1L, 3L, 5L, 6L))
+    val prev = VersionedLake.manifestFiles(spark, lake, 4)
+      .filter(_.kind == "data").map(_.rel).toSet
+    val now = VersionedLake.manifestFiles(spark, lake, v5)
+    assert(now.filter(_.kind == "data").map(_.rel).toSet == prev,
+      "every data file carried forward by pointer")
+    assert(now.count(_.kind == "dv") == 1, "one DV sidecar minted")
+    assert(spark.read.format("graftlake").option("versionAsOf", "4")
+      .load(lake).count() == 5, "pinned pre-delete reader untouched")
+    // a no-match DELETE mints nothing
+    spark.sql("DELETE FROM glake WHERE month = '2099-12'")
+    assert(VersionedLake.latestVersion(spark, lake) == v5)
+    // refusal: a predicate that cannot translate EXACTLY to source
+    // filters must fail loudly, never delete a widened superset
+    intercept[Exception] {
+      spark.sql("DELETE FROM glake WHERE x / 2.0 = 30.0")
+    }
+    assert(VersionedLake.latestVersion(spark, lake) == v5 &&
+      ids() == Set(1L, 3L, 5L, 6L), "refused delete changed nothing")
+    // refusals: DML through a time-travelled view; UPDATE/MERGE INTO
+    // (library verbs — no SupportsRowLevelOperations)
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW glake_v1
+      USING graftlake
+      OPTIONS (path '$lake', versionAsOf '1', partitionColumn 'month')""")
+    intercept[Exception] {
+      spark.sql("INSERT INTO glake_v1 VALUES (7, '1997-06', 70.0)") }
+    intercept[Exception] {
+      spark.sql("DELETE FROM glake_v1 WHERE id = 1") }
+    intercept[Exception] {
+      spark.sql("UPDATE glake SET x = 0.0 WHERE id = 1") }
+    intercept[Exception] {
+      spark.sql("""MERGE INTO glake t USING (SELECT 1 AS id) s
+        ON t.id = s.id WHEN MATCHED THEN DELETE""") }
+    assert(VersionedLake.latestVersion(spark, lake) == v5,
+      "every refusal minted nothing")
+    // INSERT OVERWRITE: OverwriteByExpression(AlwaysTrue) → truncate →
+    // commitOverwrite; history below it intact
+    spark.sql("INSERT OVERWRITE glake VALUES (9, '1998-01', 90.0)")
+    assert(ids() == Set(9L))
+    assert(VersionedLake.readVersion(spark, lake, v5).count() == 4,
+      "history intact under the SQL overwrite")
+  }
+
   test("graftlake OCC through the format: a format append and a " +
       "concurrent library upsert both land (appends rebase through " +
       "the claim protocol)") {
