@@ -22,14 +22,20 @@ import graft.sources.{GraftLakeSource, VersionedLake}
   * DSV2_OR_N=2 DSV2_OR_PARTS=3/2 DSV2_W_N=4 DSV2_W_V=3
   * DSV2_INS_N=5 DSV2_INS_V=4 DSV2_DEL_N=4 DSV2_DEL_V=5
   * DSV2_DEL_FRESH=0 DSV2_DEL_DV=1 DSV2_TT_INS=refused
-  * DSV2_TT_DEL=refused DSV2_UPD=refused DSV2_MERGE=refused`. */
+  * DSV2_TT_DEL=refused DSV2_UPD=refused DSV2_MERGE=refused
+  * DSV2_CAT_N=2 DSV2_CAT_V2=1 DSV2_CAT_PIN_EQ=true
+  * DSV2_CAT_ALTER=refused`. */
 object LakeSqlDemo {
   def main(args: Array[String]): Unit = {
+    val wh =
+      java.nio.file.Files.createTempDirectory("graftlake_wh").toString
     val spark = SparkSession.builder()
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", 2)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", "graft.sources.GraftLakeCatalog")
+      .config("spark.sql.catalog.graft.base", wh)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -99,13 +105,29 @@ object LakeSqlDemo {
     val mrg = refused(
       """MERGE INTO lake_latest t USING (SELECT 1 AS id) s ON t.id = s.id
         |WHEN MATCHED THEN DELETE""".stripMargin)
+    // the V2 CATALOG (r15): the same tables BY NAME — CREATE/INSERT/
+    // time-travel through Spark-native SQL, pin-equal to the
+    // option-based format read on the same path
+    spark.sql("""CREATE TABLE graft.demo.t
+      (id BIGINT, month STRING, x DOUBLE) PARTITIONED BY (month)""")
+    spark.sql("INSERT INTO graft.demo.t VALUES (1, '1997-01', 10.0)")
+    spark.sql("INSERT INTO graft.demo.t VALUES (2, '1997-02', 20.0)")
+    val catN = spark.sql("SELECT count(*) FROM graft.demo.t")
+      .head().getLong(0)
+    val catV2 = spark.sql("SELECT count(*) FROM graft.demo.t VERSION AS OF 2")
+      .head().getLong(0)
+    val catPinEq = catV2 == spark.read.format("graftlake")
+      .option("versionAsOf", "2").load(s"$wh/demo/t").count()
+    val catAlter = refused("ALTER TABLE graft.demo.t ADD COLUMN y DOUBLE")
     println(s"DSV2_V1=$v1n DSV2_LATEST=$ln DSV2_FEB_ID=$febId " +
       s"DSV2_PARTS=$parts DSV2_OR_N=$orN DSV2_OR_PARTS=$orParts " +
       s"DSV2_W_N=$wN DSV2_W_V=$wV " +
       s"DSV2_INS_N=$insN DSV2_INS_V=$insV DSV2_DEL_N=$delN " +
       s"DSV2_DEL_V=$delV DSV2_DEL_FRESH=$delFresh DSV2_DEL_DV=$delDv " +
       s"DSV2_TT_INS=$ttIns DSV2_TT_DEL=$ttDel DSV2_UPD=$upd " +
-      s"DSV2_MERGE=$mrg")
+      s"DSV2_MERGE=$mrg " +
+      s"DSV2_CAT_N=$catN DSV2_CAT_V2=$catV2 DSV2_CAT_PIN_EQ=$catPinEq " +
+      s"DSV2_CAT_ALTER=$catAlter")
     spark.stop()
   }
 }

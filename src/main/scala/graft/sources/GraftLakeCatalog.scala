@@ -1,0 +1,224 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Literal, Transform}
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** [[VersionedLake]] tables BY NAME — a Spark V2 [[TableCatalog]]
+  * over a warehouse directory (r14 verdict #6: the name-resolution
+  * layer above the path-based `graftlake` format). Register and use:
+  *
+  * {{{
+  * spark.sql.catalog.graft      = graft.sources.GraftLakeCatalog
+  * spark.sql.catalog.graft.base = /warehouse/root
+  *
+  * CREATE TABLE graft.ns.t (id BIGINT, month STRING, x DOUBLE)
+  *   PARTITIONED BY (month)                  -- identity: plain lake
+  * CREATE TABLE graft.ns.h (id BIGINT, d DATE, x DOUBLE)
+  *   PARTITIONED BY (months(d))              -- transform: HIDDEN lake
+  * INSERT INTO graft.ns.t VALUES ...
+  * DELETE FROM graft.ns.t WHERE month = '1997-02'
+  * SELECT * FROM graft.ns.t VERSION AS OF 2  -- Spark-native travel
+  * SELECT * FROM graft.ns.t TIMESTAMP AS OF '1970-01-01 00:00:02'
+  * }}}
+  *
+  * The catalog is a THIN name→path map: `graft.ns.t` lives at
+  * `<base>/ns/t`, and every loaded table is the SAME
+  * [[GraftLakeTable]] the path-based format returns — one read path
+  * (manifest-resolved schema, DV fold, column mapping, partition
+  * pruning), one write path (the library commit protocol, OCC
+  * included), one DELETE path (l23 DVs). `VERSION AS OF` /
+  * `TIMESTAMP AS OF` resolve through [[TableCatalog.loadTable]]'s
+  * versioned overloads to the same pins the `versionAsOf` /
+  * `timestampAsOf` options set (Spark hands TIMESTAMP AS OF as
+  * MICROseconds; commit stamps are millis).
+  *
+  * `PARTITIONED BY` maps the Iceberg way: an identity transform names
+  * a plain partition column (recorded in `_log/_partcol` so later
+  * loads need no option); `months(c)`/`days(c)`/`bucket(n, c)` DEFINE
+  * hidden partitioning ([[HiddenPartitioning]]) — writers derive,
+  * readers never see the internal column. CREATE seeds version 1 with
+  * the schema-recording empty overwrite (the fresh-lake seed
+  * discipline), so the first INSERT is an ordinary append.
+  *
+  * Deliberate refusals (each loud): ALTER TABLE (schema evolution is
+  * a versioned COMMIT — [[VersionedLake.commitRenameColumn]] /
+  * [[VersionedLake.commitDropColumn]] / merge-with-evolveSchema — not
+  * catalog metadata); RENAME (the path IS the identity — coordinator
+  * records and clones pin it); multi-transform partitioning. DROP
+  * deletes the lake directory (DESTRUCTIVE, like an unmanaged-catalog
+  * drop of a managed table — history included). */
+final class GraftLakeCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var base: String = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    base = Option(options.get("base")).map(_.stripSuffix("/")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graftlake catalog '$name' needs a base directory: " +
+          s"spark.sql.catalog.$name.base = /warehouse/root"))
+  }
+
+  override def name(): String = catalogName
+
+  private def tablePath(ident: Identifier): String =
+    (base +: (ident.namespace().toSeq :+ ident.name())).mkString("/")
+
+  private def partColFile(path: String) =
+    new Path(s"$path/_log/_partcol")
+
+  private def readPartCol(path: String): Option[String] = {
+    val f = fs(path)
+    val p = partColFile(path)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    fs(base).exists(new Path(s"${tablePath(ident)}/_log"))
+
+  private def load(ident: Identifier, pinned: Option[Int]): Table = {
+    val path = tablePath(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val v = pinned.getOrElse(VersionedLake.latestVersion(spark, path))
+    val full = VersionedLake.readVersion(spark, path, v).schema
+    // the format's schema rule: a hidden lake's internal column never
+    // surfaces (GraftLakeSource.inferSchema — same read, same hiding)
+    val schema =
+      if (HiddenPartitioning.declared(spark, path)) {
+        val pc = HiddenPartitioning.spec(spark, path).partCol
+        StructType(full.fields.filterNot(_.name == pc))
+      } else full
+    new GraftLakeTable(path, pinned, readPartCol(path), schema)
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `VERSION AS OF <v>` — Spark's native time-travel SQL. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = version.trim.toIntOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"graftlake VERSION AS OF takes an integer version, got '$version'"))
+    load(ident, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands MICROseconds since epoch;
+    * commit stamps ([[VersionedLake.versionAsOf]]) are millis. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = tablePath(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    load(ident, Some(VersionedLake.versionAsOf(spark, path,
+      Math.floorDiv(timestamp, 1000L))))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String])
+      : Table = {
+    val path = tablePath(ident)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.length == 1,
+      s"graftlake tables take exactly ONE partition transform " +
+        s"(identity column, months(c), days(c), or bucket(n, c)); " +
+        s"got ${partitions.length}")
+    val f = fs(path)
+    f.mkdirs(new Path(path))
+    def srcOf(refs: Array[org.apache.spark.sql.connector.expressions
+        .NamedReference]): String = {
+      require(refs.length == 1 && refs.head.fieldNames().length == 1,
+        s"graftlake partition transforms take one top-level column")
+      val c = refs.head.fieldNames().head
+      require(schema.fieldNames.contains(c),
+        s"partition source column $c is not in the table schema")
+      c
+    }
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    // the concrete Transform classes are private[sql]; the public
+    // interface (name / references / arguments) carries everything
+    partitions.head match {
+      case id if id.name() == "identity" =>
+        val pc = srcOf(id.references())
+        require(schema.fields.exists(x =>
+            x.name == pc && x.dataType == StringType),
+          s"identity partition column $pc must be STRING (manifest " +
+            "partition values are strings); use months/days/bucket " +
+            "transforms for typed columns")
+        // record the partition column so later loads need no option
+        val out = f.create(partColFile(path), false)
+        try out.write(s"$pc\n".getBytes("UTF-8")) finally out.close()
+        VersionedLake.commitOverwrite(empty, pc, path) // schema seed
+      case t: Transform if t.name() == "months" =>
+        HiddenPartitioning.define(spark, path,
+          HiddenPartitioning.Spec(srcOf(t.references()),
+            HiddenPartitioning.Month))
+        HiddenPartitioning.commitOverwrite(empty, path)
+      case t: Transform if t.name() == "days" =>
+        HiddenPartitioning.define(spark, path,
+          HiddenPartitioning.Spec(srcOf(t.references()),
+            HiddenPartitioning.Day))
+        HiddenPartitioning.commitOverwrite(empty, path)
+      case b if b.name() == "bucket" =>
+        val n = b.arguments().collectFirst {
+          case l: Literal[_] => l.value().toString.toInt
+        }.getOrElse(throw new IllegalArgumentException(
+          "bucket transform needs a bucket count: bucket(n, col)"))
+        HiddenPartitioning.define(spark, path,
+          HiddenPartitioning.Spec(srcOf(b.references()),
+            HiddenPartitioning.Bucket(n)))
+        HiddenPartitioning.commitOverwrite(empty, path)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graftlake does not support the ${other.name()} partition " +
+            "transform (identity, months, days, bucket)")
+    }
+    load(ident, None)
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"graftlake schema evolution is a versioned COMMIT, not catalog " +
+        s"metadata: use VersionedLake.commitRenameColumn/commitDropColumn " +
+        s"or a merge with evolveSchema on ${ident.toString}")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    fs(base).delete(new Path(tablePath(ident)), true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graftlake tables cannot be renamed: the path is the table's " +
+        "identity (coordinator records and clones pin it); copy with " +
+        "CREATE TABLE + INSERT, or clone through the library")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path((base +: namespace.toSeq).mkString("/"))
+    val f = fs(base)
+    if (!f.exists(dir))
+      throw new NoSuchNamespaceException(namespace)
+    f.listStatus(dir).iterator
+      .filter(st => st.isDirectory &&
+        f.exists(new Path(st.getPath, "_log")))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .toArray
+  }
+}

@@ -256,6 +256,77 @@ class GraftLakeSourceSpec extends SparkSpec {
       "history intact under the SQL overwrite")
   }
 
+  test("graftlake V2 catalog: CREATE/INSERT/SELECT/DELETE by NAME, " +
+      "Spark-native VERSION AS OF / TIMESTAMP AS OF, transform " +
+      "partitioning defines hidden specs, refusals hold") {
+    import graft.sources.{HiddenPartitioning => HP}
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set("spark.sql.catalog.graft.base", wh)
+    spark.sql("""CREATE TABLE graft.ns.t
+      (id BIGINT, month STRING, x DOUBLE) PARTITIONED BY (month)""")
+    assert(spark.sql("SELECT * FROM graft.ns.t").count() == 0,
+      "CREATE seeds a readable empty version")
+    spark.sql("""INSERT INTO graft.ns.t VALUES
+      (1, '1997-01', 10.0), (2, '1997-02', 20.0)""")
+    spark.sql("INSERT INTO graft.ns.t VALUES (3, '1997-03', 30.0)")
+    def ids(q: String) = spark.sql(q).as[Long].collect().toSet
+    assert(ids("SELECT id FROM graft.ns.t") == Set(1L, 2L, 3L))
+    // Spark-NATIVE time-travel SQL resolves the same pins as the
+    // option-based format read (the r14 'FOR VERSION AS OF' gap)
+    assert(ids("SELECT id FROM graft.ns.t VERSION AS OF 2")
+      == Set(1L, 2L))
+    val lakePath = s"$wh/ns/t"
+    assert(spark.read.format("graftlake").option("versionAsOf", "2")
+      .load(lakePath).count() == 2,
+      "catalog pin == option pin: one table, two spellings")
+    // TIMESTAMP AS OF resolves stamped commits (commitTs — the
+    // library's rule); a library commit on the SAME path composes
+    VersionedLake.commitAppend(
+      Seq((9L, "1997-09", 90.0)).toDF("id", "month", "x"), "month",
+      lakePath, commitTs = Some(2000L))
+    assert(ids("SELECT id FROM graft.ns.t " +
+      "TIMESTAMP AS OF '1970-01-01 00:00:02'")
+      == Set(1L, 2L, 3L, 9L))
+    // DELETE by name: the same SupportsDelete DV path
+    spark.sql("DELETE FROM graft.ns.t WHERE month = '1997-02'")
+    assert(ids("SELECT id FROM graft.ns.t") == Set(1L, 3L, 9L))
+    assert(VersionedLake.manifestFiles(spark, lakePath,
+      VersionedLake.latestVersion(spark, lakePath))
+      .count(_.kind == "dv") == 1, "catalog DELETE minted a DV")
+    // a TRANSFORM in PARTITIONED BY defines HIDDEN partitioning —
+    // writers derive, the internal column never surfaces
+    spark.sql("""CREATE TABLE graft.ns.h
+      (id BIGINT, d DATE, x DOUBLE) PARTITIONED BY (months(d))""")
+    assert(HP.declared(spark, s"$wh/ns/h"))
+    spark.sql("""INSERT INTO graft.ns.h VALUES
+      (1, DATE '1997-01-15', 1.0), (2, DATE '1997-02-10', 2.0)""")
+    assert(spark.sql("SELECT * FROM graft.ns.h").columns.toSeq ==
+      Seq("id", "d", "x"), "internal partition column hidden")
+    assert(ids("SELECT id FROM graft.ns.h WHERE d >= DATE '1997-02-01'")
+      == Set(2L))
+    spark.sql("DELETE FROM graft.ns.h WHERE id = 1")
+    assert(ids("SELECT id FROM graft.ns.h") == Set(2L),
+      "hidden-lake DELETE derives through the recorded spec")
+    // listing + existence + refusal walls
+    assert(spark.sql("SHOW TABLES IN graft.ns").count() == 2)
+    intercept[Exception] { // duplicate create
+      spark.sql("""CREATE TABLE graft.ns.t (id BIGINT, month STRING)
+        PARTITIONED BY (month)""") }
+    intercept[Exception] { // schema evolution is a versioned commit
+      spark.sql("ALTER TABLE graft.ns.t ADD COLUMN y DOUBLE") }
+    intercept[Exception] { // the path is the identity
+      spark.sql("ALTER TABLE graft.ns.t RENAME TO graft.ns.t2") }
+    intercept[Exception] { // identity partitioning must be STRING
+      spark.sql("""CREATE TABLE graft.ns.bad (id BIGINT, d DATE)
+        PARTITIONED BY (d)""") }
+    spark.sql("DROP TABLE graft.ns.h")
+    assert(spark.sql("SHOW TABLES IN graft.ns").count() == 1)
+    assert(ids("SELECT id FROM graft.ns.t") == Set(1L, 3L, 9L),
+      "sibling table untouched by the drop")
+  }
+
   test("graftlake OCC through the format: a format append and a " +
       "concurrent library upsert both land (appends rebase through " +
       "the claim protocol)") {
