@@ -13,10 +13,21 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftLakeFilterSpec extends AnyFunSuite {
 
   private val t = EqualTo("a", 1) // translatable leaf
-  private val u = AlwaysTrue() // untranslatable leaf (falls to None)
+  // untranslatable leaf (falls to None): collated comparison semantics
+  // don't map to a binary === — declining is the sound answer. (r15:
+  // AlwaysTrue/AlwaysFalse, the previous fixture, now translate
+  // EXACTLY — they're constant leaves, safe even under NOT — so the
+  // fixture moved to a filter the translator genuinely declines.)
+  private val u = CollatedEqualTo("a", "x",
+    org.apache.spark.sql.types.StringType)
 
   test("AND weakens safely; OR requires both branches; leaves exact") {
     assert(GraftLakeSource.toColumn(u).isEmpty)
+    // constant leaves translate exactly (truncateTable()'s shape —
+    // DELETE FROM t with no WHERE arrives as AlwaysTrue)
+    assert(GraftLakeSource.toColumn(AlwaysTrue()).isDefined)
+    assert(GraftLakeSource.toColumn(Not(AlwaysFalse())).isDefined,
+      "constant leaves are exact, so NOT may negate them")
     assert(GraftLakeSource.toColumn(And(t, u)).isDefined,
       "AND may drop an untranslatable conjunct (superset)")
     assert(GraftLakeSource.toColumn(Or(t, u)).isEmpty,
