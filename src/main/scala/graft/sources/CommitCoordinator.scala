@@ -206,15 +206,49 @@ object CommitCoordinator {
     VersionedLake.readVersion(spark, lakePath, pin)
   }
 
-  /** Every version of `lakePath` ANY record in this coordinator log
-    * pins — the pin-aware-vacuum input ([[vacuumPinned]]). Coordinator
-    * records are pointer-sized and never vacuumed, so this is
-    * record-count-sized metadata IO. */
+  /** Every RETAINED coordinator record, ascending ([[vacuum]] may
+    * have dropped a prefix — the listing tolerates gaps). */
+  def records(spark: SparkSession, coord: String): Seq[Int] = {
+    val f = fs(spark, coord)
+    if (!f.exists(logDir(coord))) Seq.empty
+    else f.listStatus(logDir(coord)).iterator
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".coord"))
+      .map(_.stripSuffix(".coord").toInt).toSeq.sorted
+  }
+
+  /** Every version of `lakePath` any RETAINED record in this
+    * coordinator log pins — the pin-aware-vacuum input
+    * ([[vacuumPinned]]). Record-count-sized metadata IO (pointer-sized
+    * records; a maintenance verb, not a read-path cost). Records
+    * dropped by [[vacuum]] no longer contribute — coordinator
+    * retention RELEASES their pins, so the two vacuums compose into
+    * the full lifecycle. */
   def pinnedVersions(spark: SparkSession, coord: String,
                      lakePath: String): Set[Int] = {
     val k = canon(spark, lakePath)
-    (1 to latest(spark, coord))
+    records(spark, coord)
       .flatMap(cv => pins(spark, coord, cv).get(k)).toSet
+  }
+
+  /** Coordinator-log RETENTION: drop every record but the newest
+    * `retain` — the lake-vacuum rule one level up. A coordinated
+    * reader time-travels only within the retained window (a dropped
+    * record's [[readCoordinated]] fails loudly on the missing file,
+    * exactly the lake's vacuumed-version posture), and a dropped
+    * record RELEASES its pins: the next [[vacuumPinned]] floors only
+    * at retained records' pins. The HEAD record always survives
+    * (retain >= 1), so [[latest]]'s hint never dangles. Order the
+    * maintenance coordinator-first: vacuum the coordinator, THEN
+    * [[vacuumPinned]] each lake — released pins reclaim immediately;
+    * the reverse order just waits one more cycle. Returns records
+    * dropped. */
+  def vacuum(spark: SparkSession, coord: String, retain: Int): Int = {
+    require(retain >= 1, "coordinator vacuum must retain the head")
+    val f = fs(spark, coord)
+    val dropped = records(spark, coord).dropRight(retain)
+    dropped.foreach(cv => f.delete(recPath(coord, cv), false))
+    dropped.size
   }
 
   /** PIN-AWARE vacuum (r14 verdict "What's missing #2"): vacuum

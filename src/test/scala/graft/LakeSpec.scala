@@ -2394,6 +2394,23 @@ class LakeSpec extends SparkSpec {
     assert(CC.readCoordinated(spark, coord, lake, Some(1)).count() == 1)
     assert(CC.readCoordinated(spark, coord, lake, Some(2)).count() == 3)
     intercept[Exception] { VersionedLake.readVersion(spark, lake, 2).count() }
+    // COORDINATOR RETENTION completes the lifecycle: dropping record 1
+    // RELEASES its pin on lake v1, so the next pin-aware vacuum
+    // reclaims it; the head record and its pin survive, time travel
+    // to the dropped record fails loudly (the lake-vacuum posture one
+    // level up)
+    assert(CC.vacuum(spark, coord, retain = 1) == 1)
+    assert(CC.records(spark, coord) == Seq(2))
+    assert(CC.pinnedVersions(spark, coord, lake) == Set(3))
+    assert(CC.vacuumPinned(spark, coord, lake, retain = 1)._1 == 1,
+      "released pin reclaims on the next pin-aware vacuum")
+    assert(VersionedLake.versions(spark, lake) == Seq(3))
+    assert(CC.readCoordinated(spark, coord, lake).count() == 3,
+      "head record + its pinned version fully readable after both vacuums")
+    intercept[Exception] {
+      CC.readCoordinated(spark, coord, lake, Some(1)).count() }
+    // latest() stays correct over the gapped log (hint + fallback)
+    assert(CC.latest(spark, coord) == 2)
   }
 
   test("unionByName with allowMissingColumns aligns evolved batches") {
