@@ -2210,6 +2210,32 @@ class LakeSpec extends SparkSpec {
     intercept[java.util.ConcurrentModificationException] {
       CC.commitAll(spark, coord, Seq(() => (s"file:$a", 1)))
     }
+    // RECOVERY UNDER A CONCURRENT WRITER (the r14-advice scenario,
+    // end-to-end): batch txn=7 lands in BOTH lakes, the coordinator
+    // record never lands (crash); a CONCURRENT writer then advances
+    // lake A; the checkpoint replay re-runs the same txn commits —
+    // each dedup returns the txn's OWN version, so the recovery
+    // record pins exactly the pair the batch computed, NOT the moved
+    // head (which nobody computed together)
+    def batchA(txn: Long) = VersionedLake.commitBatchAppend(
+      Seq((100L, 1)).toDF("o_id", "n_lines")
+        .withColumn("part", lit("h")), "part", a, txn)
+    def batchB(txn: Long) = VersionedLake.commitBatchAppend(
+      Seq((100L, 1)).toDF("o_id", "line")
+        .withColumn("part", lit("l")), "part", b, txn)
+    val (vA7, vB7) = (batchA(7L), batchB(7L))
+    // crash before commitAll; concurrent writer moves lake A's head
+    commitA(200L -> 9)
+    assert(VersionedLake.latestVersion(spark, a) == vA7 + 1)
+    // replay: the txn dedup hands back vA7/vB7, and the recovery
+    // record pins the consistent pair
+    val cvR = CC.commitAll(spark, coord, Seq(
+      () => (a, batchA(7L)), () => (b, batchB(7L))))
+    assert(CC.pins(spark, coord, cvR)(cq(a)) == vA7 &&
+      CC.pins(spark, coord, cvR)(cq(b)) == vB7,
+      "recovery re-pins exactly what the batch committed")
+    assert(coordConsistent(), "facts==counts invariant holds through " +
+      "replay under a concurrent writer")
   }
 
   test("commit coordinator claim race: 8 concurrent disjoint-lake " +
