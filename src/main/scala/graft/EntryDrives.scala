@@ -969,14 +969,18 @@ private[graft] object EntryDrives {
           "st29 torn commit leaked into the coordinated view")
         require(VersionedLake.readLatest(s, lakeA).count() == srcN + 5,
           "st29 direct read must see the torn commit")
-        // replayed txn: lake versions unchanged; a re-pin record may
-        // mint a new cv but its PINS publish the same pair content
+        // replayed txn: mints nothing AND returns ITS batch's version
+        // (txn 3 committed v4; r15 — the r14-advice fix: the OLD
+        // return-the-head behavior would hand a coordinated recovery
+        // the torn direct commit's version, which no batch computed
+        // with lakeB's counts)
         val vA = VersionedLake.latestVersion(s, lakeA)
         require(VersionedLake.commitBatchAppend(
           s.read.parquet(stage).limit(1)
             .withColumn("month", date_format(col("ts"), "yyyy-MM")),
-          "month", lakeA, txn = 3L) == vA,
-          "st29 replayed txn forked history")
+          "month", lakeA, txn = 3L) == 4 &&
+          VersionedLake.latestVersion(s, lakeA) == vA,
+          "st29 replayed txn must return its own version, fork nothing")
         // recovery publishes the completed pair in one record
         CC.commitAll(s, coord, Seq(
           () => (lakeA, VersionedLake.latestVersion(s, lakeA)),
@@ -1128,9 +1132,11 @@ private[graft] object EntryDrives {
           .withColumn("bucket",
             pmod(col("user_id"), lit(8L)).cast("string"))
           .withColumn("is_del", lit(false))
+        // (txn 0 committed v2 — the replay returns ITS version, r15)
         require(VersionedLake.commitBatchMergeDv(replay, Seq("user_id"),
-          "bucket", lake, txn = 0L, deleteCol = Some("is_del")) == latest,
-          "st27 replayed txn must mint nothing")
+          "bucket", lake, txn = 0L, deleteCol = Some("is_del")) == 2 &&
+          VersionedLake.latestVersion(s, lake) == latest,
+          "st27 replayed txn must mint nothing, return its own version")
       },
       // MID-STREAM PARTITION-SPEC EVOLUTION (st28): l31 composed with
       // st25's governed ingest — the production migration story. Two
