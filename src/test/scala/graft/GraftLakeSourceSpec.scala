@@ -325,6 +325,13 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(spark.sql("SHOW TABLES IN graft.ns").count() == 1)
     assert(ids("SELECT id FROM graft.ns.t") == Set(1L, 3L, 9L),
       "sibling table untouched by the drop")
+    // CTAS: createTable(query schema) + append — two versions, same
+    // commit path
+    spark.sql("""CREATE TABLE graft.ns.c PARTITIONED BY (month) AS
+      SELECT id, month, x FROM graft.ns.t""")
+    assert(ids("SELECT id FROM graft.ns.c") == Set(1L, 3L, 9L))
+    assert(VersionedLake.latestVersion(spark, s"$wh/ns/c") == 2,
+      "CTAS = schema-seeding create + one append commit")
   }
 
   test("graftlake OCC through the format: a format append and a " +
