@@ -63,11 +63,19 @@ object CommitCoordinator {
     * ONE key — commitAll's duplicate-pin check, the overtaken check,
     * and readCoordinated's lookup compare physical tables, not
     * strings. Idempotent on already-qualified strings, so records
-    * written before canonicalization re-resolve on read. */
+    * written before canonicalization re-resolve on read.
+    *
+    * DEFENSIVE on resolution failure (r15 self-review): [[pins]] maps
+    * this over every record line, so a pinned lake whose scheme this
+    * JVM cannot resolve (missing s3a jars, say) must not make the
+    * whole record unreadable for the lakes that ARE reachable — an
+    * unresolvable path falls back to Path-level string normalization
+    * (slash collapsing, no FS touch). Both sides of a lookup go
+    * through the same function, so reachable keys still collapse
+    * exactly; only the unreachable lake degrades to string identity. */
   private def canon(spark: SparkSession, p: String): String =
-    fs(spark, p).makeQualified(new Path(p)).toString
-
-  private def headPath(coord: String) = new Path(logDir(coord), "_head")
+    try fs(spark, p).makeQualified(new Path(p)).toString
+    catch { case _: Exception => new Path(p).toString }
 
   /** Diagnostic witness: full `_coordlog` listings taken by [[latest]]
     * because the head hint was absent or unusable (see
@@ -78,24 +86,11 @@ object CommitCoordinator {
 
   private def readHeadHint(f: org.apache.hadoop.fs.FileSystem,
                            coord: String): Option[Int] =
-    try {
-      val p = headPath(coord)
-      if (!f.exists(p)) None
-      else {
-        val in = f.open(p)
-        val text =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        text.toIntOption.filter(_ > 0)
-      }
-    } catch { case _: Exception => None }
+    HeadHint.read(f, logDir(coord))
 
   private def writeHeadHint(f: org.apache.hadoop.fs.FileSystem,
                             coord: String, v: Int): Unit =
-    try {
-      val out = f.create(headPath(coord), true)
-      try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
-    } catch { case _: Exception => () }
+    HeadHint.write(f, logDir(coord), v)
 
   /** Newest coordinator version (0 = nothing coordinated yet) —
     * O(1 + lag) via the `_coordlog/_head` hint (trusted-but-verified:

@@ -73,8 +73,22 @@ final class GraftLakeCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
-  private def tablePath(ident: Identifier): String =
-    (base +: (ident.namespace().toSeq :+ ident.name())).mkString("/")
+  /** Identifier → warehouse path. Segments are path components, so
+    * anything that could ESCAPE the warehouse base is refused loudly —
+    * a backtick-quoted `..` or embedded-slash segment would otherwise
+    * resolve (and DROP TABLE would recursively DELETE) a directory
+    * outside `<base>` (r15 self-review). */
+  private def tablePath(ident: Identifier): String = {
+    val segs = ident.namespace().toSeq :+ ident.name()
+    segs.foreach { s =>
+      require(s.nonEmpty && s != "." && s != ".." &&
+          !s.contains("/") && !s.contains("\\"),
+        s"invalid graftlake identifier segment '$s': segments map to " +
+          "warehouse path components and cannot be empty, '.', '..', " +
+          "or contain path separators")
+    }
+    (base +: segs).mkString("/")
+  }
 
   private def partColFile(path: String) =
     new Path(s"$path/_log/_partcol")
@@ -90,8 +104,17 @@ final class GraftLakeCatalog extends TableCatalog {
     }
   }
 
+  /** A table is a `_log` WITH at least one committed version: marker
+    * files alone (a create that crashed before its schema-seed commit)
+    * are a PHANTOM, not a table — [[createTable]] clears such debris
+    * and retries cleanly instead of throwing TableAlreadyExists at a
+    * name nothing can load (r15 self-review). */
+  private def isTable(path: String): Boolean =
+    fs(base).exists(new Path(s"$path/_log")) &&
+      VersionedLake.latestVersion(spark, path) > 0
+
   override def tableExists(ident: Identifier): Boolean =
-    fs(base).exists(new Path(s"${tablePath(ident)}/_log"))
+    isTable(tablePath(ident))
 
   private def load(ident: Identifier, pinned: Option[Int]): Table = {
     val path = tablePath(ident)
@@ -138,6 +161,17 @@ final class GraftLakeCatalog extends TableCatalog {
         s"(identity column, months(c), days(c), or bucket(n, c)); " +
         s"got ${partitions.length}")
     val f = fs(path)
+    val ldir = new Path(s"$path/_log")
+    // phantom debris from a crashed earlier create (markers, no seed
+    // commit): clear it so the retry starts clean instead of tripping
+    // on existing marker files — re-checking the version right before
+    // the delete so a direct-library first commit that just landed is
+    // refused as an existing table, never deleted
+    if (f.exists(ldir)) {
+      if (VersionedLake.latestVersion(spark, path) > 0)
+        throw new TableAlreadyExistsException(ident)
+      f.delete(ldir, true)
+    }
     f.mkdirs(new Path(path))
     def srcOf(refs: Array[org.apache.spark.sql.connector.expressions
         .NamedReference]): String = {
@@ -151,8 +185,13 @@ final class GraftLakeCatalog extends TableCatalog {
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     // the concrete Transform classes are private[sql]; the public
-    // interface (name / references / arguments) carries everything
-    partitions.head match {
+    // interface (name / references / arguments) carries everything.
+    // A failed seed commit must not leave a PHANTOM (markers without
+    // a version — unloadable yet blocking re-creation): on any
+    // failure before version 1 exists, the marker debris is removed
+    // and the error rethrown, so the create either yields a loadable
+    // table or leaves no table at all.
+    try partitions.head match {
       case id if id.name() == "identity" =>
         val pc = srcOf(id.references())
         require(schema.fields.exists(x =>
@@ -187,6 +226,11 @@ final class GraftLakeCatalog extends TableCatalog {
         throw new UnsupportedOperationException(
           s"graftlake does not support the ${other.name()} partition " +
             "transform (identity, months, days, bucket)")
+    } catch {
+      case e: Throwable =>
+        if (VersionedLake.latestVersion(spark, path) == 0)
+          f.delete(ldir, true)
+        throw e
     }
     load(ident, None)
   }
@@ -216,8 +260,7 @@ final class GraftLakeCatalog extends TableCatalog {
     if (!f.exists(dir))
       throw new NoSuchNamespaceException(namespace)
     f.listStatus(dir).iterator
-      .filter(st => st.isDirectory &&
-        f.exists(new Path(st.getPath, "_log")))
+      .filter(st => st.isDirectory && isTable(st.getPath.toString))
       .map(st => Identifier.of(namespace, st.getPath.getName))
       .toArray
   }

@@ -129,12 +129,26 @@ object VersionedLake {
   //  - hint AHEAD of reality (foreign tampering, partial copy): the
   //    existence check at the hint itself fails → full-listing
   //    fallback.
-  //  - VACUUM: only versions BELOW the retained window drop, and the
-  //    head is always retained (retain >= 1), so a fresh-JVM hint
-  //    never points into vacuumed space; a STALE-below-vacuum hint
-  //    fails the existence check → fallback.
+  //  - VACUUM: a dropped contiguous PREFIX is absorbed by the
+  //    existence check (a stale hint at a dropped version fails it →
+  //    fallback), but pin-aware vacuum (`keepVersions`) can drop
+  //    versions BETWEEN kept ones — a MID-LOG GAP that breaks the
+  //    probe's contiguity assumption: a stale hint at a kept pinned
+  //    version would stop at the gap, report the pin as latest, and
+  //    the next commit would claim INTO the gap — a silent history
+  //    fork (r15 self-review finding). So vacuum leaves a zero-byte
+  //    `<v>.vacuumed` TOMBSTONE for every dropped version above the
+  //    lowest kept one (written BEFORE the manifest delete — a crash
+  //    between leaves both present, which the probe reads as a live
+  //    version, still correct), the probe walks THROUGH tombstoned
+  //    positions without counting them, and vacuum refreshes the hint
+  //    to the true head when done. Tombstones below every kept
+  //    version sweep away on the next vacuum (a hint can only enter
+  //    the probe at a kept version, so gaps below the lowest kept one
+  //    need no bridge).
 
-  private def headPath(path: String) = new Path(logDir(path), "_head")
+  private def vacuumedPath(path: String, v: Int): Path =
+    new Path(logDir(path), s"${"%06d".format(v)}.vacuumed")
 
   /** Diagnostic witness: full `_log` listings taken by
     * [[latestVersion]] because the head hint was absent or unusable.
@@ -145,39 +159,31 @@ object VersionedLake {
 
   private def readHeadHint(f: org.apache.hadoop.fs.FileSystem,
                            path: String): Option[Int] =
-    try {
-      val p = headPath(path)
-      if (!f.exists(p)) None
-      else {
-        val in = f.open(p)
-        val text =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        text.toIntOption.filter(_ > 0)
-      }
-    } catch { case _: Exception => None } // torn/corrupt hint = no hint
+    HeadHint.read(f, logDir(path))
 
-  /** Advance the head hint to `v`. Overwrite-in-place (NOT a claim —
-    * see the head-pointer note above); losing a concurrent overwrite
-    * or crashing before it only leaves a stale hint, which the
-    * forward probe absorbs. */
+  /** Advance the head hint to `v` ([[HeadHint.write]] — best-effort
+    * overwrite-in-place; see the head-pointer note above). */
   private def writeHeadHint(f: org.apache.hadoop.fs.FileSystem,
                             path: String, v: Int): Unit =
-    try {
-      val out = f.create(headPath(path), true)
-      try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
-    } catch { case _: Exception => () } // best-effort: hint only
+    HeadHint.write(f, logDir(path), v)
 
   /** The newest committed version (0 for a fresh lake) — O(1 + lag)
-    * via the `_log/_head` hint when present (forward existence probe),
+    * via the `_log/_head` hint when present (forward existence probe,
+    * bridging vacuum-pin gap tombstones — see the head-pointer note),
     * O(versions) listing fallback otherwise. */
   def latestVersion(spark: SparkSession, path: String): Int = {
     val f = fs(spark, path)
     readHeadHint(f, path) match {
       case Some(h) if f.exists(manifestPath(path, h)) =>
         var v = h
-        while (f.exists(manifestPath(path, v + 1))) v += 1
-        v
+        var last = h
+        var walking = true
+        while (walking) {
+          if (f.exists(manifestPath(path, v + 1))) { v += 1; last = v }
+          else if (f.exists(vacuumedPath(path, v + 1))) v += 1 // gap
+          else walking = false
+        }
+        last
       case _ =>
         headMisses.incrementAndGet()
         versions(spark, path).lastOption.getOrElse(0)
@@ -1735,16 +1741,22 @@ object VersionedLake {
     // mapped + DV-folded read with (__file, __pos) kept: the predicate
     // sees LOGICAL columns, already-dead rows are never re-marked
     val live = mappedRead(spark, path, v, data, dvs, withMeta = true)
+    // one scan shared by the touched-set probe and the commit write —
+    // persist (NOT localCheckpoint: checkpoint blocks outlive the
+    // call, releasable only by GC; a long session of streaming-
+    // takedown deletes would accumulate them) and release when done
     val newDv = live.filter(pred)
       .select(col("__file"), col("__pos"), col(partCol))
-      .localCheckpoint(true) // one scan; touched-set + commit share it
-    // partition-count-sized collect: planning metadata (which
-    // partitions actually hold doomed rows — only those re-mint)
-    val touched = newDv.select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSet
-    if (touched.isEmpty) return v
-    doCommit(newDv, partCol, path, None, Mode.Delete, None, commitTs,
-      pinnedBase = Some(v), forceReplaced = touched)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // partition-count-sized collect: planning metadata (which
+      // partitions actually hold doomed rows — only those re-mint)
+      val touched = newDv.select(col(partCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSet
+      if (touched.isEmpty) return v
+      doCommit(newDv, partCol, path, None, Mode.Delete, None, commitTs,
+        pinnedBase = Some(v), forceReplaced = touched)
+    } finally newDv.unpersist()
   }
 
   /** OPTIMIZE: re-layout every partition of the LATEST version holding
@@ -2037,10 +2049,35 @@ object VersionedLake {
       writeSidecar(spark, path, carried)
       oldSidecars.foreach(p => f.delete(p, false))
     }
+    // a dropped version ABOVE the lowest kept one leaves a MID-LOG
+    // GAP that would break latestVersion's forward probe (a stale
+    // hint at a kept pin would stop at the gap and the next commit
+    // would claim into it — history fork): bridge each with a
+    // tombstone BEFORE deleting its manifest (a crash between leaves
+    // both present — the probe reads that as a live version, still
+    // correct); sweep tombstones no kept version sits below (a hint
+    // can only enter the probe at a kept version)
+    val kept = vs.filterNot(dropped.toSet)
+    val minKept = kept.headOption.getOrElse(Int.MaxValue)
+    dropped.filter(_ > minKept).foreach { v =>
+      val o = f.create(vacuumedPath(path, v), true); o.close()
+    }
     // drop the manifests after: a crash between the phases then
     // leaves only unreferenced-but-present files (re-vacuumable),
     // never a manifest pointing at deleted files or a lost txn
     dropped.foreach(v => f.delete(manifestPath(path, v), false))
+    val ldir = logDir(path)
+    if (f.exists(ldir))
+      f.listStatus(ldir).iterator.foreach { st =>
+        val n = st.getPath.getName
+        if (n.endsWith(".vacuumed") &&
+            n.stripSuffix(".vacuumed").toIntOption.exists(_ < minKept))
+          f.delete(st.getPath, false)
+      }
+    // refresh the hint to the true head: pin-aware drops may have
+    // invalidated a stale hint's probe path entirely, and vacuum is
+    // the one verb that changes the log without advancing it
+    kept.lastOption.foreach(writeHeadHint(f, path, _))
     val base = path.stripSuffix("/")
     // the clock is read ONLY when a grace window is requested — the
     // graceMs=0 path stays clock-free (determinism contracts)

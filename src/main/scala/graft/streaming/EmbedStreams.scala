@@ -104,29 +104,31 @@ object EmbedStreams {
               .withColumn("__hit", col("__hit") || col("__r").isNotNull)
               .drop("__r")
         }
-        val touched = marked.filter(col("__hit"))
-          .select(col("ingest_batch").cast("long").as("ingest_batch"))
-          .distinct().localCheckpoint(true)
-        if (touched.limit(1).count() > 0) {
-          val kept = marked
-            .join(broadcast(touched), Seq("ingest_batch"), "left_semi")
-            .filter(!col("__hit")).drop("__hit")
-            .localCheckpoint(true)
-          PartitionedLake.overwriteBuckets(kept, "ingest_batch", path)
-          // fully-emptied partitions: nothing remains to dynamic-
-          // overwrite them with — remove the partition dirs outright
-          val emptied = touched.join(
-              kept.select(col("ingest_batch").cast("long")
-                .as("ingest_batch")).distinct(),
-              Seq("ingest_batch"), "left_anti")
-            .collect().map(_.getLong(0)) // takedown-list-sized
-          emptied.foreach { b =>
-            val p = java.nio.file.Paths.get(path, s"ingest_batch=$b")
-            if (java.nio.file.Files.exists(p))
-              java.nio.file.Files.walk(p)
-                .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-                .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-          }
+        Checkpoints.withLocal(marked.filter(col("__hit"))
+            .select(col("ingest_batch").cast("long").as("ingest_batch"))
+            .distinct()) { touched =>
+          if (touched.limit(1).count() > 0)
+            Checkpoints.withLocal(marked
+                .join(broadcast(touched), Seq("ingest_batch"), "left_semi")
+                .filter(!col("__hit")).drop("__hit")) { kept =>
+              PartitionedLake.overwriteBuckets(kept, "ingest_batch", path)
+              // fully-emptied partitions: nothing remains to dynamic-
+              // overwrite them with — remove the partition dirs outright
+              val emptied = touched.join(
+                  kept.select(col("ingest_batch").cast("long")
+                    .as("ingest_batch")).distinct(),
+                  Seq("ingest_batch"), "left_anti")
+                .collect().map(_.getLong(0)) // takedown-list-sized
+              emptied.foreach { b =>
+                val p = java.nio.file.Paths.get(path, s"ingest_batch=$b")
+                if (java.nio.file.Files.exists(p))
+                  java.nio.file.Files.walk(p)
+                    .sorted(java.util.Comparator
+                      .reverseOrder[java.nio.file.Path]())
+                    .forEach(f =>
+                      { java.nio.file.Files.deleteIfExists(f); () })
+              }
+            }
         }
       }
     }

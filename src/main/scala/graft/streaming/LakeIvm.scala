@@ -103,10 +103,11 @@ object LakeIvm {
             .filter(col("n_rows") > 0)
       }
     // materialize BEFORE overwriting the store it reads from (the
-    // overwriteBuckets read-then-overwrite rule); stamp the version
-    // the view now reflects
-    next.withColumn("__v", lit(v)).localCheckpoint(true)
-      .write.mode("overwrite").parquet(viewPath)
+    // overwriteBuckets read-then-overwrite rule, blocks released per
+    // batch — Checkpoints); stamp the version the view now reflects
+    Checkpoints.withLocal(next.withColumn("__v", lit(v))) {
+      _.write.mode("overwrite").parquet(viewPath)
+    }
     if (verify) {
       // the IVM invariant, checked after EVERY commit (view-sized
       // collects — months, not rows)

@@ -102,10 +102,10 @@ object SnapshotCdc {
       else
         batch.select(col("user_id"), col("value").as("balance"))
           .limit(0).withColumn("alive", lit(true))
-    val next = applyUserBatch(cur, batch)
-      .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
-      .localCheckpoint(true)
-    PartitionedLake.overwriteBuckets(next, "bucket", storePath)
+    Checkpoints.withLocal(applyUserBatch(cur, batch)
+        .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))) {
+      next => PartitionedLake.overwriteBuckets(next, "bucket", storePath)
+    }
   }
 
   /** Streaming entry: the event stream maintaining the store via

@@ -334,6 +334,45 @@ class GraftLakeSourceSpec extends SparkSpec {
       "CTAS = schema-seeding create + one append commit")
   }
 
+  test("graftlake catalog hardening: identifier segments cannot " +
+      "escape the warehouse, and a crashed create's marker debris " +
+      "(phantom: _log without a version) neither lists nor blocks " +
+      "re-creation (r15 self-review)") {
+    import org.apache.hadoop.fs.Path
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh2").toString
+    spark.conf.set("spark.sql.catalog.graft2",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set("spark.sql.catalog.graft2.base", wh)
+    // a sibling lake OUTSIDE the warehouse a traversal could reach
+    val outside = java.nio.file.Files.createTempDirectory("graft_out")
+    val victim = new java.io.File(outside.toFile, "v/_log")
+    assert(victim.mkdirs())
+    // backtick-quoted '..' segments map to path components: refused
+    // before any FS path resolves (DROP would recursively delete)
+    val up = intercept[Exception] {
+      spark.sql("DROP TABLE graft2.`..`.`..`") }
+    assert(up.getMessage.contains("identifier segment"),
+      s"traversal refused loudly, got: ${up.getMessage}")
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft2.ns.`a/b` (id BIGINT, m STRING) " +
+        "PARTITIONED BY (m)") }
+    assert(victim.exists(), "nothing outside the warehouse was touched")
+    // PHANTOM: a create that crashed after its marker write but
+    // before the schema-seed commit — markers, no manifest
+    val f = new Path(wh).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new Path(s"$wh/ns/p/_log"))
+    val o = f.create(new Path(s"$wh/ns/p/_log/_partcol"), false)
+    try o.write("m\n".getBytes("UTF-8")) finally o.close()
+    assert(spark.sql("SHOW TABLES IN graft2.ns").count() == 0,
+      "a phantom is not a table")
+    // re-creation clears the debris and yields a loadable table
+    spark.sql("""CREATE TABLE graft2.ns.p
+      (id BIGINT, month STRING) PARTITIONED BY (month)""")
+    spark.sql("INSERT INTO graft2.ns.p VALUES (1, '1997-01')")
+    assert(spark.sql("SELECT id FROM graft2.ns.p")
+      .as[Long].collect().toSet == Set(1L))
+  }
+
   test("graftlake OCC through the format: a format append and a " +
       "concurrent library upsert both land (appends rebase through " +
       "the claim protocol)") {

@@ -2385,6 +2385,78 @@ class LakeSpec extends SparkSpec {
     assert(CC.headMisses.get() == c0)
   }
 
+  test("a coordinator record pinning a lake whose scheme this JVM " +
+      "cannot resolve stays readable for the reachable lakes " +
+      "(defensive canonicalization, r15 self-review)") {
+    import graft.sources.{CommitCoordinator => CC, VersionedLake}
+    import org.apache.hadoop.fs.Path
+    val lake = java.nio.file.Files.createTempDirectory("lake_cs").toString
+    val coord = java.nio.file.Files.createTempDirectory("lake_csc").toString
+    VersionedLake.reset(spark, lake)
+    val v = VersionedLake.commitAppend(
+      Seq((1L, "a")).toDF("id", "part"), "part", lake)
+    // hand-write a record pinning BOTH a bogus-scheme lake (another
+    // cluster's store, jars absent here) and the reachable one
+    val f = new Path(coord).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new Path(s"$coord/_coordlog"))
+    val rec = new Path(s"$coord/_coordlog/000001.coord")
+    val o = f.create(rec, false)
+    try o.write((s"cversion=1\nlake\tnolake://elsewhere/t\t7\n" +
+      s"lake\t$lake\t$v\n").getBytes("UTF-8")) finally o.close()
+    // the reachable lake resolves (eager canon of every line used to
+    // throw UnsupportedFileSystem before the lookup ever happened)
+    assert(CC.readCoordinated(spark, coord, lake).count() == 1)
+    // the unreachable pin degrades to string identity, not an error
+    assert(CC.pins(spark, coord, 1)("nolake://elsewhere/t") == 7)
+  }
+
+  test("vacuum-pin gaps never fork history: a stale head hint at a " +
+      "kept pinned version below a mid-log gap still resolves the true " +
+      "latest (tombstone bridge), the next commit claims ABOVE the " +
+      "gap, and released-pin tombstones sweep away") {
+    import graft.sources.VersionedLake
+    import org.apache.hadoop.fs.Path
+    val lake = java.nio.file.Files.createTempDirectory("lake_gap").toString
+    VersionedLake.reset(spark, lake)
+    val f = new Path(lake).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def commit(id: Long) = VersionedLake.commitAppend(
+      Seq((id, "a")).toDF("id", "part"), "part", lake)
+    (1L to 4L).foreach(commit)
+    // pin-aware vacuum keeps v2 (a coordinator pin) + the newest v4,
+    // dropping {1, 3}: v3 is a MID-LOG GAP between two kept versions
+    VersionedLake.vacuum(spark, lake, retain = 1, keepVersions = Set(2))
+    val gap = new Path(s"$lake/_log/000003.vacuumed")
+    assert(f.exists(gap), "mid-log gap is tombstoned")
+    assert(!f.exists(new Path(s"$lake/_log/000001.vacuumed")),
+      "prefix drops below every kept version need no bridge")
+    // stale hint at the kept pin (crash/lost-overwrite shape): the
+    // probe must walk THROUGH the gap to the true head — without the
+    // tombstone it would report 2, and the next commit would claim
+    // manifest 3 INSIDE the gap, silently forking history
+    val head = new Path(s"$lake/_log/_head")
+    val o = f.create(head, true)
+    try o.write("2\n".getBytes("UTF-8")) finally o.close()
+    val m0 = VersionedLake.headMisses.get()
+    assert(VersionedLake.latestVersion(spark, lake) == 4)
+    assert(VersionedLake.headMisses.get() == m0,
+      "gap bridging is still a probe, not a listing fallback")
+    commit(5L)
+    assert(VersionedLake.latestVersion(spark, lake) == 5)
+    assert(!f.exists(new Path(s"$lake/_log/000003.manifest")),
+      "the new commit claimed above the gap, not into it")
+    assert(VersionedLake.readVersion(spark, lake, 5).count() == 5)
+    // pin released: the next vacuum drops v2, and the v3 tombstone —
+    // now below every kept version — sweeps away with it
+    VersionedLake.vacuum(spark, lake, retain = 1)
+    assert(!f.exists(gap), "released-pin tombstones are reclaimed")
+    assert(VersionedLake.latestVersion(spark, lake) == 5)
+    // vacuum refreshed the hint: steady-state resolves stay probe-only
+    val m1 = VersionedLake.headMisses.get()
+    assert(VersionedLake.latestVersion(spark, lake) == 5)
+    assert(VersionedLake.headMisses.get() == m1)
+  }
+
   test("pin-aware vacuum: versions a coordinator record pins survive " +
       "any retain window (and their data files with them); naive " +
       "retain on the same log breaks the coordinated reader") {

@@ -773,4 +773,27 @@ class StreamingSpec extends SparkSpec {
     assert(viewRows() == Set(("m1", 1L, 175L), ("m2", 1L, 400L)))
     assert(VersionedLake.versions(spark, lake) == Seq(1, 2, 3))
   }
+
+  test("Checkpoints.withLocal releases its blocks when the scope " +
+      "ends — per-batch checkpoints cannot accumulate across a " +
+      "long-running stream (r15 self-review)") {
+    import graft.streaming.Checkpoints
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    var sawBlocks = false
+    val n = Checkpoints.withLocal(Seq(1, 2, 3).toDF("x")) { m =>
+      sawBlocks = (sc.getPersistentRDDs.keySet -- before).nonEmpty
+      m.count()
+    }
+    assert(n == 3L)
+    assert(sawBlocks, "the frame WAS materialized inside the scope")
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "checkpoint blocks released at scope exit")
+    // failure path releases too
+    intercept[RuntimeException] {
+      Checkpoints.withLocal(Seq(1).toDF("x")) { _ =>
+        throw new RuntimeException("boom") }
+    }
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
+  }
 }
