@@ -2373,4 +2373,71 @@ private[graft] object EntryDefsA {
       .withColumn("refusal_noop", lit(refusalNoop))
       .withColumn("tt_refused", lit(ttRefused))
   }
+
+  /** l39 — the V2 CATALOG's full SQL lifecycle as one oracle row
+    * (r15: name-resolved tables over [[graft.sources
+    * .GraftLakeCatalog]]): CREATE NAMESPACE + CREATE TABLE seed the
+    * lake (v1), `INSERT INTO … SELECT` lands the Q1-1997 slice (v2),
+    * `DELETE FROM … WHERE month` marks February dead by DV (v3),
+    * `TRUNCATE TABLE` rides SupportsDelete's AlwaysTrue default into
+    * one more DV commit (v4) — and every probe reads BY NAME through
+    * Spark-native `VERSION AS OF`, so a wrong pin or a truncate that
+    * wiped history breaks pre/post aggregates the oracle re-derives
+    * from the original parquet. The METADATA TABLES are part of the
+    * gate: `n_versions` counts `t.history` rows (4 = the lifecycle),
+    * `dv_n` counts `t.files` DV entries at latest — one per DISTINCT
+    * month (February's delete DV carries forward under the truncate,
+    * which mints DVs only for the partitions still holding live
+    * rows), so the oracle re-derives it as count(DISTINCT month).
+    * Refusal walls ride along: DROP NAMESPACE on a non-empty
+    * namespace and INSERT INTO a metadata view both refuse loudly.
+    * DV-entry-per-partition counts are parallelism-independent (the
+    * r12 per-partition-counter rule), so the row is
+    * partition-invariant. */
+  private[graft] def l39(s: SparkSession, d: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val wh = s"/tmp/graft_cat_wh_${Integer.toHexString(d.hashCode)}"
+    val f = new Path(wh).getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new Path(wh), true)
+    s.conf.set("spark.sql.catalog.l39cat",
+      "graft.sources.GraftLakeCatalog")
+    s.conf.set("spark.sql.catalog.l39cat.base", wh)
+    s.sql("CREATE NAMESPACE l39cat.ns")
+    s.sql("""CREATE TABLE l39cat.ns.t (l_orderkey BIGINT,
+      l_linenumber BIGINT, l_quantity DOUBLE, month STRING)
+      PARTITIONED BY (month)""")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .filter(col("month").between("1997-01", "1997-03"))
+      .createOrReplaceTempView("l39_src")
+    s.sql("""INSERT INTO l39cat.ns.t
+      SELECT l_orderkey, l_linenumber, l_quantity, month FROM l39_src""")
+    s.sql("DELETE FROM l39cat.ns.t WHERE month = '1997-02'")
+    s.sql("TRUNCATE TABLE l39cat.ns.t")
+    val nsRefused =
+      try { s.sql("DROP NAMESPACE l39cat.ns"); false }
+      catch { case _: Exception => true }
+    val metaRo =
+      try { s.sql("INSERT INTO l39cat.ns.t.history VALUES " +
+              "(9, 'x', 9, 9, 9, false, 0)"); false }
+      catch { case _: Exception => true }
+    val nVersions = s.sql("SELECT count(*) FROM l39cat.ns.t.history")
+      .head().getLong(0)
+    val dvN = s.sql(
+      "SELECT count(*) FROM l39cat.ns.t.files WHERE kind = 'dv'")
+      .head().getLong(0)
+    def probe(name: String, from: String): DataFrame = s.sql(
+      s"""SELECT count(*) AS n_rows,
+        coalesce(round(sum(l_quantity), 2), 0.0) AS sum_qty,
+        coalesce(sum(l_orderkey * 7 + l_linenumber), 0) AS key_sig
+      FROM $from""").withColumn("probe", lit(name))
+    probe("pre_delete", "l39cat.ns.t VERSION AS OF 2")
+      .unionByName(probe("post_delete", "l39cat.ns.t VERSION AS OF 3"))
+      .unionByName(probe("post_truncate", "l39cat.ns.t"))
+      .withColumn("n_versions", lit(nVersions))
+      .withColumn("dv_n", lit(dvN))
+      .withColumn("ns_nonempty_refused", lit(nsRefused))
+      .withColumn("meta_readonly", lit(metaRo))
+  }
 }

@@ -24,7 +24,10 @@ import graft.sources.{GraftLakeSource, VersionedLake}
   * DSV2_DEL_FRESH=0 DSV2_DEL_DV=1 DSV2_TT_INS=refused
   * DSV2_TT_DEL=refused DSV2_UPD=refused DSV2_MERGE=refused
   * DSV2_CAT_N=2 DSV2_CAT_V2=1 DSV2_CAT_PIN_EQ=true
-  * DSV2_CAT_ALTER=refused`. */
+  * DSV2_CAT_ALTER=refused DSV2_NS_N=2 DSV2_NS_NONEMPTY=refused
+  * DSV2_TRUNC_N=0 DSV2_TRUNC_HIST=2 DSV2_NS_AFTER=1
+  * DSV2_HIST_N=4 DSV2_FILES_DV=2 DSV2_HIST_INS=refused` (the
+  * truncate minted one DV per touched partition). */
 object LakeSqlDemo {
   def main(args: Array[String]): Unit = {
     val wh =
@@ -119,6 +122,29 @@ object LakeSqlDemo {
     val catPinEq = catV2 == spark.read.format("graftlake")
       .option("versionAsOf", "2").load(s"$wh/demo/t").count()
     val catAlter = refused("ALTER TABLE graft.demo.t ADD COLUMN y DOUBLE")
+    // namespaces (r15): directory-tree namespaces with the full SQL
+    // lifecycle; TRUNCATE TABLE = one more DV commit, history intact
+    spark.sql("CREATE NAMESPACE graft.demo2")
+    val nsN = spark.sql("SHOW NAMESPACES IN graft").count()
+    val nsNonEmpty = refused("DROP NAMESPACE graft.demo")
+    val truncV0 = VersionedLake.latestVersion(spark, s"$wh/demo/t")
+    spark.sql("TRUNCATE TABLE graft.demo.t")
+    val truncN = spark.sql("SELECT count(*) FROM graft.demo.t")
+      .head().getLong(0)
+    val truncHist = VersionedLake.readVersion(spark, s"$wh/demo/t",
+      truncV0).count()
+    spark.sql("DROP NAMESPACE graft.demo2")
+    val nsAfter = spark.sql("SHOW NAMESPACES IN graft").count()
+    // metadata tables (r15): the commit log and latest inventory as
+    // read-only SQL — t.history rows == live versions, t.files sees
+    // the truncate's DV, INSERT INTO a view refuses
+    val histN = spark.sql("SELECT count(*) FROM graft.demo.t.history")
+      .head().getLong(0)
+    val filesDv = spark.sql(
+      "SELECT count(*) FROM graft.demo.t.files WHERE kind = 'dv'")
+      .head().getLong(0)
+    val histIns = refused(
+      "INSERT INTO graft.demo.t.history VALUES (9,'x',9,9,9,false,0)")
     println(s"DSV2_V1=$v1n DSV2_LATEST=$ln DSV2_FEB_ID=$febId " +
       s"DSV2_PARTS=$parts DSV2_OR_N=$orN DSV2_OR_PARTS=$orParts " +
       s"DSV2_W_N=$wN DSV2_W_V=$wV " +
@@ -127,7 +153,12 @@ object LakeSqlDemo {
       s"DSV2_TT_INS=$ttIns DSV2_TT_DEL=$ttDel DSV2_UPD=$upd " +
       s"DSV2_MERGE=$mrg " +
       s"DSV2_CAT_N=$catN DSV2_CAT_V2=$catV2 DSV2_CAT_PIN_EQ=$catPinEq " +
-      s"DSV2_CAT_ALTER=$catAlter")
+      s"DSV2_CAT_ALTER=$catAlter " +
+      s"DSV2_NS_N=$nsN DSV2_NS_NONEMPTY=$nsNonEmpty " +
+      s"DSV2_TRUNC_N=$truncN DSV2_TRUNC_HIST=$truncHist " +
+      s"DSV2_NS_AFTER=$nsAfter " +
+      s"DSV2_HIST_N=$histN DSV2_FILES_DV=$filesDv " +
+      s"DSV2_HIST_INS=$histIns")
     spark.stop()
   }
 }

@@ -1661,6 +1661,37 @@ private[graft] object Oracles {
         |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT),
         |  TRUE, TRUE, TRUE, TRUE, TRUE
         |FROM li""".stripMargin,
+    // l39: the catalog lifecycle re-derived from the original
+    // parquet — pre/post aggregates as anti-filters, the truncate as
+    // constants, n_versions as the 4-step lifecycle, dv_n as
+    // count(DISTINCT month) (the truncate mints one DV per partition
+    // still holding live rows; February's delete DV carries forward)
+    "l39_catalog_sql" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    strftime(l_shipdate, '%Y-%m') AS month
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m')
+        |    BETWEEN '1997-01' AND '1997-03'),
+        |meta AS (
+        |  SELECT CAST(4 AS BIGINT) AS n_versions,
+        |    (SELECT CAST(count(DISTINCT month) AS BIGINT) FROM li)
+        |      AS dv_n,
+        |    TRUE AS ns_nonempty_refused, TRUE AS meta_readonly)
+        |SELECT p.*, m.* FROM (
+        |  SELECT 'pre_delete' AS probe, count(*) AS n_rows,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |      AS key_sig
+        |  FROM li
+        |  UNION ALL
+        |  SELECT 'post_delete', count(*), round(sum(l_quantity), 2),
+        |    CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+        |  FROM li WHERE month <> '1997-02'
+        |  UNION ALL
+        |  SELECT 'post_truncate', CAST(0 AS BIGINT),
+        |    CAST(0.0 AS DOUBLE), CAST(0 AS BIGINT)) p
+        |CROSS JOIN meta m""".stripMargin,
     // l32: both versions' aggregates re-derive through the same
     // narrow-then-widen casts (quantities are integral, so the
     // REAL→DOUBLE sums are bit-exact); the refusal witnesses are

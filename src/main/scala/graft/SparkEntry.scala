@@ -116,6 +116,7 @@ object SparkEntry {
     "l36_commit_coordinator" -> (l36 _),
     "l37_crosscol_spec_evolution" -> (l37 _),
     "l38_sql_delete" -> (l38 _),
+    "l39_catalog_sql" -> (l39 _),
     "c13_split_decontam" -> (c13 _),
     "c14_weighted_sample" -> (c14 _),
     "t33_cdc_chunking" -> (t33 _),

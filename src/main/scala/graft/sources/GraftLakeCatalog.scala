@@ -2,11 +2,16 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Literal, Transform}
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.{Row, SQLContext}
+import org.apache.spark.rdd.RDD
 
 /** [[VersionedLake]] tables BY NAME — a Spark V2 [[TableCatalog]]
   * over a warehouse directory (r14 verdict #6: the name-resolution
@@ -45,14 +50,28 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the schema-recording empty overwrite (the fresh-lake seed
   * discipline), so the first INSERT is an ordinary append.
   *
+  * Namespaces ([[SupportsNamespaces]], r15) are the directory tree
+  * itself — nested CREATE/SHOW/DROP NAMESPACE with no metadata store
+  * (custom properties and LOCATION refuse loudly rather than drop
+  * silently; non-empty needs CASCADE). Metadata tables (r15, the
+  * Iceberg reserved-suffix convention): `cat.ns.t.history` /
+  * `cat.ns.t.files` read [[VersionedLake.history]] /
+  * [[VersionedLake.filesTable]] as read-only relations
+  * ([[GraftLakeMetaTable]]). TRUNCATE TABLE rides
+  * [[org.apache.spark.sql.connector.catalog.SupportsDelete]]'s
+  * AlwaysTrue default into the same DV commit — one more version,
+  * history intact.
+  *
   * Deliberate refusals (each loud): ALTER TABLE (schema evolution is
   * a versioned COMMIT — [[VersionedLake.commitRenameColumn]] /
   * [[VersionedLake.commitDropColumn]] / merge-with-evolveSchema — not
   * catalog metadata); RENAME (the path IS the identity — coordinator
-  * records and clones pin it); multi-transform partitioning. DROP
+  * records and clones pin it); multi-transform partitioning;
+  * identifier segments that would escape the warehouse (`..`,
+  * embedded separators); a table INSIDE a table. DROP
   * deletes the lake directory (DESTRUCTIVE, like an unmanaged-catalog
   * drop of a managed table — history included). */
-final class GraftLakeCatalog extends TableCatalog {
+final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var base: String = _
@@ -78,16 +97,22 @@ final class GraftLakeCatalog extends TableCatalog {
     * a backtick-quoted `..` or embedded-slash segment would otherwise
     * resolve (and DROP TABLE would recursively DELETE) a directory
     * outside `<base>` (r15 self-review). */
+  private def validateSegment(s: String): Unit =
+    require(s.nonEmpty && s != "." && s != ".." &&
+        !s.contains("/") && !s.contains("\\"),
+      s"invalid graftlake identifier segment '$s': segments map to " +
+        "warehouse path components and cannot be empty, '.', '..', " +
+        "or contain path separators")
+
   private def tablePath(ident: Identifier): String = {
     val segs = ident.namespace().toSeq :+ ident.name()
-    segs.foreach { s =>
-      require(s.nonEmpty && s != "." && s != ".." &&
-          !s.contains("/") && !s.contains("\\"),
-        s"invalid graftlake identifier segment '$s': segments map to " +
-          "warehouse path components and cannot be empty, '.', '..', " +
-          "or contain path separators")
-    }
+    segs.foreach(validateSegment)
     (base +: segs).mkString("/")
+  }
+
+  private def nsPath(namespace: Seq[String]): String = {
+    namespace.foreach(validateSegment)
+    (base +: namespace).mkString("/")
   }
 
   private def partColFile(path: String) =
@@ -131,7 +156,28 @@ final class GraftLakeCatalog extends TableCatalog {
     new GraftLakeTable(path, pinned, readPartCol(path), schema)
   }
 
-  override def loadTable(ident: Identifier): Table = load(ident, None)
+  override def loadTable(ident: Identifier): Table =
+    if (tableExists(ident)) load(ident, None)
+    else metaTable(ident).getOrElse(load(ident, None)) // load throws
+
+  /** Iceberg-style METADATA TABLES: `cat.ns.t.history` /
+    * `cat.ns.t.files` — the library's [[VersionedLake.history]] /
+    * [[VersionedLake.filesTable]] frames as read-only SQL relations
+    * (commit log and LATEST file inventory; driver-side manifest
+    * metadata, version-count-sized — row data never reads). A REAL
+    * table always wins the name (resolution tries it first), and the
+    * inventory re-resolves latest at every scan like any un-pinned
+    * relation. */
+  private def metaTable(ident: Identifier): Option[Table] = {
+    val ns = ident.namespace()
+    if (ns.isEmpty ||
+        !GraftLakeMetaTable.Kinds.contains(ident.name())) None
+    else {
+      val parent = Identifier.of(ns.dropRight(1), ns.last)
+      if (!tableExists(parent)) None
+      else Some(new GraftLakeMetaTable(tablePath(parent), ident.name()))
+    }
+  }
 
   /** `VERSION AS OF <v>` — Spark's native time-travel SQL. */
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -156,6 +202,12 @@ final class GraftLakeCatalog extends TableCatalog {
       : Table = {
     val path = tablePath(ident)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val parentSegs = ident.namespace().toSeq
+    require(parentSegs.isEmpty ||
+        !isTable((base +: parentSegs).mkString("/")),
+      s"cannot create a table INSIDE table ${parentSegs.mkString(".")}" +
+        " — tables are leaves (and nesting would shadow its " +
+        "history/files metadata views)")
     require(partitions.length == 1,
       s"graftlake tables take exactly ONE partition transform " +
         s"(identity column, months(c), days(c), or bucket(n, c)); " +
@@ -254,6 +306,85 @@ final class GraftLakeCatalog extends TableCatalog {
         "identity (coordinator records and clones pin it); copy with " +
         "CREATE TABLE + INSERT, or clone through the library")
 
+  // ---- namespaces (SupportsNamespaces): directories that are not
+  // tables. The mapping is the same THIN name→path rule as tables —
+  // `graft.a.b` is `<base>/a/b` — so namespaces nest naturally, a
+  // table's parent directories ARE its namespace, and the only state
+  // is the directory tree itself (no namespace metadata store:
+  // loadNamespaceMetadata returns an empty map, properties beyond
+  // Spark's reserved ones are refused loudly rather than dropped).
+
+  private def nsExists(namespace: Seq[String]): Boolean = {
+    val p = nsPath(namespace)
+    val f = fs(base)
+    f.exists(new Path(p)) && f.getFileStatus(new Path(p)).isDirectory &&
+      !isTable(p)
+  }
+
+  private def childDirs(path: String): Seq[org.apache.hadoop.fs.FileStatus] =
+    fs(base).listStatus(new Path(path)).toSeq.filter(_.isDirectory)
+
+  override def listNamespaces(): Array[Array[String]] =
+    childDirs(base)
+      .filterNot(st => isTable(st.getPath.toString))
+      .map(st => Array(st.getPath.getName)).toArray
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    if (!nsExists(namespace.toSeq))
+      throw new NoSuchNamespaceException(namespace)
+    childDirs(nsPath(namespace.toSeq))
+      .filterNot(st => isTable(st.getPath.toString))
+      .map(st => namespace :+ st.getPath.getName).toArray
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] = {
+    // the ROOT namespace (empty) is the warehouse base: always exists
+    if (namespace.nonEmpty && !nsExists(namespace.toSeq))
+      throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap[String, String]()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String])
+      : Unit = {
+    require(!metadata.containsKey(SupportsNamespaces.PROP_LOCATION),
+      "graftlake namespace location is always <base>/<namespace>: a " +
+        "custom LOCATION cannot be honored")
+    val reserved = Set(SupportsNamespaces.PROP_OWNER,
+      SupportsNamespaces.PROP_COMMENT, SupportsNamespaces.PROP_COLLATION)
+    val custom = metadata.keySet().iterator()
+    while (custom.hasNext) {
+      val k = custom.next()
+      // Spark injects reserved props (owner/comment/...); anything
+      // else would be silently lost — the directory IS the namespace
+      require(reserved.contains(k),
+        s"graftlake namespaces carry no metadata store: property '$k' " +
+          "would be dropped (the directory is the namespace)")
+    }
+    if (nsExists(namespace.toSeq) ||
+        isTable(nsPath(namespace.toSeq)))
+      throw new NamespaceAlreadyExistsException(namespace)
+    fs(base).mkdirs(new Path(nsPath(namespace.toSeq)))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graftlake namespaces carry no metadata to alter (the " +
+        "directory is the namespace)")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    if (!nsExists(namespace.toSeq)) return false
+    val p = nsPath(namespace.toSeq)
+    if (!cascade && childDirs(p).nonEmpty)
+      throw new NonEmptyNamespaceException(namespace)
+    fs(base).delete(new Path(p), true)
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = new Path((base +: namespace.toSeq).mkString("/"))
     val f = fs(base)
@@ -263,5 +394,78 @@ final class GraftLakeCatalog extends TableCatalog {
       .filter(st => st.isDirectory && isTable(st.getPath.toString))
       .map(st => Identifier.of(namespace, st.getPath.getName))
       .toArray
+  }
+}
+
+private[sources] object GraftLakeMetaTable {
+
+  /** Reserved metadata-view names (Iceberg's `t.history`/`t.files`
+    * convention). A real table of the same name shadows the view —
+    * the catalog resolves real tables first. */
+  val Kinds: Set[String] = Set("history", "files")
+
+  /** Pinned copies of the library frames' schemas (asserted equal to
+    * the live frames in GraftLakeSourceSpec, so drift fails a spec,
+    * not a user query). */
+  val HistorySchema: StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("op", StringType, nullable = true),
+    StructField("txn", LongType, nullable = true),
+    StructField("commit_ts", LongType, nullable = true),
+    StructField("n_parts", IntegerType, nullable = false),
+    StructField("has_dvs", BooleanType, nullable = false),
+    StructField("n_constraints", IntegerType, nullable = false)))
+
+  val FilesSchema: StructType = StructType(Seq(
+    StructField("part", StringType, nullable = true),
+    StructField("rel", StringType, nullable = true),
+    StructField("kind", StringType, nullable = true),
+    StructField("lo", LongType, nullable = true),
+    StructField("hi", LongType, nullable = true),
+    StructField("era", IntegerType, nullable = true),
+    StructField("size_bytes", LongType, nullable = true)))
+}
+
+/** A read-only metadata view over one lake's commit log
+  * ([[VersionedLake.history]]) or LATEST file inventory
+  * ([[VersionedLake.filesTable]]) — the same [[V1Scan]] adapter shape
+  * as the data table's scan, but over driver-side manifest metadata
+  * (version-count-sized; row data never reads). No write capability:
+  * every mutation verb refuses at analysis. */
+private[sources] final class GraftLakeMetaTable(path: String,
+                                                meta: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"graftlake.`$path`.$meta"
+
+  override def schema(): StructType = meta match {
+    case "history" => GraftLakeMetaTable.HistorySchema
+    case _         => GraftLakeMetaTable.FilesSchema
+  }
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new V1Scan {
+      override def readSchema(): StructType = schema()
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T = {
+        val s = context.sparkSession
+        // latest re-resolves AT SCAN TIME, like any un-pinned relation
+        val df = meta match {
+          case "history" => VersionedLake.history(s, path)
+          case _ => VersionedLake.filesTable(s, path,
+            VersionedLake.latestVersion(s, path))
+        }
+        val rel = new BaseRelation with TableScan {
+          override val sqlContext: SQLContext = context
+          override val schema: StructType = readSchema()
+          override def buildScan(): RDD[Row] = df.rdd
+        }
+        rel.asInstanceOf[T]
+      }
+    }
   }
 }

@@ -373,6 +373,104 @@ class GraftLakeSourceSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(1L))
   }
 
+  test("graftlake catalog namespaces: CREATE/SHOW/DROP NAMESPACE over " +
+      "the directory tree (nested; non-empty refuses without CASCADE; " +
+      "metadata-store properties refused loudly), and TRUNCATE TABLE " +
+      "routes through the DV delete path") {
+    import graft.sources.VersionedLake
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh3").toString
+    spark.conf.set("spark.sql.catalog.graft3",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set("spark.sql.catalog.graft3.base", wh)
+    spark.sql("CREATE NAMESPACE graft3.a")
+    spark.sql("CREATE NAMESPACE graft3.a.b")
+    def names(q: String) = spark.sql(q).collect()
+      .map(_.getString(0)).toSet
+    assert(names("SHOW NAMESPACES IN graft3") == Set("a"))
+    assert(names("SHOW NAMESPACES IN graft3.a") == Set("a.b"))
+    intercept[Exception] { // duplicate
+      spark.sql("CREATE NAMESPACE graft3.a") }
+    intercept[Exception] { // no metadata store: custom props refused
+      spark.sql("CREATE NAMESPACE graft3.c WITH PROPERTIES ('k'='v')") }
+    intercept[Exception] { // location is base-derived
+      spark.sql("CREATE NAMESPACE graft3.c LOCATION '/tmp/elsewhere'") }
+    // a table inside: the namespace is non-empty, and the table is
+    // NOT listed as a namespace
+    spark.sql("""CREATE TABLE graft3.a.t
+      (id BIGINT, month STRING) PARTITIONED BY (month)""")
+    spark.sql("INSERT INTO graft3.a.t VALUES (1, '1997-01'), (2, '1997-02')")
+    assert(names("SHOW NAMESPACES IN graft3.a") == Set("a.b"),
+      "tables are not namespaces")
+    intercept[Exception] { // non-empty without CASCADE
+      spark.sql("DROP NAMESPACE graft3.a") }
+    // TRUNCATE TABLE: SupportsDelete's truncateTable default →
+    // deleteWhere(AlwaysTrue) → the same DV commit path; history and
+    // pinned readers survive
+    val tPath = s"$wh/a/t"
+    val vBefore = VersionedLake.latestVersion(spark, tPath)
+    spark.sql("TRUNCATE TABLE graft3.a.t")
+    assert(spark.sql("SELECT * FROM graft3.a.t").count() == 0)
+    assert(VersionedLake.latestVersion(spark, tPath) == vBefore + 1,
+      "truncate is one more COMMIT, not a directory wipe")
+    assert(VersionedLake.readVersion(spark, tPath, vBefore).count() == 2,
+      "pre-truncate history intact (DV delete, files carried forward)")
+    spark.sql("DROP NAMESPACE graft3.a CASCADE")
+    assert(names("SHOW NAMESPACES IN graft3") == Set.empty)
+    assert(spark.sql("SHOW NAMESPACES IN graft3").count() == 0)
+  }
+
+  test("graftlake metadata tables: cat.ns.t.history and cat.ns.t.files " +
+      "expose the commit log and latest file inventory as read-only " +
+      "SQL (schemas pinned to the library frames; latest re-resolves " +
+      "per scan; writes refuse)") {
+    import graft.sources.VersionedLake
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh4").toString
+    spark.conf.set("spark.sql.catalog.graft4",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set("spark.sql.catalog.graft4.base", wh)
+    spark.sql("""CREATE TABLE graft4.ns.t
+      (id BIGINT, month STRING, x DOUBLE) PARTITIONED BY (month)""")
+    spark.sql("INSERT INTO graft4.ns.t VALUES (1, '1997-01', 10.0)")
+    spark.sql("INSERT INTO graft4.ns.t VALUES (2, '1997-02', 20.0)")
+    spark.sql("DELETE FROM graft4.ns.t WHERE id = 2")
+    val tPath = s"$wh/ns/t"
+    // history: one row per live version, schema pinned to the library
+    val hist = spark.sql(
+      "SELECT version FROM graft4.ns.t.history ORDER BY version")
+    assert(hist.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    assert(spark.table("graft4.ns.t.history").schema ==
+      VersionedLake.history(spark, tPath).schema,
+      "pinned history schema drifted from the library frame")
+    assert(spark.sql("SELECT count(*) FROM graft4.ns.t.history " +
+      "WHERE has_dvs").head().getLong(0) == 1L)
+    // files: the LATEST inventory — the delete minted exactly one DV
+    assert(spark.table("graft4.ns.t.files").schema ==
+      VersionedLake.filesTable(spark, tPath,
+        VersionedLake.latestVersion(spark, tPath)).schema,
+      "pinned files schema drifted from the library frame")
+    assert(spark.sql("SELECT count(*) FROM graft4.ns.t.files " +
+      "WHERE kind = 'dv'").head().getLong(0) == 1L)
+    // latest re-resolves AT SCAN TIME (un-pinned relation semantics)
+    spark.sql("INSERT INTO graft4.ns.t VALUES (3, '1997-03', 30.0)")
+    assert(spark.sql("SELECT count(*) FROM graft4.ns.t.history")
+      .head().getLong(0) == 5L)
+    // read-only: every mutation refuses at analysis
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft4.ns.t.history VALUES " +
+        "(9, 'x', 9, 9, 9, false, 0)") }
+    intercept[Exception] {
+      spark.sql("DELETE FROM graft4.ns.t.files WHERE kind = 'dv'") }
+    // a REAL table named 'history' shadows the view; and a table
+    // cannot be created INSIDE a table (it would shadow t's views)
+    spark.sql("""CREATE TABLE graft4.ns.history
+      (id BIGINT, month STRING) PARTITIONED BY (month)""")
+    assert(spark.sql("SELECT * FROM graft4.ns.history").columns.toSeq
+      == Seq("id", "month"), "real table wins the reserved name")
+    intercept[Exception] {
+      spark.sql("""CREATE TABLE graft4.ns.t.inner
+        (id BIGINT, m STRING) PARTITIONED BY (m)""") }
+  }
+
   test("graftlake OCC through the format: a format append and a " +
       "concurrent library upsert both land (appends rebase through " +
       "the claim protocol)") {
