@@ -840,6 +840,71 @@ private[graft] object EntryDrives {
           s"st24 consumed feed diverges from the table: ($n, $sig) vs " +
             s"($wantN, $wantSig)")
       },
+      // The FORMAT-level streaming source (st30, r15):
+      // `spark.readStream.format("graftlake")` over st23/st24's lake —
+      // pollAppends cursors as engine offsets
+      // (sources.GraftLakeStreamSource), so the commit log is the WAL
+      // and recovery is exact by construction. The drive runs ONE
+      // AvailableNow pass with maxFilesPerTrigger=2 (the burst drains
+      // over ceil(files/2) bounded micro-batches — the st24 admission
+      // identity, now engine-paced), asserts the consumed union equals
+      // the table (count + XOR signature), then commits one more
+      // append and re-runs on the SAME checkpoint: only the new rows
+      // arrive (exactly-once across restarts, no snapshot replay).
+      "st30_stream_format_source" -> { (s: SparkSession, d: String) =>
+        import graft.sources.VersionedLake
+        import org.apache.spark.sql.streaming.Trigger
+        val lake = stageVersionedEventsLake(s, d)
+        val latest = VersionedLake.latestVersion(s, lake)
+        require(latest == 4, s"st30 expected 4 ingest commits, got $latest")
+        val totalFiles = VersionedLake.manifestFiles(s, lake, latest).size
+        val maxFiles = 2
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_ck30")
+        val n = new java.util.concurrent.atomic.AtomicLong(0)
+        val sig = new java.util.concurrent.atomic.AtomicLong(0)
+        val batches = new java.util.concurrent.atomic.AtomicLong(0)
+        def run(): Unit = {
+          val q = s.readStream.format("graftlake")
+            .option("maxFilesPerTrigger", maxFiles.toString).load(lake)
+            .writeStream.option("checkpointLocation", ckpt.toString)
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               _: Long) =>
+                val (bn, bs) = lakeFeedSig(b.toDF())
+                if (bn > 0) {
+                  n.addAndGet(bn)
+                  sig.getAndUpdate(x => x ^ bs)
+                  batches.incrementAndGet()
+                }
+                ()
+            }
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        try {
+          run()
+          val (wantN, wantSig) =
+            lakeFeedSig(VersionedLake.readLatest(s, lake))
+          require(n.get == wantN && sig.get == wantSig,
+            s"st30 streamed union diverges from the table: " +
+              s"(${n.get}, ${sig.get}) vs ($wantN, $wantSig)")
+          require(batches.get == (totalFiles + maxFiles - 1) / maxFiles,
+            s"st30 expected ceil($totalFiles/$maxFiles) bounded " +
+              s"batches, got ${batches.get}")
+          // restart on the same checkpoint: ONLY the new commit arrives
+          val extra = VersionedLake.readLatest(s, lake).limit(3)
+          VersionedLake.commitAppend(extra, "month", lake)
+          n.set(0); batches.set(0)
+          run()
+          require(n.get == 3,
+            s"st30 recovery replayed history: got ${n.get} rows, want 3")
+        } finally {
+          org.apache.spark.sql.graftglue.GraftGlue.unloadStateStores()
+          val del = java.util.Comparator.reverseOrder[java.nio.file.Path]()
+          java.nio.file.Files.walk(ckpt).sorted(del)
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        }
+      },
       // GOVERNED streaming ingest (st25): st23's exactly-once txn
       // ingest composed with hidden partitioning (l27 — the partition
       // derives through the lake's RECORDED month(ts) transform inside

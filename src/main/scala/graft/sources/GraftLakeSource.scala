@@ -105,9 +105,58 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * but would have to re-implement the DV-fold/column-mapping read at
   * the PartitionReader level; one code path wins.
   */
-final class GraftLakeSource extends TableProvider with DataSourceRegister {
+final class GraftLakeSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graftlake"
+
+  // ---- streaming source (V1 StreamSourceProvider): implementing it
+  // alongside TableProvider is exactly how DataStreamReader routes a
+  // table WITHOUT MICRO_BATCH_READ — the v1Relation fallback. The
+  // lake's commit log is the WAL; offsets are pollAppends cursors
+  // (GraftLakeStreamSource). Time-travel options refuse: a stream
+  // FOLLOWS the log, a pinned version cannot move.
+
+  private def streamParams(parameters: Map[String, String])
+      : (String, StructType, Option[Int]) = {
+    require(!parameters.contains("versionAsOf") &&
+        !parameters.contains("timestampAsOf"),
+      "graftlake streaming follows the log: time-travel pins cannot " +
+        "stream (read the pinned version as a batch instead)")
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graftlake needs a path: spark.readStream.format(\"graftlake\")" +
+          ".load(path)"))
+    require(VersionedLake.latestVersion(spark, path) > 0,
+      s"graftlake stream needs an existing lake at $path — seed the " +
+        "schema first (commitOverwrite(df.limit(0)))")
+    val schema = inferSchema(new CaseInsensitiveStringMap(
+      scala.jdk.CollectionConverters.MapHasAsJava(
+        Map("path" -> path)).asJava))
+    (path, schema, parameters.get("maxFilesPerTrigger").map(_.trim.toInt))
+  }
+
+  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    require(schema.isEmpty,
+      "graftlake streams read the lake's RECORDED schema — drop the " +
+        "user-specified schema")
+    (shortName(), streamParams(parameters)._2)
+  }
+
+  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val (path, declared, maxFiles) = streamParams(parameters)
+    new GraftLakeStreamSource(sqlContext.sparkSession, path, declared,
+      maxFiles)
+  }
 
   override def supportsExternalMetadata(): Boolean = false
 

@@ -1,0 +1,152 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.types.StructType
+
+/** The lake as a STRUCTURED STREAMING SOURCE —
+  * `spark.readStream.format("graftlake").load(path)`, the Delta
+  * streaming-source shape (reference semantics: the pipeline's
+  * incremental-feed stage; Delta answers it with its transaction-log
+  * source, Iceberg with incremental scans). Offsets are the library's
+  * [[VersionedLake.pollAppends]] CURSORS `(version, partialFiles)`:
+  * the commit log IS the write-ahead history, so the source carries
+  * no state of its own — every micro-batch (start, end] replays as
+  * the pure cursor-range slice [[VersionedLake.appendsSlice]], which
+  * makes checkpoint recovery exact by construction (manifests are
+  * immutable and list files in sorted order — the offset-stability
+  * argument pollAppends documents).
+  *
+  * Contract, all inherited from the append feed and stated loudly:
+  *  - APPEND-ONLY follow: a rewrite (upsert/overwrite/delete) or a
+  *    deletion-vector commit inside a polled range fails the stream —
+  *    the change feed ([[VersionedLake.changesBetween]]) is the CDC
+  *    reader, this source is the Delta `ignoreChanges`-unset posture.
+  *  - The FIRST batch is the snapshot: getBatch(None, end) slices
+  *    from cursor (0,0) — everything live at `end` — then the stream
+  *    follows appends (Delta's initial-snapshot-then-tail default).
+  *  - `maxFilesPerTrigger` (Delta's option, st24's admission rule)
+  *    bounds each offered offset to that many appended files past the
+  *    last offered cursor; a commit burst becomes several bounded
+  *    micro-batches with SUB-version progress.
+  *  - A HIDDEN-partitioned lake streams with its internal column
+  *    hidden (the format's schema rule).
+  *  - Schema is fixed at stream start (latest version's); a rename
+  *    mid-stream surfaces as a loud schema mismatch, never silent
+  *    column drift.
+  */
+final class GraftLakeStreamSource(spark: SparkSession, path: String,
+                                  declared: StructType,
+                                  maxFiles: Option[Int]) extends Source
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+
+  /** Last cursor OFFERED to the engine — pacing state only (the
+    * engine's WAL owns progress; a restart resyncs this from the
+    * first getBatch's `end`). Starts at (0,0): nothing offered. */
+  private var offered: (Int, Int) = (0, 0)
+
+  /** Trigger.AvailableNow's cap: implemented on the SOURCE (not left
+    * to the engine's one-shot wrapper, which would snapshot the
+    * admission-limited next offset and stop after ONE bounded batch):
+    * the run drains everything committed at prepare time — in
+    * maxFilesPerTrigger-bounded batches — and ignores later commits,
+    * exactly the FileStreamSource discipline. */
+  private var availableNowBound: Option[(Int, Int)] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound =
+      Some((VersionedLake.latestVersion(spark, path), 0))
+
+  override def schema: StructType = declared
+
+  /** [[org.apache.spark.sql.connector.read.streaming
+    * .SupportsAdmissionControl]] spelling of [[getOffset]] (the
+    * engine calls THIS form once a source declares admission
+    * control): `start` is the last committed offset — resync the
+    * pacing cursor from it (covers recovery before any getBatch),
+    * then offer as getOffset does. Null means "no data yet". */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    if (start != null) {
+      val s = GraftLakeStreamSource.cursor(start)
+      if (GraftLakeStreamSource.le(offered, s)) offered = s
+    }
+    getOffset.orNull
+  }
+
+  override def getOffset: Option[Offset] = {
+    val head = availableNowBound.getOrElse(
+      (VersionedLake.latestVersion(spark, path), 0))
+    if (head._1 == 0) return None
+    val next = maxFiles match {
+      case None => head
+      case Some(m) =>
+        // advance the cursor by at most m files: pollAppends' own
+        // traversal (the returned frame is lazy — planning only),
+        // capped at the AvailableNow bound when one is armed
+        val adv = VersionedLake.pollAppends(spark, path, offered, m)._2
+        if (GraftLakeStreamSource.le(adv, head)) adv else head
+    }
+    if (GraftLakeStreamSource.le(next, offered)) {
+      if (offered == (0, 0)) None
+      else Some(GraftLakeCursorOffset(offered._1, offered._2))
+    } else {
+      offered = next
+      Some(GraftLakeCursorOffset(next._1, next._2))
+    }
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(GraftLakeStreamSource.cursor).getOrElse((0, 0))
+    val to = GraftLakeStreamSource.cursor(end)
+    // recovery resync: the WAL's committed range may be ahead of a
+    // fresh source instance's pacing state
+    if (GraftLakeStreamSource.le(offered, to)) offered = to
+    val slice = VersionedLake.appendsSlice(spark, path, from, to)
+    val visible =
+      if (HiddenPartitioning.declared(spark, path))
+        slice.drop(HiddenPartitioning.spec(spark, path).partCol)
+      else slice
+    require(visible.schema == declared,
+      s"lake schema changed mid-stream at $path: declared " +
+        s"${declared.simpleString}, batch ${visible.schema.simpleString}" +
+        " — restart the stream to adopt the new schema")
+    org.apache.spark.sql.graftglue.GraftGlue.streamingFrame(visible)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftLakeStreamSource[$path]"
+}
+
+private[sources] object GraftLakeStreamSource {
+
+  private[sources] def le(a: (Int, Int), b: (Int, Int)): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)
+
+  /** Any engine-handed offset back to a cursor: the live case class,
+    * or a serialized form (WAL recovery / the v2 admission-control
+    * path) via its JSON. */
+  private[sources] def cursor(
+      o: org.apache.spark.sql.connector.read.streaming.Offset)
+      : (Int, Int) = o match {
+    case g: GraftLakeCursorOffset => (g.v, g.off)
+    case other => parse(other.json())
+  }
+
+  private[sources] def parse(json: String): (Int, Int) = {
+    val t = json.trim.stripPrefix("[").stripSuffix("]").split(',')
+    require(t.length == 2,
+      s"malformed graftlake stream offset: $json")
+    (t(0).trim.toInt, t(1).trim.toInt)
+  }
+}
+
+/** `(version, partialFiles)` as a V1 offset — JSON `[v,off]` in the
+  * engine's write-ahead log. */
+final case class GraftLakeCursorOffset(v: Int, off: Int) extends Offset {
+  override def json(): String = s"[$v,$off]"
+}

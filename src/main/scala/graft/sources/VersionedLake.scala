@@ -2626,6 +2626,62 @@ object VersionedLake {
     (out, (full, part))
   }
 
+  /** The EXACT append slice between two [[pollAppends]] cursors —
+    * the deterministic range form the streaming SOURCE
+    * ([[GraftLakeStreamSource]]) replays from its write-ahead log:
+    * a recovered micro-batch (start, end] must rebuild the SAME rows
+    * whatever the head has advanced to, so the slice is a pure
+    * function of the two cursors (manifests are immutable and list
+    * files in sorted order — the [[pollAppends]] offset-stability
+    * argument). Cursor semantics as there: (v, p) = every append of
+    * versions ≤ v, plus the first `p` fresh files of v+1. Same
+    * append-only contract: a rewrite or deletion-vector commit inside
+    * the traversed range fails loudly (read [[changesBetween]]), and
+    * a cursor pointing past a version's fresh-file count (foreign
+    * offset, tampered WAL) refuses rather than misaligning. */
+  def appendsSlice(spark: SparkSession, path: String,
+                   from: (Int, Int), to: (Int, Int)): DataFrame = {
+    val (fv, fOff) = from
+    val (tv, tOff) = to
+    require(fv >= 0 && fOff >= 0 && tOff >= 0 &&
+        (fv < tv || (fv == tv && fOff <= tOff)),
+      s"appendsSlice cursors out of order: $from .. $to")
+    val lastV = if (tOff > 0) tv + 1 else tv
+    var prevRels =
+      if (fv == 0) Set.empty[String]
+      else manifestEntries(spark, path, fv).map(_.rel).toSet
+    val picked = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+    var v = fv
+    while (v < lastV) {
+      val next = v + 1
+      val nextEntries = manifestEntries(spark, path, next)
+      val nextRels = nextEntries.map(_.rel).toSet
+      val removed = prevRels -- nextRels
+      require(removed.isEmpty,
+        s"version $next is not append-only inside the slice: " +
+          s"${removed.size} file(s) replaced or dropped — read the " +
+          "change feed (changesBetween) instead")
+      val fresh = nextEntries.filterNot(e => prevRels.contains(e.rel))
+      require(!fresh.exists(_.kind == KindDv),
+        s"version $next committed deletion vectors (rows removed) — " +
+          "read the change feed (changesBetween) instead")
+      val skip = if (next == fv + 1) fOff else 0
+      val until = if (next == tv + 1) tOff else fresh.size
+      require(skip <= fresh.size && until <= fresh.size && skip <= until,
+        s"cursor offset past version $next's ${fresh.size} fresh " +
+          s"file(s) (skip=$skip until=$until) — foreign or torn offset")
+      picked ++= fresh.slice(skip, until)
+      prevRels = nextRels
+      v = next
+    }
+    if (picked.isEmpty)
+      emptyOf(spark, path, math.max(lastV, 1),
+        manifestEntries(spark, path, math.max(lastV, 1))
+          .filter(_.kind == KindData))
+    else
+      mappedRead(spark, path, lastV, picked.toSeq, Seq.empty)
+  }
+
   /** Drop every version's state — a fresh-lake reset for fixtures.
     * Also drops the path's txn cache: a reborn lake must not inherit
     * the old history's replay-dedup set. */

@@ -14,6 +14,21 @@ object GraftGlue {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Re-wrap a batch frame's physical plan as a STREAMING frame
+    * (`isStreaming = true`) — the V1 streaming-source contract:
+    * `Source.getBatch` must return a streaming Dataset or the
+    * engine's assertion trips. The RDD is the batch plan's own
+    * `toRdd` (lazy — no job runs here); only the logical flag
+    * changes. `internalCreateDataFrame` is the same `private[sql]`
+    * entry the built-in V1 sources use. */
+  def streamingFrame(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cs = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
+
   /** Unload every cached state-store provider on this executor. Each
     * stopped streaming query leaves its providers (and their in-memory
     * state maps) loaded until a maintenance cycle notices; a bench

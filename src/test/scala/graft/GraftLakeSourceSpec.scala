@@ -471,6 +471,80 @@ class GraftLakeSourceSpec extends SparkSpec {
         (id BIGINT, m STRING) PARTITIONED BY (m)""") }
   }
 
+  test("graftlake STREAMING SOURCE: readStream follows the commit " +
+      "log (initial snapshot then appends), maxFilesPerTrigger bounds " +
+      "each micro-batch, checkpoint recovery resumes exactly, and a " +
+      "deletion-vector commit fails the stream loudly") {
+    import graft.sources.VersionedLake
+    import org.apache.spark.sql.streaming.Trigger
+    val lake = java.nio.file.Files.createTempDirectory("lake_ss").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lake_ss_ck").toString
+    VersionedLake.reset(spark, lake)
+    def df(rows: (Long, String)*) = rows.toDF("id", "part")
+    VersionedLake.commitOverwrite(df().limit(0), "part", lake) // seed v1
+    VersionedLake.commitAppend(df(1L -> "a", 2L -> "b"), "part", lake)
+    VersionedLake.commitAppend(df(3L -> "a"), "part", lake) // v3
+    val got = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    def run(): Unit = {
+      val q = spark.readStream.format("graftlake")
+        .option("maxFilesPerTrigger", "1").load(lake)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val ids = b.select("id").collect().map(_.getLong(0)).toSet
+          got.synchronized { got += ids }; ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    assert(got.flatten.toSet == Set(1L, 2L, 3L),
+      "initial snapshot covers everything live at stream start")
+    assert(got.count(_.nonEmpty) >= 3,
+      s"maxFilesPerTrigger=1 splits 3 files into >=3 batches, got $got")
+    // restart on the SAME checkpoint: only NEW appends arrive
+    got.clear()
+    VersionedLake.commitAppend(df(4L -> "c"), "part", lake) // v4
+    run()
+    assert(got.flatten.toSet == Set(4L),
+      "recovery resumed at the committed cursor — no replays")
+    // a DV commit breaks the append-only follow contract LOUDLY
+    VersionedLake.commitDelete(Seq(1L -> "a").toDF("id", "part"),
+      Seq("id"), "part", lake)
+    VersionedLake.commitAppend(df(5L -> "c"), "part", lake)
+    val err = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] { run() }
+    assert(err.getMessage.contains("deletion vector") ||
+      Option(err.getCause).exists(_.getMessage.contains("deletion")),
+      s"DV inside the polled range refuses, got: ${err.getMessage}")
+    // time-travel pins cannot stream
+    intercept[Exception] {
+      spark.readStream.format("graftlake")
+        .option("versionAsOf", "2").load(lake) }
+    // a HIDDEN-partitioned lake streams with its internal column
+    // hidden — the format's schema rule, batch and stream alike
+    import graft.sources.{HiddenPartitioning => HP}
+    val hl = java.nio.file.Files.createTempDirectory("lake_ssh").toString
+    val hck = java.nio.file.Files.createTempDirectory("lake_ssh_ck").toString
+    VersionedLake.reset(spark, hl)
+    HP.define(spark, hl, HP.Spec("d", HP.Month))
+    def hdf(rows: (Long, java.sql.Date)*) = rows.toDF("id", "d")
+    HP.commitOverwrite(hdf(
+      1L -> java.sql.Date.valueOf("1997-01-15"),
+      2L -> java.sql.Date.valueOf("1997-02-10")), hl)
+    val hGot = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val hq = spark.readStream.format("graftlake").load(hl)
+      .writeStream.option("checkpointLocation", hck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        hGot.synchronized { hGot += b.columns.toSeq }; ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    hq.awaitTermination()
+    assert(hGot.forall(_ == Seq("id", "d")),
+      s"internal partition column leaked into the stream: $hGot")
+  }
+
   test("graftlake OCC through the format: a format append and a " +
       "concurrent library upsert both land (appends rebase through " +
       "the claim protocol)") {
