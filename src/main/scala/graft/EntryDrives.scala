@@ -905,6 +905,60 @@ private[graft] object EntryDrives {
             .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
         }
       },
+      // The lake-to-lake FORMAT pipeline (st31, r15): st30's source
+      // composed with the format STREAMING SINK — readStream one lake,
+      // writeStream another, nothing but format strings; each
+      // micro-batch is a txn-deduped commitBatchAppend (txn = batchId)
+      // so the pipeline is exactly-once by the commit log itself. The
+      // drive asserts dst == src by count + XOR signature, the dst
+      // version count is seed + ceil(files/maxFiles) (one commit per
+      // bounded batch, none empty), and an idle rerun on the same
+      // checkpoint mints NOTHING.
+      "st31_stream_format_pipeline" -> { (s: SparkSession, d: String) =>
+        import graft.sources.VersionedLake
+        import org.apache.spark.sql.streaming.Trigger
+        val src = stageVersionedEventsLake(s, d)
+        val latest = VersionedLake.latestVersion(s, src)
+        require(latest == 4, s"st31 expected 4 ingest commits, got $latest")
+        val totalFiles = VersionedLake.manifestFiles(s, src, latest).size
+        val maxFiles = 2
+        val dst =
+          s"/tmp/graft_stream_vdst_${Integer.toHexString(d.hashCode)}"
+        VersionedLake.reset(s, dst)
+        VersionedLake.commitOverwrite(
+          VersionedLake.readLatest(s, src).limit(0), "month", dst)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_ck31")
+        def run(): Unit = {
+          val q = s.readStream.format("graftlake")
+            .option("maxFilesPerTrigger", maxFiles.toString).load(src)
+            .writeStream.format("graftlake")
+            .option("path", dst).option("partitionColumn", "month")
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        try {
+          run()
+          val (srcN, srcSig) = lakeFeedSig(VersionedLake.readLatest(s, src))
+          val (dstN, dstSig) = lakeFeedSig(VersionedLake.readLatest(s, dst))
+          require(srcN == dstN && srcSig == dstSig,
+            s"st31 pipeline diverged: src ($srcN, $srcSig) vs " +
+              s"dst ($dstN, $dstSig)")
+          val want = 1 + (totalFiles + maxFiles - 1) / maxFiles
+          val got = VersionedLake.latestVersion(s, dst)
+          require(got == want,
+            s"st31 expected seed + ceil($totalFiles/$maxFiles) dst " +
+              s"commits, got $got")
+          run() // idle rerun: engine offers nothing, sink mints nothing
+          require(VersionedLake.latestVersion(s, dst) == want,
+            "st31 idle rerun minted versions")
+        } finally {
+          org.apache.spark.sql.graftglue.GraftGlue.unloadStateStores()
+          val del = java.util.Comparator.reverseOrder[java.nio.file.Path]()
+          java.nio.file.Files.walk(ckpt).sorted(del)
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        }
+      },
       // GOVERNED streaming ingest (st25): st23's exactly-once txn
       // ingest composed with hidden partitioning (l27 — the partition
       // derives through the lake's RECORDED month(ts) transform inside

@@ -106,7 +106,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the PartitionReader level; one code path wins.
   */
 final class GraftLakeSource extends TableProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graftlake"
 
@@ -134,6 +135,55 @@ final class GraftLakeSource extends TableProvider with DataSourceRegister
       scala.jdk.CollectionConverters.MapHasAsJava(
         Map("path" -> path)).asJava))
     (path, schema, parameters.get("maxFilesPerTrigger").map(_.trim.toInt))
+  }
+
+  /** The format-level STREAMING SINK
+    * (`df.writeStream.format("graftlake")`) — the V1
+    * StreamSinkProvider fallback, reducing every micro-batch to the
+    * library's EXACTLY-ONCE txn append: `addBatch(batchId, data)` →
+    * [[VersionedLake.commitBatchAppend]] with `txn = batchId`, so a
+    * replayed batch after recovery dedups in the commit log itself —
+    * the same guarantee the hand-written foreachBatch sinks
+    * ([[graft.streaming.EventStreams.toVersionedLake]]) carry, now
+    * spelled as a format string. Append output mode only (Update/
+    * Complete would restate state, which is the keyed verbs' job);
+    * hidden-partitioned lakes derive the partition through the
+    * recorded spec, plain lakes take the `partitionColumn` option. */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming
+                            .OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode
+        .Append(),
+      s"graftlake streaming writes are APPEND-only (txn-deduped " +
+        s"commits); got $outputMode — restate state through the " +
+        "library's keyed verbs instead")
+    require(partitionColumns.isEmpty,
+      "graftlake takes its partition column from the " +
+        "partitionColumn OPTION (or the lake's recorded hidden " +
+        "spec), not partitionBy")
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graftlake needs a path: df.writeStream.format(\"graftlake\")" +
+          ".start(path)"))
+    val partCol = parameters.get("partitionColumn")
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long,
+                            data: org.apache.spark.sql.DataFrame)
+          : Unit = {
+        val b = org.apache.spark.sql.graftglue.GraftGlue.batchFrame(data)
+        partCol match {
+          case Some(pc) =>
+            VersionedLake.commitBatchAppend(b, pc, path, txn = batchId)
+          case None =>
+            HiddenPartitioning.commitBatchAppend(b, path, txn = batchId)
+        }
+        ()
+      }
+      override def toString: String = s"GraftLakeSink[$path]"
+    }
   }
 
   override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,

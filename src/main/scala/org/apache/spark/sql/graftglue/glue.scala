@@ -29,6 +29,19 @@ object GraftGlue {
       isStreaming = true)
   }
 
+  /** The inverse of [[streamingFrame]] for a V1 `Sink.addBatch`
+    * frame: re-wrap the already-planned incremental execution's RDD
+    * as a BATCH frame (the ForeachBatchSink pattern) — running
+    * actions directly on the streaming-planned Dataset would re-plan
+    * it outside the engine's incremental execution. */
+  def batchFrame(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cs = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = false)
+  }
+
   /** Unload every cached state-store provider on this executor. Each
     * stopped streaming query leaves its providers (and their in-memory
     * state maps) loaded until a maintenance cycle notices; a bench

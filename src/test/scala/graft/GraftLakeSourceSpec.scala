@@ -545,6 +545,61 @@ class GraftLakeSourceSpec extends SparkSpec {
       s"internal partition column leaked into the stream: $hGot")
   }
 
+  test("graftlake STREAMING SINK: writeStream.format commits one " +
+      "txn-deduped append per micro-batch — a lake-to-lake pipeline " +
+      "through format strings alone, exactly-once across reruns, " +
+      "refusals for non-append modes and partitionBy") {
+    import graft.sources.VersionedLake
+    import org.apache.spark.sql.streaming.Trigger
+    val src = java.nio.file.Files.createTempDirectory("lake_sk_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("lake_sk_dst").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lake_sk_ck").toString
+    VersionedLake.reset(spark, src); VersionedLake.reset(spark, dst)
+    def df(rows: (Long, String)*) = rows.toDF("id", "part")
+    VersionedLake.commitOverwrite(df().limit(0), "part", src)
+    VersionedLake.commitOverwrite(df().limit(0), "part", dst)
+    VersionedLake.commitAppend(df(1L -> "a", 2L -> "b"), "part", src)
+    VersionedLake.commitAppend(df(3L -> "a"), "part", src)
+    def run(): Unit = {
+      val q = spark.readStream.format("graftlake").load(src)
+        .writeStream.format("graftlake")
+        .option("path", dst).option("partitionColumn", "part")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    def ids(path: String) = VersionedLake.readLatest(spark, path)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(dst) == Set(1L, 2L, 3L),
+      "the pipeline moved the whole source snapshot")
+    val v1 = VersionedLake.latestVersion(spark, dst)
+    // rerun with nothing new: no empty commits, no replays
+    run()
+    assert(VersionedLake.latestVersion(spark, dst) == v1,
+      "an idle rerun minted versions")
+    // a new source commit flows through; the dst commit is txn-stamped
+    VersionedLake.commitAppend(df(4L -> "c"), "part", src)
+    run()
+    assert(ids(dst) == Set(1L, 2L, 3L, 4L))
+    assert(VersionedLake.latestVersion(spark, dst) == v1 + 1)
+    // refusal walls: non-append output mode; partitionBy
+    intercept[Exception] {
+      spark.readStream.format("graftlake").load(src)
+        .writeStream.format("graftlake").outputMode("update")
+        .option("path", dst).option("partitionColumn", "part")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck2").toString)
+        .start() }
+    intercept[Exception] {
+      spark.readStream.format("graftlake").load(src)
+        .writeStream.format("graftlake").partitionBy("part")
+        .option("path", dst).option("partitionColumn", "part")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck3").toString)
+        .start() }
+  }
+
   test("graftlake OCC through the format: a format append and a " +
       "concurrent library upsert both land (appends rebase through " +
       "the claim protocol)") {
