@@ -844,13 +844,13 @@ private[graft] object EntryDrives {
       // `spark.readStream.format("graftlake")` over st23/st24's lake —
       // pollAppends cursors as engine offsets
       // (sources.GraftLakeStreamSource), so the commit log is the WAL
-      // and recovery is exact by construction. The drive runs ONE
-      // AvailableNow pass with maxFilesPerTrigger=2 (the burst drains
-      // over ceil(files/2) bounded micro-batches — the st24 admission
-      // identity, now engine-paced), asserts the consumed union equals
-      // the table (count + XOR signature), then commits one more
-      // append and re-runs on the SAME checkpoint: only the new rows
-      // arrive (exactly-once across restarts, no snapshot replay).
+      // and recovery is exact by construction. Run 1 serves the
+      // INITIAL SNAPSHOT as one unbounded batch (the Delta
+      // snapshot-then-tail default) and must equal the table (count +
+      // XOR signature). Then a burst of appends lands and run 2 on the
+      // SAME checkpoint drains ONLY the tail, maxFilesPerTrigger=2 —
+      // exactly ceil(freshFiles/2) bounded batches (the st24 admission
+      // identity, engine-paced), no snapshot replay.
       "st30_stream_format_source" -> { (s: SparkSession, d: String) =>
         import graft.sources.VersionedLake
         import org.apache.spark.sql.streaming.Trigger
@@ -886,18 +886,29 @@ private[graft] object EntryDrives {
           val (wantN, wantSig) =
             lakeFeedSig(VersionedLake.readLatest(s, lake))
           require(n.get == wantN && sig.get == wantSig,
-            s"st30 streamed union diverges from the table: " +
+            s"st30 snapshot diverges from the table: " +
               s"(${n.get}, ${sig.get}) vs ($wantN, $wantSig)")
-          require(batches.get == (totalFiles + maxFiles - 1) / maxFiles,
-            s"st30 expected ceil($totalFiles/$maxFiles) bounded " +
-              s"batches, got ${batches.get}")
-          // restart on the same checkpoint: ONLY the new commit arrives
-          val extra = VersionedLake.readLatest(s, lake).limit(3)
-          VersionedLake.commitAppend(extra, "month", lake)
+          require(batches.get == 1,
+            s"st30 initial snapshot is ONE unbounded batch, got " +
+              s"${batches.get}")
+          // a burst of appends, then restart on the same checkpoint:
+          // ONLY the tail arrives, paced at maxFiles per micro-batch
+          val extra =
+            VersionedLake.readLatest(s, lake).orderBy(col("event_id"))
+          VersionedLake.commitAppend(extra.limit(3), "month", lake)
+          VersionedLake.commitAppend(
+            extra.limit(6).orderBy(col("event_id").desc).limit(3),
+            "month", lake)
+          val newHead = VersionedLake.latestVersion(s, lake)
+          val freshFiles =
+            VersionedLake.manifestFiles(s, lake, newHead).size - totalFiles
           n.set(0); batches.set(0)
           run()
-          require(n.get == 3,
-            s"st30 recovery replayed history: got ${n.get} rows, want 3")
+          require(n.get == 6,
+            s"st30 recovery replayed history: got ${n.get} rows, want 6")
+          require(batches.get == (freshFiles + maxFiles - 1) / maxFiles,
+            s"st30 expected ceil($freshFiles/$maxFiles) paced tail " +
+              s"batches, got ${batches.get}")
         } finally {
           org.apache.spark.sql.graftglue.GraftGlue.unloadStateStores()
           val del = java.util.Comparator.reverseOrder[java.nio.file.Path]()
@@ -908,12 +919,12 @@ private[graft] object EntryDrives {
       // The lake-to-lake FORMAT pipeline (st31, r15): st30's source
       // composed with the format STREAMING SINK — readStream one lake,
       // writeStream another, nothing but format strings; each
-      // micro-batch is a txn-deduped commitBatchAppend (txn = batchId)
-      // so the pipeline is exactly-once by the commit log itself. The
-      // drive asserts dst == src by count + XOR signature, the dst
-      // version count is seed + ceil(files/maxFiles) (one commit per
-      // bounded batch, none empty), and an idle rerun on the same
-      // checkpoint mints NOTHING.
+      // micro-batch is a txn-deduped commitBatchAppend (txn scoped to
+      // the checkpoint | batchId) so the pipeline is exactly-once by
+      // the commit log itself. Run 1 moves the snapshot in ONE commit
+      // (dst == src by count + XOR signature); an idle rerun mints
+      // NOTHING; a tail burst then flows through paced — one dst
+      // commit per bounded micro-batch.
       "st31_stream_format_pipeline" -> { (s: SparkSession, d: String) =>
         import graft.sources.VersionedLake
         import org.apache.spark.sql.streaming.Trigger
@@ -939,19 +950,27 @@ private[graft] object EntryDrives {
         }
         try {
           run()
-          val (srcN, srcSig) = lakeFeedSig(VersionedLake.readLatest(s, src))
-          val (dstN, dstSig) = lakeFeedSig(VersionedLake.readLatest(s, dst))
-          require(srcN == dstN && srcSig == dstSig,
-            s"st31 pipeline diverged: src ($srcN, $srcSig) vs " +
-              s"dst ($dstN, $dstSig)")
-          val want = 1 + (totalFiles + maxFiles - 1) / maxFiles
-          val got = VersionedLake.latestVersion(s, dst)
-          require(got == want,
-            s"st31 expected seed + ceil($totalFiles/$maxFiles) dst " +
-              s"commits, got $got")
+          def sig(p: String) = lakeFeedSig(VersionedLake.readLatest(s, p))
+          require(sig(src) == sig(dst),
+            s"st31 pipeline diverged: ${sig(src)} vs ${sig(dst)}")
+          require(VersionedLake.latestVersion(s, dst) == 2,
+            "st31 snapshot run is seed + ONE commit")
           run() // idle rerun: engine offers nothing, sink mints nothing
-          require(VersionedLake.latestVersion(s, dst) == want,
+          require(VersionedLake.latestVersion(s, dst) == 2,
             "st31 idle rerun minted versions")
+          // a tail burst flows through paced: one dst commit per
+          // bounded micro-batch, and the lakes stay sig-equal
+          val extra =
+            VersionedLake.readLatest(s, src).orderBy(col("event_id"))
+          VersionedLake.commitAppend(extra.limit(3), "month", src)
+          val freshFiles = VersionedLake.manifestFiles(s, src,
+            VersionedLake.latestVersion(s, src)).size - totalFiles
+          run()
+          require(sig(src) == sig(dst),
+            s"st31 tail diverged: ${sig(src)} vs ${sig(dst)}")
+          require(VersionedLake.latestVersion(s, dst) ==
+              2 + (freshFiles + maxFiles - 1) / maxFiles,
+            "st31 tail expected one dst commit per bounded batch")
         } finally {
           org.apache.spark.sql.graftglue.GraftGlue.unloadStateStores()
           val del = java.util.Comparator.reverseOrder[java.nio.file.Path]()

@@ -224,6 +224,7 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
         throw new TableAlreadyExistsException(ident)
       f.delete(ldir, true)
     }
+    val dirExistedBefore = f.exists(new Path(path))
     f.mkdirs(new Path(path))
     def srcOf(refs: Array[org.apache.spark.sql.connector.expressions
         .NamedReference]): String = {
@@ -280,8 +281,15 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
             "transform (identity, months, days, bucket)")
     } catch {
       case e: Throwable =>
-        if (VersionedLake.latestVersion(spark, path) == 0)
+        if (VersionedLake.latestVersion(spark, path) == 0) {
           f.delete(ldir, true)
+          // the empty directory itself would otherwise surface as a
+          // phantom NAMESPACE (r15 self-review); non-recursive delete
+          // removes it only if we left nothing else there
+          if (!dirExistedBefore)
+            try { f.delete(new Path(path), false); () }
+            catch { case _: Exception => () }
+        }
         throw e
     }
     load(ident, None)
@@ -296,7 +304,27 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false
-    fs(base).delete(new Path(tablePath(ident)), true)
+    val path = tablePath(ident)
+    // a lake re-created at this path must not inherit the dead
+    // history's txn replay-dedup set (r15 self-review: the per-JVM
+    // cache would silently no-op its first txn-stamped commits)
+    VersionedLake.forgetTxns(path)
+    fs(base).delete(new Path(path), true)
+  }
+
+  /** Forget the txn caches of every lake under `p` (recursive) —
+    * [[dropTable]]'s rule applied to a CASCADE namespace drop. Keys
+    * are built from the same catalog path spellings the commits used
+    * (never the FileSystem-qualified listing paths). */
+  private def forgetTxnsUnder(p: String): Unit = {
+    val f = fs(base)
+    f.listStatus(new Path(p)).foreach { st =>
+      if (st.isDirectory && st.getPath.getName != "_log") {
+        val child = s"$p/${st.getPath.getName}"
+        VersionedLake.forgetTxns(child)
+        forgetTxnsUnder(child)
+      }
+    }
   }
 
   override def renameTable(oldIdent: Identifier,
@@ -382,11 +410,15 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     val p = nsPath(namespace.toSeq)
     if (!cascade && childDirs(p).nonEmpty)
       throw new NonEmptyNamespaceException(namespace)
+    if (cascade) forgetTxnsUnder(p) // dropTable's txn rule, recursive
     fs(base).delete(new Path(p), true)
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val dir = new Path((base +: namespace.toSeq).mkString("/"))
+    // nsPath validates the segments: SHOW TABLES must not traverse
+    // out of the warehouse either (r15 self-review — every path
+    // construction site goes through the same guard)
+    val dir = new Path(nsPath(namespace.toSeq))
     val f = fs(base)
     if (!f.exists(dir))
       throw new NoSuchNamespaceException(namespace)

@@ -169,16 +169,33 @@ final class GraftLakeSource extends TableProvider with DataSourceRegister
         "graftlake needs a path: df.writeStream.format(\"graftlake\")" +
           ".start(path)"))
     val partCol = parameters.get("partitionColumn")
+    // txn identity must be scoped to the PIPELINE, not the bare
+    // batchId (r15 self-review): batchIds restart at 0 with a fresh
+    // checkpoint, and a second query into the same lake would silently
+    // dedup its early batches against the first's txns. Delta scopes
+    // by txnAppId; here the default scope is the checkpoint location —
+    // the WAL that defines what "the same pipeline" means — hashed
+    // into the txn's high bits (String.hashCode is stable across
+    // JVMs). `txnAppId` overrides for callers who share progress
+    // across checkpoints deliberately.
+    val scopeKey = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graftlake streaming writes need a txn scope: set " +
+          "checkpointLocation (the usual case) or an explicit " +
+          "txnAppId option"))
+    val scope = (scopeKey.hashCode.toLong & 0x7FFFFFFFL) << 32
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long,
                             data: org.apache.spark.sql.DataFrame)
           : Unit = {
+        val txn = scope | (batchId & 0xFFFFFFFFL)
         val b = org.apache.spark.sql.graftglue.GraftGlue.batchFrame(data)
         partCol match {
           case Some(pc) =>
-            VersionedLake.commitBatchAppend(b, pc, path, txn = batchId)
+            VersionedLake.commitBatchAppend(b, pc, path, txn = txn)
           case None =>
-            HiddenPartitioning.commitBatchAppend(b, path, txn = batchId)
+            HiddenPartitioning.commitBatchAppend(b, path, txn = txn)
         }
         ()
       }

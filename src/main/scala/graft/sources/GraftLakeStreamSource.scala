@@ -18,17 +18,22 @@ import org.apache.spark.sql.types.StructType
   * argument pollAppends documents).
   *
   * Contract, all inherited from the append feed and stated loudly:
-  *  - APPEND-ONLY follow: a rewrite (upsert/overwrite/delete) or a
-  *    deletion-vector commit inside a polled range fails the stream —
+  *  - The FIRST batch is the SNAPSHOT: getBatch(None, end) reads the
+  *    DV-folded latest version whole ([[VersionedLake.readVersion]])
+  *    — Delta's initial-snapshot-then-tail default — so a lake whose
+  *    HISTORY holds rewrites/deletes streams fine (r15 self-review:
+  *    slicing the snapshot from cursor (0,0) walked — and refused on —
+  *    historical DV commits the snapshot never reads).
+  *  - APPEND-ONLY follow AFTER the snapshot: a rewrite or a
+  *    deletion-vector commit inside a TAILED range fails the stream —
   *    the change feed ([[VersionedLake.changesBetween]]) is the CDC
   *    reader, this source is the Delta `ignoreChanges`-unset posture.
-  *  - The FIRST batch is the snapshot: getBatch(None, end) slices
-  *    from cursor (0,0) — everything live at `end` — then the stream
-  *    follows appends (Delta's initial-snapshot-then-tail default).
   *  - `maxFilesPerTrigger` (Delta's option, st24's admission rule)
-  *    bounds each offered offset to that many appended files past the
-  *    last offered cursor; a commit burst becomes several bounded
-  *    micro-batches with SUB-version progress.
+  *    bounds each TAIL offer to that many appended files past the
+  *    last offered cursor ([[VersionedLake.advanceCursor]] — cursor
+  *    arithmetic only, no planning on the offer path); a commit burst
+  *    becomes several bounded micro-batches with SUB-version
+  *    progress. The snapshot batch itself is one unbounded batch.
   *  - A HIDDEN-partitioned lake streams with its internal column
   *    hidden (the format's schema rule).
   *  - Schema is fixed at stream start (latest version's); a rename
@@ -81,15 +86,16 @@ final class GraftLakeStreamSource(spark: SparkSession, path: String,
     val head = availableNowBound.getOrElse(
       (VersionedLake.latestVersion(spark, path), 0))
     if (head._1 == 0) return None
-    val next = maxFiles match {
-      case None => head
-      case Some(m) =>
-        // advance the cursor by at most m files: pollAppends' own
-        // traversal (the returned frame is lazy — planning only),
-        // capped at the AvailableNow bound when one is armed
-        val adv = VersionedLake.pollAppends(spark, path, offered, m)._2
-        if (GraftLakeStreamSource.le(adv, head)) adv else head
-    }
+    val next =
+      if (offered == (0, 0)) head // the snapshot: one unbounded batch
+      else maxFiles match {
+        case None => head
+        case Some(m) =>
+          // cursor arithmetic only, capped at the AvailableNow bound
+          // when one is armed: a rewrite committed AFTER prepare sits
+          // past the cap and must never fail the bounded drain
+          VersionedLake.advanceCursor(spark, path, offered, m, head._1)
+      }
     if (GraftLakeStreamSource.le(next, offered)) {
       if (offered == (0, 0)) None
       else Some(GraftLakeCursorOffset(offered._1, offered._2))
@@ -100,12 +106,21 @@ final class GraftLakeStreamSource(spark: SparkSession, path: String,
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(GraftLakeStreamSource.cursor).getOrElse((0, 0))
     val to = GraftLakeStreamSource.cursor(end)
     // recovery resync: the WAL's committed range may be ahead of a
     // fresh source instance's pacing state
     if (GraftLakeStreamSource.le(offered, to)) offered = to
-    val slice = VersionedLake.appendsSlice(spark, path, from, to)
+    val slice = start match {
+      case None =>
+        // the INITIAL SNAPSHOT: the DV-folded latest whole — never a
+        // history walk, so pre-stream rewrites don't refuse
+        require(to._2 == 0,
+          s"snapshot offset must be a whole version, got $to")
+        VersionedLake.readVersion(spark, path, to._1)
+      case Some(s) =>
+        VersionedLake.appendsSlice(spark, path,
+          GraftLakeStreamSource.cursor(s), to)
+    }
     val visible =
       if (HiddenPartitioning.declared(spark, path))
         slice.drop(HiddenPartitioning.spec(spark, path).partCol)

@@ -2566,6 +2566,65 @@ object VersionedLake {
       mappedRead(spark, path, vTo, fresh, Seq.empty)
   }
 
+  /** One version-step of the append-feed walk, shared by
+    * [[pollAppends]] / [[appendsSlice]] / [[advanceCursor]] so the
+    * append-only CONTRACT lives exactly once (r15 self-review: three
+    * verbatim validators would drift): a replaced/dropped file or a
+    * fresh deletion vector refuses loudly, pointing at the change
+    * feed. Returns (the version's FRESH entries in manifest order,
+    * its full rel set for the next step). */
+  private def freshAppends(prevRels: Set[String],
+                           nextEntries: Seq[FileEntry], next: Int,
+                           where: String)
+      : (Seq[FileEntry], Set[String]) = {
+    val nextRels = nextEntries.map(_.rel).toSet
+    val removed = prevRels -- nextRels
+    require(removed.isEmpty,
+      s"version $next is not append-only $where: ${removed.size} " +
+        "file(s) replaced or dropped — read the change feed " +
+        "(changesBetween) instead")
+    val fresh = nextEntries.filterNot(e => prevRels.contains(e.rel))
+    require(!fresh.exists(_.kind == KindDv),
+      s"version $next committed deletion vectors (rows removed) — " +
+        "read the change feed (changesBetween) instead")
+    (fresh, nextRels)
+  }
+
+  /** [[pollAppends]]'s cursor arithmetic WITHOUT the data read — the
+    * streaming source's OFFER path (r15 self-review: building and
+    * discarding a mappedRead frame per trigger made offers carry
+    * planning cost; and walking to the LIVE head let a rewrite
+    * committed after a Trigger.AvailableNow prepare crash a bounded
+    * drain that never reads it). Walks at most `maxFiles` appended
+    * files forward from `cursor`, never past `capVersion`; metadata
+    * only. */
+  private[sources] def advanceCursor(spark: SparkSession, path: String,
+                                     cursor: (Int, Int), maxFiles: Int,
+                                     capVersion: Int): (Int, Int) = {
+    require(maxFiles >= 1, "maxFiles must be >= 1")
+    val (cv, cOff) = cursor
+    var prevRels =
+      if (cv == 0) Set.empty[String]
+      else manifestEntries(spark, path, cv).map(_.rel).toSet
+    var n = 0
+    var full = cv
+    var part = cOff
+    var v = cv
+    while (n < maxFiles && v < capVersion) {
+      val next = v + 1
+      val (fresh, nextRels) = freshAppends(prevRels,
+        manifestEntries(spark, path, next), next, "past the cursor")
+      val skip = if (next == cv + 1) cOff else 0
+      val take = math.min(maxFiles - n, fresh.size - skip)
+      n += math.max(0, take)
+      if (skip + take == fresh.size) { full = next; part = 0 }
+      else part = skip + take
+      prevRels = nextRels
+      v = next
+    }
+    (full, part)
+  }
+
   /** ADMISSION-CONTROLLED streaming-source poll (Delta's
     * `maxFilesPerTrigger` on [[appendsBetween]]'s cursor — st24): a
     * burst of commits must not turn one micro-batch into an unbounded
@@ -2596,17 +2655,8 @@ object VersionedLake {
     var lastTraversed = cv
     while (picked.size < maxFiles && v < head) {
       val next = v + 1
-      val nextEntries = manifestEntries(spark, path, next)
-      val nextRels = nextEntries.map(_.rel).toSet
-      val removed = prevRels -- nextRels
-      require(removed.isEmpty,
-        s"version $next is not append-only past the cursor: " +
-          s"${removed.size} file(s) replaced or dropped — read the " +
-          "change feed (changesBetween) instead")
-      val fresh = nextEntries.filterNot(e => prevRels.contains(e.rel))
-      require(!fresh.exists(_.kind == KindDv),
-        s"version $next committed deletion vectors (rows removed) — " +
-          "read the change feed (changesBetween) instead")
+      val (fresh, nextRels) = freshAppends(prevRels,
+        manifestEntries(spark, path, next), next, "past the cursor")
       val skip = if (next == cv + 1) cOff else 0
       val take = math.min(maxFiles - picked.size, fresh.size - skip)
       picked ++= fresh.slice(skip, skip + take)
@@ -2654,17 +2704,8 @@ object VersionedLake {
     var v = fv
     while (v < lastV) {
       val next = v + 1
-      val nextEntries = manifestEntries(spark, path, next)
-      val nextRels = nextEntries.map(_.rel).toSet
-      val removed = prevRels -- nextRels
-      require(removed.isEmpty,
-        s"version $next is not append-only inside the slice: " +
-          s"${removed.size} file(s) replaced or dropped — read the " +
-          "change feed (changesBetween) instead")
-      val fresh = nextEntries.filterNot(e => prevRels.contains(e.rel))
-      require(!fresh.exists(_.kind == KindDv),
-        s"version $next committed deletion vectors (rows removed) — " +
-          "read the change feed (changesBetween) instead")
+      val (fresh, nextRels) = freshAppends(prevRels,
+        manifestEntries(spark, path, next), next, "inside the slice")
       val skip = if (next == fv + 1) fOff else 0
       val until = if (next == tv + 1) tOff else fresh.size
       require(skip <= fresh.size && until <= fresh.size && skip <= until,
@@ -2680,6 +2721,17 @@ object VersionedLake {
           .filter(_.kind == KindData))
     else
       mappedRead(spark, path, lastV, picked.toSeq, Seq.empty)
+  }
+
+  /** Forget the per-JVM txn replay-dedup cache for `path` — REQUIRED
+    * by any code path that deletes a lake without [[reset]] (the
+    * catalog's DROP TABLE / DROP NAMESPACE CASCADE, r15 self-review):
+    * a lake re-created at the same path must not inherit the dead
+    * history's txn set, or its first txn-stamped commits silently
+    * dedup into no-ops. */
+  private[sources] def forgetTxns(path: String): Unit = {
+    txnCache.remove(path.stripSuffix("/"))
+    ()
   }
 
   /** Drop every version's state — a fresh-lake reset for fixtures.

@@ -371,6 +371,30 @@ class GraftLakeSourceSpec extends SparkSpec {
     spark.sql("INSERT INTO graft2.ns.p VALUES (1, '1997-01')")
     assert(spark.sql("SELECT id FROM graft2.ns.p")
       .as[Long].collect().toSet == Set(1L))
+    // DROP TABLE forgets the txn replay-dedup cache: a reborn table's
+    // first txn-stamped commit LANDS instead of silently deduping
+    // against the dead history (r15 self-review)
+    import graft.sources.VersionedLake
+    val rPath = s"$wh/ns/r"
+    spark.sql("""CREATE TABLE graft2.ns.r
+      (id BIGINT, month STRING) PARTITIONED BY (month)""")
+    val rdf = Seq((1L, "1997-01")).toDF("id", "month")
+    VersionedLake.commitBatchAppend(rdf, "month", rPath, txn = 7L)
+    assert(VersionedLake.latestVersion(spark, rPath) == 2)
+    spark.sql("DROP TABLE graft2.ns.r")
+    spark.sql("""CREATE TABLE graft2.ns.r
+      (id BIGINT, month STRING) PARTITIONED BY (month)""")
+    VersionedLake.commitBatchAppend(rdf, "month", rPath, txn = 7L)
+    assert(VersionedLake.latestVersion(spark, rPath) == 2,
+      "reborn lake accepted txn 7 — the dead history's dedup set " +
+        "was forgotten on DROP")
+    // a refused create leaves NO phantom namespace behind
+    intercept[Exception] {
+      spark.sql("""CREATE TABLE graft2.ns.bad2 (id BIGINT, d DATE)
+        PARTITIONED BY (years(d))""") }
+    assert(!spark.sql("SHOW NAMESPACES IN graft2.ns").collect()
+      .map(_.getString(0)).contains("ns.bad2"),
+      "refused create left an empty directory namespace")
   }
 
   test("graftlake catalog namespaces: CREATE/SHOW/DROP NAMESPACE over " +
@@ -500,14 +524,19 @@ class GraftLakeSourceSpec extends SparkSpec {
     run()
     assert(got.flatten.toSet == Set(1L, 2L, 3L),
       "initial snapshot covers everything live at stream start")
-    assert(got.count(_.nonEmpty) >= 3,
-      s"maxFilesPerTrigger=1 splits 3 files into >=3 batches, got $got")
-    // restart on the SAME checkpoint: only NEW appends arrive
+    assert(got.count(_.nonEmpty) == 1,
+      s"the initial snapshot is ONE unbounded batch, got $got")
+    // restart on the SAME checkpoint: only NEW appends arrive, and
+    // the tail IS paced — two appended files at maxFiles=1 drain as
+    // two bounded micro-batches
     got.clear()
     VersionedLake.commitAppend(df(4L -> "c"), "part", lake) // v4
+    VersionedLake.commitAppend(df(6L -> "d"), "part", lake) // v5
     run()
-    assert(got.flatten.toSet == Set(4L),
+    assert(got.flatten.toSet == Set(4L, 6L),
       "recovery resumed at the committed cursor — no replays")
+    assert(got.count(_.nonEmpty) == 2,
+      s"maxFilesPerTrigger=1 paces the tail one file per batch, got $got")
     // a DV commit breaks the append-only follow contract LOUDLY
     VersionedLake.commitDelete(Seq(1L -> "a").toDF("id", "part"),
       Seq("id"), "part", lake)
@@ -521,6 +550,23 @@ class GraftLakeSourceSpec extends SparkSpec {
     intercept[Exception] {
       spark.readStream.format("graftlake")
         .option("versionAsOf", "2").load(lake) }
+    // a FRESH stream on the same lake STARTS fine: the initial
+    // snapshot reads the DV-folded latest and never walks the
+    // rewrite history that just failed the TAIL (r15 self-review —
+    // slicing the snapshot from (0,0) refused on any historical DV)
+    val ck2 = java.nio.file.Files.createTempDirectory("lake_ss_ck2")
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q2 = spark.readStream.format("graftlake").load(lake)
+      .writeStream.option("checkpointLocation", ck2.toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val ids = b.select("id").collect().map(_.getLong(0)).toSet
+        got2.synchronized { got2 += ids }; ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(got2.flatten.toSet == Set(2L, 3L, 4L, 6L, 5L),
+      s"fresh-stream snapshot folds the delete history, got $got2")
     // a HIDDEN-partitioned lake streams with its internal column
     // hidden — the format's schema rule, batch and stream alike
     import graft.sources.{HiddenPartitioning => HP}
@@ -583,6 +629,26 @@ class GraftLakeSourceSpec extends SparkSpec {
     run()
     assert(ids(dst) == Set(1L, 2L, 3L, 4L))
     assert(VersionedLake.latestVersion(spark, dst) == v1 + 1)
+    // a DIFFERENT pipeline (fresh checkpoint) into the SAME dst must
+    // not dedup against the first pipeline's txns: the txn scope is
+    // the checkpoint, not the bare batchId (r15 self-review)
+    val before = VersionedLake.readLatest(spark, dst).count()
+    val ck4 = java.nio.file.Files.createTempDirectory("lake_sk_ck4")
+    val q4 = spark.readStream.format("graftlake").load(src)
+      .writeStream.format("graftlake")
+      .option("path", dst).option("partitionColumn", "part")
+      .option("checkpointLocation", ck4.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q4.awaitTermination()
+    assert(VersionedLake.readLatest(spark, dst).count() ==
+        before + VersionedLake.readLatest(spark, src).count(),
+      "the second pipeline's snapshot batch landed (own txn scope)")
+    // and a missing txn scope refuses at start
+    intercept[Exception] {
+      spark.readStream.format("graftlake").load(src)
+        .writeStream.format("graftlake")
+        .option("path", dst).option("partitionColumn", "part")
+        .start() }
     // refusal walls: non-append output mode; partitionBy
     intercept[Exception] {
       spark.readStream.format("graftlake").load(src)
