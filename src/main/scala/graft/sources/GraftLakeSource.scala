@@ -119,11 +119,12 @@ final class GraftLakeSource extends TableProvider with DataSourceRegister
   // FOLLOWS the log, a pinned version cannot move.
 
   private def streamParams(parameters: Map[String, String])
-      : (String, StructType, Option[Int]) = {
+      : (String, StructType, Option[Int], Option[Int]) = {
     require(!parameters.contains("versionAsOf") &&
         !parameters.contains("timestampAsOf"),
       "graftlake streaming follows the log: time-travel pins cannot " +
-        "stream (read the pinned version as a batch instead)")
+        "stream (read the pinned version as a batch instead; " +
+        "startingVersion tails from a version onward)")
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "graftlake needs a path: spark.readStream.format(\"graftlake\")" +
@@ -131,10 +132,14 @@ final class GraftLakeSource extends TableProvider with DataSourceRegister
     require(VersionedLake.latestVersion(spark, path) > 0,
       s"graftlake stream needs an existing lake at $path — seed the " +
         "schema first (commitOverwrite(df.limit(0)))")
+    val startAt = parameters.get("startingVersion").map(_.trim.toInt)
+    startAt.foreach(v => require(v >= 1,
+      s"startingVersion must be >= 1, got $v"))
     val schema = inferSchema(new CaseInsensitiveStringMap(
       scala.jdk.CollectionConverters.MapHasAsJava(
         Map("path" -> path)).asJava))
-    (path, schema, parameters.get("maxFilesPerTrigger").map(_.trim.toInt))
+    (path, schema,
+      parameters.get("maxFilesPerTrigger").map(_.trim.toInt), startAt)
   }
 
   /** The format-level STREAMING SINK
@@ -220,9 +225,9 @@ final class GraftLakeSource extends TableProvider with DataSourceRegister
                             providerName: String,
                             parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
-    val (path, declared, maxFiles) = streamParams(parameters)
+    val (path, declared, maxFiles, startAt) = streamParams(parameters)
     new GraftLakeStreamSource(sqlContext.sparkSession, path, declared,
-      maxFiles)
+      maxFiles, startAt)
   }
 
   override def supportsExternalMetadata(): Boolean = false

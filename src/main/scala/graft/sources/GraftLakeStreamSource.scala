@@ -42,14 +42,25 @@ import org.apache.spark.sql.types.StructType
   */
 final class GraftLakeStreamSource(spark: SparkSession, path: String,
                                   declared: StructType,
-                                  maxFiles: Option[Int]) extends Source
+                                  maxFiles: Option[Int],
+                                  startingVersion: Option[Int] = None)
+    extends Source
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
 
+  /** `startingVersion` (Delta's option): tail from that version's
+    * appends ONWARD — no initial snapshot — which is also the
+    * documented way to start a stream on a lake whose RECENT history
+    * holds rewrites: pick a version past them and only the tail's
+    * append-only contract applies. None = snapshot-then-tail. */
+  private val base: (Int, Int) =
+    startingVersion.map(v => (v - 1, 0)).getOrElse((0, 0))
+
   /** Last cursor OFFERED to the engine — pacing state only (the
     * engine's WAL owns progress; a restart resyncs this from the
-    * first getBatch's `end`). Starts at (0,0): nothing offered. */
-  private var offered: (Int, Int) = (0, 0)
+    * first getBatch's `end`). Starts at the tail base: nothing
+    * offered yet. */
+  private var offered: (Int, Int) = base
 
   /** Trigger.AvailableNow's cap: implemented on the SOURCE (not left
     * to the engine's one-shot wrapper, which would snapshot the
@@ -87,7 +98,8 @@ final class GraftLakeStreamSource(spark: SparkSession, path: String,
       (VersionedLake.latestVersion(spark, path), 0))
     if (head._1 == 0) return None
     val next =
-      if (offered == (0, 0)) head // the snapshot: one unbounded batch
+      if (offered == (0, 0) && startingVersion.isEmpty)
+        head // the snapshot: one unbounded batch
       else maxFiles match {
         case None => head
         case Some(m) =>
@@ -97,7 +109,7 @@ final class GraftLakeStreamSource(spark: SparkSession, path: String,
           VersionedLake.advanceCursor(spark, path, offered, m, head._1)
       }
     if (GraftLakeStreamSource.le(next, offered)) {
-      if (offered == (0, 0)) None
+      if (offered == base) None // nothing consumed, nothing to offer
       else Some(GraftLakeCursorOffset(offered._1, offered._2))
     } else {
       offered = next
@@ -111,12 +123,14 @@ final class GraftLakeStreamSource(spark: SparkSession, path: String,
     // fresh source instance's pacing state
     if (GraftLakeStreamSource.le(offered, to)) offered = to
     val slice = start match {
-      case None =>
+      case None if startingVersion.isEmpty =>
         // the INITIAL SNAPSHOT: the DV-folded latest whole — never a
         // history walk, so pre-stream rewrites don't refuse
         require(to._2 == 0,
           s"snapshot offset must be a whole version, got $to")
         VersionedLake.readVersion(spark, path, to._1)
+      case None => // startingVersion: the tail begins AT that version
+        VersionedLake.appendsSlice(spark, path, base, to)
       case Some(s) =>
         VersionedLake.appendsSlice(spark, path,
           GraftLakeStreamSource.cursor(s), to)

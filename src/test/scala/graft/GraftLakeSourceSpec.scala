@@ -567,6 +567,24 @@ class GraftLakeSourceSpec extends SparkSpec {
     q2.awaitTermination()
     assert(got2.flatten.toSet == Set(2L, 3L, 4L, 6L, 5L),
       s"fresh-stream snapshot folds the delete history, got $got2")
+    // startingVersion: tail from a version ONWARD, no snapshot — the
+    // Delta-style escape that also tails PAST rewrite history
+    val headNow = VersionedLake.latestVersion(spark, lake)
+    val ck3 = java.nio.file.Files.createTempDirectory("lake_ss_ck3")
+    val got3 = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    VersionedLake.commitAppend(df(7L -> "e"), "part", lake)
+    val q3 = spark.readStream.format("graftlake")
+      .option("startingVersion", (headNow + 1).toString).load(lake)
+      .writeStream.option("checkpointLocation", ck3.toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val ids = b.select("id").collect().map(_.getLong(0)).toSet
+        got3.synchronized { got3 += ids }; ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination()
+    assert(got3.flatten.toSet == Set(7L),
+      s"startingVersion tails from the version onward only, got $got3")
     // a HIDDEN-partitioned lake streams with its internal column
     // hidden — the format's schema rule, batch and stream alike
     import graft.sources.{HiddenPartitioning => HP}
