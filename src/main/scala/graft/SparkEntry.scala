@@ -331,7 +331,7 @@ object SparkEntry {
     // exact full-dim cosines are the contract harness
     "s07_jl_distortion" -> ((s: SparkSession, d: String) => {
       val emb = Tables.embeddings(s, d)
-      val (_, dim) = Similarity.corpusStats(emb)
+      val dim = Similarity.vecDim(emb)
       emb.select(col("vec_id"),
         graft.plans.ProjectVectorFunctions.projectVector(
           col("embedding"), Similarity.hyperplanes(32, dim, 7L))

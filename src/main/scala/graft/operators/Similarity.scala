@@ -164,7 +164,7 @@ object Similarity {
                     stats: Option[(Long, Int)] = None,
                     idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
-    val (_, dim) = stats.getOrElse(corpusStats(corpus, vecCol))
+    val dim = stats.map(_._2).getOrElse(vecDim(corpus, vecCol))
     val planes = hyperplanes(nDims, dim, seed)
     def proj(c: Column): Column =
       graft.plans.ProjectVectorFunctions.projectVector(c, planes)
@@ -199,7 +199,7 @@ object Similarity {
                         stats: Option[(Long, Int)] = None,
                         idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
-    val (_, dim) = stats.getOrElse(corpusStats(corpus, vecCol))
+    val dim = stats.map(_._2).getOrElse(vecDim(corpus, vecCol))
     val planes = hyperplanes(nDims, dim, seed)
     def proj(c: Column): Column =
       graft.plans.ProjectVectorFunctions.projectVector(c, planes)
@@ -236,6 +236,19 @@ object Similarity {
     // max() is NULL on an empty corpus — degrade to dim 0 (plans stay
     // valid and return empty) instead of an NPE at the driver
     (r.getLong(0), if (r.isNullAt(1)) 0 else r.getInt(1))
+  }
+
+  /** Dimensionality alone, as a ONE-ROW probe (CollectLimit pushes the
+    * limit into the scan) — for the call sites that threw corpusStats'
+    * row count away, which at 100 TB means a full corpus pass computed
+    * and discarded per operator call (guide §1.2: don't compute things
+    * you throw away). Relies on the operators' existing fixed-dim
+    * corpus contract (every vector the same length — the same
+    * assumption unitNorm/DotProduct folds already make); corpora
+    * needing the defensive max-over-all-rows probe keep corpusStats. */
+  def vecDim(corpus: DataFrame, vecCol: String = "embedding"): Int = {
+    val r = corpus.select(size(col(vecCol)).as("d")).head(1)
+    if (r.isEmpty) 0 else r(0).getInt(0)
   }
 
   /** Probability a random hyperplane puts a pair at cosine `sim` on the
@@ -639,7 +652,7 @@ object Similarity {
              seed: Long = 42L, trainCap: Int = 4096,
              idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
-    val (_, dim) = corpusStats(corpus, vecCol)
+    val dim = vecDim(corpus, vecCol)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     def slices(df: DataFrame, outId: String): DataFrame =
@@ -800,7 +813,7 @@ object Similarity {
                        codeK: Int = 16, seed: Long = 42L,
                        trainCap: Int = 4096, idCol: String = "vec_id",
                        vecCol: String = "embedding"): IvfAdcIndex = {
-    val (_, dim) = corpusStats(corpus, vecCol)
+    val dim = vecDim(corpus, vecCol)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     val uCorpus = unitNorm(corpus, idCol, vecCol)
@@ -857,10 +870,14 @@ object Similarity {
   def encodeIvfAdc(vectors: DataFrame, index: IvfAdcIndex,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
-    val mIdx = index.codebook.agg(max(col("j"))).head().getInt(0) + 1
-    // dim from the codebook's own subvector width — no pass over the
-    // delta needed for shape derivation
-    val sub = index.codebook.select(size(col("cen"))).head().getInt(0)
+    // one probe job over the m·codeK-row codebook for BOTH shape
+    // params (was two separate head() jobs per encode call; st21/s20
+    // pay this per micro-batch). max(size) == every row's size — one
+    // codebook has one subvector width.
+    val shape = index.codebook
+      .agg(max(col("j")), max(size(col("cen")))).head()
+    val mIdx = shape.getInt(0) + 1
+    val sub = shape.getInt(1)
     val u = unitNorm(vectors, idCol, vecCol)
     // argmin over the broadcast centroids as a partial-combining
     // min-struct aggregation; the vector itself rides in the struct
@@ -896,7 +913,7 @@ object Similarity {
                    m: Int = -1, rerank: Int = 250,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
-    val (_, dim) = corpusStats(corpus, vecCol)
+    val dim = vecDim(corpus, vecCol)
     val mIdx = index.codebook.agg(max(col("j"))).head().getInt(0) + 1
     require(m == -1 || m == mIdx,
       s"search m=$m does not match the index's $mIdx subspaces")

