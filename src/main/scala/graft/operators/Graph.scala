@@ -193,7 +193,8 @@ object Graph {
     * @return (node, pr) — pr in `scale` units
     */
   def pageRankInt(edges: DataFrame, iters: Int = 3,
-                  scale: Long = 1000000L): DataFrame = {
+                  scale: Long = 1000000L,
+                  checkpointEvery: Int = 8): DataFrame = {
     val wCol = if (edges.columns.length >= 3)
       col(edges.columns(2)).cast("long") else lit(1L)
     val e = edges.select(
@@ -221,7 +222,7 @@ object Graph {
       .persist()
     nodes.count()
     var pr = nodes.withColumn("pr", lit(scale))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val contrib = ed.join(pr.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), expr("(pr * w) div wsum").as("contrib"))
         .groupBy(col("dst"))
@@ -230,9 +231,17 @@ object Graph {
       pr = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(scale / 2) + expr("coalesce(csum, 0L) div 2")).as("pr"))
-        .localCheckpoint(true)
+      // lineage control without a materialization job per round: only
+      // every checkpointEvery-th round (and the LAST — the caches drop
+      // below, so the returned frame must not recompute through them)
+      // checkpoints eagerly; in between, rounds nest as plain joins and
+      // the whole block executes as ONE job at the checkpoint (guide
+      // §1.2: remove passes — the per-round eager checkpoint was one
+      // extra materialization of the node-sized frame per round)
+      if (it == iters || it % checkpointEvery == 0)
+        pr = pr.localCheckpoint(true)
     }
-    // every round's ranks are eagerly materialized, so the edge and
+    // the final round's ranks are eagerly materialized, so the edge and
     // node caches can drop before the result is consumed
     ed.unpersist(false)
     nodes.unpersist(false)
@@ -313,7 +322,8 @@ object Graph {
     */
   def pageRankIntPersonalized(edges: DataFrame, seeds: DataFrame,
                               iters: Int = 3,
-                              scale: Long = 1000000L): DataFrame = {
+                              scale: Long = 1000000L,
+                              checkpointEvery: Int = 8): DataFrame = {
     val wCol = if (edges.columns.length >= 3)
       col(edges.columns(2)).cast("long") else lit(1L)
     val e = edges.select(
@@ -338,7 +348,7 @@ object Graph {
       .persist()
     nodes.count()
     var pr = nodes.select(col("node"), (col("floor0") * 2).as("pr"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val contrib = ed.join(pr.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), expr("(pr * w) div wsum").as("contrib"))
         .groupBy(col("dst"))
@@ -347,7 +357,9 @@ object Graph {
       pr = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (col("floor0") + expr("coalesce(csum, 0L) div 2")).as("pr"))
-        .localCheckpoint(true)
+      // the pageRankInt checkpoint cadence (see its loop comment)
+      if (it == iters || it % checkpointEvery == 0)
+        pr = pr.localCheckpoint(true)
     }
     ed.unpersist(false)
     nodes.unpersist(false)
