@@ -617,8 +617,8 @@ private[graft] object EntryDefsB {
     // fused 52-bit draw — bit-identical to
     // conv(substring(md5(…),1,13),16,10) (Md5Draw52 scaladoc); the
     // oracle keeps recomputing it through the hex route
-    val u = graft.plans.Md5Draw52.md5Draw52(concat(
-      col("doc_id").cast("string"), lit(":ws42"))) + lit(1L)
+    val u = graft.plans.Md5DrawKey52.md5DrawKey52(
+      col("doc_id"), lit(":ws42")) + lit(1L)
     val w = greatest(col("n_chars"), lit(1L))
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"),

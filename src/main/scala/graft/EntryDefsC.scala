@@ -529,9 +529,8 @@ private[graft] object EntryDefsC {
     // conv(substring(md5(…),1,13),16,10) chain (Md5Draw52 scaladoc;
     // measured 4.3 s of this query's 5.8 s at sf0.1 was hex-string
     // materialization + radix parse); the oracle's hex route unchanged
-    val k = graft.plans.Md5Draw52.md5Draw52(concat(
-      col("o_orderkey").cast("string"), lit(":bs"),
-      col("b").cast("string")))
+    val k = graft.plans.Md5DrawKey52.md5DrawKey52(
+      col("o_orderkey"), lit(":bs"), col("b"))
     val w = when(col("b") === 0, lit(1L)).otherwise(
       ts.zipWithIndex.foldRight(lit(6L): Column) { case ((t, i), rest) =>
         when(col("k") < t, i.toLong).otherwise(rest)

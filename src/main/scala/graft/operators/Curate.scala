@@ -156,6 +156,37 @@ object Curate {
       .withColumn("kept", !col("exact_dup") && !col("near_dup"))
   }
 
+  /** [[incremental]] against a PRE-INDEXED corpus: `index` carries one
+    * row per corpus doc — (doc_id, blk, h, stoks), computed ONCE at
+    * that doc's own ingest ([[graft.streaming.DocStreams]] maintains
+    * the store) — so the per-batch probe never re-reads corpus text:
+    * the exact probe semi-joins stored 32-byte hashes, the near probe
+    * runs the asymmetric prefix-filter join against stored sorted
+    * token arrays ([[TextDedup.tokenJaccardAgainstIndexed]]). Verdicts
+    * are IDENTICAL to [[incremental]] over the same logical corpus
+    * (both probes verify exactly; StreamingSpec pins equality).
+    * `deltaPrep` carries the same (doc_id, blk, h, stoks) shape for
+    * the delta, computed once by the caller and reused for the index
+    * append. */
+  def incrementalIndexed(deltaPrep: DataFrame, index: DataFrame,
+                         threshold: Double = 0.5): DataFrame = {
+    val exactDup = deltaPrep.select(col("doc_id"), col("h"))
+      .join(index.select(col("h")), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("__exact", lit(true))
+    val nearDup = TextDedup.tokenJaccardAgainstIndexed(
+        deltaPrep.select(col("doc_id"), col("blk"), col("stoks")),
+        index.select(col("doc_id"), col("blk"), col("stoks")), threshold)
+      .select(col("probe_id").as("doc_id")).distinct()
+      .withColumn("__near", lit(true))
+    deltaPrep.select(col("doc_id"))
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__exact"), lit(false)).as("exact_dup"),
+        coalesce(col("__near"), lit(false)).as("near_dup"))
+      .withColumn("kept", !col("exact_dup") && !col("near_dup"))
+  }
+
   /** One-row funnel summary over the whole pipeline (the oracle form).
     * Takes the SAME thresholds as [[kept]] and threads them through the
     * SHARED stage helpers, so the per-stage numbers and the final

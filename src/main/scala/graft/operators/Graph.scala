@@ -77,18 +77,6 @@ object Graph {
       linkSmall.union(linkSelf).distinct()
     }
 
-    // order-independent edge-set signature: stable across rounds iff the
-    // set is. bit_xor, not sum: xor can't overflow (ANSI mode forbids
-    // wrapping sums) and the edge set is distinct so nothing cancels;
-    // a 64-bit collision across rounds is not a correctness risk worth
-    // a full set-compare every round
-    def signature(e: DataFrame): (Long, Long) = {
-      val r = e.agg(
-        coalesce(bit_xor(xxhash64(col("lo"), col("hi"))), lit(0L)).as("h"),
-        count(lit(1)).as("n")).head()
-      (r.getLong(0), r.getLong(1))
-    }
-
     // Checkpoint hygiene: each round's localCheckpoint persists an
     // edge-set copy in the block manager, and nothing below ever reads
     // a SUPERSEDED round again — without explicit unpersist the blocks
@@ -99,27 +87,45 @@ object Graph {
     // the LIVE checkpoint (which the returned frame depends on) stays.
     val sc = edges.sparkSession.sparkContext
     var liveIds: Set[Int] = Set.empty
-    def checkpointSwapping(df: DataFrame): DataFrame = {
+    // the convergence probe RIDES the checkpoint materialization
+    // (Dataset.observe → CollectMetrics): the order-independent
+    // edge-set signature (count + bit_xor hash — xor can't overflow
+    // under ANSI and the distinct set can't cancel; a 64-bit collision
+    // across rounds is not a correctness risk worth a full
+    // set-compare) is aggregated WHILE the checkpoint's rows
+    // materialize, so each round is ONE pass over the edge set instead
+    // of checkpoint + a second signature job re-reading the blocks
+    // (guide §1.2: remove passes). Same aggregates, same values, same
+    // convergence decisions — the output frame is untouched (the
+    // checkpoint returns a bare LogicalRDD; CollectMetrics never
+    // survives into the caller's plan).
+    def checkpointSwapping(df: DataFrame): (DataFrame, (Long, Long)) = {
+      // named observe + SYNCHRONOUS readback from the executed plan's
+      // own accumulators (queryExecution.observedMetrics) — never the
+      // Observation listener API, whose get() waits on the async
+      // listener bus (measured: per-wait latency swamps small rounds)
+      val observed = df.observe("cc_sig",
+        coalesce(bit_xor(xxhash64(col("lo"), col("hi"))), lit(0L)).as("h"),
+        count(lit(1)).as("n"))
       val before = sc.getPersistentRDDs.keySet
       // EAGER on purpose: the previous round's blocks are unpersisted
       // right below, and this round's lineage (truncated by the
       // checkpoint) can only be recomputed from those blocks — the
       // new round must be materialized BEFORE its ancestor drops
-      val out = df.localCheckpoint()
+      val out = observed.localCheckpoint()
       val created = (sc.getPersistentRDDs.keySet -- before).toSet
       liveIds.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       liveIds = created
-      out
+      val m = observed.queryExecution.observedMetrics("cc_sig")
+      (out, (m.getAs[Long]("h"), m.getAs[Long]("n")))
     }
 
-    var cur = checkpointSwapping(base)
-    var sig = signature(cur)
+    var (cur, sig) = checkpointSwapping(base)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = checkpointSwapping(smallStar(largeStar(cur)))
-      val nextSig = signature(next)
+      val (next, nextSig) = checkpointSwapping(smallStar(largeStar(cur)))
       converged = nextSig == sig
       sig = nextSig
       cur = next

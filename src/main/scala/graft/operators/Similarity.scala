@@ -245,9 +245,13 @@ object Similarity {
     * you throw away). Relies on the operators' existing fixed-dim
     * corpus contract (every vector the same length — the same
     * assumption unitNorm/DotProduct folds already make); corpora
-    * needing the defensive max-over-all-rows probe keep corpusStats. */
+    * needing the defensive max-over-all-rows probe keep corpusStats.
+    * NULL vectors are skipped (size(NULL) = -1 under non-ANSI, NULL
+    * row under ANSI — either would poison the dim), matching the
+    * null-skipping max() this probe replaced. */
   def vecDim(corpus: DataFrame, vecCol: String = "embedding"): Int = {
-    val r = corpus.select(size(col(vecCol)).as("d")).head(1)
+    val r = corpus.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d")).head(1)
     if (r.isEmpty) 0 else r(0).getInt(0)
   }
 

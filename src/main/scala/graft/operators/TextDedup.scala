@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
+import graft.plans.SortedIntersectFunctions.sortedIntersectCount
 
 /** Near-duplicate detection over a document corpus — the dedup family a
   * training-data pipeline needs (exact, MinHash+LSH, SimHash, token
@@ -66,7 +67,10 @@ object TextDedup {
           .cast("string")))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
-    val toks = withSig.select(col("doc_id"), col("toks"))
+    // verify reads a pre-SORTED copy of the token sets (set ops only —
+    // the signature above still derives from appearance order) so the
+    // exact-Jaccard check is the allocation-free merge-intersect count
+    val toks = withSig.select(col("doc_id"), sort_array(col("toks")).as("toks"))
     banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
         Seq("band", "bucket"))
@@ -74,7 +78,7 @@ object TextDedup {
       .select("id_a", "id_b").distinct()
       .join(toks.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(toks.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
+      .withColumn("jaccard", sortedJaccard(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -107,8 +111,12 @@ object TextDedup {
     // over the naive join at sf0.1 — the rewrite buys the BOUND, which
     // is what survives boilerplate-heavy real corpora where naive Σ df²
     // detonates.
+    // the carried token copy is pre-sorted: the final token filter only
+    // does SET ops on it, and sorted arrays let the verify stage use
+    // the merge-intersect count (shingle content still derives from the
+    // appearance-ordered `toks` in `base`, untouched)
     val universe = base.select(col("doc_id"), lit("all").as("blk"),
-      explode(col("sh")).as("tok"), col("toks"))
+      explode(col("sh")).as("tok"), sort_array(col("toks")).as("toks"))
     val dfTab = universe.groupBy(col("blk"), col("tok"))
       .agg(count(lit(1)).as("df"))
     val (docArr, prefix) =
@@ -121,18 +129,22 @@ object TextDedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     cand
-      .join(docArr.select(col("doc_id").as("id_a"), col("otoks").as("sh_a"),
+      .join(docArr.select(col("doc_id").as("id_a"), col("ltoks").as("sh_a"),
         col("n").as("ns_a"), col("toks").as("toks_a")), "id_a")
-      .join(docArr.select(col("doc_id").as("id_b"), col("otoks").as("sh_b"),
+      .join(docArr.select(col("doc_id").as("id_b"), col("ltoks").as("sh_b"),
         col("n").as("ns_b"), col("toks").as("toks_b")), "id_b")
-      .withColumn("si", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("si", sortedIntersectCount(col("sh_a"), col("sh_b")))
       .filter(col("si").cast("double") /
         (col("ns_a") + col("ns_b") - col("si")).cast("double") >= threshold)
       // require a shared token (mirrors the oracle's inner joins) so a
       // pair of empty docs ("" shingle, union-0 jaccard=1 convention)
-      // cannot enter through the degenerate branch
-      .filter(size(array_intersect(col("toks_a"), col("toks_b"))) > 0
-        && jaccard(col("toks_a"), col("toks_b")) >= threshold)
+      // cannot enter through the degenerate branch; `ti > 0` excludes
+      // the degenerate pair exactly like size(array_intersect) > 0 did,
+      // and past it the union is positive so the ratio IS the jaccard
+      .withColumn("ti", sortedIntersectCount(col("toks_a"), col("toks_b")))
+      .filter(col("ti") > 0 && col("ti").cast("double") /
+        (size(col("toks_a")) + size(col("toks_b")) - col("ti"))
+          .cast("double") >= threshold)
       .select("id_a", "id_b")
   }
 
@@ -216,6 +228,14 @@ object TextDedup {
   /** Exact token-set Jaccard as a Column expression. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
+    when(union === 0.0, lit(1.0)).otherwise(inter / union)
+  }
+
+  /** [[jaccard]] over arrays known to be sorted ascending + distinct
+    * (same union-0 ⇒ 1.0 convention), via the merge-intersect count. */
+  private def sortedJaccard(a: Column, b: Column): Column = {
+    val inter = sortedIntersectCount(a, b).cast("double")
     val union = (size(a) + size(b)).cast("double") - inter
     when(union === 0.0, lit(1.0)).otherwise(inter / union)
   }
@@ -343,6 +363,71 @@ object TextDedup {
         col("jaccard"))
   }
 
+  /** Cross-set token Jaccard against a PRE-TOKENIZED index side — the
+    * per-ingest form whose index-side cost is ONE scan of stored
+    * (doc_id, blk, stoks) rows: no per-batch re-tokenize, no df table
+    * over the corpus, no per-corpus-doc sort/aggregate (guide §2.3 /
+    * §8: decide with small rows — the corpus contributes exploded
+    * token rows to a hash join probe and its stored arrays to the
+    * verify re-attach, nothing else, and neither ever shuffles: the
+    * probe side broadcasts both times).
+    *
+    * Candidate pruning is the PROBE-side prefix under the probe
+    * batch's own (df, tok) order — lossless with only the probe
+    * ordered, because the index side indexes ALL its tokens (the
+    * asymmetric argument of [[tokenContainmentPairs]]): a qualifying
+    * pair's probe-canonically-smallest shared token sits in the
+    * probe's prefix (lemma) and somewhere in the index side's full
+    * rows, so one join row always survives; the LENGTH filter is
+    * order-free, and the probe-side positional bound
+    * `(1 + n_a − i)·(1+t) ≥ t·(n_a+n_b)` holds for that token since
+    * every other intersection member follows it on the probe side.
+    * The verify stage recomputes exact Jaccard, so the OUTPUT is
+    * identical to [[tokenJaccardAgainst]] on the same logical inputs
+    * (StreamingSpec + TextDedupSpec pin it). Probe-local df ordering
+    * keeps stopwords out of probe prefixes (a delta batch samples the
+    * same token distribution as the corpus), so the Σ df_index·
+    * df_probe_prefix candidate head stays linear-ish in the delta.
+    *
+    * @param probe (doc_id, blk, stoks) — stoks sorted-ascending distinct
+    * @param index (doc_id, blk, stoks) — the stored form; ids disjoint
+    *              from the probe's */
+  def tokenJaccardAgainstIndexed(probe: DataFrame, index: DataFrame,
+                                 threshold: Double): DataFrame = {
+    val pInv = probe.select(col("doc_id"), col("blk"),
+      explode(col("stoks")).as("tok"))
+    val dfTab = pInv.groupBy(col("blk"), col("tok"))
+      .agg(count(lit(1)).as("df"))
+    val (docArr, prefix) = prefixIndex(pInv, dfTab, threshold)
+    val iTok = index.select(col("doc_id").as("id_b"), col("blk"),
+      size(col("stoks")).as("n_b"), explode(col("stoks")).as("tok"))
+      .alias("b")
+    val na = col("a.n"); val nb = col("b.n_b")
+    val cand = prefix.alias("a")
+      .join(iTok,
+        col("a.tok") === col("b.tok") && col("a.blk") === col("b.blk")
+          && least(na, nb).cast("double") >=
+            lit(threshold) * greatest(na, nb).cast("double") - lit(1e-9)
+          && (lit(1) + (na - col("a.pos"))).cast("double") *
+            lit(1.0 + threshold) >=
+            lit(threshold) * (na + nb).cast("double") - lit(1e-9))
+      .select(col("a.doc_id").as("id_a"), col("b.id_b").as("id_b"))
+      .distinct()
+    cand
+      .join(docArr.select(col("doc_id").as("id_a"),
+        col("ltoks").as("toks_a"), col("n").as("n_a")), "id_a")
+      .join(index.select(col("doc_id").as("id_b"),
+        col("stoks").as("toks_b"), size(col("stoks")).as("n_bv")), "id_b")
+      .withColumn("inter",
+        sortedIntersectCount(col("toks_a"), col("toks_b")))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n_a") + col("n_bv") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as("probe_id"), col("id_b").as("index_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Canonical-order doc arrays + prefix index, shared by the within-set
     * and cross-set prefix-filter joins. `universe` = (doc_id, blk, tok
     * [, extras…]) occurrence rows over the kept token universe; `dfTab` =
@@ -395,11 +480,11 @@ object TextDedup {
       .distinct()
     cand
       .join(docArr.select(col("doc_id").as("id_sub"),
-        col("otoks").as("toks_a"), col("n").as("n_sub")), "id_sub")
+        col("ltoks").as("toks_a"), col("n").as("n_sub")), "id_sub")
       .join(docArr.select(col("doc_id").as("id_sup"),
-        col("otoks").as("toks_b")), "id_sup")
+        col("ltoks").as("toks_b")), "id_sup")
       .withColumn("inter",
-        size(array_intersect(col("toks_a"), col("toks_b"))))
+        sortedIntersectCount(col("toks_a"), col("toks_b")))
       .withColumn("containment",
         col("inter").cast("double") / col("n_sub").cast("double"))
       .filter(col("containment") >= threshold)
@@ -415,12 +500,17 @@ object TextDedup {
     // is lexicographic on (df, tok) — a total order since tok is unique
     // within a doc, so collect_list's arrival order cannot leak through)
     val extras = extraDocCols.map(c => first(col(c)).as(c))
+    // otoks = canonical (df, tok) order — what prefixes/positions slice;
+    // ltoks = the SAME set sorted plain-ascending, the order the verify
+    // stage's merge-intersect count needs (one extra per-doc sort here,
+    // map-side after the agg; consumers prune whichever they don't read)
     val docArr = universe.join(dfTab, Seq("blk", "tok"))
       .groupBy(col("blk"), col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"),
         extras: _*)
       .select(col("blk") +: col("doc_id") +:
         transform(col("ord"), x => x.getField("tok")).as("otoks") +:
+        sort_array(transform(col("ord"), x => x.getField("tok"))).as("ltoks") +:
         size(col("ord")).as("n") +: extraDocCols.map(col): _*)
 
     // prefix index: the first n - ceil(t*n) + 1 canonical tokens, each
@@ -474,16 +564,20 @@ object TextDedup {
   /** Exact verify: true Jaccard over the full (universe) token arrays,
     * recomputed per candidate — output is identical to the naive
     * inverted-index plan, which is what keeps the DuckDB oracles
-    * byte-for-byte unchanged under prefix filtering. */
+    * byte-for-byte unchanged under prefix filtering. The intersection
+    * count is the sorted-merge expression over the plain-ascending
+    * copies (no hash set, no materialized intersection array per
+    * candidate — the verify stage is the family's measured bottleneck,
+    * OPTIMIZATION_r15.md). */
   private def verifyJaccard(cand: DataFrame, docArr: DataFrame,
                             threshold: Double): DataFrame =
     cand
       .join(docArr.select(col("doc_id").as("id_a"),
-        col("otoks").as("toks_a"), col("n").as("n_a")), "id_a")
+        col("ltoks").as("toks_a"), col("n").as("n_a")), "id_a")
       .join(docArr.select(col("doc_id").as("id_b"),
-        col("otoks").as("toks_b"), col("n").as("n_b")), "id_b")
+        col("ltoks").as("toks_b"), col("n").as("n_b")), "id_b")
       .withColumn("inter",
-        size(array_intersect(col("toks_a"), col("toks_b"))))
+        sortedIntersectCount(col("toks_a"), col("toks_b")))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")).cast("double"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
+import graft.functions.TextFunctions
 import graft.operators.Curate
 import graft.sources.PartitionedLake
 
@@ -11,58 +12,114 @@ import graft.sources.PartitionedLake
   * of the curation pipeline — each micro-batch of new documents is
   * tested against the already-curated corpus (never the corpus against
   * itself), survivors append to the corpus store, and the next batch
-  * probes the grown corpus. Composes [[graft.operators.Curate.incremental]]
-  * (c02's cost-∝-delta probe join) with the st09 lake-ingest replay
-  * discipline ([[graft.sources.PartitionedLake.upsertBatchKeyed]]).
+  * probes the grown corpus. Composes
+  * [[graft.operators.Curate.incrementalIndexed]] (the cost-∝-delta
+  * probe join) with the st09 lake-ingest replay discipline
+  * ([[graft.sources.PartitionedLake.upsertBatchKeyed]]).
   *
-  * Scale story (100 TB): per batch, the corpus contributes a reusable
-  * 32-byte-key hash set and a prefix-token index to two semi-join-
-  * shaped probes — candidate cost scales with the DELTA, not the
-  * corpus; the corpus store itself is append-only parquet that is
-  * never rewritten. Replay safety: the probe corpus is filtered to
-  * `ingest_batch < batchId`, so a replayed batch (restart from
-  * checkpoint, at-least-once delivery) never sees its own previous
-  * write as a duplicate, recomputes the identical verdicts, and
-  * dynamic partition overwrite rewrites exactly its own files —
-  * effectively-once corpus state.
+  * Scale story (100 TB): alongside the corpus store the ingest
+  * maintains a PROBE INDEX — one row per kept doc: (doc_id, blk,
+  * sha2-256, sorted token set), written once at that doc's own ingest
+  * (cost ∝ batch) under the same `ingest_batch=` partitioning. Each
+  * batch probes ONLY the index: the exact probe scans stored 32-byte
+  * hashes, the near probe joins the delta's prefix tokens against the
+  * stored arrays — corpus TEXT is never re-read, re-hashed,
+  * re-tokenized or re-sorted per batch (r15 measured the per-batch
+  * index REBUILD as the one corpus-proportional per-ingest cost left;
+  * guide §2.3/§8: decide with small rows, move heavy bytes once). The
+  * corpus store itself is append-only parquet that is never rewritten.
+  *
+  * Replay safety: both stores key their partitions on `ingest_batch`,
+  * and the probe filters to `ingest_batch < batchId` — a replayed
+  * batch (restart from checkpoint, at-least-once delivery) never sees
+  * its own previous write as a duplicate, recomputes the identical
+  * verdicts, and dynamic partition overwrite rewrites exactly its own
+  * files in BOTH stores — effectively-once corpus state. A corpus
+  * batch the index store misses (legacy store, torn write) SELF-HEALS:
+  * its index rows derive from the corpus text one last time.
   */
 object DocStreams {
 
-  /** Read the accumulated corpus store, or an empty frame with the
-    * delta's schema when no batch has landed yet. */
-  private def corpusOrEmpty(delta: DataFrame, path: String): DataFrame = {
+  private def probeIndexPath(corpusPath: String): String =
+    s"${corpusPath.stripSuffix("/")}/_probe_index"
+
+  /** Batch ids present as `ingest_batch=` partitions under `path` —
+    * driver-side listing, partition-count-sized. */
+  private def batchIds(path: String): Set[Long] = {
     val dir = new java.io.File(path)
-    val hasData = dir.isDirectory &&
-      Option(dir.listFiles()).exists(_.exists(_.getName.startsWith("ingest_batch=")))
-    if (hasData) delta.sparkSession.read.parquet(path)
-    else delta.limit(0).withColumn("ingest_batch", lit(-1L))
+    if (!dir.isDirectory) Set.empty
+    else Option(dir.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+      .map(_.getName.stripPrefix("ingest_batch=").toLong).toSet
   }
+
+  /** The probe-index row shape for a raw document frame: (doc_id, blk,
+    * h, stoks) — 32-byte exact-probe key + sorted-distinct token set
+    * (sorted so the verify stage's merge-intersect count applies). */
+  private def indexRows(docs: DataFrame, idCol: String, textCol: String,
+                        blockCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+      sha2(col(textCol), 256).as("h"),
+      sort_array(TextFunctions.tokenSet(col(textCol))).as("stoks"))
 
   /** One micro-batch of the incremental-dedup ingest (public so the
     * replay-idempotence property is directly testable, mirroring
     * `PartitionedLake.upsertBatch`'s spec): admit `delta` against the
-    * corpus batches BEFORE `batchId`, append only the kept documents
-    * under `ingest_batch=<batchId>`. */
+    * corpus batches BEFORE `batchId`, append only the kept documents —
+    * and their probe-index rows — under `ingest_batch=<batchId>`. */
   def ingestBatch(delta: DataFrame, batchId: Long, corpusPath: String,
                   idCol: String = "doc_id", textCol: String = "text",
                   blockCol: String = "source",
                   threshold: Double = 0.5): Unit = {
-    val corpus = corpusOrEmpty(delta, corpusPath)
-      .filter(col("ingest_batch") < batchId)
-      .select(col(idCol), col(textCol), col(blockCol))
-    val verdicts = Curate.incremental(delta, corpus,
-      idCol, textCol, blockCol, threshold)
-    val kept = delta.join(
-      verdicts.filter(col("kept")).select(col("doc_id").as(idCol)),
-      Seq(idCol), "left_semi")
-    PartitionedLake.upsertBatchKeyed(kept, batchId, corpusPath)
+    val spark = delta.sparkSession
+    val idxPath = probeIndexPath(corpusPath)
+    val corpusBatches = batchIds(corpusPath).filter(_ < batchId)
+    val indexedBatches =
+      batchIds(idxPath).filter(_ < batchId).intersect(corpusBatches)
+    val stored =
+      if (indexedBatches.isEmpty) None
+      else Some(spark.read.parquet(idxPath)
+        .filter(col("ingest_batch").isin(indexedBatches.toSeq: _*))
+        .select("doc_id", "blk", "h", "stoks"))
+    val missing = corpusBatches -- indexedBatches
+    val healed =
+      if (missing.isEmpty) None
+      else Some(indexRows(
+        spark.read.parquet(corpusPath)
+          .filter(col("ingest_batch").isin(missing.toSeq: _*)),
+        idCol, textCol, blockCol))
+    val index = (stored, healed) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => indexRows(delta.limit(0), idCol, textCol,
+        blockCol) // no prior batch: empty index, right schema
+    }
+    // the delta's index rows are read by both probes, the verdict join
+    // and the index append — one tokenize/hash pass, checkpointed
+    // (released at scope exit; the Checkpoints discipline)
+    Checkpoints.withLocal(indexRows(delta, idCol, textCol, blockCol)) {
+      dp =>
+        // kept ids materialize BEFORE either store write: the verdict
+        // lineage reads the index store the second write overwrites
+        Checkpoints.withLocal(
+          Curate.incrementalIndexed(dp, index, threshold)
+            .filter(col("kept")).select(col("doc_id"))) { keptIds =>
+          val kept = delta.join(keptIds.select(col("doc_id").as(idCol)),
+            Seq(idCol), "left_semi")
+          PartitionedLake.upsertBatchKeyed(kept, batchId, corpusPath)
+          PartitionedLake.upsertBatchKeyed(
+            dp.join(keptIds, Seq("doc_id"), "left_semi"), batchId, idxPath)
+        }
+    }
   }
 
   /** Streaming incremental dedup ingest: per micro-batch, admit the
     * delta against the corpus at `corpusPath` (exact sha2 probe +
-    * cross-set prefix-filter Jaccard), append only the kept documents
-    * under `ingest_batch=<id>`. Returns the DataStreamWriter; the
-    * caller picks trigger/checkpoint. */
+    * cross-set prefix-filter Jaccard, both against the maintained
+    * probe index), append only the kept documents under
+    * `ingest_batch=<id>`. Returns the DataStreamWriter; the caller
+    * picks trigger/checkpoint. */
   def incrementalDedupIngest(docs: DataFrame, corpusPath: String,
                              idCol: String = "doc_id",
                              textCol: String = "text",

@@ -46,4 +46,47 @@ class Md5DrawSpec extends SparkSpec {
       .select(chain(lit("probe:42")).as("v")).head().getLong(0)
     assert(interpreted == viaSql)
   }
+
+  test("md5_draw52_key == md5_draw52(concat(casts)) on the q91/c14 " +
+      "key streams") {
+    import graft.plans.Md5DrawKey52.md5DrawKey52
+    // q91 shape: (long, ':bs', int)
+    val orders = spark.read.parquet(s"${sf("sf0.01")}/orders.parquet")
+      .withColumn("b", explode(sequence(lit(0), lit(32))))
+    val d1 = orders.select(
+        chain(concat($"o_orderkey".cast("string"), lit(":bs"),
+          $"b".cast("string"))).as("a"),
+        md5DrawKey52($"o_orderkey", lit(":bs"), $"b").as("b2"))
+      .filter(!($"a" <=> $"b2"))
+    assert(d1.count() == 0)
+    // c14 shape: (long, ':ws42')
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val d2 = docs.select(
+        chain(concat($"doc_id".cast("string"), lit(":ws42"))).as("a"),
+        md5DrawKey52($"doc_id", lit(":ws42")).as("b2"))
+      .filter(!($"a" <=> $"b2"))
+    assert(d2.count() == 0)
+  }
+
+  test("md5_draw52_key edges: negatives, zero, Long.MinValue, null") {
+    import graft.plans.Md5DrawKey52.md5DrawKey52
+    val df = Seq(Some(0L), Some(-1L), Some(7L), Some(Long.MinValue),
+      Some(Long.MaxValue), None).toDF("v")
+    val rows = df.select(
+      chain(concat($"v".cast("string"), lit(":x"))).as("a"),
+      md5DrawKey52($"v", lit(":x")).as("b")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1), r.toString)
+    }
+    assert(rows.count(_.isNullAt(1)) == 1)
+    // interpreted path agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = graft.plans.Md5DrawKey52(Seq(
+      Literal(-42L), Literal(":x"), Literal(7)))
+    val viaSql = spark.range(1)
+      .select(chain(concat(lit(-42L).cast("string"), lit(":x"),
+        lit(7).cast("string"))).as("v")).head().getLong(0)
+    assert(e.eval(null) == viaSql)
+  }
 }

@@ -125,4 +125,15 @@ class SimilaritySpec extends SparkSpec {
     val (tNear, _) = Similarity.tuneSignLsh(2000000000L, 0.9, 0.95, 64)
     assert(tNear <= 48)
   }
+
+  test("vecDim: one-row probe skips NULL vectors (as defensive as the " +
+      "max() pass it replaced) and returns 0 on an empty corpus") {
+    val withNull = Seq(
+      (1L, Option.empty[Seq[Float]]),
+      (2L, Some(Seq(1f, 2f, 3f, 4f)))
+    ).toDF("vec_id", "embedding")
+    assert(Similarity.vecDim(withNull) == 4)
+    assert(Similarity.vecDim(withNull.filter($"vec_id" < 0)) == 0)
+    assert(Similarity.vecDim(emb) == 64) // fixture dim
+  }
 }

@@ -423,7 +423,67 @@ class StreamingSpec extends SparkSpec {
       val after = spark.read.parquet(corpus)
       assert(after.select($"doc_id").as[Long].collect().sorted.toSeq ==
         Seq(1L, 2L, 5L))
+      // the probe index accumulated alongside the corpus: one row per
+      // kept doc, same ingest_batch partitioning (replay rewrote its
+      // own partition idempotently)
+      val idx = spark.read.parquet(s"$corpus/_probe_index")
+      assert(idx.select($"doc_id").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 5L))
     } finally q.stop()
+  }
+
+  test("state-partition dial: identical committed results at 3 vs 8 " +
+      "shuffle partitions (state parallelism is a dial, not a rebuild), " +
+      "and the session conf is restored") {
+    implicit val sqlCtx = spark.sqlContext
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(parts: String, name: String): Seq[(String, Long)] =
+      graft.EntryDrives.withStatePartitions(spark, Some(parts)) {
+        assert(spark.conf.get("spark.sql.shuffle.partitions") == parts)
+        val mem = MemoryStream[Event]
+        val q = EventStreams.tumblingAgg(mem.toDF(), "5 minutes",
+            "1 minute")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try {
+          mem.addData(ev(1, "2024-01-01 00:01:00", 1),
+            ev(2, "2024-01-01 00:02:00", 2),
+            ev(3, "2024-01-01 00:06:00", 3))
+          q.processAllAvailable()
+          mem.addData(ev(4, "2024-01-01 01:00:00", 1))
+          q.processAllAvailable()
+          spark.table(name).select($"window_start".cast("string"), $"n")
+            .as[(String, Long)].collect().toSeq.sorted
+        } finally q.stop()
+      }
+    val a = run("3", "dial3")
+    val b = run("8", "dial8")
+    assert(a == b && a.nonEmpty, s"dial changed results: $a vs $b")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
+
+  test("incremental dedup ingest SELF-HEALS a corpus batch the probe " +
+      "index misses (legacy store / torn write)") {
+    import graft.model.Rows.Document
+    def doc(id: Long, text: String) =
+      Document(id, text, "en", "web", text.length.toLong)
+    val corpus = java.nio.file.Files
+      .createTempDirectory("stream_dedup_heal").toString
+    // batch 0 lands the LEGACY way: corpus partition only, no index
+    graft.sources.PartitionedLake.upsertBatchKeyed(
+      Seq(doc(1, "alpha beta gamma delta epsilon"),
+        doc(2, "one two three four five six")).toDS().toDF(), 0L, corpus)
+    assert(!new java.io.File(s"$corpus/_probe_index").isDirectory)
+    // batch 1 must still probe batch 0 (healed from corpus text):
+    // exact dup of 1 and near dup of 2 drop, the novel doc survives
+    graft.streaming.DocStreams.ingestBatch(
+      Seq(doc(3, "alpha beta gamma delta epsilon"),
+        doc(4, "one two three four five seven"),
+        doc(5, "totally novel content here now")).toDS().toDF(),
+      1L, corpus)
+    val store = spark.read.parquet(corpus)
+    assert(store.select($"doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 5L))
   }
 
   test("embed ingest dedup: delta probes the ACCUMULATED lake index; " +

@@ -169,6 +169,45 @@ class TextDedupSpec extends SparkSpec {
     // within-probe / within-index pairs cannot form by construction
     assert(!got.exists(p => p._1 == 12L || p._1 == 13L))
     assert(got.forall(p => p._1 >= 10L && p._2 < 10L))
+
+    // the pre-tokenized (stored-index) form must produce the IDENTICAL
+    // pair set and jaccards — it is the per-ingest probe's fast path
+    // (probe-side-only prefix, index-side full rows, exact verify)
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("src").as("blk"),
+        sort_array(TextFunctions.tokenSet(col("text"))).as("stoks"))
+    val gotIdx = TextDedup.tokenJaccardAgainstIndexed(
+        prep(probe), prep(index), threshold = 0.5)
+      .select("probe_id", "index_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val gotFull = TextDedup.tokenJaccardAgainst(probe, index,
+        "doc_id", "text", "src", threshold = 0.5)
+      .select("probe_id", "index_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotIdx == gotFull, s"indexed $gotIdx != full $gotFull")
+  }
+
+  test("tokenJaccardAgainstIndexed == tokenJaccardAgainst on the " +
+      "sf0.01 fixture (the adversarial dense-prefix corpus)") {
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val probe = docs.filter($"doc_id" % 100 >= 80)
+      .withColumn("doc_id", $"doc_id" + 5000000L)
+    val index = docs.filter($"doc_id" % 100 < 80)
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("source").as("blk"),
+        sort_array(TextFunctions.tokenSet(col("text"))).as("stoks"))
+    val gotIdx = TextDedup.tokenJaccardAgainstIndexed(
+        prep(probe), prep(index), threshold = 0.5)
+      .select("probe_id", "index_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val gotFull = TextDedup.tokenJaccardAgainst(probe, index,
+        "doc_id", "text", "source", threshold = 0.5)
+      .select("probe_id", "index_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotIdx == gotFull,
+      s"indexed lost ${(gotFull -- gotIdx).size} / " +
+        s"invented ${(gotIdx -- gotFull).size} pairs")
+    assert(gotFull.nonEmpty) // the fixture must actually exercise it
   }
 
   test("containment is directional and survives a huge asymmetric sup") {
